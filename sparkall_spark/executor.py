@@ -1,0 +1,316 @@
+"""Executor: ParsedQuery + MappingIndex -> ONE lazy DataFrame plan.
+
+The reference's Spark backend assembles the same pipeline imperatively
+(SparkExecutor.scala: per-star build :26-194, join :247-359, groupBy
+:516-539, orderBy :506-514, project :491-496, limit :541) and then runs
+TWO actions (take(20) + count(), :543-556), re-executing the plan.  We
+build the identical logical pipeline but return the still-lazy frame:
+Catalyst sees the whole query — like the reference's Presto path which
+compiles everything into one SQL string (PrestoExecutor.scala:404-518).
+
+Order of operations and the deviations that fix reference bugs:
+- per-star: scan -> project/alias (explicit column pruning) -> join-col
+  transforms -> filters -> union of relevant sources;
+- joins: pairwise chained equi-joins with the reference's pending-queue
+  algorithm so any connected join-graph order works;
+- post-join: groupBy/agg -> [distinct -> orderBy] -> project -> limit.
+  Multi-key ORDER BY is one ``orderBy(*keys)`` call (the reference's
+  per-key loop is last-key-wins, Run.scala:294-299).  DISTINCT runs
+  *before* ORDER BY when all sort keys are projected, because a
+  post-sort distinct re-shuffles and destroys the order the LIMIT
+  depends on (reference does distinct after sort, Run.scala:303).
+
+Scale notes: every star is pruned to its needed columns at the scan
+(minimal parquet ReadSchema) and filtered before any join (source-level
+pushdown); mappings flagged ``broadcast`` get an explicit broadcast
+hint, everything else is left to Catalyst/AQE (broadcast vs SMJ, skew
+splitting, partition coalescing).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from sparkall_spark.functions.transforms import apply_transform_chain
+from sparkall_spark.mappings import EntityMapping, MappingIndex
+from sparkall_spark.plans.model import Filter, ParsedQuery, Star
+from sparkall_spark.plans.planner import QueryPlan, plan_query
+from sparkall_spark.sources import load_source
+
+
+class ExecutionError(RuntimeError):
+    pass
+
+
+def _filter_condition(col: Column, f: Filter) -> Column:
+    value = F.lit(f.value)
+    if f.op == "=":
+        return col == value
+    if f.op == "!=":
+        return col != value
+    if f.op == "<":
+        return col < value
+    if f.op == "<=":
+        return col <= value
+    if f.op == ">":
+        return col > value
+    if f.op == ">=":
+        return col >= value
+    if f.op == "regex":
+        # reference semantics: SQL LIKE wildcards (SparkExecutor.scala:180-182)
+        return col.like(str(f.value))
+    if f.op == "rlike":
+        return col.rlike(str(f.value))
+    raise ExecutionError(f"unknown filter op {f.op!r}")
+
+
+def build_star_df(
+    spark: SparkSession,
+    q: ParsedQuery,
+    star: Star,
+    needed_preds: set[str],
+    project_subject: bool,
+    sources: list[EntityMapping],
+) -> DataFrame:
+    """Scan + project/alias + union for one star (SparkExecutor.scala:26-117)."""
+    if not sources:
+        raise ExecutionError(
+            f"no relevant source for star ?{star.subject} "
+            f"(predicates {sorted(star.predicates)}, class {star.class_iri})"
+        )
+    frames: list[DataFrame] = []
+    for m in sources:
+        raw = load_source(spark, m)
+        cols = [F.col(m.id_attr).alias(f"{star.subject}_ID")]
+        for pred in sorted(needed_preds):
+            attr = m.predicates[pred]
+            cols.append(F.col(attr).alias(q.column_for(star.subject, pred)))
+        df = raw.select(*cols)
+        if m.broadcast:
+            df = F.broadcast(df)
+        frames.append(df)
+    out = frames[0]
+    for other in frames[1:]:
+        out = out.unionByName(other, allowMissingColumns=True)
+    return out
+
+
+def _apply_star_filters(
+    df: DataFrame, q: ParsedQuery, star_name: str
+) -> DataFrame:
+    """Pre-join filters for one star (SparkExecutor.scala:144-185)."""
+    conds: list[Column] = []
+    for f in q.filters:
+        if f.var == star_name:
+            conds.append(_filter_condition(F.col(f"{star_name}_ID"), f))
+        elif f.var in q.var_to_star_pred and q.var_to_star_pred[f.var][0] == star_name:
+            col = F.col(q.column_for_var(f.var))
+            conds.append(_filter_condition(col, f))
+    for c in conds:
+        df = df.filter(c)
+    return df
+
+
+def _apply_transforms(
+    star_dfs: dict[str, DataFrame], q: ParsedQuery, plan: QueryPlan
+) -> None:
+    """Join-column transformations (SparkExecutor.scala:127-141).
+
+    side 'l': rewrite the left star's joining attribute column;
+    side 'r': rewrite the right star's ID column.
+    """
+    for spec in q.transforms:
+        if spec.side == "l":
+            edge = next(
+                (
+                    e
+                    for e in plan.join_edges
+                    if e.left_star == spec.left_var and e.right_star == spec.right_var
+                ),
+                None,
+            )
+            if edge is None:
+                raise ExecutionError(
+                    f"TRANSFORM references no join ?{spec.left_var}->?{spec.right_var}"
+                )
+            target_star, colname = spec.left_var, q.column_for(edge.left_star, edge.pred)
+        else:
+            target_star, colname = spec.right_var, f"{spec.right_var}_ID"
+        df = star_dfs[target_star]
+        new_col, row_filters = apply_transform_chain(F.col(colname), spec.functions)
+        df = df.withColumn(colname, new_col)
+        for flt in row_filters:
+            df = df.filter(flt)
+        star_dfs[target_star] = df
+
+
+def _join_stars(
+    star_dfs: dict[str, DataFrame], q: ParsedQuery, plan: QueryPlan
+) -> DataFrame:
+    """Chained pairwise equi-joins, pending-queue algorithm
+    (SparkExecutor.scala:247-359); optional edges attach LEFT OUTER."""
+    edges = deque(
+        sorted(plan.join_edges, key=lambda e: e.left_outer)  # mandatory first
+    )
+    if not edges:
+        if len(star_dfs) > 1:
+            raise ExecutionError(
+                "disconnected join graph: stars "
+                f"{sorted(star_dfs)} share no join variable (cartesian "
+                "products are not part of the supported fragment)"
+            )
+        (only,) = star_dfs.values()
+        return only
+
+    joined: DataFrame | None = None
+    seen: set[str] = set()
+    stall = 0
+    while edges:
+        e = edges.popleft()
+        lcol = q.column_for(e.left_star, e.pred)
+        rcol = f"{e.right_star}_ID"
+        how = "left" if e.left_outer else "inner"
+        if joined is None:
+            joined = star_dfs[e.left_star].join(
+                star_dfs[e.right_star], F.col(lcol) == F.col(rcol), how
+            )
+            seen = {e.left_star, e.right_star}
+        elif e.left_star in seen and e.right_star in seen:
+            joined = joined.filter(F.col(lcol) == F.col(rcol))  # cycle edge
+        elif e.left_star in seen:
+            joined = joined.join(
+                star_dfs[e.right_star], F.col(lcol) == F.col(rcol), how
+            )
+            seen.add(e.right_star)
+        elif e.right_star in seen:
+            # attaching the *left* star; for an optional left star this is
+            # still a left-outer preserve of the already-joined side
+            joined = joined.join(
+                star_dfs[e.left_star],
+                F.col(lcol) == F.col(rcol),
+                "left" if e.left_outer else "inner",
+            )
+            seen.add(e.left_star)
+        else:
+            edges.append(e)
+            stall += 1
+            if stall > len(edges):
+                raise ExecutionError(
+                    "disconnected join graph: stars "
+                    f"{sorted(set(star_dfs) - seen)} unreachable"
+                )
+            continue
+        stall = 0
+
+    missing = set(star_dfs) - seen
+    if missing:
+        raise ExecutionError(f"stars not joined (cartesian not supported): {missing}")
+    return joined
+
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "count": F.count,
+}
+
+
+def execute_plan(
+    spark: SparkSession, plan: QueryPlan, index: MappingIndex
+) -> DataFrame:
+    q = plan.query
+
+    star_dfs: dict[str, DataFrame] = {}
+    for name, star in q.stars.items():
+        df = build_star_df(
+            spark,
+            q,
+            star,
+            plan.needed_preds[name],
+            plan.project_subject.get(name, False),
+            index.relevant_sources(star),
+        )
+        star_dfs[name] = _apply_star_filters(df, q, name)
+    _apply_transforms(star_dfs, q, plan)
+
+    df = _join_stars(star_dfs, q, plan)
+
+    if q.aggregations or q.group_by:
+        group_cols = [F.col(q.column_for_var(v)).alias(v) for v in q.group_by]
+        aggs = []
+        for a in q.aggregations:
+            if a.var == "*":
+                expr = F.count(F.lit(1))
+            else:
+                col = F.col(q.column_for_var(a.var))
+                if a.distinct:
+                    expr = F.countDistinct(col) if a.fn == "count" else _AGG_FNS[a.fn](col)
+                else:
+                    expr = _AGG_FNS[a.fn](col)
+            aggs.append(expr.alias(a.alias))
+        df = df.groupBy(*group_cols).agg(*aggs)
+        out_cols = [v for v in q.select_vars if v in q.group_by] + [
+            a.alias for a in q.aggregations
+        ]
+        order_resolver = {
+            **{v: v for v in q.group_by},
+            **{a.alias: a.alias for a in q.aggregations},
+        }
+    else:
+        out_cols = list(q.select_vars)
+        order_resolver = {v: q.column_for_var(v) for v in
+                          set(q.select_vars) | {k.var for k in q.order_keys}}
+
+    def sort_keys() -> list[Column]:
+        keys = []
+        for k in q.order_keys:
+            col = F.col(order_resolver[k.var])
+            keys.append(col.desc() if k.descending else col.asc())
+        return keys
+
+    if q.aggregations or q.group_by:
+        # columns already renamed by groupBy aliases
+        projected = df.select(*out_cols)
+        if q.distinct:
+            projected = projected.distinct()
+        if q.order_keys:
+            projected = projected.orderBy(*sort_keys())
+        df = projected
+    else:
+        rename = [F.col(q.column_for_var(v)).alias(v) for v in out_cols]
+        order_vars = {k.var for k in q.order_keys}
+        if order_vars <= set(out_cols):
+            # project (+distinct) first, then sort on the projected names
+            df = df.select(*rename)
+            if q.distinct:
+                df = df.distinct()
+            if q.order_keys:
+                df = df.orderBy(
+                    *[
+                        (F.col(k.var).desc() if k.descending else F.col(k.var).asc())
+                        for k in q.order_keys
+                    ]
+                )
+        else:
+            if q.order_keys:
+                df = df.orderBy(*sort_keys())
+            df = df.select(*rename)
+            if q.distinct:
+                df = df.distinct()
+
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+def execute_sparql(
+    spark: SparkSession, query_text: str, index: MappingIndex
+) -> DataFrame:
+    from sparkall_spark.plans.parser import parse_sparql
+
+    plan = plan_query(parse_sparql(query_text))
+    return execute_plan(spark, plan, index)

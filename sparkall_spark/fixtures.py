@@ -1,0 +1,72 @@
+"""Mappings binding the driver's TPC-H-ish parquet fixtures to an ontology.
+
+This is the analog of the reference's evaluation setup (5 BSBM entities
+mapped via mappings.ttl + config); here the entities are the tables of
+TESTDATA.md and every predicate lives in the ``sa:`` namespace.
+
+FK predicates point at the *target entity's subject*, e.g.
+``?l sa:order ?o`` joins ``lineitem.l_orderkey = orders.o_orderkey``.
+
+``region`` and ``nation`` have fixed cardinality (5 / 25 rows at every
+scale factor) so they carry an explicit broadcast hint; every other
+table scales with SF and is left to Catalyst's size-based broadcast +
+AQE.
+"""
+
+from __future__ import annotations
+
+from sparkall_spark.mappings import EntityMapping, MappingIndex
+
+NS = "http://sparkall.io/ns/"
+PREFIX_BLOCK = f"PREFIX sa: <{NS}>\n"
+
+
+def _m(name: str, table: str, sf_dir: str, id_attr: str,
+       preds: dict[str, str], broadcast: bool = False) -> EntityMapping:
+    return EntityMapping(
+        name=name,
+        source=f"{sf_dir}/{table}.parquet",
+        source_type="parquet",
+        id_attr=id_attr,
+        predicates={NS + k: v for k, v in preds.items()},
+        class_iri=NS + name,
+        broadcast=broadcast,
+    )
+
+
+def tpch_mappings(sf_dir: str) -> MappingIndex:
+    return MappingIndex(
+        [
+            _m("Region", "region", sf_dir, "r_regionkey",
+               {"name": "r_name"}, broadcast=True),
+            _m("Nation", "nation", sf_dir, "n_nationkey",
+               {"name": "n_name", "region": "n_regionkey"}, broadcast=True),
+            _m("Customer", "customer", sf_dir, "c_custkey",
+               {"name": "c_name", "nation": "c_nationkey",
+                "acctbal": "c_acctbal", "mktsegment": "c_mktsegment"}),
+            _m("Supplier", "supplier", sf_dir, "s_suppkey",
+               {"name": "s_name", "nation": "s_nationkey", "acctbal": "s_acctbal"}),
+            _m("Part", "part", sf_dir, "p_partkey",
+               {"name": "p_name", "brand": "p_brand", "type": "p_type",
+                "size": "p_size", "retailprice": "p_retailprice"}),
+            _m("Orders", "orders", sf_dir, "o_orderkey",
+               {"customer": "o_custkey", "orderstatus": "o_orderstatus",
+                "totalprice": "o_totalprice", "orderdate": "o_orderdate",
+                "orderpriority": "o_orderpriority"}),
+            _m("Lineitem", "lineitem", sf_dir, "l_orderkey",
+               {"order": "l_orderkey", "part": "l_partkey",
+                "supplier": "l_suppkey", "linenumber": "l_linenumber",
+                "quantity": "l_quantity", "extendedprice": "l_extendedprice",
+                "discount": "l_discount", "tax": "l_tax",
+                "returnflag": "l_returnflag", "linestatus": "l_linestatus",
+                "shipdate": "l_shipdate"}),
+            _m("Event", "events", sf_dir, "event_id",
+               {"ts": "ts", "user": "user_id", "event_type": "event_type",
+                "value": "value", "props": "props"}),
+            _m("Document", "documents", sf_dir, "doc_id",
+               {"text": "text", "lang": "lang", "source": "source",
+                "n_chars": "n_chars"}),
+            _m("Embedding", "embeddings", sf_dir, "vec_id",
+               {"embedding": "embedding", "label": "label"}),
+        ]
+    )

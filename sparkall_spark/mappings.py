@@ -1,0 +1,278 @@
+"""Mappings: ontology classes/predicates -> concrete source attributes.
+
+Two front-ends, one index:
+
+- **Python-native**: construct :class:`EntityMapping` objects directly
+  (the primary API — declarative dicts, trivially serializable).
+- **RML Turtle**: :func:`load_rml` parses the RML subset the reference
+  uses (reference files: evaluation/input_files/mappings.ttl — triple
+  maps with ``rml:logicalSource [rml:source; nosql:store]``,
+  ``rr:subjectMap [rr:template; rr:class]`` and repeated
+  ``rr:predicateObjectMap [rr:predicate; rr:objectMap [rml:reference]]``;
+  parsed by Jena in the reference, Mapper.scala:132-143 — re-implemented
+  here as a small hand-rolled Turtle-subset reader).
+
+Relevant-source detection (reference: Mapper.scala:93-135, which runs a
+generated conjunctive SPARQL against the mapping model) is a plain
+set-containment lookup here: a source is relevant to a star iff its
+mapping covers *all* of the star's predicates (and its class when the
+star has an rdf:type constraint).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from sparkall_spark.plans.model import Star
+
+
+@dataclass
+class EntityMapping:
+    """Binding of one ontology entity to one concrete source."""
+
+    name: str
+    source: str
+    source_type: str  # parquet|csv|json|orc|jdbc|mongodb|cassandra|elasticsearch|rdf
+    id_attr: str
+    predicates: dict[str, str]  # predicate IRI -> source attribute
+    class_iri: str | None = None
+    options: dict[str, str] = field(default_factory=dict)
+    broadcast: bool = False  # planner hint: small dimension table
+
+    def covers(self, star: Star) -> bool:
+        if star.class_iri is not None and self.class_iri is not None:
+            if star.class_iri != self.class_iri:
+                return False
+        elif star.class_iri is not None and self.class_iri is None:
+            return False
+        return all(p in self.predicates for p in star.predicates)
+
+
+class MappingIndex:
+    def __init__(self, mappings: list[EntityMapping]):
+        self.mappings = list(mappings)
+
+    def relevant_sources(self, star: Star) -> list[EntityMapping]:
+        """All mappings covering every predicate of the star.
+
+        Multiple relevant sources for one star are legal — the executor
+        unions them (reference: SparkExecutor.scala:113-117).
+        """
+        return [m for m in self.mappings if m.covers(star)]
+
+    def with_config(self, config: "SourceCatalog") -> "MappingIndex":
+        """Merge per-source connection options from a config catalog."""
+        out = []
+        for m in self.mappings:
+            entry = config.lookup(m.source, m.name)
+            if entry:
+                merged = dict(entry.options)
+                merged.update(m.options)
+                out.append(
+                    EntityMapping(
+                        m.name,
+                        entry.source or m.source,
+                        entry.type or m.source_type,
+                        m.id_attr,
+                        dict(m.predicates),
+                        m.class_iri,
+                        merged,
+                        m.broadcast or entry.broadcast,
+                    )
+                )
+            else:
+                out.append(m)
+        return MappingIndex(out)
+
+
+# ---------------------------------------------------------------------------
+# Source config (JSON) — reference: Play-JSON in Mapper.scala:60-84
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SourceEntry:
+    type: str
+    source: str
+    entity: str
+    options: dict[str, str] = field(default_factory=dict)
+    broadcast: bool = False
+
+
+class SourceCatalog:
+    def __init__(self, entries: list[SourceEntry]):
+        self.entries = entries
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "SourceCatalog":
+        data = json.loads(Path(path).read_text())
+        entries = [
+            SourceEntry(
+                type=s.get("type", ""),
+                source=s.get("source", ""),
+                entity=s.get("entity", ""),
+                options={k: str(v) for k, v in s.get("options", {}).items()},
+                broadcast=bool(s.get("broadcast", False)),
+            )
+            for s in data.get("sources", [])
+        ]
+        return cls(entries)
+
+    def lookup(self, source: str, entity: str) -> SourceEntry | None:
+        for e in self.entries:
+            if e.source == source or e.entity == entity:
+                return e
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Minimal Turtle-subset reader for RML mapping files
+# ---------------------------------------------------------------------------
+
+RR = "http://www.w3.org/ns/r2rml#"
+RML = "http://semweb.mmlab.be/ns/rml#"
+NOSQL = "http://purl.org/db/nosql#"
+
+_TOKEN_RE = re.compile(
+    r"""
+      <[^>]*>                  # IRI
+    | "(?:[^"\\]|\\.)*"        # string literal
+    | \#[^\n]*                 # comment
+    | [\[\];,.]                # punctuation
+    | [^\s\[\];,]+             # prefixed name / keyword
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize_ttl(text: str) -> list[str]:
+    return [t for t in _TOKEN_RE.findall(text) if not t.startswith("#")]
+
+
+class _TtlParser:
+    """Recursive-descent reader for: prefixed blocks of
+    ``subject pred obj (; pred obj)* .`` where obj may be ``[ ... ]``."""
+
+    def __init__(self, text: str):
+        self.prefixes: dict[str, str] = {}
+        # strip @prefix lines first (they end with '.')
+        body_lines = []
+        for line in text.splitlines():
+            s = line.strip()
+            m = re.match(r"@prefix\s+([\w-]*):\s*<([^>]+)>", s)
+            if m:
+                self.prefixes[m.group(1)] = m.group(2)
+            else:
+                body_lines.append(line)
+        self.toks = _tokenize_ttl("\n".join(body_lines))
+        self.i = 0
+
+    def _peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> str:
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def _expand(self, tok: str) -> str:
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if tok.startswith('"'):
+            return tok[1:-1]
+        if ":" in tok:
+            label, _, local = tok.partition(":")
+            if label in self.prefixes:
+                return self.prefixes[label] + local
+        return tok
+
+    def parse(self) -> dict[str, dict[str, list]]:
+        """subject IRI -> {predicate IRI: [objects]} where an object is a
+        str (IRI/literal) or a nested dict for ``[ ... ]`` blank nodes."""
+        out: dict[str, dict[str, list]] = {}
+        while self._peek() is not None:
+            subj = self._expand(self._next())
+            props = self._parse_predicate_objects(stop_at=".")
+            out[subj] = props
+            if self._peek() == ".":
+                self._next()
+        return out
+
+    def _parse_predicate_objects(self, stop_at: str) -> dict[str, list]:
+        props: dict[str, list] = {}
+        while True:
+            tok = self._peek()
+            if tok is None or tok == stop_at:
+                return props
+            pred = self._expand(self._next())
+            objs = props.setdefault(pred, [])
+            while True:
+                objs.append(self._parse_object())
+                if self._peek() == ",":
+                    self._next()
+                    continue
+                break
+            if self._peek() == ";":
+                self._next()
+                # tolerate trailing ';' before the block end
+                continue
+            return props
+
+    def _parse_object(self):
+        tok = self._next()
+        if tok == "[":
+            inner = self._parse_predicate_objects(stop_at="]")
+            assert self._next() == "]"
+            return inner
+        return self._expand(tok)
+
+
+_TEMPLATE_ATTR_RE = re.compile(r"\{([^{}]+)\}")
+
+
+def load_rml(path: str | Path, config: SourceCatalog | None = None) -> MappingIndex:
+    """Load an RML Turtle mapping file into a :class:`MappingIndex`.
+
+    The subject template's sole ``{attr}`` placeholder becomes the
+    entity's id attribute (reference extracts it the same way,
+    Helpers.scala:120-152).
+    """
+    text = Path(path).read_text()
+    parsed = _TtlParser(text).parse()
+    mappings: list[EntityMapping] = []
+    for subj, props in parsed.items():
+        ls = props.get(RML + "logicalSource")
+        sm = props.get(RR + "subjectMap")
+        if not ls or not sm:
+            continue
+        ls0, sm0 = ls[0], sm[0]
+        if not isinstance(ls0, dict) or not isinstance(sm0, dict):
+            continue
+        source = str(ls0.get(RML + "source", [""])[0])
+        store = str(ls0.get(NOSQL + "store", [""])[0])
+        source_type = store[len(NOSQL):] if store.startswith(NOSQL) else store
+        template = str(sm0.get(RR + "template", ["{id}"])[0])
+        tmpl_m = _TEMPLATE_ATTR_RE.search(template)
+        id_attr = tmpl_m.group(1) if tmpl_m else "id"
+        class_iri = sm0.get(RR + "class", [None])[0]
+        predicates: dict[str, str] = {}
+        for pom in props.get(RR + "predicateObjectMap", []):
+            if not isinstance(pom, dict):
+                continue
+            pred = pom.get(RR + "predicate", [None])[0]
+            om = pom.get(RR + "objectMap", [None])[0]
+            if pred is None or not isinstance(om, dict):
+                continue
+            ref = om.get(RML + "reference", om.get(RR + "reference", [None]))[0]
+            if ref is not None:
+                predicates[str(pred)] = str(ref)
+        name = subj.lstrip("#").replace("Mapping", "") or subj
+        mappings.append(
+            EntityMapping(name, source, source_type, id_attr, predicates,
+                          class_iri if isinstance(class_iri, str) else None)
+        )
+    idx = MappingIndex(mappings)
+    return idx.with_config(config) if config else idx

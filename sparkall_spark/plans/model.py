@@ -1,0 +1,139 @@
+"""Intermediate representation for the SPARQL fragment.
+
+The reference keeps this state as loose Scala collections extracted by
+re-parsing the query per getter (reference: QueryAnalyser.scala:24-189);
+here it is a set of frozen dataclasses produced by one parse.
+
+Naming convention (kept from the reference — its de-facto wire format,
+reference: Helpers.scala:98 / SparkExecutor.scala:73-80):
+a star's internal columns are ``<star>_<predicateLocalName>_<prefixLabel>``
+plus the id column ``<star>_ID``.  The *final* projection renames columns
+to the bare SPARQL variable names, which keeps oracle SQL trivial.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Triple:
+    """One BGP triple ``?subj <pred> ?obj`` (obj may be a class IRI for rdf:type)."""
+
+    subject: str  # variable name without '?'
+    predicate: str  # full IRI
+    obj: str  # variable name without '?', or full IRI for rdf:type objects
+    obj_is_var: bool = True
+
+
+@dataclass(frozen=True)
+class Filter:
+    """``FILTER (?var op value)`` — op in {=, !=, <, <=, >, >=, regex}.
+
+    ``regex`` carries the reference semantics of SQL LIKE patterns
+    (``%``/``_`` wildcards — reference: SparkExecutor.scala:180-182);
+    ``rlike`` is our extension for true regular expressions.
+    """
+
+    var: str
+    op: str
+    value: str | int | float
+    value_is_string: bool = False
+
+
+@dataclass(frozen=True)
+class OrderKey:
+    var: str
+    descending: bool = False
+
+
+@dataclass(frozen=True)
+class Aggregation:
+    """``(FN(?var) AS ?alias)`` in the SELECT clause. fn in sum|min|max|avg|count."""
+
+    fn: str
+    var: str  # '*' allowed for count
+    alias: str
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class TransformSpec:
+    """One entry of the inline TRANSFORM clause.
+
+    Syntax (kept from the reference, QueryAnalyser.scala:166-185):
+    ``TRANSFORM(?left?right.l.fn1.fn2(arg) && ...)`` — apply the function
+    chain to the join between ``?left`` and ``?right``; side ``l`` hits the
+    left star's joining attribute, side ``r`` the right star's ID column.
+    """
+
+    left_var: str
+    right_var: str
+    side: str  # 'l' or 'r'
+    functions: tuple[str, ...] = ()
+
+
+@dataclass
+class Star:
+    """One star-shaped subquery: all triples sharing a subject variable."""
+
+    subject: str
+    triples: list[Triple] = field(default_factory=list)
+    class_iri: str | None = None  # from an rdf:type triple, if present
+
+    @property
+    def predicates(self) -> list[str]:
+        """Non-type predicate IRIs of this star."""
+        return [t.predicate for t in self.triples if t.obj_is_var]
+
+
+@dataclass
+class ParsedQuery:
+    """Everything extracted from one SPARQL text."""
+
+    prefixes: dict[str, str]  # label -> IRI
+    select_vars: list[str]  # projected plain variables, in order
+    distinct: bool
+    stars: dict[str, Star]  # subject var -> star
+    var_to_star_pred: dict[str, tuple[str, str]]  # objVar -> (star, predIRI)
+    filters: list[Filter]
+    aggregations: list[Aggregation]
+    group_by: list[str]
+    order_keys: list[OrderKey]
+    limit: int | None
+    transforms: list[TransformSpec] = field(default_factory=list)
+    optional_stars: set[str] = field(default_factory=set)  # stars joined LEFT OUTER
+
+    def prefix_label(self, iri: str) -> str:
+        """Invert the prefix map for column naming (reference: Helpers.scala:25-36).
+
+        Falls back to a deterministic 8-hex digest for unprefixed namespaces.
+        """
+        ns, _ = split_iri(iri)
+        for label, p in self.prefixes.items():
+            if p == ns:
+                return label
+        import hashlib
+
+        return hashlib.md5(ns.encode()).hexdigest()[:8]
+
+    def column_for(self, star: str, pred_iri: str) -> str:
+        """Internal column name ``<star>_<local>_<prefixLabel>``."""
+        _, local = split_iri(pred_iri)
+        return f"{star}_{local}_{self.prefix_label(pred_iri)}"
+
+    def column_for_var(self, var: str) -> str:
+        """Internal column for an object variable; subject vars map to ``<star>_ID``."""
+        if var in self.stars:
+            return f"{var}_ID"
+        star, pred = self.var_to_star_pred[var]
+        return self.column_for(star, pred)
+
+
+def split_iri(iri: str) -> tuple[str, str]:
+    """Split an IRI into (namespace, localname) at the last '#' or '/'."""
+    for sep in ("#", "/"):
+        idx = iri.rfind(sep)
+        if idx >= 0:
+            return iri[: idx + 1], iri[idx + 1 :]
+    return "", iri

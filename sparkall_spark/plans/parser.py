@@ -1,0 +1,328 @@
+"""Parser for the restricted SPARQL fragment.
+
+Grammar (the reference's declared contract, evaluation/README.md:16-29,
+re-implemented from scratch — the reference leans on Jena ARQ and
+re-parses per getter, QueryAnalyser.scala:24-189; we parse once):
+
+    PREFIX label: <iri> ...
+    SELECT [DISTINCT] ?v ... | (FN([DISTINCT] ?v) AS ?alias) ...
+    WHERE { triples ; shared-subject lists . OPTIONAL { ... }
+            FILTER (?v op literal) | FILTER regex(?v, "pat") }
+    [GROUP BY ?v ...] [ORDER BY [ASC|DESC](?v) ...] [LIMIT n]
+    [TRANSFORM(?l?r.side.fn1.fn2(arg) && ...)]
+
+Extensions over the reference: OPTIONAL blocks (-> left outer join),
+multi-key ORDER BY done right (the reference's loop makes it
+last-key-wins, Run.scala:294-299), FILTER rlike for true regexes,
+DISTINCT aggregates, COUNT(*).
+"""
+
+from __future__ import annotations
+
+import re
+
+from sparkall_spark.plans.model import (
+    Aggregation,
+    Filter,
+    OrderKey,
+    ParsedQuery,
+    Star,
+    TransformSpec,
+    Triple,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_PREFIX_RE = re.compile(r"PREFIX\s+([\w-]*):\s*<([^>]+)>", re.IGNORECASE)
+_AGG_RE = re.compile(
+    r"\(\s*(SUM|MIN|MAX|AVG|COUNT)\s*\(\s*(DISTINCT\s+)?(\?[\w]+|\*)\s*\)\s+AS\s+\?([\w]+)\s*\)",
+    re.IGNORECASE,
+)
+_VAR_RE = re.compile(r"\?([\w]+)")
+_FILTER_RE = re.compile(r"FILTER\s*(regex|rlike)?\s*\(", re.IGNORECASE)
+_ORDER_ITEM_RE = re.compile(r"(ASC|DESC)\s*\(\s*\?([\w]+)\s*\)|\?([\w]+)", re.IGNORECASE)
+
+
+class SparqlParseError(ValueError):
+    pass
+
+
+def _balanced(text: str, start: int, open_ch: str = "(", close_ch: str = ")") -> int:
+    """Index just past the matching close bracket for the open at ``start``."""
+    depth = 0
+    in_str = False
+    for i in range(start, len(text)):
+        c = text[i]
+        if c == '"':
+            in_str = not in_str
+        elif not in_str:
+            if c == open_ch:
+                depth += 1
+            elif c == close_ch:
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+    raise SparqlParseError(f"unbalanced {open_ch}{close_ch} starting at {start}")
+
+
+def _strip_comments(query: str) -> str:
+    out = []
+    for line in query.splitlines():
+        in_str = False
+        for i, c in enumerate(line):
+            if c == '"':
+                in_str = not in_str
+            elif c == "#" and not in_str:
+                # keep IRIs like <http://...#x> intact: '#' inside <> is not a comment
+                before = line[:i]
+                if before.count("<") == before.count(">"):
+                    line = before
+                    break
+        out.append(line)
+    return "\n".join(out)
+
+
+def _extract_transform(query: str) -> tuple[str, list[TransformSpec]]:
+    """Cut the TRANSFORM(...) clause out (reference pre-lexes it too,
+    Run.scala:33-37, because Jena cannot parse it)."""
+    m = re.search(r"TRANSFORM\s*\(", query)
+    if not m:
+        return query, []
+    end = _balanced(query, m.end() - 1)
+    inner = query[m.end() : end - 1]
+    query = query[: m.start()] + query[end:]
+    specs: list[TransformSpec] = []
+    for part in inner.split("&&"):
+        part = part.strip()
+        if not part:
+            continue
+        # ?left?right.side.fn1.fn2(arg)   (QueryAnalyser.scala:166-185)
+        head, _, ops = part.partition(".")
+        vars_ = head.lstrip("?").split("?")
+        if len(vars_) != 2:
+            raise SparqlParseError(f"bad TRANSFORM operand: {part!r}")
+        side, _, fn_chain = ops.partition(".")
+        if side not in ("l", "r"):
+            raise SparqlParseError(f"bad TRANSFORM side in: {part!r}")
+        fns: list[str] = []
+        i = 0
+        while i < len(fn_chain):
+            j = i
+            while j < len(fn_chain) and fn_chain[j] not in ".(":
+                j += 1
+            if j < len(fn_chain) and fn_chain[j] == "(":
+                j = _balanced(fn_chain, j)
+            fns.append(fn_chain[i:j])
+            i = j + 1 if j < len(fn_chain) and fn_chain[j] == "." else j
+        specs.append(
+            TransformSpec(vars_[0], vars_[1], side, tuple(f for f in fns if f))
+        )
+    return query, specs
+
+
+def _expand_iri(token: str, prefixes: dict[str, str]) -> str:
+    token = token.strip()
+    if token.startswith("<") and token.endswith(">"):
+        return token[1:-1]
+    if token == "a":
+        return RDF_TYPE
+    if ":" in token:
+        label, _, local = token.partition(":")
+        if label in prefixes:
+            return prefixes[label] + local
+    raise SparqlParseError(f"cannot expand IRI token: {token!r}")
+
+
+def _parse_filters(body: str, prefixes: dict[str, str]) -> tuple[str, list[Filter]]:
+    filters: list[Filter] = []
+    while True:
+        m = _FILTER_RE.search(body)
+        if not m:
+            break
+        end = _balanced(body, m.end() - 1)
+        inner = body[m.end() : end - 1].strip()
+        kind = (m.group(1) or "").lower()
+        if kind in ("regex", "rlike"):
+            fm = re.match(r"\s*\?([\w]+)\s*,\s*\"((?:[^\"\\]|\\.)*)\"", inner)
+            if not fm:
+                raise SparqlParseError(f"bad FILTER {kind}: {inner!r}")
+            filters.append(Filter(fm.group(1), kind, fm.group(2), True))
+        else:
+            for clause in re.split(r"&&", inner):
+                fm = re.match(
+                    r"\s*\?([\w]+)\s*(!=|<=|>=|=|<|>)\s*(.+?)\s*$", clause.strip()
+                )
+                if not fm:
+                    raise SparqlParseError(f"bad FILTER clause: {clause!r}")
+                raw = fm.group(3).strip()
+                if raw.startswith('"'):
+                    value: str | int | float = raw.strip('"')
+                    is_str = True
+                else:
+                    # strip optional xsd-style quotes/type tags; parse number
+                    num = raw.rstrip(".")
+                    value = float(raw) if ("." in raw or "e" in raw.lower()) else int(num)
+                    is_str = False
+                filters.append(Filter(fm.group(1), fm.group(2), value, is_str))
+        body = body[: m.start()] + " " + body[end:]
+    return body, filters
+
+
+def _split_statements(body: str) -> list[str]:
+    """Split triple statements on '.' that terminate a statement (not inside
+    <>, quotes, or numbers)."""
+    stmts: list[str] = []
+    cur: list[str] = []
+    in_iri = in_str = False
+    for i, c in enumerate(body):
+        if c == "<" and not in_str:
+            in_iri = True
+        elif c == ">" and not in_str:
+            in_iri = False
+        elif c == '"':
+            in_str = not in_str
+        if c == "." and not in_iri and not in_str:
+            prev = body[i - 1] if i else " "
+            nxt = body[i + 1] if i + 1 < len(body) else " "
+            if prev.isdigit() and nxt.isdigit():
+                cur.append(c)  # decimal point
+                continue
+            stmts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    if "".join(cur).strip():
+        stmts.append("".join(cur))
+    return [s.strip() for s in stmts if s.strip()]
+
+
+def _parse_triples(
+    body: str, prefixes: dict[str, str]
+) -> list[Triple]:
+    triples: list[Triple] = []
+    for stmt in _split_statements(body):
+        # shared-subject form: ?s p1 ?o1 ; p2 ?o2 ; ...
+        subj: str | None = None
+        for seg in stmt.split(";"):
+            seg = seg.strip()
+            if not seg:
+                continue
+            toks = seg.split()
+            if subj is None:
+                if len(toks) != 3 or not toks[0].startswith("?"):
+                    raise SparqlParseError(f"bad triple: {seg!r}")
+                subj = toks[0][1:]
+                pred_tok, obj_tok = toks[1], toks[2]
+            else:
+                if len(toks) != 2:
+                    raise SparqlParseError(f"bad ';' continuation: {seg!r}")
+                pred_tok, obj_tok = toks[0], toks[1]
+            pred = _expand_iri(pred_tok, prefixes)
+            if obj_tok.startswith("?"):
+                triples.append(Triple(subj, pred, obj_tok[1:], True))
+            else:
+                triples.append(Triple(subj, pred, _expand_iri(obj_tok, prefixes), False))
+    return triples
+
+
+def parse_sparql(query: str) -> ParsedQuery:
+    """Parse one query of the supported fragment into the IR."""
+    query = _strip_comments(query)
+    query, transforms = _extract_transform(query)
+
+    prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(query)}
+
+    sel_m = re.search(r"\bSELECT\b(.*?)\bWHERE\b", query, re.IGNORECASE | re.DOTALL)
+    if not sel_m:
+        raise SparqlParseError("no SELECT ... WHERE found")
+    sel = sel_m.group(1)
+    distinct = bool(re.match(r"\s*DISTINCT\b", sel, re.IGNORECASE))
+    if distinct:
+        sel = re.sub(r"\s*DISTINCT\b", "", sel, count=1, flags=re.IGNORECASE)
+
+    aggregations = [
+        Aggregation(m.group(1).lower(), m.group(3).lstrip("?"), m.group(4),
+                    distinct=bool(m.group(2)))
+        for m in _AGG_RE.finditer(sel)
+    ]
+    sel_plain = _AGG_RE.sub(" ", sel)
+    select_vars = [m.group(1) for m in _VAR_RE.finditer(sel_plain)]
+
+    brace = query.find("{", sel_m.end() - 1)
+    if brace < 0:
+        raise SparqlParseError("no '{' after WHERE")
+    end = _balanced(query, brace, "{", "}")
+    body = query[brace + 1 : end - 1]
+    tail = query[end:]
+
+    # OPTIONAL blocks -> separate triple sets, stars marked optional
+    optional_triples: list[Triple] = []
+    optional_subjects: set[str] = set()
+    while True:
+        om = re.search(r"OPTIONAL\s*\{", body, re.IGNORECASE)
+        if not om:
+            break
+        oend = _balanced(body, body.index("{", om.start()), "{", "}")
+        oinner = body[om.end() : oend - 1]
+        oinner, ofilters_ = _parse_filters(oinner, prefixes)
+        if ofilters_:
+            raise SparqlParseError("FILTER inside OPTIONAL is not supported")
+        otr = _parse_triples(oinner, prefixes)
+        optional_triples.extend(otr)
+        optional_subjects.update(t.subject for t in otr)
+        body = body[: om.start()] + " " + body[oend:]
+
+    body, filters = _parse_filters(body, prefixes)
+    triples = _parse_triples(body, prefixes)
+    mandatory_subjects = {t.subject for t in triples}
+    optional_subjects -= mandatory_subjects
+    triples += optional_triples
+
+    stars: dict[str, Star] = {}
+    var_to_star_pred: dict[str, tuple[str, str]] = {}
+    for t in triples:
+        star = stars.setdefault(t.subject, Star(t.subject))
+        if t.predicate == RDF_TYPE and not t.obj_is_var:
+            star.class_iri = t.obj
+            continue
+        star.triples.append(t)
+        if t.obj_is_var:
+            var_to_star_pred.setdefault(t.obj, (t.subject, t.predicate))
+
+    group_by: list[str] = []
+    gm = re.search(r"GROUP\s+BY\s+((?:\?[\w]+\s*)+)", tail, re.IGNORECASE)
+    if gm:
+        group_by = [m.group(1) for m in _VAR_RE.finditer(gm.group(1))]
+
+    order_keys: list[OrderKey] = []
+    om = re.search(
+        r"ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?[\w]+\s*\)|\?[\w]+)\s*)+",
+        tail,
+        re.IGNORECASE,
+    )
+    if om:
+        for im in _ORDER_ITEM_RE.finditer(om.group(0)[om.group(0).upper().index("BY") + 2 :]):
+            if im.group(3):
+                order_keys.append(OrderKey(im.group(3), False))
+            else:
+                order_keys.append(OrderKey(im.group(2), im.group(1).upper() == "DESC"))
+
+    limit = None
+    lm = re.search(r"LIMIT\s+(\d+)", tail, re.IGNORECASE)
+    if lm:
+        limit = int(lm.group(1))
+
+    return ParsedQuery(
+        prefixes=prefixes,
+        select_vars=select_vars,
+        distinct=distinct,
+        stars=stars,
+        var_to_star_pred=var_to_star_pred,
+        filters=filters,
+        aggregations=aggregations,
+        group_by=group_by,
+        order_keys=order_keys,
+        limit=limit,
+        transforms=transforms,
+        optional_stars=optional_subjects,
+    )

@@ -1,0 +1,86 @@
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARKALL_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from sparkall_spark.session import get_spark
+
+    s = get_spark("sparkall-tests", master="local[4]", shuffle_partitions=4,
+                  extra_conf={"spark.driver.memory": "4g"})
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, colnames):
+    """Column-name-sorted, row-sorted, float-rounded tuples (mirrors the
+    driver's order-insensitive value-hash comparison)."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = 0.0 if (not math.isfinite(v)) else round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(("" if v is None else str(v)) for v in t))
+    return out
+
+
+def assert_matches_oracle(spark_df, duck_con, sql, check_order=False):
+    sdf = spark_df.toPandas()
+    odf = duck_con.execute(sql).fetchdf()
+    assert sorted(c.lower() for c in sdf.columns) == sorted(
+        c.lower() for c in odf.columns
+    ), f"schema mismatch: spark={list(sdf.columns)} oracle={list(odf.columns)}"
+    s_rows = _normalize(sdf.itertuples(index=False, name=None), list(sdf.columns))
+    o_rows = _normalize(odf.itertuples(index=False, name=None), list(odf.columns))
+    assert len(s_rows) == len(o_rows), (
+        f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_rows, o_rows) if not _rows_equal(a, b)
+    ]
+    assert not mismatches, f"value mismatch, first: {mismatches[0]}"
+
+
+def _rows_equal(a, b):
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isinstance(y, float):
+            if not math.isclose(x, y, rel_tol=1e-6, abs_tol=1e-9):
+                return False
+        elif hasattr(x, "timestamp") and hasattr(y, "timestamp"):
+            if str(x) != str(y):
+                return False
+        else:
+            if x != y and str(x) != str(y):
+                return False
+    return True

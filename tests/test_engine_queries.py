@@ -1,0 +1,302 @@
+"""End-to-end: SPARQL -> engine DataFrame vs DuckDB ANSI-SQL oracle."""
+
+from tests.conftest import assert_matches_oracle
+
+import pytest
+
+from sparkall_spark.engine import Engine
+from sparkall_spark.fixtures import PREFIX_BLOCK, tpch_mappings
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, tpch_mappings(sf_dir))
+
+
+def q(body: str) -> str:
+    return PREFIX_BLOCK + body
+
+
+def test_single_star_filter_order_limit(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT DISTINCT ?name ?size WHERE {
+            ?p a sa:Part .
+            ?p sa:name ?name .
+            ?p sa:size ?size .
+            FILTER (?size > 30)
+        }
+        ORDER BY ?name DESC(?size)
+        LIMIT 25
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT DISTINCT p_name AS name, p_size AS size
+        FROM part WHERE p_size > 30
+        ORDER BY p_name, p_size DESC LIMIT 25
+        """,
+    )
+
+
+def test_two_star_join(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?cname ?nname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname .
+        }
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c_name AS cname, n_name AS nname
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+    )
+
+
+def test_five_star_join_with_filters(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?cname ?nname ?rname ?totalprice ?qty WHERE {
+            ?l a sa:Lineitem ; sa:order ?o ; sa:quantity ?qty .
+            ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?totalprice .
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname ; sa:region ?r .
+            ?r a sa:Region ; sa:name ?rname .
+            FILTER (?qty > 45)
+            FILTER (?totalprice > 100000)
+        }
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c_name AS cname, n_name AS nname, r_name AS rname,
+               o_totalprice AS totalprice, l_quantity AS qty
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE l_quantity > 45 AND o_totalprice > 100000
+        """,
+    )
+
+
+def test_groupby_aggregates(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?flag ?status (SUM(?qty) AS ?sum_qty) (AVG(?price) AS ?avg_price)
+               (MIN(?disc) AS ?min_disc) (MAX(?disc) AS ?max_disc)
+               (COUNT(*) AS ?n)
+        WHERE {
+            ?l a sa:Lineitem ; sa:returnflag ?flag ; sa:linestatus ?status ;
+               sa:quantity ?qty ; sa:extendedprice ?price ; sa:discount ?disc .
+        }
+        GROUP BY ?flag ?status
+        ORDER BY ?flag ?status
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               sum(l_quantity) AS sum_qty, avg(l_extendedprice) AS avg_price,
+               min(l_discount) AS min_disc, max(l_discount) AS max_disc,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
+
+
+def test_regex_like_filter(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?name WHERE {
+            ?p a sa:Part ; sa:name ?name .
+            FILTER regex(?name, "%gre%")
+        }
+        """
+        )
+    )
+    assert_matches_oracle(
+        df, duck, "SELECT p_name AS name FROM part WHERE p_name LIKE '%gre%'"
+    )
+
+
+def test_string_equality_and_neq(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?name ?seg ?bal WHERE {
+            ?c a sa:Customer ; sa:name ?name ; sa:mktsegment ?seg ; sa:acctbal ?bal .
+            FILTER (?seg = "BUILDING")
+            FILTER (?bal != 0)
+        }
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c_name AS name, c_mktsegment AS seg, c_acctbal AS bal
+        FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal <> 0
+        """,
+    )
+
+
+def test_subject_var_projection(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?o ?totalprice WHERE {
+            ?o a sa:Orders ; sa:totalprice ?totalprice .
+            FILTER (?totalprice > 400000)
+        }
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderkey AS o, o_totalprice AS totalprice
+        FROM orders WHERE o_totalprice > 400000
+        """,
+    )
+
+
+def test_multi_source_union(spark, duck, sf_dir):
+    """One star backed by two relevant sources -> unionByName
+    (reference: SparkExecutor.scala:113-117)."""
+    from sparkall_spark.fixtures import NS, _m
+    from sparkall_spark.mappings import MappingIndex
+
+    idx = MappingIndex(
+        [
+            _m("Region", "region", sf_dir, "r_regionkey", {"name": "r_name"}),
+            _m("RegionB", "region", sf_dir, "r_regionkey", {"name": "r_name"}),
+        ]
+    )
+    # give both mappings the same class so the star matches both
+    for m in idx.mappings:
+        m.class_iri = NS + "Region"
+    df = Engine(spark, idx).sparql(
+        q("SELECT ?name WHERE { ?r a sa:Region ; sa:name ?name . }")
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT r_name AS name FROM region
+        UNION ALL SELECT r_name AS name FROM region
+        """,
+    )
+
+
+def test_optional_left_join(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?name ?totalprice WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            OPTIONAL { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?totalprice . }
+        }
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c_name AS name, o_totalprice AS totalprice
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        """,
+    )
+
+
+def test_transform_join_columns(engine, duck):
+    """TRANSFORM rewrites join columns: shift both sides by +1 — join
+    result must be identical to the untransformed join."""
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?cname ?nname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname .
+        }
+        TRANSFORM(?c?n.l.toInt.scl(+1) && ?c?n.r.toInt.scl(+1))
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c_name AS cname, n_name AS nname
+        FROM customer JOIN nation
+          ON (CAST(c_nationkey AS INT) + 1) = (CAST(n_nationkey AS INT) + 1)
+        """,
+    )
+
+
+def test_transform_skp_filter(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?cname ?nname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname .
+        }
+        TRANSFORM(?c?n.l.skp(3))
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c_name AS cname, n_name AS nname
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_nationkey <> 3
+        """,
+    )
+
+
+def test_count_distinct(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?status (COUNT(DISTINCT ?flag) AS ?n_flags) WHERE {
+            ?l a sa:Lineitem ; sa:returnflag ?flag ; sa:linestatus ?status .
+        }
+        GROUP BY ?status
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT l_linestatus AS status, count(DISTINCT l_returnflag) AS n_flags
+        FROM lineitem GROUP BY 1
+        """,
+    )

@@ -1,0 +1,158 @@
+from sparkall_spark.plans.model import split_iri
+from sparkall_spark.plans.parser import RDF_TYPE, parse_sparql
+from sparkall_spark.plans.planner import plan_query
+
+Q_BASIC = """
+PREFIX sa: <http://sparkall.io/ns/>
+SELECT DISTINCT ?name ?size
+WHERE {
+    ?p a sa:Part .
+    ?p sa:name ?name .
+    ?p sa:size ?size .
+    FILTER (?size > 30)
+}
+ORDER BY ?name DESC(?size)
+LIMIT 10
+"""
+
+
+def test_basic_parse():
+    q = parse_sparql(Q_BASIC)
+    assert q.distinct
+    assert q.select_vars == ["name", "size"]
+    assert set(q.stars) == {"p"}
+    star = q.stars["p"]
+    assert star.class_iri == "http://sparkall.io/ns/Part"
+    assert len(star.triples) == 2
+    assert len(q.filters) == 1
+    f = q.filters[0]
+    assert (f.var, f.op, f.value) == ("size", ">", 30)
+    assert [(k.var, k.descending) for k in q.order_keys] == [
+        ("name", False),
+        ("size", True),
+    ]
+    assert q.limit == 10
+
+
+def test_shared_subject_and_join():
+    q = parse_sparql(
+        """
+        PREFIX sa: <http://sparkall.io/ns/>
+        SELECT ?cname ?nname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation .
+            ?n sa:name ?nname .
+        }
+        """
+    )
+    assert set(q.stars) == {"c", "n"}
+    plan = plan_query(q)
+    assert len(plan.join_edges) == 1
+    e = plan.join_edges[0]
+    assert (e.left_star, e.right_star) == ("c", "n")
+    assert e.pred == "http://sparkall.io/ns/nation"
+    # needed predicates pruned to used ones
+    assert plan.needed_preds["c"] == {
+        "http://sparkall.io/ns/name",
+        "http://sparkall.io/ns/nation",
+    }
+    assert plan.needed_preds["n"] == {"http://sparkall.io/ns/name"}
+
+
+def test_aggregates_group_order():
+    q = parse_sparql(
+        """
+        PREFIX sa: <http://sparkall.io/ns/>
+        SELECT ?flag (SUM(?qty) AS ?sum_qty) (COUNT(*) AS ?n)
+        WHERE {
+            ?l a sa:Lineitem .
+            ?l sa:returnflag ?flag .
+            ?l sa:quantity ?qty .
+        }
+        GROUP BY ?flag
+        ORDER BY ?flag
+        """
+    )
+    assert q.select_vars == ["flag"]
+    assert [(a.fn, a.var, a.alias) for a in q.aggregations] == [
+        ("sum", "qty", "sum_qty"),
+        ("count", "*", "n"),
+    ]
+    assert q.group_by == ["flag"]
+
+
+def test_filters_string_regex_and_conjunction():
+    q = parse_sparql(
+        """
+        PREFIX sa: <http://sparkall.io/ns/>
+        SELECT ?name WHERE {
+            ?p a sa:Part .
+            ?p sa:name ?name .
+            ?p sa:brand ?brand .
+            ?p sa:size ?size .
+            FILTER (?brand = "Brand#1" && ?size <= 20)
+            FILTER regex(?name, "%green%")
+        }
+        """
+    )
+    ops = {(f.var, f.op) for f in q.filters}
+    assert ops == {("brand", "="), ("size", "<="), ("name", "regex")}
+    regex_f = next(f for f in q.filters if f.op == "regex")
+    assert regex_f.value == "%green%"
+
+
+def test_transform_clause():
+    q = parse_sparql(
+        """
+        PREFIX sa: <http://sparkall.io/ns/>
+        SELECT ?name WHERE {
+            ?c a sa:Customer . ?c sa:name ?name . ?c sa:nation ?n .
+            ?n a sa:Nation .
+        }
+        TRANSFORM(?c?n.l.toInt.scl(+1) && ?c?n.r.toInt)
+        """
+    )
+    assert len(q.transforms) == 2
+    t0, t1 = q.transforms
+    assert (t0.left_var, t0.right_var, t0.side) == ("c", "n", "l")
+    assert t0.functions == ("toInt", "scl(+1)")
+    assert (t1.side, t1.functions) == ("r", ("toInt",))
+
+
+def test_optional_block():
+    q = parse_sparql(
+        """
+        PREFIX sa: <http://sparkall.io/ns/>
+        SELECT ?name ?oprice WHERE {
+            ?c a sa:Customer . ?c sa:name ?name .
+            OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c . ?o sa:totalprice ?oprice . }
+        }
+        """
+    )
+    assert q.optional_stars == {"o"}
+    plan = plan_query(q)
+    assert any(e.left_outer for e in plan.join_edges)
+
+
+def test_type_triple_not_a_column():
+    q = parse_sparql(Q_BASIC)
+    assert all(t.predicate != RDF_TYPE for t in q.stars["p"].triples)
+
+
+def test_split_iri():
+    assert split_iri("http://a/b#c") == ("http://a/b#", "c")
+    assert split_iri("http://a/b/c") == ("http://a/b/", "c")
+
+
+def test_comments_stripped():
+    q = parse_sparql(
+        """
+        PREFIX sa: <http://sparkall.io/ns/>
+        SELECT ?name WHERE {
+            ?p a sa:Part .   # type constraint
+            ?p sa:name ?name .
+            #?p sa:size ?size .
+        }
+        """
+    )
+    assert len(q.stars["p"].triples) == 1

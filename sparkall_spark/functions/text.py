@@ -1,0 +1,148 @@
+"""Text-analysis column functions (LLM-data-pipeline extension).
+
+All JVM-side Column expressions — no Python UDFs anywhere — so they
+stay inside whole-stage codegen and scale to 100 TB document sets.
+Each function returns a Column usable in select/filter/groupBy.
+
+Design note: everything here must be *mirrorable in ANSI SQL* (the
+DuckDB oracle), so hashes are explicit polynomial formulas rather than
+engine-specific hash builtins, with a modulus to keep both engines in
+non-overflowing bigint range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+FP_MOD = 1_000_000_007  # keeps acc*31+c within bigint on both engines
+
+
+def tokens(col: Column | str) -> Column:
+    """Non-empty whitespace-separated tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0.0 for empty strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    puncts = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]-]", ""))
+    return F.when(F.length(c) > 0, puncts / F.length(c)).otherwise(F.lit(0.0))
+
+
+def uppercase_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    uppers = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    return F.when(F.length(c) > 0, uppers / F.length(c)).otherwise(F.lit(0.0))
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+# tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic; intentionally small + frozen so results are reproducible
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por"],
+}
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang``."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(col: Column | str, langs: tuple[str, ...] = ("en", "de", "fr", "es")) -> Column:
+    """Argmax of stopword hits; 'und' (undetermined) when all zero.
+
+    Ties break by the order of ``langs`` (first wins), which keeps the
+    result deterministic and mirrorable in a SQL CASE chain.
+    """
+    hits = {lang: stopword_hits(col, lang) for lang in langs}
+    best = F.lit("und")
+    best_hits = F.lit(-1)
+    for lang in langs:
+        better = hits[lang] > best_hits
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(better, hits[lang]).otherwise(best_hits)
+    return F.when(best_hits > 0, best).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: favors medium-length docs with
+    low punctuation noise and a healthy distinct-token ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    diversity = F.when(
+        n_tok > 0, distinct_token_count(c) / n_tok
+    ).otherwise(F.lit(0.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    return F.round((length_ok + diversity + punct_ok) / 3, 6)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic rolling polynomial hash of the *normalized* text
+    (lowercased, whitespace collapsed): acc = (acc*31 + ascii(char)) % p.
+
+    Engine-portable (no xxhash/murmur): the same formula runs in any
+    ANSI-SQL engine, which is what makes cross-engine dedup joins and
+    oracle checks possible.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    chars = F.split(norm, "")
+    return F.aggregate(
+        F.filter(chars, lambda x: x != ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % FP_MOD,
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text (shingles)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (joined by single spaces)."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def token_set(col: Column | str) -> Column:
+    """Sorted distinct lowercase tokens — the unit set for Jaccard."""
+    return F.array_sort(
+        F.array_distinct(tokens(F.lower(F.col(col) if isinstance(col, str) else col)))
+    )

@@ -1,0 +1,338 @@
+"""Deduplication operators for large-scale document corpora.
+
+Five strategies, all plain DataFrame -> DataFrame (no reference analog;
+this is the LLM-data-pipeline extension of SURVEY.md §7.2 step 9):
+
+- :func:`exact_dedup` — hash-groupBy on a key (full text or fingerprint).
+- :func:`minhash_dedup_pairs` / :func:`minhash_dedup` — MinHash + LSH:
+  shingle -> k-permutation min-hash signature -> band -> bucket join ->
+  exact-Jaccard verification.
+- :func:`simhash_pairs` — 64-bit SimHash with chunk-banding for
+  Hamming-distance candidates.
+- :func:`ngram_jaccard_pairs` — exact Jaccard over word n-grams for
+  candidate pairs (the verification primitive, exposed standalone).
+- :func:`embedding_neardup_pairs` — cosine near-duplicates over an
+  embedding column (brute force over a blocked pair set).
+
+Scale design: every candidate-generation path is a shuffle on a compact
+key (band hash / fingerprint / bucket id), never an all-pairs product;
+verification only touches candidate pairs.  All expressions are
+JVM-side Column ops — zero Python UDFs — so the hot path stays inside
+whole-stage codegen.  Signatures use a splitmix-style integer mixer
+written as explicit arithmetic (portable + deterministic, no dependence
+on a specific engine hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from sparkall_spark.functions.text import fingerprint, token_set, word_ngrams
+
+# Deterministic universal hashing for minhash permutations: token ->
+# bigint via xxhash64, reduced into [0, P) with P = 2^31-1 so the affine
+# transform a*h+b stays under 2^63 (Spark 4 runs ANSI mode: silent
+# overflow is an error).  Coefficients from a fixed LCG seed.
+_P = (1 << 31) - 1
+
+
+def _coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    out = []
+    state = seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P
+        out.append((a, b))
+    return out
+
+
+def _token_hash(tok: Column) -> Column:
+    """Portable string->bigint: xxhash64 is Spark-side only but we never
+    need to mirror *this* in SQL oracles (pair outputs are verified via
+    exact Jaccard), so use the fast JVM builtin."""
+    return F.xxhash64(tok)
+
+
+def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
+    """Array of k min-hash values over a (distinct) shingle array."""
+    hashes = F.transform(shingles, lambda t: F.pmod(_token_hash(t), F.lit(_P)))
+
+    def _perm(a: int, b: int):
+        # closure factory: Spark introspects lambda arity, so the lambda
+        # must take exactly one argument
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+
+    sig = [
+        F.array_min(F.transform(hashes, _perm(a, b))) for a, b in _coeffs(k, seed)
+    ]
+    return F.array(*sig)
+
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_fingerprint: bool = True,
+) -> DataFrame:
+    """Keep one row (min id) per duplicate group.
+
+    With ``use_fingerprint`` the group key is the 64-bit-ish rolling
+    hash of the normalized text instead of the full string — at 100 TB
+    you shuffle 8-byte keys, not documents.  One shuffle total
+    (window over the key), no join-back.
+    """
+    if key_cols is None:
+        key = fingerprint(text_col).alias("__key")
+        df = df.withColumn("__key", key) if use_fingerprint else df.withColumn(
+            "__key", F.col(text_col)
+        )
+        key_names = ["__key"]
+    else:
+        key_names = key_cols
+    w = Window.partitionBy(*key_names).orderBy(F.col(id_col).asc())
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return out.drop("__key") if key_cols is None else out
+
+
+def _with_shingles(
+    df: DataFrame, id_col: str, text_col: str, ngram: int
+) -> DataFrame:
+    sh = word_ngrams(text_col, ngram) if ngram > 1 else token_set(text_col)
+    return df.select(F.col(id_col).alias("__id"), sh.alias("__sh")).filter(
+        F.size("__sh") > 0
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Pipeline: shingle -> minhash signature -> split into ``bands`` bands
+    -> explode -> shuffle-join on (band_id, band_hash) -> distinct
+    candidates -> exact-Jaccard verify.  Output columns:
+    ``id_a, id_b, jaccard``.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    base = _with_shingles(df, id_col, text_col, ngram)
+    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
+
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.hash(F.slice("__sig", i * rows + 1, rows)).alias("bh"),
+        )
+        for i in range(bands)
+    ]
+    banded = sig.select(
+        "__id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("__id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .distinct()
+    )
+
+    verified = (
+        cand.join(base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: every doc that matches a lower-id doc goes.
+
+    (Greedy transitive pruning: a row survives iff no *surviving* check
+    is needed — we drop any id that appears as id_b, which removes
+    whole near-dup clusters except their minimum id.)
+    """
+    pairs = minhash_dedup_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(hash_array: Column, bits: int = 64) -> Column:
+    """SimHash fingerprint from an array of 64-bit token hashes.
+
+    Bit loop is Python-unrolled (shift amounts must be literals for
+    JVM-side bitwise ops); each bit's sign-sum is one aggregate over
+    the hash array, all inside whole-stage codegen.
+    """
+
+    def _bit_sum(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    fp = F.lit(0).cast("bigint")
+    for i in range(bits):
+        s = F.aggregate(hash_array, F.lit(0), _bit_sum(i))
+        weight = -(1 << 63) if i == 63 else (1 << i)
+        fp = fp + F.when(s > 0, F.lit(weight).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Candidate pairs whose 64-bit SimHash differs by <= max_hamming bits.
+
+    Banding: split the fingerprint into ``chunks`` 16-bit chunks; by
+    pigeonhole any pair within Hamming distance < chunks shares at least
+    one exact chunk -> candidates come from an equi-join on (chunk_id,
+    chunk_value), never an all-pairs scan.  Output: id_a, id_b, hamming.
+    """
+    base = _with_shingles(df, id_col, text_col, ngram)
+    fp = base.withColumn("__h", F.transform("__sh", _token_hash)).withColumn(
+        "__fp", simhash(F.col("__h"))
+    )
+
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftright("__fp", i * width).bitwiseAND(F.lit(mask)).alias("cv"),
+        )
+        for i in range(chunks)
+    ]
+    chunked = fp.select(
+        "__id", "__fp", F.explode(F.array(*chunk_cols)).alias("c")
+    ).select("__id", "__fp", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+
+    cand = (
+        chunked.alias("x")
+        .join(
+            chunked.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.col("x.__fp").alias("fp_a"),
+            F.col("y.__fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs, blocked on the minimum shingle hash.
+
+    Blocking rationale: two sets with Jaccard >= t share their global
+    minimum element with probability >= t (min-wise independence), so a
+    single equi-join on min(hash(shingle)) catches high-overlap pairs
+    at a fraction of all-pairs cost.  For guaranteed recall compose
+    with :func:`minhash_dedup_pairs` (multi-band).
+    """
+    base = _with_shingles(df, id_col, text_col, ngram)
+    keyed = base.withColumn(
+        "__block", F.array_min(F.transform("__sh", _token_hash))
+    )
+    pairs = (
+        keyed.alias("x")
+        .join(
+            keyed.alias("y"),
+            (F.col("x.__block") == F.col("y.__block"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.round(jaccard(F.col("x.__sh"), F.col("y.__sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    left_filter: Column | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    Brute-force over a *blocked* pair set: pass ``left_filter`` to
+    restrict the left side (e.g. a sampling predicate), or compose with
+    the LSH bucketing in :mod:`sparkall_spark.operators.similarity` for
+    the full-scale path.  Output: id_a, id_b, cosine (rounded 1e-6).
+    """
+    from sparkall_spark.operators.similarity import cosine_similarity
+
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    left = v.filter(left_filter) if left_filter is not None else v
+    pairs = (
+        left.alias("x")
+        .join(v.alias("y"), F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.round(cosine_similarity(F.col("x.__v"), F.col("y.__v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs

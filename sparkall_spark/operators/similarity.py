@@ -1,0 +1,253 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (extension — no reference analog):
+
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the query
+  set, JVM-side dot products via zip_with/aggregate, per-query top-k
+  with a rank window.  The correctness baseline; also the right answer
+  whenever |queries| is small (the common retrieval shape).
+- :func:`lsh_topk` — random-hyperplane (sign) LSH bucketing: corpus and
+  queries are hashed into buckets; candidates come from an equi-join on
+  bucket id, then exact rescoring.  Probe multiple hash tables for
+  recall.  The 100 TB path: shuffle keys are small ints, the all-pairs
+  product never materializes.
+- :func:`ivf_topk` — IVF-style: k-means-lite centroids (sampled, fixed
+  iterations, deterministic) assign each vector to a cell; queries probe
+  the ``nprobe`` nearest cells.
+
+All vector math is Column-expression based (zip_with + aggregate), no
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _as_double(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__qid" if False else "__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors for every query vector.
+
+    Output: query_id, neighbor_id, cosine (rounded 1e-6), rank.
+    Ties broken by neighbor_id (deterministic).  The query side is
+    broadcast — it is expected to be small; the corpus streams.
+    """
+    q = queries.select(
+        F.col(query_id_col or id_col).alias("query_id"),
+        F.col(query_vec_col or vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed + 7919 * table)
+    return rng.standard_normal((bits, dim))
+
+
+def _bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id for one hash table: JVM-side dot products
+    against literal hyperplane arrays folded into a bigint."""
+    bucket = F.lit(0).cast("bigint")
+    for i, row in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Each vector lands in ``tables`` buckets (one per hash table);
+    query/corpus candidates join on (table, bucket) and are rescored
+    exactly.  Recall grows with ``tables``; cost per table is one
+    equi-join keyed on a small int.  Output schema matches
+    :func:`brute_force_topk`.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+
+    def banded(df: DataFrame, vcol: str) -> DataFrame:
+        entries = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_expr(F.col(vcol), _hyperplanes(dim, bits, t, seed)).alias("bkt"),
+            )
+            for t in range(tables)
+        ]
+        return df.select(
+            *df.columns, F.explode(F.array(*entries)).alias("e")
+        ).select(*df.columns, F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
+
+    cb = banded(c, "__cv")
+    qb = banded(q, "__qv")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: centroids from a driver-side k-means over a bounded
+    sample (metadata-scale), then cell-blocked exact search.
+
+    The sample/centroid step is O(sample_size * n_cells * iters) on the
+    driver — independent of corpus size; assignment and search are
+    distributed equi-joins on cell id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    sample = np.array(
+        [
+            r["__cv"]
+            for r in c.select("__cv").limit(sample_size).collect()
+        ]
+    )
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = sample @ cents.T
+        norms = np.linalg.norm(sample, axis=1, keepdims=True) * np.linalg.norm(
+            cents, axis=1
+        )
+        assign = np.argmax(np.divide(d, norms, out=np.zeros_like(d), where=norms > 0), axis=1)
+        for j in range(len(cents)):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+
+    def cell_expr(vec: Column, top_n: int) -> Column:
+        """Array of the top_n nearest centroid ids (JVM-side)."""
+        sims = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine_similarity(
+                            vec, F.array(*[F.lit(float(x)) for x in cent])
+                        ),
+                        9,
+                    ).alias("s"),
+                    F.lit(j).alias("cell"),
+                )
+                for j, cent in enumerate(cents)
+            ]
+        )
+        ordered = F.reverse(F.array_sort(sims))
+        return F.transform(F.slice(ordered, 1, top_n), lambda x: x["cell"])
+
+    c_cells = c.withColumn("cell", F.element_at(cell_expr(F.col("__cv"), 1), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("cell", F.explode(cell_expr(F.col("__qv"), nprobe)))
+
+    scored = (
+        c_cells.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,71 @@
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_matches_oracle
+
+from sparkall_spark.operators import similarity as S
+
+
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_topk_vs_oracle(spark, duck, sf_dir):
+    corpus = emb(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    got = S.brute_force_topk(corpus, queries, k=10)
+    assert_matches_oracle(
+        got,
+        duck,
+        """
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]), 6) AS cosine
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+        """,
+    )
+
+
+def test_lsh_recall_against_brute_force(spark, sf_dir):
+    corpus = emb(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(corpus, queries, k=5)
+    # random 64-dim vectors: true neighbors sit at low cosine, so use
+    # short signatures + many tables (p_hit ~ 1-(1-p^bits)^tables)
+    approx = S.lsh_topk(corpus, queries, k=5, bits=4, tables=16)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    corpus = emb(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(corpus, queries, k=5)
+    approx = S.ivf_topk(corpus, queries, k=5, n_cells=8, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_cosine_self_similarity(spark, sf_dir):
+    df = emb(spark, sf_dir).limit(10).select(
+        "vec_id",
+        F.round(
+            S.cosine_similarity(
+                F.col("embedding").cast("array<double>"),
+                F.col("embedding").cast("array<double>"),
+            ),
+            6,
+        ).alias("c"),
+    )
+    for r in df.collect():
+        assert abs(r["c"] - 1.0) < 1e-5

@@ -1,0 +1,85 @@
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_matches_oracle
+
+from sparkall_spark.functions import text as X
+
+
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_count_matches_oracle(spark, duck, sf_dir):
+    df = docs(spark, sf_dir).select(
+        "doc_id", X.token_count("text").alias("n_tokens")
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                 AS n_tokens
+        FROM documents
+        """,
+    )
+
+
+def test_char_count_matches_n_chars(spark, sf_dir):
+    df = docs(spark, sf_dir).select(
+        "doc_id", X.char_count("text").alias("n"), "n_chars"
+    )
+    bad = df.filter(F.col("n") != F.col("n_chars")).count()
+    assert bad == 0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "HELLO\tWORLD "), (4, "other")],
+        ["id", "t"],
+    ).select("id", X.fingerprint("t").alias("fp"))
+    rows = {r["id"]: r["fp"] for r in df.collect()}
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[4] != rows[1]
+    assert all(0 <= v < X.FP_MOD for v in rows.values())
+
+
+def test_lang_id_known_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy"),
+            (2, "der Hund ist nicht mit der Katze und das ist gut"),
+            (3, "le chat est sur la table et il est content pour un moment"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        ["id", "t"],
+    ).select("id", X.lang_id("t").alias("lang"))
+    rows = {r["id"]: r["lang"] for r in df.collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "de"
+    assert rows[3] == "fr"
+    assert rows[4] == "und"
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    good = "the quick brown fox jumps over a lazy dog near the quiet river bank today"
+    bad = "!!! ??? ... ;;; ,,,"
+    df = spark.createDataFrame([(1, good), (2, bad)], ["id", "t"]).select(
+        "id", X.quality_score("t").alias("q")
+    )
+    rows = {r["id"]: r["q"] for r in df.collect()}
+    assert 0.0 <= rows[2] < rows[1] <= 1.0
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["id", "t"]).select(
+        X.word_ngrams("t", 2).alias("g")
+    )
+    assert sorted(df.collect()[0]["g"]) == ["a b", "b c", "c d"]
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([(1, "abcd")], ["id", "t"]).select(
+        X.char_ngrams("t", 3).alias("g")
+    )
+    assert sorted(df.collect()[0]["g"]) == ["abc", "bcd"]

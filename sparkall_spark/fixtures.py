@@ -15,10 +15,22 @@ AQE.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
 from sparkall_spark.mappings import EntityMapping, MappingIndex
 
 NS = "http://sparkall.io/ns/"
 PREFIX_BLOCK = f"PREFIX sa: <{NS}>\n"
+
+
+def _read_events_parquet(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
+    """Custom reader (registered below) for the nanos-timestamp events
+    table — demonstrates the reader-registry extension point."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(mapping.source)
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
 
 
 def _m(name: str, table: str, sf_dir: str, id_attr: str,
@@ -32,6 +44,25 @@ def _m(name: str, table: str, sf_dir: str, id_attr: str,
         class_iri=NS + name,
         broadcast=broadcast,
     )
+
+
+from sparkall_spark.sources import register_reader  # noqa: E402
+
+register_reader("events_parquet", _read_events_parquet)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, papering over the events table's
+    nanosecond timestamps (Spark's parquet reader rejects
+    TIMESTAMP(NANOS); read as long, truncate to micros — DuckDB's
+    TIMESTAMP does the same truncation, keeping oracles aligned)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def tpch_mappings(sf_dir: str) -> MappingIndex:
@@ -60,9 +91,17 @@ def tpch_mappings(sf_dir: str) -> MappingIndex:
                 "discount": "l_discount", "tax": "l_tax",
                 "returnflag": "l_returnflag", "linestatus": "l_linestatus",
                 "shipdate": "l_shipdate"}),
-            _m("Event", "events", sf_dir, "event_id",
-               {"ts": "ts", "user": "user_id", "event_type": "event_type",
-                "value": "value", "props": "props"}),
+            EntityMapping(
+                name="Event",
+                source=f"{sf_dir}/events.parquet",
+                source_type="events_parquet",
+                id_attr="event_id",
+                predicates={NS + k: v for k, v in
+                            {"ts": "ts", "user": "user_id",
+                             "event_type": "event_type", "value": "value",
+                             "props": "props"}.items()},
+                class_iri=NS + "Event",
+            ),
             _m("Document", "documents", sf_dir, "doc_id",
                {"text": "text", "lang": "lang", "source": "source",
                 "n_chars": "n_chars"}),

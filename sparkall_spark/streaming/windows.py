@@ -1,0 +1,140 @@
+"""Structured Streaming helpers (extension — SURVEY.md §2.9: the
+reference has no streaming surface; this is the Spark-first capability
+the `events` fixture exists for).
+
+Every helper takes either a *streaming* DataFrame (from ``readStream``)
+or a batch one — the transformations are identical; only the sink
+differs.  Watermarks apply only on streaming inputs (no-op on batch is
+handled by the caller passing watermark=None).
+
+Scale notes: tumbling/sliding aggregation is Spark's incremental
+stateful agg (partial aggregation per micro-batch, state keyed by
+window+keys); sessionization uses ``session_window`` (built-in gap
+sessions, state pruned by watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
+    if delay and df.isStreaming:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs: list[Column],
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window aggregation: one row per (window, keys).
+
+    Output flattens the window struct to ``window_start``/``window_end``
+    so results are plain columns (oracle-friendly).
+    """
+    df = with_watermark(df, ts_col, watermark)
+    group = [F.window(F.col(ts_col), window).alias("__w")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    out = df.groupBy(*group).agg(*aggs)
+    return out.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *[c for c in out.columns if c != "__w"],
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str,
+    aggs: list[Column],
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window aggregation (window length, slide interval)."""
+    df = with_watermark(df, ts_col, watermark)
+    group = [F.window(F.col(ts_col), window, slide).alias("__w")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    out = df.groupBy(*group).agg(*aggs)
+    return out.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *[c for c in out.columns if c != "__w"],
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: list[Column],
+    keys: list[str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via the built-in ``session_window``
+    (stateful, watermark-pruned on streams; plain agg on batch)."""
+    df = with_watermark(df, ts_col, watermark)
+    group = [F.session_window(F.col(ts_col), gap).alias("__w")] + [
+        F.col(k) for k in keys
+    ]
+    out = df.groupBy(*group).agg(*aggs)
+    return out.select(
+        F.col("__w.start").alias("session_start"),
+        F.col("__w.end").alias("session_end"),
+        *[c for c in out.columns if c != "__w"],
+    )
+
+
+def stream_events(
+    spark,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+    ts_nanos_col: str | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory (for tests/demos).
+
+    A real deployment would point readStream at Kafka/Kinesis; the file
+    source exercises the identical incremental execution path.
+    ``ts_nanos_col`` handles TIMESTAMP(NANOS) parquet columns (read as
+    long, truncated to micro-precision timestamps).
+    """
+    if ts_nanos_col:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    if ts_nanos_col:
+        df = df.withColumn(
+            ts_nanos_col,
+            F.timestamp_micros((F.col(ts_nanos_col) / 1000).cast("long")),
+        )
+    return df
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
+    """Start the stream into an in-memory table and wait for all data.
+
+    Returns the StreamingQuery; callers read results via
+    ``spark.sql(f"SELECT * FROM {name}")`` after processAllAvailable().
+    """
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

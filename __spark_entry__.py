@@ -1,38 +1,671 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` covers SURVEY.md §2's operator inventory via the SPARQL
+engine (q01-q15) plus the LLM-data-pipeline extension operators
+(e01-e13: dedup, similarity search, text analysis, RDF ingestion).
+Every query with SQL-expressible semantics has a DuckDB oracle in
+``oracle_sql()``; approximate/blocked ops (LSH candidate generation,
+IVF) are rows-only by design and are verified against exact baselines
+in tests/.
+
+Column-name discipline: the driver sorts columns by name before value
+hashing, so every computed column is aliased identically in the Spark
+query and its oracle; float aggregates are rounded on BOTH sides;
+computed integers are cast to bigint on the Spark side to match
+DuckDB's 64-bit count/len results.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sparkall_spark.engine import Engine
+from sparkall_spark.fixtures import NS, PREFIX_BLOCK, load_table, tpch_mappings
+from sparkall_spark.functions import text as X
+from sparkall_spark.mappings import EntityMapping, MappingIndex
+from sparkall_spark.operators import dedup as D, similarity as S
+from sparkall_spark.streaming import windows as W
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> Engine:
+    return Engine(spark, tpch_mappings(sf_dir))
+
+
+def _sparql(text: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).sparql(PREFIX_BLOCK + text)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# §2 parity queries (SPARQL fragment -> engine -> DataFrame)
+# ---------------------------------------------------------------------------
+
+SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
+    # scan + projection + filter + DISTINCT + multi-key ORDER BY + LIMIT
+    "q01_filter_order_limit": (
+        """
+        SELECT DISTINCT ?p ?name ?size WHERE {
+            ?p a sa:Part ; sa:name ?name ; sa:size ?size .
+            FILTER (?size > 30)
+        }
+        ORDER BY ?name DESC(?size) ?p
+        LIMIT 50
+        """,
+        """
+        SELECT DISTINCT p_partkey AS p, p_name AS name, p_size AS size
+        FROM part WHERE p_size > 30
+        ORDER BY p_name, p_size DESC, p LIMIT 50
+        """,
+    ),
+    # 2-star inner equi-join
+    "q02_join_two_stars": (
+        """
+        SELECT ?cname ?nname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname .
+        }
+        """,
+        """
+        SELECT c_name AS cname, n_name AS nname
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+    ),
+    # 3-star join + numeric and string filters (mixed ops)
+    "q03_join_filters": (
+        """
+        SELECT ?cname ?qty ?totalprice WHERE {
+            ?l a sa:Lineitem ; sa:order ?o ; sa:quantity ?qty .
+            ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?totalprice .
+            ?c a sa:Customer ; sa:name ?cname ; sa:mktsegment ?seg .
+            FILTER (?qty > 45)
+            FILTER (?totalprice > 100000)
+            FILTER (?seg = "BUILDING")
+        }
+        """,
+        """
+        SELECT c_name AS cname, l_quantity AS qty, o_totalprice AS totalprice
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+        WHERE l_quantity > 45 AND o_totalprice > 100000
+          AND c_mktsegment = 'BUILDING'
+        """,
+    ),
+    # 5-star chain join (lineitem-orders-customer-nation-region)
+    "q04_join_five_stars": (
+        """
+        SELECT ?cname ?nname ?rname ?totalprice ?qty WHERE {
+            ?l a sa:Lineitem ; sa:order ?o ; sa:quantity ?qty .
+            ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?totalprice .
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname ; sa:region ?r .
+            ?r a sa:Region ; sa:name ?rname .
+            FILTER (?qty > 45)
+            FILTER (?totalprice > 100000)
+        }
+        """,
+        """
+        SELECT c_name AS cname, n_name AS nname, r_name AS rname,
+               o_totalprice AS totalprice, l_quantity AS qty
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE l_quantity > 45 AND o_totalprice > 100000
+        """,
+    ),
+    # GROUP BY + SUM/AVG/MIN/MAX/COUNT with deterministic aliases
+    "q05_groupby_aggregates": (
+        """
+        SELECT ?flag ?status (SUM(?qty) AS ?sum_qty) (AVG(?price) AS ?avg_price)
+               (MIN(?disc) AS ?min_disc) (MAX(?disc) AS ?max_disc)
+               (COUNT(*) AS ?n)
+        WHERE {
+            ?l a sa:Lineitem ; sa:returnflag ?flag ; sa:linestatus ?status ;
+               sa:quantity ?qty ; sa:extendedprice ?price ; sa:discount ?disc .
+        }
+        GROUP BY ?flag ?status
+        """,
+        None,  # aggregate rounding handled by wrapper below
+    ),
+    # FILTER regex with LIKE semantics (reference: SparkExecutor.scala:180-182)
+    "q06_regex_like": (
+        """
+        SELECT ?name WHERE {
+            ?p a sa:Part ; sa:name ?name .
+            FILTER regex(?name, "%gre%")
+        }
+        """,
+        "SELECT p_name AS name FROM part WHERE p_name LIKE '%gre%'",
+    ),
+    # COUNT(DISTINCT) aggregate
+    "q07_count_distinct": (
+        """
+        SELECT ?status (COUNT(DISTINCT ?flag) AS ?n_flags) WHERE {
+            ?l a sa:Lineitem ; sa:returnflag ?flag ; sa:linestatus ?status .
+        }
+        GROUP BY ?status
+        """,
+        """
+        SELECT l_linestatus AS status, count(DISTINCT l_returnflag) AS n_flags
+        FROM lineitem GROUP BY 1
+        """,
+    ),
+    # subject-variable projection (star ID column)
+    "q13_subject_projection": (
+        """
+        SELECT ?o ?totalprice WHERE {
+            ?o a sa:Orders ; sa:totalprice ?totalprice .
+            FILTER (?totalprice > 400000)
+        }
+        """,
+        """
+        SELECT o_orderkey AS o, o_totalprice AS totalprice
+        FROM orders WHERE o_totalprice > 400000
+        """,
+    ),
+    # OPTIONAL -> left outer join (capability extension over the reference)
+    "q10_optional_left_join": (
+        """
+        SELECT ?name ?totalprice WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            OPTIONAL { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?totalprice . }
+        }
+        """,
+        """
+        SELECT c_name AS name, o_totalprice AS totalprice
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        """,
+    ),
+    # TRANSFORM DSL on join columns (scl both sides — result must equal plain join)
+    "q11_transform_scl": (
+        """
+        SELECT ?cname ?nname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname .
+        }
+        TRANSFORM(?c?n.l.toInt.scl(+1) && ?c?n.r.toInt.scl(+1))
+        """,
+        """
+        SELECT c_name AS cname, n_name AS nname
+        FROM customer JOIN nation
+          ON (CAST(c_nationkey AS INT) + 1) = (CAST(n_nationkey AS INT) + 1)
+        """,
+    ),
+    # TRANSFORM skp -> row-skip filter on the join column
+    "q12_transform_skp": (
+        """
+        SELECT ?cname ?nname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname .
+        }
+        TRANSFORM(?c?n.l.skp(3))
+        """,
+        """
+        SELECT c_name AS cname, n_name AS nname
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_nationkey <> 3
+        """,
+    ),
+}
+
+
+def _q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(SPARQL_QUERIES["q05_groupby_aggregates"][0])(spark, sf_dir)
+    return df.select(
+        "flag",
+        "status",
+        F.round("sum_qty", 4).alias("sum_qty"),
+        F.round("avg_price", 4).alias("avg_price"),
+        "min_disc",
+        "max_disc",
+        "n",
+    )
+
+
+_Q05_ORACLE = """
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       min(l_discount) AS min_disc, max(l_discount) AS max_disc,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _q08_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + ORDER BY aggregate alias + LIMIT (top-k groups)."""
+    df = _engine(spark, sf_dir).sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?priority (SUM(?totalprice) AS ?revenue) (COUNT(*) AS ?n)
+        WHERE { ?o a sa:Orders ; sa:orderpriority ?priority ;
+                   sa:totalprice ?totalprice . }
+        GROUP BY ?priority
+        ORDER BY DESC(?revenue) ?priority
+        LIMIT 3
+        """
+    )
+    return df.select(
+        "priority", F.round("revenue", 4).alias("revenue"), "n"
+    )
+
+
+_Q08_ORACLE = """
+SELECT o_orderpriority AS priority,
+       round(sum(o_totalprice), 4) AS revenue, count(*) AS n
+FROM orders GROUP BY 1
+ORDER BY sum(o_totalprice) DESC, priority LIMIT 3
+"""
+
+
+def _q09_multisource_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One star, two relevant sources -> unionByName
+    (reference: SparkExecutor.scala:113-117)."""
+    mappings = [
+        EntityMapping(
+            name=n,
+            source=f"{sf_dir}/supplier.parquet",
+            source_type="parquet",
+            id_attr="s_suppkey",
+            predicates={NS + "name": "s_name", NS + "acctbal": "s_acctbal"},
+            class_iri=NS + "Supplier",
+        )
+        for n in ("SupplierA", "SupplierB")
+    ]
+    return Engine(spark, MappingIndex(mappings)).sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?bal WHERE {
+            ?s a sa:Supplier ; sa:name ?name ; sa:acctbal ?bal .
+            FILTER (?bal > 0)
+        }
+        """
+    )
+
+
+_Q09_ORACLE = """
+SELECT s_name AS name, s_acctbal AS bal FROM supplier WHERE s_acctbal > 0
+UNION ALL
+SELECT s_name AS name, s_acctbal AS bal FROM supplier WHERE s_acctbal > 0
+"""
+
+
+def _q14_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the events table (batch
+    plan identical to the Structured Streaming path)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = W.tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        [
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+        keys=["event_type"],
+    )
+    return out.select("window_start", "event_type", "n", "sum_value")
+
+
+_Q14_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q15_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session_window) — count sessions per
+    user with 30-minute inactivity gap."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = W.session_agg(
+        ev, "ts", "30 minutes", [F.count("*").alias("n_events")], keys=["user_id"]
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+_Q15_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+       count(*) AS n_events
+FROM ordered GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extension operators (dedup / similarity / text / RDF)
+# ---------------------------------------------------------------------------
+
+
+def _e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("doc_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+_E01_ORACLE = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def _e02_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+_E02_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           [ascii(c) FOR c IN
+              list_filter(string_split(
+                regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ''),
+                x -> x <> '')]),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+FROM documents
+"""
+
+
+def _e03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, threshold=0.9).select("id_a", "id_b", "jaccard")
+
+
+_E03_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) toks
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.toks, b.toks))::DOUBLE
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM t a, t b
+WHERE a.doc_id < b.doc_id
+  AND round(len(list_intersect(a.toks, b.toks))::DOUBLE
+            / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.9
+"""
+
+
+def _e04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash banding is engine-hash based -> no SQL oracle; verified in
+    # tests/test_dedup.py against constructed duplicates
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=3)
+
+
+def _e05_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocked candidate generation (min-hash blocking) -> recall-bounded,
+    # rows-only check; exact-Jaccard semantics verified in tests
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, ngram=1, threshold=0.9)
+
+
+def _e06_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(
+        emb, threshold=0.8, left_filter=F.col("__id") % 25 == 0
+    )
+
+
+_E06_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id % 25 = 0 AND a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.8
+"""
+
+
+def _e07_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = S.brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+_E07_ORACLE = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
+def _e08_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate by construction -> rows-only; recall vs brute force is
+    # asserted in tests/test_similarity.py
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.lsh_topk(emb, queries, k=10, bits=4, tables=16)
+
+
+def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
+
+
+def _e10_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").cast("bigint").alias("n_tokens"),
+        X.distinct_token_count("text").cast("bigint").alias("n_distinct"),
+        X.char_count("text").cast("bigint").alias("n_chars_calc"),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+_E10_ORACLE = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+         AS n_tokens,
+       len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> ''))) AS n_distinct,
+       len(text) AS n_chars_calc,
+       CASE WHEN len(text) > 0 THEN
+         round(len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
+               / len(text), 6)
+       ELSE 0.0 END AS punct_ratio
+FROM documents
+"""
+
+
+def _e11_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
+
+
+def _langid_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in X.STOPWORDS[lang])
+    return (
+        "len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        f" x -> x <> ''), x -> list_contains([{words}], x)))"
+    )
+
+
+_E11_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_langid_hits('en')} AS h_en, {_langid_hits('de')} AS h_de,
+         {_langid_hits('fr')} AS h_fr, {_langid_hits('es')} AS h_es
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+            WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+            WHEN h_fr >= h_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM h
+"""
+
+
+def _e12_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+_E12_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS n_tok,
+         len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> ''))) AS n_dist,
+         CASE WHEN len(text) > 0 THEN
+           len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
+             / len(text)
+         ELSE 0.0 END AS pr
+  FROM documents)
+SELECT doc_id,
+       round(((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN n_tok > 0 THEN n_dist::DOUBLE / n_tok ELSE 0.0 END)
+              + (1.0 - least(pr * 5, 1.0))) / 3, 6) AS quality
+FROM t
+"""
+
+
+def _e13_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the nation table to N-Triples with Spark, then load it
+    back through the RDF pivot reader via the SPARQL engine — exercises
+    the full rdf source path (reference: NTtoDF.java) distributively."""
+    out_dir = tempfile.mkdtemp(prefix="sparkall_nt_")
+    nation = load_table(spark, sf_dir, "nation")
+    subj = F.format_string("<http://sparkall.io/nation/%d>", F.col("n_nationkey"))
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    triples = nation.select(
+        F.concat(
+            subj, F.lit(f" {rdf_type} <{NS}Nation> .\n"),
+            subj, F.format_string(
+                f" <{NS}name> \"%s\" .\n", F.col("n_name")),
+            subj, F.format_string(
+                f" <{NS}region> \"%d\"^^<http://www.w3.org/2001/XMLSchema#int> .",
+                F.col("n_regionkey")),
+        ).alias("value")
+    )
+    triples.write.mode("overwrite").text(out_dir)
+
+    mapping = EntityMapping(
+        name="Nation",
+        source=out_dir,
+        source_type="rdf",
+        id_attr="nat",
+        predicates={NS + "name": "name", NS + "region": "region"},
+        class_iri=NS + "Nation",
+        options={"subject_template": "http://sparkall.io/nation/{nr}"},
+    )
+    df = Engine(spark, MappingIndex([mapping])).sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?nat ?name ?region WHERE {
+            ?nat a sa:Nation ; sa:name ?name ; sa:region ?region .
+        }
+        """
+    )
+    return df
+
+
+_E13_ORACLE = """
+SELECT CAST(n_nationkey AS VARCHAR) AS nat, n_name AS name,
+       n_regionkey AS region
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 5-star join + filters at sf0.001 (driver smoke check)."""
+    return _sparql(SPARQL_QUERIES["q04_join_five_stars"][0])(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (text, _oracle) in SPARQL_QUERIES.items():
+        if name != "q05_groupby_aggregates":
+            out[name] = _sparql(text)
+    out["q05_groupby_aggregates"] = _q05
+    out["q08_topk_groups"] = _q08_topk_groups
+    out["q09_multisource_union"] = _q09_multisource_union
+    out["q14_events_window"] = _q14_events_window
+    out["q15_events_sessions"] = _q15_events_sessions
+    out["e01_dedup_exact"] = _e01_dedup_exact
+    out["e02_text_fingerprint"] = _e02_fingerprint
+    out["e03_dedup_minhash"] = _e03_dedup_minhash
+    out["e04_dedup_simhash"] = _e04_dedup_simhash
+    out["e05_dedup_ngram_jaccard"] = _e05_dedup_ngram
+    out["e06_dedup_embedding"] = _e06_dedup_embedding
+    out["e07_sim_topk_bruteforce"] = _e07_sim_bruteforce
+    out["e08_sim_topk_lsh"] = _e08_sim_lsh
+    out["e09_sim_topk_ivf"] = _e09_sim_ivf
+    out["e10_text_stats"] = _e10_text_stats
+    out["e11_text_langid"] = _e11_text_langid
+    out["e12_text_quality"] = _e12_text_quality
+    out["e13_rdf_roundtrip"] = _e13_rdf_roundtrip
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        name: oracle
+        for name, (_text, oracle) in SPARQL_QUERIES.items()
+        if oracle is not None
+    }
+    out["q05_groupby_aggregates"] = _Q05_ORACLE
+    out["q08_topk_groups"] = _Q08_ORACLE
+    out["q09_multisource_union"] = _Q09_ORACLE
+    out["q14_events_window"] = _Q14_ORACLE
+    out["q15_events_sessions"] = _Q15_ORACLE
+    out["e01_dedup_exact"] = _E01_ORACLE
+    out["e02_text_fingerprint"] = _E02_ORACLE
+    out["e03_dedup_minhash"] = _E03_ORACLE
+    out["e06_dedup_embedding"] = _E06_ORACLE
+    out["e07_sim_topk_bruteforce"] = _E07_ORACLE
+    out["e10_text_stats"] = _E10_ORACLE
+    out["e11_text_langid"] = _E11_ORACLE
+    out["e12_text_quality"] = _E12_ORACLE
+    out["e13_rdf_roundtrip"] = _E13_ORACLE
+    # e04/e05/e08/e09: approximate/blocked by design -> rows-only checks
+    return out

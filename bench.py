@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Covers the engine's join/aggregation path and the extension operators
+(dedup, similarity, text, windows) — the same entries the driver's
+correctness gate checks, so bench time tracks real operator cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from sparkall_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q01_filter_order_limit",
+    "q02_join_two_stars",
+    "q04_join_five_stars",
+    "q05_groupby_aggregates",
+    "q08_topk_groups",
+    "q14_events_window",
+    "q15_events_sessions",
+    "e01_dedup_exact",
+    "e03_dedup_minhash",
+    "e07_sim_topk_bruteforce",
+    "e10_text_stats",
+    "e11_text_langid",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        "sparkall-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    # warmup: JVM spin-up + parquet footer reads happen outside timings
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/part.parquet").count()
+
+    queries = E.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

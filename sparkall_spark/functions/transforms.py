@@ -34,12 +34,14 @@ def transform_column(col: Column, fn: str) -> tuple[Column, Column | None]:
     name, arg = m.group(1), (m.group(2) or "")
     arg = arg.strip()
 
+    # try_cast: reference semantics are null-on-failure (Spark 2.4 casts);
+    # Spark 4 ANSI mode would throw on malformed input otherwise
     if name == "toInt":
-        return col.cast("int"), None
+        return col.try_cast("int"), None
     if name == "toLong":
-        return col.cast("bigint"), None
+        return col.try_cast("bigint"), None
     if name == "toDouble":
-        return col.cast("double"), None
+        return col.try_cast("double"), None
     if name == "toStr":
         return col.cast("string"), None
     if name == "scl":

@@ -153,6 +153,8 @@ def read_ntriples(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
         if multi:
             expr = F.transform(c, lambda x: x.cast(spark_type))
         else:
-            expr = F.element_at(c, 1).cast(spark_type)
+            # try_element_at: subjects missing this predicate pivot to an
+            # empty array -> null (ANSI element_at would throw)
+            expr = F.try_element_at(c, F.lit(1)).cast(spark_type)
         cols.append(expr.alias(col_names[p]))
     return wide.select(*cols)

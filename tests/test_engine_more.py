@@ -1,0 +1,129 @@
+"""Engine coverage beyond the ported reference shapes: global
+aggregates, timestamp filters, true-regex rlike, engine facade."""
+
+from tests.conftest import assert_matches_oracle
+
+import pytest
+
+from sparkall_spark.engine import Engine
+from sparkall_spark.fixtures import PREFIX_BLOCK, tpch_mappings
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, tpch_mappings(sf_dir))
+
+
+def q(body: str) -> str:
+    return PREFIX_BLOCK + body
+
+
+def test_global_aggregate_no_groupby(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT (SUM(?qty) AS ?sum_qty) (COUNT(*) AS ?n) WHERE {
+            ?l a sa:Lineitem ; sa:quantity ?qty .
+        }
+        """
+        )
+    )
+    assert_matches_oracle(
+        df, duck, "SELECT sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem"
+    )
+
+
+def test_timestamp_filter(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?o ?d WHERE {
+            ?o a sa:Orders ; sa:orderdate ?d .
+            FILTER (?d >= "1996-06-01")
+            FILTER (?d < "1996-07-01")
+        }
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT o_orderkey AS o, o_orderdate AS d FROM orders
+        WHERE o_orderdate >= '1996-06-01' AND o_orderdate < '1996-07-01'
+        """,
+    )
+
+
+def test_rlike_true_regex(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?name WHERE {
+            ?p a sa:Part ; sa:name ?name .
+            FILTER rlike(?name, "^p.*[0-9]$")
+        }
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        "SELECT p_name AS name FROM part WHERE regexp_matches(p_name, '^p.*[0-9]$')",
+    )
+
+
+def test_order_by_unprojected_var(engine, duck):
+    """ORDER BY on a variable not in the projection (sort pre-projection)."""
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?name WHERE {
+            ?p a sa:Part ; sa:name ?name ; sa:retailprice ?price ; sa:size ?size .
+            FILTER (?size = 50)
+        }
+        ORDER BY DESC(?price)
+        LIMIT 5
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT p_name AS name FROM part WHERE p_size = 50
+        ORDER BY p_retailprice DESC LIMIT 5
+        """,
+    )
+
+
+def test_run_facade_counts(engine, capsys):
+    n = engine.run(
+        q("SELECT ?name WHERE { ?r a sa:Region ; sa:name ?name . }"), n=3
+    )
+    assert n == 5
+    out = capsys.readouterr().out
+    assert "Number of results: 5" in out
+
+
+def test_same_predicate_two_stars(engine, duck):
+    """The sa:name predicate appears on two different stars — aliases
+    must not collide."""
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?nname ?rname WHERE {
+            ?n a sa:Nation ; sa:name ?nname ; sa:region ?r .
+            ?r a sa:Region ; sa:name ?rname .
+        }
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT n_name AS nname, r_name AS rname
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+    )

@@ -157,6 +157,43 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         FROM lineitem GROUP BY 1
         """,
     ),
+    # global aggregate without GROUP BY
+    "q16_global_aggregate": (
+        """
+        SELECT (MIN(?bal) AS ?min_bal) (MAX(?bal) AS ?max_bal)
+               (COUNT(*) AS ?n)
+        WHERE { ?c a sa:Customer ; sa:acctbal ?bal . }
+        """,
+        """
+        SELECT min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+               count(*) AS n
+        FROM customer
+        """,
+    ),
+    # timestamp-typed filters
+    "q17_timestamp_filter": (
+        """
+        SELECT ?o ?d WHERE {
+            ?o a sa:Orders ; sa:orderdate ?d .
+            FILTER (?d >= "1996-06-01")
+            FILTER (?d < "1996-07-01")
+        }
+        """,
+        """
+        SELECT o_orderkey AS o, o_orderdate AS d FROM orders
+        WHERE o_orderdate >= '1996-06-01' AND o_orderdate < '1996-07-01'
+        """,
+    ),
+    # FILTER rlike — true regular expressions (extension over reference)
+    "q18_rlike_regex": (
+        """
+        SELECT ?name WHERE {
+            ?p a sa:Part ; sa:name ?name .
+            FILTER rlike(?name, "^p.*[0-9]$")
+        }
+        """,
+        "SELECT p_name AS name FROM part WHERE regexp_matches(p_name, '^p.*[0-9]$')",
+    ),
     # subject-variable projection (star ID column)
     "q13_subject_projection": (
         """

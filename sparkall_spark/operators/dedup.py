@@ -176,10 +176,16 @@ def minhash_dedup_pairs(
         return intra.filter(F.lit(False))
 
     # LSH runs over one representative per distinct set — bucket skew
-    # from cliques is gone by construction
-    reps = keyed.groupBy("__fp").agg(
-        F.min("__id").alias("__rid"), F.first("__sh").alias("__sh")
-    ).persist()
+    # from cliques is gone by construction.  __shh: the shingle set as
+    # sorted 64-bit hashes — verification jaccard over int arrays is
+    # several times cheaper than over strings and equal in value
+    # (collision odds ~ |set|^2 / 2^64).
+    reps = (
+        keyed.groupBy("__fp")
+        .agg(F.min("__id").alias("__rid"), F.first("__sh").alias("__sh"))
+        .withColumn("__shh", F.array_sort(F.transform("__sh", _token_hash)))
+        .persist()
+    )
     sig = reps.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
     band_cols = [
         F.struct(
@@ -203,14 +209,14 @@ def minhash_dedup_pairs(
         .select(F.col("x.__fp").alias("fp_a"), F.col("y.__fp").alias("fp_b"))
         .distinct()
     )
-    rep_sets = reps.select("__fp", "__sh")
+    rep_sets = reps.select("__fp", "__shh")
     rep_pairs = (
         cand.join(
-            rep_sets.select(F.col("__fp").alias("fp_a"), F.col("__sh").alias("sh_a")),
+            rep_sets.select(F.col("__fp").alias("fp_a"), F.col("__shh").alias("sh_a")),
             "fp_a",
         )
         .join(
-            rep_sets.select(F.col("__fp").alias("fp_b"), F.col("__sh").alias("sh_b")),
+            rep_sets.select(F.col("__fp").alias("fp_b"), F.col("__shh").alias("sh_b")),
             "fp_b",
         )
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))

@@ -54,6 +54,16 @@ def _as_double(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _paired_cosine() -> Column:
+    """Cosine from precomputed per-side norms (__qn/__cn) — avoids
+    recomputing both norms for every candidate pair (O(pairs*dim) saved;
+    norms are O(rows*dim) once)."""
+    denom = F.col("__qn") * F.col("__cn")
+    return F.round(
+        F.when(denom > 0, dot(F.col("__qv"), F.col("__cv")) / denom).otherwise(0.0), 6
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,19 +78,20 @@ def brute_force_topk(
     Output: query_id, neighbor_id, cosine (rounded 1e-6), rank.
     Ties broken by neighbor_id (deterministic).  The query side is
     broadcast — it is expected to be small; the corpus streams.
+    Norms are computed once per row, not once per pair.
     """
     q = queries.select(
         F.col(query_id_col or id_col).alias("query_id"),
         F.col(query_vec_col or vec_col).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn("cosine", _paired_cosine())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -132,11 +143,11 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
 
     def banded(df: DataFrame, vcol: str) -> DataFrame:
         entries = [
@@ -155,12 +166,10 @@ def lsh_topk(
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .select("query_id", "__qv", "__qn", "neighbor_id", "__cv", "__cn")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6)
-    )
+    scored = cand.withColumn("cosine", _paired_cosine())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -232,16 +241,22 @@ def ivf_topk(
         ordered = F.reverse(F.array_sort(sims))
         return F.transform(F.slice(ordered, 1, top_n), lambda x: x["cell"])
 
-    c_cells = c.withColumn("cell", F.element_at(cell_expr(F.col("__cv"), 1), 1))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn("cell", F.explode(cell_expr(F.col("__qv"), nprobe)))
+    c_cells = c.withColumn(
+        "cell", F.element_at(cell_expr(F.col("__cv"), 1), 1)
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        .withColumn("cell", F.explode(cell_expr(F.col("__qv"), nprobe)))
+        .withColumn("__qn", l2_norm(F.col("__qv")))
+    )
 
     scored = (
         c_cells.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn("cosine", _paired_cosine())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

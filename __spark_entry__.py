@@ -194,6 +194,22 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         """,
         "SELECT p_name AS name FROM part WHERE regexp_matches(p_name, '^p.*[0-9]$')",
     ),
+    # SPARQL UNION across two entities (extension; the reference
+    # excluded UNION queries from its evaluation, evaluation/README.md:9)
+    "q19_sparql_union": (
+        """
+        SELECT ?name WHERE {
+            { ?c a sa:Customer ; sa:name ?name ; sa:acctbal ?bal .
+              FILTER (?bal > 9000) }
+            UNION
+            { ?s a sa:Supplier ; sa:name ?name . }
+        }
+        """,
+        """
+        SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
+        UNION ALL SELECT s_name AS name FROM supplier
+        """,
+    ),
     # subject-variable projection (star ID column)
     "q13_subject_projection": (
         """
@@ -599,6 +615,108 @@ FROM t
 """
 
 
+def _e14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest prior event —
+    single-shuffle union+window implementation (operators/temporal.py)."""
+    from sparkall_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return asof_join(
+        ev,
+        ev.select("user_id", "ts", "event_id", "value"),
+        on=["user_id"],
+        right_cols=["event_id", "value"],
+        strict=True,
+        how="inner",
+    ).select(
+        "event_id",
+        F.col("asof_event_id").alias("prev_event_id"),
+        F.round("asof_value", 6).alias("prev_value"),
+    )
+
+
+_E14_ORACLE = """
+SELECT a.event_id AS event_id, b.event_id AS prev_event_id,
+       round(b.value, 6) AS prev_value
+FROM events a ASOF JOIN events b
+  ON a.user_id = b.user_id AND b.ts < a.ts
+"""
+
+
+def _e15_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (SURVEY §2.5 — absent in the reference,
+    exposed here): top-3 orders per customer by totalprice."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+_E15_ORACLE = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       o_totalprice AS totalprice,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+FROM orders QUALIFY rk <= 3
+"""
+
+
+def _e16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: pull a typed field out of the
+    events props JSON (JVM-side get_json_object, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+_E16_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+def _e17_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: events falling inside each user's first-2-day
+    window (operators/temporal.py — equi-join on time buckets, never a
+    cartesian theta join)."""
+    from sparkall_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    intervals = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 2 DAYS"))
+    )
+    return range_join(
+        ev, intervals, on=["user_id"], point="ts",
+        range_start="start_ts", range_end="end_ts",
+    ).select("event_id", "user_id")
+
+
+_E17_ORACLE = """
+WITH iv AS (
+  SELECT user_id, min(ts) AS start_ts, min(ts) + INTERVAL 2 DAY AS end_ts
+  FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id
+FROM events e JOIN iv ON e.user_id = iv.user_id
+WHERE iv.start_ts <= e.ts AND e.ts < iv.end_ts
+"""
+
+
 def _e13_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the nation table to N-Triples with Spark, then load it
     back through the RDF pivot reader via the SPARQL engine — exercises
@@ -681,6 +799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e11_text_langid"] = _e11_text_langid
     out["e12_text_quality"] = _e12_text_quality
     out["e13_rdf_roundtrip"] = _e13_rdf_roundtrip
+    out["e14_asof_join"] = _e14_asof_join
+    out["e15_window_rank"] = _e15_window_rank
+    out["e16_json_extract"] = _e16_json_extract
+    out["e17_range_join"] = _e17_range_join
     return out
 
 
@@ -704,5 +826,9 @@ def oracle_sql() -> dict[str, str]:
     out["e11_text_langid"] = _E11_ORACLE
     out["e12_text_quality"] = _E12_ORACLE
     out["e13_rdf_roundtrip"] = _E13_ORACLE
+    out["e14_asof_join"] = _E14_ORACLE
+    out["e15_window_rank"] = _E15_ORACLE
+    out["e16_json_extract"] = _E16_ORACLE
+    out["e17_range_join"] = _E17_ORACLE
     # e04/e05/e08/e09: approximate/blocked by design -> rows-only checks
     return out

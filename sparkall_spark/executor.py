@@ -219,10 +219,70 @@ _AGG_FNS = {
 }
 
 
+def _branch_core(
+    spark: SparkSession, plan: QueryPlan, index: MappingIndex
+) -> DataFrame:
+    """One UNION branch: joins + filters, projected to the select vars
+    (unbound vars become nulls, SPARQL UNION semantics)."""
+    q = plan.query
+    star_dfs = {
+        name: _apply_star_filters(
+            build_star_df(
+                spark,
+                q,
+                star,
+                plan.needed_preds[name],
+                plan.project_subject.get(name, False),
+                index.relevant_sources(star),
+            ),
+            q,
+            name,
+        )
+        for name, star in q.stars.items()
+    }
+    _apply_transforms(star_dfs, q, plan)
+    df = _join_stars(star_dfs, q, plan)
+    cols = []
+    for v in q.select_vars:
+        if v in q.stars or v in q.var_to_star_pred:
+            cols.append(F.col(q.column_for_var(v)).alias(v))
+        else:
+            cols.append(F.lit(None).alias(v))
+    return df.select(*cols)
+
+
 def execute_plan(
     spark: SparkSession, plan: QueryPlan, index: MappingIndex
 ) -> DataFrame:
     q = plan.query
+
+    if q.union_branches:
+        # SPARQL UNION (extension): union branch results, then apply the
+        # shared solution modifiers once
+        if q.aggregations or q.group_by:
+            raise ExecutionError("UNION combined with aggregation is not supported")
+        order_vars = {k.var for k in q.order_keys}
+        if not order_vars <= set(q.select_vars):
+            raise ExecutionError("UNION ORDER BY keys must be projected")
+        dfs = [
+            _branch_core(spark, plan_query(b), index)
+            for b in [q] + q.union_branches
+        ]
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+        if q.distinct:
+            df = df.distinct()
+        if q.order_keys:
+            df = df.orderBy(
+                *[
+                    (F.col(k.var).desc() if k.descending else F.col(k.var).asc())
+                    for k in q.order_keys
+                ]
+            )
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
 
     star_dfs: dict[str, DataFrame] = {}
     for name, star in q.stars.items():

@@ -103,6 +103,13 @@ class ParsedQuery:
     limit: int | None
     transforms: list[TransformSpec] = field(default_factory=list)
     optional_stars: set[str] = field(default_factory=set)  # stars joined LEFT OUTER
+    # extra UNION branches (extension: the reference excluded UNION
+    # queries from its evaluation, evaluation/README.md:9); each branch
+    # carries its own stars/filters, solution modifiers live on self
+    union_branches: list["ParsedQuery"] = field(default_factory=list)
+    # True for UNION branch queries: a SELECT var a branch doesn't bind
+    # is legal (it unions as null) rather than an unknown-variable error
+    partial_binding: bool = False
 
     def prefix_label(self, iri: str) -> str:
         """Invert the prefix map for column naming (reference: Helpers.scala:25-36).

@@ -255,7 +255,87 @@ def parse_sparql(query: str) -> ParsedQuery:
     body = query[brace + 1 : end - 1]
     tail = query[end:]
 
-    # OPTIONAL blocks -> separate triple sets, stars marked optional
+    union_bodies = _split_union(body)
+
+    group_by: list[str] = []
+    gm = re.search(r"GROUP\s+BY\s+((?:\?[\w]+\s*)+)", tail, re.IGNORECASE)
+    if gm:
+        group_by = [m.group(1) for m in _VAR_RE.finditer(gm.group(1))]
+
+    order_keys: list[OrderKey] = []
+    om = re.search(
+        r"ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?[\w]+\s*\)|\?[\w]+)\s*)+",
+        tail,
+        re.IGNORECASE,
+    )
+    if om:
+        for im in _ORDER_ITEM_RE.finditer(om.group(0)[om.group(0).upper().index("BY") + 2 :]):
+            if im.group(3):
+                order_keys.append(OrderKey(im.group(3), False))
+            else:
+                order_keys.append(OrderKey(im.group(2), im.group(1).upper() == "DESC"))
+
+    limit = None
+    lm = re.search(r"LIMIT\s+(\d+)", tail, re.IGNORECASE)
+    if lm:
+        limit = int(lm.group(1))
+
+    def build(group_body: str) -> ParsedQuery:
+        stars, var_to_star_pred, filters, optional_subjects = _parse_group(
+            group_body, prefixes
+        )
+        return ParsedQuery(
+            prefixes=prefixes,
+            select_vars=select_vars,
+            distinct=distinct,
+            stars=stars,
+            var_to_star_pred=var_to_star_pred,
+            filters=filters,
+            aggregations=aggregations,
+            group_by=group_by,
+            order_keys=order_keys,
+            limit=limit,
+            transforms=transforms,
+            optional_stars=optional_subjects,
+        )
+
+    main = build(union_bodies[0])
+    main.union_branches = [build(b) for b in union_bodies[1:]]
+    if main.union_branches:
+        main.partial_binding = True
+        for b in main.union_branches:
+            b.partial_binding = True
+    return main
+
+
+def _split_union(body: str) -> list[str]:
+    """Split a WHERE body of the form ``{...} UNION {...} [UNION ...]``
+    into branch bodies; a body without top-level UNION returns itself."""
+    stripped = body.strip()
+    if not stripped.startswith("{"):
+        return [body]
+    branches = []
+    i = 0
+    while True:
+        brace = stripped.find("{", i)
+        if brace < 0:
+            break
+        end = _balanced(stripped, brace, "{", "}")
+        branches.append(stripped[brace + 1 : end - 1])
+        rest = stripped[end:].lstrip()
+        if rest.upper().startswith("UNION"):
+            i = end + stripped[end:].upper().index("UNION") + 5
+            continue
+        if rest:
+            return [body]  # a leading group followed by more patterns: not a UNION
+        break
+    return branches if len(branches) > 1 else [body]
+
+
+def _parse_group(
+    body: str, prefixes: dict[str, str]
+) -> tuple[dict[str, Star], dict[str, tuple[str, str]], list[Filter], set[str]]:
+    """Parse one group graph pattern: triples + FILTERs + OPTIONAL blocks."""
     optional_triples: list[Triple] = []
     optional_subjects: set[str] = set()
     while True:
@@ -288,41 +368,4 @@ def parse_sparql(query: str) -> ParsedQuery:
         star.triples.append(t)
         if t.obj_is_var:
             var_to_star_pred.setdefault(t.obj, (t.subject, t.predicate))
-
-    group_by: list[str] = []
-    gm = re.search(r"GROUP\s+BY\s+((?:\?[\w]+\s*)+)", tail, re.IGNORECASE)
-    if gm:
-        group_by = [m.group(1) for m in _VAR_RE.finditer(gm.group(1))]
-
-    order_keys: list[OrderKey] = []
-    om = re.search(
-        r"ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?[\w]+\s*\)|\?[\w]+)\s*)+",
-        tail,
-        re.IGNORECASE,
-    )
-    if om:
-        for im in _ORDER_ITEM_RE.finditer(om.group(0)[om.group(0).upper().index("BY") + 2 :]):
-            if im.group(3):
-                order_keys.append(OrderKey(im.group(3), False))
-            else:
-                order_keys.append(OrderKey(im.group(2), im.group(1).upper() == "DESC"))
-
-    limit = None
-    lm = re.search(r"LIMIT\s+(\d+)", tail, re.IGNORECASE)
-    if lm:
-        limit = int(lm.group(1))
-
-    return ParsedQuery(
-        prefixes=prefixes,
-        select_vars=select_vars,
-        distinct=distinct,
-        stars=stars,
-        var_to_star_pred=var_to_star_pred,
-        filters=filters,
-        aggregations=aggregations,
-        group_by=group_by,
-        order_keys=order_keys,
-        limit=limit,
-        transforms=transforms,
-        optional_stars=optional_subjects,
-    )
+    return stars, var_to_star_pred, filters, optional_subjects

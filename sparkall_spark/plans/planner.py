@@ -71,6 +71,8 @@ def plan_query(q: ParsedQuery) -> QueryPlan:
         if var in q.stars:
             continue  # subject variable -> ID column, always kept
         if var not in q.var_to_star_pred:
+            if q.partial_binding and var in q.select_vars:
+                continue  # unbound in this UNION branch -> null column
             raise ValueError(f"unknown variable ?{var}")
         star, pred = q.var_to_star_pred[var]
         needed[star].add(pred)

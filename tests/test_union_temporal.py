@@ -1,0 +1,146 @@
+"""SPARQL UNION (extension) + as-of / range join operators."""
+
+from tests.conftest import assert_matches_oracle
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkall_spark.engine import Engine
+from sparkall_spark.fixtures import PREFIX_BLOCK, load_table, tpch_mappings
+from sparkall_spark.operators.temporal import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, tpch_mappings(sf_dir))
+
+
+def test_sparql_union(engine, duck):
+    df = engine.sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?name WHERE {
+            { ?c a sa:Customer ; sa:name ?name ; sa:acctbal ?bal .
+              FILTER (?bal > 9000) }
+            UNION
+            { ?s a sa:Supplier ; sa:name ?name . }
+        }
+        """
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
+        UNION ALL SELECT s_name AS name FROM supplier
+        """,
+    )
+
+
+def test_sparql_union_distinct_order_limit(engine, duck):
+    df = engine.sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT DISTINCT ?name WHERE {
+            { ?n a sa:Nation ; sa:name ?name . }
+            UNION
+            { ?n a sa:Nation ; sa:name ?name . }
+        }
+        ORDER BY ?name
+        LIMIT 10
+        """
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT DISTINCT name FROM (
+          SELECT n_name AS name FROM nation
+          UNION ALL SELECT n_name AS name FROM nation)
+        ORDER BY name LIMIT 10
+        """,
+    )
+
+
+def test_union_unbound_var_nulls(engine):
+    df = engine.sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?bal WHERE {
+            { ?c a sa:Customer ; sa:name ?name ; sa:acctbal ?bal .
+              FILTER (?bal > 9900) }
+            UNION
+            { ?r a sa:Region ; sa:name ?name . }
+        }
+        """
+    )
+    rows = df.collect()
+    region_rows = [r for r in rows if not r["name"].startswith("Customer")]
+    assert len(region_rows) == 5  # the five regions
+    assert all(r["bal"] is None for r in region_rows)
+    assert all(r["bal"] is not None for r in rows if r["name"].startswith("Customer"))
+
+
+def test_asof_join_vs_duckdb(spark, duck, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = asof_join(
+        ev,
+        ev.select("user_id", "ts", "event_id", "value"),
+        on=["user_id"],
+        right_cols=["event_id", "value"],
+        strict=True,
+        how="inner",
+    ).select(
+        "event_id",
+        F.col("asof_event_id").alias("prev_event_id"),
+        F.round(F.col("asof_value"), 6).alias("prev_value"),
+    )
+    assert_matches_oracle(
+        out,
+        duck,
+        """
+        SELECT a.event_id AS event_id, b.event_id AS prev_event_id,
+               round(b.value, 6) AS prev_value
+        FROM events a ASOF JOIN events b
+          ON a.user_id = b.user_id AND b.ts < a.ts
+        """,
+    )
+
+
+def test_asof_join_left_keeps_unmatched(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    inner = asof_join(ev, ev.select("user_id", "ts", "value"),
+                      on=["user_id"], right_cols=["value"], how="inner")
+    left = asof_join(ev, ev.select("user_id", "ts", "value"),
+                     on=["user_id"], right_cols=["value"], how="left")
+    n_users = ev.select("user_id").distinct().count()
+    assert left.count() == ev.count()
+    # exactly one unmatched row per user (its first event)
+    assert left.count() - inner.count() == n_users
+
+
+def test_range_join(spark, duck, sf_dir):
+    """Points (events) into per-user hour intervals built from events."""
+    ev = load_table(spark, sf_dir, "events")
+    intervals = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 2 DAYS"))
+    )
+    out = range_join(
+        ev, intervals, on=["user_id"], point="ts",
+        range_start="start_ts", range_end="end_ts",
+    ).select("event_id", "user_id")
+    assert_matches_oracle(
+        out,
+        duck,
+        """
+        WITH iv AS (
+          SELECT user_id, min(ts) AS start_ts,
+                 min(ts) + INTERVAL 2 DAY AS end_ts
+          FROM events GROUP BY user_id)
+        SELECT e.event_id, e.user_id
+        FROM events e JOIN iv ON e.user_id = iv.user_id
+        WHERE iv.start_ts <= e.ts AND e.ts < iv.end_ts
+        """,
+    )

@@ -1,0 +1,120 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The built-in windows (streaming/windows.py) cover tumbling/sliding/
+session aggregation; this module is the escape hatch for state machines
+the built-ins can't express.  Example operator: a per-key running
+anomaly detector that keeps (count, mean, M2) Welford state across
+micro-batches and emits events whose value deviates more than
+``z_threshold`` standard deviations from the running mean.
+
+Works on a streaming DataFrame (true incremental state in the state
+store, timeout-driven eviction) and, for testing/backfill, on a batch
+DataFrame via an equivalent applyInPandas path — same per-key logic.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ANOMALY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("zscore", T.DoubleType(), True),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("mean", T.DoubleType(), False),
+        T.StructField("m2", T.DoubleType(), False),
+    ]
+)
+
+
+def _welford_scan(
+    pdf: pd.DataFrame, n: int, mean: float, m2: float, z_threshold: float
+) -> tuple[list[dict], int, float, float]:
+    out = []
+    for _, row in pdf.iterrows():
+        v = row["value"]
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if n >= 5:  # enough history to score
+            std = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+            z = (v - mean) / std if std > 0 else 0.0
+            if abs(z) >= z_threshold:
+                out.append(
+                    {
+                        "user_id": int(row["user_id"]),
+                        "event_id": int(row["event_id"]),
+                        "value": float(v),
+                        "zscore": round(float(z), 6),
+                    }
+                )
+        n += 1
+        delta = v - mean
+        mean += delta / n
+        m2 += delta * (v - mean)
+    return out, n, mean, m2
+
+
+def detect_anomalies_stream(
+    events: DataFrame, z_threshold: float = 3.0, timeout_minutes: int = 60
+) -> DataFrame:
+    """Streaming path: per-user Welford state in the state store.
+
+    Input must be a streaming DataFrame with user_id/event_id/ts/value.
+    State is evicted after ``timeout_minutes`` of processing-time
+    inactivity, bounding state size on high-cardinality keys.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in ANOMALY_SCHEMA.fields])
+            return
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        rows: list[dict] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            new, n, mean, m2 = _welford_scan(pdf, n, mean, m2, z_threshold)
+            rows.extend(new)
+        state.update((n, mean, m2))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(rows, columns=[f.name for f in ANOMALY_SCHEMA.fields])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def detect_anomalies_batch(events: DataFrame, z_threshold: float = 3.0) -> DataFrame:
+    """Batch twin of the streaming detector (same per-key scan, fresh
+    state per run) — used for backfill and for oracle-style testing of
+    the streaming logic."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        rows, *_ = _welford_scan(pdf, 0, 0.0, 0.0, z_threshold)
+        return pd.DataFrame(rows, columns=[f.name for f in ANOMALY_SCHEMA.fields])
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fn, schema=ANOMALY_SCHEMA)
+    )

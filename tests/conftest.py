@@ -15,8 +15,15 @@ TABLES = [
 def spark():
     from sparkall_spark.session import get_spark
 
-    s = get_spark("sparkall-tests", master="local[4]", shuffle_partitions=4,
-                  extra_conf={"spark.driver.memory": "4g"})
+    s = get_spark(
+        "sparkall-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.driver.memory": "4g",
+            "spark.sql.warehouse.dir": "/tmp/sparkall_test_warehouse",
+        },
+    )
     yield s
 
 

@@ -1,0 +1,106 @@
+"""Sinks/layout helpers + custom stateful streaming operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkall_spark.fixtures import load_table
+from sparkall_spark.sources import sinks
+from sparkall_spark.streaming import windows as W
+from sparkall_spark.streaming.stateful import (
+    detect_anomalies_batch,
+    detect_anomalies_stream,
+)
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    sinks.write_partitioned(df, path, ["o_orderpriority"])
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan
+    n_expected = df.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == n_expected
+
+
+def test_write_bucketed_no_exchange(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sinks.write_bucketed(df, "li_bucketed", ["l_orderkey"], num_buckets=4)
+    t = spark.table("li_bucketed")
+    agg = t.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # bucketed layout: aggregation on the bucket key needs no shuffle
+    assert "Exchange" not in plan
+    spark.sql("DROP TABLE li_bucketed")
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").count()
+    salted = sinks.salted_join(li, orders, "l_orderkey", salt=4).count()
+    assert salted == plain
+
+
+def test_console_sink_single_execution(spark, sf_dir, capsys):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = sinks.show_console(df, n=2)
+    assert n == 5
+    assert "r_name" in capsys.readouterr().out
+
+
+def test_anomaly_batch_detects_spike(spark):
+    rows = [(1, i, float(i % 3), f"2024-01-01 00:{i:02d}:00") for i in range(20)]
+    rows.append((1, 99, 1000.0, "2024-01-01 00:59:00"))
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "value", "ts_str"]
+    ).withColumn("ts", F.to_timestamp("ts_str"))
+    out = detect_anomalies_batch(df, z_threshold=3.0).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["zscore"] > 3
+
+
+def test_anomaly_stream_end_to_end(spark, sf_dir, tmp_path):
+    """applyInPandasWithState on a real file stream; streaming result
+    must equal the batch twin."""
+    stage = tmp_path / "ev"
+    stage.mkdir()
+    (stage / "p.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    stream = W.stream_events(spark, str(stage), ts_nanos_col="ts")
+    out = detect_anomalies_stream(stream, z_threshold=2.5)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_anomalies")
+        .start()
+    )
+    try:
+        # NOTE: processAllAvailable() never quiesces under
+        # ProcessingTimeTimeout (timeout-driven batches keep firing), so
+        # poll until the input batches have been consumed
+        import time
+
+        for _ in range(120):
+            lp = q.lastProgress
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            if lp and lp["numInputRows"] == 0 and int(lp["batchId"]) >= 1:
+                break
+            time.sleep(1)
+        got = {
+            r["event_id"]
+            for r in spark.sql("SELECT event_id FROM t_anomalies").collect()
+        }
+    finally:
+        q.stop()
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        r["event_id"]
+        for r in detect_anomalies_batch(batch, z_threshold=2.5).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0

@@ -42,9 +42,26 @@ class Engine:
     def plan(self, query_text: str) -> QueryPlan:
         return plan_query(parse_sparql(query_text))
 
-    def sparql(self, query_text: str) -> DataFrame:
-        """Compile one SPARQL query to one lazy DataFrame."""
+    def sparql(self, query_text: str, backend: str = "dataframe") -> DataFrame:
+        """Compile one SPARQL query to one lazy DataFrame.
+
+        ``backend='dataframe'`` builds the plan with DataFrame ops;
+        ``backend='sql'`` compiles the whole query to ONE SQL string and
+        runs it via ``spark.sql`` (the reference's Presto/DataQueryFrame
+        path re-expressed on Spark — both backends produce the same
+        Catalyst plan shape and identical results).
+        """
+        if backend == "sql":
+            from sparkall_spark.plans.sqlgen import execute_sql_backend
+
+            return execute_sql_backend(self.spark, query_text, self.mappings)
         return execute_plan(self.spark, self.plan(query_text), self.mappings)
+
+    def to_sql(self, query_text: str) -> str:
+        """The single SQL statement the 'sql' backend would execute."""
+        from sparkall_spark.plans.sqlgen import compile_sql
+
+        return compile_sql(self.plan(query_text), self.mappings).sql
 
     def explain(self, query_text: str, mode: str = "formatted") -> None:
         self.sparql(query_text).explain(mode)

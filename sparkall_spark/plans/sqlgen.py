@@ -1,0 +1,305 @@
+"""Deferred-SQL backend: compile a whole query to ONE SQL string.
+
+This is the Spark-first re-expression of the reference's second
+executor (PrestoExecutor + DataQueryFrame, a deferred-SQL IR that
+accumulates selects/filters/joins and renders one federated SQL string,
+reference: model/DataQueryFrame.scala:5-15, PrestoExecutor.scala:404-518).
+Instead of shipping the string to Presto over JDBC, we register each
+star's source as a temp view and hand the single statement to
+``spark.sql`` — Catalyst sees exactly the same logical plan as the
+DataFrame backend, so both backends must agree bit-for-bit (asserted in
+tests/test_sqlgen.py).
+
+The generated SQL is deliberately ANSI-flavored: per-star derived
+tables with stable aliases, explicit JOIN ... ON chains, WHERE /
+GROUP BY / ORDER BY / LIMIT — so it can also serve as documentation of
+what a query means, or be pointed at another SQL engine for true
+federation.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from sparkall_spark.functions.transforms import TransformError, _FN_RE
+from sparkall_spark.mappings import EntityMapping, MappingIndex
+from sparkall_spark.plans.model import Filter, ParsedQuery
+from sparkall_spark.plans.planner import QueryPlan, plan_query
+
+
+@dataclass
+class CompiledSql:
+    sql: str
+    views: dict[str, EntityMapping]  # view name -> source to register
+
+
+def _q(ident: str) -> str:
+    return f"`{ident}`"
+
+
+def _lit(value, is_string: bool) -> str:
+    if is_string:
+        return "'" + str(value).replace("'", "''") + "'"
+    return str(value)
+
+
+def _filter_sql(col: str, f: Filter) -> str:
+    if f.op == "regex":
+        return f"{col} LIKE {_lit(f.value, True)}"
+    if f.op == "rlike":
+        return f"{col} RLIKE {_lit(f.value, True)}"
+    op = "<>" if f.op == "!=" else f.op
+    return f"{col} {op} {_lit(f.value, f.value_is_string)}"
+
+
+def _transform_sql(expr: str, fn: str) -> tuple[str, str | None]:
+    """Render one TRANSFORM DSL function to SQL; returns (expr, filter)."""
+    m = _FN_RE.match(fn.strip())
+    if not m:
+        raise TransformError(f"bad transformation: {fn!r}")
+    name, arg = m.group(1), (m.group(2) or "").strip()
+    if name == "toInt":
+        return f"TRY_CAST({expr} AS INT)", None
+    if name == "toLong":
+        return f"TRY_CAST({expr} AS BIGINT)", None
+    if name == "toDouble":
+        return f"TRY_CAST({expr} AS DOUBLE)", None
+    if name == "toStr":
+        return f"CAST({expr} AS STRING)", None
+    if name == "scl":
+        sm = re.match(r"^_?\s*([+\-*/])\s*(-?\d+(?:\.\d+)?)$", arg)
+        if not sm:
+            raise TransformError(f"bad scl argument: {arg!r}")
+        return f"({expr} {sm.group(1)} {sm.group(2)})", None
+    if name == "skp":
+        # marker: the caller renders the row filter against the OUTPUT
+        # alias (the wrapper's WHERE can't see source attrs); equivalent
+        # to the DataFrame path whenever skp is the last/only step
+        return expr, f"<> {_lit_auto(arg)}"
+    if name == "substit":
+        a, b = [x.strip() for x in arg.split(",")]
+        return (
+            f"CASE WHEN {expr} = {_lit_auto(a)} THEN {_lit_auto(b)} ELSE {expr} END",
+            None,
+        )
+    if name == "replc":
+        a, b = [x.strip() for x in arg.split(",")]
+        return f"REPLACE(CAST({expr} AS STRING), {_lit_auto(a)}, {_lit_auto(b)})", None
+    if name == "prefix":
+        return f"CONCAT({_lit_auto(arg, force_str=True)}, CAST({expr} AS STRING))", None
+    if name == "postfix":
+        return f"CONCAT(CAST({expr} AS STRING), {_lit_auto(arg, force_str=True)})", None
+    raise TransformError(f"unknown transformation {name!r}")
+
+
+def _lit_auto(raw: str, force_str: bool = False) -> str:
+    raw = raw.strip().strip('"')
+    if not force_str:
+        try:
+            int(raw)
+            return raw
+        except ValueError:
+            try:
+                float(raw)
+                return raw
+            except ValueError:
+                pass
+    return "'" + raw.replace("'", "''") + "'"
+
+
+def _star_subquery(
+    q: ParsedQuery,
+    plan: QueryPlan,
+    star_name: str,
+    sources: list[EntityMapping],
+    views: dict[str, EntityMapping],
+) -> str:
+    star = q.stars[star_name]
+    if not sources:
+        raise ValueError(f"no relevant source for star ?{star_name}")
+
+    # transforms targeting this star: side l -> edge join column,
+    # side r -> the ID column
+    col_transforms: dict[str, list[str]] = {}
+    row_filters: list[str] = []
+    for spec in q.transforms:
+        if spec.side == "l" and spec.left_var == star_name:
+            edge = next(
+                e
+                for e in plan.join_edges
+                if e.left_star == spec.left_var and e.right_star == spec.right_var
+            )
+            col_transforms.setdefault(
+                q.column_for(star_name, edge.pred), []
+            ).extend(spec.functions)
+        elif spec.side == "r" and spec.right_var == star_name:
+            col_transforms.setdefault(f"{star_name}_ID", []).extend(spec.functions)
+
+    selects = []
+    for m_idx, m in enumerate(sources):
+        view = f"src_{m.name.lower()}_{m_idx}" if len(sources) > 1 else f"src_{m.name.lower()}"
+        views[view] = m
+        cols = []
+        for out_col, attr in [(f"{star_name}_ID", m.id_attr)] + [
+            (q.column_for(star_name, p), m.predicates[p])
+            for p in sorted(plan.needed_preds[star_name])
+        ]:
+            expr = _q(attr)
+            for fn in col_transforms.get(out_col, []):
+                expr, flt = _transform_sql(expr, fn)
+                if flt and m_idx == 0:  # one filter per column, not per source
+                    row_filters.append(f"{_q(out_col)} {flt}")
+            cols.append(f"{expr} AS {_q(out_col)}")
+        selects.append(f"SELECT {', '.join(cols)} FROM {_q(view)}")
+    body = "\nUNION ALL\n".join(selects)
+
+    conds = []
+    for f in q.filters:
+        if f.var == star_name:
+            conds.append(_filter_sql(_q(f"{star_name}_ID"), f))
+        elif (
+            f.var in q.var_to_star_pred and q.var_to_star_pred[f.var][0] == star_name
+        ):
+            conds.append(_filter_sql(_q(q.column_for_var(f.var)), f))
+    all_conds = conds + row_filters
+    # wrap once so every condition references output aliases (Catalyst
+    # pushes the predicates back into the scan regardless)
+    sub = f"SELECT * FROM (\n{body}\n) AS s_{star_name}"
+    if all_conds:
+        sub += " WHERE " + " AND ".join(all_conds)
+    return f"({sub})"
+
+
+def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
+    q = plan.query
+    if q.union_branches:
+        views: dict[str, EntityMapping] = {}
+        parts = []
+        for b in [q] + q.union_branches:
+            bplan = plan_query(b)
+            parts.append(_branch_sql(bplan, index, views))
+        sql = "\nUNION ALL\n".join(f"({p})" for p in parts)
+        outer = f"SELECT {'DISTINCT ' if q.distinct else ''}* FROM (\n{sql}\n) AS un"
+        if q.order_keys:
+            outer += " ORDER BY " + ", ".join(
+                f"{_q(k.var)}{' DESC' if k.descending else ''}" for k in q.order_keys
+            )
+        if q.limit is not None:
+            outer += f" LIMIT {q.limit}"
+        return CompiledSql(outer, views)
+
+    views = {}
+    core = _core_sql(plan, index, views)
+
+    if q.aggregations or q.group_by:
+        group_cols = [f"{_q(q.column_for_var(v))} AS {_q(v)}" for v in q.group_by]
+        aggs = []
+        for a in q.aggregations:
+            if a.var == "*":
+                inner = "*"
+            else:
+                inner = _q(q.column_for_var(a.var))
+                if a.distinct:
+                    inner = f"DISTINCT {inner}"
+            aggs.append(f"{a.fn.upper()}({inner}) AS {_q(a.alias)}")
+        sel = ", ".join(group_cols + aggs)
+        sql = f"SELECT {sel} FROM {core}"
+        if q.group_by:
+            sql += " GROUP BY " + ", ".join(_q(q.column_for_var(v)) for v in q.group_by)
+        order_names = {**{v: v for v in q.group_by}, **{a.alias: a.alias for a in q.aggregations}}
+        if q.order_keys:
+            sql = f"SELECT * FROM ({sql}) AS agg ORDER BY " + ", ".join(
+                f"{_q(order_names[k.var])}{' DESC' if k.descending else ''}"
+                for k in q.order_keys
+            )
+    else:
+        sel = ", ".join(
+            f"{_q(q.column_for_var(v))} AS {_q(v)}" for v in q.select_vars
+        )
+        sql = f"SELECT {'DISTINCT ' if q.distinct else ''}{sel} FROM {core}"
+        if q.order_keys:
+            # projected sort keys must use the output alias (required
+            # under DISTINCT; internal names are gone after projection)
+            sql += " ORDER BY " + ", ".join(
+                f"{_q(k.var if k.var in q.select_vars else q.column_for_var(k.var))}"
+                f"{' DESC' if k.descending else ''}"
+                for k in q.order_keys
+            )
+    if q.limit is not None:
+        sql += f" LIMIT {q.limit}"
+    return CompiledSql(sql, views)
+
+
+def _core_sql(
+    plan: QueryPlan, index: MappingIndex, views: dict[str, EntityMapping]
+) -> str:
+    """FROM clause: star subqueries chained with JOIN ... ON."""
+    q = plan.query
+    subs = {
+        name: _star_subquery(q, plan, name, index.relevant_sources(star), views)
+        for name, star in q.stars.items()
+    }
+    if not plan.join_edges:
+        (only,) = subs
+        return f"{subs[only]} AS {_q(only)}"
+
+    from collections import deque
+
+    edges = deque(sorted(plan.join_edges, key=lambda e: e.left_outer))
+    first = edges[0]
+    seen = {first.left_star}
+    sql = f"{subs[first.left_star]} AS {_q(first.left_star)}"
+    pending = deque(edges)
+    stall = 0
+    extra_conds = []
+    while pending:
+        e = pending.popleft()
+        lcol = f"{_q(e.left_star)}.{_q(q.column_for(e.left_star, e.pred))}"
+        rcol = f"{_q(e.right_star)}.{_q(f'{e.right_star}_ID')}"
+        jt = "LEFT JOIN" if e.left_outer else "JOIN"
+        if e.left_star in seen and e.right_star in seen:
+            extra_conds.append(f"{lcol} = {rcol}")
+        elif e.left_star in seen:
+            sql += f"\n{jt} {subs[e.right_star]} AS {_q(e.right_star)} ON {lcol} = {rcol}"
+            seen.add(e.right_star)
+        elif e.right_star in seen:
+            sql += f"\n{jt} {subs[e.left_star]} AS {_q(e.left_star)} ON {lcol} = {rcol}"
+            seen.add(e.left_star)
+        else:
+            pending.append(e)
+            stall += 1
+            if stall > len(pending):
+                raise ValueError("disconnected join graph")
+            continue
+        stall = 0
+    core = f"(SELECT * FROM {sql}"
+    if extra_conds:
+        core += " WHERE " + " AND ".join(extra_conds)
+    return core + ") AS joined"
+
+
+def _branch_sql(
+    plan: QueryPlan, index: MappingIndex, views: dict[str, EntityMapping]
+) -> str:
+    q = plan.query
+    core = _core_sql(plan, index, views)
+    cols = []
+    for v in q.select_vars:
+        if v in q.stars or v in q.var_to_star_pred:
+            cols.append(f"{_q(q.column_for_var(v))} AS {_q(v)}")
+        else:
+            cols.append(f"NULL AS {_q(v)}")
+    return f"SELECT {', '.join(cols)} FROM {core}"
+
+
+def execute_sql_backend(spark, query_text: str, index: MappingIndex):
+    """Compile to one SQL string, register source views, run spark.sql."""
+    from sparkall_spark.plans.parser import parse_sparql
+    from sparkall_spark.sources import load_source
+
+    plan = plan_query(parse_sparql(query_text))
+    compiled = compile_sql(plan, index)
+    for view, mapping in compiled.views.items():
+        load_source(spark, mapping).createOrReplaceTempView(view)
+    return spark.sql(compiled.sql)

@@ -210,6 +210,17 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         UNION ALL SELECT s_name AS name FROM supplier
         """,
     ),
+    # GROUP BY + HAVING (extension; absent from the reference grammar)
+    "q20_having": (
+        """
+        SELECT ?flag (SUM(?qty) AS ?sum_qty) WHERE {
+            ?l a sa:Lineitem ; sa:returnflag ?flag ; sa:quantity ?qty .
+        }
+        GROUP BY ?flag
+        HAVING (SUM(?qty) > 30000)
+        """,
+        None,  # rounded by wrapper below
+    ),
     # subject-variable projection (star ID column)
     "q13_subject_projection": (
         """
@@ -289,6 +300,17 @@ SELECT l_returnflag AS flag, l_linestatus AS status,
        min(l_discount) AS min_disc, max(l_discount) AS max_disc,
        count(*) AS n
 FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _q20_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(SPARQL_QUERIES["q20_having"][0])(spark, sf_dir)
+    return df.select("flag", F.round("sum_qty", 4).alias("sum_qty"))
+
+
+_Q20_ORACLE = """
+SELECT l_returnflag AS flag, round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 30000
 """
 
 
@@ -779,9 +801,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (text, _oracle) in SPARQL_QUERIES.items():
-        if name != "q05_groupby_aggregates":
+        if name not in ("q05_groupby_aggregates", "q20_having"):
             out[name] = _sparql(text)
     out["q05_groupby_aggregates"] = _q05
+    out["q20_having"] = _q20_having
     out["q08_topk_groups"] = _q08_topk_groups
     out["q09_multisource_union"] = _q09_multisource_union
     out["q14_events_window"] = _q14_events_window
@@ -813,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
         if oracle is not None
     }
     out["q05_groupby_aggregates"] = _Q05_ORACLE
+    out["q20_having"] = _Q20_ORACLE
     out["q08_topk_groups"] = _Q08_ORACLE
     out["q09_multisource_union"] = _Q09_ORACLE
     out["q14_events_window"] = _Q14_ORACLE

@@ -34,6 +34,10 @@ BENCH_QUERIES = [
     "e07_sim_topk_bruteforce",
     "e10_text_stats",
     "e11_text_langid",
+    "e14_asof_join",
+    "e15_window_rank",
+    "e17_range_join",
+    "q19_sparql_union",
 ]
 
 

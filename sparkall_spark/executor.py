@@ -164,6 +164,14 @@ def _join_stars(
         (only,) = star_dfs.values()
         return only
 
+    def _attach_how(attached_star: str, e) -> str:
+        """Outer-join direction: preserve the mandatory/already-joined
+        side; 'left' when the star being attached is the optional one,
+        'right' when a mandatory star attaches to an optional subgraph."""
+        if not e.left_outer:
+            return "inner"
+        return "left" if attached_star in q.optional_stars else "right"
+
     joined: DataFrame | None = None
     seen: set[str] = set()
     stall = 0
@@ -171,26 +179,33 @@ def _join_stars(
         e = edges.popleft()
         lcol = q.column_for(e.left_star, e.pred)
         rcol = f"{e.right_star}_ID"
-        how = "left" if e.left_outer else "inner"
         if joined is None:
-            joined = star_dfs[e.left_star].join(
-                star_dfs[e.right_star], F.col(lcol) == F.col(rcol), how
-            )
+            # base must be the mandatory side so OPTIONAL preserves it
+            if e.left_outer and e.left_star in q.optional_stars:
+                joined = star_dfs[e.right_star].join(
+                    star_dfs[e.left_star], F.col(lcol) == F.col(rcol), "left"
+                )
+            else:
+                joined = star_dfs[e.left_star].join(
+                    star_dfs[e.right_star],
+                    F.col(lcol) == F.col(rcol),
+                    "left" if e.left_outer else "inner",
+                )
             seen = {e.left_star, e.right_star}
         elif e.left_star in seen and e.right_star in seen:
             joined = joined.filter(F.col(lcol) == F.col(rcol))  # cycle edge
         elif e.left_star in seen:
             joined = joined.join(
-                star_dfs[e.right_star], F.col(lcol) == F.col(rcol), how
+                star_dfs[e.right_star],
+                F.col(lcol) == F.col(rcol),
+                _attach_how(e.right_star, e),
             )
             seen.add(e.right_star)
         elif e.right_star in seen:
-            # attaching the *left* star; for an optional left star this is
-            # still a left-outer preserve of the already-joined side
             joined = joined.join(
                 star_dfs[e.left_star],
                 F.col(lcol) == F.col(rcol),
-                "left" if e.left_outer else "inner",
+                _attach_how(e.left_star, e),
             )
             seen.add(e.left_star)
         else:
@@ -313,6 +328,8 @@ def execute_plan(
                     expr = _AGG_FNS[a.fn](col)
             aggs.append(expr.alias(a.alias))
         df = df.groupBy(*group_cols).agg(*aggs)
+        for h in q.having:
+            df = df.filter(_filter_condition(F.col(h.var), h))
         out_cols = [v for v in q.select_vars if v in q.group_by] + [
             a.alias for a in q.aggregations
         ]

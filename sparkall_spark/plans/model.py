@@ -110,6 +110,9 @@ class ParsedQuery:
     # True for UNION branch queries: a SELECT var a branch doesn't bind
     # is legal (it unions as null) rather than an unknown-variable error
     partial_binding: bool = False
+    # HAVING clauses (extension; grammar: HAVING (FN(?v) op lit) or
+    # HAVING (?alias op lit)) — normalized so var is an aggregate alias
+    having: list[Filter] = field(default_factory=list)
 
     def prefix_label(self, iri: str) -> str:
         """Invert the prefix map for column naming (reference: Helpers.scala:25-36).

@@ -280,6 +280,8 @@ def parse_sparql(query: str) -> ParsedQuery:
     if lm:
         limit = int(lm.group(1))
 
+    having = _parse_having(tail, aggregations)
+
     def build(group_body: str) -> ParsedQuery:
         stars, var_to_star_pred, filters, optional_subjects = _parse_group(
             group_body, prefixes
@@ -297,6 +299,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             limit=limit,
             transforms=transforms,
             optional_stars=optional_subjects,
+            having=having,
         )
 
     main = build(union_bodies[0])
@@ -306,6 +309,51 @@ def parse_sparql(query: str) -> ParsedQuery:
         for b in main.union_branches:
             b.partial_binding = True
     return main
+
+
+def _parse_having(
+    tail: str, aggregations: list[Aggregation]
+) -> list[Filter]:
+    """``HAVING (SUM(?v) > 10)`` or ``HAVING (?alias > 10)`` — resolved
+    to the matching aggregate alias (must be declared in SELECT)."""
+    having: list[Filter] = []
+    for hm in re.finditer(r"HAVING\s*\(", tail, re.IGNORECASE):
+        end = _balanced(tail, hm.end() - 1)
+        inner = tail[hm.end() : end - 1].strip()
+        for clause in re.split(r"&&", inner):
+            m = re.match(
+                r"\s*(?:(SUM|MIN|MAX|AVG|COUNT)\s*\(\s*(\?[\w]+|\*)\s*\)|\?([\w]+))"
+                r"\s*(!=|<=|>=|=|<|>)\s*(.+?)\s*$",
+                clause.strip(),
+                re.IGNORECASE,
+            )
+            if not m:
+                raise SparqlParseError(f"bad HAVING clause: {clause!r}")
+            if m.group(3):
+                alias = m.group(3)
+                if alias not in {a.alias for a in aggregations}:
+                    raise SparqlParseError(
+                        f"HAVING references unknown aggregate alias ?{alias}"
+                    )
+            else:
+                fn, var = m.group(1).lower(), m.group(2).lstrip("?")
+                match = next(
+                    (a for a in aggregations if a.fn == fn and a.var == var), None
+                )
+                if match is None:
+                    raise SparqlParseError(
+                        f"HAVING aggregate {fn}(?{var}) not in SELECT"
+                    )
+                alias = match.alias
+            raw = m.group(5).strip()
+            if raw.startswith('"'):
+                value: str | int | float = raw.strip('"')
+                is_str = True
+            else:
+                value = float(raw) if "." in raw else int(raw)
+                is_str = False
+            having.append(Filter(alias, m.group(4), value, is_str))
+    return having
 
 
 def _split_union(body: str) -> list[str]:
@@ -338,21 +386,26 @@ def _parse_group(
     """Parse one group graph pattern: triples + FILTERs + OPTIONAL blocks."""
     optional_triples: list[Triple] = []
     optional_subjects: set[str] = set()
+    optional_filters: list[Filter] = []
     while True:
         om = re.search(r"OPTIONAL\s*\{", body, re.IGNORECASE)
         if not om:
             break
         oend = _balanced(body, body.index("{", om.start()), "{", "}")
         oinner = body[om.end() : oend - 1]
-        oinner, ofilters_ = _parse_filters(oinner, prefixes)
-        if ofilters_:
-            raise SparqlParseError("FILTER inside OPTIONAL is not supported")
+        # FILTERs inside OPTIONAL constrain the optional star BEFORE the
+        # left join (they cannot eliminate left rows) — since the engine
+        # applies all star filters pre-join, hoisting them preserves the
+        # SPARQL semantics as long as they reference optional-star vars
+        oinner, ofilters = _parse_filters(oinner, prefixes)
         otr = _parse_triples(oinner, prefixes)
         optional_triples.extend(otr)
         optional_subjects.update(t.subject for t in otr)
+        optional_filters.extend(ofilters)
         body = body[: om.start()] + " " + body[oend:]
 
     body, filters = _parse_filters(body, prefixes)
+    filters += optional_filters
     triples = _parse_triples(body, prefixes)
     mandatory_subjects = {t.subject for t in triples}
     optional_subjects -= mandatory_subjects

@@ -207,6 +207,10 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
         sql = f"SELECT {sel} FROM {core}"
         if q.group_by:
             sql += " GROUP BY " + ", ".join(_q(q.column_for_var(v)) for v in q.group_by)
+        if q.having:
+            sql = f"SELECT * FROM ({sql}) AS hv WHERE " + " AND ".join(
+                _filter_sql(_q(h.var), h) for h in q.having
+            )
         order_names = {**{v: v for v in q.group_by}, **{a.alias: a.alias for a in q.aggregations}}
         if q.order_keys:
             sql = f"SELECT * FROM ({sql}) AS agg ORDER BY " + ", ".join(
@@ -248,8 +252,14 @@ def _core_sql(
 
     edges = deque(sorted(plan.join_edges, key=lambda e: e.left_outer))
     first = edges[0]
-    seen = {first.left_star}
-    sql = f"{subs[first.left_star]} AS {_q(first.left_star)}"
+    # the base table must be a mandatory star so LEFT JOIN preserves it
+    base = (
+        first.right_star
+        if first.left_outer and first.left_star in q.optional_stars
+        else first.left_star
+    )
+    seen = {base}
+    sql = f"{subs[base]} AS {_q(base)}"
     pending = deque(edges)
     stall = 0
     extra_conds = []
@@ -257,14 +267,26 @@ def _core_sql(
         e = pending.popleft()
         lcol = f"{_q(e.left_star)}.{_q(q.column_for(e.left_star, e.pred))}"
         rcol = f"{_q(e.right_star)}.{_q(f'{e.right_star}_ID')}"
-        jt = "LEFT JOIN" if e.left_outer else "JOIN"
+
+        def jt(attached: str) -> str:
+            if not e.left_outer:
+                return "JOIN"
+            # preserve the mandatory/already-joined side
+            return "LEFT JOIN" if attached in q.optional_stars else "RIGHT JOIN"
+
         if e.left_star in seen and e.right_star in seen:
             extra_conds.append(f"{lcol} = {rcol}")
         elif e.left_star in seen:
-            sql += f"\n{jt} {subs[e.right_star]} AS {_q(e.right_star)} ON {lcol} = {rcol}"
+            sql += (
+                f"\n{jt(e.right_star)} {subs[e.right_star]} AS "
+                f"{_q(e.right_star)} ON {lcol} = {rcol}"
+            )
             seen.add(e.right_star)
         elif e.right_star in seen:
-            sql += f"\n{jt} {subs[e.left_star]} AS {_q(e.left_star)} ON {lcol} = {rcol}"
+            sql += (
+                f"\n{jt(e.left_star)} {subs[e.left_star]} AS "
+                f"{_q(e.left_star)} ON {lcol} = {rcol}"
+            )
             seen.add(e.left_star)
         else:
             pending.append(e)

@@ -127,3 +127,72 @@ def test_same_predicate_two_stars(engine, duck):
         FROM nation JOIN region ON n_regionkey = r_regionkey
         """,
     )
+
+
+def test_optional_with_filter(engine, duck):
+    """FILTER inside OPTIONAL constrains the optional side pre-join."""
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?name ?totalprice WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            OPTIONAL { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?totalprice .
+                       FILTER (?totalprice > 300000) }
+        }
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c_name AS name, o.o_totalprice AS totalprice
+        FROM customer LEFT JOIN
+          (SELECT * FROM orders WHERE o_totalprice > 300000) o
+          ON o.o_custkey = c_custkey
+        """,
+    )
+
+
+def test_having_aggregate_form(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?flag (SUM(?qty) AS ?sum_qty) WHERE {
+            ?l a sa:Lineitem ; sa:returnflag ?flag ; sa:quantity ?qty .
+        }
+        GROUP BY ?flag
+        HAVING (SUM(?qty) > 30000)
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT l_returnflag AS flag, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 30000
+        """,
+    )
+
+
+def test_having_alias_form_and_sql_backend(engine, duck):
+    text = q(
+        """
+        SELECT ?flag (COUNT(*) AS ?n) WHERE {
+            ?l a sa:Lineitem ; sa:returnflag ?flag .
+        }
+        GROUP BY ?flag
+        HAVING (?n > 1000)
+        """
+    )
+    for backend in ("dataframe", "sql"):
+        df = engine.sparql(text, backend=backend)
+        assert_matches_oracle(
+            df,
+            duck,
+            """
+            SELECT l_returnflag AS flag, count(*) AS n
+            FROM lineitem GROUP BY 1 HAVING count(*) > 1000
+            """,
+        )

@@ -1,0 +1,153 @@
+"""Property-based fuzzing: random queries from the supported grammar are
+generated as (SPARQL, oracle-SQL) pairs from one spec and must agree.
+
+Uses hypothesis with a bounded example count so the suite stays fast;
+the generator covers filter ops x typed values x distinct x multi-key
+order x limit over the part/customer stars, and both engine backends.
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from tests.conftest import assert_matches_oracle
+
+import pytest
+
+from sparkall_spark.engine import Engine
+from sparkall_spark.fixtures import PREFIX_BLOCK, tpch_mappings
+
+PART_PREDS = {
+    "name": ("p_name", "str"),
+    "brand": ("p_brand", "str"),
+    "type": ("p_type", "str"),
+    "size": ("p_size", "num"),
+    "retailprice": ("p_retailprice", "num"),
+}
+
+NUM_OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, tpch_mappings(sf_dir))
+
+
+filter_st = st.sampled_from(
+    [
+        ("size", op, v)
+        for op in NUM_OPS
+        for v in (1, 25, 50)
+    ]
+    + [
+        ("retailprice", op, v)
+        for op in ["<", ">", "<=", ">="]
+        for v in (900.0, 1500.5)
+    ]
+    + [
+        ("brand", op, f"Brand#{i}")
+        for op in ["=", "!="]
+        for i in (1, 3)
+    ]
+)
+
+query_st = st.fixed_dictionaries(
+    {
+        "select": st.sets(
+            st.sampled_from(sorted(PART_PREDS)), min_size=1, max_size=4
+        ),
+        "filters": st.lists(filter_st, min_size=0, max_size=3, unique=True),
+        "distinct": st.booleans(),
+        "order": st.lists(
+            st.tuples(st.sampled_from(sorted(PART_PREDS)), st.booleans()),
+            min_size=0,
+            max_size=2,
+            unique_by=lambda t: t[0],
+        ),
+        "limit": st.sampled_from([None, 7, 100]),
+        "backend": st.sampled_from(["dataframe", "sql"]),
+    }
+)
+
+
+def _build(spec):
+    sel_vars = sorted(spec["select"]) + sorted(
+        {f[0] for f in spec["filters"]} | {o[0] for o in spec["order"]}
+        - spec["select"]
+    )
+    sel_vars = list(dict.fromkeys(sel_vars))
+    triples = " ".join(f"?p sa:{v} ?{v} ." for v in sel_vars)
+    filters = []
+    sql_filters = []
+    for var, op, val in spec["filters"]:
+        if isinstance(val, str):
+            filters.append(f'FILTER (?{var} {op} "{val}")')
+            sql_filters.append(
+                f"{PART_PREDS[var][0]} {'<>' if op == '!=' else op} '{val}'"
+            )
+        else:
+            filters.append(f"FILTER (?{var} {op} {val})")
+            sql_filters.append(
+                f"{PART_PREDS[var][0]} {'<>' if op == '!=' else op} {val}"
+            )
+    order = spec["order"]
+    # LIMIT without a total order is nondeterministic -> force unique
+    # tiebreak by projecting + ordering on the subject id
+    use_limit = spec["limit"] is not None
+    order_sql = ""
+    order_sparql = ""
+    subj = ""
+    if order or use_limit:
+        keys = [(v, desc) for v, desc in order]
+        sparql_keys = [
+            (f"DESC(?{v})" if desc else f"?{v}") for v, desc in keys
+        ]
+        sql_keys = [
+            f"{PART_PREDS[v][0]}{' DESC' if desc else ''}" for v, desc in keys
+        ]
+        if use_limit:
+            sparql_keys.append("?p")
+            sql_keys.append("p")
+            subj = "?p "
+        order_sparql = "ORDER BY " + " ".join(sparql_keys) if sparql_keys else ""
+        order_sql = "ORDER BY " + ", ".join(sql_keys) if sql_keys else ""
+
+    distinct = "DISTINCT " if spec["distinct"] else ""
+    sparql = (
+        PREFIX_BLOCK
+        + f"SELECT {distinct}{subj}{' '.join('?' + v for v in sel_vars)} WHERE {{ "
+        + "?p a sa:Part . "
+        + triples
+        + " "
+        + " ".join(filters)
+        + " } "
+        + order_sparql
+        + (f" LIMIT {spec['limit']}" if use_limit else "")
+    )
+    sql_cols = ([f"p_partkey AS p"] if subj else []) + [
+        f"{PART_PREDS[v][0]} AS {v}" for v in sel_vars
+    ]
+    sql = f"SELECT {distinct}{', '.join(sql_cols)} FROM part"
+    if sql_filters:
+        sql += " WHERE " + " AND ".join(sql_filters)
+    if order_sql:
+        sql += " " + order_sql
+    if use_limit:
+        sql += f" LIMIT {spec['limit']}"
+    return sparql, sql
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=query_st)
+def test_random_queries_match_oracle(engine, duck, spec):
+    if spec["distinct"] and spec["limit"] is not None:
+        # DISTINCT + LIMIT with the ?p tiebreak projects p, making
+        # distinct trivial; still a valid check, keep it
+        pass
+    sparql, sql = _build(spec)
+    df = engine.sparql(sparql, backend=spec["backend"])
+    assert_matches_oracle(df, duck, sql)

@@ -184,6 +184,7 @@ def minhash_dedup_pairs(
         keyed.groupBy("__fp")
         .agg(F.min("__id").alias("__rid"), F.first("__sh").alias("__sh"))
         .withColumn("__shh", F.array_sort(F.transform("__sh", _token_hash)))
+        .withColumn("__n", F.size("__shh"))
         .persist()
     )
     sig = reps.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
@@ -209,17 +210,32 @@ def minhash_dedup_pairs(
         .select(F.col("x.__fp").alias("fp_a"), F.col("y.__fp").alias("fp_b"))
         .distinct()
     )
-    rep_sets = reps.select("__fp", "__shh")
+    # |A∪B| = |A|+|B|-|A∩B|: sizes cached per rep, only the
+    # intersection runs per candidate pair
+    rep_sets = reps.select("__fp", "__shh", "__n")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.col("n_a") + F.col("n_b") - inter
     rep_pairs = (
         cand.join(
-            rep_sets.select(F.col("__fp").alias("fp_a"), F.col("__shh").alias("sh_a")),
+            rep_sets.select(
+                F.col("__fp").alias("fp_a"),
+                F.col("__shh").alias("sh_a"),
+                F.col("__n").alias("n_a"),
+            ),
             "fp_a",
         )
         .join(
-            rep_sets.select(F.col("__fp").alias("fp_b"), F.col("__shh").alias("sh_b")),
+            rep_sets.select(
+                F.col("__fp").alias("fp_b"),
+                F.col("__shh").alias("sh_b"),
+                F.col("__n").alias("n_b"),
+            ),
             "fp_b",
         )
-        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .withColumn(
+            "jaccard",
+            F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("fp_a", "fp_b", "jaccard")
     )

@@ -81,7 +81,10 @@ def _template_extractor(col, template: str | None):
     if not m:
         return col
     prefix, suffix = re.escape(m.group(1)), re.escape(m.group(2))
-    return F.regexp_extract(col, f"^{prefix}(.*){suffix}$", 1)
+    extracted = F.regexp_extract(col, f"^{prefix}(.*){suffix}$", 1)
+    # non-matching subjects (blank nodes, foreign IRIs) keep their raw
+    # form instead of collapsing to ''
+    return F.when(extracted != "", extracted).otherwise(col)
 
 
 def read_ntriples(spark: SparkSession, mapping: EntityMapping) -> DataFrame:

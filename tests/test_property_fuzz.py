@@ -151,3 +151,69 @@ def test_random_queries_match_oracle(engine, duck, spec):
     sparql, sql = _build(spec)
     df = engine.sparql(sparql, backend=spec["backend"])
     assert_matches_oracle(df, duck, sql)
+
+
+CUST_PREDS = {
+    "cname": ("c_name", "name"),
+    "bal": ("c_acctbal", "acctbal"),
+    "seg": ("c_mktsegment", "mktsegment"),
+}
+
+cust_filter_st = st.sampled_from(
+    [("bal", op, v) for op in NUM_OPS for v in (0, 5000.0)]
+    + [("seg", op, "BUILDING") for op in ["=", "!="]]
+)
+
+join_query_st = st.fixed_dictionaries(
+    {
+        "select": st.sets(st.sampled_from(sorted(CUST_PREDS)), min_size=1),
+        "with_nation_name": st.booleans(),
+        "filters": st.lists(cust_filter_st, min_size=0, max_size=2, unique=True),
+        "distinct": st.booleans(),
+        "backend": st.sampled_from(["dataframe", "sql"]),
+    }
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=join_query_st)
+def test_random_join_queries_match_oracle(engine, duck, spec):
+    sel = sorted(spec["select"] | {f[0] for f in spec["filters"]})
+    triples = " ".join(f"?c sa:{CUST_PREDS[v][1]} ?{v} ." for v in sel)
+    filters = []
+    sql_filters = []
+    for var, op, val in spec["filters"]:
+        sql_op = "<>" if op == "!=" else op
+        if isinstance(val, str):
+            filters.append(f'FILTER (?{var} {op} "{val}")')
+            sql_filters.append(f"{CUST_PREDS[var][0]} {sql_op} '{val}'")
+        else:
+            filters.append(f"FILTER (?{var} {op} {val})")
+            sql_filters.append(f"{CUST_PREDS[var][0]} {sql_op} {val}")
+    nat = "?n a sa:Nation ; sa:name ?nname . " if spec["with_nation_name"] else "?n a sa:Nation . "
+    out_vars = sel + (["nname"] if spec["with_nation_name"] else [])
+    distinct = "DISTINCT " if spec["distinct"] else ""
+    sparql = (
+        PREFIX_BLOCK
+        + f"SELECT {distinct}{' '.join('?' + v for v in out_vars)} WHERE {{ "
+        + "?c a sa:Customer ; sa:nation ?n . "
+        + triples
+        + nat
+        + " ".join(filters)
+        + " }"
+    )
+    sql_cols = [f"{CUST_PREDS[v][0]} AS {v}" for v in sel] + (
+        ["n_name AS nname"] if spec["with_nation_name"] else []
+    )
+    sql = (
+        f"SELECT {distinct}{', '.join(sql_cols)} FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey"
+    )
+    if sql_filters:
+        sql += " WHERE " + " AND ".join(sql_filters)
+    df = engine.sparql(sparql, backend=spec["backend"])
+    assert_matches_oracle(df, duck, sql)

@@ -84,3 +84,40 @@ def test_most_specific_class_selectable(spark, nt_path):
     assert len(rows) == 1
     assert rows[0]["nr"] == "2"
     assert rows[0]["count"] == 7
+
+
+NT_EDGE = """\
+# a comment line
+_:b0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.com/ns/Blank> .
+_:b0 <http://ex.com/ns/label> "blank node subject" .
+<http://ex.com/10> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.com/ns/Blank> .
+<http://ex.com/10> <http://ex.com/ns/label> "hello \\"quoted\\" world" .
+<http://ex.com/10> <http://ex.com/ns/note> "bonjour"@fr .
+
+<http://ex.com/10> <http://ex.com/ns/empty> "" .
+"""
+
+
+def test_edge_cases_blank_lang_escapes(spark, tmp_path):
+    p = tmp_path / "edge.nt"
+    p.write_text(NT_EDGE)
+    df = read_ntriples(
+        spark,
+        EntityMapping(
+            name="Blank",
+            source=str(p),
+            source_type="rdf",
+            id_attr="id",
+            predicates={},
+            class_iri="http://ex.com/ns/Blank",
+            options={"subject_template": "http://ex.com/{id}"},
+        ),
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    # blank-node subject survives (id = the raw _:b0 label, template no-match)
+    assert "_:b0" in rows
+    assert rows["_:b0"]["label"] == "blank node subject"
+    r10 = rows["10"]
+    assert r10["label"] == 'hello \\"quoted\\" world'
+    assert r10["note"] == "bonjour"
+    assert r10["empty"] == ""

@@ -739,6 +739,58 @@ WHERE iv.start_ts <= e.ts AND e.ts < iv.end_ts
 """
 
 
+def _e18_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation: CUBE over (returnflag, linestatus)
+    — grouping-set capability beyond the reference's flat GROUP BY."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+_E18_ORACLE = """
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _e19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list — no extra
+    distinct job, stable schema at any scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+    return out.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+_E19_ORACLE = """
+SELECT l_returnflag AS flag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4)
+         AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4)
+         AS qty_filled
+FROM lineitem GROUP BY 1
+"""
+
+
 def _e13_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the nation table to N-Triples with Spark, then load it
     back through the RDF pivot reader via the SPARQL engine — exercises
@@ -826,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e15_window_rank"] = _e15_window_rank
     out["e16_json_extract"] = _e16_json_extract
     out["e17_range_join"] = _e17_range_join
+    out["e18_cube"] = _e18_cube
+    out["e19_pivot"] = _e19_pivot
     return out
 
 
@@ -854,5 +908,7 @@ def oracle_sql() -> dict[str, str]:
     out["e15_window_rank"] = _E15_ORACLE
     out["e16_json_extract"] = _E16_ORACLE
     out["e17_range_join"] = _E17_ORACLE
+    out["e18_cube"] = _E18_ORACLE
+    out["e19_pivot"] = _E19_ORACLE
     # e04/e05/e08/e09: approximate/blocked by design -> rows-only checks
     return out

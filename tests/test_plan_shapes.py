@@ -1,0 +1,94 @@
+"""Plan-shape assertions: the physical plans the engine must produce at
+scale (pushdown, pruning, broadcast, top-k) — the 100 TB contract."""
+
+import pytest
+
+from sparkall_spark.engine import Engine
+from sparkall_spark.fixtures import PREFIX_BLOCK, tpch_mappings
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, tpch_mappings(sf_dir))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(engine):
+    df = engine.sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?name WHERE {
+            ?p a sa:Part ; sa:name ?name ; sa:size ?size .
+            FILTER (?size > 30)
+        }
+        """
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,30)" in plan
+    # scan must read only the two referenced columns of part's six
+    assert "ReadSchema: struct<p_name:string,p_size:int>" in plan
+
+
+def test_dimension_joins_broadcast(engine):
+    df = engine.sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?cname ?nname ?rname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname ; sa:region ?r .
+            ?r a sa:Region ; sa:name ?rname .
+        }
+        """
+    )
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_order_limit_is_topk(engine):
+    df = engine.sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?price WHERE {
+            ?p a sa:Part ; sa:name ?name ; sa:retailprice ?price .
+        }
+        ORDER BY DESC(?price)
+        LIMIT 10
+        """
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no global sort
+
+
+def test_prejoin_filter_stays_pushed_through_join(engine):
+    df = engine.sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?qty WHERE {
+            ?l a sa:Lineitem ; sa:order ?o ; sa:quantity ?qty .
+            ?o a sa:Orders .
+            FILTER (?qty > 45)
+        }
+        """
+    )
+    plan = _plan(df)
+    assert "GreaterThan(l_quantity,45.0)" in plan  # reaches the scan
+
+
+def test_sql_backend_same_plan_shape(engine):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?cname ?nname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname .
+        }
+        """
+    )
+    p1 = _plan(engine.sparql(q, backend="dataframe"))
+    p2 = _plan(engine.sparql(q, backend="sql"))
+    for marker in ("BroadcastHashJoin", "PushedFilters"):
+        assert (marker in p1) == (marker in p2)

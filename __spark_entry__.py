@@ -221,6 +221,21 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         """,
         None,  # rounded by wrapper below
     ),
+    # SPARQL MINUS -> anti-join on shared variables (extension)
+    "q21_sparql_minus": (
+        """
+        SELECT ?name WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            MINUS { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp .
+                    FILTER (?tp > 400000) }
+        }
+        """,
+        """
+        SELECT c_name AS name FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """,
+    ),
     # subject-variable projection (star ID column)
     "q13_subject_projection": (
         """
@@ -791,6 +806,55 @@ FROM lineitem GROUP BY 1
 """
 
 
+def _e20_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline: quality filter -> lang-id -> exact dedup —
+    one lazy plan end-to-end (operators/pipeline.py)."""
+    from sparkall_spark.operators.pipeline import prepare_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = prepare_documents(docs, min_quality=0.5)
+    return out.select("doc_id", "lang_pred", "quality")
+
+
+_E20_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS n_tok,
+         len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> ''))) AS n_dist,
+         CASE WHEN len(text) > 0 THEN
+           len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
+             / len(text)
+         ELSE 0.0 END AS pr,
+         {_langid_hits('en')} AS h_en, {_langid_hits('de')} AS h_de,
+         {_langid_hits('fr')} AS h_fr, {_langid_hits('es')} AS h_es,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             [ascii(c) FOR c IN
+                list_filter(string_split(
+                  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ''),
+                  x -> x <> '')]),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+  FROM documents),
+scored AS (
+  SELECT doc_id, fp,
+         round(((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN n_tok > 0 THEN n_dist::DOUBLE / n_tok ELSE 0.0 END)
+                + (1.0 - least(pr * 5, 1.0))) / 3, 6) AS quality,
+         CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+              WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+              WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+              WHEN h_fr >= h_es THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM t)
+SELECT doc_id, lang_pred, quality FROM (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM scored WHERE quality >= 0.5) s
+WHERE rn = 1
+"""
+
+
 def _e13_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the nation table to N-Triples with Spark, then load it
     back through the RDF pivot reader via the SPARQL engine — exercises
@@ -880,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e17_range_join"] = _e17_range_join
     out["e18_cube"] = _e18_cube
     out["e19_pivot"] = _e19_pivot
+    out["e20_pretrain_pipeline"] = _e20_pretrain_pipeline
     return out
 
 
@@ -910,5 +975,6 @@ def oracle_sql() -> dict[str, str]:
     out["e17_range_join"] = _E17_ORACLE
     out["e18_cube"] = _E18_ORACLE
     out["e19_pivot"] = _E19_ORACLE
+    out["e20_pretrain_pipeline"] = _E20_ORACLE
     # e04/e05/e08/e09: approximate/blocked by design -> rows-only checks
     return out

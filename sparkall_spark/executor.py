@@ -225,6 +225,51 @@ def _join_stars(
     return joined
 
 
+def _apply_minus(
+    spark: SparkSession, df: DataFrame, q: ParsedQuery, index: MappingIndex
+) -> DataFrame:
+    """SPARQL MINUS (extension): anti-join on the shared variables.
+
+    Null shared columns don't match (SQL equality), which is exactly
+    SPARQL's compatibility rule — unbound vars make solutions
+    incompatible, so those rows survive.  Disjoint domains remove
+    nothing (guarded).
+    """
+    for mg in q.minus_groups:
+        main_vars = set(q.var_to_star_pred) | set(q.stars)
+        mg_vars = set(mg.var_to_star_pred) | set(mg.stars)
+        shared = sorted(main_vars & mg_vars)
+        if not shared:
+            continue
+        mg.select_vars = shared  # planner must keep these columns
+        mplan = plan_query(mg)
+        mstar_dfs = {
+            name: _apply_star_filters(
+                build_star_df(
+                    spark,
+                    mg,
+                    star,
+                    mplan.needed_preds[name],
+                    False,
+                    index.relevant_sources(star),
+                ),
+                mg,
+                name,
+            )
+            for name, star in mg.stars.items()
+        }
+        mdf = _join_stars(mstar_dfs, mg, mplan)
+        mdf = mdf.select(
+            *[F.col(mg.column_for_var(v)).alias(f"__m_{v}") for v in shared]
+        ).distinct()
+        cond = None
+        for v in shared:
+            c = F.col(q.column_for_var(v)) == F.col(f"__m_{v}")
+            cond = c if cond is None else (cond & c)
+        df = df.join(mdf, cond, "left_anti")
+    return df
+
+
 _AGG_FNS = {
     "sum": F.sum,
     "min": F.min,
@@ -313,6 +358,7 @@ def execute_plan(
     _apply_transforms(star_dfs, q, plan)
 
     df = _join_stars(star_dfs, q, plan)
+    df = _apply_minus(spark, df, q, index)
 
     if q.aggregations or q.group_by:
         group_cols = [F.col(q.column_for_var(v)).alias(v) for v in q.group_by]

@@ -1,0 +1,63 @@
+"""Composed training-data pipeline: the operators of this package wired
+into the standard pretraining data-prep flow.
+
+    raw documents
+      -> quality scoring (length / diversity / punctuation)
+      -> language identification (stopword heuristic)
+      -> exact dedup (normalized fingerprint, keep min id)
+      -> [optional] near-dedup (MinHash-LSH)
+      -> partitioned/bucketed write
+
+Every stage is a lazy DataFrame transformation, so the whole pipeline
+is ONE Spark plan until the final write — at 100 TB that means one pass
+over the corpus for score+langid+fingerprint (all whole-stage-codegen
+expressions), one shuffle for the dedup window, and one optional LSH
+phase, instead of N materialized intermediate datasets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from sparkall_spark.functions import text as X
+
+
+def prepare_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    keep_langs: tuple[str, ...] | None = None,
+    near_dedup: bool = False,
+    near_dedup_threshold: float = 0.9,
+) -> DataFrame:
+    """Quality-filter, language-tag, and dedup a document corpus.
+
+    Returns the surviving rows with ``quality`` and ``lang_pred``
+    columns added.  Deterministic: the survivor of each duplicate group
+    is the minimum id.
+    """
+    scored = docs.withColumn("quality", X.quality_score(text_col)).withColumn(
+        "lang_pred", X.lang_id(text_col)
+    )
+    filtered = scored.filter(F.col("quality") >= min_quality)
+    if keep_langs is not None:
+        filtered = filtered.filter(F.col("lang_pred").isin(*keep_langs))
+
+    # exact dedup on the normalized-text fingerprint: shuffle 8-byte
+    # keys, keep the minimum id per group
+    w = Window.partitionBy(X.fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    deduped = (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    if near_dedup:
+        from sparkall_spark.operators.dedup import minhash_dedup
+
+        deduped = minhash_dedup(
+            deduped, id_col=id_col, text_col=text_col,
+            threshold=near_dedup_threshold,
+        )
+    return deduped

@@ -113,6 +113,10 @@ class ParsedQuery:
     # HAVING clauses (extension; grammar: HAVING (FN(?v) op lit) or
     # HAVING (?alias op lit)) — normalized so var is an aggregate alias
     having: list[Filter] = field(default_factory=list)
+    # MINUS { ... } groups (extension): solutions compatible with any
+    # minus-group solution on the shared variables are removed
+    # (anti-join); each entry is a sub-query over its own group pattern
+    minus_groups: list["ParsedQuery"] = field(default_factory=list)
 
     def prefix_label(self, iri: str) -> str:
         """Invert the prefix map for column naming (reference: Helpers.scala:25-36).

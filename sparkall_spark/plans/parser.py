@@ -283,9 +283,38 @@ def parse_sparql(query: str) -> ParsedQuery:
     having = _parse_having(tail, aggregations)
 
     def build(group_body: str) -> ParsedQuery:
+        # MINUS blocks parse as their own sub-groups (like the reference
+        # handles nothing of the sort — pure extension)
+        minus_bodies: list[str] = []
+        while True:
+            mm = re.search(r"MINUS\s*\{", group_body, re.IGNORECASE)
+            if not mm:
+                break
+            mend = _balanced(group_body, group_body.index("{", mm.start()), "{", "}")
+            minus_bodies.append(group_body[mm.end() : mend - 1])
+            group_body = group_body[: mm.start()] + " " + group_body[mend:]
+
         stars, var_to_star_pred, filters, optional_subjects = _parse_group(
             group_body, prefixes
         )
+        minus_groups = []
+        for mb in minus_bodies:
+            ms, mv, mf, mo = _parse_group(mb, prefixes)
+            minus_groups.append(
+                ParsedQuery(
+                    prefixes=prefixes,
+                    select_vars=[],
+                    distinct=False,
+                    stars=ms,
+                    var_to_star_pred=mv,
+                    filters=mf,
+                    aggregations=[],
+                    group_by=[],
+                    order_keys=[],
+                    limit=None,
+                    optional_stars=mo,
+                )
+            )
         return ParsedQuery(
             prefixes=prefixes,
             select_vars=select_vars,
@@ -300,6 +329,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             transforms=transforms,
             optional_stars=optional_subjects,
             having=having,
+            minus_groups=minus_groups,
         )
 
     main = build(union_bodies[0])

@@ -191,6 +191,7 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
 
     views = {}
     core = _core_sql(plan, index, views)
+    core = _apply_minus_sql(q, plan, index, views, core)
 
     if q.aggregations or q.group_by:
         group_cols = [f"{_q(q.column_for_var(v))} AS {_q(v)}" for v in q.group_by]
@@ -233,6 +234,36 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
     if q.limit is not None:
         sql += f" LIMIT {q.limit}"
     return CompiledSql(sql, views)
+
+
+def _apply_minus_sql(
+    q: ParsedQuery,
+    plan: QueryPlan,
+    index: MappingIndex,
+    views: dict[str, EntityMapping],
+    core: str,
+) -> str:
+    """SPARQL MINUS rendered as LEFT ANTI JOIN on shared variables."""
+    for i, mg in enumerate(q.minus_groups):
+        main_vars = set(q.var_to_star_pred) | set(q.stars)
+        shared = sorted(main_vars & (set(mg.var_to_star_pred) | set(mg.stars)))
+        if not shared:
+            continue
+        mg.select_vars = shared
+        mplan = plan_query(mg)
+        mcore = _core_sql(mplan, index, views)
+        msel = ", ".join(
+            f"{_q(mg.column_for_var(v))} AS {_q('__m_' + v)}" for v in shared
+        )
+        conds = " AND ".join(
+            f"{_q(q.column_for_var(v))} = {_q('__m_' + v)}" for v in shared
+        )
+        core = (
+            f"(SELECT * FROM (SELECT * FROM {core}) AS b{i} "
+            f"LEFT ANTI JOIN (SELECT DISTINCT {msel} FROM {mcore}) AS m{i} "
+            f"ON {conds}) AS mn{i}"
+        )
+    return core
 
 
 def _core_sql(

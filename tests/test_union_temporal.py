@@ -144,3 +144,40 @@ def test_range_join(spark, duck, sf_dir):
         WHERE iv.start_ts <= e.ts AND e.ts < iv.end_ts
         """,
     )
+
+
+def test_sparql_minus(engine, duck):
+    """MINUS removes customers in BUILDING segment (shared var ?c)."""
+    text = PREFIX_BLOCK + """
+        SELECT ?name WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            MINUS { ?c a sa:Customer ; sa:mktsegment ?seg .
+                    FILTER (?seg = "BUILDING") }
+        }
+        """
+    oracle = """
+        SELECT c_name AS name FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """
+    for backend in ("dataframe", "sql"):
+        assert_matches_oracle(engine.sparql(text, backend=backend), duck, oracle)
+
+
+def test_sparql_minus_join_group(engine, duck):
+    """MINUS group with its own join: customers who never placed an
+    order above 400k."""
+    text = PREFIX_BLOCK + """
+        SELECT ?name WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            MINUS { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp .
+                    FILTER (?tp > 400000) }
+        }
+        """
+    oracle = """
+        SELECT c_name AS name FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """
+    for backend in ("dataframe", "sql"):
+        assert_matches_oracle(engine.sparql(text, backend=backend), duck, oracle)

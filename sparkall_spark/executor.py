@@ -45,6 +45,8 @@ class ExecutionError(RuntimeError):
 
 
 def _filter_condition(col: Column, f: Filter) -> Column:
+    if f.op == "in":  # VALUES ?v { ... }
+        return col.isin(list(f.value))
     value = F.lit(f.value)
     if f.op == "=":
         return col == value
@@ -228,14 +230,16 @@ def _join_stars(
 def _apply_minus(
     spark: SparkSession, df: DataFrame, q: ParsedQuery, index: MappingIndex
 ) -> DataFrame:
-    """SPARQL MINUS (extension): anti-join on the shared variables.
+    """SPARQL MINUS / FILTER [NOT] EXISTS: anti/semi-join on shared vars.
 
     Null shared columns don't match (SQL equality), which is exactly
     SPARQL's compatibility rule — unbound vars make solutions
-    incompatible, so those rows survive.  Disjoint domains remove
-    nothing (guarded).
+    incompatible, so those rows survive a MINUS.  Disjoint domains
+    remove nothing (guarded).
     """
-    for mg in q.minus_groups:
+    for mg, how in [(g, "left_anti") for g in q.minus_groups] + [
+        (g, "left_semi") for g in q.exists_groups
+    ]:
         main_vars = set(q.var_to_star_pred) | set(q.stars)
         mg_vars = set(mg.var_to_star_pred) | set(mg.stars)
         shared = sorted(main_vars & mg_vars)
@@ -266,7 +270,7 @@ def _apply_minus(
         for v in shared:
             c = F.col(q.column_for_var(v)) == F.col(f"__m_{v}")
             cond = c if cond is None else (cond & c)
-        df = df.join(mdf, cond, "left_anti")
+        df = df.join(mdf, cond, how)
     return df
 
 
@@ -340,6 +344,8 @@ def execute_plan(
                     for k in q.order_keys
                 ]
             )
+        if q.offset is not None:
+            df = df.offset(q.offset)
         if q.limit is not None:
             df = df.limit(q.limit)
         return df
@@ -425,6 +431,8 @@ def execute_plan(
             if q.distinct:
                 df = df.distinct()
 
+    if q.offset is not None:
+        df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
     return df

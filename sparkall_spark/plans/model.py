@@ -37,7 +37,7 @@ class Filter:
 
     var: str
     op: str
-    value: str | int | float
+    value: str | int | float | tuple  # tuple for VALUES/IN lists
     value_is_string: bool = False
 
 
@@ -117,6 +117,12 @@ class ParsedQuery:
     # minus-group solution on the shared variables are removed
     # (anti-join); each entry is a sub-query over its own group pattern
     minus_groups: list["ParsedQuery"] = field(default_factory=list)
+    # FILTER EXISTS { ... } groups (extension): keep solutions that have
+    # a compatible match (semi-join); FILTER NOT EXISTS parses into
+    # minus_groups (anti-join, same compatibility rule for our shapes)
+    exists_groups: list["ParsedQuery"] = field(default_factory=list)
+    # VALUES ?var { lit ... } -> IN-list filters (op 'in')
+    offset: int | None = None
 
     def prefix_label(self, iri: str) -> str:
         """Invert the prefix map for column naming (reference: Helpers.scala:25-36).

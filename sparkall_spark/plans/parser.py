@@ -279,42 +279,79 @@ def parse_sparql(query: str) -> ParsedQuery:
     lm = re.search(r"LIMIT\s+(\d+)", tail, re.IGNORECASE)
     if lm:
         limit = int(lm.group(1))
+    offset = None
+    om2 = re.search(r"OFFSET\s+(\d+)", tail, re.IGNORECASE)
+    if om2:
+        offset = int(om2.group(1))
 
     having = _parse_having(tail, aggregations)
 
     def build(group_body: str) -> ParsedQuery:
-        # MINUS blocks parse as their own sub-groups (like the reference
-        # handles nothing of the sort — pure extension)
+        # MINUS / FILTER [NOT] EXISTS blocks parse as their own
+        # sub-groups (pure extensions over the reference)
         minus_bodies: list[str] = []
+        exists_bodies: list[str] = []
         while True:
-            mm = re.search(r"MINUS\s*\{", group_body, re.IGNORECASE)
+            mm = re.search(
+                r"(MINUS|FILTER\s+NOT\s+EXISTS|FILTER\s+EXISTS)\s*\{",
+                group_body,
+                re.IGNORECASE,
+            )
             if not mm:
                 break
             mend = _balanced(group_body, group_body.index("{", mm.start()), "{", "}")
-            minus_bodies.append(group_body[mm.end() : mend - 1])
+            inner = group_body[mm.end() : mend - 1]
+            kind = re.sub(r"\s+", " ", mm.group(1).upper())
+            if kind == "FILTER EXISTS":
+                exists_bodies.append(inner)
+            else:  # MINUS and FILTER NOT EXISTS share the anti-join
+                minus_bodies.append(inner)
             group_body = group_body[: mm.start()] + " " + group_body[mend:]
+
+        # VALUES ?var { lit lit ... } -> IN-list filter
+        values_filters: list[Filter] = []
+        while True:
+            vm = re.search(r"VALUES\s+\?([\w]+)\s*\{", group_body, re.IGNORECASE)
+            if not vm:
+                break
+            vend = _balanced(group_body, group_body.index("{", vm.start()), "{", "}")
+            inner = group_body[vm.end() : vend - 1]
+            vals: list = []
+            is_str = False
+            for tok in re.findall(r'"(?:[^"\\]|\\.)*"|\S+', inner):
+                if tok.startswith('"'):
+                    vals.append(tok.strip('"'))
+                    is_str = True
+                else:
+                    vals.append(
+                        float(tok) if ("." in tok or "e" in tok.lower()) else int(tok)
+                    )
+            values_filters.append(Filter(vm.group(1), "in", tuple(vals), is_str))
+            group_body = group_body[: vm.start()] + " " + group_body[vend:]
 
         stars, var_to_star_pred, filters, optional_subjects = _parse_group(
             group_body, prefixes
         )
-        minus_groups = []
-        for mb in minus_bodies:
-            ms, mv, mf, mo = _parse_group(mb, prefixes)
-            minus_groups.append(
-                ParsedQuery(
-                    prefixes=prefixes,
-                    select_vars=[],
-                    distinct=False,
-                    stars=ms,
-                    var_to_star_pred=mv,
-                    filters=mf,
-                    aggregations=[],
-                    group_by=[],
-                    order_keys=[],
-                    limit=None,
-                    optional_stars=mo,
-                )
+        filters = filters + values_filters
+
+        def subgroup(body_text: str) -> ParsedQuery:
+            ms, mv, mf, mo = _parse_group(body_text, prefixes)
+            return ParsedQuery(
+                prefixes=prefixes,
+                select_vars=[],
+                distinct=False,
+                stars=ms,
+                var_to_star_pred=mv,
+                filters=mf,
+                aggregations=[],
+                group_by=[],
+                order_keys=[],
+                limit=None,
+                optional_stars=mo,
             )
+
+        minus_groups = [subgroup(mb) for mb in minus_bodies]
+        exists_groups = [subgroup(eb) for eb in exists_bodies]
         return ParsedQuery(
             prefixes=prefixes,
             select_vars=select_vars,
@@ -330,6 +367,8 @@ def parse_sparql(query: str) -> ParsedQuery:
             optional_stars=optional_subjects,
             having=having,
             minus_groups=minus_groups,
+            exists_groups=exists_groups,
+            offset=offset,
         )
 
     main = build(union_bodies[0])

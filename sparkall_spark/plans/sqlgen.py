@@ -49,6 +49,11 @@ def _filter_sql(col: str, f: Filter) -> str:
         return f"{col} LIKE {_lit(f.value, True)}"
     if f.op == "rlike":
         return f"{col} RLIKE {_lit(f.value, True)}"
+    if f.op == "in":  # VALUES ?v { ... }
+        items = ", ".join(
+            _lit(v, isinstance(v, str)) for v in f.value
+        )
+        return f"{col} IN ({items})"
     op = "<>" if f.op == "!=" else f.op
     return f"{col} {op} {_lit(f.value, f.value_is_string)}"
 
@@ -187,6 +192,8 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
             )
         if q.limit is not None:
             outer += f" LIMIT {q.limit}"
+        if q.offset is not None:
+            outer += f" OFFSET {q.offset}"
         return CompiledSql(outer, views)
 
     views = {}
@@ -233,6 +240,8 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
             )
     if q.limit is not None:
         sql += f" LIMIT {q.limit}"
+    if q.offset is not None:
+        sql += f" OFFSET {q.offset}"
     return CompiledSql(sql, views)
 
 
@@ -243,8 +252,11 @@ def _apply_minus_sql(
     views: dict[str, EntityMapping],
     core: str,
 ) -> str:
-    """SPARQL MINUS rendered as LEFT ANTI JOIN on shared variables."""
-    for i, mg in enumerate(q.minus_groups):
+    """SPARQL MINUS / FILTER [NOT] EXISTS as LEFT ANTI/SEMI JOIN."""
+    groups = [(g, "LEFT ANTI JOIN") for g in q.minus_groups] + [
+        (g, "LEFT SEMI JOIN") for g in q.exists_groups
+    ]
+    for i, (mg, jt) in enumerate(groups):
         main_vars = set(q.var_to_star_pred) | set(q.stars)
         shared = sorted(main_vars & (set(mg.var_to_star_pred) | set(mg.stars)))
         if not shared:
@@ -260,7 +272,7 @@ def _apply_minus_sql(
         )
         core = (
             f"(SELECT * FROM (SELECT * FROM {core}) AS b{i} "
-            f"LEFT ANTI JOIN (SELECT DISTINCT {msel} FROM {mcore}) AS m{i} "
+            f"{jt} (SELECT DISTINCT {msel} FROM {mcore}) AS m{i} "
             f"ON {conds}) AS mn{i}"
         )
     return core

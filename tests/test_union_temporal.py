@@ -181,3 +181,63 @@ def test_sparql_minus_join_group(engine, duck):
         """
     for backend in ("dataframe", "sql"):
         assert_matches_oracle(engine.sparql(text, backend=backend), duck, oracle)
+
+
+def test_filter_exists(engine, duck):
+    text = PREFIX_BLOCK + """
+        SELECT ?name WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            FILTER EXISTS { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp .
+                            FILTER (?tp > 400000) }
+        }
+        """
+    oracle = """
+        SELECT c_name AS name FROM customer
+        WHERE c_custkey IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """
+    for backend in ("dataframe", "sql"):
+        assert_matches_oracle(engine.sparql(text, backend=backend), duck, oracle)
+
+
+def test_filter_not_exists(engine, duck):
+    text = PREFIX_BLOCK + """
+        SELECT ?name WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            FILTER NOT EXISTS { ?o a sa:Orders ; sa:customer ?c . }
+        }
+        """
+    oracle = """
+        SELECT c_name AS name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """
+    for backend in ("dataframe", "sql"):
+        assert_matches_oracle(engine.sparql(text, backend=backend), duck, oracle)
+
+
+def test_values_inline_data(engine, duck):
+    text = PREFIX_BLOCK + """
+        SELECT ?name ?seg WHERE {
+            ?c a sa:Customer ; sa:name ?name ; sa:mktsegment ?seg .
+            VALUES ?seg { "BUILDING" "MACHINERY" }
+        }
+        """
+    oracle = """
+        SELECT c_name AS name, c_mktsegment AS seg FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """
+    for backend in ("dataframe", "sql"):
+        assert_matches_oracle(engine.sparql(text, backend=backend), duck, oracle)
+
+
+def test_offset_limit(engine, duck):
+    text = PREFIX_BLOCK + """
+        SELECT ?name WHERE { ?n a sa:Nation ; sa:name ?name . }
+        ORDER BY ?name
+        LIMIT 5 OFFSET 10
+        """
+    oracle = """
+        SELECT n_name AS name FROM nation ORDER BY name LIMIT 5 OFFSET 10
+        """
+    for backend in ("dataframe", "sql"):
+        assert_matches_oracle(engine.sparql(text, backend=backend), duck, oracle)

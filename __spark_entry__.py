@@ -236,6 +236,37 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
           (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
         """,
     ),
+    # FILTER EXISTS -> semi-join (extension)
+    "q22_filter_exists": (
+        """
+        SELECT ?name WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            FILTER EXISTS { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp .
+                            FILTER (?tp > 400000) }
+        }
+        """,
+        """
+        SELECT c_name AS name FROM customer
+        WHERE c_custkey IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """,
+    ),
+    # VALUES inline data + OFFSET paging (extensions)
+    "q23_values_offset": (
+        """
+        SELECT ?name ?seg WHERE {
+            ?c a sa:Customer ; sa:name ?name ; sa:mktsegment ?seg .
+            VALUES ?seg { "BUILDING" "MACHINERY" }
+        }
+        ORDER BY ?name
+        LIMIT 20 OFFSET 10
+        """,
+        """
+        SELECT c_name AS name, c_mktsegment AS seg FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ORDER BY name LIMIT 20 OFFSET 10
+        """,
+    ),
     # subject-variable projection (star ID column)
     "q13_subject_projection": (
         """

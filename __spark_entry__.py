@@ -886,6 +886,30 @@ WHERE rn = 1
 """
 
 
+def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates beyond the reference's five: exact
+    interpolated percentiles, correlation, covariance, stddev."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+    )
+
+
+_E21_ORACLE = """
+SELECT l_returnflag AS flag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+       round(stddev_samp(l_extendedprice), 4) AS std_price
+FROM lineitem GROUP BY 1
+"""
+
+
 def _e13_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the nation table to N-Triples with Spark, then load it
     back through the RDF pivot reader via the SPARQL engine — exercises
@@ -976,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e18_cube"] = _e18_cube
     out["e19_pivot"] = _e19_pivot
     out["e20_pretrain_pipeline"] = _e20_pretrain_pipeline
+    out["e21_stats_aggregates"] = _e21_stats_aggregates
     return out
 
 
@@ -1007,5 +1032,6 @@ def oracle_sql() -> dict[str, str]:
     out["e18_cube"] = _E18_ORACLE
     out["e19_pivot"] = _E19_ORACLE
     out["e20_pretrain_pipeline"] = _E20_ORACLE
+    out["e21_stats_aggregates"] = _E21_ORACLE
     # e04/e05/e08/e09: approximate/blocked by design -> rows-only checks
     return out

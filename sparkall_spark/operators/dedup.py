@@ -134,8 +134,15 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.9,
     seed: int = 42,
+    est_prefilter: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    ``est_prefilter`` culls candidates whose signature-estimated jaccard
+    sits > ~5 sigma below the threshold before exact verification — pay
+    this only when shingle sets are much larger than ``num_hashes``
+    (long documents); for short docs the estimate costs as much as the
+    exact intersection.
 
     Pipeline: shingle -> minhash signature -> split into ``bands`` bands
     -> explode -> shuffle-join on (band_id, band_hash) -> distinct
@@ -187,7 +194,9 @@ def minhash_dedup_pairs(
         .withColumn("__n", F.size("__shh"))
         .persist()
     )
-    sig = reps.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
+    sig = reps.withColumn(
+        "__sig", minhash_signature(F.col("__sh"), num_hashes, seed)
+    ).persist()  # feeds banding + both sides of the estimate prefilter
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
@@ -210,6 +219,46 @@ def minhash_dedup_pairs(
         .select(F.col("x.__fp").alias("fp_a"), F.col("y.__fp").alias("fp_b"))
         .distinct()
     )
+    if est_prefilter:
+        # Signature-estimate prefilter: the matching-component fraction
+        # of two minhash signatures is an unbiased jaccard estimate with
+        # sigma = sqrt(t(1-t)/k); culling candidates > ~5 sigma below
+        # the threshold skips exact verification for pairs that cannot
+        # qualify (P[miss | true j >= t] < 1e-6 per pair; deterministic
+        # pipeline — exactness asserted against the all-pairs oracle)
+        sigma = (threshold * (1 - threshold) / num_hashes) ** 0.5
+        est_cutoff = max(0.0, threshold - 5 * sigma)
+        sig_cols = sig.select("__fp", "__sig")
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                    lambda x: x,
+                )
+            )
+            / F.lit(num_hashes)
+        )
+        cand = (
+            cand.join(
+                F.broadcast(
+                    sig_cols.select(
+                        F.col("__fp").alias("fp_a"), F.col("__sig").alias("sig_a")
+                    )
+                ),
+                "fp_a",
+            )
+            .join(
+                F.broadcast(
+                    sig_cols.select(
+                        F.col("__fp").alias("fp_b"), F.col("__sig").alias("sig_b")
+                    )
+                ),
+                "fp_b",
+            )
+            .filter(est >= est_cutoff)
+            .select("fp_a", "fp_b")
+        )
+
     # |A∪B| = |A|+|B|-|A∩B|: sizes cached per rep, only the
     # intersection runs per candidate pair
     rep_sets = reps.select("__fp", "__shh", "__n")

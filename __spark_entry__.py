@@ -910,6 +910,36 @@ FROM lineitem GROUP BY 1
 """
 
 
+def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: minhash pair graph -> iterative
+    connected components (operators/graph.py) -> canonical min-id rep.
+    Oracle: recursive-CTE closure over the exact-jaccard pair set."""
+    from sparkall_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.9)
+    return dedup_clusters(docs, pairs).select("doc_id", "cluster_rep")
+
+
+_E22_ORACLE = """
+WITH RECURSIVE
+t AS (SELECT doc_id, list_distinct(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) toks
+      FROM documents),
+pairs AS (
+  SELECT a.doc_id ia, b.doc_id ib FROM t a, t b
+  WHERE a.doc_id < b.doc_id
+    AND round(len(list_intersect(a.toks, b.toks))::DOUBLE
+        / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.9),
+edges AS (SELECT ia u, ib v FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM t
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node)
+SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
+"""
+
+
 def _e13_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the nation table to N-Triples with Spark, then load it
     back through the RDF pivot reader via the SPARQL engine — exercises
@@ -1001,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e19_pivot"] = _e19_pivot
     out["e20_pretrain_pipeline"] = _e20_pretrain_pipeline
     out["e21_stats_aggregates"] = _e21_stats_aggregates
+    out["e22_dedup_clusters"] = _e22_dedup_clusters
     return out
 
 
@@ -1033,5 +1064,6 @@ def oracle_sql() -> dict[str, str]:
     out["e19_pivot"] = _E19_ORACLE
     out["e20_pretrain_pipeline"] = _E20_ORACLE
     out["e21_stats_aggregates"] = _E21_ORACLE
+    out["e22_dedup_clusters"] = _E22_ORACLE
     # e04/e05/e08/e09: approximate/blocked by design -> rows-only checks
     return out

@@ -20,7 +20,9 @@ def spark():
         master="local[4]",
         shuffle_partitions=4,
         extra_conf={
-            "spark.driver.memory": "4g",
+            # roomy heap: a full-suite session accumulates broadcast +
+            # codegen state across ~170 tests
+            "spark.driver.memory": "8g",
             "spark.sql.warehouse.dir": "/tmp/sparkall_test_warehouse",
         },
     )
@@ -30,6 +32,20 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_cache_between_modules(request):
+    """Operators persist() intermediates (minhash, graph); drop them
+    between modules so a long full-suite run doesn't accumulate cache
+    on the small test driver."""
+    yield
+    if "spark" in request.fixturenames or True:
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.catalog.clearCache()
 
 
 @pytest.fixture(scope="session")

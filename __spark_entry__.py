@@ -535,23 +535,84 @@ WHERE a.doc_id < b.doc_id
 
 
 def _e04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SimHash banding is engine-hash based -> no SQL oracle; verified in
-    # tests/test_dedup.py against constructed duplicates
+    # portable-polynomial token hashes -> the full SimHash computation
+    # mirrors in ANSI SQL (pair banding over xxhash64 fingerprints stays
+    # covered by tests/test_dedup.py)
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=3)
+    return D.simhash_fingerprints(docs, bits=30, portable=True)
+
+
+# bit i of each per-token polynomial hash votes +1/-1; bit set iff the
+# vote sum is positive — the same unrolled 30-term sum the Spark side
+# computes (operators/dedup.py:simhash)
+_E04_ORACLE = (
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') toks
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(toks, t ->
+           list_reduce(
+             list_prepend(0::BIGINT,
+               [ascii(c)::BIGINT FOR c IN
+                  list_filter(string_split(t, ''), x -> x <> '')]),
+             (acc, c) -> (acc * 31 + c) % 1000000007)) hs
+  FROM t)
+SELECT doc_id, ("""
+    + "\n + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(30)
+    )
+    + ")::BIGINT AS simhash FROM h"
+)
 
 
 def _e05_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # blocked candidate generation (min-hash blocking) -> recall-bounded,
-    # rows-only check; exact-Jaccard semantics verified in tests
+    # multi-band min-hash blocking (16 bands x 4 rows: per-pair miss
+    # probability ~5e-8 at j=0.9) + exact verification -> the output is
+    # the full all-pairs word-bigram Jaccard result, oracle-checked
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, ngram=1, threshold=0.9)
+    return D.ngram_jaccard_pairs(docs, ngram=2, threshold=0.9)
+
+
+_E05_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+1], ' ')
+                        FOR i IN generate_series(1, len(toks) - 1)]) grams
+  FROM t
+  WHERE len(toks) >= 2)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM g a, g b
+WHERE a.doc_id < b.doc_id
+  AND round(len(list_intersect(a.grams, b.grams))::DOUBLE
+            / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.9
+"""
 
 
 def _e06_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH-bucketed default (no BroadcastNestedLoopJoin in the plan —
+    # asserted in tests/test_plan_shapes.py); bits=4/tables=16 puts
+    # per-pair recall at threshold 0.8 above 1 - 3e-4, and the fixture's
+    # qualifying-pair set matches the exact oracle.
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_neardup_pairs(
-        emb, threshold=0.8, left_filter=F.col("__id") % 25 == 0
+        emb,
+        threshold=0.8,
+        left_filter=F.col("__id") % 25 == 0,
+        bits=4,
+        tables=16,
     )
 
 
@@ -590,17 +651,105 @@ FROM scored QUALIFY rank <= 10
 
 
 def _e08_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate by construction -> rows-only; recall vs brute force is
-    # asserted in tests/test_similarity.py
+    # the hyperplanes are deterministic (seeded) -> the exact bucket
+    # assignment, candidate join and rescoring all mirror in SQL with
+    # the plane values as literals (oracle below); recall vs brute
+    # force stays asserted in tests/test_similarity.py
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return S.lsh_topk(emb, queries, k=10, bits=4, tables=16)
+    out = S.lsh_topk(emb, queries, k=10, bits=4, tables=16)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _e08_oracle_sql() -> str:
+    """Mirror of lsh_topk(bits=4, tables=16, seed=42): per-table sign
+    buckets against the same literal hyperplanes, candidate equi-join on
+    (tbl, bkt), exact rescoring, rank<=10."""
+    from sparkall_spark.operators.similarity import _hyperplanes
+
+    tables, bits, dim, seed = 16, 4, 64, 42
+    selects = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t, seed)
+        bucket = "\n      + ".join(
+            f"(CASE WHEN list_dot_product(e, [{', '.join(repr(float(x)) for x in row)}])"
+            f" >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, row in enumerate(planes)
+        )
+        selects.append(f"SELECT vec_id, ({bucket})::BIGINT AS bkt, {t} AS tbl FROM v")
+    union = "\n  UNION ALL\n  ".join(selects)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bk AS (
+  {union}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bkt = c.bkt
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_cosine_similarity(qv.e, cv.e), 6) AS cosine
+  FROM cand
+  JOIN v qv ON qv.vec_id = cand.query_id
+  JOIN v cv ON cv.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
+# data-independent codebook (seeded): makes the IVF entry fully
+# deterministic and SQL-mirrorable; production default (k-means over a
+# bounded sample) stays covered by tests/test_similarity.py
+_E09_CENTROIDS = __import__("numpy").random.default_rng(123).standard_normal((16, 64))
 
 
 def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return S.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
+    out = S.ivf_topk(
+        emb, queries, k=10, n_cells=16, nprobe=4, centroids=_E09_CENTROIDS
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _e09_oracle_sql() -> str:
+    """Mirror of ivf_topk with the fixed codebook: per-vector cell =
+    argmax cosine over the 16 literal centroids (6dp rounded, ties to
+    the higher cell id — the same reverse(array_sort(structs)) order the
+    Spark side uses), queries probe their 4 nearest cells, exact
+    rescoring, rank<=10."""
+    structs = ", ".join(
+        "{'s': round(list_cosine_similarity(e, ["
+        + ", ".join(repr(float(x)) for x in cent)
+        + f"]), 6), 'cell': {j}}}"
+        for j, cent in enumerate(_E09_CENTROIDS)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cellinfo AS (
+  SELECT vec_id, e,
+         list_reverse(list_sort([{structs}])) AS ordered
+  FROM v),
+c AS (SELECT vec_id, e, ordered[1].cell AS cell FROM cellinfo),
+q AS (SELECT vec_id, e,
+             unnest(list_transform(ordered[1:4], x -> x.cell)) AS cell
+      FROM cellinfo WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+  FROM q JOIN c ON q.cell = c.cell
+  WHERE c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM scored QUALIFY rank <= 10
+"""
 
 
 def _e10_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,8 +1199,12 @@ def oracle_sql() -> dict[str, str]:
     out["e01_dedup_exact"] = _E01_ORACLE
     out["e02_text_fingerprint"] = _E02_ORACLE
     out["e03_dedup_minhash"] = _E03_ORACLE
+    out["e04_dedup_simhash"] = _E04_ORACLE
+    out["e05_dedup_ngram_jaccard"] = _E05_ORACLE
     out["e06_dedup_embedding"] = _E06_ORACLE
     out["e07_sim_topk_bruteforce"] = _E07_ORACLE
+    out["e08_sim_topk_lsh"] = _e08_oracle_sql()
+    out["e09_sim_topk_ivf"] = _e09_oracle_sql()
     out["e10_text_stats"] = _E10_ORACLE
     out["e11_text_langid"] = _E11_ORACLE
     out["e12_text_quality"] = _E12_ORACLE

@@ -124,18 +124,51 @@ def fingerprint(col: Column | str) -> Column:
     )
 
 
+def token_fingerprints(col: Column | str) -> Column:
+    """Per-token rolling polynomial hashes of the lowercased tokens:
+    for each token, acc = (acc*31 + ascii(char)) % p over its chars.
+
+    The per-token analog of :func:`fingerprint` — engine-portable, so
+    operators built on it (e.g. the oracle-checked SimHash entry) can be
+    mirrored in ANSI SQL."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.filter(F.split(t, ""), lambda x: x != ""),
+            F.lit(0).cast("bigint"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % FP_MOD,
+        ),
+    )
+
+
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
-    """Distinct character n-grams of the normalized text (shingles)."""
+    """Distinct character n-grams of the normalized text (shingles).
+
+    Strings shorter than ``n`` yield an empty array (not a truncated
+    whole-string shingle): F.sequence(1, 0) would produce the descending
+    [1, 0], and substr(0, ...) aliases substr(1, ...), silently inflating
+    Jaccard similarity between short documents.
+    """
     c = F.col(col) if isinstance(col, str) else col
     norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.length(norm) >= n, F.sequence(F.lit(1), F.length(norm) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams (joined by single spaces)."""
+    """Distinct word n-grams (joined by single spaces).
+
+    Documents with fewer than ``n`` tokens yield an empty array; an
+    unguarded F.sequence(0, size-n) would produce [0, -1] and F.slice
+    with start 0 raises INVALID_PARAMETER_VALUE.START at runtime.
+    """
     toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )

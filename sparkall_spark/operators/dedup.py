@@ -9,10 +9,11 @@ this is the LLM-data-pipeline extension of SURVEY.md §7.2 step 9):
   exact-Jaccard verification.
 - :func:`simhash_pairs` — 64-bit SimHash with chunk-banding for
   Hamming-distance candidates.
-- :func:`ngram_jaccard_pairs` — exact Jaccard over word n-grams for
-  candidate pairs (the verification primitive, exposed standalone).
+- :func:`ngram_jaccard_pairs` — exact Jaccard over word n-grams
+  (multi-band min-hash blocked; every emitted value is exact).
 - :func:`embedding_neardup_pairs` — cosine near-duplicates over an
-  embedding column (brute force over a blocked pair set).
+  embedding column (hyperplane-LSH bucketed candidates + exact
+  rescoring; brute force only behind ``exact=True``).
 
 Scale design: every candidate-generation path is a shuffle on a compact
 key (band hash / fingerprint / bucket id), never an all-pairs product;
@@ -343,6 +344,36 @@ def simhash(hash_array: Column, bits: int = 64) -> Column:
     return fp
 
 
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 30,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document SimHash fingerprints: ``(id, simhash)``.
+
+    ``portable=True`` hashes tokens with the engine-portable rolling
+    polynomial (:func:`sparkall_spark.functions.text.token_fingerprints`,
+    domain [0, 1e9+7) so 30 bits carry signal) — the whole computation
+    is mirrorable in ANSI SQL, which is what makes the driver's
+    oracle check possible.  ``portable=False`` uses the faster
+    JVM xxhash64 (64-bit) for production banding via
+    :func:`simhash_pairs`.
+    """
+    from sparkall_spark.functions.text import token_fingerprints
+
+    if portable:
+        hashes = token_fingerprints(text_col)
+    else:
+        hashes = F.transform(
+            F.split(F.lower(F.col(text_col)), r"\s+"), _token_hash
+        )
+    return df.select(
+        F.col(id_col), simhash(hashes, bits=bits).alias("simhash")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -406,34 +437,32 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     ngram: int = 3,
     threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard pairs, blocked on the minimum shingle hash.
+    """Exact n-gram-Jaccard pairs via multi-band min-hash blocking.
 
-    Blocking rationale: two sets with Jaccard >= t share their global
-    minimum element with probability >= t (min-wise independence), so a
-    single equi-join on min(hash(shingle)) catches high-overlap pairs
-    at a fraction of all-pairs cost.  For guaranteed recall compose
-    with :func:`minhash_dedup_pairs` (multi-band).
+    Round-1 shipped a single-min-hash block: recall was only >=
+    threshold *probabilistically* and the join shuffled full shingle
+    arrays on both sides.  This is now the multi-band pipeline —
+    identical shingle sets collapse exactly first, candidates come
+    from ``bands`` banded equi-joins on compact keys, and verification
+    computes exact Jaccard over hashed int arrays.  A pair with true
+    Jaccard j is missed with probability (1-j^(num_hashes/bands))^bands
+    (~5e-8 at j=0.9 with the defaults); every *emitted* jaccard value
+    is exact.  Output: ``id_a, id_b, jaccard``.
     """
-    base = _with_shingles(df, id_col, text_col, ngram)
-    keyed = base.withColumn(
-        "__block", F.array_min(F.transform("__sh", _token_hash))
+    return minhash_dedup_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        ngram=ngram,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        seed=seed,
     )
-    pairs = (
-        keyed.alias("x")
-        .join(
-            keyed.alias("y"),
-            (F.col("x.__block") == F.col("y.__block"))
-            & (F.col("x.__id") < F.col("y.__id")),
-        )
-        .select(
-            F.col("x.__id").alias("id_a"),
-            F.col("y.__id").alias("id_b"),
-            F.round(jaccard(F.col("x.__sh"), F.col("y.__sh")), 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return pairs
 
 
 def embedding_neardup_pairs(
@@ -442,29 +471,115 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     left_filter: Column | None = None,
+    exact: bool = False,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column.
 
-    Brute-force over a *blocked* pair set: pass ``left_filter`` to
-    restrict the left side (e.g. a sampling predicate), or compose with
-    the LSH bucketing in :mod:`sparkall_spark.operators.similarity` for
-    the full-scale path.  Output: id_a, id_b, cosine (rounded 1e-6).
+    Default path (100 TB-safe): random-hyperplane LSH bucketing — each
+    vector lands in ``tables`` sign-bit buckets; candidate pairs come
+    from an equi-join on (table, bucket) with only (id, table, bucket)
+    triples in the shuffle, then exact cosine rescoring on the joined-
+    back vectors.  Never an all-pairs product: the physical plan is
+    hash joins only (asserted in tests/test_plan_shapes.py).  Recall
+    for a pair at angle theta is 1-(1-(1-theta/pi)^bits)^tables; raise
+    ``tables`` (or lower ``bits``) to push it toward 1.
+
+    ``exact=True`` switches to the brute-force theta join
+    (BroadcastNestedLoopJoin, O(N^2)) — the verification baseline for
+    small N, never the default.
+
+    ``left_filter`` restricts the *left* side of the pair (pairs keep
+    ids with the filtered id as ``id_a``).  Output: ``id_a, id_b,
+    cosine`` (rounded 1e-6), id_a < id_b.
     """
-    from sparkall_spark.operators.similarity import cosine_similarity
+    from sparkall_spark.operators.similarity import (
+        _bucket_expr,
+        _hyperplanes,
+        cosine_similarity,
+        dot,
+        l2_norm,
+    )
 
     v = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
     left = v.filter(left_filter) if left_filter is not None else v
-    pairs = (
-        left.alias("x")
-        .join(v.alias("y"), F.col("x.__id") < F.col("y.__id"))
-        .select(
-            F.col("x.__id").alias("id_a"),
-            F.col("y.__id").alias("id_b"),
-            F.round(cosine_similarity(F.col("x.__v"), F.col("y.__v")), 6).alias("cosine"),
+
+    if exact:
+        return (
+            left.alias("x")
+            .join(v.alias("y"), F.col("x.__id") < F.col("y.__id"))
+            .select(
+                F.col("x.__id").alias("id_a"),
+                F.col("y.__id").alias("id_b"),
+                F.round(
+                    cosine_similarity(F.col("x.__v"), F.col("y.__v")), 6
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    def banded(d: DataFrame) -> DataFrame:
+        entries = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_expr(
+                    F.col("__v"), _hyperplanes(dim, bits, t, seed)
+                ).alias("bkt"),
+            )
+            for t in range(tables)
+        ]
+        return d.select("__id", F.explode(F.array(*entries)).alias("e")).select(
+            "__id", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt")
+        )
+
+    cand = (
+        banded(left)
+        .alias("x")
+        .join(
+            banded(v).alias("y"),
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .distinct()
+    )
+    # join candidates back to the vectors (norms precomputed once per
+    # row, not once per pair); only candidate pairs pay the O(dim) dot
+    vn = v.withColumn("__n", l2_norm(F.col("__v")))
+    denom = F.col("__na") * F.col("__nb")
+    return (
+        cand.join(
+            vn.select(
+                F.col("__id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vn.select(
+                F.col("__id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                F.when(
+                    denom > 0, dot(F.col("__va"), F.col("__vb")) / denom
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
-    return pairs

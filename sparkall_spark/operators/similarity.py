@@ -191,47 +191,61 @@ def ivf_topk(
     sample_size: int = 2048,
     iters: int = 5,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style ANN: centroids from a driver-side k-means over a bounded
     sample (metadata-scale), then cell-blocked exact search.
 
     The sample/centroid step is O(sample_size * n_cells * iters) on the
     driver — independent of corpus size; assignment and search are
-    distributed equi-joins on cell id.
+    distributed equi-joins on cell id.  Pass ``centroids`` (n_cells x
+    dim) to skip the k-means and use a fixed, caller-chosen codebook —
+    that makes the whole query deterministic and SQL-mirrorable (the
+    driver's oracle check uses this).
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
-    sample = np.array(
-        [
-            r["__cv"]
-            for r in c.select("__cv").limit(sample_size).collect()
-        ]
-    )
-    rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
-    for _ in range(iters):
-        d = sample @ cents.T
-        norms = np.linalg.norm(sample, axis=1, keepdims=True) * np.linalg.norm(
-            cents, axis=1
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=float)
+    else:
+        sample = np.array(
+            [
+                r["__cv"]
+                for r in c.select("__cv").limit(sample_size).collect()
+            ]
         )
-        assign = np.argmax(np.divide(d, norms, out=np.zeros_like(d), where=norms > 0), axis=1)
-        for j in range(len(cents)):
-            members = sample[assign == j]
-            if len(members):
-                cents[j] = members.mean(axis=0)
+        rng = np.random.default_rng(seed)
+        cents = sample[
+            rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+        ]
+        for _ in range(iters):
+            d = sample @ cents.T
+            norms = np.linalg.norm(sample, axis=1, keepdims=True) * np.linalg.norm(
+                cents, axis=1
+            )
+            assign = np.argmax(
+                np.divide(d, norms, out=np.zeros_like(d), where=norms > 0), axis=1
+            )
+            for j in range(len(cents)):
+                members = sample[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
 
     def cell_expr(vec: Column, top_n: int) -> Column:
         """Array of the top_n nearest centroid ids (JVM-side)."""
         sims = F.array(
             *[
                 F.struct(
+                    # 6dp (not 9): coarse enough that a last-ulp
+                    # difference between engines can't flip the argmax
+                    # in the SQL mirror; ties break by cell id anyway
                     F.round(
                         cosine_similarity(
                             vec, F.array(*[F.lit(float(x)) for x in cent])
                         ),
-                        9,
+                        6,
                     ).alias("s"),
                     F.lit(j).alias("cell"),
                 )

@@ -93,6 +93,34 @@ def test_ngram_jaccard_pairs(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
+def test_embedding_neardup_lsh_matches_exact_on_constructed(spark):
+    """Constructed near-dup vectors (1e-2 perturbation => angle ~1e-2
+    rad): the LSH default at bits=4/tables=16 must find every pair the
+    exact path finds (per-pair miss probability < 1e-30 at this angle)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        pert = v + 0.01 * rng.standard_normal(64)
+        rows.append((100 + i, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_neardup_pairs(
+            df, threshold=0.95, bits=4, tables=16
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_neardup_pairs(df, threshold=0.95, exact=True).collect()
+    }
+    assert got == exact
+    assert {(i, 100 + i) for i in range(20)} <= exact
+
+
 def test_embedding_neardup_vs_oracle(spark, duck, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     got = D.embedding_neardup_pairs(

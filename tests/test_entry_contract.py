@@ -34,12 +34,9 @@ ORACLES = E.oracle_sql()
 @pytest.mark.parametrize("name", [n for n, _ in ALL])
 def test_query_against_oracle(spark, duck01, name):
     df = E.queries()[name](spark, SF_DIR)
-    if name in ORACLES:
-        assert_matches_oracle(df, duck01, ORACLES[name])
-    else:
-        # rows-only contract for approximate ops
-        assert df.count() >= 0
+    assert name in ORACLES, f"{name} has no oracle — every entry must be checkable"
+    assert_matches_oracle(df, duck01, ORACLES[name])
 
 
-def test_oracle_keys_subset_of_queries():
-    assert set(ORACLES) <= {n for n, _ in ALL}
+def test_every_query_has_an_oracle():
+    assert set(ORACLES) == {n for n, _ in ALL}

@@ -78,6 +78,18 @@ def test_prejoin_filter_stays_pushed_through_join(engine):
     assert "GreaterThan(l_quantity,45.0)" in plan  # reaches the scan
 
 
+def test_embedding_neardup_default_has_no_nested_loop(spark, sf_dir):
+    """The default (LSH-bucketed) embedding near-dup path must plan as
+    hash joins on (table, bucket) — never BroadcastNestedLoopJoin or a
+    cartesian product (the O(N^2) scale-killer the exact path pays)."""
+    from sparkall_spark.operators import dedup as D
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(D.embedding_neardup_pairs(df, threshold=0.8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sql_backend_same_plan_shape(engine):
     q = (
         PREFIX_BLOCK

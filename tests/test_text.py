@@ -83,3 +83,50 @@ def test_char_ngrams(spark):
         X.char_ngrams("t", 3).alias("g")
     )
     assert sorted(df.collect()[0]["g"]) == ["abc", "bcd"]
+
+
+def test_word_ngrams_short_docs_yield_empty(spark):
+    """Docs with fewer than n tokens must give [], not crash: unguarded
+    F.sequence(0, size-n) produces [0, -1] and F.slice(toks, 0, n)
+    raises INVALID_PARAMETER_VALUE.START under Spark 4 ANSI mode."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "single"), (3, ""), (4, "a b c")], ["id", "t"]
+    ).select("id", X.word_ngrams("t", 3).alias("g"))
+    rows = {r["id"]: sorted(r["g"]) for r in df.collect()}
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == []
+    assert rows[4] == ["a b c"]
+
+
+def test_char_ngrams_short_strings_yield_empty(spark):
+    """Strings shorter than n must give [], not a truncated whole-string
+    shingle (substr(0, ...) aliases substr(1, ...) and inflates Jaccard
+    between short documents)."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "abc")], ["id", "t"]
+    ).select("id", X.char_ngrams("t", 3).alias("g"))
+    rows = {r["id"]: sorted(r["g"]) for r in df.collect()}
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == ["abc"]
+
+
+def test_ngram_jaccard_default_survives_short_docs(spark):
+    """The default ngram=3 operator path must run on corpora containing
+    short documents (ADVICE round-1 medium finding)."""
+    from sparkall_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "hi"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = D.ngram_jaccard_pairs(df, ngram=3, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    sim = D.minhash_dedup_pairs(df, ngram=3, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in sim} == {(1, 2)}

@@ -326,6 +326,38 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
 }
 
 
+def _q24_rml_fno(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapping-file transform route (reference: Mapper.scala:183-221,
+    # mappings_trans.ttl FunctionMap blocks): the RML file binds
+    # sa:acctbal through grel:scale(+10) and the nation FK through
+    # grel:skip(3); same result as declaring the transforms inline
+    from sparkall_spark.fixtures import fno_mappings_ttl
+    from sparkall_spark.mappings import load_rml
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".ttl", delete=False
+    ) as f:
+        f.write(fno_mappings_ttl(sf_dir))
+        path = f.name
+    engine = Engine(spark, load_rml(path))
+    return engine.sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?cname ?bal ?nname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:acctbal ?bal ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname .
+        }
+        """
+    )
+
+
+_Q24_ORACLE = """
+SELECT c_name AS cname, c_acctbal + 10 AS bal, n_name AS nname
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey <> 3
+"""
+
+
 def _q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _sparql(SPARQL_QUERIES["q05_groupby_aggregates"][0])(spark, sf_dir)
     return df.select(
@@ -1159,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q09_multisource_union"] = _q09_multisource_union
     out["q14_events_window"] = _q14_events_window
     out["q15_events_sessions"] = _q15_events_sessions
+    out["q24_rml_fno_transform"] = _q24_rml_fno
     out["e01_dedup_exact"] = _e01_dedup_exact
     out["e02_text_fingerprint"] = _e02_fingerprint
     out["e03_dedup_minhash"] = _e03_dedup_minhash
@@ -1196,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
     out["q09_multisource_union"] = _Q09_ORACLE
     out["q14_events_window"] = _Q14_ORACLE
     out["q15_events_sessions"] = _Q15_ORACLE
+    out["q24_rml_fno_transform"] = _Q24_ORACLE
     out["e01_dedup_exact"] = _E01_ORACLE
     out["e02_text_fingerprint"] = _E02_ORACLE
     out["e03_dedup_minhash"] = _E03_ORACLE

@@ -85,10 +85,20 @@ def build_star_df(
     frames: list[DataFrame] = []
     for m in sources:
         raw = load_source(spark, m)
+        row_filters: list[Column] = []
         cols = [F.col(m.id_attr).alias(f"{star.subject}_ID")]
         for pred in sorted(needed_preds):
             attr = m.predicates[pred]
-            cols.append(F.col(attr).alias(q.column_for(star.subject, pred)))
+            col = F.col(attr)
+            if pred in m.transforms:
+                # mapping-declared (RML FnO) transformation: applied at
+                # scan time so it composes with pushdown the same way
+                # the inline TRANSFORM route does (Mapper.scala:183-221)
+                col, flts = apply_transform_chain(col, m.transforms[pred])
+                row_filters.extend(flts)
+            cols.append(col.alias(q.column_for(star.subject, pred)))
+        for flt in row_filters:
+            raw = raw.filter(flt)
         df = raw.select(*cols)
         if m.broadcast:
             df = F.broadcast(df)

@@ -65,6 +65,91 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fno_mappings_ttl(sf_dir: str) -> str:
+    """RML mapping file with FnO/FunctionMap transformation blocks, in
+    the reference's dialect (mappings_trans.ttl:133-151): the customer
+    balance passes through grel:scale(+10) and the nation FK through
+    grel:skip(3).  Exercises the mapping-file transform route end to
+    end (the inline ``TRANSFORM(...)`` route is q11/q12)."""
+    return f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#>
+@prefix rml: <http://semweb.mmlab.be/ns/rml#>
+@prefix nosql: <http://purl.org/db/nosql#>
+@prefix fnml: <http://semweb.mmlab.be/ns/fnml#>
+@prefix fno: <http://w3id.org/function/ontology#>
+@prefix grel: <http://users.ugent.be/~bjdmeest/function/grel.ttl#>
+@prefix sa: <{NS}>
+
+<#CustomerMapping>
+\trml:logicalSource [
+\t\trml:source "{sf_dir}/customer.parquet";
+\t\tnosql:store nosql:parquet
+\t];
+\trr:subjectMap [
+\t\trr:template "http://sparkall.io/customer/{{c_custkey}}";
+\t\trr:class sa:Customer
+\t];
+\trr:predicateObjectMap [
+\t\trr:predicate sa:name;
+\t\trr:objectMap [rml:reference "c_name"]
+\t];
+\trr:predicateObjectMap [
+\t\trr:predicate sa:acctbal;
+\t\trr:objectMap [rml:reference <#BalFunctionMap>]
+\t];
+\trr:predicateObjectMap [
+\t\trr:predicate sa:nation;
+\t\trr:objectMap [rml:reference <#NationSkipFunctionMap>]
+\t].
+
+<#BalFunctionMap>
+ fnml:functionValue [
+   rml:logicalSource "{sf_dir}/customer.parquet" ;
+   rr:predicateObjectMap [
+     rr:predicate fno:executes ;
+     rr:objectMap [rr:constant grel:scale] ] ;
+   rr:predicateObjectMap [
+     rr:predicate grel:valueParam1 ;
+     rr:objectMap [rr:reference "c_acctbal"]
+   ] ;
+   rr:predicateObjectMap [
+     rr:predicate grel:valueParam2 ;
+     rr:objectMap [rr:reference "+10"]
+   ] ;
+ ] .
+
+<#NationSkipFunctionMap>
+ fnml:functionValue [
+   rml:logicalSource "{sf_dir}/customer.parquet" ;
+   rr:predicateObjectMap [
+     rr:predicate fno:executes ;
+     rr:objectMap [rr:constant grel:skip] ] ;
+   rr:predicateObjectMap [
+     rr:predicate grel:valueParam1 ;
+     rr:objectMap [rr:reference "c_nationkey"]
+   ] ;
+   rr:predicateObjectMap [
+     rr:predicate grel:valueParam2 ;
+     rr:objectMap [rr:reference "3"]
+   ] ;
+ ] .
+
+<#NationMapping>
+\trml:logicalSource [
+\t\trml:source "{sf_dir}/nation.parquet";
+\t\tnosql:store nosql:parquet
+\t];
+\trr:subjectMap [
+\t\trr:template "http://sparkall.io/nation/{{n_nationkey}}";
+\t\trr:class sa:Nation
+\t];
+\trr:predicateObjectMap [
+\t\trr:predicate sa:name;
+\t\trr:objectMap [rml:reference "n_name"]
+\t].
+"""
+
+
 def tpch_mappings(sf_dir: str) -> MappingIndex:
     return MappingIndex(
         [

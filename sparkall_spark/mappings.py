@@ -41,6 +41,10 @@ class EntityMapping:
     class_iri: str | None = None
     options: dict[str, str] = field(default_factory=dict)
     broadcast: bool = False  # planner hint: small dimension table
+    # predicate IRI -> chain of transform-DSL functions (e.g. ("scl(+1)",))
+    # applied to the bound attribute at scan time; populated by the
+    # FnO/FunctionMap route of load_rml (reference: Mapper.scala:183-221)
+    transforms: dict[str, tuple[str, ...]] = field(default_factory=dict)
 
     def covers(self, star: Star) -> bool:
         if star.class_iri is not None and self.class_iri is not None:
@@ -81,6 +85,7 @@ class MappingIndex:
                         m.class_iri,
                         merged,
                         m.broadcast or entry.broadcast,
+                        dict(m.transforms),
                     )
                 )
             else:
@@ -232,6 +237,84 @@ class _TtlParser:
 
 _TEMPLATE_ATTR_RE = re.compile(r"\{([^{}]+)\}")
 
+FNML = "http://semweb.mmlab.be/ns/fnml#"
+
+# grel function URI (by local name) -> transform-DSL function name; the
+# reference's closed table is Helpers.scala:163-176 (getFunctionFromURI).
+# Matched on the fragment so both the canonical users.ugent.be namespace
+# and ad-hoc prefixes (the reference's own evaluation file declares
+# grel: as example.com) resolve.
+_GREL_FUNCTIONS = {
+    "scale": "scl",
+    "substitute": "substit",
+    "skip": "skp",
+    "replace": "replc",
+    "prefix": "prefix",
+    "postfix": "postfix",
+    "toInt": "toInt",
+}
+
+
+def _local_name(iri: str) -> str:
+    return re.split(r"[#/]", str(iri))[-1]
+
+
+def _resolve_function_map(
+    fmap_props: dict, source: str
+) -> tuple[str, str] | None:
+    """Resolve one ``<#FunctionMap>`` subject into (attribute, dsl_fn).
+
+    Shape (reference: evaluation/input_files/mappings_trans.ttl:133-151,
+    consumed by Mapper.scala:183-221): ``fnml:functionValue`` holds a
+    blank node with a ``rml:logicalSource`` (must match the entity's
+    source) and predicateObjectMaps — the one whose predicate is
+    ``fno:executes`` names the grel function (``rr:constant``); the
+    remaining POMs are parameters in predicate order, the first being
+    the source attribute, the rest literal arguments.
+    """
+    fv = fmap_props.get(FNML + "functionValue", [None])[0]
+    if not isinstance(fv, dict):
+        return None
+    fv_src = fv.get(RML + "logicalSource", [None])[0]
+    if isinstance(fv_src, dict):  # tolerate [rml:source "..."] nesting
+        fv_src = fv_src.get(RML + "source", [None])[0]
+    if fv_src is not None and str(fv_src) != source:
+        return None
+    fn_uri = None
+    params: list[tuple[str, str]] = []
+    for pom in fv.get(RR + "predicateObjectMap", []):
+        if not isinstance(pom, dict):
+            continue
+        pred = pom.get(RR + "predicate", [None])[0]
+        om = pom.get(RR + "objectMap", [None])[0]
+        if pred is None or not isinstance(om, dict):
+            continue
+        if _local_name(pred) == "executes":
+            const = om.get(RR + "constant", [None])[0]
+            if const is not None:
+                fn_uri = str(const)
+        else:
+            ref = om.get(RML + "reference", om.get(RR + "reference", [None]))[0]
+            if ref is not None:
+                params.append((str(pred), str(ref)))
+    if fn_uri is None or not params:
+        return None
+    fn = _GREL_FUNCTIONS.get(_local_name(fn_uri))
+    if fn is None:
+        import warnings
+
+        warnings.warn(
+            f"RML FunctionMap declares unsupported function {fn_uri!r}; "
+            f"supported grel functions: {sorted(_GREL_FUNCTIONS)}",
+            stacklevel=3,
+        )
+        return None
+    params.sort(key=lambda kv: kv[0])  # grel:valueParam1 < valueParam2 ...
+    attr = params[0][1]
+    args = [p for _, p in params[1:]]
+    dsl = f"{fn}({','.join(args)})" if args else fn
+    return attr, dsl
+
 
 def load_rml(path: str | Path, config: SourceCatalog | None = None) -> MappingIndex:
     """Load an RML Turtle mapping file into a :class:`MappingIndex`.
@@ -259,6 +342,7 @@ def load_rml(path: str | Path, config: SourceCatalog | None = None) -> MappingIn
         id_attr = tmpl_m.group(1) if tmpl_m else "id"
         class_iri = sm0.get(RR + "class", [None])[0]
         predicates: dict[str, str] = {}
+        transforms: dict[str, tuple[str, ...]] = {}
         for pom in props.get(RR + "predicateObjectMap", []):
             if not isinstance(pom, dict):
                 continue
@@ -267,12 +351,26 @@ def load_rml(path: str | Path, config: SourceCatalog | None = None) -> MappingIn
             if pred is None or not isinstance(om, dict):
                 continue
             ref = om.get(RML + "reference", om.get(RR + "reference", [None]))[0]
-            if ref is not None:
-                predicates[str(pred)] = str(ref)
+            if ref is None:
+                continue
+            ref = str(ref)
+            fmap = parsed.get(ref)
+            if isinstance(fmap, dict) and FNML + "functionValue" in fmap:
+                # FnO route: the objectMap references a <#FunctionMap>;
+                # the bound attribute and transform come from its block
+                resolved = _resolve_function_map(fmap, source)
+                if resolved is None:
+                    continue
+                attr, dsl = resolved
+                predicates[str(pred)] = attr
+                transforms[str(pred)] = (dsl,)
+            else:
+                predicates[str(pred)] = ref
         name = subj.lstrip("#").replace("Mapping", "") or subj
         mappings.append(
             EntityMapping(name, source, source_type, id_attr, predicates,
-                          class_iri if isinstance(class_iri, str) else None)
+                          class_iri if isinstance(class_iri, str) else None,
+                          transforms=transforms)
         )
     idx = MappingIndex(mappings)
     return idx.with_config(config) if config else idx

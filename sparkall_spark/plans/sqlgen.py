@@ -146,12 +146,16 @@ def _star_subquery(
         view = f"src_{m.name.lower()}_{m_idx}" if len(sources) > 1 else f"src_{m.name.lower()}"
         views[view] = m
         cols = []
-        for out_col, attr in [(f"{star_name}_ID", m.id_attr)] + [
-            (q.column_for(star_name, p), m.predicates[p])
+        for out_col, attr, pred in [(f"{star_name}_ID", m.id_attr, None)] + [
+            (q.column_for(star_name, p), m.predicates[p], p)
             for p in sorted(plan.needed_preds[star_name])
         ]:
             expr = _q(attr)
-            for fn in col_transforms.get(out_col, []):
+            # mapping-declared (RML FnO) transforms first, then inline
+            # TRANSFORM clauses — same order as the DataFrame backend
+            fns = list(m.transforms.get(pred, ())) if pred else []
+            fns.extend(col_transforms.get(out_col, []))
+            for fn in fns:
                 expr, flt = _transform_sql(expr, fn)
                 if flt and m_idx == 0:  # one filter per column, not per source
                     row_filters.append(f"{_q(out_col)} {flt}")

@@ -20,9 +20,19 @@ from pyspark.sql import DataFrame, SparkSession
 from sparkall_spark.mappings import EntityMapping
 
 
-def read_jdbc(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
+def jdbc_read_spec(mapping: EntityMapping) -> tuple[str, dict[str, str]]:
+    """(format, options) for a JDBC scan — pure, contract-testable.
+
+    partitionColumn/lowerBound/upperBound/numPartitions pass straight
+    through, so callers get Spark's parallel range-partitioned read.
+    """
     opts = dict(mapping.options)
     opts.pop("broadcast", None)
     table = mapping.source.lstrip("/")
     opts.setdefault("dbtable", table)
-    return spark.read.format("jdbc").options(**opts).load()
+    return "jdbc", opts
+
+
+def read_jdbc(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
+    fmt, opts = jdbc_read_spec(mapping)
+    return spark.read.format(fmt).options(**opts).load()

@@ -43,44 +43,54 @@ def mongo_uri(options: dict[str, str]) -> str:
     return uri
 
 
-def read_mongodb(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
-    opts = {
+def mongodb_read_spec(mapping: EntityMapping) -> tuple[str, dict[str, str]]:
+    """(format, options) for a MongoDB scan — pure, contract-testable."""
+    return "mongodb", {
         "connection.uri": mongo_uri(mapping.options),
         "database": mapping.options.get("database", "test"),
         "collection": mapping.options.get("collection", ""),
         # size-based pagination => balanced input partitions
         "partitioner": mapping.options.get(
-            "partitioner", "com.mongodb.spark.sql.connector.read.partitioner.PaginateBySizePartitioner"
+            "partitioner",
+            "com.mongodb.spark.sql.connector.read.partitioner.PaginateBySizePartitioner",
         ),
     }
-    try:
-        return spark.read.format("mongodb").options(**opts).load()
-    except Exception as e:  # connector jar missing
-        _fail_if_missing(spark, "mongodb", mapping.name, e)
 
 
-def read_cassandra(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
-    opts = {
+def cassandra_read_spec(mapping: EntityMapping) -> tuple[str, dict[str, str]]:
+    return "org.apache.spark.sql.cassandra", {
         "keyspace": mapping.options.get("keyspace", ""),
         "table": mapping.options.get("table", mapping.source.lstrip("/")),
     }
+
+
+def elasticsearch_read_spec(mapping: EntityMapping) -> tuple[str, dict[str, str]]:
+    return "org.elasticsearch.spark.sql", {
+        "es.nodes": mapping.options.get("nodes", "localhost"),
+        "es.port": mapping.options.get("port", "9200"),
+        "es.resource": mapping.options.get("resource", mapping.source.lstrip("/")),
+    }
+
+
+def read_mongodb(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
+    fmt, opts = mongodb_read_spec(mapping)
     try:
-        return (
-            spark.read.format("org.apache.spark.sql.cassandra").options(**opts).load()
-        )
+        return spark.read.format(fmt).options(**opts).load()
+    except Exception as e:  # connector jar missing
+        _fail_if_missing(spark, fmt, mapping.name, e)
+
+
+def read_cassandra(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
+    fmt, opts = cassandra_read_spec(mapping)
+    try:
+        return spark.read.format(fmt).options(**opts).load()
     except Exception as e:
         _fail_if_missing(spark, "cassandra", mapping.name, e)
 
 
 def read_elasticsearch(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
-    opts = {
-        "es.nodes": mapping.options.get("nodes", "localhost"),
-        "es.port": mapping.options.get("port", "9200"),
-        "es.resource": mapping.options.get("resource", mapping.source.lstrip("/")),
-    }
+    fmt, opts = elasticsearch_read_spec(mapping)
     try:
-        return (
-            spark.read.format("org.elasticsearch.spark.sql").options(**opts).load()
-        )
+        return spark.read.format(fmt).options(**opts).load()
     except Exception as e:
         _fail_if_missing(spark, "elasticsearch", mapping.name, e)

@@ -323,6 +323,201 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         WHERE c_nationkey <> 3
         """,
     ),
+    # ---------------------------------------------------------------
+    # BSBM evaluation-query shapes (the reference's de-facto contract,
+    # evaluation/input_files/queries/Q1..Q10.sparql) ported onto the
+    # TPC-H fixtures: Product->Part, Producer->Supplier(+Nation for
+    # country), Review->Lineitem (reviewFor == the part FK),
+    # Offer->Orders, Reviewer->Customer.
+    # ---------------------------------------------------------------
+    # Q1: 3-star join, numeric filter, DISTINCT + ORDER + LIMIT
+    "q25_bsbm_q1": (
+        """
+        SELECT DISTINCT ?label ?value WHERE {
+            ?p a sa:Part ; sa:name ?label ; sa:size ?value .
+            ?l a sa:Lineitem ; sa:part ?p ; sa:supplier ?s .
+            ?s a sa:Supplier ; sa:name ?sname .
+            FILTER (?value > 1)
+        }
+        ORDER BY ?label ?value
+        LIMIT 10
+        """,
+        """
+        SELECT DISTINCT p_name AS label, p_size AS value
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_size > 1
+        ORDER BY label, value LIMIT 10
+        """,
+    ),
+    # Q2: wide many-attribute projection, 2 stars, no filters
+    "q26_bsbm_q2": (
+        """
+        SELECT ?label ?brand ?type ?size ?price ?qty ?eprice WHERE {
+            ?p a sa:Part ; sa:name ?label ; sa:brand ?brand ; sa:type ?type ;
+               sa:size ?size ; sa:retailprice ?price .
+            ?l a sa:Lineitem ; sa:part ?p ; sa:quantity ?qty ;
+               sa:extendedprice ?eprice .
+        }
+        """,
+        """
+        SELECT p_name AS label, p_brand AS brand, p_type AS type,
+               p_size AS size, p_retailprice AS price,
+               l_quantity AS qty, l_extendedprice AS eprice
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        """,
+    ),
+    # Q3: two numeric filters (> and <), subject projection, ORDER+LIMIT
+    "q27_bsbm_q3": (
+        """
+        SELECT ?p ?label ?size ?price WHERE {
+            ?p a sa:Part ; sa:name ?label ; sa:size ?size ; sa:retailprice ?price .
+            ?l a sa:Lineitem ; sa:part ?p .
+            FILTER (?size > 20)
+            FILTER (?price < 1500)
+        }
+        ORDER BY ?label ?p ?size ?price
+        LIMIT 10
+        """,
+        """
+        SELECT p_partkey AS p, p_name AS label, p_size AS size,
+               p_retailprice AS price
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        WHERE p_size > 20 AND p_retailprice < 1500
+        ORDER BY label, p, size, price LIMIT 10
+        """,
+    ),
+    # Q4: 4+ stars incl. the country hop (supplier -> nation)
+    "q28_bsbm_q4": (
+        """
+        SELECT DISTINCT ?label ?c ?brand ?size WHERE {
+            ?p a sa:Part ; sa:name ?label ; sa:brand ?brand ; sa:size ?size .
+            ?l a sa:Lineitem ; sa:part ?p ; sa:supplier ?s ; sa:order ?o .
+            ?s a sa:Supplier ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?c .
+            ?o a sa:Orders .
+            FILTER (?size > 25)
+        }
+        ORDER BY ?label ?c ?brand ?size
+        LIMIT 10
+        """,
+        """
+        SELECT DISTINCT p_name AS label, n_name AS c, p_brand AS brand,
+               p_size AS size
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_size > 25
+        ORDER BY label, c, brand, size LIMIT 10
+        """,
+    ),
+    # Q5: inequality (!=) + two range filters, DISTINCT + ORDER + LIMIT
+    "q29_bsbm_q5": (
+        """
+        SELECT DISTINCT ?label ?size ?price WHERE {
+            ?p a sa:Part ; sa:name ?label ; sa:size ?size ; sa:retailprice ?price .
+            ?l a sa:Lineitem ; sa:part ?p ; sa:order ?o .
+            ?o a sa:Orders .
+            FILTER (?size < 40)
+            FILTER (?label != "blue rod")
+            FILTER (?price < 1600)
+        }
+        ORDER BY ?label ?size ?price
+        LIMIT 5
+        """,
+        """
+        SELECT DISTINCT p_name AS label, p_size AS size, p_retailprice AS price
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+                  JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_size < 40 AND p_name <> 'blue rod' AND p_retailprice < 1600
+        ORDER BY label, size, price LIMIT 5
+        """,
+    ),
+    # Q6: regex filter (reference semantics: SQL LIKE wildcards)
+    "q30_bsbm_q6": (
+        """
+        SELECT ?label WHERE {
+            ?p a sa:Part ; sa:name ?label .
+            ?l a sa:Lineitem ; sa:part ?p ; sa:order ?o .
+            ?o a sa:Orders .
+            FILTER regex(?label, "%bolt%")
+        }
+        """,
+        """
+        SELECT p_name AS label
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+                  JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%bolt%'
+        """,
+    ),
+    # Q7: 4-star join + subject-equality filter + numeric filter
+    "q31_bsbm_q7": (
+        """
+        SELECT ?label ?totalprice ?cname ?qty ?disc ?p WHERE {
+            ?p a sa:Part ; sa:name ?label .
+            ?l a sa:Lineitem ; sa:part ?p ; sa:order ?o ; sa:quantity ?qty ;
+               sa:discount ?disc .
+            ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?totalprice .
+            ?c a sa:Customer ; sa:name ?cname .
+            FILTER (?totalprice > 5000)
+            FILTER (?p = 9)
+        }
+        """,
+        """
+        SELECT p_name AS label, o_totalprice AS totalprice, c_name AS cname,
+               l_quantity AS qty, l_discount AS disc, p_partkey AS p
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 5000 AND p_partkey = 9
+        """,
+    ),
+    # Q8: equality filter + DESC ORDER + LIMIT, attribute-less star
+    "q32_bsbm_q8": (
+        """
+        SELECT DISTINCT ?flag ?status ?qty ?price ?ship ?p WHERE {
+            ?p a sa:Part .
+            ?l a sa:Lineitem ; sa:part ?p ; sa:returnflag ?flag ;
+               sa:linestatus ?status ; sa:quantity ?qty ;
+               sa:extendedprice ?price ; sa:shipdate ?ship .
+            FILTER (?p = 9)
+        }
+        ORDER BY DESC(?ship) ?qty ?price ?flag ?status
+        LIMIT 9
+        """,
+        """
+        SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status,
+               l_quantity AS qty, l_extendedprice AS price,
+               l_shipdate AS ship, p_partkey AS p
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        WHERE p_partkey = 9
+        ORDER BY ship DESC, qty, price, flag, status LIMIT 9
+        """,
+    ),
+    # Q10: <= filter + string equality + ORDER + LIMIT
+    "q33_bsbm_q10": (
+        """
+        SELECT DISTINCT ?totalprice ?qty ?date ?c WHERE {
+            ?o a sa:Orders ; sa:customer ?cust ; sa:totalprice ?totalprice ;
+               sa:orderdate ?date ; sa:orderpriority ?prio .
+            ?l a sa:Lineitem ; sa:order ?o ; sa:quantity ?qty .
+            ?cust a sa:Customer ; sa:mktsegment ?c ; sa:name ?cname .
+            FILTER (?qty <= 7)
+            FILTER (?c = "BUILDING")
+        }
+        ORDER BY ?totalprice ?qty ?date ?c
+        LIMIT 10
+        """,
+        """
+        SELECT DISTINCT o_totalprice AS totalprice, l_quantity AS qty,
+               o_orderdate AS date, c_mktsegment AS c
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+        WHERE l_quantity <= 7 AND c_mktsegment = 'BUILDING'
+        ORDER BY totalprice, qty, date, c LIMIT 10
+        """,
+    ),
 }
 
 
@@ -547,7 +742,12 @@ FROM documents
 
 def _e03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs(docs, threshold=0.9).select("id_a", "id_b", "jaccard")
+    # broadcast_reps pinned: the fixture's rep table is thousands of
+    # rows (short docs), far under the broadcast limit — skipping the
+    # auto-detect count() saves a blocking job before the wide stage
+    return D.minhash_dedup_pairs(
+        docs, threshold=0.9, broadcast_reps=True
+    ).select("id_a", "id_b", "jaccard")
 
 
 _E03_ORACLE = """
@@ -608,7 +808,7 @@ def _e05_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probability ~5e-8 at j=0.9) + exact verification -> the output is
     # the full all-pairs word-bigram Jaccard result, oracle-checked
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, ngram=2, threshold=0.9)
+    return D.ngram_jaccard_pairs(docs, ngram=2, threshold=0.9, broadcast_reps=True)
 
 
 _E05_ORACLE = """
@@ -1092,14 +1292,15 @@ FROM lineitem GROUP BY 1
 
 
 def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clusters: minhash pair graph -> iterative
-    connected components (operators/graph.py) -> canonical min-id rep.
-    Oracle: recursive-CTE closure over the exact-jaccard pair set."""
-    from sparkall_spark.operators.graph import dedup_clusters
-
+    """Transitive near-dup clusters: iterative connected components over
+    the *representative* minhash graph (operators/dedup.py:
+    minhash_dedup_clusters — intra-clique member pairs are never
+    materialized).  Oracle: recursive-CTE closure over the exact-jaccard
+    pair set."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, threshold=0.9)
-    return dedup_clusters(docs, pairs).select("doc_id", "cluster_rep")
+    return D.minhash_dedup_clusters(
+        docs, threshold=0.9, broadcast_reps=True
+    ).select("doc_id", "cluster_rep")
 
 
 _E22_ORACLE = """

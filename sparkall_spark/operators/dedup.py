@@ -56,21 +56,22 @@ def _token_hash(tok: Column) -> Column:
     return F.xxhash64(tok)
 
 
-def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
-    """Array of k min-hash values over a (distinct) shingle array.
+def minhash_signature_from_hashes(
+    hashes: Column, k: int = 64, seed: int = 42
+) -> Column:
+    """Array of k min-hash values over an array of 64-bit token hashes.
 
-    Single-pass: one aggregate over the token hashes updates all k
-    permutation minima at once via nested zip_with (each token hash is
-    computed once, not k times) — ~10x faster than k independent
-    array_min scans at bench scale.
+    Single-pass: one aggregate updates all k permutation minima at once
+    via nested zip_with — ~10x faster than k independent array_min
+    scans at bench scale.
     """
     coeffs = _coeffs(k, seed)
     a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
     b_arr = F.array(*[F.lit(b) for _, b in coeffs])
-    hashes = F.transform(shingles, lambda t: F.pmod(_token_hash(t), F.lit(_P)))
+    reduced = F.transform(hashes, lambda h: F.pmod(h, F.lit(_P)))
     init = F.array_repeat(F.lit(_P).cast("bigint"), k)
     return F.aggregate(
-        hashes,
+        reduced,
         init,
         lambda acc, h: F.zip_with(
             acc,
@@ -78,6 +79,34 @@ def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
             lambda x, y: F.least(x, y),
         ),
     )
+
+
+def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
+    """Array of k min-hash values over a (distinct) shingle array."""
+    return minhash_signature_from_hashes(
+        F.transform(shingles, _token_hash), k, seed
+    )
+
+
+# Persisted intermediates registered by the dedup/cluster builders; a
+# long-lived session can release them once results are consumed
+# (callers: sparkall_spark.operators.dedup.release_caches()).
+_PERSISTED: list = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate cached by dedup operators so far."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
 
 
 def exact_dedup(
@@ -126,6 +155,260 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def _minhash_rep_graph(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    seed: int,
+    est_prefilter: bool,
+    broadcast_reps: bool | None,
+    broadcast_rep_limit: int,
+) -> tuple[DataFrame, DataFrame, bool]:
+    """Shared minhash-LSH core: returns (ids, rep_pairs, broadcast)
+    where ``ids``
+    maps member ``__id`` -> set fingerprint ``__fp`` and ``rep_pairs``
+    holds qualifying (fp_a, fp_b, jaccard) representative pairs (exact
+    jaccard, id-distinct shingle sets only, no intra-clique pairs).
+
+    Two physical strategies, chosen by representative count (an
+    AQE-style size-based decision at the operator level):
+
+    - **broadcast** (reps <= broadcast_rep_limit): the per-band
+      candidate join, set attachment and exact verification all run
+      against broadcast rep tables in ONE stage — no shuffle of the
+      multi-million-row raw candidate set at all; the only exchanges
+      are the tiny banded self-join input and the verified output.
+      Duplicate band collisions are verified redundantly (bounded by
+      ``bands``) and deduped *after* the >= threshold filter, when the
+      row set is small.
+    - **shuffle** (large rep sets): distinct candidate pairs first
+      (one shuffle of compact key pairs), optional signature-estimate
+      prefilter, then shuffle joins attach the hashed shingle arrays
+      for verification.  The 100 TB path.
+    """
+    rows = num_hashes // bands
+    base = _with_shingles(df, id_col, text_col, ngram)
+
+    # Cluster identical shingle SETS first (web-scale corpora contain
+    # huge exact-duplicate cliques; pushing them through LSH multiplies
+    # the quadratic bucket join by the band count).  Shingle arrays are
+    # sorted+distinct, so a single hash is a set fingerprint.
+    # persist: `ids` and `reps` feed multiple joins — without a cache
+    # Spark re-runs the tokenize+hash subtree once per reference
+    # (release via release_caches() in long-lived sessions)
+    keyed = _persist(
+        base.withColumn("__fp", F.xxhash64(F.concat_ws("\x01", "__sh")))
+    )
+    ids = keyed.select("__id", "__fp")
+
+    # LSH runs over one representative per distinct set — bucket skew
+    # from cliques is gone by construction.  __shh: the shingle set as
+    # sorted 64-bit hashes — verification jaccard over int arrays is
+    # several times cheaper than over strings and equal in value
+    # (collision odds ~ |set|^2 / 2^64).
+    reps = _persist(
+        keyed.groupBy("__fp")
+        .agg(F.min("__id").alias("__rid"), F.first("__sh").alias("__sh"))
+        .withColumn("__shh", F.array_sort(F.transform("__sh", _token_hash)))
+        .withColumn("__n", F.size("__shh"))
+        .select("__fp", "__shh", "__n")
+    )
+    if broadcast_reps is None:
+        # reps is persisted and needed below anyway; counting it now is
+        # the cheapest reliable size signal (row count, not estimates)
+        broadcast_reps = reps.count() <= broadcast_rep_limit
+
+    sig = _persist(
+        reps.withColumn(
+            "__sig", minhash_signature_from_hashes(F.col("__shh"), num_hashes, seed)
+        )
+        .withColumn(
+            # per-band hashes as an array: banding explodes it, and the
+            # broadcast path uses it to emit each colliding pair from
+            # its FIRST matching band only (exact dedup without a
+            # distinct shuffle)
+            "__bhs",
+            F.array(
+                *[F.hash(F.slice("__sig", i * rows + 1, rows)) for i in range(bands)]
+            ),
+        )
+        .select("__fp", "__sig", "__bhs", "__n", "__shh")
+    )
+    # length-filter bucket (set-similarity length filtering, as in
+    # AllPairs/PPJoin): j >= t forces min(|A|,|B|)/max >= t, i.e.
+    # |ln n_a - ln n_b| <= ln(1/t) — with buckets of that width,
+    # qualifying pairs sit in the same or adjacent buckets.  Putting the
+    # bucket INTO the join key (probe side explodes to {-1,0,+1}) means
+    # size-incompatible band collisions never materialize at all.
+    import math
+
+    width = math.log(1.0 / threshold) if 0.0 < threshold < 1.0 else None
+    sb = (
+        F.floor(F.log(F.col("__n").cast("double")) / F.lit(width))
+        if width is not None
+        else F.lit(0)
+    )
+    banded = sig.select(
+        "__fp",
+        "__bhs",
+        "__n",
+        "__shh",
+        sb.alias("__sb"),
+        F.posexplode("__bhs").alias("band", "bh"),
+    )
+    probe = banded.select(
+        "*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("__d")
+    ).withColumn("__pb", F.col("__sb") + F.col("__d"))
+
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.col("n_a") + F.col("n_b") - inter
+    jaccard_col = F.round(
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6
+    )
+    rep_a = reps.select(
+        F.col("__fp").alias("fp_a"), F.col("__shh").alias("sh_a"), F.col("__n").alias("n_a")
+    )
+    rep_b = reps.select(
+        F.col("__fp").alias("fp_b"), F.col("__shh").alias("sh_b"), F.col("__n").alias("n_b")
+    )
+
+    if broadcast_reps:
+        # Two SMALL broadcast builds instead of one fat one (the build
+        # side is collected to the driver and shipped to every executor,
+        # so its bytes are first-run latency): (1) the slim banded table
+        # — just (fp, band, bh, size bucket, n) — drives candidate
+        # generation; (2) the per-rep signature/set table attaches the
+        # y side's band hashes and hashed shingles once per candidate.
+        # The x side carries its own arrays through the stage (no join).
+        #
+        # first-matching-band filter: a colliding pair is kept iff no
+        # earlier band also matches — every pair appears EXACTLY once,
+        # so no distinct shuffle and no duplicate verification.
+        first_match = F.array_position(
+            F.zip_with("__bhs", "__bhs_b", lambda a, b: a == b), True
+        )
+        # size-ratio necessary condition, checked during the join probe
+        # BEFORE any array work: j >= t implies min(|A|,|B|)/max >= t
+        size_ok = (
+            F.col("x.__n") * F.lit(1.0) >= F.lit(threshold) * F.col("y.__n")
+        ) & (F.col("y.__n") * F.lit(1.0) >= F.lit(threshold) * F.col("x.__n"))
+        build_slim = banded.select("__fp", "band", "bh", "__sb", "__n")
+        sig_b = sig.select(
+            F.col("__fp").alias("fp_b"),
+            F.col("__bhs").alias("__bhs_b"),
+            F.col("__shh").alias("__shh_b"),
+        )
+        pair_inter = F.size(
+            F.array_intersect(F.col("__shh"), F.col("__shh_b"))
+        ).cast("double")
+        pair_union = F.col("n_a") + F.col("n_b") - pair_inter
+        rep_pairs = (
+            probe.alias("x")
+            .join(
+                F.broadcast(build_slim.alias("y")),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bh") == F.col("y.bh"))
+                & (F.col("x.__pb") == F.col("y.__sb"))
+                & (F.col("x.__fp") < F.col("y.__fp"))
+                & size_ok,
+            )
+            .select(
+                F.col("x.__fp").alias("fp_a"),
+                F.col("y.__fp").alias("fp_b"),
+                F.col("x.band").alias("band"),
+                F.col("x.__bhs").alias("__bhs"),
+                F.col("x.__shh").alias("__shh"),
+                F.col("x.__n").alias("n_a"),
+                F.col("y.__n").alias("n_b"),
+            )
+            .join(F.broadcast(sig_b), "fp_b")
+            .filter(first_match == F.col("band") + 1)
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.when(pair_union > 0, pair_inter / pair_union).otherwise(
+                        F.lit(0.0)
+                    ),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("fp_a", "fp_b", "jaccard")
+        )
+        return ids, rep_pairs, True
+
+    # no __bhs in the shuffle; probe side carries the exploded bucket
+    probe_slim = probe.select("__fp", "band", "bh", "__n", "__pb")
+    build_slim = banded.select("__fp", "band", "bh", "__n", "__sb")
+    size_ok = (
+        F.col("x.__n") * F.lit(1.0) >= F.lit(threshold) * F.col("y.__n")
+    ) & (F.col("y.__n") * F.lit(1.0) >= F.lit(threshold) * F.col("x.__n"))
+    cand = (
+        probe_slim.alias("x")
+        .join(
+            build_slim.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.__pb") == F.col("y.__sb"))
+            & (F.col("x.__fp") < F.col("y.__fp"))
+            & size_ok,
+        )
+        .select(F.col("x.__fp").alias("fp_a"), F.col("y.__fp").alias("fp_b"))
+        .distinct()
+    )
+    if est_prefilter:
+        # Signature-estimate prefilter: the matching-component fraction
+        # of two minhash signatures is an unbiased jaccard estimate with
+        # sigma = sqrt(t(1-t)/k); culling candidates > ~6 sigma below
+        # the threshold skips exact verification for pairs that cannot
+        # qualify (P[miss | true j >= t] ~ 1e-9 per pair).  Pay this
+        # only when shingle sets are much larger than num_hashes (long
+        # documents); for short docs the estimate costs as much as the
+        # exact intersection.
+        sigma = (threshold * (1 - threshold) / num_hashes) ** 0.5
+        est_cutoff = max(0.0, threshold - 6 * sigma)
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                    lambda x: x,
+                )
+            )
+            / F.lit(num_hashes)
+        )
+        cand = (
+            cand.join(
+                F.broadcast(
+                    sig.select(F.col("__fp").alias("fp_a"), F.col("__sig").alias("sig_a"))
+                ),
+                "fp_a",
+            )
+            .join(
+                F.broadcast(
+                    sig.select(F.col("__fp").alias("fp_b"), F.col("__sig").alias("sig_b"))
+                ),
+                "fp_b",
+            )
+            .filter(est >= est_cutoff)
+            .select("fp_a", "fp_b")
+        )
+
+    # |A∪B| = |A|+|B|-|A∩B|: sizes cached per rep, only the
+    # intersection runs per candidate pair
+    rep_pairs = (
+        cand.join(rep_a, "fp_a")
+        .join(rep_b, "fp_b")
+        .withColumn("jaccard", jaccard_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select("fp_a", "fp_b", "jaccard")
+    )
+    return ids, rep_pairs, False
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -136,35 +419,30 @@ def minhash_dedup_pairs(
     threshold: float = 0.9,
     seed: int = 42,
     est_prefilter: bool = False,
+    broadcast_reps: bool | None = None,
+    broadcast_rep_limit: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    ``est_prefilter`` culls candidates whose signature-estimated jaccard
-    sits > ~5 sigma below the threshold before exact verification — pay
-    this only when shingle sets are much larger than ``num_hashes``
-    (long documents); for short docs the estimate costs as much as the
-    exact intersection.
-
-    Pipeline: shingle -> minhash signature -> split into ``bands`` bands
-    -> explode -> shuffle-join on (band_id, band_hash) -> distinct
-    candidates -> exact-Jaccard verify.  Output columns:
-    ``id_a, id_b, jaccard``.
+    Pipeline: shingle -> identical-set collapse -> minhash signature ->
+    banded candidate join -> exact-Jaccard verify -> member expansion.
+    The physical candidate/verification strategy is size-adaptive (see
+    :func:`_minhash_rep_graph`); ``broadcast_reps`` forces it.  Output
+    columns: ``id_a, id_b, jaccard`` (every value exact).
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
     base = _with_shingles(df, id_col, text_col, ngram)
+    if threshold > 1.0:
+        return base.select(
+            F.col("__id").alias("id_a"),
+            F.col("__id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        ).filter(F.lit(False))
 
-    # Cluster identical shingle SETS first (web-scale corpora contain
-    # huge exact-duplicate cliques; pushing them through LSH multiplies
-    # the quadratic bucket join by the band count).  Shingle arrays are
-    # sorted+distinct, so a single hash is a set fingerprint.
-    # persist: `ids` feeds three joins and `reps` two — without a cache
-    # Spark re-runs the tokenize+hash subtree once per reference (LRU
-    # eviction reclaims the space; both are compact projections)
-    keyed = base.withColumn(
-        "__fp", F.xxhash64(F.concat_ws("\x01", "__sh"))
-    ).persist()
-    ids = keyed.select("__id", "__fp")
+    ids, rep_pairs, bcast = _minhash_rep_graph(
+        df, id_col, text_col, ngram, num_hashes, bands, threshold, seed,
+        est_prefilter, broadcast_reps, broadcast_rep_limit,
+    )
 
     # intra-cluster pairs: jaccard exactly 1.0, no verification needed
     intra = (
@@ -180,128 +458,73 @@ def minhash_dedup_pairs(
             F.lit(1.0).alias("jaccard"),
         )
     )
-    if threshold > 1.0:
-        return intra.filter(F.lit(False))
-
-    # LSH runs over one representative per distinct set — bucket skew
-    # from cliques is gone by construction.  __shh: the shingle set as
-    # sorted 64-bit hashes — verification jaccard over int arrays is
-    # several times cheaper than over strings and equal in value
-    # (collision odds ~ |set|^2 / 2^64).
-    reps = (
-        keyed.groupBy("__fp")
-        .agg(F.min("__id").alias("__rid"), F.first("__sh").alias("__sh"))
-        .withColumn("__shh", F.array_sort(F.transform("__sh", _token_hash)))
-        .withColumn("__n", F.size("__shh"))
-        .persist()
-    )
-    sig = reps.withColumn(
-        "__sig", minhash_signature(F.col("__sh"), num_hashes, seed)
-    ).persist()  # feeds banding + both sides of the estimate prefilter
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.hash(F.slice("__sig", i * rows + 1, rows)).alias("bh"),
-        )
-        for i in range(bands)
-    ]
-    banded = sig.select(
-        "__fp", F.explode(F.array(*band_cols)).alias("b")
-    ).select("__fp", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-
-    cand = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh"))
-            & (F.col("x.__fp") < F.col("y.__fp")),
-        )
-        .select(F.col("x.__fp").alias("fp_a"), F.col("y.__fp").alias("fp_b"))
-        .distinct()
-    )
-    if est_prefilter:
-        # Signature-estimate prefilter: the matching-component fraction
-        # of two minhash signatures is an unbiased jaccard estimate with
-        # sigma = sqrt(t(1-t)/k); culling candidates > ~5 sigma below
-        # the threshold skips exact verification for pairs that cannot
-        # qualify (P[miss | true j >= t] < 1e-6 per pair; deterministic
-        # pipeline — exactness asserted against the all-pairs oracle)
-        sigma = (threshold * (1 - threshold) / num_hashes) ** 0.5
-        est_cutoff = max(0.0, threshold - 5 * sigma)
-        sig_cols = sig.select("__fp", "__sig")
-        est = (
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-                    lambda x: x,
-                )
-            )
-            / F.lit(num_hashes)
-        )
-        cand = (
-            cand.join(
-                F.broadcast(
-                    sig_cols.select(
-                        F.col("__fp").alias("fp_a"), F.col("__sig").alias("sig_a")
-                    )
-                ),
-                "fp_a",
-            )
-            .join(
-                F.broadcast(
-                    sig_cols.select(
-                        F.col("__fp").alias("fp_b"), F.col("__sig").alias("sig_b")
-                    )
-                ),
-                "fp_b",
-            )
-            .filter(est >= est_cutoff)
-            .select("fp_a", "fp_b")
-        )
-
-    # |A∪B| = |A|+|B|-|A∩B|: sizes cached per rep, only the
-    # intersection runs per candidate pair
-    rep_sets = reps.select("__fp", "__shh", "__n")
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    union = F.col("n_a") + F.col("n_b") - inter
-    rep_pairs = (
-        cand.join(
-            rep_sets.select(
-                F.col("__fp").alias("fp_a"),
-                F.col("__shh").alias("sh_a"),
-                F.col("__n").alias("n_a"),
-            ),
-            "fp_a",
-        )
-        .join(
-            rep_sets.select(
-                F.col("__fp").alias("fp_b"),
-                F.col("__shh").alias("sh_b"),
-                F.col("__n").alias("n_b"),
-            ),
-            "fp_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("fp_a", "fp_b", "jaccard")
-    )
 
     # expand qualifying representative pairs to member pairs; members of
     # each cluster share one token set, so the jaccard carries over
-    inter = (
-        rep_pairs.join(ids.select(F.col("__fp").alias("fp_a"), F.col("__id").alias("ida")), "fp_a")
-        .join(ids.select(F.col("__fp").alias("fp_b"), F.col("__id").alias("idb")), "fp_b")
+    ids_a = ids.select(F.col("__fp").alias("fp_a"), F.col("__id").alias("ida"))
+    ids_b = ids.select(F.col("__fp").alias("fp_b"), F.col("__id").alias("idb"))
+    if bcast:  # ids is the same order of magnitude as reps
+        ids_a, ids_b = F.broadcast(ids_a), F.broadcast(ids_b)
+    expanded = (
+        rep_pairs.join(ids_a, "fp_a")
+        .join(ids_b, "fp_b")
         .select(
             F.least("ida", "idb").alias("id_a"),
             F.greatest("ida", "idb").alias("id_b"),
             "jaccard",
         )
     )
-    return intra.unionByName(inter)
+    return intra.unionByName(expanded)
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+    est_prefilter: bool = False,
+    broadcast_reps: bool | None = None,
+    broadcast_rep_limit: int = 100_000,
+) -> DataFrame:
+    """Transitive near-dup clusters WITHOUT materializing member pairs.
+
+    Connected components run over the *representative* graph (nodes =
+    distinct-set fingerprints, edges = qualifying rep pairs) — for
+    clique-heavy corpora this is orders of magnitude smaller than the
+    member-pair graph ``dedup_clusters(df, minhash_dedup_pairs(df))``
+    would traverse (intra-clique pairs are quadratic in clique size and
+    contribute nothing to connectivity).  The ``__fp`` membership map
+    then assigns every document the minimum member id of its component.
+    Output: all ``df`` columns + ``cluster_rep``; rows outside the pair
+    graph (including empty documents) are their own singleton cluster.
+    """
+    from sparkall_spark.operators.graph import connected_components
+
+    assert num_hashes % bands == 0
+    ids, rep_pairs, _bcast = _minhash_rep_graph(
+        df, id_col, text_col, ngram, num_hashes, bands, threshold, seed,
+        est_prefilter, broadcast_reps, broadcast_rep_limit,
+    )
+    comps = connected_components(rep_pairs, "fp_a", "fp_b").withColumnRenamed(
+        "node", "__fp"
+    )
+    # every member doc -> component id (its own fp when not in the
+    # graph: identical-set cliques without external edges still cluster
+    # because members share the fp)
+    fp_comp = ids.join(comps, "__fp", "left").withColumn(
+        "comp", F.coalesce(F.col("comp"), F.col("__fp"))
+    )
+    rep_ids = fp_comp.groupBy("comp").agg(F.min("__id").alias("cluster_rep"))
+    doc_cluster = fp_comp.join(rep_ids, "comp").select(
+        F.col("__id").alias(id_col), "cluster_rep"
+    )
+    return df.join(doc_cluster, id_col, "left").withColumn(
+        "cluster_rep", F.coalesce(F.col("cluster_rep"), F.col(id_col))
+    )
 
 
 def minhash_dedup(
@@ -440,6 +663,8 @@ def ngram_jaccard_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    broadcast_reps: bool | None = None,
+    broadcast_rep_limit: int = 100_000,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs via multi-band min-hash blocking.
 
@@ -462,6 +687,8 @@ def ngram_jaccard_pairs(
         bands=bands,
         threshold=threshold,
         seed=seed,
+        broadcast_reps=broadcast_reps,
+        broadcast_rep_limit=broadcast_rep_limit,
     )
 
 

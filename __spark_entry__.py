@@ -1,12 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` covers SURVEY.md §2's operator inventory via the SPARQL
-engine (q01-q15) plus the LLM-data-pipeline extension operators
-(e01-e13: dedup, similarity search, text analysis, RDF ingestion).
-Every query with SQL-expressible semantics has a DuckDB oracle in
-``oracle_sql()``; approximate/blocked ops (LSH candidate generation,
-IVF) are rows-only by design and are verified against exact baselines
-in tests/.
+engine (q-entries, incl. the ported BSBM evaluation shapes and two
+entries routed through the single-SQL backend) plus the
+LLM-data-pipeline extension operators (e-entries: dedup, similarity
+search, text analysis, RDF ingestion, temporal joins, OLAP rollups).
+EVERY entry has a DuckDB oracle in ``oracle_sql()`` — including the
+approximate families (simhash/ngram/LSH/IVF), whose blocking logic is
+mirrored literally in SQL.  The registry is kept at exactly 50 entries
+(the driver's correctness-file cap) so every operator family retains a
+driver-checked row.
 
 Column-name discipline: the driver sorts columns by name before value
 hashing, so every computed column is aliased identically in the Spark
@@ -62,20 +65,10 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         ORDER BY p_name, p_size DESC, p LIMIT 50
         """,
     ),
-    # 2-star inner equi-join
-    "q02_join_two_stars": (
-        """
-        SELECT ?cname ?nname WHERE {
-            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
-            ?n a sa:Nation ; sa:name ?nname .
-        }
-        """,
-        """
-        SELECT c_name AS cname, n_name AS nname
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
-        """,
-    ),
-    # 3-star join + numeric and string filters (mixed ops)
+    # 3-star join + numeric and string filters (mixed ops).
+    # Runs through backend="sql" (the reference's Presto single-SQL
+    # path analog) — see SQL_BACKEND_KEYS below.  The plain 2-star
+    # join shape it subsumes stays covered by tests/test_sqlgen.py.
     "q03_join_filters": (
         """
         SELECT ?cname ?qty ?totalprice WHERE {
@@ -125,7 +118,7 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         """
         SELECT ?flag ?status (SUM(?qty) AS ?sum_qty) (AVG(?price) AS ?avg_price)
                (MIN(?disc) AS ?min_disc) (MAX(?disc) AS ?max_disc)
-               (COUNT(*) AS ?n)
+               (COUNT(*) AS ?n) (COUNT(DISTINCT ?disc) AS ?n_disc)
         WHERE {
             ?l a sa:Lineitem ; sa:returnflag ?flag ; sa:linestatus ?status ;
                sa:quantity ?qty ; sa:extendedprice ?price ; sa:discount ?disc .
@@ -134,27 +127,21 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         """,
         None,  # aggregate rounding handled by wrapper below
     ),
-    # FILTER regex with LIKE semantics (reference: SparkExecutor.scala:180-182)
+    # FILTER regex with LIKE semantics (reference: SparkExecutor.scala:
+    # 180-182) + rlike true-regex extension, both on a pattern that
+    # matches rows (the fixture's part names are '<adj> <noun>' pairs)
     "q06_regex_like": (
         """
         SELECT ?name WHERE {
             ?p a sa:Part ; sa:name ?name .
-            FILTER regex(?name, "%gre%")
+            FILTER regex(?name, "%ol%")
+            FILTER rlike(?name, "^[a-z]+ [a-z]+$")
         }
         """,
-        "SELECT p_name AS name FROM part WHERE p_name LIKE '%gre%'",
-    ),
-    # COUNT(DISTINCT) aggregate
-    "q07_count_distinct": (
         """
-        SELECT ?status (COUNT(DISTINCT ?flag) AS ?n_flags) WHERE {
-            ?l a sa:Lineitem ; sa:returnflag ?flag ; sa:linestatus ?status .
-        }
-        GROUP BY ?status
-        """,
-        """
-        SELECT l_linestatus AS status, count(DISTINCT l_returnflag) AS n_flags
-        FROM lineitem GROUP BY 1
+        SELECT p_name AS name FROM part
+        WHERE p_name LIKE '%ol%'
+          AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')
         """,
     ),
     # global aggregate without GROUP BY
@@ -183,16 +170,6 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         SELECT o_orderkey AS o, o_orderdate AS d FROM orders
         WHERE o_orderdate >= '1996-06-01' AND o_orderdate < '1996-07-01'
         """,
-    ),
-    # FILTER rlike — true regular expressions (extension over reference)
-    "q18_rlike_regex": (
-        """
-        SELECT ?name WHERE {
-            ?p a sa:Part ; sa:name ?name .
-            FILTER rlike(?name, "^p.*[0-9]$")
-        }
-        """,
-        "SELECT p_name AS name FROM part WHERE regexp_matches(p_name, '^p.*[0-9]$')",
     ),
     # SPARQL UNION across two entities (extension; the reference
     # excluded UNION queries from its evaluation, evaluation/README.md:9)
@@ -280,17 +257,23 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         FROM orders WHERE o_totalprice > 400000
         """,
     ),
-    # OPTIONAL -> left outer join (capability extension over the reference)
+    # OPTIONAL -> left outer join, with a FILTER *inside* the OPTIONAL
+    # block: constrains only the optional star pre-join (SPARQL
+    # left-join semantics == SQL LEFT JOIN ... ON key AND cond); a
+    # filter binding a mandatory-star var in there is a parse error
+    # (tests/test_parser_edges.py)
     "q10_optional_left_join": (
         """
         SELECT ?name ?totalprice WHERE {
             ?c a sa:Customer ; sa:name ?name .
-            OPTIONAL { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?totalprice . }
+            OPTIONAL { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?totalprice .
+                       FILTER (?totalprice > 200000) }
         }
         """,
         """
         SELECT c_name AS name, o_totalprice AS totalprice
-        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        FROM customer LEFT JOIN orders
+          ON o_custkey = c_custkey AND o_totalprice > 200000
         """,
     ),
     # TRANSFORM DSL on join columns (scl both sides — result must equal plain join)
@@ -563,6 +546,7 @@ def _q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_disc",
         "max_disc",
         "n",
+        "n_disc",
     )
 
 
@@ -571,7 +555,7 @@ SELECT l_returnflag AS flag, l_linestatus AS status,
        round(sum(l_quantity), 4) AS sum_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        min(l_discount) AS min_disc, max(l_discount) AS max_disc,
-       count(*) AS n
+       count(*) AS n, count(DISTINCT l_discount) AS n_disc
 FROM lineitem GROUP BY 1, 2
 """
 
@@ -984,7 +968,12 @@ FROM scored QUALIFY rank <= 10
 """
 
 
-def _e10_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _e10_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass over documents computing the full text-analysis family:
+    token/char stats, punctuation ratio, n-gram language ID, and the
+    composite quality score (merged e10+e11+e12 so every family member
+    keeps a driver-checked row within the 50-entry correctness budget;
+    all pure Column expressions, zero UDFs)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -992,27 +981,9 @@ def _e10_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.distinct_token_count("text").cast("bigint").alias("n_distinct"),
         X.char_count("text").cast("bigint").alias("n_chars_calc"),
         F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+        X.lang_id("text").alias("lang_pred"),
+        X.quality_score("text").alias("quality"),
     )
-
-
-_E10_ORACLE = """
-SELECT doc_id,
-       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
-         AS n_tokens,
-       len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
-                                     x -> x <> ''))) AS n_distinct,
-       len(text) AS n_chars_calc,
-       CASE WHEN len(text) > 0 THEN
-         round(len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
-               / len(text), 6)
-       ELSE 0.0 END AS punct_ratio
-FROM documents
-"""
-
-
-def _e11_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
 
 
 def _langid_hits(lang: str) -> str:
@@ -1023,28 +994,7 @@ def _langid_hits(lang: str) -> str:
     )
 
 
-_E11_ORACLE = f"""
-WITH h AS (
-  SELECT doc_id,
-         {_langid_hits('en')} AS h_en, {_langid_hits('de')} AS h_de,
-         {_langid_hits('fr')} AS h_fr, {_langid_hits('es')} AS h_es
-  FROM documents)
-SELECT doc_id,
-       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
-            WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
-            WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
-            WHEN h_fr >= h_es THEN 'fr'
-            ELSE 'es' END AS lang_pred
-FROM h
-"""
-
-
-def _e12_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.quality_score("text").alias("quality"))
-
-
-_E12_ORACLE = """
+_E10_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, text,
          len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
@@ -1054,9 +1004,20 @@ WITH t AS (
          CASE WHEN len(text) > 0 THEN
            len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
              / len(text)
-         ELSE 0.0 END AS pr
+         ELSE 0.0 END AS pr,
+         {_langid_hits('en')} AS h_en, {_langid_hits('de')} AS h_de,
+         {_langid_hits('fr')} AS h_fr, {_langid_hits('es')} AS h_es
   FROM documents)
 SELECT doc_id,
+       n_tok AS n_tokens,
+       n_dist AS n_distinct,
+       len(text) AS n_chars_calc,
+       round(pr, 6) AS punct_ratio,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+            WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+            WHEN h_fr >= h_es THEN 'fr'
+            ELSE 'es' END AS lang_pred,
        round(((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
               + (CASE WHEN n_tok > 0 THEN n_dist::DOUBLE / n_tok ELSE 0.0 END)
               + (1.0 - least(pr * 5, 1.0))) / 3, 6) AS quality
@@ -1381,10 +1342,26 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# These entries execute through Engine.sparql(backend="sql") — the
+# reference's Presto single-SQL path analog (compile_sql -> ONE
+# spark.sql statement) — so the driver hash-checks the SQL backend
+# against the DuckDB oracle, not just the DataFrame backend.
+SQL_BACKEND_KEYS = {"q03_join_filters", "q25_bsbm_q1"}
+
+
+def _sparql_sql(text: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).sparql(PREFIX_BLOCK + text, backend="sql")
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (text, _oracle) in SPARQL_QUERIES.items():
-        if name not in ("q05_groupby_aggregates", "q20_having"):
+        if name in SQL_BACKEND_KEYS:
+            out[name] = _sparql_sql(text)
+        elif name not in ("q05_groupby_aggregates", "q20_having"):
             out[name] = _sparql(text)
     out["q05_groupby_aggregates"] = _q05
     out["q20_having"] = _q20_having
@@ -1402,9 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e07_sim_topk_bruteforce"] = _e07_sim_bruteforce
     out["e08_sim_topk_lsh"] = _e08_sim_lsh
     out["e09_sim_topk_ivf"] = _e09_sim_ivf
-    out["e10_text_stats"] = _e10_text_stats
-    out["e11_text_langid"] = _e11_text_langid
-    out["e12_text_quality"] = _e12_text_quality
+    out["e10_text_analysis"] = _e10_text_analysis
     out["e13_rdf_roundtrip"] = _e13_rdf_roundtrip
     out["e14_asof_join"] = _e14_asof_join
     out["e15_window_rank"] = _e15_window_rank
@@ -1440,9 +1415,7 @@ def oracle_sql() -> dict[str, str]:
     out["e07_sim_topk_bruteforce"] = _E07_ORACLE
     out["e08_sim_topk_lsh"] = _e08_oracle_sql()
     out["e09_sim_topk_ivf"] = _e09_oracle_sql()
-    out["e10_text_stats"] = _E10_ORACLE
-    out["e11_text_langid"] = _E11_ORACLE
-    out["e12_text_quality"] = _E12_ORACLE
+    out["e10_text_analysis"] = _E10_ORACLE
     out["e13_rdf_roundtrip"] = _E13_ORACLE
     out["e14_asof_join"] = _E14_ORACLE
     out["e15_window_rank"] = _E15_ORACLE
@@ -1453,5 +1426,4 @@ def oracle_sql() -> dict[str, str]:
     out["e20_pretrain_pipeline"] = _E20_ORACLE
     out["e21_stats_aggregates"] = _E21_ORACLE
     out["e22_dedup_clusters"] = _E22_ORACLE
-    # e04/e05/e08/e09: approximate/blocked by design -> rows-only checks
     return out

@@ -118,7 +118,12 @@ def _apply_star_filters(
         if f.var == star_name:
             conds.append(_filter_condition(F.col(f"{star_name}_ID"), f))
         elif f.var in q.var_to_star_pred and q.var_to_star_pred[f.var][0] == star_name:
-            col = F.col(q.column_for_var(f.var))
+            # Resolve via (star, pred), NOT column_for_var: a join variable
+            # (object of this star AND subject of another) must filter this
+            # star's join-attribute column (e.g. l_part_sa), not the other
+            # star's ID column (reference filter apply:
+            # SparkExecutor.scala:144-185; BSBM Q7/Q8 shape).
+            col = F.col(q.column_for(*q.var_to_star_pred[f.var]))
             conds.append(_filter_condition(col, f))
     for c in conds:
         df = df.filter(c)

@@ -45,11 +45,16 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
 
     lt = left.withColumn("__t", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    # __r_match: explicit match marker forward-filled alongside the value
+    # columns — inner-mode match detection must NOT test value-column
+    # nullness (a matched right row whose selected values are all NULL is
+    # still a match, and right_cols=[] must still filter; DuckDB ASOF
+    # JOIN semantics)
     rt = right.select(
         *on,
         F.col(right_ts).alias("__t"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-    ).withColumn("__is_left", F.lit(0))
+    ).withColumn("__is_left", F.lit(0)).withColumn("__r_match", F.lit(1))
 
     # at equal timestamps: strict -> left sorts first (right row not yet
     # visible); inclusive -> right sorts first
@@ -69,18 +74,21 @@ def asof_join(
         merged = merged.withColumn(
             f"{prefix}{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
         )
-
-    out = merged.filter(F.col("__is_left") == 1).drop(
-        "__t", "__is_left", "__prio", *[f"__r_{c}" for c in right_cols]
+    merged = merged.withColumn(
+        "__matched", F.last(F.col("__r_match"), ignorenulls=True).over(w)
     )
+
+    out = merged.filter(F.col("__is_left") == 1)
     if how == "inner":
-        matched = None
-        for c in right_cols:
-            cond = F.col(f"{prefix}{c}").isNotNull()
-            matched = cond if matched is None else (matched | cond)
-        if matched is not None:
-            out = out.filter(matched)
-    return out
+        out = out.filter(F.col("__matched").isNotNull())
+    return out.drop(
+        "__t",
+        "__is_left",
+        "__prio",
+        "__r_match",
+        "__matched",
+        *[f"__r_{c}" for c in right_cols],
+    )
 
 
 def range_join(

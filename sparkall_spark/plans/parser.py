@@ -490,4 +490,26 @@ def _parse_group(
         star.triples.append(t)
         if t.obj_is_var:
             var_to_star_pred.setdefault(t.obj, (t.subject, t.predicate))
+
+    # Hoisting an OPTIONAL-internal FILTER to a pre-join star filter is
+    # only sound when the filter constrains an *optional* star: applied
+    # to a mandatory star it would eliminate left rows, violating SPARQL
+    # left-join semantics (the reference leaves OPTIONAL unimplemented,
+    # QueryAnalyser.scala:163 TODO; we support it but refuse the shapes
+    # we would silently get wrong).
+    for f in optional_filters:
+        if f.var in stars:
+            bound_star = f.var
+        elif f.var in var_to_star_pred:
+            bound_star = var_to_star_pred[f.var][0]
+        else:
+            raise SparqlParseError(
+                f"FILTER inside OPTIONAL references unbound variable ?{f.var}"
+            )
+        if bound_star not in optional_subjects:
+            raise SparqlParseError(
+                f"FILTER on ?{f.var} inside OPTIONAL binds to mandatory star "
+                f"?{bound_star}; hoisting it would break left-join semantics "
+                "— move the FILTER outside the OPTIONAL block"
+            )
     return stars, var_to_star_pred, filters, optional_subjects

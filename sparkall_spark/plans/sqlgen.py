@@ -170,7 +170,9 @@ def _star_subquery(
         elif (
             f.var in q.var_to_star_pred and q.var_to_star_pred[f.var][0] == star_name
         ):
-            conds.append(_filter_sql(_q(q.column_for_var(f.var)), f))
+            # join variables resolve via (star, pred) — see executor.py
+            # _apply_star_filters for the BSBM Q7/Q8 rationale
+            conds.append(_filter_sql(_q(q.column_for(*q.var_to_star_pred[f.var])), f))
     all_conds = conds + row_filters
     # wrap once so every condition references output aliases (Catalyst
     # pushes the predicates back into the scan regardless)

@@ -1,5 +1,7 @@
+import pytest
+
 from sparkall_spark.plans.model import split_iri
-from sparkall_spark.plans.parser import RDF_TYPE, parse_sparql
+from sparkall_spark.plans.parser import RDF_TYPE, SparqlParseError, parse_sparql
 from sparkall_spark.plans.planner import plan_query
 
 Q_BASIC = """
@@ -132,6 +134,64 @@ def test_optional_block():
     assert q.optional_stars == {"o"}
     plan = plan_query(q)
     assert any(e.left_outer for e in plan.join_edges)
+
+
+def test_optional_filter_on_optional_var_hoists():
+    q = parse_sparql(
+        """
+        PREFIX sa: <http://sparkall.io/ns/>
+        SELECT ?name ?oprice WHERE {
+            ?c a sa:Customer . ?c sa:name ?name .
+            OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
+                       ?o sa:totalprice ?oprice . FILTER (?oprice > 100) }
+        }
+        """
+    )
+    assert any(f.var == "oprice" for f in q.filters)
+
+
+def test_optional_filter_on_mandatory_var_rejected():
+    """A FILTER inside OPTIONAL that binds to a mandatory star cannot be
+    hoisted pre-join without breaking left-join semantics — parse error."""
+    with pytest.raises(SparqlParseError, match="mandatory star"):
+        parse_sparql(
+            """
+            PREFIX sa: <http://sparkall.io/ns/>
+            SELECT ?name WHERE {
+                ?c a sa:Customer . ?c sa:name ?name . ?c sa:acctbal ?bal .
+                OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
+                           FILTER (?bal > 100) }
+            }
+            """
+        )
+
+
+def test_optional_filter_on_mandatory_subject_rejected():
+    with pytest.raises(SparqlParseError, match="mandatory star"):
+        parse_sparql(
+            """
+            PREFIX sa: <http://sparkall.io/ns/>
+            SELECT ?name WHERE {
+                ?c a sa:Customer . ?c sa:name ?name .
+                OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
+                           FILTER (?c = 5) }
+            }
+            """
+        )
+
+
+def test_optional_filter_on_unbound_var_rejected():
+    with pytest.raises(SparqlParseError, match="unbound"):
+        parse_sparql(
+            """
+            PREFIX sa: <http://sparkall.io/ns/>
+            SELECT ?name WHERE {
+                ?c a sa:Customer . ?c sa:name ?name .
+                OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
+                           FILTER (?ghost > 1) }
+            }
+            """
+        )
 
 
 def test_type_triple_not_a_column():

@@ -69,6 +69,17 @@ SHAPES = {
             { ?s a sa:Supplier ; sa:name ?name . }
         }
     """,
+    # BSBM Q7/Q8 shape: FILTER on a *join variable* — ?p is both an
+    # object of star ?l (sa:part) and the subject of star ?p.  Must
+    # resolve to l_part_sa on star l and p_ID on star p (regression for
+    # the r2 UNRESOLVED_COLUMN bug in both backends).
+    "join_var_filter": """
+        SELECT ?pname ?qty WHERE {
+            ?l a sa:Lineitem ; sa:part ?p ; sa:quantity ?qty .
+            ?p a sa:Part ; sa:name ?pname .
+            FILTER (?p = 9)
+        }
+    """,
     "subject_projection": """
         SELECT ?o ?totalprice WHERE {
             ?o a sa:Orders ; sa:totalprice ?totalprice .

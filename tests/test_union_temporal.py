@@ -119,6 +119,44 @@ def test_asof_join_left_keeps_unmatched(spark, sf_dir):
     assert left.count() - inner.count() == n_users
 
 
+def test_asof_inner_matches_all_null_right_values(spark):
+    """A matched right row whose selected value columns are all NULL is
+    still a match — inner must keep the left row (match detection via
+    the explicit __r_match marker, not value nullness)."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, None)], "k int, ts int, v string"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v"], strict=True, how="inner",
+    )
+    rows = sorted((r["ts"], r["asof_v"]) for r in out.collect())
+    assert rows == [(10, None), (20, None)]
+
+
+def test_asof_inner_with_no_right_cols_still_filters(spark):
+    """right_cols=[] must not silently degrade inner to left semantics:
+    left rows before any right row are dropped."""
+    left = spark.createDataFrame(
+        [(1, 1), (1, 10)], "k int, ts int"
+    )
+    right = spark.createDataFrame([(1, 5)], "k int, ts int")
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=[], strict=True, how="inner",
+    )
+    assert [r["ts"] for r in out.collect()] == [10]
+    # and left mode keeps both
+    out_l = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=[], strict=True, how="left",
+    )
+    assert sorted(r["ts"] for r in out_l.collect()) == [1, 10]
+
+
 def test_range_join(spark, duck, sf_dir):
     """Points (events) into per-user hour intervals built from events."""
     ev = load_table(spark, sf_dir, "events")

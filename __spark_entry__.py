@@ -1390,7 +1390,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e20_pretrain_pipeline"] = _e20_pretrain_pipeline
     out["e21_stats_aggregates"] = _e21_stats_aggregates
     out["e22_dedup_clusters"] = _e22_dedup_clusters
-    return out
+
+    # Entry teardown: the dedup/graph operators persist intermediates
+    # that must outlive their call (the driver consumes results lazily).
+    # Releasing the PREVIOUS entry's caches when the next entry starts
+    # keeps cached-RDD count flat across the 50-entry run
+    # (tests/test_dedup.py::test_no_cache_growth_across_entries).
+    def _with_teardown(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from sparkall_spark.operators._cache import release_caches
+
+            release_caches()
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _with_teardown(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:

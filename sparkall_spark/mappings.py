@@ -309,7 +309,16 @@ def _resolve_function_map(
             stacklevel=3,
         )
         return None
-    params.sort(key=lambda kv: kv[0])  # grel:valueParam1 < valueParam2 ...
+    # Natural sort on the trailing digits of the predicate local name:
+    # lexicographic order puts valueParam10 before valueParam2, and mixed
+    # param vocabularies (which the reference tolerates) would get
+    # arbitrary order.  Un-numbered predicates fall back to document
+    # order (stable sort preserves the POM sequence).
+    def _param_key(kv: tuple[str, str]) -> tuple[int, int]:
+        m = re.search(r"(\d+)$", _local_name(kv[0]))
+        return (0, int(m.group(1))) if m else (1, 0)
+
+    params.sort(key=_param_key)
     attr = params[0][1]
     args = [p for _, p in params[1:]]
     dsl = f"{fn}({','.join(args)})" if args else fn

@@ -1,0 +1,37 @@
+"""Shared registry for operator-persisted intermediates.
+
+Iterative/multi-pass operators (dedup, connected components) persist
+intermediates that outlive the operator call — the caller consumes the
+result lazily, so the operator cannot unpersist eagerly.  They register
+every persist here instead; a long-lived session (or the driver-entry
+harness) calls :func:`release_caches` between units of work so cached
+RDDs do not accumulate across queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_PERSISTED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """``df.persist()`` + register for a later :func:`release_caches`."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def register(df: DataFrame) -> DataFrame:
+    """Register an already-persisted frame for release."""
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every tracked intermediate registered so far."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass

@@ -89,24 +89,13 @@ def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
 
 
 # Persisted intermediates registered by the dedup/cluster builders; a
-# long-lived session can release them once results are consumed
-# (callers: sparkall_spark.operators.dedup.release_caches()).
-_PERSISTED: list = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _PERSISTED.append(df)
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every intermediate cached by dedup operators so far."""
-    while _PERSISTED:
-        try:
-            _PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+# long-lived session can release them once results are consumed.
+# Registry shared with the graph operators (operators/_cache.py); the
+# driver-entry harness releases between entries.
+from sparkall_spark.operators._cache import (  # noqa: E402
+    persist_tracked as _persist,
+    release_caches,
+)
 
 
 def exact_dedup(
@@ -463,7 +452,13 @@ def minhash_dedup_pairs(
     # each cluster share one token set, so the jaccard carries over
     ids_a = ids.select(F.col("__fp").alias("fp_a"), F.col("__id").alias("ida"))
     ids_b = ids.select(F.col("__fp").alias("fp_b"), F.col("__id").alias("idb"))
-    if bcast:  # ids is the same order of magnitude as reps
+    # `ids` is MEMBER-level: in clique-heavy corpora it is unbounded
+    # relative to reps (the rep collapse exists precisely because members
+    # >> reps), so the rep-count broadcast decision must NOT be reused
+    # here.  Gate the hint on the member count itself (cheap: `ids` is
+    # backed by the persisted `keyed`); above the bound, leave the join
+    # strategy to AQE's runtime size stats.
+    if bcast and ids.count() <= broadcast_rep_limit:
         ids_a, ids_b = F.broadcast(ids_a), F.broadcast(ids_b)
     expanded = (
         rep_pairs.join(ids_a, "fp_a")

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from sparkall_spark.operators._cache import register as _register_cache
+
 
 def connected_components(
     edges: DataFrame,
@@ -75,7 +77,9 @@ def connected_components(
         if changed == 0:
             break
     both.unpersist()
-    return labels
+    # the final label frame stays persisted for the caller's consumption;
+    # register it so release_caches() can reclaim it afterwards
+    return _register_cache(labels)
 
 
 def dedup_clusters(

@@ -9,12 +9,14 @@ corpora on Spark:
   ``mapInPandas`` stages so each Python worker touches a whole batch of
   payloads at once, and the *schema contract* of every stage is
   explicit — downstream stages keep composing as DataFrames;
-- the actual codec work (PIL/ffmpeg/torchaudio) is NOT available in
-  this container, so the codec boundary is stubbed: a clearly-marked
-  deterministic fake keyed on the payload bytes.  The Spark-side
-  plumbing — schema, partitioning, batch iteration, UDF signatures —
-  is real and tested; swapping the fake for a real codec changes one
-  function body and zero plan shape.
+- container-header decoding (dimensions, channels, mime) is REAL pure
+  Python (``parse_image_header``: PNG/GIF/BMP/JPEG) — no native codec
+  needed; only the *pixel-level* work (mean luma, perceptual hash,
+  resize, frame extraction) still requires PIL/ffmpeg, which is absent
+  in this container, so those fields/stages remain clearly-marked
+  deterministic fakes.  The Spark-side plumbing — schema, partitioning,
+  batch iteration, UDF signatures — is real and tested; swapping a fake
+  for a real codec changes one function body and zero plan shape.
 """
 
 from __future__ import annotations
@@ -58,28 +60,118 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 _REAL_CODECS = False  # flips when PIL/ffmpeg are installed
 
 
+def parse_image_header(payload: bytes) -> dict | None:
+    """REAL (pure-Python, no native deps) container-header parse for the
+    common image formats: returns true ``width``/``height``/``channels``
+    and ``mime``, or None when the magic bytes match no known format.
+
+    Formats: PNG (IHDR), GIF87a/89a (logical screen descriptor), BMP
+    (BITMAPINFOHEADER), JPEG (SOF segment scan).  Header parsing needs
+    no pixel codec, so this part of the decode stage is not a stub.
+    """
+    if not payload or len(payload) < 14:
+        return None
+    # PNG: 8-byte signature, IHDR is always the first chunk
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 26:
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        color_type = payload[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return {
+            "width": width, "height": height,
+            "channels": channels, "mime": "image/png",
+        }
+    # GIF: logical screen descriptor right after the 6-byte version tag
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return {
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+            "channels": 3,
+            "mime": "image/gif",
+        }
+    # BMP: BITMAPINFOHEADER (the near-universal variant)
+    if payload[:2] == b"BM" and len(payload) >= 30:
+        return {
+            "width": abs(int.from_bytes(payload[18:22], "little", signed=True)),
+            "height": abs(int.from_bytes(payload[22:26], "little", signed=True)),
+            "channels": max(1, int.from_bytes(payload[28:30], "little") // 8),
+            "mime": "image/bmp",
+        }
+    # JPEG: walk the segment chain to the first SOF marker
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return {
+                    "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    "channels": payload[i + 9],
+                    "mime": "image/jpeg",
+                }
+            i += 2 + seg_len
+    return None
+
+
 def attach_metadata(df: DataFrame, id_col: str, payload_col: str, modality: str) -> DataFrame:
-    """Wrap a raw binary column into the canonical media schema."""
+    """Wrap a raw binary column into the canonical media schema.
+
+    The mime type is sniffed from the payload's magic bytes with pure
+    Column expressions (JVM-side, no UDF): unknown magics fall back to
+    ``<modality>/unknown``.
+    """
+    p = F.col(payload_col)
+    mime = (
+        F.when(p.substr(1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "image/png")
+        .when(
+            (p.substr(1, 6) == F.lit(b"GIF87a"))
+            | (p.substr(1, 6) == F.lit(b"GIF89a")),
+            "image/gif",
+        )
+        .when(p.substr(1, 2) == F.lit(b"BM"), "image/bmp")
+        .when(p.substr(1, 2) == F.lit(b"\xff\xd8"), "image/jpeg")
+        .when(p.substr(1, 4) == F.lit(b"RIFF"), "audio/wav")
+        .otherwise(F.lit(f"{modality}/unknown"))
+    )
     return df.select(
         F.col(id_col).cast("bigint").alias("media_id"),
-        F.col(payload_col).alias("payload"),
+        p.alias("payload"),
         F.struct(
             F.lit(modality).alias("modality"),
-            F.lit(f"{modality}/unknown").alias("mime"),
-            F.length(F.col(payload_col)).cast("bigint").alias("n_bytes"),
+            mime.alias("mime"),
+            F.length(p).cast("bigint").alias("n_bytes"),
         ).alias("meta"),
     )
 
 
 def _fake_decode(payload: bytes) -> dict:
-    """STUB: deterministic fake image decode keyed on the payload hash.
-
-    Replace with PIL ``Image.open(io.BytesIO(payload))`` when the codec
-    libraries exist.  Raises for None payloads like a real decoder.
+    """Image decode: container-header fields are REAL (parse_image_header
+    — true width/height/channels for PNG/GIF/BMP/JPEG bytes); the
+    pixel-level fields (mean_luma, phash) still require a full pixel
+    codec (PIL), which is absent here, so they remain a clearly-marked
+    deterministic fake keyed on the payload hash.  Raises for None
+    payloads like a real decoder.
     """
     if payload is None:
         raise ValueError("cannot decode empty payload")
     h = hashlib.sha256(payload).digest()
+    hdr = parse_image_header(payload)
+    if hdr is not None:
+        return {
+            "width": hdr["width"],
+            "height": hdr["height"],
+            "channels": hdr["channels"],
+            # STUB fields: need pixel data
+            "mean_luma": h[2] / 255.0,
+            "phash": int.from_bytes(h[3:11], "big", signed=True),
+        }
     return {
         "width": 64 + h[0] % 193,
         "height": 64 + h[1] % 193,

@@ -146,21 +146,31 @@ def _star_subquery(
         view = f"src_{m.name.lower()}_{m_idx}" if len(sources) > 1 else f"src_{m.name.lower()}"
         views[view] = m
         cols = []
+        branch_filters: list[str] = []  # this source's mapping-declared filters
         for out_col, attr, pred in [(f"{star_name}_ID", m.id_attr, None)] + [
             (q.column_for(star_name, p), m.predicates[p], p)
             for p in sorted(plan.needed_preds[star_name])
         ]:
             expr = _q(attr)
-            # mapping-declared (RML FnO) transforms first, then inline
-            # TRANSFORM clauses — same order as the DataFrame backend
-            fns = list(m.transforms.get(pred, ())) if pred else []
-            fns.extend(col_transforms.get(out_col, []))
-            for fn in fns:
+            # mapping-declared (RML FnO) transforms are per-source: their
+            # row filters (skp) must apply inside THIS branch's SELECT,
+            # matching the DataFrame backend's per-source raw.filter
+            # (executor.py); inline TRANSFORM clauses are identical
+            # across sources, so their filter is emitted once at the
+            # union level (m_idx == 0)
+            for fn in m.transforms.get(pred, ()) if pred else ():
+                expr, flt = _transform_sql(expr, fn)
+                if flt:
+                    branch_filters.append(f"{expr} {flt}")
+            for fn in col_transforms.get(out_col, []):
                 expr, flt = _transform_sql(expr, fn)
                 if flt and m_idx == 0:  # one filter per column, not per source
                     row_filters.append(f"{_q(out_col)} {flt}")
             cols.append(f"{expr} AS {_q(out_col)}")
-        selects.append(f"SELECT {', '.join(cols)} FROM {_q(view)}")
+        sel = f"SELECT {', '.join(cols)} FROM {_q(view)}"
+        if branch_filters:
+            sel += " WHERE " + " AND ".join(branch_filters)
+        selects.append(sel)
     body = "\nUNION ALL\n".join(selects)
 
     conds = []

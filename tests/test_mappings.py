@@ -176,6 +176,64 @@ def test_rml_fno_unknown_function_warns_and_skips():
     assert any("greaterThan" in str(w.message) for w in caught)
 
 
+def test_rml_fno_param_order_is_natural_not_lexicographic():
+    """grel:valueParam10 must sort AFTER valueParam2 (trailing-digit
+    natural sort): lexicographic order would swap substitute()'s
+    arguments."""
+    import tempfile
+
+    ttl = """
+@prefix rr: <http://www.w3.org/ns/r2rml#>
+@prefix rml: <http://semweb.mmlab.be/ns/rml#>
+@prefix nosql: <http://purl.org/db/nosql#>
+@prefix fnml: <http://semweb.mmlab.be/ns/fnml#>
+@prefix fno: <https://example.com/fno/voc#>
+@prefix grel: <https://example.com/grel/voc#>
+@prefix sa: <http://sparkall.io/ns/>
+
+<#ThingMapping>
+	rml:logicalSource [
+		rml:source "/tmp/t.parquet";
+		nosql:store nosql:parquet
+	];
+	rr:subjectMap [
+		rr:template "http://x/{id}";
+		rr:class sa:Thing
+	];
+	rr:predicateObjectMap [
+		rr:predicate sa:v;
+		rr:objectMap [rml:reference <#FunctionMap>]
+	].
+
+<#FunctionMap>
+ fnml:functionValue [
+   rml:logicalSource "/tmp/t.parquet" ;
+   rr:predicateObjectMap [
+     rr:predicate fno:executes ;
+     rr:objectMap [rr:constant grel:substitute] ] ;
+   rr:predicateObjectMap [
+     rr:predicate grel:valueParam10 ;
+     rr:objectMap [rr:reference "NEW"]
+   ] ;
+   rr:predicateObjectMap [
+     rr:predicate grel:valueParam2 ;
+     rr:objectMap [rr:reference "OLD"]
+   ] ;
+   rr:predicateObjectMap [
+     rr:predicate grel:valueParam1 ;
+     rr:objectMap [rr:reference "attr"]
+   ] ;
+ ] .
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".ttl", delete=False) as f:
+        f.write(ttl)
+        path = f.name
+    idx = load_rml(path)
+    (m,) = idx.mappings
+    assert m.predicates[NS + "v"] == "attr"
+    assert m.transforms[NS + "v"] == ("substit(OLD,NEW)",)
+
+
 def test_rml_fno_end_to_end_both_backends(spark, duck):
     """The mapping-file transform route must agree with the oracle AND
     across both backends (scan-time scl on acctbal, skp row filter on

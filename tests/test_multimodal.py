@@ -37,6 +37,80 @@ def test_decode_images_deterministic_and_null_safe(media):
     assert rows[3]["width"] is None
 
 
+def _png_bytes(width: int, height: int) -> bytes:
+    """A complete, valid PNG (8-bit RGB, zlib-compressed zero pixels)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00\x00\x00" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gif_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def _bmp_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    info = struct.pack("<IiiHH", 40, width, height, 1, 24) + b"\x00" * 24
+    return b"BM" + b"\x00" * 12 + info
+
+
+def _jpeg_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 3)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_real_header_decode_true_dimensions(spark):
+    """PNG/GIF/BMP/JPEG container headers are parsed for REAL — the
+    decode stage returns the true dimensions, channels, and mime."""
+    raw = spark.createDataFrame(
+        [
+            (1, bytearray(_png_bytes(320, 200))),
+            (2, bytearray(_gif_bytes(101, 57))),
+            (3, bytearray(_bmp_bytes(640, 480))),
+            (4, bytearray(_jpeg_bytes(1920, 1080))),
+        ],
+        ["id", "blob"],
+    )
+    media = M.attach_metadata(raw, "id", "blob", "image")
+    mimes = {r["media_id"]: r["meta"]["mime"] for r in media.collect()}
+    assert mimes == {
+        1: "image/png", 2: "image/gif", 3: "image/bmp", 4: "image/jpeg",
+    }
+    feats = {r["media_id"]: r for r in M.decode_images(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["channels"]) == (320, 200, 3)
+    assert (feats[2]["width"], feats[2]["height"]) == (101, 57)
+    assert (feats[3]["width"], feats[3]["height"], feats[3]["channels"]) == (640, 480, 3)
+    assert (feats[4]["width"], feats[4]["height"], feats[4]["channels"]) == (1920, 1080, 3)
+
+
+def test_parse_image_header_rejects_unknown():
+    assert M.parse_image_header(b"not an image, just text bytes") is None
+    assert M.parse_image_header(None) is None
+    assert M.parse_image_header(b"\x89PNG") is None  # truncated
+
+
 def test_resize_is_explicit_stub(media):
     with pytest.raises(NotImplementedError):
         M.resize_images(media, 224, 224)

@@ -1,0 +1,106 @@
+"""Skew/scale stress: the dedup pipeline must stay near-linear on the
+two classic web-corpus skew shapes — a huge exact-duplicate clique and a
+hot LSH band of mutual near-duplicates — and the entry harness must not
+accumulate cached RDDs across repeated runs (docs/SCALE.md's claims,
+asserted)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkall_spark.operators import dedup as D
+from tests.conftest import SF_DIR
+
+
+def _clique_df(spark, n: int):
+    """n exact-duplicate docs + 100 distinct singleton docs."""
+    clique = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact duplicated document body text").alias("text"),
+    )
+    distinct = spark.range(1_000_000, 1_000_100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    return clique.unionByName(distinct)
+
+
+def test_exact_dup_clique_is_skew_proof(spark):
+    """A 10^5-member exact-dup clique: the identical-set collapse means
+    LSH sees ONE representative, so runtime is dominated by the linear
+    fingerprint pass — doubling the clique must not blow up runtime
+    (member pairs would be ~5e9; the clusters path never materializes
+    them)."""
+    # warmup: JIT-compile the codegen'd minhash pipeline once
+    D.minhash_dedup_clusters(_clique_df(spark, 1000)).count()
+    D.release_caches()
+
+    times = {}
+    for n in (50_000, 100_000):
+        t0 = time.monotonic()
+        out = D.minhash_dedup_clusters(_clique_df(spark, n))
+        n_clusters = out.select("cluster_rep").distinct().count()
+        times[n] = time.monotonic() - t0
+        D.release_caches()
+        assert n_clusters == 1 + 100  # one clique cluster + 100 singletons
+    # near-linear: 2x data must stay well under 4x time (generous bound
+    # to absorb scheduler noise; a quadratic clique blowup would be
+    # ~4e9 extra pairs and time out long before this assert)
+    assert times[100_000] <= max(4 * times[50_000], times[50_000] + 5.0)
+
+
+def test_hot_lsh_band_balanced(spark):
+    """500 mutual near-dups (50 shared tokens + 1 unique each, jaccard
+    ~0.96) collide in nearly every band — the candidate join must stay
+    bounded (length-bucketed equi-join, first-matching-band dedup) and
+    the verified pair set must not sit in one dominant partition."""
+    shared = " ".join(f"w{i}" for i in range(50))
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(shared + " u"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    ids, rep_pairs, _ = D._minhash_rep_graph(
+        df, "doc_id", "text", 1, 64, 16, 0.9, 42, False, None, 100_000
+    )
+    per_part = (
+        rep_pairs.withColumn("__p", F.spark_partition_id())
+        .groupBy("__p")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in per_part)
+    assert total == 500 * 499 // 2  # every pair found, exactly once
+    largest = max(r["count"] for r in per_part)
+    # no dominant partition: the biggest slice carries at most ~10x its
+    # fair share (AQE may coalesce small outputs into few partitions, so
+    # compare against the observed mean, not shuffle_partitions)
+    mean = total / len(per_part)
+    assert largest <= 10 * mean
+    D.release_caches()
+
+
+def test_no_cache_growth_across_entries(spark):
+    """Repeated entry runs keep the persistent-RDD count flat: each
+    entry's wrapper releases the previous entry's tracked caches
+    (covers both the dedup registry and the connected-components label
+    frame, which registers its persist on return)."""
+    import __spark_entry__ as E
+    from sparkall_spark.operators.graph import connected_components
+
+    qs = E.queries()
+    e03 = qs["e03_dedup_minhash"]
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    sc = spark.sparkContext
+    counts = []
+    for _ in range(3):
+        e03(spark, SF_DIR).count()  # wrapper releases previous caches
+        connected_components(edges).count()
+        counts.append(sc._jsc.getPersistentRDDs().size())
+    assert counts[-1] <= counts[0]

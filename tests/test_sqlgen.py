@@ -110,6 +110,34 @@ def test_backends_agree(engine, shape):
     assert len(df_rows) > 0
 
 
+def test_mapping_skp_on_second_source_filters_only_that_branch(spark, sf_dir, duck):
+    """A mapping-declared (RML FnO) skp on a NON-first source must filter
+    that source's rows only, in both backends (regression: the sql
+    backend used to keep only the first source's filter and apply it to
+    the whole UNION ALL)."""
+    from tests.conftest import assert_matches_oracle
+
+    from sparkall_spark.fixtures import NS, _m
+    from sparkall_spark.mappings import MappingIndex
+
+    a = _m("Nation", "nation", sf_dir, "n_nationkey", {"name": "n_name"})
+    b = _m("NationB", "nation", sf_dir, "n_nationkey", {"name": "n_name"})
+    b.class_iri = NS + "Nation"
+    b.transforms = {NS + "name": ("skp(NATION_3)",)}
+    engine = Engine(spark, MappingIndex([a, b]))
+    query = PREFIX_BLOCK + "SELECT ?name WHERE { ?n a sa:Nation ; sa:name ?name . }"
+    oracle = """
+        SELECT n_name AS name FROM nation
+        UNION ALL
+        SELECT n_name AS name FROM nation WHERE n_name <> 'NATION_3'
+    """
+    # the skipped value must actually exist or this test is vacuous:
+    # 25 rows unfiltered + 24 from the skp'd source
+    assert engine.sparql(query, backend="sql").count() == 49
+    assert_matches_oracle(engine.sparql(query, backend="dataframe"), duck, oracle)
+    assert_matches_oracle(engine.sparql(query, backend="sql"), duck, oracle)
+
+
 def test_to_sql_is_single_statement(engine):
     sql = engine.to_sql(PREFIX_BLOCK + SHAPES["five_star"])
     assert sql.count("SELECT") >= 5  # one subquery per star + outer

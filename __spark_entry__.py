@@ -981,9 +981,19 @@ def _e10_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.distinct_token_count("text").cast("bigint").alias("n_distinct"),
         X.char_count("text").cast("bigint").alias("n_chars_calc"),
         F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+        X.bpe_token_count("text").cast("bigint").alias("n_bpe"),
         X.lang_id("text").alias("lang_pred"),
         X.quality_score("text").alias("quality"),
     )
+
+
+# the BPE segment count mirrored in DuckDB: identical RE2-compatible
+# pattern, dollar-quoted so the embedded quote needs no escaping
+_BPE_SQL = (
+    "len(regexp_extract_all(text, "
+    "$$'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$"
+    "))::BIGINT"
+)
 
 
 def _langid_hits(lang: str) -> str:
@@ -1013,6 +1023,7 @@ SELECT doc_id,
        n_dist AS n_distinct,
        len(text) AS n_chars_calc,
        round(pr, 6) AS punct_ratio,
+       {_BPE_SQL} AS n_bpe,
        CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
             WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
             WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'

@@ -23,7 +23,7 @@ from sparkall_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
     "q01_filter_order_limit",
-    "q02_join_two_stars",
+    "q26_bsbm_q2",  # 2-star wide join (replaces the removed q02 entry)
     "q04_join_five_stars",
     "q05_groupby_aggregates",
     "q08_topk_groups",
@@ -31,9 +31,9 @@ BENCH_QUERIES = [
     "q15_events_sessions",
     "e01_dedup_exact",
     "e03_dedup_minhash",
+    "e06_dedup_embedding",  # LSH-bucketed embedding near-dup (scale path)
     "e07_sim_topk_bruteforce",
-    "e10_text_stats",
-    "e11_text_langid",
+    "e10_text_analysis",  # merged stats+langid+quality single pass
     "e14_asof_join",
     "e15_window_rank",
     "e17_range_join",

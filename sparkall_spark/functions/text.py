@@ -106,6 +106,24 @@ def quality_score(col: Column | str) -> Column:
     return F.round((length_ok + diversity + punct_ok) / 3, 6)
 
 
+# GPT-2-style pre-tokenizer segmentation (contractions, space-prefixed
+# letter/digit/punctuation runs, whitespace runs).  Deliberately restricted
+# to syntax RE2 also supports (no lookahead) so DuckDB oracles can mirror
+# the count with regexp_extract_all on the identical pattern.
+BPE_SEGMENT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-ish token count: number of GPT-2 pre-tokenizer segments.
+
+    A cheap JVM-side (regexp_count, no UDF) proxy for BPE token counts —
+    the segment count upper-bounds and tracks real BPE vocab counts
+    closely enough for length filtering and cost estimation at corpus
+    scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_SEGMENT_PATTERN))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic rolling polynomial hash of the *normalized* text
     (lowercased, whitespace collapsed): acc = (acc*31 + ascii(char)) % p.

@@ -130,3 +130,29 @@ def test_ngram_jaccard_default_survives_short_docs(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
     sim = D.minhash_dedup_pairs(df, ngram=3, threshold=0.5).collect()
     assert {(r["id_a"], r["id_b"]) for r in sim} == {(1, 2)}
+
+
+def test_bpe_token_count_segments(spark, duck):
+    """GPT-2-style pre-tokenizer segment counts, mirrored in DuckDB on
+    the identical RE2-compatible pattern."""
+    cases = [
+        (1, "hello world"),          # 2 segments
+        (2, "it's fine"),            # it / 's / ' fine' -> 3
+        (3, "a1b2"),                 # a / 1 / b / 2 -> 4
+        (4, "hi, there!"),           # hi / , / ' there' / ! -> 4
+        (5, ""),                     # 0
+    ]
+    df = spark.createDataFrame(cases, ["id", "t"]).select(
+        "id", X.bpe_token_count("t").cast("bigint").alias("n")
+    )
+    got = {r["id"]: r["n"] for r in df.collect()}
+    assert got == {1: 2, 2: 3, 3: 4, 4: 4, 5: 0}
+    oracle = {
+        i: duck.execute(
+            "SELECT len(regexp_extract_all(?, "
+            "$$'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$))",
+            [t],
+        ).fetchone()[0]
+        for i, t in cases
+    }
+    assert got == oracle

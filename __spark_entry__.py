@@ -819,27 +819,47 @@ WHERE a.doc_id < b.doc_id
 
 def _e06_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH-bucketed default (no BroadcastNestedLoopJoin in the plan —
-    # asserted in tests/test_plan_shapes.py); bits=4/tables=16 puts
-    # per-pair recall at threshold 0.8 above 1 - 3e-4, and the fixture's
-    # qualifying-pair set matches the exact oracle.
+    # asserted in tests/test_plan_shapes.py).  The fixture embeddings
+    # have NO natural near-dup pairs (max pairwise cosine ~0.51), so a
+    # threshold entry over the raw table is a vacuous 0-row check;
+    # instead plant near-duplicates in-query — an elementwise affine
+    # copy (x*1.01 + 0.002, cosine ~0.99998 to its source) of every
+    # 50th vector, mirrored exactly in the oracle — and require the
+    # LSH path to find precisely those pairs.  At that cosine the
+    # per-pair miss probability at bits=4/tables=16 is ~1e-38.
     emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(1.01) + F.lit(0.002),
+        ).alias("embedding"),
+    ).filter(F.col("vec_id") % 50 == 0)
+    aug = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
     return D.embedding_neardup_pairs(
-        emb,
-        threshold=0.8,
-        left_filter=F.col("__id") % 25 == 0,
+        aug,
+        threshold=0.95,
+        left_filter=F.col("__id") % 50 == 0,
         bits=4,
         tables=16,
     )
 
 
 _E06_ORACLE = """
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding::DOUBLE[], x -> x * 1.01 + 0.002)
+  FROM embeddings WHERE (vec_id + 100000) % 50 = 0
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]), 6) AS cosine
-FROM embeddings a, embeddings b
-WHERE a.vec_id % 25 = 0 AND a.vec_id < b.vec_id
-  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                   b.embedding::DOUBLE[]), 6) >= 0.8
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM aug a, aug b
+WHERE a.vec_id % 50 = 0 AND a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.95
 """
 
 

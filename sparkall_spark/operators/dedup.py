@@ -719,8 +719,7 @@ def embedding_neardup_pairs(
     cosine`` (rounded 1e-6), id_a < id_b.
     """
     from sparkall_spark.operators.similarity import (
-        _bucket_expr,
-        _hyperplanes,
+        bucket_ids,
         cosine_similarity,
         dot,
         l2_norm,
@@ -747,17 +746,11 @@ def embedding_neardup_pairs(
         )
 
     def banded(d: DataFrame) -> DataFrame:
-        entries = [
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _bucket_expr(
-                    F.col("__v"), _hyperplanes(dim, bits, t, seed)
-                ).alias("bkt"),
-            )
-            for t in range(tables)
-        ]
-        return d.select("__id", F.explode(F.array(*entries)).alias("e")).select(
-            "__id", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt")
+        return d.select(
+            "__id",
+            F.posexplode(bucket_ids(F.col("__v"), dim, bits, tables, seed)).alias(
+                "tbl", "bkt"
+            ),
         )
 
     cand = (

@@ -15,13 +15,18 @@ Two paths (extension — no reference analog):
   iterations, deterministic) assign each vector to a cell; queries probe
   the ``nprobe`` nearest cells.
 
-All vector math is Column-expression based (zip_with + aggregate), no
-Python in the row path.
+Pairwise vector math (dot products, norms, cosine rescoring) is
+Column-expression based (zip_with + aggregate).  The one exception is
+LSH bucket assignment, which is a matrix multiply against all
+tables*bits hyperplanes at once — that ships as an Arrow-batched
+Pandas UDF (:func:`bucket_ids`), since evaluating it through
+interpreted higher-order functions costs seconds per thousand rows.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -109,16 +114,76 @@ def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> np.ndarray:
 
 
 def _bucket_expr(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id for one hash table: JVM-side dot products
-    against literal hyperplane arrays folded into a bigint."""
-    bucket = F.lit(0).cast("bigint")
-    for i, row in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in row])
+    """Sign-bit bucket id for one hash table (bucket = sum_i bit_i<<i):
+    JVM-side dot products against literal hyperplanes folded into a
+    bigint.
+
+    The planes ship as ONE nested-array literal and fold via
+    higher-order functions, keeping the expression tree O(1) in
+    bits*dim — the earlier unrolled per-coefficient-literal form made
+    Catalyst compile megabyte-scale codegen units (~7 s planning at
+    bits=4/tables=16, >60 s at bits=12/tables=48).  Folding MSB-first
+    over the *reversed* plane list reproduces the bit_i<<i encoding
+    exactly, and ``dot(vec, plane)`` keeps the original operand and
+    summation order, so bucket ids stay bit-identical to the SQL
+    oracles that embed the same literals."""
+    rev = [[float(x) for x in row] for row in reversed(planes)]
+
+    def step(acc: Column, plane: Column) -> Column:
         bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+        return acc * F.lit(2).cast("bigint") + bit
+
+    return F.aggregate(F.lit(rev), F.lit(0).cast("bigint"), step)
+
+
+def bucket_ids(
+    vec: Column, dim: int, bits: int, tables: int, seed: int
+) -> Column:
+    """All per-table sign-LSH bucket ids for ``vec``, as array<bigint>
+    indexed by table (pair with :func:`F.posexplode` to get (tbl, bkt)
+    band entries).
+
+    Arrow-vectorized: one numpy matmul per batch computes every
+    (table, bit) dot product at once.  The Column-expression form
+    (:func:`_bucket_expr`) evaluates the same dots one boxed element at
+    a time through interpreted higher-order functions — ~4 s per 2k
+    rows of dim 64 at bits=12/tables=48, where the matmul takes
+    milliseconds; this is the legitimate Pandas-UDF case (no built-in
+    expresses a matrix multiply).  Bucket ids match ``_bucket_expr``
+    bit-for-bit except on dots within float-summation-order distance of
+    zero (measure-zero for continuous data; asserted equal on the test
+    fixtures in tests/test_similarity.py).  Rows whose vector is null
+    or not ``dim`` long land in bucket 0 of every table, matching the
+    expression path's null-propagation.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.stack([_hyperplanes(dim, bits, t, seed) for t in range(tables)])
+    weight_t = planes.reshape(tables * bits, dim).T.copy()
+    bit_weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _all_buckets(vs: pd.Series) -> pd.Series:
+        res: list = [None] * len(vs)
+        good_idx: list[int] = []
+        good_vecs: list = []
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                good_idx.append(i)
+                good_vecs.append(v)
+            else:
+                res[i] = [0] * tables
+        if good_vecs:
+            mat = np.asarray(good_vecs, dtype=np.float64)
+            sgn = (mat @ weight_t) >= 0
+            ids = sgn.reshape(len(good_vecs), tables, bits) @ bit_weights
+            for j, i in enumerate(good_idx):
+                res[i] = ids[j].tolist()
+        return pd.Series(res)
+
+    return _all_buckets(vec)
 
 
 def lsh_topk(
@@ -150,16 +215,12 @@ def lsh_topk(
     ).withColumn("__qn", l2_norm(F.col("__qv")))
 
     def banded(df: DataFrame, vcol: str) -> DataFrame:
-        entries = [
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _bucket_expr(F.col(vcol), _hyperplanes(dim, bits, t, seed)).alias("bkt"),
-            )
-            for t in range(tables)
-        ]
         return df.select(
-            *df.columns, F.explode(F.array(*entries)).alias("e")
-        ).select(*df.columns, F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
+            *df.columns,
+            F.posexplode(bucket_ids(F.col(vcol), dim, bits, tables, seed)).alias(
+                "tbl", "bkt"
+            ),
+        )
 
     cb = banded(c, "__cv")
     qb = banded(q, "__qv")

@@ -69,3 +69,54 @@ def test_cosine_self_similarity(spark, sf_dir):
     )
     for r in df.collect():
         assert abs(r["c"] - 1.0) < 1e-5
+
+
+def test_bucket_ids_matches_expression_path(spark, sf_dir):
+    """The vectorized (numpy matmul) bucket assignment must agree with
+    the Column-expression form the SQL oracles mirror, bit-for-bit, on
+    the fixture embeddings (divergence is only possible for dots within
+    float-rounding distance of zero)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = emb.select(
+        F.col("vec_id").alias("__id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    )
+    dim, bits, tables, seed = 64, 4, 16, 42
+    fast = v.select(
+        "__id",
+        F.posexplode(S.bucket_ids(F.col("__v"), dim, bits, tables, seed)).alias(
+            "tbl", "bkt"
+        ),
+    )
+    slow = v.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        S._bucket_expr(
+                            F.col("__v"), S._hyperplanes(dim, bits, t, seed)
+                        ).alias("bkt"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("e"),
+    ).select("__id", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_bucket_ids_null_and_ragged_vectors(spark):
+    """Null / wrong-length vectors land in bucket 0 of every table —
+    the same place the expression path's null-propagation puts them."""
+    rows = [(1, [0.5] * 64), (2, None), (3, [0.5] * 3)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = df.select(
+        "id", F.posexplode(S.bucket_ids(F.col("v"), 64, 4, 2, 42)).alias("tbl", "bkt")
+    )
+    got = {(r["id"], r["tbl"]): r["bkt"] for r in out.collect()}
+    assert got[(2, 0)] == 0 and got[(2, 1)] == 0
+    assert got[(3, 0)] == 0 and got[(3, 1)] == 0
+    assert len(got) == 6

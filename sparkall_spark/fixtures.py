@@ -23,14 +23,26 @@ NS = "http://sparkall.io/ns/"
 PREFIX_BLOCK = f"PREFIX sa: <{NS}>\n"
 
 
+def _normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp to TimestampType regardless of how
+    the generator wrote it: TIMESTAMP(NANOS) read as long (truncate to
+    micros — DuckDB's TIMESTAMP does the same truncation, keeping
+    oracles aligned), or TIMESTAMP_NTZ (cast; session tz is UTC so the
+    wall-clock values match DuckDB's naive timestamps)."""
+    t = dict(df.dtypes).get(col)
+    if t == "bigint":
+        return df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    if t == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _read_events_parquet(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
-    """Custom reader (registered below) for the nanos-timestamp events
-    table — demonstrates the reader-registry extension point."""
+    """Custom reader (registered below) for the events table's
+    generator-dependent timestamp encoding — demonstrates the
+    reader-registry extension point."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(mapping.source)
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    return _normalize_event_ts(spark.read.parquet(mapping.source))
 
 
 def _m(name: str, table: str, sf_dir: str, id_attr: str,
@@ -52,16 +64,12 @@ register_reader("events_parquet", _read_events_parquet)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table, papering over the events table's
-    nanosecond timestamps (Spark's parquet reader rejects
-    TIMESTAMP(NANOS); read as long, truncate to micros — DuckDB's
-    TIMESTAMP does the same truncation, keeping oracles aligned)."""
+    """Read one fixture table, normalizing the events table's
+    generator-dependent timestamp encoding (nanos-as-long or
+    TIMESTAMP_NTZ) to plain TimestampType — see _normalize_event_ts."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        return _normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

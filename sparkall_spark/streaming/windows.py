@@ -117,10 +117,9 @@ def stream_events(
         .parquet(path)
     )
     if ts_nanos_col:
-        df = df.withColumn(
-            ts_nanos_col,
-            F.timestamp_micros((F.col(ts_nanos_col) / 1000).cast("long")),
-        )
+        from sparkall_spark.fixtures import _normalize_event_ts
+
+        df = _normalize_event_ts(df, ts_nanos_col)
     return df
 
 

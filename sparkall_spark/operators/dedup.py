@@ -157,8 +157,8 @@ def _minhash_rep_graph(
     broadcast_reps: bool | None,
     broadcast_rep_limit: int,
 ) -> tuple[DataFrame, DataFrame, bool]:
-    """Shared minhash-LSH core: returns (ids, rep_pairs, broadcast)
-    where ``ids``
+    """Shared minhash-LSH core: returns (ids, rep_pairs, broadcast,
+    broadcast_members) where ``ids``
     maps member ``__id`` -> set fingerprint ``__fp`` and ``rep_pairs``
     holds qualifying (fp_a, fp_b, jaccard) representative pairs (exact
     jaccard, id-distinct shingle sets only, no intra-clique pairs).
@@ -207,9 +207,22 @@ def _minhash_rep_graph(
         .select("__fp", "__shh", "__n")
     )
     if broadcast_reps is None:
-        # reps is persisted and needed below anyway; counting it now is
-        # the cheapest reliable size signal (row count, not estimates)
-        broadcast_reps = reps.count() <= broadcast_rep_limit
+        # One aggregate job yields BOTH size signals (keyed is persisted
+        # and needed below anyway): the rep count gates the candidate
+        # join strategy, the member count gates the member-map broadcast
+        # in the expansion join (members >> reps in clique-heavy
+        # corpora, so the rep decision must not be reused there).
+        c = keyed.agg(
+            F.count(F.lit(1)).alias("m"), F.count_distinct("__fp").alias("r")
+        ).first()
+        broadcast_reps = c["r"] <= broadcast_rep_limit
+        broadcast_members = c["m"] <= broadcast_rep_limit
+    else:
+        # Pinned by the caller: True asserts the corpus is small enough
+        # to broadcast BOTH maps (skipping the blocking count job is the
+        # point of pinning); clique-heavy corpora should pass None and
+        # let the counted gate decide.
+        broadcast_members = broadcast_reps
 
     sig = _persist(
         reps.withColumn(
@@ -328,7 +341,7 @@ def _minhash_rep_graph(
             .filter(F.col("jaccard") >= threshold)
             .select("fp_a", "fp_b", "jaccard")
         )
-        return ids, rep_pairs, True
+        return ids, rep_pairs, True, broadcast_members
 
     # no __bhs in the shuffle; probe side carries the exploded bucket
     probe_slim = probe.select("__fp", "band", "bh", "__n", "__pb")
@@ -395,7 +408,7 @@ def _minhash_rep_graph(
         .filter(F.col("jaccard") >= threshold)
         .select("fp_a", "fp_b", "jaccard")
     )
-    return ids, rep_pairs, False
+    return ids, rep_pairs, False, broadcast_members
 
 
 def minhash_dedup_pairs(
@@ -428,7 +441,7 @@ def minhash_dedup_pairs(
             F.lit(1.0).alias("jaccard"),
         ).filter(F.lit(False))
 
-    ids, rep_pairs, bcast = _minhash_rep_graph(
+    ids, rep_pairs, bcast, bcast_members = _minhash_rep_graph(
         df, id_col, text_col, ngram, num_hashes, bands, threshold, seed,
         est_prefilter, broadcast_reps, broadcast_rep_limit,
     )
@@ -453,12 +466,11 @@ def minhash_dedup_pairs(
     ids_a = ids.select(F.col("__fp").alias("fp_a"), F.col("__id").alias("ida"))
     ids_b = ids.select(F.col("__fp").alias("fp_b"), F.col("__id").alias("idb"))
     # `ids` is MEMBER-level: in clique-heavy corpora it is unbounded
-    # relative to reps (the rep collapse exists precisely because members
-    # >> reps), so the rep-count broadcast decision must NOT be reused
-    # here.  Gate the hint on the member count itself (cheap: `ids` is
-    # backed by the persisted `keyed`); above the bound, leave the join
-    # strategy to AQE's runtime size stats.
-    if bcast and ids.count() <= broadcast_rep_limit:
+    # relative to reps, so the rep-count decision is NOT reused here —
+    # the member gate comes from the same single aggregate job (auto
+    # mode) or the caller's pin (see _minhash_rep_graph); above the
+    # bound, AQE's runtime size stats pick the join strategy.
+    if bcast_members:
         ids_a, ids_b = F.broadcast(ids_a), F.broadcast(ids_b)
     expanded = (
         rep_pairs.join(ids_a, "fp_a")
@@ -500,7 +512,7 @@ def minhash_dedup_clusters(
     from sparkall_spark.operators.graph import connected_components
 
     assert num_hashes % bands == 0
-    ids, rep_pairs, _bcast = _minhash_rep_graph(
+    ids, rep_pairs, _bcast, _bcast_members = _minhash_rep_graph(
         df, id_col, text_col, ngram, num_hashes, bands, threshold, seed,
         est_prefilter, broadcast_reps, broadcast_rep_limit,
     )

@@ -64,7 +64,7 @@ def test_hot_lsh_band_balanced(spark):
             F.lit(shared + " u"), F.col("id").cast("string")
         ).alias("text"),
     )
-    ids, rep_pairs, _ = D._minhash_rep_graph(
+    ids, rep_pairs, _, _m = D._minhash_rep_graph(
         df, "doc_id", "text", 1, 64, 16, 0.9, 42, False, None, 100_000
     )
     per_part = (

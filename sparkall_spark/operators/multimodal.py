@@ -46,6 +46,17 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -120,6 +131,130 @@ def parse_image_header(payload: bytes) -> dict | None:
     return None
 
 
+_MP3_BITRATES = [  # kbit/s, MPEG-1 Layer III, index 1..14
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def parse_audio_header(payload: bytes) -> dict | None:
+    """REAL (pure-Python, no native deps) container-header parse for the
+    common audio formats: returns true ``sample_rate``/``channels``/
+    ``bits_per_sample``/``duration_sec`` and ``mime``, or None when the
+    magic bytes match no known format.
+
+    Formats: WAV (RIFF fmt + data chunks), FLAC (STREAMINFO block),
+    OGG/Vorbis (identification header; duration needs the last page's
+    granule position, left None), MP3 (first frame header after an
+    optional ID3v2 tag; duration estimated from the first frame's
+    bitrate — exact for CBR, approximate for VBR).  Header parsing
+    needs no sample codec, so none of these fields are stubs.
+    """
+    if not payload or len(payload) < 12:
+        return None
+    # WAV: RIFF container, walk chunks for fmt (format) and data (size)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate = ch = bits = None
+        data_size = None
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 24 <= len(payload):
+                ch = int.from_bytes(payload[i + 10 : i + 12], "little")
+                rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+                bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+            elif cid == b"data":
+                data_size = clen
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if rate is None:
+            return None
+        dur = (
+            data_size / (rate * ch * max(bits, 1) / 8)
+            if data_size is not None and rate and ch and bits
+            else None
+        )
+        return {
+            "sample_rate": rate, "channels": ch, "bits_per_sample": bits,
+            "duration_sec": dur, "mime": "audio/wav",
+        }
+    # FLAC: STREAMINFO is always the first metadata block (34 bytes)
+    if payload[:4] == b"fLaC" and len(payload) >= 8 + 34:
+        b = payload[8:42]
+        rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+        ch = ((b[12] >> 1) & 0x7) + 1
+        bits = (((b[12] & 0x1) << 4) | (b[13] >> 4)) + 1
+        total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+        return {
+            "sample_rate": rate, "channels": ch, "bits_per_sample": bits,
+            "duration_sec": total / rate if rate and total else None,
+            "mime": "audio/flac",
+        }
+    # OGG: Vorbis identification header lives in the first page's body
+    if payload[:4] == b"OggS":
+        j = payload.find(b"\x01vorbis")
+        if 0 < j < 256 and j + 16 <= len(payload):
+            return {
+                "sample_rate": int.from_bytes(payload[j + 12 : j + 16], "little"),
+                "channels": payload[j + 11],
+                "bits_per_sample": None,  # lossy codec: no fixed width
+                "duration_sec": None,  # needs the last page's granule
+                "mime": "audio/ogg",
+            }
+        return {
+            "sample_rate": None, "channels": None, "bits_per_sample": None,
+            "duration_sec": None, "mime": "audio/ogg",
+        }
+    # MP3: skip ID3v2, then parse the first MPEG-1 Layer III frame header
+    body = payload
+    if body[:3] == b"ID3" and len(body) >= 10:
+        tag = (
+            (body[6] << 21) | (body[7] << 14) | (body[8] << 7) | body[9]
+        )  # syncsafe
+        body = body[10 + tag :]
+    if len(body) >= 4 and body[0] == 0xFF and (body[1] & 0xE0) == 0xE0:
+        if (body[1] & 0x18) == 0x18 and (body[1] & 0x06) == 0x02:  # V1 L3
+            br_idx = body[2] >> 4
+            sr_idx = (body[2] >> 2) & 0x3
+            if 0 < br_idx < 15 and sr_idx < 3:
+                kbps = _MP3_BITRATES[br_idx]
+                mono = (body[3] >> 6) == 0b11
+                return {
+                    "sample_rate": _MP3_RATES[sr_idx],
+                    "channels": 1 if mono else 2,
+                    "bits_per_sample": None,
+                    "duration_sec": len(payload) * 8 / (kbps * 1000),
+                    "mime": "audio/mpeg",
+                }
+    return None
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Decode a media DataFrame into per-clip audio features via
+    mapInPandas.  Header fields are REAL for WAV/FLAC/OGG/MP3
+    (parse_audio_header); unknown containers and null payloads yield
+    null feature rows (decode failures are data, not errors)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "sample_rate", "channels",
+            "bits_per_sample", "duration_sec", "mime",
+        ]
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                feats = parse_audio_header(payload) if payload is not None else None
+                if feats is None:
+                    feats = dict.fromkeys(cols[1:])
+                feats["media_id"] = mid
+                out.append(feats)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def attach_metadata(df: DataFrame, id_col: str, payload_col: str, modality: str) -> DataFrame:
     """Wrap a raw binary column into the canonical media schema.
 
@@ -137,7 +272,13 @@ def attach_metadata(df: DataFrame, id_col: str, payload_col: str, modality: str)
         )
         .when(p.substr(1, 2) == F.lit(b"BM"), "image/bmp")
         .when(p.substr(1, 2) == F.lit(b"\xff\xd8"), "image/jpeg")
-        .when(p.substr(1, 4) == F.lit(b"RIFF"), "audio/wav")
+        .when(
+            (p.substr(1, 4) == F.lit(b"RIFF")) & (p.substr(9, 4) == F.lit(b"WAVE")),
+            "audio/wav",
+        )
+        .when(p.substr(1, 4) == F.lit(b"fLaC"), "audio/flac")
+        .when(p.substr(1, 4) == F.lit(b"OggS"), "audio/ogg")
+        .when(p.substr(1, 3) == F.lit(b"ID3"), "audio/mpeg")
         .otherwise(F.lit(f"{modality}/unknown"))
     )
     return df.select(

@@ -129,3 +129,95 @@ def test_video_frame_sampling_plumbing(media):
         by_media.setdefault(r["media_id"], []).append(r)
     assert set(by_media) == {1, 2, 3}
     assert all(r["frame_ref"].startswith("fake://") for r in rows)
+
+
+def _wav_bytes(rate: int, ch: int, bits: int, n_frames: int) -> bytes:
+    import struct
+
+    data = b"\x00" * (n_frames * ch * bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                      ch * bits // 8, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _flac_bytes(rate: int, ch: int, bits: int, total: int) -> bytes:
+    info = bytearray(34)
+    info[10] = (rate >> 12) & 0xFF
+    info[11] = (rate >> 4) & 0xFF
+    info[12] = ((rate & 0xF) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4)
+    info[13] = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    info[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + b"\x80" + len(info).to_bytes(3, "big") + bytes(info)
+
+
+def _ogg_bytes(rate: int, ch: int) -> bytes:
+    import struct
+
+    page = b"OggS" + b"\x00" * 22 + b"\x01\x1e"  # 1 segment, 30 bytes
+    ident = (b"\x01vorbis" + struct.pack("<IB I", 0, ch, rate)
+             + b"\x00" * 10)
+    return page + ident
+
+
+def _mp3_bytes(n_pad: int = 4000) -> bytes:
+    # ID3v2 tag (10-byte syncsafe size) + one MPEG-1 Layer III frame
+    # header: 128 kbit/s (index 9), 44100 Hz (index 0), joint stereo
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    frame = bytes([0xFF, 0xFB, 0x90, 0x40])
+    return id3 + frame + b"\x00" * n_pad
+
+
+def test_parse_audio_header_real_values():
+    wav = M.parse_audio_header(_wav_bytes(16000, 1, 16, 32000))
+    assert wav["mime"] == "audio/wav"
+    assert (wav["sample_rate"], wav["channels"], wav["bits_per_sample"]) == (
+        16000, 1, 16)
+    assert wav["duration_sec"] == pytest.approx(2.0)
+
+    flac = M.parse_audio_header(_flac_bytes(44100, 2, 16, 441000))
+    assert flac["mime"] == "audio/flac"
+    assert (flac["sample_rate"], flac["channels"], flac["bits_per_sample"]) == (
+        44100, 2, 16)
+    assert flac["duration_sec"] == pytest.approx(10.0)
+
+    ogg = M.parse_audio_header(_ogg_bytes(48000, 2))
+    assert ogg["mime"] == "audio/ogg"
+    assert (ogg["sample_rate"], ogg["channels"]) == (48000, 2)
+
+    mp3 = M.parse_audio_header(_mp3_bytes())
+    assert mp3["mime"] == "audio/mpeg"
+    assert (mp3["sample_rate"], mp3["channels"]) == (44100, 2)
+    assert mp3["duration_sec"] == pytest.approx(
+        len(_mp3_bytes()) * 8 / 128000)
+
+    assert M.parse_audio_header(b"definitely not audio bytes") is None
+    assert M.parse_audio_header(None) is None
+
+
+def test_decode_audio_mapinpandas(spark):
+    raw = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(8000, 2, 16, 8000))),
+            (2, bytearray(_flac_bytes(22050, 1, 24, 22050))),
+            (3, bytearray(_ogg_bytes(44100, 1))),
+            (4, None),
+            (5, bytearray(b"junk payload")),
+        ],
+        ["id", "blob"],
+    )
+    media = M.attach_metadata(raw, "id", "blob", "audio")
+    mimes = {r["media_id"]: r["meta"]["mime"] for r in media.collect()}
+    assert mimes[1] == "audio/wav" and mimes[2] == "audio/flac"
+    assert mimes[3] == "audio/ogg" and mimes[5] == "audio/unknown"
+
+    out = M.decode_audio(media)
+    assert out.schema == M.AUDIO_FEATURES_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["sample_rate"] == 8000 and rows[1]["channels"] == 2
+    assert rows[1]["duration_sec"] == pytest.approx(1.0)
+    assert rows[2]["bits_per_sample"] == 24
+    assert rows[3]["sample_rate"] == 44100
+    assert rows[4]["mime"] is None  # null payload -> null row
+    assert rows[5]["mime"] is None  # unknown container -> null row

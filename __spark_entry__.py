@@ -1004,6 +1004,8 @@ def _e10_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.bpe_token_count("text").cast("bigint").alias("n_bpe"),
         X.lang_id("text").alias("lang_pred"),
         X.quality_score("text").alias("quality"),
+        F.round(X.duplicate_line_ratio("text"), 6).alias("dup_line_ratio"),
+        F.round(X.duplicate_ngram_ratio("text", 2), 6).alias("dup_bigram_ratio"),
     )
 
 
@@ -1036,7 +1038,11 @@ WITH t AS (
              / len(text)
          ELSE 0.0 END AS pr,
          {_langid_hits('en')} AS h_en, {_langid_hits('de')} AS h_de,
-         {_langid_hits('fr')} AS h_fr, {_langid_hits('es')} AS h_es
+         {_langid_hits('fr')} AS h_fr, {_langid_hits('es')} AS h_es,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lf,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS lt
   FROM documents)
 SELECT doc_id,
        n_tok AS n_tokens,
@@ -1051,7 +1057,15 @@ SELECT doc_id,
             ELSE 'es' END AS lang_pred,
        round(((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
               + (CASE WHEN n_tok > 0 THEN n_dist::DOUBLE / n_tok ELSE 0.0 END)
-              + (1.0 - least(pr * 5, 1.0))) / 3, 6) AS quality
+              + (1.0 - least(pr * 5, 1.0))) / 3, 6) AS quality,
+       round(CASE WHEN len(lf) > 0
+             THEN 1.0 - len(list_distinct(lf))::DOUBLE / len(lf)
+             ELSE 0.0 END, 6) AS dup_line_ratio,
+       round(CASE WHEN n_tok - 1 > 0
+             THEN 1.0 - len(list_distinct(list_transform(
+                    range(1, len(lt)), i -> lt[i] || ' ' || lt[i + 1])))::DOUBLE
+                  / (n_tok - 1)
+             ELSE 0.0 END, 6) AS dup_bigram_ratio
 FROM t
 """
 

@@ -124,6 +124,31 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(BPE_SEGMENT_PATTERN))
 
 
+def duplicate_line_ratio(col: Column | str) -> Column:
+    """Fraction of non-empty (trimmed) lines that repeat an earlier line
+    — the Gopher-style boilerplate/repetition signal.  0.0 for documents
+    with no non-empty lines."""
+    c = F.col(col) if isinstance(col, str) else col
+    ls = F.filter(
+        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    return F.when(
+        F.size(ls) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(ls)) / F.size(ls),
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_ngram_ratio(col: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-grams that repeat an earlier n-gram (Gopher's
+    duplicate-n-gram filter signal).  Total n-grams is ``tokens - n + 1``;
+    documents with fewer than ``n`` tokens score 0.0."""
+    total = token_count(col) - (n - 1)
+    distinct = F.size(word_ngrams(col, n))
+    return F.when(
+        total > 0, F.lit(1.0) - distinct / total
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic rolling polynomial hash of the *normalized* text
     (lowercased, whitespace collapsed): acc = (acc*31 + ascii(char)) % p.

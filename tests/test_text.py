@@ -1,3 +1,4 @@
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import assert_matches_oracle
@@ -156,3 +157,49 @@ def test_bpe_token_count_segments(spark, duck):
         for i, t in cases
     }
     assert got == oracle
+
+
+def test_duplicate_line_ratio(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\n\n b "),   # trimmed lines: a,b,a,b -> 2/4 dup
+            (2, "one\ntwo\nthree"),  # all distinct
+            (3, ""),
+            (4, None),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id", F.round(X.duplicate_line_ratio("text"), 6).alias("r")
+        ).collect()
+    }
+    assert out[1] == pytest.approx(0.5)
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+    assert out[4] is None or out[4] == 0.0
+
+
+def test_duplicate_ngram_ratio(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y x y x"),  # 4 bigrams, 2 distinct
+            (2, "a b c d"),    # all distinct
+            (3, "single"),     # < n tokens
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id", F.round(X.duplicate_ngram_ratio("text", 2), 6).alias("r")
+        ).collect()
+    }
+    assert out[1] == pytest.approx(0.5)
+    assert out[2] == 0.0
+    assert out[3] == 0.0

@@ -130,18 +130,27 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
     # FILTER regex with LIKE semantics (reference: SparkExecutor.scala:
     # 180-182) + rlike true-regex extension, both on a pattern that
     # matches rows (the fixture's part names are '<adj> <noun>' pairs)
-    "q06_regex_like": (
+    # BIND computed column (extension; plans/exprs.py) + the regex
+    # LIKE / rlike filter family (LIKE also exercised by q30_bsbm_q6)
+    "q06_bind_rlike": (
         """
-        SELECT ?name WHERE {
+        SELECT ?name ?disc_price WHERE {
+            ?l a sa:Lineitem ; sa:extendedprice ?ep ; sa:discount ?d ;
+               sa:part ?p .
             ?p a sa:Part ; sa:name ?name .
             FILTER regex(?name, "%ol%")
             FILTER rlike(?name, "^[a-z]+ [a-z]+$")
+            BIND(ROUND(?ep * (1 - ?d), 2) AS ?disc_price)
+            FILTER (?disc_price > 50000)
         }
         """,
         """
-        SELECT p_name AS name FROM part
+        SELECT p_name AS name,
+               round(l_extendedprice * (1 - l_discount), 2) AS disc_price
+        FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_name LIKE '%ol%'
           AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')
+          AND round(l_extendedprice * (1 - l_discount), 2) > 50000
         """,
     ),
     # global aggregate without GROUP BY

@@ -298,6 +298,26 @@ _AGG_FNS = {
 }
 
 
+def _apply_binds(df: DataFrame, q: ParsedQuery) -> DataFrame:
+    """BIND computed columns (post-join, declaration order) + FILTERs
+    that reference a bind alias (they can only run after computation;
+    star filters never match them)."""
+    if not q.binds:
+        return df
+    from sparkall_spark.plans.exprs import to_column
+
+    for b in q.binds:
+        df = df.withColumn(
+            q.column_for_var(b.alias),
+            to_column(b.expr, lambda v: F.col(q.column_for_var(v))),
+        )
+    aliases = {b.alias for b in q.binds}
+    for f in q.filters:
+        if f.var in aliases:
+            df = df.filter(_filter_condition(F.col(q.column_for_var(f.var)), f))
+    return df
+
+
 def _branch_core(
     spark: SparkSession, plan: QueryPlan, index: MappingIndex
 ) -> DataFrame:
@@ -320,10 +340,11 @@ def _branch_core(
         for name, star in q.stars.items()
     }
     _apply_transforms(star_dfs, q, plan)
-    df = _join_stars(star_dfs, q, plan)
+    df = _apply_binds(_join_stars(star_dfs, q, plan), q)
+    bind_aliases = {b.alias for b in q.binds}
     cols = []
     for v in q.select_vars:
-        if v in q.stars or v in q.var_to_star_pred:
+        if v in q.stars or v in q.var_to_star_pred or v in bind_aliases:
             cols.append(F.col(q.column_for_var(v)).alias(v))
         else:
             cols.append(F.lit(None).alias(v))
@@ -380,6 +401,7 @@ def execute_plan(
 
     df = _join_stars(star_dfs, q, plan)
     df = _apply_minus(spark, df, q, index)
+    df = _apply_binds(df, q)
 
     if q.aggregations or q.group_by:
         group_cols = [F.col(q.column_for_var(v)).alias(v) for v in q.group_by]

@@ -1,0 +1,218 @@
+"""SPARQL expression fragment for BIND (extension — the reference's
+query fragment has no BIND; its TRANSFORM DSL covers only join-column
+rewrites, QueryAnalyser.scala:166-185).
+
+Grammar (recursive descent, precedence climbing):
+
+    expr   := term (('+' | '-') term)*
+    term   := factor (('*' | '/') factor)*
+    factor := '(' expr ')' | FN '(' expr (',' expr)* ')' | ?var | literal
+
+Functions: CONCAT, ROUND, ABS, UCASE, LCASE, STRLEN, COALESCE, IF —
+each chosen because the Spark Column rendering and the ANSI-SQL
+rendering (DuckDB oracle / federated target) are semantically identical
+builtins on both engines.
+
+One AST, two compilers: :func:`to_column` builds the Spark Column
+(JVM-side, whole-stage codegen — BIND never introduces a UDF) and
+:func:`to_sql` renders the same expression as an ANSI SQL string for
+the deferred-SQL backend.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, functions as F
+
+
+class ExprParseError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class EVar:
+    name: str
+
+
+@dataclass(frozen=True)
+class ELit:
+    value: int | float | str
+
+
+@dataclass(frozen=True)
+class EBin:
+    op: str  # + - * /
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class EFun:
+    fn: str  # normalized lower-case SPARQL name
+    args: tuple
+
+
+# SPARQL fn -> (pyspark builder, sql renderer); arity checked at parse
+_FUNCTIONS = {
+    "concat": (lambda *a: F.concat(*a), "concat"),
+    "round": (lambda x, n=None: F.round(x, 0 if n is None else n), "round"),
+    "abs": (F.abs, "abs"),
+    "ucase": (F.upper, "upper"),
+    "lcase": (F.lower, "lower"),
+    "strlen": (F.length, "length"),
+    "coalesce": (lambda *a: F.coalesce(*a), "coalesce"),
+}
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<var>\?[A-Za-z_]\w*)
+      | (?P<num>\d+(?:\.\d+)?)
+      | (?P<str>"(?:[^"\\]|\\.)*")
+      | (?P<name>[A-Za-z_]\w*)
+      | (?P<op>[()+\-*/,])
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            if text[i:].strip() == "":
+                break
+            raise ExprParseError(f"bad expression at {text[i:]!r}")
+        i = m.end()
+        for kind in ("var", "num", "str", "name", "op"):
+            if m.group(kind) is not None:
+                out.append((kind, m.group(kind)))
+                break
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> tuple[str, str]:
+        t = self.peek()
+        if t is None:
+            raise ExprParseError("unexpected end of expression")
+        self.i += 1
+        return t
+
+    def expect(self, val: str) -> None:
+        t = self.take()
+        if t[1] != val:
+            raise ExprParseError(f"expected {val!r}, got {t[1]!r}")
+
+    def expr(self):
+        node = self.term()
+        while (t := self.peek()) and t[1] in ("+", "-"):
+            self.take()
+            node = EBin(t[1], node, self.term())
+        return node
+
+    def term(self):
+        node = self.factor()
+        while (t := self.peek()) and t[1] in ("*", "/"):
+            self.take()
+            node = EBin(t[1], node, self.factor())
+        return node
+
+    def factor(self):
+        kind, val = self.take()
+        if val == "(":
+            node = self.expr()
+            self.expect(")")
+            return node
+        if kind == "var":
+            return EVar(val[1:])
+        if kind == "num":
+            return ELit(float(val) if "." in val else int(val))
+        if kind == "str":
+            return ELit(val[1:-1].replace('\\"', '"'))
+        if kind == "name":
+            fn = val.lower()
+            if fn not in _FUNCTIONS:
+                raise ExprParseError(f"unknown function {val!r} in BIND")
+            self.expect("(")
+            args = [self.expr()]
+            while (t := self.peek()) and t[1] == ",":
+                self.take()
+                args.append(self.expr())
+            self.expect(")")
+            return EFun(fn, tuple(args))
+        raise ExprParseError(f"unexpected token {val!r}")
+
+
+def parse_expr(text: str):
+    p = _Parser(_tokenize(text))
+    node = p.expr()
+    if p.peek() is not None:
+        raise ExprParseError(f"trailing input after expression: {p.peek()[1]!r}")
+    return node
+
+
+def expr_vars(node) -> set[str]:
+    if isinstance(node, EVar):
+        return {node.name}
+    if isinstance(node, EBin):
+        return expr_vars(node.left) | expr_vars(node.right)
+    if isinstance(node, EFun):
+        out: set[str] = set()
+        for a in node.args:
+            out |= expr_vars(a)
+        return out
+    return set()
+
+
+def to_column(node, resolve) -> Column:
+    """Compile to a Spark Column; ``resolve(var_name) -> Column``."""
+    if isinstance(node, EVar):
+        return resolve(node.name)
+    if isinstance(node, ELit):
+        return F.lit(node.value)
+    if isinstance(node, EBin):
+        l, r = to_column(node.left, resolve), to_column(node.right, resolve)
+        return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[node.op]
+    if isinstance(node, EFun):
+        if node.fn == "round":
+            # F.round takes a Python int scale, not a Column
+            scale = 0
+            if len(node.args) == 2:
+                if not isinstance(node.args[1], ELit) or not isinstance(
+                    node.args[1].value, int
+                ):
+                    raise ExprParseError("ROUND scale must be an integer literal")
+                scale = node.args[1].value
+            return F.round(to_column(node.args[0], resolve), scale)
+        args = [to_column(a, resolve) for a in node.args]
+        return _FUNCTIONS[node.fn][0](*args)
+    raise ExprParseError(f"bad AST node {node!r}")
+
+
+def to_sql(node, resolve) -> str:
+    """Render as ANSI SQL; ``resolve(var_name) -> str`` (a column ref)."""
+    if isinstance(node, EVar):
+        return resolve(node.name)
+    if isinstance(node, ELit):
+        if isinstance(node.value, str):
+            return "'" + node.value.replace("'", "''") + "'"
+        return str(node.value)
+    if isinstance(node, EBin):
+        return (
+            f"({to_sql(node.left, resolve)} {node.op} "
+            f"{to_sql(node.right, resolve)})"
+        )
+    if isinstance(node, EFun):
+        args = ", ".join(to_sql(a, resolve) for a in node.args)
+        return f"{_FUNCTIONS[node.fn][1]}({args})"
+    raise ExprParseError(f"bad AST node {node!r}")

@@ -42,6 +42,18 @@ class Filter:
 
 
 @dataclass(frozen=True)
+class Bind:
+    """``BIND(<expr> AS ?alias)`` (extension): a computed column over
+    already-bound variables, evaluated after the BGP joins.  ``expr`` is
+    the AST from plans/exprs.py; ``raw`` keeps the source text for error
+    messages and SQL comments."""
+
+    alias: str
+    expr: object
+    raw: str = ""
+
+
+@dataclass(frozen=True)
 class OrderKey:
     var: str
     descending: bool = False
@@ -123,6 +135,9 @@ class ParsedQuery:
     exists_groups: list["ParsedQuery"] = field(default_factory=list)
     # VALUES ?var { lit ... } -> IN-list filters (op 'in')
     offset: int | None = None
+    # BIND(expr AS ?alias) computed columns, evaluated post-join in
+    # declaration order (later binds may reference earlier aliases)
+    binds: list[Bind] = field(default_factory=list)
 
     def prefix_label(self, iri: str) -> str:
         """Invert the prefix map for column naming (reference: Helpers.scala:25-36).
@@ -143,11 +158,15 @@ class ParsedQuery:
         return f"{star}_{local}_{self.prefix_label(pred_iri)}"
 
     def column_for_var(self, var: str) -> str:
-        """Internal column for an object variable; subject vars map to ``<star>_ID``."""
+        """Internal column for an object variable; subject vars map to
+        ``<star>_ID``; BIND aliases to ``<alias>__bind``."""
         if var in self.stars:
             return f"{var}_ID"
-        star, pred = self.var_to_star_pred[var]
-        return self.column_for(star, pred)
+        if var in self.var_to_star_pred:
+            return self.column_for(*self.var_to_star_pred[var])
+        if any(b.alias == var for b in self.binds):
+            return f"{var}__bind"
+        raise KeyError(f"unknown variable ?{var}")
 
 
 def split_iri(iri: str) -> tuple[str, str]:

@@ -21,8 +21,10 @@ from __future__ import annotations
 
 import re
 
+from sparkall_spark.plans.exprs import ExprParseError, expr_vars, parse_expr
 from sparkall_spark.plans.model import (
     Aggregation,
+    Bind,
     Filter,
     OrderKey,
     ParsedQuery,
@@ -329,10 +331,43 @@ def parse_sparql(query: str) -> ParsedQuery:
             values_filters.append(Filter(vm.group(1), "in", tuple(vals), is_str))
             group_body = group_body[: vm.start()] + " " + group_body[vend:]
 
+        # BIND(expr AS ?alias) -> post-join computed column (extension;
+        # expression fragment: plans/exprs.py)
+        binds: list[Bind] = []
+        while True:
+            bm = re.search(r"BIND\s*\(", group_body, re.IGNORECASE)
+            if not bm:
+                break
+            bend = _balanced(group_body, group_body.index("(", bm.start()))
+            inner = group_body[bm.end() : bend - 1]
+            am = re.search(r"\s+AS\s+\?([\w]+)\s*$", inner, re.IGNORECASE)
+            if not am:
+                raise SparqlParseError(f"BIND without trailing AS ?alias: {inner!r}")
+            try:
+                ast = parse_expr(inner[: am.start()])
+            except ExprParseError as exc:
+                raise SparqlParseError(f"bad BIND expression: {exc}") from exc
+            binds.append(Bind(am.group(1), ast, inner.strip()))
+            group_body = group_body[: bm.start()] + " " + group_body[bend:]
+
         stars, var_to_star_pred, filters, optional_subjects = _parse_group(
             group_body, prefixes
         )
         filters = filters + values_filters
+
+        # BIND scope check: every referenced variable must be bound by
+        # the BGP or an earlier BIND; aliases must be fresh
+        bound = set(var_to_star_pred) | set(stars)
+        for b in binds:
+            if b.alias in bound:
+                raise SparqlParseError(f"BIND rebinds ?{b.alias}")
+            missing = expr_vars(b.expr) - bound
+            if missing:
+                raise SparqlParseError(
+                    f"BIND({b.raw}) references unbound "
+                    f"{', '.join('?' + v for v in sorted(missing))}"
+                )
+            bound.add(b.alias)
 
         def subgroup(body_text: str) -> ParsedQuery:
             ms, mv, mf, mo = _parse_group(body_text, prefixes)
@@ -369,6 +404,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             minus_groups=minus_groups,
             exists_groups=exists_groups,
             offset=offset,
+            binds=binds,
         )
 
     main = build(union_bodies[0])

@@ -60,16 +60,24 @@ def plan_query(q: ParsedQuery) -> QueryPlan:
     # variables the query actually consumes; aggregate aliases are output
     # names, not data variables, so ORDER BY on them resolves post-agg
     agg_aliases = {a.alias for a in q.aggregations}
+    bind_aliases = {b.alias for b in q.binds}
     used_vars: set[str] = set(q.select_vars)
     used_vars.update(f.var for f in q.filters)
     used_vars.update(k.var for k in q.order_keys if k.var not in agg_aliases)
     used_vars.update(q.group_by)
     used_vars.update(a.var for a in q.aggregations if a.var != "*")
+    # BIND inputs are consumed even when only the alias is projected
+    from sparkall_spark.plans.exprs import expr_vars
+
+    for b in q.binds:
+        used_vars.update(expr_vars(b.expr))
 
     needed: dict[str, set[str]] = {s: set() for s in q.stars}
     for var in used_vars:
         if var in q.stars:
             continue  # subject variable -> ID column, always kept
+        if var in bind_aliases:
+            continue  # computed post-join, no source column
         if var not in q.var_to_star_pred:
             if q.partial_binding and var in q.select_vars:
                 continue  # unbound in this UNION branch -> null column

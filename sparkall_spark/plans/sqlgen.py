@@ -215,6 +215,7 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
     views = {}
     core = _core_sql(plan, index, views)
     core = _apply_minus_sql(q, plan, index, views, core)
+    core = _apply_binds_sql(q, core)
 
     if q.aggregations or q.group_by:
         group_cols = [f"{_q(q.column_for_var(v))} AS {_q(v)}" for v in q.group_by]
@@ -259,6 +260,31 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
     if q.offset is not None:
         sql += f" OFFSET {q.offset}"
     return CompiledSql(sql, views)
+
+
+def _apply_binds_sql(q: ParsedQuery, core: str) -> str:
+    """BIND computed columns as nested projection layers (one per bind,
+    so later binds may reference earlier aliases) + post-bind filters —
+    mirrors executor._apply_binds."""
+    if not q.binds:
+        return core
+    from sparkall_spark.plans.exprs import to_sql
+
+    for i, b in enumerate(q.binds):
+        expr = to_sql(b.expr, lambda v: _q(q.column_for_var(v)))
+        core = (
+            f"(SELECT *, {expr} AS {_q(q.column_for_var(b.alias))} "
+            f"FROM {core}) AS bnd{i}"
+        )
+    aliases = {b.alias for b in q.binds}
+    conds = [
+        _filter_sql(_q(q.column_for_var(f.var)), f)
+        for f in q.filters
+        if f.var in aliases
+    ]
+    if conds:
+        core = f"(SELECT * FROM {core} WHERE {' AND '.join(conds)}) AS bndf"
+    return core
 
 
 def _apply_minus_sql(
@@ -364,10 +390,11 @@ def _branch_sql(
     plan: QueryPlan, index: MappingIndex, views: dict[str, EntityMapping]
 ) -> str:
     q = plan.query
-    core = _core_sql(plan, index, views)
+    core = _apply_binds_sql(q, _core_sql(plan, index, views))
+    bind_aliases = {b.alias for b in q.binds}
     cols = []
     for v in q.select_vars:
-        if v in q.stars or v in q.var_to_star_pred:
+        if v in q.stars or v in q.var_to_star_pred or v in bind_aliases:
             cols.append(f"{_q(q.column_for_var(v))} AS {_q(v)}")
         else:
             cols.append(f"NULL AS {_q(v)}")

@@ -1,0 +1,165 @@
+"""BIND(expr AS ?var) — extension over the reference fragment.
+
+Covers: expression parsing, scope validation, post-join evaluation,
+filters on bound variables, aggregation over bound variables, and
+DataFrame/SQL backend agreement plus DuckDB oracles.
+"""
+
+import pytest
+
+from sparkall_spark import Engine
+from sparkall_spark.fixtures import PREFIX_BLOCK, tpch_mappings
+from sparkall_spark.plans.exprs import (
+    EBin,
+    EFun,
+    ELit,
+    EVar,
+    ExprParseError,
+    parse_expr,
+)
+from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, tpch_mappings(sf_dir))
+
+
+def test_parse_expr_shapes():
+    assert parse_expr("?a + ?b * 2") == EBin(
+        "+", EVar("a"), EBin("*", EVar("b"), ELit(2))
+    )
+    assert parse_expr("(?a + ?b) * 2") == EBin(
+        "*", EBin("+", EVar("a"), EVar("b")), ELit(2)
+    )
+    assert parse_expr('CONCAT(?x, "-", ?y)') == EFun(
+        "concat", (EVar("x"), ELit("-"), EVar("y"))
+    )
+    assert parse_expr("ROUND(?v / 3, 2)") == EFun(
+        "round", (EBin("/", EVar("v"), ELit(3)), ELit(2))
+    )
+    with pytest.raises(ExprParseError):
+        parse_expr("NOSUCHFN(?x)")
+    with pytest.raises(ExprParseError):
+        parse_expr("?a +")
+    with pytest.raises(ExprParseError):
+        parse_expr("?a ?b")
+
+
+def test_bind_parse_and_scope_validation():
+    q = parse_sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?dp WHERE {
+            ?l a sa:Lineitem ; sa:extendedprice ?ep ; sa:discount ?d .
+            BIND(?ep * (1 - ?d) AS ?dp)
+        }
+        """
+    )
+    assert [b.alias for b in q.binds] == ["dp"]
+    assert q.column_for_var("dp") == "dp__bind"
+
+    with pytest.raises(SparqlParseError, match="unbound"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + """
+            SELECT ?x WHERE {
+                ?l a sa:Lineitem ; sa:discount ?d .
+                BIND(?nope + 1 AS ?x)
+            }
+            """
+        )
+    with pytest.raises(SparqlParseError, match="rebind"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + """
+            SELECT ?d WHERE {
+                ?l a sa:Lineitem ; sa:discount ?d .
+                BIND(1 + 1 AS ?d)
+            }
+            """
+        )
+    # later binds may reference earlier aliases
+    q2 = parse_sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?b WHERE {
+            ?l a sa:Lineitem ; sa:discount ?d .
+            BIND(?d * 2 AS ?a)
+            BIND(?a + 1 AS ?b)
+        }
+        """
+    )
+    assert [b.alias for b in q2.binds] == ["a", "b"]
+
+
+_BIND_QUERY = (
+    PREFIX_BLOCK
+    + """
+    SELECT ?name ?disc_price WHERE {
+        ?l a sa:Lineitem ; sa:extendedprice ?ep ; sa:discount ?d ; sa:part ?p .
+        ?p a sa:Part ; sa:name ?name .
+        BIND(ROUND(?ep * (1 - ?d), 2) AS ?disc_price)
+        FILTER (?disc_price > 90000)
+    }
+    """
+)
+
+_BIND_ORACLE = """
+SELECT p_name AS name,
+       round(l_extendedprice * (1 - l_discount), 2) AS disc_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE round(l_extendedprice * (1 - l_discount), 2) > 90000
+"""
+
+
+def test_bind_matches_oracle(engine, duck):
+    assert_matches_oracle(engine.sparql(_BIND_QUERY), duck, _BIND_ORACLE)
+
+
+def test_bind_backends_agree(engine):
+    a = sorted(map(tuple, engine.sparql(_BIND_QUERY).collect()))
+    b = sorted(map(tuple, engine.sparql(_BIND_QUERY, backend="sql").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_bind_aggregation_over_alias(engine, duck):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?rf (SUM(?dp) AS ?total) WHERE {
+            ?l a sa:Lineitem ; sa:extendedprice ?ep ; sa:discount ?d ;
+               sa:returnflag ?rf .
+            BIND(?ep * (1 - ?d) AS ?dp)
+        } GROUP BY ?rf ORDER BY ?rf
+        """
+    )
+    oracle = """
+    SELECT l_returnflag AS rf, sum(l_extendedprice * (1 - l_discount)) AS total
+    FROM lineitem GROUP BY l_returnflag ORDER BY rf
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+    sql_rows = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    df_rows = sorted(map(tuple, engine.sparql(q).collect()))
+    assert [r[0] for r in sql_rows] == [r[0] for r in df_rows]
+    for a, b in zip(sql_rows, df_rows):
+        assert a[1] == pytest.approx(b[1])
+
+
+def test_bind_chained_aliases_and_strings(engine, duck):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?tag WHERE {
+            ?n a sa:Nation ; sa:name ?nname .
+            BIND(LCASE(?nname) AS ?low)
+            BIND(CONCAT(?low, "-x") AS ?tag)
+        } ORDER BY ?tag
+        """
+    )
+    oracle = "SELECT lower(n_name) || '-x' AS tag FROM nation ORDER BY tag"
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+    a = [r[0] for r in engine.sparql(q).collect()]
+    b = [r[0] for r in engine.sparql(q, backend="sql").collect()]
+    assert a == b

@@ -411,7 +411,18 @@ def execute_plan(
                 expr = F.count(F.lit(1))
             else:
                 col = F.col(q.column_for_var(a.var))
-                if a.distinct:
+                if a.fn == "group_concat":
+                    # sorted so the result is deterministic (SPARQL puts
+                    # no order on GROUP_CONCAT; we pick the sorted one)
+                    vals = F.collect_set(col.cast("string")) if a.distinct \
+                        else F.collect_list(col.cast("string"))
+                    expr = F.concat_ws(
+                        a.separator if a.separator is not None else " ",
+                        F.sort_array(vals),
+                    )
+                elif a.fn == "sample":
+                    expr = F.min(col)  # deterministic any-value
+                elif a.distinct:
                     expr = F.countDistinct(col) if a.fn == "count" else _AGG_FNS[a.fn](col)
                 else:
                     expr = _AGG_FNS[a.fn](col)

@@ -61,12 +61,19 @@ class OrderKey:
 
 @dataclass(frozen=True)
 class Aggregation:
-    """``(FN(?var) AS ?alias)`` in the SELECT clause. fn in sum|min|max|avg|count."""
+    """``(FN(?var) AS ?alias)`` in the SELECT clause.
+
+    fn in sum|min|max|avg|count|sample|group_concat (sample and
+    group_concat are extensions; sample is made deterministic as MIN —
+    a legal choice under SPARQL's any-value semantics — and
+    group_concat sorts its inputs so results are reproducible and
+    oracle-comparable)."""
 
     fn: str
     var: str  # '*' allowed for count
     alias: str
     distinct: bool = False
+    separator: str | None = None  # GROUP_CONCAT(...; SEPARATOR="...")
 
 
 @dataclass(frozen=True)

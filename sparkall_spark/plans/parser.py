@@ -37,7 +37,9 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 _PREFIX_RE = re.compile(r"PREFIX\s+([\w-]*):\s*<([^>]+)>", re.IGNORECASE)
 _AGG_RE = re.compile(
-    r"\(\s*(SUM|MIN|MAX|AVG|COUNT)\s*\(\s*(DISTINCT\s+)?(\?[\w]+|\*)\s*\)\s+AS\s+\?([\w]+)\s*\)",
+    r"\(\s*(SUM|MIN|MAX|AVG|COUNT|SAMPLE|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?"
+    r"(\?[\w]+|\*)\s*(?:;\s*SEPARATOR\s*=\s*\"([^\"]*)\")?\s*\)"
+    r"\s+AS\s+\?([\w]+)\s*\)",
     re.IGNORECASE,
 )
 _VAR_RE = re.compile(r"\?([\w]+)")
@@ -243,8 +245,8 @@ def parse_sparql(query: str) -> ParsedQuery:
         sel = re.sub(r"\s*DISTINCT\b", "", sel, count=1, flags=re.IGNORECASE)
 
     aggregations = [
-        Aggregation(m.group(1).lower(), m.group(3).lstrip("?"), m.group(4),
-                    distinct=bool(m.group(2)))
+        Aggregation(m.group(1).lower(), m.group(3).lstrip("?"), m.group(5),
+                    distinct=bool(m.group(2)), separator=m.group(4))
         for m in _AGG_RE.finditer(sel)
     ]
     sel_plain = _AGG_RE.sub(" ", sel)

@@ -225,9 +225,21 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
                 inner = "*"
             else:
                 inner = _q(q.column_for_var(a.var))
-                if a.distinct:
+                if a.distinct and a.fn != "group_concat":
                     inner = f"DISTINCT {inner}"
-            aggs.append(f"{a.fn.upper()}({inner}) AS {_q(a.alias)}")
+            if a.fn == "group_concat":
+                sep = (a.separator if a.separator is not None else " ").replace(
+                    "'", "''"
+                )
+                coll = "collect_set" if a.distinct else "collect_list"
+                aggs.append(
+                    f"concat_ws('{sep}', sort_array({coll}(CAST({inner} AS "
+                    f"STRING)))) AS {_q(a.alias)}"
+                )
+            elif a.fn == "sample":
+                aggs.append(f"MIN({inner}) AS {_q(a.alias)}")
+            else:
+                aggs.append(f"{a.fn.upper()}({inner}) AS {_q(a.alias)}")
         sel = ", ".join(group_cols + aggs)
         sql = f"SELECT {sel} FROM {core}"
         if q.group_by:

@@ -1,0 +1,89 @@
+"""GROUP_CONCAT / SAMPLE aggregates (extension over the reference's
+SUM/MIN/MAX/AVG/COUNT set, SparkExecutor.scala:516-539).
+
+Determinism contract: GROUP_CONCAT sorts its inputs (SPARQL imposes no
+order; the sorted rendering is reproducible and oracle-comparable),
+SAMPLE is compiled as MIN (a legal any-value choice)."""
+
+import pytest
+
+from sparkall_spark import Engine
+from sparkall_spark.fixtures import PREFIX_BLOCK, tpch_mappings
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, tpch_mappings(sf_dir))
+
+
+_GC_QUERY = (
+    PREFIX_BLOCK
+    + """
+    SELECT ?rname (GROUP_CONCAT(?nname; SEPARATOR=", ") AS ?nations)
+           (SAMPLE(?nname) AS ?first_nation)
+           (COUNT(*) AS ?n)
+    WHERE {
+        ?n a sa:Nation ; sa:name ?nname ; sa:region ?r .
+        ?r a sa:Region ; sa:name ?rname .
+    }
+    GROUP BY ?rname ORDER BY ?rname
+    """
+)
+
+_GC_ORACLE = """
+SELECT r_name AS rname,
+       string_agg(n_name, ', ' ORDER BY n_name) AS nations,
+       min(n_name) AS first_nation,
+       count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY rname
+"""
+
+
+def test_group_concat_sample_match_oracle(engine, duck):
+    assert_matches_oracle(
+        engine.sparql(_GC_QUERY), duck, _GC_ORACLE, check_order=True
+    )
+
+
+def test_group_concat_backends_agree(engine):
+    a = sorted(map(tuple, engine.sparql(_GC_QUERY).collect()))
+    b = sorted(map(tuple, engine.sparql(_GC_QUERY, backend="sql").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_group_concat_distinct(engine, duck):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?flag (GROUP_CONCAT(DISTINCT ?status; SEPARATOR="|") AS ?sts)
+        WHERE {
+            ?l a sa:Lineitem ; sa:returnflag ?flag ; sa:linestatus ?status .
+        }
+        GROUP BY ?flag ORDER BY ?flag
+        """
+    )
+    oracle = """
+    SELECT l_returnflag AS flag,
+           string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS sts
+    FROM lineitem GROUP BY l_returnflag ORDER BY flag
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+    a = engine.sparql(q).collect()
+    b = engine.sparql(q, backend="sql").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_group_concat_default_separator(engine):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT (GROUP_CONCAT(?rname) AS ?all_regions) WHERE {
+            ?r a sa:Region ; sa:name ?rname .
+        }
+        """
+    )
+    rows = engine.sparql(q).collect()
+    assert len(rows) == 1
+    assert rows[0]["all_regions"] == "AFRICA AMERICA ASIA EUROPE MIDDLE EAST"

@@ -30,17 +30,29 @@ def prepare_documents(
     keep_langs: tuple[str, ...] | None = None,
     near_dedup: bool = False,
     near_dedup_threshold: float = 0.9,
+    max_dup_line_ratio: float | None = None,
+    max_dup_ngram_ratio: float | None = None,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
     Returns the surviving rows with ``quality`` and ``lang_pred``
     columns added.  Deterministic: the survivor of each duplicate group
-    is the minimum id.
+    is the minimum id.  The ``max_dup_*`` knobs add Gopher-style
+    within-document repetition filters (duplicate line / word-bigram
+    fractions) — still Column expressions in the same single pass.
     """
     scored = docs.withColumn("quality", X.quality_score(text_col)).withColumn(
         "lang_pred", X.lang_id(text_col)
     )
     filtered = scored.filter(F.col("quality") >= min_quality)
+    if max_dup_line_ratio is not None:
+        filtered = filtered.filter(
+            X.duplicate_line_ratio(text_col) <= max_dup_line_ratio
+        )
+    if max_dup_ngram_ratio is not None:
+        filtered = filtered.filter(
+            X.duplicate_ngram_ratio(text_col, 2) <= max_dup_ngram_ratio
+        )
     if keep_langs is not None:
         filtered = filtered.filter(F.col("lang_pred").isin(*keep_langs))
 

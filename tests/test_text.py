@@ -203,3 +203,21 @@ def test_duplicate_ngram_ratio(spark):
     assert out[1] == pytest.approx(0.5)
     assert out[2] == 0.0
     assert out[3] == 0.0
+
+
+def test_pipeline_repetition_filters(spark):
+    from sparkall_spark.operators.pipeline import prepare_documents
+
+    rows = [
+        # clean doc: enough tokens, distinct lines/bigrams
+        (1, "the quick brown fox jumps over the lazy dog near a river bank today"),
+        # same quality-ish doc but heavily repeated lines
+        (2, "spam line alpha beta\n" * 8 + "one more line gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = prepare_documents(df, min_quality=0.0)
+    assert {r["doc_id"] for r in base.collect()} == {1, 2}
+    strict = prepare_documents(df, min_quality=0.0, max_dup_line_ratio=0.5)
+    assert {r["doc_id"] for r in strict.collect()} == {1}
+    strict2 = prepare_documents(df, min_quality=0.0, max_dup_ngram_ratio=0.5)
+    assert {r["doc_id"] for r in strict2.collect()} == {1}

@@ -123,6 +123,37 @@ def stream_events(
     return df
 
 
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "text",
+    watermark: str = "10 minutes",
+    fingerprint_key: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose (fingerprinted) key was
+    already seen within the watermark horizon — the streaming
+    counterpart of operators.dedup.exact_dedup for ingest pipelines.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the
+    64-bit-ish fingerprint (8-byte state entries, not document bodies)
+    and evicts state older than the watermark, so state size is bounded
+    by the dedup horizon, not the stream's lifetime — the property that
+    makes this safe on an unbounded 100 TB/day feed."""
+    from sparkall_spark.functions.text import fingerprint
+
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        # watermarks require TIMESTAMP; under the UTC session tz the
+        # cast is value-preserving
+        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    key = fingerprint(key_col) if fingerprint_key else F.col(key_col)
+    return (
+        stream_df.withColumn("__fp", key)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Start the stream into an in-memory table and wait for all data.
 

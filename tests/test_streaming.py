@@ -80,3 +80,45 @@ def test_streaming_tumbling_end_to_end(spark, sf_dir, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on the text fingerprint: duplicate
+    payloads across micro-batches are dropped within the horizon."""
+    import pandas as pd
+
+    stage = tmp_path / "docs_stream"
+    stage.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "ts": pd.Series(
+                [base, base, base + pd.Timedelta(seconds=30)]
+            ).astype("datetime64[us]"),
+            "text": ["alpha doc", "beta doc", "alpha doc"],
+        }
+    ).to_parquet(stage / "batch0.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "ts": pd.Series(
+                [base + pd.Timedelta(seconds=60)] * 2
+            ).astype("datetime64[us]"),
+            "text": ["alpha  DOC", "gamma doc"],  # normalized dup of 1
+        }
+    ).to_parquet(stage / "batch1.parquet")
+
+    stream = W.stream_events(spark, str(stage))
+    dedup = W.stream_exact_dedup(stream, ts_col="ts", key_col="text",
+                                 watermark="10 minutes")
+    q = W.run_to_memory_sink(dedup, "t_stream_dedup", mode="append")
+    try:
+        ids = sorted(
+            r["doc_id"]
+            for r in spark.sql("SELECT doc_id FROM t_stream_dedup").collect()
+        )
+        # 3 dups of 1 (exact), 4 dups of 1 (case/whitespace-normalized)
+        assert ids == [1, 2, 5]
+    finally:
+        q.stop()

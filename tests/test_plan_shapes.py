@@ -104,3 +104,35 @@ def test_sql_backend_same_plan_shape(engine):
     p2 = _plan(engine.sparql(q, backend="sql"))
     for marker in ("BroadcastHashJoin", "PushedFilters"):
         assert (marker in p1) == (marker in p2)
+
+
+def test_bind_filter_pushes_into_scan(engine):
+    """A FILTER over a BIND-computed column must not block pushdown:
+    Catalyst folds the bind projection and pushes the derived predicate
+    into the lineitem scan's DataFilters (and the regex filters into the
+    part scan) — BIND adds zero shuffles and zero scan width."""
+    df = engine.sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?dp WHERE {
+            ?l a sa:Lineitem ; sa:extendedprice ?ep ; sa:discount ?d ;
+               sa:part ?p .
+            ?p a sa:Part ; sa:name ?name .
+            FILTER rlike(?name, "^[a-z]+ [a-z]+$")
+            BIND(ROUND(?ep * (1 - ?d), 2) AS ?dp)
+            FILTER (?dp > 50000)
+        }
+        """
+    )
+    plan = _plan(df)
+    assert "round((l_extendedprice" in plan and "> 50000" in plan.replace(
+        "50000.0)", "50000.0) "
+    )
+    # the bind-derived predicate sits in the lineitem scan's DataFilters
+    lineitem_scan = next(
+        l for l in plan.splitlines()
+        if "FileScan" in l and "l_extendedprice" in l
+    )
+    assert "round(" in lineitem_scan
+    assert "RLIKE" in plan
+    assert "BroadcastHashJoin" in plan

@@ -63,14 +63,16 @@ class Engine:
 
         return compile_sql(self.plan(query_text), self.mappings).sql
 
-    def explain(self, query_text: str, mode: str = "formatted") -> None:
-        self.sparql(query_text).explain(mode)
+    def explain(
+        self, query_text: str, mode: str = "formatted", backend: str = "dataframe"
+    ) -> None:
+        self.sparql(query_text, backend=backend).explain(mode)
 
-    def run(self, query_text: str, n: int = 20) -> int:
+    def run(self, query_text: str, n: int = 20, backend: str = "dataframe") -> int:
         """Reference-style console sink (SparkExecutor.scala:543-556) minus
         its double execution: one cached frame serves both the preview and
         the count."""
-        df = self.sparql(query_text)
+        df = self.sparql(query_text, backend=backend)
         df.persist()
         try:
             df.show(n, truncate=False)

@@ -200,6 +200,39 @@ def _split_statements(body: str) -> list[str]:
     return [s.strip() for s in stmts if s.strip()]
 
 
+import itertools
+
+_PATH_VAR_COUNTER = itertools.count()
+
+
+def _split_path(pred_tok: str) -> list[tuple[bool, str]]:
+    """Split a property-path token into (inverse, iri_token) segments:
+    ``a/b`` -> sequence, ``^a`` -> inverse.  '/' inside <...> IRIs is
+    not a separator."""
+    segs: list[str] = []
+    cur: list[str] = []
+    in_iri = False
+    for c in pred_tok:
+        if c == "<":
+            in_iri = True
+        elif c == ">":
+            in_iri = False
+        if c == "/" and not in_iri:
+            segs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    segs.append("".join(cur))
+    out = []
+    for s in segs:
+        s = s.strip()
+        if not s:
+            raise SparqlParseError(f"empty property-path segment in {pred_tok!r}")
+        inv = s.startswith("^")
+        out.append((inv, s[1:] if inv else s))
+    return out
+
+
 def _parse_triples(
     body: str, prefixes: dict[str, str]
 ) -> list[Triple]:
@@ -221,6 +254,40 @@ def _parse_triples(
                 if len(toks) != 2:
                     raise SparqlParseError(f"bad ';' continuation: {seg!r}")
                 pred_tok, obj_tok = toks[0], toks[1]
+
+            # property paths (extension): sequence a/b and inverse ^a
+            # desugar into fresh-variable chains — BGP-only rewriting,
+            # so every downstream stage (stars, planner, both backends)
+            # sees ordinary triples
+            if ("/" in pred_tok and not pred_tok.startswith("<")) or (
+                "/" in pred_tok and pred_tok.count("<") > 1
+            ) or pred_tok.startswith("^"):
+                path = _split_path(pred_tok)
+                if len(path) > 1 or path[0][0]:
+                    if not obj_tok.startswith("?"):
+                        raise SparqlParseError(
+                            f"property-path object must be a variable: {seg!r}"
+                        )
+                    chain = (
+                        [subj]
+                        + [
+                            f"__pp{next(_PATH_VAR_COUNTER)}"
+                            for _ in range(len(path) - 1)
+                        ]
+                        + [obj_tok[1:]]
+                    )
+                    for i, (inv, tok) in enumerate(path):
+                        iri = _expand_iri(tok, prefixes)
+                        if iri == RDF_TYPE:
+                            raise SparqlParseError(
+                                "rdf:type not allowed inside a property path"
+                            )
+                        s_, o_ = chain[i], chain[i + 1]
+                        if inv:
+                            s_, o_ = o_, s_
+                        triples.append(Triple(s_, iri, o_, True))
+                    continue
+
             pred = _expand_iri(pred_tok, prefixes)
             if obj_tok.startswith("?"):
                 triples.append(Triple(subj, pred, obj_tok[1:], True))

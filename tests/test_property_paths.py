@@ -1,0 +1,97 @@
+"""Property paths (extension): sequence ``p1/p2`` and inverse ``^p``
+desugar into fresh-variable triple chains at parse time, so stars,
+planner, and both backends see ordinary BGPs (no new executor code).
+"""
+
+import pytest
+
+from sparkall_spark import Engine
+from sparkall_spark.fixtures import PREFIX_BLOCK, tpch_mappings
+from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, tpch_mappings(sf_dir))
+
+
+def test_sequence_path_desugars_to_chain():
+    q = parse_sparql(
+        PREFIX_BLOCK
+        + "SELECT ?rk WHERE { ?c a sa:Customer ; sa:nation/sa:region ?rk . }"
+    )
+    # intermediate star introduced, customer joins through it
+    inter = [s for s in q.stars if s.startswith("__pp")]
+    assert len(inter) == 1
+    assert set(q.stars) == {"c", inter[0]}
+    preds = {t.predicate.rsplit("/", 1)[-1] for t in q.stars[inter[0]].triples}
+    assert preds == {"region"}
+
+
+def test_inverse_path_swaps_roles():
+    q = parse_sparql(
+        PREFIX_BLOCK + "SELECT ?c WHERE { ?n a sa:Nation . ?n ^sa:nation ?c . }"
+    )
+    # ^sa:nation makes ?c the subject of the nation triple
+    assert "c" in q.stars
+    assert any(
+        t.predicate.endswith("nation") and t.obj == "n"
+        for t in q.stars["c"].triples
+    )
+
+
+def test_path_rejects_rdf_type_and_literal_object():
+    with pytest.raises(SparqlParseError, match="rdf:type"):
+        parse_sparql(
+            PREFIX_BLOCK + "SELECT ?x WHERE { ?c a/sa:name ?x . }"
+        )
+    with pytest.raises(SparqlParseError, match="variable"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + 'SELECT ?c WHERE { ?c sa:nation/sa:name "FRANCE" . }'
+        )
+
+
+_SEQ_QUERY = (
+    PREFIX_BLOCK
+    + """
+    SELECT ?cname ?rk WHERE {
+        ?c a sa:Customer ; sa:name ?cname ; sa:nation/sa:region ?rk .
+    }
+    """
+)
+
+_SEQ_ORACLE = """
+SELECT c_name AS cname, n_regionkey AS rk
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def test_sequence_path_matches_oracle(engine, duck):
+    assert_matches_oracle(engine.sparql(_SEQ_QUERY), duck, _SEQ_ORACLE)
+
+
+def test_sequence_path_backends_agree(engine):
+    a = sorted(map(tuple, engine.sparql(_SEQ_QUERY).collect()))
+    b = sorted(map(tuple, engine.sparql(_SEQ_QUERY, backend="sql").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_inverse_path_matches_oracle(engine, duck):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?nname (COUNT(*) AS ?n) WHERE {
+            ?n a sa:Nation ; sa:name ?nname .
+            ?n ^sa:nation ?c .
+            ?c a sa:Customer .
+        } GROUP BY ?nname ORDER BY ?nname
+        """
+    )
+    oracle = """
+    SELECT n_name AS nname, count(*) AS n
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY nname
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)

@@ -403,6 +403,11 @@ def execute_plan(
     df = _apply_minus(spark, df, q, index)
     df = _apply_binds(df, q)
 
+    if q.is_ask:
+        # one boolean row; limit(1) keeps the existence probe cheap —
+        # the scan stops as soon as any solution is found
+        return df.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+
     if q.aggregations or q.group_by:
         group_cols = [F.col(q.column_for_var(v)).alias(v) for v in q.group_by]
         aggs = []

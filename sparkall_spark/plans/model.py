@@ -145,6 +145,9 @@ class ParsedQuery:
     # BIND(expr AS ?alias) computed columns, evaluated post-join in
     # declaration order (later binds may reference earlier aliases)
     binds: list[Bind] = field(default_factory=list)
+    # ASK { ... } (extension): result is one boolean row named `ask` —
+    # true iff the pattern has at least one solution
+    is_ask: bool = False
 
     def prefix_label(self, iri: str) -> str:
         """Invert the prefix map for column naming (reference: Helpers.scala:25-36).

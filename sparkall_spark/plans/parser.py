@@ -304,9 +304,15 @@ def parse_sparql(query: str) -> ParsedQuery:
     prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(query)}
 
     sel_m = re.search(r"\bSELECT\b(.*?)\bWHERE\b", query, re.IGNORECASE | re.DOTALL)
+    is_ask = False
     if not sel_m:
-        raise SparqlParseError("no SELECT ... WHERE found")
-    sel = sel_m.group(1)
+        # ASK [WHERE] { ... } (extension): boolean existence query
+        ask_m = re.search(r"\bASK\b(\s+WHERE\b)?", query, re.IGNORECASE)
+        if not ask_m:
+            raise SparqlParseError("no SELECT ... WHERE (or ASK) found")
+        is_ask = True
+        sel_m = ask_m
+    sel = "" if is_ask else sel_m.group(1)
     distinct = bool(re.match(r"\s*DISTINCT\b", sel, re.IGNORECASE))
     if distinct:
         sel = re.sub(r"\s*DISTINCT\b", "", sel, count=1, flags=re.IGNORECASE)
@@ -474,6 +480,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             exists_groups=exists_groups,
             offset=offset,
             binds=binds,
+            is_ask=is_ask,
         )
 
     main = build(union_bodies[0])

@@ -217,6 +217,13 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
     core = _apply_minus_sql(q, plan, index, views, core)
     core = _apply_binds_sql(q, core)
 
+    if q.is_ask:
+        return CompiledSql(
+            f"SELECT count(*) > 0 AS `ask` FROM "
+            f"(SELECT * FROM {core} LIMIT 1) AS ask_probe",
+            views,
+        )
+
     if q.aggregations or q.group_by:
         group_cols = [f"{_q(q.column_for_var(v))} AS {_q(v)}" for v in q.group_by]
         aggs = []

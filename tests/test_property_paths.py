@@ -95,3 +95,20 @@ def test_inverse_path_matches_oracle(engine, duck):
     GROUP BY n_name ORDER BY nname
     """
     assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+
+
+def test_ask_query_form(engine):
+    """ASK (extension): one boolean row, true iff solutions exist."""
+    q_true = (
+        PREFIX_BLOCK
+        + 'ASK WHERE { ?p a sa:Part ; sa:size ?s . FILTER (?s > 30) }'
+    )
+    q_false = (
+        PREFIX_BLOCK
+        + 'ASK { ?p a sa:Part ; sa:size ?s . FILTER (?s > 1000000) }'
+    )
+    for q, expected in [(q_true, True), (q_false, False)]:
+        for backend in ("dataframe", "sql"):
+            rows = engine.sparql(q, backend=backend).collect()
+            assert len(rows) == 1
+            assert rows[0]["ask"] is expected, (q, backend)

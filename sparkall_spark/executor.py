@@ -44,10 +44,10 @@ class ExecutionError(RuntimeError):
     pass
 
 
-def _filter_condition(col: Column, f: Filter) -> Column:
+def _filter_condition(col: Column, f: Filter, value: Column | None = None) -> Column:
     if f.op == "in":  # VALUES ?v { ... }
         return col.isin(list(f.value))
-    value = F.lit(f.value)
+    value = F.lit(f.value) if value is None else value
     if f.op == "=":
         return col == value
     if f.op == "!=":
@@ -115,6 +115,8 @@ def _apply_star_filters(
     """Pre-join filters for one star (SparkExecutor.scala:144-185)."""
     conds: list[Column] = []
     for f in q.filters:
+        if f.value_is_var:
+            continue  # var-to-var comparisons apply post-join
         if f.var == star_name:
             conds.append(_filter_condition(F.col(f"{star_name}_ID"), f))
         elif f.var in q.var_to_star_pred and q.var_to_star_pred[f.var][0] == star_name:
@@ -277,7 +279,7 @@ def _apply_minus(
             )
             for name, star in mg.stars.items()
         }
-        mdf = _join_stars(mstar_dfs, mg, mplan)
+        mdf = _apply_binds(_join_stars(mstar_dfs, mg, mplan), mg)
         mdf = mdf.select(
             *[F.col(mg.column_for_var(v)).alias(f"__m_{v}") for v in shared]
         ).distinct()
@@ -299,21 +301,28 @@ _AGG_FNS = {
 
 
 def _apply_binds(df: DataFrame, q: ParsedQuery) -> DataFrame:
-    """BIND computed columns (post-join, declaration order) + FILTERs
-    that reference a bind alias (they can only run after computation;
-    star filters never match them)."""
-    if not q.binds:
-        return df
-    from sparkall_spark.plans.exprs import to_column
+    """Post-join stage: BIND computed columns (declaration order), then
+    the filters that can only run here — filters over bind aliases and
+    var-to-var comparisons (both sides bound only after the joins)."""
+    if q.binds:
+        from sparkall_spark.plans.exprs import to_column
 
-    for b in q.binds:
-        df = df.withColumn(
-            q.column_for_var(b.alias),
-            to_column(b.expr, lambda v: F.col(q.column_for_var(v))),
-        )
+        for b in q.binds:
+            df = df.withColumn(
+                q.column_for_var(b.alias),
+                to_column(b.expr, lambda v: F.col(q.column_for_var(v))),
+            )
     aliases = {b.alias for b in q.binds}
     for f in q.filters:
-        if f.var in aliases:
+        if f.value_is_var:
+            df = df.filter(
+                _filter_condition(
+                    F.col(q.column_for_var(f.var)),
+                    f,
+                    value=F.col(q.column_for_var(str(f.value))),
+                )
+            )
+        elif f.var in aliases:
             df = df.filter(_filter_condition(F.col(q.column_for_var(f.var)), f))
     return df
 

@@ -39,6 +39,9 @@ class Filter:
     op: str
     value: str | int | float | tuple  # tuple for VALUES/IN lists
     value_is_string: bool = False
+    # FILTER (?a op ?b): value is another variable's name; applied
+    # post-join when both sides are bound (extension)
+    value_is_var: bool = False
 
 
 @dataclass(frozen=True)

@@ -151,6 +151,37 @@ def _parse_filters(body: str, prefixes: dict[str, str]) -> tuple[str, list[Filte
             if not fm:
                 raise SparqlParseError(f"bad FILTER {kind}: {inner!r}")
             filters.append(Filter(fm.group(1), kind, fm.group(2), True))
+        elif "||" in inner:
+            # OR filter (extension): supported as a same-variable
+            # equality chain, desugared to one IN filter (the shape that
+            # pushes down as a single scan predicate); mixing with && or
+            # other ops/vars is out of fragment
+            if "&&" in inner:
+                raise SparqlParseError(
+                    f"FILTER mixing && and || is not supported: {inner!r}"
+                )
+            or_var, vals, is_str_any = None, [], False
+            for clause in re.split(r"\|\|", inner):
+                fm = re.match(r"\s*\?([\w]+)\s*=\s*(.+?)\s*$", clause.strip())
+                if not fm:
+                    raise SparqlParseError(
+                        f"|| filters support only ?v = literal clauses: {clause!r}"
+                    )
+                if or_var is None:
+                    or_var = fm.group(1)
+                elif or_var != fm.group(1):
+                    raise SparqlParseError(
+                        f"|| filter clauses must share one variable: {inner!r}"
+                    )
+                raw = fm.group(2).strip()
+                if raw.startswith('"'):
+                    vals.append(raw.strip('"'))
+                    is_str_any = True
+                else:
+                    vals.append(
+                        float(raw) if ("." in raw or "e" in raw.lower()) else int(raw)
+                    )
+            filters.append(Filter(or_var, "in", tuple(vals), is_str_any))
         else:
             for clause in re.split(r"&&", inner):
                 fm = re.match(
@@ -159,6 +190,13 @@ def _parse_filters(body: str, prefixes: dict[str, str]) -> tuple[str, list[Filte
                 if not fm:
                     raise SparqlParseError(f"bad FILTER clause: {clause!r}")
                 raw = fm.group(3).strip()
+                if raw.startswith("?"):
+                    # var-to-var comparison: applied post-join
+                    filters.append(
+                        Filter(fm.group(1), fm.group(2), raw[1:], False,
+                               value_is_var=True)
+                    )
+                    continue
                 if raw.startswith('"'):
                     value: str | int | float = raw.strip('"')
                     is_str = True

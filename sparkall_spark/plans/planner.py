@@ -63,6 +63,7 @@ def plan_query(q: ParsedQuery) -> QueryPlan:
     bind_aliases = {b.alias for b in q.binds}
     used_vars: set[str] = set(q.select_vars)
     used_vars.update(f.var for f in q.filters)
+    used_vars.update(str(f.value) for f in q.filters if f.value_is_var)
     used_vars.update(k.var for k in q.order_keys if k.var not in agg_aliases)
     used_vars.update(q.group_by)
     used_vars.update(a.var for a in q.aggregations if a.var != "*")

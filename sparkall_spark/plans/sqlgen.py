@@ -175,6 +175,8 @@ def _star_subquery(
 
     conds = []
     for f in q.filters:
+        if f.value_is_var:
+            continue  # var-to-var comparisons apply post-join
         if f.var == star_name:
             conds.append(_filter_sql(_q(f"{star_name}_ID"), f))
         elif (
@@ -282,11 +284,10 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
 
 
 def _apply_binds_sql(q: ParsedQuery, core: str) -> str:
-    """BIND computed columns as nested projection layers (one per bind,
-    so later binds may reference earlier aliases) + post-bind filters —
-    mirrors executor._apply_binds."""
-    if not q.binds:
-        return core
+    """Post-join layer mirroring executor._apply_binds: BIND computed
+    columns as nested projections (one per bind, so later binds may
+    reference earlier aliases), then the filters that can only run here
+    (bind-alias filters and var-to-var comparisons)."""
     from sparkall_spark.plans.exprs import to_sql
 
     for i, b in enumerate(q.binds):
@@ -296,11 +297,16 @@ def _apply_binds_sql(q: ParsedQuery, core: str) -> str:
             f"FROM {core}) AS bnd{i}"
         )
     aliases = {b.alias for b in q.binds}
-    conds = [
-        _filter_sql(_q(q.column_for_var(f.var)), f)
-        for f in q.filters
-        if f.var in aliases
-    ]
+    conds = []
+    for f in q.filters:
+        if f.value_is_var:
+            op = "<>" if f.op == "!=" else f.op
+            conds.append(
+                f"{_q(q.column_for_var(f.var))} {op} "
+                f"{_q(q.column_for_var(str(f.value)))}"
+            )
+        elif f.var in aliases:
+            conds.append(_filter_sql(_q(q.column_for_var(f.var)), f))
     if conds:
         core = f"(SELECT * FROM {core} WHERE {' AND '.join(conds)}) AS bndf"
     return core
@@ -324,7 +330,7 @@ def _apply_minus_sql(
             continue
         mg.select_vars = shared
         mplan = plan_query(mg)
-        mcore = _core_sql(mplan, index, views)
+        mcore = _apply_binds_sql(mg, _core_sql(mplan, index, views))
         msel = ", ".join(
             f"{_q(mg.column_for_var(v))} AS {_q('__m_' + v)}" for v in shared
         )

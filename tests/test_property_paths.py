@@ -112,3 +112,61 @@ def test_ask_query_form(engine):
             rows = engine.sparql(q, backend=backend).collect()
             assert len(rows) == 1
             assert rows[0]["ask"] is expected, (q, backend)
+
+
+def test_or_filter_desugars_to_in(engine, duck):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?size WHERE {
+            ?p a sa:Part ; sa:name ?name ; sa:size ?size .
+            FILTER (?size = 1 || ?size = 7 || ?size = 42)
+        }
+        """
+    )
+    oracle = """
+    SELECT p_name AS name, p_size AS size FROM part
+    WHERE p_size IN (1, 7, 42)
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b
+
+
+def test_or_filter_rejects_mixed_shapes():
+    with pytest.raises(SparqlParseError, match="share one variable"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + "SELECT ?p WHERE { ?p a sa:Part ; sa:size ?s ; sa:retailprice ?r ."
+            + " FILTER (?s = 1 || ?r = 2) }"
+        )
+    with pytest.raises(SparqlParseError, match="&&"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + "SELECT ?p WHERE { ?p a sa:Part ; sa:size ?s ."
+            + " FILTER (?s = 1 || ?s = 2 && ?s = 3) }"
+        )
+
+
+def test_var_to_var_filter(engine, duck):
+    """FILTER (?a < ?b) across stars: applied post-join in both backends."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?disc ?tax WHERE {
+            ?l a sa:Lineitem ; sa:discount ?disc ; sa:tax ?tax ; sa:part ?p .
+            ?p a sa:Part ; sa:name ?name .
+            FILTER (?disc < ?tax)
+        }
+        """
+    )
+    oracle = """
+    SELECT p_name AS name, l_discount AS disc, l_tax AS tax
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_discount < l_tax
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0

@@ -217,3 +217,76 @@ def test_random_join_queries_match_oracle(engine, duck, spec):
         sql += " WHERE " + " AND ".join(sql_filters)
     df = engine.sparql(sparql, backend=spec["backend"])
     assert_matches_oracle(df, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# BIND expression fuzz: random arithmetic ASTs over part columns must
+# produce identical values through BOTH compilers (Column builder vs
+# ANSI-SQL renderer run on DuckDB).
+# ---------------------------------------------------------------------------
+
+_EXPR_VARS = {"size": "p_size", "retailprice": "p_retailprice"}
+
+_leaf_st = st.one_of(
+    st.sampled_from(sorted(_EXPR_VARS)).map(lambda v: ("var", v)),
+    st.integers(min_value=1, max_value=9).map(lambda n: ("lit", n)),
+)
+
+
+def _expr_tree(depth):
+    if depth == 0:
+        return _leaf_st
+    sub = _expr_tree(depth - 1)
+    return st.one_of(
+        _leaf_st,
+        st.tuples(st.sampled_from("+-*"), sub, sub).map(
+            lambda t: ("bin", t[0], t[1], t[2])
+        ),
+        sub.map(lambda x: ("abs", x)),
+    )
+
+
+def _render(node) -> str:
+    kind = node[0]
+    if kind == "var":
+        return f"?{node[1]}"
+    if kind == "lit":
+        return str(node[1])
+    if kind == "abs":
+        return f"ABS({_render(node[1])})"
+    _, op, a, b = node
+    return f"({_render(a)} {op} {_render(b)})"
+
+
+def _render_sql(node) -> str:
+    kind = node[0]
+    if kind == "var":
+        return _EXPR_VARS[node[1]]
+    if kind == "lit":
+        return str(node[1])
+    if kind == "abs":
+        return f"abs({_render_sql(node[1])})"
+    _, op, a, b = node
+    return f"({_render_sql(a)} {op} {_render_sql(b)})"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=_expr_tree(3))
+def test_bind_expr_fuzz(engine, duck, tree):
+    q = (
+        PREFIX_BLOCK
+        + f"""
+        SELECT ?size ?v WHERE {{
+            ?p a sa:Part ; sa:size ?size ; sa:retailprice ?retailprice .
+            BIND({_render(tree)} AS ?v)
+        }}
+        """
+    )
+    oracle = (
+        f"SELECT p_size AS size, {_render_sql(tree)} AS v FROM part"
+    )
+    assert_matches_oracle(engine.sparql(q), duck, oracle)

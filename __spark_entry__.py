@@ -510,6 +510,28 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         ORDER BY totalprice, qty, date, c LIMIT 10
         """,
     ),
+    # sequence property path (desugared to a fresh-variable chain,
+    # plans/parser.py) + GROUP_CONCAT/SAMPLE aggregate extensions —
+    # driver-gate coverage for both round-3 features
+    "q34_path_groupconcat": (
+        """
+        SELECT ?rk (COUNT(*) AS ?n_customers)
+               (GROUP_CONCAT(DISTINCT ?seg; SEPARATOR="|") AS ?segments)
+               (SAMPLE(?seg) AS ?any_segment)
+        WHERE {
+            ?c a sa:Customer ; sa:mktsegment ?seg ; sa:nation/sa:region ?rk .
+        }
+        GROUP BY ?rk ORDER BY ?rk
+        """,
+        """
+        SELECT n_regionkey AS rk, count(*) AS n_customers,
+               string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+                 AS segments,
+               min(c_mktsegment) AS any_segment
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_regionkey ORDER BY rk
+        """,
+    ),
 }
 
 
@@ -1181,11 +1203,14 @@ WHERE iv.start_ts <= e.ts AND e.ts < iv.end_ts
 """
 
 
-def _e18_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-dimensional aggregation: CUBE over (returnflag, linestatus)
-    — grouping-set capability beyond the reference's flat GROUP BY."""
+def _e18_cube_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation family in one entry (merged
+    e18+e19 so a registry slot frees up for the path/GROUP_CONCAT
+    query): CUBE over (returnflag, linestatus) rollups left-joined with
+    the linestatus pivot (explicit value list — no extra distinct job,
+    stable schema at any scale)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    cube = (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
@@ -1198,38 +1223,35 @@ def _e18_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-
-
-_E18_ORACLE = """
-SELECT l_returnflag AS flag, l_linestatus AS status,
-       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
-FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
-
-
-def _e19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot linestatus into columns (explicit value list — no extra
-    distinct job, stable schema at any scale)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    out = (
+    piv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.round(F.sum("l_quantity"), 4))
+        .select(
+            F.col("l_returnflag").alias("pflag"),
+            F.col("O").alias("qty_open"),
+            F.col("F").alias("qty_filled"),
+        )
     )
-    return out.select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("O").alias("qty_open"),
-        F.col("F").alias("qty_filled"),
+    return cube.join(piv, cube.flag == piv.pflag, "left").select(
+        "flag", "status", "sum_qty", "n", "qty_open", "qty_filled"
     )
 
 
-_E19_ORACLE = """
-SELECT l_returnflag AS flag,
-       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4)
-         AS qty_open,
-       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4)
-         AS qty_filled
-FROM lineitem GROUP BY 1
+_E18_ORACLE = """
+WITH cube_t AS (
+  SELECT l_returnflag AS flag, l_linestatus AS status,
+         round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+  FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)),
+piv AS (
+  SELECT l_returnflag AS pflag,
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4)
+           AS qty_open,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4)
+           AS qty_filled
+  FROM lineitem GROUP BY 1)
+SELECT flag, status, sum_qty, n, qty_open, qty_filled
+FROM cube_t LEFT JOIN piv ON flag = pflag
 """
 
 
@@ -1439,8 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e15_window_rank"] = _e15_window_rank
     out["e16_json_extract"] = _e16_json_extract
     out["e17_range_join"] = _e17_range_join
-    out["e18_cube"] = _e18_cube
-    out["e19_pivot"] = _e19_pivot
+    out["e18_cube_pivot"] = _e18_cube_pivot
     out["e20_pretrain_pipeline"] = _e20_pretrain_pipeline
     out["e21_stats_aggregates"] = _e21_stats_aggregates
     out["e22_dedup_clusters"] = _e22_dedup_clusters
@@ -1490,8 +1511,7 @@ def oracle_sql() -> dict[str, str]:
     out["e15_window_rank"] = _E15_ORACLE
     out["e16_json_extract"] = _E16_ORACLE
     out["e17_range_join"] = _E17_ORACLE
-    out["e18_cube"] = _E18_ORACLE
-    out["e19_pivot"] = _E19_ORACLE
+    out["e18_cube_pivot"] = _E18_ORACLE
     out["e20_pretrain_pipeline"] = _E20_ORACLE
     out["e21_stats_aggregates"] = _E21_ORACLE
     out["e22_dedup_clusters"] = _E22_ORACLE

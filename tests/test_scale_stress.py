@@ -104,3 +104,42 @@ def test_no_cache_growth_across_entries(spark):
         connected_components(edges).count()
         counts.append(sc._jsc.getPersistentRDDs().size())
     assert counts[-1] <= counts[0]
+
+
+def test_ann_hot_bucket_bounded(spark):
+    """Hyperplane-LSH similarity with a pathological corpus: 5k vectors
+    collapsed near one direction (everything lands in few buckets).
+    The search must stay candidate-bounded per query (cells/buckets
+    equi-join, per-query top-k pushdown) and return exact top-k ranks
+    for the planted nearest neighbor."""
+    import numpy as np
+
+    from sparkall_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    # 5000 corpus vectors: tiny jitter around one direction -> hot bucket
+    corpus = [
+        (int(i), (base + rng.normal(scale=0.01, size=16)).astype(float).tolist())
+        for i in range(5000)
+    ]
+    # planted exact match for the probe
+    probe_vec = (base + rng.normal(scale=0.001, size=16)).astype(float)
+    corpus.append((99999, probe_vec.tolist()))
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    qdf = spark.createDataFrame(
+        [(1, probe_vec.tolist())], ["vec_id", "embedding"]
+    )
+
+    t0 = time.monotonic()
+    res = S.lsh_topk(cdf, qdf, k=5, dim=16, bits=6, tables=8)
+    rows = res.collect()
+    dt = time.monotonic() - t0
+    # the planted vector must rank first despite the hot bucket
+    best = min(rows, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 99999
+    assert len(rows) == 5
+    # hot bucket must not blow up runtime (all-pairs would be 5k x 5k
+    # per table; bounded candidate join finishes in seconds)
+    assert dt < 60

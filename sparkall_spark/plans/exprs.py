@@ -4,7 +4,8 @@ rewrites, QueryAnalyser.scala:166-185).
 
 Grammar (recursive descent, precedence climbing):
 
-    expr   := term (('+' | '-') term)*
+    expr   := sum (CMP sum)?          CMP in = != < <= > >=
+    sum    := term (('+' | '-') term)*
     term   := factor (('*' | '/') factor)*
     factor := '(' expr ')' | FN '(' expr (',' expr)* ')' | ?var | literal
 
@@ -63,7 +64,12 @@ _FUNCTIONS = {
     "lcase": (F.lower, "lower"),
     "strlen": (F.length, "length"),
     "coalesce": (lambda *a: F.coalesce(*a), "coalesce"),
+    # IF(cond, then, else) — rendered as CASE WHEN in SQL (special-cased
+    # in both compilers)
+    "if": (None, None),
 }
+
+_CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
@@ -71,6 +77,7 @@ _TOKEN_RE = re.compile(
       | (?P<num>\d+(?:\.\d+)?)
       | (?P<str>"(?:[^"\\]|\\.)*")
       | (?P<name>[A-Za-z_]\w*)
+      | (?P<cmp><=|>=|!=|=|<|>)
       | (?P<op>[()+\-*/,])
     )""",
     re.VERBOSE,
@@ -86,7 +93,7 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
                 break
             raise ExprParseError(f"bad expression at {text[i:]!r}")
         i = m.end()
-        for kind in ("var", "num", "str", "name", "op"):
+        for kind in ("var", "num", "str", "name", "cmp", "op"):
             if m.group(kind) is not None:
                 out.append((kind, m.group(kind)))
                 break
@@ -114,6 +121,15 @@ class _Parser:
             raise ExprParseError(f"expected {val!r}, got {t[1]!r}")
 
     def expr(self):
+        node = self.sum()
+        # one optional comparison: comparisons don't chain (a < b < c
+        # is out of fragment, as in SPARQL)
+        if (t := self.peek()) and t[0] == "cmp":
+            self.take()
+            node = EBin(t[1], node, self.sum())
+        return node
+
+    def sum(self):
         node = self.term()
         while (t := self.peek()) and t[1] in ("+", "-"):
             self.take()
@@ -149,6 +165,8 @@ class _Parser:
                 self.take()
                 args.append(self.expr())
             self.expect(")")
+            if fn == "if" and len(args) != 3:
+                raise ExprParseError("IF takes exactly (cond, then, else)")
             return EFun(fn, tuple(args))
         raise ExprParseError(f"unexpected token {val!r}")
 
@@ -182,8 +200,19 @@ def to_column(node, resolve) -> Column:
         return F.lit(node.value)
     if isinstance(node, EBin):
         l, r = to_column(node.left, resolve), to_column(node.right, resolve)
-        return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[node.op]
+        return {
+            "+": lambda: l + r, "-": lambda: l - r,
+            "*": lambda: l * r, "/": lambda: l / r,
+            "=": lambda: l == r, "!=": lambda: l != r,
+            "<": lambda: l < r, "<=": lambda: l <= r,
+            ">": lambda: l > r, ">=": lambda: l >= r,
+        }[node.op]()
     if isinstance(node, EFun):
+        if node.fn == "if":
+            if len(node.args) != 3:
+                raise ExprParseError("IF takes exactly (cond, then, else)")
+            c, t, e = (to_column(a, resolve) for a in node.args)
+            return F.when(c, t).otherwise(e)
         if node.fn == "round":
             # F.round takes a Python int scale, not a Column
             scale = 0
@@ -208,11 +237,15 @@ def to_sql(node, resolve) -> str:
             return "'" + node.value.replace("'", "''") + "'"
         return str(node.value)
     if isinstance(node, EBin):
+        op = "<>" if node.op == "!=" else node.op
         return (
-            f"({to_sql(node.left, resolve)} {node.op} "
+            f"({to_sql(node.left, resolve)} {op} "
             f"{to_sql(node.right, resolve)})"
         )
     if isinstance(node, EFun):
+        if node.fn == "if":
+            c, t, e = (to_sql(a, resolve) for a in node.args)
+            return f"(CASE WHEN {c} THEN {t} ELSE {e} END)"
         args = ", ".join(to_sql(a, resolve) for a in node.args)
         return f"{_FUNCTIONS[node.fn][1]}({args})"
     raise ExprParseError(f"bad AST node {node!r}")

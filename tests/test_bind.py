@@ -163,3 +163,34 @@ def test_bind_chained_aliases_and_strings(engine, duck):
     a = [r[0] for r in engine.sparql(q).collect()]
     b = [r[0] for r in engine.sparql(q, backend="sql").collect()]
     assert a == b
+
+
+def test_bind_if_and_comparison(engine, duck):
+    """IF(cond, then, else) with a comparison condition — CASE WHEN in
+    SQL, when/otherwise in the Column compiler."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?bucket WHERE {
+            ?p a sa:Part ; sa:name ?name ; sa:size ?size .
+            BIND(IF(?size >= 25, "large", "small") AS ?bucket)
+        }
+        """
+    )
+    oracle = """
+    SELECT p_name AS name,
+           CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS bucket
+    FROM part
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+
+    with pytest.raises(ExprParseError):
+        parse_expr("IF(?a > 1, 2)")  # wrong arity
+    # comparison parses as the top-level node
+    from sparkall_spark.plans.exprs import EBin, EVar, ELit
+    assert parse_expr("?a >= 2 + 1") == EBin(
+        ">=", EVar("a"), EBin("+", ELit(2), ELit(1))
+    )

@@ -13,7 +13,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from sparkall_spark.mappings import EntityMapping
-from sparkall_spark.sources.files import read_csv, read_json, read_orc, read_parquet
+from sparkall_spark.sources.files import (
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_text,
+)
 from sparkall_spark.sources.jdbc import read_jdbc
 from sparkall_spark.sources.nosql import read_cassandra, read_elasticsearch, read_mongodb
 from sparkall_spark.sources.rdf import read_ntriples
@@ -25,6 +31,7 @@ READERS: dict[str, ReaderFn] = {
     "csv": read_csv,
     "json": read_json,
     "orc": read_orc,
+    "text": read_text,
     "jdbc": read_jdbc,
     "mongodb": read_mongodb,
     "cassandra": read_cassandra,

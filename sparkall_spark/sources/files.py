@@ -46,3 +46,18 @@ def read_json(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
 
 def read_orc(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
     return spark.read.options(**_spark_options(mapping)).orc(mapping.source)
+
+
+def read_text(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
+    """Raw text lines (one row per line, column ``value``) plus a
+    deterministic ``line_id`` — the minimal ingestion surface for
+    line-delimited corpora that aren't JSON.  ``wholetext=true`` in the
+    mapping options switches to one-row-per-file (column ``value``,
+    ``line_id`` 0) for document-per-file layouts."""
+    from pyspark.sql import functions as F
+
+    opts = _spark_options(mapping)
+    df = spark.read.options(**opts).text(mapping.source)
+    return df.withColumn(
+        "line_id", F.monotonically_increasing_id()
+    )

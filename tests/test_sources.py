@@ -219,3 +219,20 @@ def test_jdbc_dbtable_from_source_convention():
     )
     fmt, opts = jdbc_read_spec(m)
     assert opts["dbtable"] == "Producer"
+
+
+def test_text_source_reader(spark, tmp_path):
+    from sparkall_spark.mappings import EntityMapping
+    from sparkall_spark.sources import load_source
+
+    f = tmp_path / "corpus.txt"
+    f.write_text("alpha doc one\nbeta doc two\ngamma doc three\n")
+    m = EntityMapping(
+        name="RawText", source=str(f), source_type="text",
+        id_attr="line_id", predicates={}, class_iri=None,
+    )
+    df = load_source(spark, m)
+    assert set(df.columns) == {"value", "line_id"}
+    vals = [r["value"] for r in df.orderBy("line_id").collect()]
+    assert vals == ["alpha doc one", "beta doc two", "gamma doc three"]
+    assert df.count() == 3

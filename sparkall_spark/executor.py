@@ -302,16 +302,21 @@ _AGG_FNS = {
 
 def _apply_binds(df: DataFrame, q: ParsedQuery) -> DataFrame:
     """Post-join stage: BIND computed columns (declaration order), then
-    the filters that can only run here — filters over bind aliases and
-    var-to-var comparisons (both sides bound only after the joins)."""
-    if q.binds:
-        from sparkall_spark.plans.exprs import to_column
+    the filters that can only run here — filters over bind aliases,
+    var-to-var comparisons, and general expression FILTERs (both sides
+    bound only after the joins; Catalyst still pushes the resulting
+    predicates into the scans)."""
+    from sparkall_spark.plans.exprs import to_column
 
-        for b in q.binds:
-            df = df.withColumn(
-                q.column_for_var(b.alias),
-                to_column(b.expr, lambda v: F.col(q.column_for_var(v))),
-            )
+    for b in q.binds:
+        df = df.withColumn(
+            q.column_for_var(b.alias),
+            to_column(b.expr, lambda v: F.col(q.column_for_var(v))),
+        )
+    for ef in q.expr_filters:
+        df = df.filter(
+            to_column(ef.expr, lambda v: F.col(q.column_for_var(v)))
+        )
     aliases = {b.alias for b in q.binds}
     for f in q.filters:
         if f.value_is_var:

@@ -45,6 +45,17 @@ class Filter:
 
 
 @dataclass(frozen=True)
+class ExprFilter:
+    """``FILTER (<expression>)`` beyond the simple var-op-literal
+    grammar (extension): the full plans/exprs.py fragment with a
+    comparison at top level, evaluated post-join.  Catalyst still
+    pushes the predicate into scans after the plan is assembled."""
+
+    expr: object
+    raw: str = ""
+
+
+@dataclass(frozen=True)
 class Bind:
     """``BIND(<expr> AS ?alias)`` (extension): a computed column over
     already-bound variables, evaluated after the BGP joins.  ``expr`` is
@@ -151,6 +162,8 @@ class ParsedQuery:
     # ASK { ... } (extension): result is one boolean row named `ask` —
     # true iff the pattern has at least one solution
     is_ask: bool = False
+    # general expression FILTERs (see ExprFilter), applied post-join
+    expr_filters: list[ExprFilter] = field(default_factory=list)
 
     def prefix_label(self, iri: str) -> str:
         """Invert the prefix map for column naming (reference: Helpers.scala:25-36).

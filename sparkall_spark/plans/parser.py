@@ -21,10 +21,17 @@ from __future__ import annotations
 
 import re
 
-from sparkall_spark.plans.exprs import ExprParseError, expr_vars, parse_expr
+from sparkall_spark.plans.exprs import (
+    _CMP_OPS,
+    EBin,
+    ExprParseError,
+    expr_vars,
+    parse_expr,
+)
 from sparkall_spark.plans.model import (
     Aggregation,
     Bind,
+    ExprFilter,
     Filter,
     OrderKey,
     ParsedQuery,
@@ -137,8 +144,18 @@ def _expand_iri(token: str, prefixes: dict[str, str]) -> str:
     raise SparqlParseError(f"cannot expand IRI token: {token!r}")
 
 
-def _parse_filters(body: str, prefixes: dict[str, str]) -> tuple[str, list[Filter]]:
+# a "bare" comparison value: plain var, quoted string, or numeric
+# literal — anything else routes to the expression-filter path
+_BARE_VALUE_RE = re.compile(
+    r'\?[\w]+$|"(?:[^"\\]|\\.)*"$|-?\d+(?:\.\d+)?(?:[eE]-?\d+)?$'
+)
+
+
+def _parse_filters(
+    body: str, prefixes: dict[str, str]
+) -> tuple[str, list[Filter], list[ExprFilter]]:
     filters: list[Filter] = []
+    expr_filters: list[ExprFilter] = []
     while True:
         m = _FILTER_RE.search(body)
         if not m:
@@ -184,30 +201,48 @@ def _parse_filters(body: str, prefixes: dict[str, str]) -> tuple[str, list[Filte
             filters.append(Filter(or_var, "in", tuple(vals), is_str_any))
         else:
             for clause in re.split(r"&&", inner):
+                clause = clause.strip()
                 fm = re.match(
-                    r"\s*\?([\w]+)\s*(!=|<=|>=|=|<|>)\s*(.+?)\s*$", clause.strip()
+                    r"\s*\?([\w]+)\s*(!=|<=|>=|=|<|>)\s*(.+?)\s*$", clause
                 )
-                if not fm:
-                    raise SparqlParseError(f"bad FILTER clause: {clause!r}")
-                raw = fm.group(3).strip()
-                if raw.startswith("?"):
-                    # var-to-var comparison: applied post-join
-                    filters.append(
-                        Filter(fm.group(1), fm.group(2), raw[1:], False,
-                               value_is_var=True)
-                    )
+                if fm and _BARE_VALUE_RE.match(fm.group(3).strip()):
+                    raw = fm.group(3).strip()
+                    if raw.startswith("?"):
+                        # var-to-var comparison: applied post-join
+                        filters.append(
+                            Filter(fm.group(1), fm.group(2), raw[1:], False,
+                                   value_is_var=True)
+                        )
+                        continue
+                    if raw.startswith('"'):
+                        value: str | int | float = raw.strip('"')
+                        is_str = True
+                    else:
+                        # strip optional xsd-style type tags; parse number
+                        num = raw.rstrip(".")
+                        value = (
+                            float(raw)
+                            if ("." in raw or "e" in raw.lower())
+                            else int(num)
+                        )
+                        is_str = False
+                    filters.append(Filter(fm.group(1), fm.group(2), value, is_str))
                     continue
-                if raw.startswith('"'):
-                    value: str | int | float = raw.strip('"')
-                    is_str = True
-                else:
-                    # strip optional xsd-style quotes/type tags; parse number
-                    num = raw.rstrip(".")
-                    value = float(raw) if ("." in raw or "e" in raw.lower()) else int(num)
-                    is_str = False
-                filters.append(Filter(fm.group(1), fm.group(2), value, is_str))
+                # general expression filter (extension): the BIND
+                # expression fragment with a comparison at top level
+                try:
+                    ast = parse_expr(clause)
+                except ExprParseError as exc:
+                    raise SparqlParseError(
+                        f"bad FILTER clause: {clause!r} ({exc})"
+                    ) from exc
+                if not (isinstance(ast, EBin) and ast.op in _CMP_OPS):
+                    raise SparqlParseError(
+                        f"expression FILTER must be a comparison: {clause!r}"
+                    )
+                expr_filters.append(ExprFilter(ast, clause))
         body = body[: m.start()] + " " + body[end:]
-    return body, filters
+    return body, filters, expr_filters
 
 
 def _split_statements(body: str) -> list[str]:
@@ -463,8 +498,8 @@ def parse_sparql(query: str) -> ParsedQuery:
             binds.append(Bind(am.group(1), ast, inner.strip()))
             group_body = group_body[: bm.start()] + " " + group_body[bend:]
 
-        stars, var_to_star_pred, filters, optional_subjects = _parse_group(
-            group_body, prefixes
+        stars, var_to_star_pred, filters, optional_subjects, expr_filters = (
+            _parse_group(group_body, prefixes)
         )
         filters = filters + values_filters
 
@@ -482,8 +517,17 @@ def parse_sparql(query: str) -> ParsedQuery:
                 )
             bound.add(b.alias)
 
+        # expression-FILTER scope check (same rule as BIND)
+        for ef in expr_filters:
+            missing = expr_vars(ef.expr) - bound
+            if missing:
+                raise SparqlParseError(
+                    f"FILTER({ef.raw}) references unbound "
+                    f"{', '.join('?' + v for v in sorted(missing))}"
+                )
+
         def subgroup(body_text: str) -> ParsedQuery:
-            ms, mv, mf, mo = _parse_group(body_text, prefixes)
+            ms, mv, mf, mo, mef = _parse_group(body_text, prefixes)
             return ParsedQuery(
                 prefixes=prefixes,
                 select_vars=[],
@@ -496,6 +540,7 @@ def parse_sparql(query: str) -> ParsedQuery:
                 order_keys=[],
                 limit=None,
                 optional_stars=mo,
+                expr_filters=mef,
             )
 
         minus_groups = [subgroup(mb) for mb in minus_bodies]
@@ -519,6 +564,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             offset=offset,
             binds=binds,
             is_ask=is_ask,
+            expr_filters=expr_filters,
         )
 
     main = build(union_bodies[0])
@@ -601,7 +647,13 @@ def _split_union(body: str) -> list[str]:
 
 def _parse_group(
     body: str, prefixes: dict[str, str]
-) -> tuple[dict[str, Star], dict[str, tuple[str, str]], list[Filter], set[str]]:
+) -> tuple[
+    dict[str, Star],
+    dict[str, tuple[str, str]],
+    list[Filter],
+    set[str],
+    list[ExprFilter],
+]:
     """Parse one group graph pattern: triples + FILTERs + OPTIONAL blocks."""
     optional_triples: list[Triple] = []
     optional_subjects: set[str] = set()
@@ -616,14 +668,19 @@ def _parse_group(
         # left join (they cannot eliminate left rows) — since the engine
         # applies all star filters pre-join, hoisting them preserves the
         # SPARQL semantics as long as they reference optional-star vars
-        oinner, ofilters = _parse_filters(oinner, prefixes)
+        oinner, ofilters, oexpr = _parse_filters(oinner, prefixes)
+        if oexpr:
+            raise SparqlParseError(
+                "expression FILTER inside OPTIONAL is not supported "
+                f"(hoisting would break left-join semantics): {oexpr[0].raw!r}"
+            )
         otr = _parse_triples(oinner, prefixes)
         optional_triples.extend(otr)
         optional_subjects.update(t.subject for t in otr)
         optional_filters.extend(ofilters)
         body = body[: om.start()] + " " + body[oend:]
 
-    body, filters = _parse_filters(body, prefixes)
+    body, filters, expr_filters = _parse_filters(body, prefixes)
     filters += optional_filters
     triples = _parse_triples(body, prefixes)
     mandatory_subjects = {t.subject for t in triples}
@@ -662,4 +719,4 @@ def _parse_group(
                 f"?{bound_star}; hoisting it would break left-join semantics "
                 "— move the FILTER outside the OPTIONAL block"
             )
-    return stars, var_to_star_pred, filters, optional_subjects
+    return stars, var_to_star_pred, filters, optional_subjects, expr_filters

@@ -72,6 +72,8 @@ def plan_query(q: ParsedQuery) -> QueryPlan:
 
     for b in q.binds:
         used_vars.update(expr_vars(b.expr))
+    for ef in q.expr_filters:
+        used_vars.update(expr_vars(ef.expr))
 
     needed: dict[str, set[str]] = {s: set() for s in q.stars}
     for var in used_vars:

@@ -297,7 +297,10 @@ def _apply_binds_sql(q: ParsedQuery, core: str) -> str:
             f"FROM {core}) AS bnd{i}"
         )
     aliases = {b.alias for b in q.binds}
-    conds = []
+    conds = [
+        to_sql(ef.expr, lambda v: _q(q.column_for_var(v)))
+        for ef in q.expr_filters
+    ]
     for f in q.filters:
         if f.value_is_var:
             op = "<>" if f.op == "!=" else f.op

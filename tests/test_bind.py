@@ -194,3 +194,55 @@ def test_bind_if_and_comparison(engine, duck):
     assert parse_expr("?a >= 2 + 1") == EBin(
         ">=", EVar("a"), EBin("+", ELit(2), ELit(1))
     )
+
+
+def test_expression_filters(engine, duck):
+    """FILTER over full expressions (extension): function calls and
+    arithmetic on either side of the comparison, both backends."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name WHERE {
+            ?p a sa:Part ; sa:name ?name .
+            FILTER (STRLEN(?name) > 10)
+        }
+        """
+    )
+    oracle = "SELECT p_name AS name FROM part WHERE length(p_name) > 10"
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    assert sorted(map(tuple, engine.sparql(q).collect())) == sorted(
+        map(tuple, engine.sparql(q, backend="sql").collect())
+    )
+
+    q2 = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?ep ?d WHERE {
+            ?l a sa:Lineitem ; sa:extendedprice ?ep ; sa:discount ?d .
+            FILTER (?ep * (1 - ?d) > 90000)
+        }
+        """
+    )
+    oracle2 = """
+    SELECT l_extendedprice AS ep, l_discount AS d FROM lineitem
+    WHERE l_extendedprice * (1 - l_discount) > 90000
+    """
+    assert_matches_oracle(engine.sparql(q2), duck, oracle2)
+    assert sorted(map(tuple, engine.sparql(q2).collect())) == sorted(
+        map(tuple, engine.sparql(q2, backend="sql").collect())
+    )
+
+
+def test_expression_filter_validation():
+    with pytest.raises(SparqlParseError, match="unbound"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + "SELECT ?name WHERE { ?p a sa:Part ; sa:name ?name ."
+            + " FILTER (STRLEN(?ghost) > 10) }"
+        )
+    with pytest.raises(SparqlParseError, match="comparison"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + "SELECT ?name WHERE { ?p a sa:Part ; sa:name ?name ."
+            + " FILTER (STRLEN(?name)) }"
+        )

@@ -43,13 +43,10 @@ from sparkall_spark.plans.model import (
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 _PREFIX_RE = re.compile(r"PREFIX\s+([\w-]*):\s*<([^>]+)>", re.IGNORECASE)
-_AGG_RE = re.compile(
-    r"\(\s*(SUM|MIN|MAX|AVG|COUNT|SAMPLE|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?"
-    r"(\?[\w]+|\*)\s*(?:;\s*SEPARATOR\s*=\s*\"([^\"]*)\")?\s*\)"
-    r"\s+AS\s+\?([\w]+)\s*\)",
-    re.IGNORECASE,
-)
 _VAR_RE = re.compile(r"\?([\w]+)")
+_AGG_FN_RE = re.compile(
+    r"\(\s*(SUM|MIN|MAX|AVG|COUNT|SAMPLE|GROUP_CONCAT)\s*\(", re.IGNORECASE
+)
 _FILTER_RE = re.compile(r"FILTER\s*(regex|rlike)?\s*\(", re.IGNORECASE)
 _ORDER_ITEM_RE = re.compile(r"(ASC|DESC)\s*\(\s*\?([\w]+)\s*\)|\?([\w]+)", re.IGNORECASE)
 
@@ -369,6 +366,72 @@ def _parse_triples(
     return triples
 
 
+def _extract_aggregations(
+    sel: str,
+) -> tuple[str, list[Aggregation], list[Bind]]:
+    """Scan the SELECT clause for ``(FN([DISTINCT] operand
+    [; SEPARATOR="..."]) AS ?alias)`` items.  The operand may be ``*``,
+    a variable, or a full expression — expressions desugar into an
+    implicit BIND (``__aggexprN``) so aggregation over expressions
+    (``SUM(?a * ?b)``) reuses the bind machinery in both backends.
+    Returns (sel text with aggregate spans removed, aggregations,
+    implicit binds)."""
+    aggs: list[Aggregation] = []
+    agg_binds: list[Bind] = []
+    out: list[str] = []
+    i = 0
+    n_expr = 0
+    while True:
+        m = _AGG_FN_RE.search(sel, i)
+        if not m:
+            break
+        inner_open = m.end() - 1
+        inner_end = _balanced(sel, inner_open)
+        tail_m = re.match(
+            r"\s*AS\s+\?([\w]+)\s*\)", sel[inner_end:], re.IGNORECASE
+        )
+        if not tail_m:
+            raise SparqlParseError(
+                f"aggregate missing AS ?alias near: {sel[m.start():inner_end]!r}"
+            )
+        alias = tail_m.group(1)
+        inner = sel[inner_open + 1 : inner_end - 1].strip()
+        fn = m.group(1).lower()
+        separator = None
+        sep_m = re.search(
+            r";\s*SEPARATOR\s*=\s*\"([^\"]*)\"\s*$", inner, re.IGNORECASE
+        )
+        if sep_m:
+            separator = sep_m.group(1)
+            inner = inner[: sep_m.start()].strip()
+        distinct = False
+        dm = re.match(r"DISTINCT\s+", inner, re.IGNORECASE)
+        if dm:
+            distinct = True
+            inner = inner[dm.end() :].strip()
+        if inner == "*":
+            var = "*"
+        elif re.fullmatch(r"\?[\w]+", inner):
+            var = inner[1:]
+        else:
+            try:
+                ast_ = parse_expr(inner)
+            except ExprParseError as exc:
+                raise SparqlParseError(
+                    f"bad aggregate expression: {inner!r} ({exc})"
+                ) from exc
+            var = f"__aggexpr{n_expr}"
+            n_expr += 1
+            agg_binds.append(Bind(var, ast_, inner))
+        aggs.append(
+            Aggregation(fn, var, alias, distinct=distinct, separator=separator)
+        )
+        out.append(sel[i : m.start()])
+        i = inner_end + tail_m.end()
+    out.append(sel[i:])
+    return "".join(out), aggs, agg_binds
+
+
 def parse_sparql(query: str) -> ParsedQuery:
     """Parse one query of the supported fragment into the IR."""
     query = _strip_comments(query)
@@ -390,12 +453,7 @@ def parse_sparql(query: str) -> ParsedQuery:
     if distinct:
         sel = re.sub(r"\s*DISTINCT\b", "", sel, count=1, flags=re.IGNORECASE)
 
-    aggregations = [
-        Aggregation(m.group(1).lower(), m.group(3).lstrip("?"), m.group(5),
-                    distinct=bool(m.group(2)), separator=m.group(4))
-        for m in _AGG_RE.finditer(sel)
-    ]
-    sel_plain = _AGG_RE.sub(" ", sel)
+    sel_plain, aggregations, agg_binds = _extract_aggregations(sel)
     select_vars = [m.group(1) for m in _VAR_RE.finditer(sel_plain)]
 
     brace = query.find("{", sel_m.end() - 1)
@@ -502,6 +560,10 @@ def parse_sparql(query: str) -> ParsedQuery:
             _parse_group(group_body, prefixes)
         )
         filters = filters + values_filters
+
+        # implicit binds from aggregate expressions run after the
+        # body's explicit binds (they may reference those aliases)
+        binds = binds + agg_binds
 
         # BIND scope check: every referenced variable must be bound by
         # the BGP or an earlier BIND; aliases must be fresh

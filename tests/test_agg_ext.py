@@ -87,3 +87,53 @@ def test_group_concat_default_separator(engine):
     rows = engine.sparql(q).collect()
     assert len(rows) == 1
     assert rows[0]["all_regions"] == "AFRICA AMERICA ASIA EUROPE MIDDLE EAST"
+
+
+def test_aggregate_over_expression(engine, duck):
+    """TPC-H Q1-style revenue aggregate: SUM over an expression
+    desugars into an implicit BIND and aggregates over the alias."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?rf ?ls (SUM(?qty) AS ?sum_qty)
+               (SUM(?ep * (1 - ?d)) AS ?revenue)
+               (SUM(?ep * (1 - ?d) * (1 + ?tax)) AS ?charge)
+               (COUNT(*) AS ?n)
+        WHERE {
+            ?l a sa:Lineitem ; sa:quantity ?qty ; sa:extendedprice ?ep ;
+               sa:discount ?d ; sa:tax ?tax ; sa:returnflag ?rf ;
+               sa:linestatus ?ls .
+        }
+        GROUP BY ?rf ?ls ORDER BY ?rf ?ls
+        """
+    )
+    oracle = """
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charge,
+           count(*) AS n
+    FROM lineitem GROUP BY 1, 2 ORDER BY rf, ls
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+    df_rows = sorted(map(tuple, engine.sparql(q).collect()))
+    sql_rows = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    for a, b in zip(df_rows, sql_rows):
+        assert a[:2] == b[:2]
+        for x, y in zip(a[2:], b[2:]):
+            assert x == pytest.approx(y)
+
+
+def test_aggregate_expression_validation():
+    from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
+    from sparkall_spark.fixtures import PREFIX_BLOCK as PB
+
+    with pytest.raises(SparqlParseError, match="unbound"):
+        parse_sparql(
+            PB + "SELECT (SUM(?ghost * 2) AS ?x) WHERE "
+            "{ ?l a sa:Lineitem ; sa:quantity ?q . }"
+        )
+    with pytest.raises(SparqlParseError, match="AS"):
+        parse_sparql(
+            PB + "SELECT (SUM(?q)) WHERE { ?l a sa:Lineitem ; sa:quantity ?q . }"
+        )

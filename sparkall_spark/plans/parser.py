@@ -14,7 +14,11 @@ re-parses per getter, QueryAnalyser.scala:24-189; we parse once):
 Extensions over the reference: OPTIONAL blocks (-> left outer join),
 multi-key ORDER BY done right (the reference's loop makes it
 last-key-wins, Run.scala:294-299), FILTER rlike for true regexes,
-DISTINCT aggregates, COUNT(*).
+DISTINCT aggregates, COUNT(*), UNION/MINUS/FILTER [NOT] EXISTS/VALUES,
+HAVING, OFFSET, BIND computed columns (plans/exprs.py), expression
+FILTERs and OR/var-to-var comparisons, aggregates over expressions,
+SAMPLE and GROUP_CONCAT, sequence (`p1/p2`) and inverse (`^p`) property
+paths, and the ASK query form.
 """
 
 from __future__ import annotations
@@ -48,7 +52,6 @@ _AGG_FN_RE = re.compile(
     r"\(\s*(SUM|MIN|MAX|AVG|COUNT|SAMPLE|GROUP_CONCAT)\s*\(", re.IGNORECASE
 )
 _FILTER_RE = re.compile(r"FILTER\s*(regex|rlike)?\s*\(", re.IGNORECASE)
-_ORDER_ITEM_RE = re.compile(r"(ASC|DESC)\s*\(\s*\?([\w]+)\s*\)|\?([\w]+)", re.IGNORECASE)
 
 
 class SparqlParseError(ValueError):
@@ -471,17 +474,41 @@ def parse_sparql(query: str) -> ParsedQuery:
         group_by = [m.group(1) for m in _VAR_RE.finditer(gm.group(1))]
 
     order_keys: list[OrderKey] = []
-    om = re.search(
-        r"ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?[\w]+\s*\)|\?[\w]+)\s*)+",
-        tail,
-        re.IGNORECASE,
-    )
+    order_binds: list[Bind] = []
+    om = re.search(r"ORDER\s+BY\s+", tail, re.IGNORECASE)
     if om:
-        for im in _ORDER_ITEM_RE.finditer(om.group(0)[om.group(0).upper().index("BY") + 2 :]):
-            if im.group(3):
-                order_keys.append(OrderKey(im.group(3), False))
-            else:
-                order_keys.append(OrderKey(im.group(2), im.group(1).upper() == "DESC"))
+        pos = om.end()
+        n_oexpr = 0
+        while pos < len(tail):
+            mm = re.match(r"\s*(ASC|DESC)\s*\(", tail[pos:], re.IGNORECASE)
+            if mm:
+                open_idx = pos + mm.end() - 1
+                end_idx = _balanced(tail, open_idx)
+                inner = tail[open_idx + 1 : end_idx - 1].strip()
+                desc = mm.group(1).upper() == "DESC"
+                if re.fullmatch(r"\?[\w]+", inner):
+                    order_keys.append(OrderKey(inner[1:], desc))
+                else:
+                    # ORDER BY expression (extension): implicit bind,
+                    # sorted on the computed column
+                    try:
+                        ast_ = parse_expr(inner)
+                    except ExprParseError as exc:
+                        raise SparqlParseError(
+                            f"bad ORDER BY expression: {inner!r} ({exc})"
+                        ) from exc
+                    alias = f"__orderexpr{n_oexpr}"
+                    n_oexpr += 1
+                    order_binds.append(Bind(alias, ast_, inner))
+                    order_keys.append(OrderKey(alias, desc))
+                pos = end_idx
+                continue
+            mv = re.match(r"\s*\?([\w]+)", tail[pos:])
+            if mv:
+                order_keys.append(OrderKey(mv.group(1), False))
+                pos += mv.end()
+                continue
+            break
 
     limit = None
     lm = re.search(r"LIMIT\s+(\d+)", tail, re.IGNORECASE)
@@ -561,9 +588,15 @@ def parse_sparql(query: str) -> ParsedQuery:
         )
         filters = filters + values_filters
 
-        # implicit binds from aggregate expressions run after the
-        # body's explicit binds (they may reference those aliases)
-        binds = binds + agg_binds
+        # implicit binds from aggregate / ORDER BY expressions run
+        # after the body's explicit binds (they may reference those
+        # aliases)
+        if order_binds and (aggregations or distinct):
+            raise SparqlParseError(
+                "ORDER BY expressions are not supported together with "
+                "DISTINCT or aggregation"
+            )
+        binds = binds + agg_binds + order_binds
 
         # BIND scope check: every referenced variable must be bound by
         # the BGP or an earlier BIND; aliases must be fresh

@@ -246,3 +246,34 @@ def test_expression_filter_validation():
             + "SELECT ?name WHERE { ?p a sa:Part ; sa:name ?name ."
             + " FILTER (STRLEN(?name)) }"
         )
+
+
+def test_order_by_expression(engine, duck):
+    """ORDER BY over an expression (extension): implicit bind, sorted
+    on the computed column, both backends."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?ep ?d WHERE {
+            ?l a sa:Lineitem ; sa:extendedprice ?ep ; sa:discount ?d ;
+               sa:part ?p .
+            ?p a sa:Part ; sa:name ?name .
+        } ORDER BY DESC(?ep * (1 - ?d)) ?name LIMIT 20
+        """
+    )
+    oracle = """
+    SELECT p_name AS name, l_extendedprice AS ep, l_discount AS d
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    ORDER BY l_extendedprice * (1 - l_discount) DESC, name LIMIT 20
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+    a = [tuple(r) for r in engine.sparql(q).collect()]
+    b = [tuple(r) for r in engine.sparql(q, backend="sql").collect()]
+    assert a == b
+
+    with pytest.raises(SparqlParseError, match="DISTINCT or aggregation"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + "SELECT DISTINCT ?name WHERE { ?p a sa:Part ; sa:name ?name ;"
+            + " sa:size ?s . } ORDER BY DESC(?s * 2)"
+        )

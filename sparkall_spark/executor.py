@@ -447,14 +447,31 @@ def execute_plan(
                     expr = _AGG_FNS[a.fn](col)
             aggs.append(expr.alias(a.alias))
         df = df.groupBy(*group_cols).agg(*aggs)
+        # expressions over aggregates compute the declared aliases from
+        # the internal __aggN columns (post-agg, pre-HAVING so HAVING
+        # may reference them)
+        if q.post_agg_exprs:
+            from sparkall_spark.plans.exprs import to_column
+
+            for pe in q.post_agg_exprs:
+                df = df.withColumn(
+                    pe.alias, to_column(pe.expr, lambda v: F.col(v))
+                )
         for h in q.having:
             df = df.filter(_filter_condition(F.col(h.var), h))
-        out_cols = [v for v in q.select_vars if v in q.group_by] + [
-            a.alias for a in q.aggregations
-        ]
+        out_cols = (
+            [v for v in q.select_vars if v in q.group_by]
+            + [
+                a.alias
+                for a in q.aggregations
+                if not a.alias.startswith("__agg")
+            ]
+            + [pe.alias for pe in q.post_agg_exprs]
+        )
         order_resolver = {
             **{v: v for v in q.group_by},
             **{a.alias: a.alias for a in q.aggregations},
+            **{pe.alias: pe.alias for pe in q.post_agg_exprs},
         }
     else:
         out_cols = list(q.select_vars)

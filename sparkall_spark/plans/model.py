@@ -164,6 +164,10 @@ class ParsedQuery:
     is_ask: bool = False
     # general expression FILTERs (see ExprFilter), applied post-join
     expr_filters: list[ExprFilter] = field(default_factory=list)
+    # SELECT expressions OVER aggregates, e.g. (ROUND(SUM(?x), 2) AS
+    # ?y): aggregate calls become internal __aggN aliases, and these
+    # Binds compute the declared alias from them after the groupBy
+    post_agg_exprs: list[Bind] = field(default_factory=list)
 
     def prefix_label(self, iri: str) -> str:
         """Invert the prefix map for column naming (reference: Helpers.scala:25-36).

@@ -369,70 +369,130 @@ def _parse_triples(
     return triples
 
 
+_AGG_CALL_RE = re.compile(
+    r"\b(SUM|MIN|MAX|AVG|COUNT|SAMPLE|GROUP_CONCAT)\s*\(", re.IGNORECASE
+)
+
+
+def _parse_expr_or_raise(text: str, what: str):
+    try:
+        return parse_expr(text)
+    except ExprParseError as exc:
+        raise SparqlParseError(f"bad {what}: {text!r} ({exc})") from exc
+
+
 def _extract_aggregations(
     sel: str,
-) -> tuple[str, list[Aggregation], list[Bind]]:
-    """Scan the SELECT clause for ``(FN([DISTINCT] operand
-    [; SEPARATOR="..."]) AS ?alias)`` items.  The operand may be ``*``,
-    a variable, or a full expression — expressions desugar into an
-    implicit BIND (``__aggexprN``) so aggregation over expressions
-    (``SUM(?a * ?b)``) reuses the bind machinery in both backends.
-    Returns (sel text with aggregate spans removed, aggregations,
-    implicit binds)."""
+) -> tuple[str, list[Aggregation], list[Bind], list[Bind]]:
+    """Scan the SELECT clause for ``( ... AS ?alias)`` items.
+
+    Supported item shapes:
+    - ``(FN([DISTINCT] operand [; SEPARATOR="..."]) AS ?alias)`` — an
+      aggregate; the operand may be ``*``, a variable, or an expression
+      (desugared into an implicit pre-agg BIND ``__aggexprN``);
+    - ``(<expr over aggregates> AS ?alias)`` — e.g. ``ROUND(SUM(?x),
+      2)`` or ``SUM(?a) / COUNT(*)``: each aggregate call becomes an
+      internal ``__aggN`` aggregation and the expression computes the
+      alias post-groupBy (returned as post_agg binds);
+    - ``(<plain expr> AS ?alias)`` — a SPARQL 1.1 SELECT expression,
+      desugared into a body-level BIND plus a projected variable.
+
+    Returns (sel text with item spans reduced, aggregations, pre-agg
+    binds, post-agg binds)."""
     aggs: list[Aggregation] = []
     agg_binds: list[Bind] = []
+    post_exprs: list[Bind] = []
     out: list[str] = []
     i = 0
     n_expr = 0
-    while True:
-        m = _AGG_FN_RE.search(sel, i)
-        if not m:
-            break
-        inner_open = m.end() - 1
-        inner_end = _balanced(sel, inner_open)
-        tail_m = re.match(
-            r"\s*AS\s+\?([\w]+)\s*\)", sel[inner_end:], re.IGNORECASE
-        )
-        if not tail_m:
-            raise SparqlParseError(
-                f"aggregate missing AS ?alias near: {sel[m.start():inner_end]!r}"
-            )
-        alias = tail_m.group(1)
-        inner = sel[inner_open + 1 : inner_end - 1].strip()
-        fn = m.group(1).lower()
-        separator = None
-        sep_m = re.search(
-            r";\s*SEPARATOR\s*=\s*\"([^\"]*)\"\s*$", inner, re.IGNORECASE
-        )
-        if sep_m:
-            separator = sep_m.group(1)
-            inner = inner[: sep_m.start()].strip()
-        distinct = False
-        dm = re.match(r"DISTINCT\s+", inner, re.IGNORECASE)
-        if dm:
-            distinct = True
-            inner = inner[dm.end() :].strip()
-        if inner == "*":
-            var = "*"
-        elif re.fullmatch(r"\?[\w]+", inner):
-            var = inner[1:]
-        else:
-            try:
-                ast_ = parse_expr(inner)
-            except ExprParseError as exc:
+    n_agg = 0
+    n = len(sel)
+    while i < n:
+        c = sel[i]
+        if c != "(":
+            out.append(c)
+            i += 1
+            continue
+        end = _balanced(sel, i)
+        item = sel[i + 1 : end - 1]
+        am = re.search(r"\s+AS\s+\?([\w]+)\s*$", item, re.IGNORECASE)
+        if not am:
+            if _AGG_CALL_RE.search(item):
                 raise SparqlParseError(
-                    f"bad aggregate expression: {inner!r} ({exc})"
-                ) from exc
-            var = f"__aggexpr{n_expr}"
-            n_expr += 1
-            agg_binds.append(Bind(var, ast_, inner))
-        aggs.append(
-            Aggregation(fn, var, alias, distinct=distinct, separator=separator)
-        )
-        out.append(sel[i : m.start()])
-        i = inner_end + tail_m.end()
-    out.append(sel[i:])
-    return "".join(out), aggs, agg_binds
+                    f"aggregate missing AS ?alias near: {sel[i:end]!r}"
+                )
+            out.append(sel[i:end])
+            i = end
+            continue
+        alias = am.group(1)
+        expr_text = item[: am.start()]
+        # replace each aggregate call with an internal placeholder var
+        replaced: list[str] = []
+        calls: list[str] = []
+        j = 0
+        while True:
+            m2 = _AGG_CALL_RE.search(expr_text, j)
+            if not m2:
+                break
+            o2 = m2.end() - 1
+            e2 = _balanced(expr_text, o2)
+            inner = expr_text[o2 + 1 : e2 - 1].strip()
+            fn = m2.group(1).lower()
+            separator = None
+            sep_m = re.search(
+                r";\s*SEPARATOR\s*=\s*\"([^\"]*)\"\s*$", inner, re.IGNORECASE
+            )
+            if sep_m:
+                separator = sep_m.group(1)
+                inner = inner[: sep_m.start()].strip()
+            distinct = False
+            dm = re.match(r"DISTINCT\s+", inner, re.IGNORECASE)
+            if dm:
+                distinct = True
+                inner = inner[dm.end() :].strip()
+            if inner == "*":
+                var = "*"
+            elif re.fullmatch(r"\?[\w]+", inner):
+                var = inner[1:]
+            else:
+                ast_ = _parse_expr_or_raise(inner, "aggregate expression")
+                var = f"__aggexpr{n_expr}"
+                n_expr += 1
+                agg_binds.append(Bind(var, ast_, inner))
+            agg_alias = f"__agg{n_agg}"
+            n_agg += 1
+            calls.append(agg_alias)
+            aggs.append(
+                Aggregation(fn, var, agg_alias, distinct=distinct,
+                            separator=separator)
+            )
+            replaced.append(expr_text[j : m2.start()])
+            replaced.append(f" ?{agg_alias} ")
+            j = e2
+        replaced.append(expr_text[j:])
+        rem = "".join(replaced).strip()
+        if len(calls) == 1 and rem == f"?{calls[0]}":
+            # plain aggregate item: the declared alias IS the aggregate
+            a = aggs[-1]
+            aggs[-1] = Aggregation(
+                a.fn, a.var, alias, distinct=a.distinct, separator=a.separator
+            )
+        elif not calls:
+            # SPARQL 1.1 SELECT expression: body-level bind + projection
+            agg_binds.append(
+                Bind(alias, _parse_expr_or_raise(rem, "SELECT expression"), rem)
+            )
+            out.append(f" ?{alias} ")
+        else:
+            post_exprs.append(
+                Bind(
+                    alias,
+                    _parse_expr_or_raise(rem, "aggregate SELECT expression"),
+                    expr_text.strip(),
+                )
+            )
+        i = end
+    return "".join(out), aggs, agg_binds, post_exprs
 
 
 def parse_sparql(query: str) -> ParsedQuery:
@@ -456,7 +516,7 @@ def parse_sparql(query: str) -> ParsedQuery:
     if distinct:
         sel = re.sub(r"\s*DISTINCT\b", "", sel, count=1, flags=re.IGNORECASE)
 
-    sel_plain, aggregations, agg_binds = _extract_aggregations(sel)
+    sel_plain, aggregations, agg_binds, post_agg_exprs = _extract_aggregations(sel)
     select_vars = [m.group(1) for m in _VAR_RE.finditer(sel_plain)]
 
     brace = query.find("{", sel_m.end() - 1)
@@ -519,7 +579,9 @@ def parse_sparql(query: str) -> ParsedQuery:
     if om2:
         offset = int(om2.group(1))
 
-    having = _parse_having(tail, aggregations)
+    having = _parse_having(
+        tail, aggregations, {pe.alias for pe in post_agg_exprs}
+    )
 
     def build(group_body: str) -> ParsedQuery:
         # MINUS / FILTER [NOT] EXISTS blocks parse as their own
@@ -660,6 +722,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             binds=binds,
             is_ask=is_ask,
             expr_filters=expr_filters,
+            post_agg_exprs=post_agg_exprs,
         )
 
     main = build(union_bodies[0])
@@ -672,10 +735,11 @@ def parse_sparql(query: str) -> ParsedQuery:
 
 
 def _parse_having(
-    tail: str, aggregations: list[Aggregation]
+    tail: str, aggregations: list[Aggregation], extra_aliases: set[str] = frozenset()
 ) -> list[Filter]:
     """``HAVING (SUM(?v) > 10)`` or ``HAVING (?alias > 10)`` — resolved
-    to the matching aggregate alias (must be declared in SELECT)."""
+    to the matching aggregate alias (must be declared in SELECT);
+    ``extra_aliases`` admits post-aggregation expression aliases."""
     having: list[Filter] = []
     for hm in re.finditer(r"HAVING\s*\(", tail, re.IGNORECASE):
         end = _balanced(tail, hm.end() - 1)
@@ -691,7 +755,7 @@ def _parse_having(
                 raise SparqlParseError(f"bad HAVING clause: {clause!r}")
             if m.group(3):
                 alias = m.group(3)
-                if alias not in {a.alias for a in aggregations}:
+                if alias not in {a.alias for a in aggregations} | set(extra_aliases):
                     raise SparqlParseError(
                         f"HAVING references unknown aggregate alias ?{alias}"
                     )

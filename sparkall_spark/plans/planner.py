@@ -59,7 +59,9 @@ def plan_query(q: ParsedQuery) -> QueryPlan:
 
     # variables the query actually consumes; aggregate aliases are output
     # names, not data variables, so ORDER BY on them resolves post-agg
-    agg_aliases = {a.alias for a in q.aggregations}
+    agg_aliases = {a.alias for a in q.aggregations} | {
+        pe.alias for pe in q.post_agg_exprs
+    }
     bind_aliases = {b.alias for b in q.binds}
     used_vars: set[str] = set(q.select_vars)
     used_vars.update(f.var for f in q.filters)

@@ -23,6 +23,7 @@ import re
 from dataclasses import dataclass
 
 from sparkall_spark.functions.transforms import TransformError, _FN_RE
+from sparkall_spark.plans.exprs import to_sql
 from sparkall_spark.mappings import EntityMapping, MappingIndex
 from sparkall_spark.plans.model import Filter, ParsedQuery
 from sparkall_spark.plans.planner import QueryPlan, plan_query
@@ -253,11 +254,36 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
         sql = f"SELECT {sel} FROM {core}"
         if q.group_by:
             sql += " GROUP BY " + ", ".join(_q(q.column_for_var(v)) for v in q.group_by)
+        if q.post_agg_exprs:
+            # expressions over aggregates: compute declared aliases from
+            # the internal __aggN columns, then prune the internals
+            pe_sql = ", ".join(
+                f"{to_sql(pe.expr, lambda v: _q(v))} AS {_q(pe.alias)}"
+                for pe in q.post_agg_exprs
+            )
+            sql = f"SELECT *, {pe_sql} FROM ({sql}) AS pagg"
         if q.having:
             sql = f"SELECT * FROM ({sql}) AS hv WHERE " + " AND ".join(
                 _filter_sql(_q(h.var), h) for h in q.having
             )
-        order_names = {**{v: v for v in q.group_by}, **{a.alias: a.alias for a in q.aggregations}}
+        if q.post_agg_exprs:
+            keep = (
+                [v for v in q.select_vars if v in q.group_by]
+                + [
+                    a.alias
+                    for a in q.aggregations
+                    if not a.alias.startswith("__agg")
+                ]
+                + [pe.alias for pe in q.post_agg_exprs]
+            )
+            sql = (
+                f"SELECT {', '.join(_q(c) for c in keep)} FROM ({sql}) AS pgp"
+            )
+        order_names = {
+            **{v: v for v in q.group_by},
+            **{a.alias: a.alias for a in q.aggregations},
+            **{pe.alias: pe.alias for pe in q.post_agg_exprs},
+        }
         if q.order_keys:
             sql = f"SELECT * FROM ({sql}) AS agg ORDER BY " + ", ".join(
                 f"{_q(order_names[k.var])}{' DESC' if k.descending else ''}"
@@ -288,8 +314,6 @@ def _apply_binds_sql(q: ParsedQuery, core: str) -> str:
     columns as nested projections (one per bind, so later binds may
     reference earlier aliases), then the filters that can only run here
     (bind-alias filters and var-to-var comparisons)."""
-    from sparkall_spark.plans.exprs import to_sql
-
     for i, b in enumerate(q.binds):
         expr = to_sql(b.expr, lambda v: _q(q.column_for_var(v)))
         core = (

@@ -137,3 +137,68 @@ def test_aggregate_expression_validation():
         parse_sparql(
             PB + "SELECT (SUM(?q)) WHERE { ?l a sa:Lineitem ; sa:quantity ?q . }"
         )
+
+
+def test_expression_over_aggregates(engine, duck):
+    """(ROUND(SUM(expr), 2) AS ?alias) and aggregate arithmetic like
+    SUM(?a)/COUNT(*): internal __aggN aggregations + post-agg
+    expression columns, both backends."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?rf (ROUND(SUM(?ep * (1 - ?d)), 2) AS ?revenue)
+               (SUM(?ep) / COUNT(*) AS ?avg_price)
+        WHERE {
+            ?l a sa:Lineitem ; sa:extendedprice ?ep ; sa:discount ?d ;
+               sa:returnflag ?rf .
+        } GROUP BY ?rf ORDER BY ?rf
+        """
+    )
+    oracle = """
+    SELECT l_returnflag AS rf,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           sum(l_extendedprice) / count(*) AS avg_price
+    FROM lineitem GROUP BY 1 ORDER BY rf
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert [x[0] for x in a] == [x[0] for x in b]
+    for x, y in zip(a, b):
+        assert x[1] == pytest.approx(y[1]) and x[2] == pytest.approx(y[2])
+
+
+def test_having_on_post_agg_alias(engine, duck):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?rf (ROUND(SUM(?ep), 0) AS ?total) WHERE {
+            ?l a sa:Lineitem ; sa:extendedprice ?ep ; sa:returnflag ?rf .
+        } GROUP BY ?rf HAVING (?total > 100000000) ORDER BY ?rf
+        """
+    )
+    oracle = """
+    SELECT l_returnflag AS rf, round(sum(l_extendedprice), 0) AS total
+    FROM lineitem GROUP BY 1 HAVING round(sum(l_extendedprice), 0) > 100000000
+    ORDER BY rf
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_select_expression_without_aggregate(engine, duck):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name (?size * 2 AS ?double_size) WHERE {
+            ?p a sa:Part ; sa:name ?name ; sa:size ?size .
+        }
+        """
+    )
+    oracle = "SELECT p_name AS name, p_size * 2 AS double_size FROM part"
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b

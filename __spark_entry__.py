@@ -140,17 +140,21 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
             ?p a sa:Part ; sa:name ?name .
             FILTER regex(?name, "%ol%")
             FILTER rlike(?name, "^[a-z]+ [a-z]+$")
-            BIND(ROUND(?ep * (1 - ?d), 2) AS ?disc_price)
+            BIND(ROUND(?ep * (1 - ?d), 6) AS ?disc_price)
             FILTER (?disc_price > 50000)
         }
         """,
+        # 6dp, not 2dp: extendedprice/discount carry <=2 decimal digits
+        # each, so the product has <=4 -- rounding at 6 is tie-free and
+        # bit-identical across Spark (HALF_UP decimal) and DuckDB
+        # (float-multiply) rounding; 2dp landed on .xx5 ties (r3 verdict).
         """
         SELECT p_name AS name,
-               round(l_extendedprice * (1 - l_discount), 2) AS disc_price
+               round(l_extendedprice * (1 - l_discount), 6) AS disc_price
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_name LIKE '%ol%'
           AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')
-          AND round(l_extendedprice * (1 - l_discount), 2) > 50000
+          AND round(l_extendedprice * (1 - l_discount), 6) > 50000
         """,
     ),
     # global aggregate without GROUP BY
@@ -270,7 +274,7 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
     # block: constrains only the optional star pre-join (SPARQL
     # left-join semantics == SQL LEFT JOIN ... ON key AND cond); a
     # filter binding a mandatory-star var in there is a parse error
-    # (tests/test_parser_edges.py)
+    # (tests/test_parser.py::test_optional_filter_on_mandatory_var_rejected)
     "q10_optional_left_join": (
         """
         SELECT ?name ?totalprice WHERE {
@@ -1422,7 +1426,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # reference's Presto single-SQL path analog (compile_sql -> ONE
 # spark.sql statement) — so the driver hash-checks the SQL backend
 # against the DuckDB oracle, not just the DataFrame backend.
-SQL_BACKEND_KEYS = {"q03_join_filters", "q25_bsbm_q1"}
+# q06 (BIND + expression filter) and q34 (property path + GROUP_CONCAT
+# + expressions) route the round-3 grammar surface through it.
+SQL_BACKEND_KEYS = {
+    "q03_join_filters",
+    "q25_bsbm_q1",
+    "q06_bind_rlike",
+    "q34_path_groupconcat",
+}
 
 
 def _sparql_sql(text: str):

@@ -373,6 +373,20 @@ def execute_plan(
     if q.union_branches:
         # SPARQL UNION (extension): union branch results, then apply the
         # shared solution modifiers once
+        if q.is_ask:
+            # ASK over UNION: true iff ANY branch has a solution.  Each
+            # branch probes at most one row (limit(1) pushes the early
+            # stop into the scan), so the union is <= n_branches rows.
+            dfs = [
+                _branch_core(spark, plan_query(b), index)
+                .select(F.lit(1).alias("__one"))
+                .limit(1)
+                for b in [q] + q.union_branches
+            ]
+            df = dfs[0]
+            for other in dfs[1:]:
+                df = df.unionByName(other)
+            return df.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
         if q.aggregations or q.group_by:
             raise ExecutionError("UNION combined with aggregation is not supported")
         order_vars = {k.var for k in q.order_keys}
@@ -446,7 +460,11 @@ def execute_plan(
                 else:
                     expr = _AGG_FNS[a.fn](col)
             aggs.append(expr.alias(a.alias))
-        df = df.groupBy(*group_cols).agg(*aggs)
+        if aggs:
+            df = df.groupBy(*group_cols).agg(*aggs)
+        else:
+            # GROUP BY with no aggregates == DISTINCT over the group keys
+            df = df.select(*group_cols).distinct()
         # expressions over aggregates compute the declared aliases from
         # the internal __aggN columns (post-agg, pre-HAVING so HAVING
         # may reference them)

@@ -234,7 +234,12 @@ def to_sql(node, resolve) -> str:
         return resolve(node.name)
     if isinstance(node, ELit):
         if isinstance(node.value, str):
-            return "'" + node.value.replace("'", "''") + "'"
+            # Spark SQL's default parser treats backslash as an escape
+            # inside string literals (unlike F.lit), so double it first
+            # or the SQL backend would diverge from the Column backend
+            # on literals containing backslashes.
+            escaped = node.value.replace("\\", "\\\\").replace("'", "''")
+            return "'" + escaped + "'"
         return str(node.value)
     if isinstance(node, EBin):
         op = "<>" if node.op == "!=" else node.op

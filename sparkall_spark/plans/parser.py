@@ -579,6 +579,36 @@ def parse_sparql(query: str) -> ParsedQuery:
     if om2:
         offset = int(om2.group(1))
 
+    # SPARQL 1.1 SELECT expressions under GROUP BY/aggregation: a plain
+    # (expr AS ?alias) desugars to a pre-agg bind, but the aggregate
+    # output projection keeps only group keys + aggregate/post-agg
+    # aliases, so the alias would silently vanish.  Route expressions
+    # over group keys through post_agg_exprs (group-key columns survive
+    # aggregation under their plain names in both backends); anything
+    # referencing a non-grouped variable is an error, not a silent drop.
+    if aggregations or group_by:
+        gset = set(group_by)
+        kept_binds: list[Bind] = []
+        for b in agg_binds:
+            if b.alias.startswith("__aggexpr") or b.alias not in select_vars:
+                kept_binds.append(b)
+                continue
+            refs = expr_vars(b.expr)
+            if refs <= gset:
+                # post-agg aliases are not planner-visible variables —
+                # drop from select_vars (output keeps them via the
+                # post_agg projection)
+                post_agg_exprs.append(b)
+                select_vars = [v for v in select_vars if v != b.alias]
+            else:
+                raise SparqlParseError(
+                    f"SELECT expression ({b.raw} AS ?{b.alias}) references "
+                    "non-grouped variable(s) "
+                    f"{', '.join('?' + v for v in sorted(refs - gset))} "
+                    "under GROUP BY/aggregation"
+                )
+        agg_binds = kept_binds
+
     having = _parse_having(
         tail, aggregations, {pe.alias for pe in post_agg_exprs}
     )
@@ -864,6 +894,18 @@ def _parse_group(
     # QueryAnalyser.scala:163 TODO; we support it but refuse the shapes
     # we would silently get wrong).
     for f in optional_filters:
+        if getattr(f, "value_is_var", False):
+            # Var-to-var comparisons are applied POST-join (they may
+            # span stars), where OPTIONAL non-matches carry NULLs — the
+            # predicate would eliminate left rows even when both vars
+            # belong to the optional star.  Same unsoundness as
+            # expression FILTERs, same remedy: refuse.
+            raise SparqlParseError(
+                f"var-to-var FILTER (?{f.var} {f.op} ?{f.value}) inside "
+                "OPTIONAL is not supported (post-join application would "
+                "break left-join semantics) — move it outside the "
+                "OPTIONAL block"
+            )
         if f.var in stars:
             bound_star = f.var
         elif f.var in var_to_star_pred:

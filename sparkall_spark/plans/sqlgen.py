@@ -41,7 +41,11 @@ def _q(ident: str) -> str:
 
 def _lit(value, is_string: bool) -> str:
     if is_string:
-        return "'" + str(value).replace("'", "''") + "'"
+        # backslash first: Spark SQL's default parser processes
+        # backslash escapes inside string literals (an RLIKE '\d'
+        # pattern would silently lose its backslash otherwise)
+        escaped = str(value).replace("\\", "\\\\").replace("'", "''")
+        return "'" + escaped + "'"
     return str(value)
 
 
@@ -111,7 +115,7 @@ def _lit_auto(raw: str, force_str: bool = False) -> str:
                 return raw
             except ValueError:
                 pass
-    return "'" + raw.replace("'", "''") + "'"
+    return "'" + raw.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _star_subquery(
@@ -203,6 +207,18 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
         for b in [q] + q.union_branches:
             bplan = plan_query(b)
             parts.append(_branch_sql(bplan, index, views))
+        if q.is_ask:
+            # ASK over UNION: any branch non-empty.  Branches carry a
+            # constant `1 AS __one` projection (_branch_sql; ASK has no
+            # select vars) and each probes at most one row.
+            sql = "\nUNION ALL\n".join(
+                f"(SELECT * FROM ({p}) AS b{i} LIMIT 1)"
+                for i, p in enumerate(parts)
+            )
+            return CompiledSql(
+                f"SELECT count(*) > 0 AS `ask` FROM (\n{sql}\n) AS un",
+                views,
+            )
         sql = "\nUNION ALL\n".join(f"({p})" for p in parts)
         outer = f"SELECT {'DISTINCT ' if q.distinct else ''}* FROM (\n{sql}\n) AS un"
         if q.order_keys:
@@ -238,8 +254,12 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
                 if a.distinct and a.fn != "group_concat":
                     inner = f"DISTINCT {inner}"
             if a.fn == "group_concat":
-                sep = (a.separator if a.separator is not None else " ").replace(
-                    "'", "''"
+                # backslash first: Spark SQL string literals treat it as
+                # an escape (same rule as plans/exprs.py to_sql)
+                sep = (
+                    (a.separator if a.separator is not None else " ")
+                    .replace("\\", "\\\\")
+                    .replace("'", "''")
                 )
                 coll = "collect_set" if a.distinct else "collect_list"
                 aggs.append(
@@ -450,6 +470,10 @@ def _branch_sql(
             cols.append(f"{_q(q.column_for_var(v))} AS {_q(v)}")
         else:
             cols.append(f"NULL AS {_q(v)}")
+    if not cols:
+        # ASK branches have no select vars; a constant keeps the SQL
+        # valid (`SELECT FROM` otherwise) and the row count intact
+        cols = ["1 AS `__one`"]
     return f"SELECT {', '.join(cols)} FROM {core}"
 
 

@@ -49,15 +49,24 @@ def read_orc(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
 
 
 def read_text(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
-    """Raw text lines (one row per line, column ``value``) plus a
-    deterministic ``line_id`` — the minimal ingestion surface for
-    line-delimited corpora that aren't JSON.  ``wholetext=true`` in the
-    mapping options switches to one-row-per-file (column ``value``,
-    ``line_id`` 0) for document-per-file layouts."""
+    """Raw text lines (one row per line, column ``value``) plus an
+    OPAQUE unique ``line_id`` — the minimal ingestion surface for
+    line-delimited corpora that aren't JSON.
+
+    ``line_id`` is ``monotonically_increasing_id()``: unique and
+    increasing within a partition, but its values depend on the file
+    split layout — treat it as an opaque key, not a stable line number
+    (a per-file row_number would force a full shuffle at ingest, wrong
+    at 100 TB).  ``wholetext=true`` in the mapping options switches to
+    one-row-per-file for document-per-file layouts and adds a ``file``
+    column (the input path) as the deterministic document key."""
     from pyspark.sql import functions as F
 
     opts = _spark_options(mapping)
-    df = spark.read.options(**opts).text(mapping.source)
-    return df.withColumn(
-        "line_id", F.monotonically_increasing_id()
-    )
+    # format().load(), not .text(): DataFrameReader.text()'s wholetext
+    # kwarg default overwrites any wholetext set via .options()
+    df = spark.read.format("text").options(**opts).load(mapping.source)
+    df = df.withColumn("line_id", F.monotonically_increasing_id())
+    if str(opts.get("wholetext", "")).lower() == "true":
+        df = df.withColumn("file", F.input_file_name())
+    return df

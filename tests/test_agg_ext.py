@@ -202,3 +202,55 @@ def test_select_expression_without_aggregate(engine, duck):
     a = sorted(map(tuple, engine.sparql(q).collect()))
     b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
     assert a == b
+
+
+def test_select_expression_over_group_key(engine, duck):
+    """A SELECT expression over a group key under GROUP BY must survive
+    into the output (r4; advisor finding: it silently vanished).  Routed
+    through post_agg_exprs in both backends."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?size (?size * 2 AS ?double_size) (COUNT(*) AS ?n) WHERE {
+            ?p a sa:Part ; sa:size ?size .
+        }
+        GROUP BY ?size
+        """
+    )
+    oracle = """
+    SELECT p_size AS size, p_size * 2 AS double_size, count(*) AS n
+    FROM part GROUP BY p_size
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_select_expression_over_group_key_only_no_aggregate(engine, duck):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT (?size + 1 AS ?size1) WHERE {
+            ?p a sa:Part ; sa:size ?size .
+        }
+        GROUP BY ?size
+        """
+    )
+    oracle = "SELECT p_size + 1 AS size1 FROM part GROUP BY p_size"
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+
+
+def test_select_expression_over_nongrouped_var_rejected():
+    from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
+
+    with pytest.raises(SparqlParseError, match="non-grouped"):
+        parse_sparql(
+            """
+            PREFIX sa: <http://sparkall.io/ns/>
+            SELECT ?flag (?qty + 1 AS ?q1) (SUM(?qty) AS ?t) WHERE {
+                ?l a sa:Lineitem ; sa:returnflag ?flag ; sa:quantity ?qty .
+            }
+            GROUP BY ?flag
+            """
+        )

@@ -94,13 +94,17 @@ def test_bind_parse_and_scope_validation():
     assert [b.alias for b in q2.binds] == ["a", "b"]
 
 
+# 6dp, not 2dp: the product of <=2-decimal-digit inputs has <=4 decimal
+# digits, so rounding at 6 never lands on a tie — 2dp hit .xx5 ties
+# where Spark (HALF_UP) and DuckDB (float round) disagree (r3 verdict;
+# the conftest exact comparison now catches this class locally)
 _BIND_QUERY = (
     PREFIX_BLOCK
     + """
     SELECT ?name ?disc_price WHERE {
         ?l a sa:Lineitem ; sa:extendedprice ?ep ; sa:discount ?d ; sa:part ?p .
         ?p a sa:Part ; sa:name ?name .
-        BIND(ROUND(?ep * (1 - ?d), 2) AS ?disc_price)
+        BIND(ROUND(?ep * (1 - ?d), 6) AS ?disc_price)
         FILTER (?disc_price > 90000)
     }
     """
@@ -108,9 +112,9 @@ _BIND_QUERY = (
 
 _BIND_ORACLE = """
 SELECT p_name AS name,
-       round(l_extendedprice * (1 - l_discount), 2) AS disc_price
+       round(l_extendedprice * (1 - l_discount), 6) AS disc_price
 FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE round(l_extendedprice * (1 - l_discount), 2) > 90000
+WHERE round(l_extendedprice * (1 - l_discount), 6) > 90000
 """
 
 

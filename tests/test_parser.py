@@ -180,6 +180,25 @@ def test_optional_filter_on_mandatory_subject_rejected():
         )
 
 
+def test_optional_var_to_var_filter_rejected():
+    """A var-to-var comparison inside OPTIONAL is applied post-join,
+    where non-matches carry NULLs — it would eliminate left rows even
+    when both vars belong to the optional star.  Must be refused, like
+    expression FILTERs in OPTIONAL (r4; advisor finding)."""
+    with pytest.raises(SparqlParseError, match="var-to-var"):
+        parse_sparql(
+            """
+            PREFIX sa: <http://sparkall.io/ns/>
+            SELECT ?name WHERE {
+                ?c a sa:Customer . ?c sa:name ?name .
+                OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
+                           ?o sa:totalprice ?tp . ?o sa:shippriority ?sp .
+                           FILTER (?tp > ?sp) }
+            }
+            """
+        )
+
+
 def test_optional_filter_on_unbound_var_rejected():
     with pytest.raises(SparqlParseError, match="unbound"):
         parse_sparql(

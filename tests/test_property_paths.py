@@ -114,6 +114,37 @@ def test_ask_query_form(engine):
             assert rows[0]["ask"] is expected, (q, backend)
 
 
+def test_ask_over_union(engine):
+    """ASK over UNION: true iff ANY branch has a solution — both
+    backends (r4; advisor finding: the union early-return previously
+    bypassed the ask probe)."""
+    q_true = (
+        PREFIX_BLOCK
+        + """
+        ASK WHERE {
+            { ?p a sa:Part ; sa:size ?s . FILTER (?s > 1000000) }
+            UNION
+            { ?c a sa:Customer ; sa:acctbal ?b . FILTER (?b > 9000) }
+        }
+        """
+    )
+    q_false = (
+        PREFIX_BLOCK
+        + """
+        ASK WHERE {
+            { ?p a sa:Part ; sa:size ?s . FILTER (?s > 1000000) }
+            UNION
+            { ?c a sa:Customer ; sa:acctbal ?b . FILTER (?b > 1000000000) }
+        }
+        """
+    )
+    for q, expected in [(q_true, True), (q_false, False)]:
+        for backend in ("dataframe", "sql"):
+            rows = engine.sparql(q, backend=backend).collect()
+            assert len(rows) == 1
+            assert rows[0]["ask"] is expected, (backend, expected)
+
+
 def test_or_filter_desugars_to_in(engine, duck):
     q = (
         PREFIX_BLOCK

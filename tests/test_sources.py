@@ -236,3 +236,29 @@ def test_text_source_reader(spark, tmp_path):
     vals = [r["value"] for r in df.orderBy("line_id").collect()]
     assert vals == ["alpha doc one", "beta doc two", "gamma doc three"]
     assert df.count() == 3
+    # line_id is an opaque unique key (monotonically_increasing_id), not
+    # a stable line number — uniqueness is the whole contract
+    assert df.select("line_id").distinct().count() == 3
+
+
+def test_text_source_wholetext_file_key(spark, tmp_path):
+    """wholetext=true: one row per file with the input path as the
+    deterministic document key (r4; line_id alone is partition-layout
+    dependent and was wrongly documented as deterministic)."""
+    from sparkall_spark.mappings import EntityMapping
+    from sparkall_spark.sources import load_source
+
+    (tmp_path / "a.txt").write_text("first doc\nstill first")
+    (tmp_path / "b.txt").write_text("second doc")
+    m = EntityMapping(
+        name="Docs", source=str(tmp_path), source_type="text",
+        id_attr="file", predicates={}, class_iri=None,
+        options={"wholetext": "true"},
+    )
+    df = load_source(spark, m)
+    assert set(df.columns) == {"value", "line_id", "file"}
+    rows = {r["file"].rsplit("/", 1)[-1]: r["value"] for r in df.collect()}
+    assert rows == {
+        "a.txt": "first doc\nstill first",
+        "b.txt": "second doc",
+    }

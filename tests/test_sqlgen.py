@@ -138,6 +138,28 @@ def test_mapping_skp_on_second_source_filters_only_that_branch(spark, sf_dir, du
     assert_matches_oracle(engine.sparql(query, backend="sql"), duck, oracle)
 
 
+def test_backslash_literals_agree_across_backends(engine):
+    """Spark SQL's default parser eats backslashes in string literals;
+    the SQL backend must double them so BIND literals and rlike patterns
+    render bit-identical to the Column backend (r4; advisor finding)."""
+    q = (
+        PREFIX_BLOCK
+        + r"""
+        SELECT ?name ?tagged WHERE {
+            ?r a sa:Region ; sa:name ?name .
+            FILTER rlike(?name, "^\w+\s\w+$")
+            BIND(CONCAT(?name, "\t-tag") AS ?tagged)
+        }
+        """
+    )
+    df_rows = _rows(engine.sparql(q, backend="dataframe"))
+    sql_rows = _rows(engine.sparql(q, backend="sql"))
+    assert df_rows == sql_rows
+    assert len(df_rows) > 0
+    # the backslash survives verbatim (no escape processing anywhere)
+    assert all("\\t-tag" in r[1] for r in df_rows)
+
+
 def test_to_sql_is_single_statement(engine):
     sql = engine.to_sql(PREFIX_BLOCK + SHAPES["five_star"])
     assert sql.count("SELECT") >= 5  # one subquery per star + outer

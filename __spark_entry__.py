@@ -186,6 +186,8 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
     ),
     # SPARQL UNION across two entities (extension; the reference
     # excluded UNION queries from its evaluation, evaluation/README.md:9)
+    # + property-path alternation (a|b), which desugars into further
+    # UNION branches at parse time (plans/parser.py, r4)
     "q19_sparql_union": (
         """
         SELECT ?name WHERE {
@@ -193,11 +195,15 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
               FILTER (?bal > 9000) }
             UNION
             { ?s a sa:Supplier ; sa:name ?name . }
+            UNION
+            { ?p a sa:Part ; (sa:name|sa:brand) ?name . }
         }
         """,
         """
         SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
         UNION ALL SELECT s_name AS name FROM supplier
+        UNION ALL SELECT p_name AS name FROM part
+        UNION ALL SELECT p_brand AS name FROM part
         """,
     ),
     # GROUP BY + HAVING (extension; absent from the reference grammar)

@@ -17,8 +17,10 @@ last-key-wins, Run.scala:294-299), FILTER rlike for true regexes,
 DISTINCT aggregates, COUNT(*), UNION/MINUS/FILTER [NOT] EXISTS/VALUES,
 HAVING, OFFSET, BIND computed columns (plans/exprs.py), expression
 FILTERs and OR/var-to-var comparisons, aggregates over expressions,
-SAMPLE and GROUP_CONCAT, sequence (`p1/p2`) and inverse (`^p`) property
-paths, and the ASK query form.
+SAMPLE and GROUP_CONCAT, property paths — sequence (`p1/p2`), inverse
+(`^p`), alternation (`(a|b)`), and BOUNDED closure (`p+`/`p*` at depth
+_PATH_DEFAULT_CAP, `p{m,n}` explicit) desugared to UNION branches at
+parse time — and the ASK query form.
 """
 
 from __future__ import annotations
@@ -278,6 +280,254 @@ import itertools
 _PATH_VAR_COUNTER = itertools.count()
 
 
+# --- property-path alternation and bounded closure (SPARQL 1.1 §9.1) ------
+#
+# `(a|b)`, `p+`, `p*` and the explicit-bounds extension `p{m,n}` expand
+# TEXTUALLY into UNION branch bodies before union splitting, so every
+# downstream stage (stars, planner, executor, SQL backend) sees plain
+# BGPs and the existing sequence/inverse machinery.  `+`/`*` are
+# BOUNDED: bare quantifiers expand to depth _PATH_DEFAULT_CAP (an
+# engine-declared cap — unbounded closure over a mapped relational lake
+# has no safe plan; use p{m,n} for an explicit horizon).  The zero-
+# length alternative of `*`/`{0,n}` rewrites the (standalone) statement
+# to BIND(?s AS ?o), the SPARQL zero-path "object is the node itself".
+
+_PATH_DEFAULT_CAP = 4
+_PATH_MAX_BRANCHES = 64
+_PATH_QUANT_RE = re.compile(r"(.+?)(\+|\*|\{(\d+)(?:,(\d+))?\})$")
+
+
+def _path_split_top(tok: str, sep: str = "/") -> list[str]:
+    """Split on ``sep`` at depth 0 (outside ``<...>`` IRIs and groups)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    in_iri = False
+    for c in tok:
+        if c == "<":
+            in_iri = True
+        elif c == ">":
+            in_iri = False
+        elif not in_iri:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+        if c == sep and depth == 0 and not in_iri:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    parts.append("".join(cur))
+    return parts
+
+
+def _expand_path(tok: str) -> tuple[list[list[str]], bool]:
+    """Expand a path token into alternatives; each alternative is a list
+    of plain atoms (optionally ``^``-prefixed).  Returns (alternatives,
+    had_special) where had_special marks alternation/quantifier use."""
+    out: list[list[str]] = [[]]
+    special = False
+    for seg in _path_split_top(tok):
+        seg = seg.strip()
+        if not seg:
+            raise SparqlParseError(f"empty property-path segment in {tok!r}")
+        inv = seg.startswith("^")
+        if inv:
+            seg = seg[1:].strip()
+        quant: tuple[int, int] | None = None
+        qm = _PATH_QUANT_RE.fullmatch(seg)
+        if qm:
+            base = qm.group(1)
+            # reject `<http://x*>`-style false positives: the suffix must
+            # follow a complete atom/group (balanced <> and parens)
+            if base.count("<") == base.count(">") and base.count(
+                "("
+            ) == base.count(")"):
+                if qm.group(2) == "+":
+                    quant = (1, _PATH_DEFAULT_CAP)
+                elif qm.group(2) == "*":
+                    quant = (0, _PATH_DEFAULT_CAP)
+                else:
+                    lo = int(qm.group(3))
+                    hi = int(qm.group(4)) if qm.group(4) is not None else lo
+                    quant = (lo, hi)
+                seg = base
+                special = True
+        if seg.startswith("("):
+            if not seg.endswith(")"):
+                raise SparqlParseError(f"unbalanced path group in {tok!r}")
+            special = True
+            seg_alts: list[list[str]] = []
+            for alt in _path_split_top(seg[1:-1], "|"):
+                sub, _ = _expand_path(alt.strip())
+                seg_alts.extend(sub)
+        else:
+            seg_alts = [[seg]]
+        if inv:
+            # inverse of a sequence reverses it and inverts each atom
+            seg_alts = [
+                [(a[1:] if a.startswith("^") else "^" + a) for a in reversed(sq)]
+                for sq in seg_alts
+            ]
+        if quant is not None:
+            lo, hi = quant
+            if lo > hi:
+                raise SparqlParseError(f"bad path bounds {{{lo},{hi}}} in {tok!r}")
+            reps: list[list[str]] = []
+            for k in range(lo, hi + 1):
+                if k == 0:
+                    reps.append([])
+                    continue
+                combos: list[list[str]] = [[]]
+                for _ in range(k):
+                    combos = [c + s for c in combos for s in seg_alts]
+                    if len(combos) > _PATH_MAX_BRANCHES:
+                        raise SparqlParseError(
+                            f"property path {tok!r} expands past "
+                            f"{_PATH_MAX_BRANCHES} branches"
+                        )
+                reps.extend(combos)
+            seg_alts = reps
+        out = [o + s for o in out for s in seg_alts]
+        if len(out) > _PATH_MAX_BRANCHES:
+            raise SparqlParseError(
+                f"property path {tok!r} expands past "
+                f"{_PATH_MAX_BRANCHES} branches"
+            )
+    deduped: list[list[str]] = []
+    seen: set[tuple[str, ...]] = set()
+    for sq in out:
+        if tuple(sq) not in seen:
+            seen.add(tuple(sq))
+            deduped.append(sq)
+    return deduped, special
+
+
+def _is_path_candidate(tok: str) -> bool:
+    if "(" in tok or "|" in tok:
+        return True
+    return any(
+        _PATH_QUANT_RE.fullmatch(s.strip().lstrip("^"))
+        for s in _path_split_top(tok)
+    )
+
+
+_TOKEN_RE = re.compile(r"\S+")
+_STRING_RE = re.compile(r'"(?:[^"\\]|\\.)*"')
+
+
+def _mask_for_paths(body: str) -> str:
+    """Blank out string literals, FILTER/BIND parenthesized spans, and
+    `{...}` blocks so path-token scanning sees only top-level BGP
+    triples.  Raises if a special path appears inside a block (hoisting
+    OPTIONAL/MINUS/EXISTS content across UNION expansion is unsound)."""
+    chars = list(body)
+
+    def blank(a: int, b: int) -> None:
+        for i in range(a, b):
+            chars[i] = " "
+
+    for m in _STRING_RE.finditer(body):
+        blank(m.start(), m.end())
+    masked = "".join(chars)
+    for m in re.finditer(r"\b(?:FILTER|BIND)\b", masked, re.IGNORECASE):
+        p = masked.find("(", m.end())
+        if p >= 0:
+            blank(p, _balanced(masked, p))
+    masked = "".join(chars)
+    pos = 0
+    while True:
+        b0 = masked.find("{", pos)
+        if b0 < 0:
+            break
+        # a {m,n} path quantifier is glued to its atom — not a block
+        if b0 > 0 and not masked[b0 - 1].isspace() and re.match(
+            r"\{\d+(?:,\d+)?\}", masked[b0:]
+        ):
+            pos = masked.index("}", b0) + 1
+            continue
+        b1 = _balanced(masked, b0, "{", "}")
+        inner = masked[b0 + 1 : b1 - 1]
+        for t in _TOKEN_RE.finditer(inner):
+            core = t.group(0).rstrip(".;")
+            if core and _is_path_candidate(core):
+                _, sp = _expand_path(core)
+                if sp:
+                    raise SparqlParseError(
+                        "property-path alternation/closure is only "
+                        "supported in the top-level BGP (found inside a "
+                        f"nested block: {core!r})"
+                    )
+        blank(b0, b1)
+        masked = "".join(chars)
+    return masked
+
+
+def _zero_length_rewrite(body: str, start: int, end: int) -> str:
+    """Rewrite the standalone statement ``?s <path> ?o`` whose path span
+    is [start, end) into ``BIND(?s AS ?o)`` (zero-length path)."""
+    sm = re.search(r"(\?[\w]+)\s*$", body[:start])
+    om = re.match(r"\s*(\?[\w]+)", body[end:])
+    if not sm or not om:
+        raise SparqlParseError(
+            "zero-length path (* or {0,n}) requires the standalone form "
+            "'?s path ?o'"
+        )
+    before = body[: sm.start()].rstrip()
+    if before and not before.endswith((".", "{")):
+        raise SparqlParseError(
+            "zero-length path (* or {0,n}) is not supported in a ';' "
+            "continuation — write it as a standalone '?s path ?o .' "
+            "statement"
+        )
+    subj, obj = sm.group(1), om.group(1)
+    rest = body[end + om.end() :].lstrip()
+    if rest.startswith(";"):
+        raise SparqlParseError(
+            "zero-length path statement must not share its subject via ';'"
+        )
+    if rest.startswith("."):
+        rest = rest[1:]
+    return f"{body[: sm.start()]} BIND({subj} AS {obj}) . {rest}"
+
+
+def _expand_property_paths(body: str) -> list[str]:
+    """Expand alternation/quantifier path tokens into alternative bodies
+    (cartesian across tokens, capped at _PATH_MAX_BRANCHES)."""
+    masked = _mask_for_paths(body)
+    cands: list[tuple[int, int, list[str]]] = []
+    for m in _TOKEN_RE.finditer(masked):
+        tok = m.group(0)
+        core = tok.rstrip(".;")
+        if not core or not _is_path_candidate(core):
+            continue
+        seqs, special = _expand_path(core)
+        if not special:
+            continue
+        cands.append((m.start(), m.start() + len(core), ["/".join(s) for s in seqs]))
+    if not cands:
+        return [body]
+    total = 1
+    for *_, alts in cands:
+        total *= len(alts)
+    if total > _PATH_MAX_BRANCHES:
+        raise SparqlParseError(
+            f"property paths expand to {total} UNION branches "
+            f"(cap {_PATH_MAX_BRANCHES})"
+        )
+    bodies = [body]
+    for start, end, alts in sorted(cands, reverse=True):
+        bodies = [
+            _zero_length_rewrite(b, start, end)
+            if alt == ""
+            else b[:start] + alt + b[end:]
+            for b in bodies
+            for alt in alts
+        ]
+    return bodies
+
+
 def _split_path(pred_tok: str) -> list[tuple[bool, str]]:
     """Split a property-path token into (inverse, iri_token) segments:
     ``a/b`` -> sequence, ``^a`` -> inverse.  '/' inside <...> IRIs is
@@ -527,6 +777,11 @@ def parse_sparql(query: str) -> ParsedQuery:
     tail = query[end:]
 
     union_bodies = _split_union(body)
+    # path alternation / bounded closure: each branch may fan out into
+    # further UNION branches (plain BGPs thereafter)
+    union_bodies = [
+        nb for b in union_bodies for nb in _expand_property_paths(b)
+    ]
 
     group_by: list[str] = []
     gm = re.search(r"GROUP\s+BY\s+((?:\?[\w]+\s*)+)", tail, re.IGNORECASE)

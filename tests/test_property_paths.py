@@ -114,6 +114,191 @@ def test_ask_query_form(engine):
             assert rows[0]["ask"] is expected, (q, backend)
 
 
+# --- alternation (a|b) and bounded closure +/*/{m,n} (r4) -----------------
+
+
+def test_alternation_expands_to_union_branches():
+    q = parse_sparql(
+        PREFIX_BLOCK
+        + "SELECT ?v WHERE { ?p a sa:Part ; (sa:name|sa:brand) ?v . }"
+    )
+    assert len(q.union_branches) == 1  # main + 1 branch
+    preds = {
+        t.predicate.rsplit("/", 1)[-1]
+        for b in [q] + q.union_branches
+        for t in b.stars["p"].triples
+    }
+    assert preds == {"name", "brand"}
+
+
+def test_bounded_plus_expands_to_chains():
+    q = parse_sparql(
+        PREFIX_BLOCK
+        + "SELECT ?y WHERE { ?x a sa:Nation . ?x sa:region{1,3} ?y . }"
+    )
+    branches = [q] + q.union_branches
+    assert len(branches) == 3  # chains of length 1, 2, 3
+    # chain k has k-1 intermediate __pp stars
+    sizes = sorted(len([s for s in b.stars if s.startswith("__pp")])
+                   for b in branches)
+    assert sizes == [0, 1, 2]
+
+
+def test_star_zero_branch_binds_subject():
+    q = parse_sparql(
+        PREFIX_BLOCK
+        + "SELECT ?y WHERE { ?x a sa:Nation . ?x sa:region{0,1} ?y . }"
+    )
+    branches = [q] + q.union_branches
+    assert len(branches) == 2
+    zero = [b for b in branches if any(bd.alias == "y" for bd in b.binds)]
+    assert len(zero) == 1  # zero-length branch: BIND(?x AS ?y)
+
+
+def test_alternation_of_sequences_and_inverse_group():
+    q = parse_sparql(
+        PREFIX_BLOCK
+        + "SELECT ?v WHERE { ?c a sa:Customer ; (sa:nation/sa:region|sa:acctbal) ?v . }"
+    )
+    assert len(q.union_branches) == 1
+    # ^(a/b) == ^b/^a
+    q2 = parse_sparql(
+        PREFIX_BLOCK
+        + "SELECT ?c WHERE { ?r a sa:Region . ?r ^(sa:nation/sa:region) ?c . }"
+    )
+    assert not q2.union_branches  # plain rewrite, no alternation
+
+
+def test_path_special_rejected_inside_optional():
+    with pytest.raises(SparqlParseError, match="top-level BGP"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + """
+            SELECT ?name WHERE {
+                ?c a sa:Customer ; sa:name ?name .
+                OPTIONAL { ?c (sa:nation|sa:acctbal) ?v . }
+            }
+            """
+        )
+
+
+def test_path_branch_cap():
+    with pytest.raises(SparqlParseError, match="branches"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + "SELECT ?y WHERE { ?x a sa:Nation . "
+            "?x (sa:region|sa:name){1,8} ?y . }"
+        )
+
+
+def test_alternation_matches_oracle(engine, duck):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?v WHERE {
+            ?p a sa:Part ; (sa:name|sa:brand) ?v .
+        }
+        """
+    )
+    oracle = """
+    SELECT p_name AS v FROM part
+    UNION ALL
+    SELECT p_brand AS v FROM part
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+
+
+@pytest.fixture(scope="module")
+def tree_engine(spark, tmp_path_factory):
+    """A self-referential hierarchy (node -> parent) — the shape +/*
+    closure is for; the TPC-H fixtures have no self-FK."""
+    import pandas as pd
+
+    from sparkall_spark.fixtures import NS
+    from sparkall_spark.mappings import EntityMapping, MappingIndex
+
+    d = tmp_path_factory.mktemp("tree")
+    # two perfect binary trees of depth 3 (15 nodes each); root's
+    # parent is itself so every node has a parent row value
+    rows = []
+    for base in (0, 100):
+        for i in range(15):
+            parent = base + (i - 1) // 2 if i else base
+            rows.append({"node_id": base + i, "parent_id": parent,
+                         "label": f"n{base + i}"})
+    path = str(d / "tree.parquet")
+    pd.DataFrame(rows).to_parquet(path)
+    m = EntityMapping(
+        name="TreeNode", source=path, source_type="parquet",
+        id_attr="node_id",
+        predicates={NS + "parent": "parent_id", NS + "label": "label"},
+        class_iri=NS + "TreeNode",
+    )
+    return Engine(spark, MappingIndex([m])), path
+
+
+def test_bounded_closure_matches_recursive_cte(tree_engine):
+    """p{1,3} against a DuckDB recursive-CTE oracle bounded at depth 3."""
+    import duckdb
+
+    engine, path = tree_engine
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?x ?y WHERE {
+            ?x a sa:TreeNode . ?x sa:parent{1,3} ?y .
+        }
+        """
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW tree AS SELECT * FROM '{path}'")
+    oracle = """
+    WITH RECURSIVE up(x, y, depth) AS (
+        SELECT node_id, parent_id, 1 FROM tree
+        UNION ALL
+        SELECT up.x, t.parent_id, up.depth + 1
+        FROM up JOIN tree t ON up.y = t.node_id
+        WHERE up.depth < 3
+    )
+    SELECT x, y FROM up
+    """
+    assert_matches_oracle(engine.sparql(q), con, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+    con.close()
+
+
+def test_star_closure_includes_zero_hop(tree_engine):
+    """p{0,2}: the zero branch contributes (x, x) pairs."""
+    import duckdb
+
+    engine, path = tree_engine
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?x ?y WHERE {
+            ?x a sa:TreeNode . ?x sa:parent{0,2} ?y .
+        }
+        """
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW tree AS SELECT * FROM '{path}'")
+    oracle = """
+    SELECT node_id AS x, node_id AS y FROM tree
+    UNION ALL
+    SELECT node_id AS x, parent_id AS y FROM tree
+    UNION ALL
+    SELECT t1.node_id AS x, t2.parent_id AS y
+    FROM tree t1 JOIN tree t2 ON t1.parent_id = t2.node_id
+    """
+    assert_matches_oracle(engine.sparql(q), con, oracle)
+    con.close()
+
+
 def test_ask_over_union(engine):
     """ASK over UNION: true iff ANY branch has a solution — both
     backends (r4; advisor finding: the union early-return previously

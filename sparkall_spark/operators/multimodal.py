@@ -10,13 +10,15 @@ corpora on Spark:
   payloads at once, and the *schema contract* of every stage is
   explicit — downstream stages keep composing as DataFrames;
 - container-header decoding (dimensions, channels, mime) is REAL pure
-  Python (``parse_image_header``: PNG/GIF/BMP/JPEG) — no native codec
-  needed; only the *pixel-level* work (mean luma, perceptual hash,
-  resize, frame extraction) still requires PIL/ffmpeg, which is absent
-  in this container, so those fields/stages remain clearly-marked
-  deterministic fakes.  The Spark-side plumbing — schema, partitioning,
-  batch iteration, UDF signatures — is real and tested; swapping a fake
-  for a real codec changes one function body and zero plan shape.
+  Python (``parse_image_header``: PNG/GIF/BMP/JPEG/PPM/PGM) — no native
+  codec needed; pixel-level features (mean luma, dHash) are ALSO REAL
+  for the uncompressed formats (BMP BI_RGB 8/24/32bpp, binary PPM/PGM
+  — ``decode_pixels``, pure numpy); only formats whose pixel data is
+  entropy-coded (PNG/GIF/JPEG) fall back to a clearly-marked
+  deterministic fake, and ``resize_images`` stays PIL-gated.  The
+  Spark-side plumbing — schema, partitioning, batch iteration, UDF
+  signatures — is real and tested; swapping a fake for a real codec
+  changes one function body and zero plan shape.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -108,6 +111,18 @@ def parse_image_header(payload: bytes) -> dict | None:
             "channels": max(1, int.from_bytes(payload[28:30], "little") // 8),
             "mime": "image/bmp",
         }
+    # Binary netpbm: P5 (graymap) / P6 (pixmap) — ASCII header
+    if payload[:2] in (b"P5", b"P6"):
+        dims = _netpbm_header(payload)
+        if dims is not None:
+            w, h, _maxval, _off = dims
+            gray = payload[:2] == b"P5"
+            return {
+                "width": w, "height": h,
+                "channels": 1 if gray else 3,
+                "mime": "image/x-portable-graymap" if gray
+                else "image/x-portable-pixmap",
+            }
     # JPEG: walk the segment chain to the first SOF marker
     if payload[:2] == b"\xff\xd8":
         i = 2
@@ -272,6 +287,8 @@ def attach_metadata(df: DataFrame, id_col: str, payload_col: str, modality: str)
         )
         .when(p.substr(1, 2) == F.lit(b"BM"), "image/bmp")
         .when(p.substr(1, 2) == F.lit(b"\xff\xd8"), "image/jpeg")
+        .when(p.substr(1, 2) == F.lit(b"P5"), "image/x-portable-graymap")
+        .when(p.substr(1, 2) == F.lit(b"P6"), "image/x-portable-pixmap")
         .when(
             (p.substr(1, 4) == F.lit(b"RIFF")) & (p.substr(9, 4) == F.lit(b"WAVE")),
             "audio/wav",
@@ -292,24 +309,144 @@ def attach_metadata(df: DataFrame, id_col: str, payload_col: str, modality: str)
     )
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """Image decode: container-header fields are REAL (parse_image_header
-    — true width/height/channels for PNG/GIF/BMP/JPEG bytes); the
-    pixel-level fields (mean_luma, phash) still require a full pixel
-    codec (PIL), which is absent here, so they remain a clearly-marked
-    deterministic fake keyed on the payload hash.  Raises for None
-    payloads like a real decoder.
+def _netpbm_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a binary netpbm (P5/P6) ASCII header: returns (width,
+    height, maxval, pixel_data_offset) or None if malformed.  Handles
+    arbitrary whitespace and ``#`` comments per the spec."""
+    i, n = 2, len(payload)
+    vals: list[int] = []
+    while len(vals) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            j = payload.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3 or i >= n or not payload[i : i + 1].isspace():
+        return None
+    return vals[0], vals[1], vals[2], i + 1  # single ws after maxval
+
+
+def decode_pixels(payload: bytes) -> np.ndarray | None:
+    """REAL pixel decode (pure numpy, no native codec) for uncompressed
+    formats: BMP BI_RGB at 8 (palette)/24/32 bpp and binary PPM/PGM.
+    Returns an HxW float32 luma array in 0..255 (Rec. 601 weights for
+    color), or None when the format's pixel data is entropy-coded
+    (PNG/GIF/JPEG need a real codec)."""
+    if not payload or len(payload) < 14:
+        return None
+    if payload[:2] in (b"P5", b"P6"):
+        hdr = _netpbm_header(payload)
+        if hdr is None:
+            return None
+        w, h, maxval, off = hdr
+        if maxval <= 0 or maxval > 255 or w <= 0 or h <= 0:
+            return None  # 2-byte samples not supported
+        ch = 1 if payload[:2] == b"P5" else 3
+        need = w * h * ch
+        data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+        if data.size < need:
+            return None
+        px = data.astype(np.float32) * (255.0 / maxval)
+        if ch == 1:
+            return px.reshape(h, w)
+        rgb = px.reshape(h, w, 3)
+        return rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        pix_off = int.from_bytes(payload[10:14], "little")
+        dib = int.from_bytes(payload[14:18], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or h == 0:
+            return None  # RLE/bitfield BMPs are rare; not worth a codec
+        bottom_up = h > 0
+        h = abs(h)
+        stride = ((bpp * w + 31) // 32) * 4
+        need = stride * h
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=min(need, len(payload) - pix_off),
+            offset=pix_off,
+        )
+        if raw.size < need:
+            return None
+        rows = raw.reshape(h, stride)
+        if bottom_up:
+            rows = rows[::-1]
+        if bpp == 8:
+            # palette: BGRA quads between the DIB header and pixel data
+            pal_off = 14 + dib
+            n_colors = int.from_bytes(payload[46:50], "little") or 256
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+            ).reshape(-1, 4).astype(np.float32)
+            pal_luma = pal[:, 2] * 0.299 + pal[:, 1] * 0.587 + pal[:, 0] * 0.114
+            return pal_luma[rows[:, :w]]
+        nch = bpp // 8
+        px = rows[:, : w * nch].reshape(h, w, nch).astype(np.float32)
+        # BMP stores BGR(A)
+        return px[:, :, 2] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 0] * 0.114
+    return None
+
+
+def dhash64(luma: np.ndarray) -> int:
+    """Difference hash: block-average the luma plane to an 8x9 grid and
+    compare horizontal neighbors -> 64-bit signed fingerprint.  The
+    standard near-dup image signature (robust to scale/aspect jitter);
+    Hamming distance on the result is the dedup metric."""
+    h, w = luma.shape
+    ys = np.linspace(0, h, 9, dtype=np.int64)
+    xs = np.linspace(0, w, 10, dtype=np.int64)
+    grid = np.empty((8, 9), dtype=np.float64)
+    for i in range(8):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(9):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            grid[i, j] = float(luma[y0:y1, x0:x1].mean())
+    bits = (grid[:, 1:] > grid[:, :-1]).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _decode_one(payload: bytes) -> dict:
+    """Per-image feature extraction.  Header fields are REAL for
+    PNG/GIF/BMP/JPEG/PPM/PGM (parse_image_header); mean_luma and phash
+    (dHash) are REAL for the uncompressed formats (decode_pixels: BMP
+    BI_RGB, binary PPM/PGM).  Only entropy-coded pixel data (PNG/GIF/
+    JPEG) falls back to a clearly-marked deterministic fake keyed on the
+    payload hash — swapping in PIL changes only this fallback.  Raises
+    for None payloads like a real decoder.
     """
     if payload is None:
         raise ValueError("cannot decode empty payload")
-    h = hashlib.sha256(payload).digest()
     hdr = parse_image_header(payload)
+    luma = decode_pixels(payload)
+    if luma is not None:
+        return {
+            "width": luma.shape[1],
+            "height": luma.shape[0],
+            "channels": (hdr or {}).get("channels", 1),
+            "mean_luma": float(luma.mean()) / 255.0,
+            "phash": dhash64(luma),
+        }
+    h = hashlib.sha256(payload).digest()
     if hdr is not None:
         return {
             "width": hdr["width"],
             "height": hdr["height"],
             "channels": hdr["channels"],
-            # STUB fields: need pixel data
+            # STUB fields: entropy-coded pixels need a real codec (PIL)
             "mean_luma": h[2] / 255.0,
             "phash": int.from_bytes(h[3:11], "big", signed=True),
         }
@@ -335,7 +472,7 @@ def decode_images(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    feats = _fake_decode(payload)
+                    feats = _decode_one(payload)
                 except Exception:
                     feats = {
                         "width": None,

@@ -105,6 +105,88 @@ def test_real_header_decode_true_dimensions(spark):
     assert (feats[4]["width"], feats[4]["height"], feats[4]["channels"]) == (1920, 1080, 3)
 
 
+def _bmp_with_pixels(rgb_rows) -> bytes:
+    """A real 24bpp BI_RGB BMP (bottom-up, 4-byte-aligned rows)."""
+    import struct
+
+    height = len(rgb_rows)
+    width = len(rgb_rows[0])
+    stride = (3 * width + 3) // 4 * 4
+    px = bytearray()
+    for row in reversed(rgb_rows):
+        r = bytearray()
+        for (R, G, B) in row:
+            r += bytes([B, G, R])
+        r += b"\x00" * (stride - len(r))
+        px += r
+    pix_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", pix_off + len(px), 0, 0, pix_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(px), 0, 0, 0, 0
+    )
+    return header + info + bytes(px)
+
+
+def test_bmp_real_pixel_decode_true_mean_luma():
+    """Uncompressed BMP pixels are decoded for REAL: mean_luma is the
+    exact Rec.601 mean, not a hash-derived fake (r4)."""
+    img = _bmp_with_pixels(
+        [
+            [(255, 255, 255), (0, 0, 0)],
+            [(255, 0, 0), (0, 0, 255)],
+        ]
+    )
+    feats = M._decode_one(img)
+    assert (feats["width"], feats["height"]) == (2, 2)
+    expected = (1.0 + 0.0 + 0.299 + 0.114) / 4
+    assert abs(feats["mean_luma"] - expected) < 1e-6
+    # deterministic and sensitive: flipping a pixel changes the value
+    img2 = _bmp_with_pixels(
+        [
+            [(255, 255, 255), (255, 255, 255)],
+            [(255, 0, 0), (0, 0, 255)],
+        ]
+    )
+    assert M._decode_one(img2)["mean_luma"] > feats["mean_luma"]
+
+
+def test_netpbm_real_pixel_decode():
+    """Binary PGM/PPM decode for real; a left-to-right luma gradient
+    makes every dHash difference bit 1 (signed all-ones == -1)."""
+    vals = bytes([10, 20, 30, 40, 250, 240])
+    pgm = b"P5\n# cmt\n3 2\n255\n" + vals
+    feats = M._decode_one(pgm)
+    assert (feats["width"], feats["height"], feats["channels"]) == (3, 2, 1)
+    assert abs(feats["mean_luma"] - (sum(vals) / 6 / 255)) < 1e-6
+
+    grad = bytes(bytearray(16 * x for x in range(16)) * 16)
+    gradient_pgm = b"P5 16 16 255\n" + grad
+    assert M.dhash64(M.decode_pixels(gradient_pgm)) == -1
+
+    ppm = b"P6 2 1 255\n" + bytes([255, 0, 0, 0, 0, 255])
+    feats = M._decode_one(ppm)
+    assert (feats["width"], feats["height"], feats["channels"]) == (2, 1, 3)
+    assert abs(feats["mean_luma"] - (0.299 + 0.114) / 2) < 1e-6
+
+
+def test_real_pixels_flow_through_decode_images(spark):
+    """End-to-end mapInPandas path: true pixel features for BMP/PPM rows
+    alongside header-only fakes for compressed formats."""
+    bmp = _bmp_with_pixels([[(255, 255, 255), (0, 0, 0)]])
+    ppm = b"P6 1 1 255\n" + bytes([0, 255, 0])
+    raw = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(ppm)), (3, bytearray(_png_bytes(8, 8)))],
+        ["id", "blob"],
+    )
+    media = M.attach_metadata(raw, "id", "blob", "image")
+    mimes = {r["media_id"]: r["meta"]["mime"] for r in media.collect()}
+    assert mimes[2] == "image/x-portable-pixmap"
+    feats = {r["media_id"]: r for r in M.decode_images(media).collect()}
+    assert abs(feats[1]["mean_luma"] - 0.5) < 1e-6
+    assert abs(feats[2]["mean_luma"] - 0.587) < 1e-6
+    assert feats[3]["width"] == 8  # compressed: header real, luma fake
+
+
 def test_parse_image_header_rejects_unknown():
     assert M.parse_image_header(b"not an image, just text bytes") is None
     assert M.parse_image_header(None) is None

@@ -106,7 +106,112 @@ def test_no_cache_growth_across_entries(spark):
     assert counts[-1] <= counts[0]
 
 
-def test_ann_hot_bucket_bounded(spark):
+def test_star_join_hot_fk_skew_split(spark, tmp_path_factory):
+    """The SPARQL star-join path under FK skew: one customer owns 30%
+    of all orders.  With AQE skew-join on (and thresholds scaled to the
+    fixture), the sort-merge join must be split at runtime — the final
+    adaptive plan carries ``skew=true`` — and results stay exact.
+    The dedup/ANN families already have skew stress; this pins the
+    join path itself (r4)."""
+    import pandas as pd
+
+    from sparkall_spark import Engine
+    from sparkall_spark.fixtures import NS, PREFIX_BLOCK
+    from sparkall_spark.mappings import EntityMapping, MappingIndex
+
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("skewfk")
+    n_orders, n_cust = 200_000, 200
+    hot = int(n_orders * 0.3)
+    rng = np.random.default_rng(42)
+    odf = pd.DataFrame(
+        {
+            "o_orderkey": range(n_orders),
+            "o_custkey": [7] * hot
+            + [i % n_cust for i in range(n_orders - hot)],
+            # random payload: incompressible, so shuffle partition BYTES
+            # reflect the row skew (repetitive values compress to ~0 and
+            # defeat the size-based skew detector)
+            "o_totalprice": rng.random(n_orders) * 1000,
+        }
+    )
+    # shuffle rows + small row groups: AQE splits a skewed partition at
+    # MAP-output granularity, so the hot key's bytes must span several
+    # mappers (a single-row-group file = one mapper = unsplittable)
+    odf = odf.sample(frac=1.0, random_state=0).reset_index(drop=True)
+    odf.to_parquet(d / "orders.parquet", row_group_size=20_000)
+    pd.DataFrame(
+        {
+            "c_custkey": range(n_cust),
+            "c_name": [f"c{i}" for i in range(n_cust)],
+        }
+    ).to_parquet(d / "customer.parquet")
+    engine = Engine(
+        spark,
+        MappingIndex(
+            [
+                EntityMapping(
+                    name="Customer", source=str(d / "customer.parquet"),
+                    source_type="parquet", id_attr="c_custkey",
+                    predicates={NS + "name": "c_name"},
+                    class_iri=NS + "Customer",
+                ),
+                EntityMapping(
+                    name="Orders", source=str(d / "orders.parquet"),
+                    source_type="parquet", id_attr="o_orderkey",
+                    predicates={NS + "customer": "o_custkey",
+                                NS + "totalprice": "o_totalprice"},
+                    class_iri=NS + "Orders",
+                ),
+            ]
+        ),
+    )
+    # SUM(?tp) keeps the payload column alive through the join shuffle
+    # (COUNT alone would prune it to an 8-byte key stream)
+    q = PREFIX_BLOCK + """
+        SELECT ?name (COUNT(*) AS ?n) (SUM(?tp) AS ?sum_tp) WHERE {
+            ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp .
+            ?c a sa:Customer ; sa:name ?name .
+        } GROUP BY ?name
+    """
+    # scale AQE's skew thresholds to the fixture and force SMJ (a
+    # broadcast join has no skew to split); restore confs after
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "262144",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        # several mappers over the ~3 MB fixture, so the hot partition
+        # is splittable at map granularity
+        "spark.sql.files.maxPartitionBytes": "1048576",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = engine.sparql(q)
+        rows = {r["name"]: r["n"] for r in df.collect()}
+        base = (n_orders - hot) // n_cust
+        assert rows["c7"] == hot + base
+        assert rows["c0"] == base
+        assert sum(rows.values()) == n_orders
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"no skew split in final plan:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     """Hyperplane-LSH similarity with a pathological corpus: 5k vectors
     collapsed near one direction (everything lands in few buckets).
     The search must stay candidate-bounded per query (cells/buckets

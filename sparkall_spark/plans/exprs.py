@@ -7,12 +7,18 @@ Grammar (recursive descent, precedence climbing):
     expr   := sum (CMP sum)?          CMP in = != < <= > >=
     sum    := term (('+' | '-') term)*
     term   := factor (('*' | '/') factor)*
-    factor := '(' expr ')' | FN '(' expr (',' expr)* ')' | ?var | literal
+    factor := '!' factor | '(' expr ')'
+            | FN '(' expr (',' expr)* ')' | ?var | literal
 
-Functions: CONCAT, ROUND, ABS, UCASE, LCASE, STRLEN, COALESCE, IF —
-each chosen because the Spark Column rendering and the ANSI-SQL
-rendering (DuckDB oracle / federated target) are semantically identical
-builtins on both engines.
+Functions: CONCAT, ROUND, ABS, UCASE, LCASE, STRLEN, COALESCE, IF,
+FLOOR, CEIL, TRIM, SUBSTR, REPLACE, CONTAINS, STRSTARTS, STRENDS,
+BOUND — each chosen because the Spark Column rendering and the
+ANSI-SQL rendering (DuckDB oracle / federated target) are semantically
+identical builtins on both engines (STRSTARTS/STRENDS render as
+substring-equality so the SQL is portable).  ``BOUND(?v)`` maps to an
+IS NOT NULL probe — in the mapped-relational model an optional
+variable is bound iff its left-join column is non-null, which also
+treats a source NULL as unbound (documented approximation).
 
 One AST, two compilers: :func:`to_column` builds the Spark Column
 (JVM-side, whole-stage codegen — BIND never introduces a UDF) and
@@ -55,6 +61,11 @@ class EFun:
     args: tuple
 
 
+@dataclass(frozen=True)
+class ENot:
+    arg: object
+
+
 # SPARQL fn -> (pyspark builder, sql renderer); arity checked at parse
 _FUNCTIONS = {
     "concat": (lambda *a: F.concat(*a), "concat"),
@@ -64,10 +75,21 @@ _FUNCTIONS = {
     "lcase": (F.lower, "lower"),
     "strlen": (F.length, "length"),
     "coalesce": (lambda *a: F.coalesce(*a), "coalesce"),
-    # IF(cond, then, else) — rendered as CASE WHEN in SQL (special-cased
-    # in both compilers)
-    "if": (None, None),
+    "floor": (F.floor, "floor"),
+    "ceil": (F.ceil, "ceil"),
+    "trim": (F.trim, "trim"),
+    "replace": (lambda s, a, b: F.replace(s, a, b), "replace"),
+    "contains": (lambda s, sub: s.contains(sub), "contains"),
+    # special-cased in both compilers:
+    "if": (None, None),        # CASE WHEN
+    "substr": (None, None),    # int-literal pos/len
+    "strstarts": (None, None), # substring-equality rendering
+    "strends": (None, None),
+    "bound": (None, None),     # IS NOT NULL on a variable
 }
+
+# functions whose result is boolean — legal as a FILTER's top node
+BOOLEAN_FNS = frozenset({"bound", "contains", "strstarts", "strends"})
 
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 
@@ -78,7 +100,7 @@ _TOKEN_RE = re.compile(
       | (?P<str>"(?:[^"\\]|\\.)*")
       | (?P<name>[A-Za-z_]\w*)
       | (?P<cmp><=|>=|!=|=|<|>)
-      | (?P<op>[()+\-*/,])
+      | (?P<op>[()+\-*/,!])
     )""",
     re.VERBOSE,
 )
@@ -145,6 +167,8 @@ class _Parser:
 
     def factor(self):
         kind, val = self.take()
+        if val == "!":
+            return ENot(self.factor())
         if val == "(":
             node = self.expr()
             self.expect(")")
@@ -167,6 +191,18 @@ class _Parser:
             self.expect(")")
             if fn == "if" and len(args) != 3:
                 raise ExprParseError("IF takes exactly (cond, then, else)")
+            if fn == "bound" and not (
+                len(args) == 1 and isinstance(args[0], EVar)
+            ):
+                raise ExprParseError("BOUND takes exactly one variable")
+            if fn in ("strstarts", "strends", "contains", "replace") and len(
+                args
+            ) != (3 if fn == "replace" else 2):
+                raise ExprParseError(f"{fn.upper()} has wrong arity")
+            if fn == "substr":
+                if len(args) not in (2, 3):
+                    raise ExprParseError("SUBSTR takes (str, pos[, len])")
+                _substr_args(EFun(fn, tuple(args)))  # literal pos/len
             return EFun(fn, tuple(args))
         raise ExprParseError(f"unexpected token {val!r}")
 
@@ -184,12 +220,38 @@ def expr_vars(node) -> set[str]:
         return {node.name}
     if isinstance(node, EBin):
         return expr_vars(node.left) | expr_vars(node.right)
+    if isinstance(node, ENot):
+        return expr_vars(node.arg)
     if isinstance(node, EFun):
         out: set[str] = set()
         for a in node.args:
             out |= expr_vars(a)
         return out
     return set()
+
+
+def is_boolean_expr(node) -> bool:
+    """True when the node is usable as a FILTER's top-level predicate:
+    a comparison, a negation, or a boolean-returning function."""
+    if isinstance(node, EBin) and node.op in _CMP_OPS:
+        return True
+    if isinstance(node, ENot):
+        return True
+    return isinstance(node, EFun) and node.fn in BOOLEAN_FNS
+
+
+def _substr_args(node) -> tuple[int, int | None]:
+    """SUBSTR pos/len must be positive integer literals (the Column API
+    takes Python ints; SPARQL substr is 1-based like SQL)."""
+    pos = node.args[1]
+    if not (isinstance(pos, ELit) and isinstance(pos.value, int) and pos.value >= 1):
+        raise ExprParseError("SUBSTR position must be an integer literal >= 1")
+    if len(node.args) == 3:
+        ln = node.args[2]
+        if not (isinstance(ln, ELit) and isinstance(ln.value, int) and ln.value >= 0):
+            raise ExprParseError("SUBSTR length must be an integer literal >= 0")
+        return pos.value, ln.value
+    return pos.value, None
 
 
 def to_column(node, resolve) -> Column:
@@ -207,12 +269,26 @@ def to_column(node, resolve) -> Column:
             "<": lambda: l < r, "<=": lambda: l <= r,
             ">": lambda: l > r, ">=": lambda: l >= r,
         }[node.op]()
+    if isinstance(node, ENot):
+        return ~to_column(node.arg, resolve)
     if isinstance(node, EFun):
         if node.fn == "if":
             if len(node.args) != 3:
                 raise ExprParseError("IF takes exactly (cond, then, else)")
             c, t, e = (to_column(a, resolve) for a in node.args)
             return F.when(c, t).otherwise(e)
+        if node.fn == "bound":
+            return to_column(node.args[0], resolve).isNotNull()
+        if node.fn == "strstarts":
+            s, p = (to_column(a, resolve) for a in node.args)
+            return s.startswith(p)
+        if node.fn == "strends":
+            s, p = (to_column(a, resolve) for a in node.args)
+            return s.endswith(p)
+        if node.fn == "substr":
+            pos, ln = _substr_args(node)
+            s = to_column(node.args[0], resolve)
+            return F.substring(s, pos, 2_000_000_000 if ln is None else ln)
         if node.fn == "round":
             # F.round takes a Python int scale, not a Column
             scale = 0
@@ -247,10 +323,30 @@ def to_sql(node, resolve) -> str:
             f"({to_sql(node.left, resolve)} {op} "
             f"{to_sql(node.right, resolve)})"
         )
+    if isinstance(node, ENot):
+        return f"(NOT {to_sql(node.arg, resolve)})"
     if isinstance(node, EFun):
         if node.fn == "if":
             c, t, e = (to_sql(a, resolve) for a in node.args)
             return f"(CASE WHEN {c} THEN {t} ELSE {e} END)"
+        if node.fn == "bound":
+            return f"({to_sql(node.args[0], resolve)} IS NOT NULL)"
+        if node.fn == "strstarts":
+            # substring-equality keeps the rendering portable (Spark
+            # spells it startswith, DuckDB starts_with)
+            s, p = (to_sql(a, resolve) for a in node.args)
+            return f"(substring({s}, 1, length({p})) = {p})"
+        if node.fn == "strends":
+            s, p = (to_sql(a, resolve) for a in node.args)
+            return f"(right({s}, length({p})) = {p})"
+        if node.fn == "substr":
+            pos, ln = _substr_args(node)
+            s = to_sql(node.args[0], resolve)
+            return (
+                f"substring({s}, {pos})"
+                if ln is None
+                else f"substring({s}, {pos}, {ln})"
+            )
         args = ", ".join(to_sql(a, resolve) for a in node.args)
         return f"{_FUNCTIONS[node.fn][1]}({args})"
     raise ExprParseError(f"bad AST node {node!r}")

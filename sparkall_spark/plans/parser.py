@@ -32,6 +32,7 @@ from sparkall_spark.plans.exprs import (
     EBin,
     ExprParseError,
     expr_vars,
+    is_boolean_expr,
     parse_expr,
 )
 from sparkall_spark.plans.model import (
@@ -238,9 +239,10 @@ def _parse_filters(
                     raise SparqlParseError(
                         f"bad FILTER clause: {clause!r} ({exc})"
                     ) from exc
-                if not (isinstance(ast, EBin) and ast.op in _CMP_OPS):
+                if not is_boolean_expr(ast):
                     raise SparqlParseError(
-                        f"expression FILTER must be a comparison: {clause!r}"
+                        "expression FILTER must be a comparison, negation, "
+                        f"or boolean function: {clause!r}"
                     )
                 expr_filters.append(ExprFilter(ast, clause))
         body = body[: m.start()] + " " + body[end:]

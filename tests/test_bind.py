@@ -281,3 +281,103 @@ def test_order_by_expression(engine, duck):
             + "SELECT DISTINCT ?name WHERE { ?p a sa:Part ; sa:name ?name ;"
             + " sa:size ?s . } ORDER BY DESC(?s * 2)"
         )
+
+
+# --- r4 fragment extensions: BOUND / ! / string predicates ----------------
+
+
+def test_parse_not_bound_and_string_predicates():
+    from sparkall_spark.plans.exprs import ENot, is_boolean_expr
+
+    ast = parse_expr("!BOUND(?x)")
+    assert ast == ENot(EFun("bound", (EVar("x"),)))
+    assert is_boolean_expr(ast)
+    assert is_boolean_expr(parse_expr('STRSTARTS(?n, "abc")'))
+    assert not is_boolean_expr(parse_expr("?a + 1"))
+    with pytest.raises(ExprParseError):
+        parse_expr("BOUND(?x + 1)")  # BOUND takes a variable
+    with pytest.raises(ExprParseError):
+        parse_expr('STRSTARTS(?n)')  # arity
+    with pytest.raises(ExprParseError):
+        parse_expr('SUBSTR(?n, ?p)')  # pos must be an int literal
+
+
+def test_not_bound_optional_antijoin(engine, duck):
+    """The SPARQL anti-join idiom: OPTIONAL + FILTER(!BOUND(?v)) keeps
+    only left rows with no match — IS NULL post-left-join."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            OPTIONAL { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp .
+                       FILTER (?tp > 400000) }
+            FILTER (!BOUND(?tp))
+        }
+        """
+    )
+    oracle = """
+    SELECT c_name AS name
+    FROM customer LEFT JOIN orders
+      ON o_custkey = c_custkey AND o_totalprice > 400000
+    WHERE o_totalprice IS NULL
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+    # complement: BOUND(?tp) == the semi-join side; the two partition
+    # the customer set
+    q2 = q.replace("!BOUND", "BOUND")
+    n_all = engine.sparql(
+        PREFIX_BLOCK + "SELECT ?name WHERE { ?c a sa:Customer ; sa:name ?name . }"
+    ).count()
+    assert engine.sparql(q2).count() + len(a) >= n_all  # >= : multiple orders
+
+
+def test_string_predicates_match_oracle(engine, duck):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?pre WHERE {
+            ?p a sa:Part ; sa:name ?name .
+            FILTER (STRSTARTS(?name, "large"))
+            FILTER (CONTAINS(?name, "o"))
+            FILTER (!STRENDS(?name, "zzz"))
+            BIND(SUBSTR(?name, 1, 5) AS ?pre)
+        }
+        """
+    )
+    oracle = """
+    SELECT p_name AS name, substring(p_name, 1, 5) AS pre FROM part
+    WHERE p_name LIKE 'large%' AND contains(p_name, 'o')
+      AND NOT p_name LIKE '%zzz'
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_numeric_string_functions_match_oracle(engine, duck):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?f ?c ?r WHERE {
+            ?c0 a sa:Customer ; sa:name ?name ; sa:acctbal ?bal .
+            BIND(FLOOR(?bal) AS ?f)
+            BIND(CEIL(?bal) AS ?c)
+            BIND(REPLACE(?name, "Customer#", "") AS ?r)
+            FILTER (?bal > 9000)
+        }
+        """
+    )
+    oracle = """
+    SELECT c_name AS name, floor(c_acctbal) AS f, ceil(c_acctbal) AS c,
+           replace(c_name, 'Customer#', '') AS r
+    FROM customer WHERE c_acctbal > 9000
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0

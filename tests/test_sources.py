@@ -262,3 +262,69 @@ def test_text_source_wholetext_file_key(spark, tmp_path):
         "a.txt": "first doc\nstill first",
         "b.txt": "second doc",
     }
+
+
+def test_jdbc_live_roundtrip_derby(spark, duck, sf_dir, tmp_path):
+    """LIVE end-to-end JDBC: the engine reads a real database through
+    the jdbc source path (Derby embedded — in the Spark JVM, no server
+    needed).  Closes the 'no live remote-store read' gap for JDBC: the
+    nation fixture is loaded into Derby, mapped as a jdbc source, and a
+    SPARQL join over it must hash-match the parquet-backed DuckDB
+    oracle.  Also exercises the partitionColumn parallel-read options
+    passthrough against live data."""
+    from sparkall_spark import Engine
+    from sparkall_spark.fixtures import NS, PREFIX_BLOCK, _m
+    from sparkall_spark.mappings import EntityMapping, MappingIndex
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.format("jdbc").options(
+        url=url, dbtable="NATION", driver=driver
+    ).mode("overwrite").save()
+
+    nation_jdbc = EntityMapping(
+        name="Nation", source="//NATION", source_type="jdbc",
+        id_attr="n_nationkey",
+        predicates={NS + "name": "n_name", NS + "region": "n_regionkey"},
+        class_iri=NS + "Nation",
+        options={"url": url, "driver": driver},
+    )
+    customer_parquet = _m(
+        "Customer", "customer", sf_dir, "c_custkey",
+        {"name": "c_name", "nation": "c_nationkey"},
+    )
+    engine = Engine(spark, MappingIndex([nation_jdbc, customer_parquet]))
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?cname ?nname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname .
+        }
+        """
+    )
+    oracle = """
+    SELECT c_name AS cname, n_name AS nname
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+
+    # parallel range-partitioned read: options pass through to Spark's
+    # JDBC relation and the scan splits into numPartitions tasks
+    nation_par = EntityMapping(
+        name="NationPar", source="//NATION", source_type="jdbc",
+        id_attr="n_nationkey", predicates={NS + "name": "n_name"},
+        class_iri=NS + "NationPar",
+        options={
+            "url": url, "driver": driver,
+            "partitionColumn": "n_nationkey", "lowerBound": "0",
+            "upperBound": "25", "numPartitions": "4",
+        },
+    )
+    from sparkall_spark.sources import load_source
+
+    pdf = load_source(spark, nation_par)
+    assert pdf.rdd.getNumPartitions() == 4
+    assert pdf.count() == 25

@@ -127,9 +127,33 @@ def _apply_star_filters(
             # SparkExecutor.scala:144-185; BSBM Q7/Q8 shape).
             col = F.col(q.column_for(*q.var_to_star_pred[f.var]))
             conds.append(_filter_condition(col, f))
+    for ef in q.expr_filters:
+        if ef.star == star_name:
+            # OPTIONAL-internal expression filter: pre-join on this star
+            # (== the left join's ON condition)
+            from sparkall_spark.plans.exprs import to_column
+
+            conds.append(to_column(ef.expr, _star_var_resolver(q, star_name)))
     for c in conds:
         df = df.filter(c)
     return df
+
+
+def _star_var_resolver(q: ParsedQuery, star_name: str):
+    """Resolve a variable to ITS column within one star's DataFrame —
+    a join variable (object here, subject elsewhere) must resolve to
+    this star's join-attribute column, not the other star's ID."""
+
+    def resolve(v: str):
+        if v == star_name:
+            return F.col(f"{star_name}_ID")
+        if v in q.var_to_star_pred and q.var_to_star_pred[v][0] == star_name:
+            return F.col(q.column_for(*q.var_to_star_pred[v]))
+        raise ExecutionError(
+            f"variable ?{v} does not belong to star ?{star_name}"
+        )
+
+    return resolve
 
 
 def _apply_transforms(
@@ -314,6 +338,8 @@ def _apply_binds(df: DataFrame, q: ParsedQuery) -> DataFrame:
             to_column(b.expr, lambda v: F.col(q.column_for_var(v))),
         )
     for ef in q.expr_filters:
+        if ef.star is not None:
+            continue  # OPTIONAL-internal: already applied pre-join
         df = df.filter(
             to_column(ef.expr, lambda v: F.col(q.column_for_var(v)))
         )

@@ -48,11 +48,18 @@ class Filter:
 class ExprFilter:
     """``FILTER (<expression>)`` beyond the simple var-op-literal
     grammar (extension): the full plans/exprs.py fragment with a
-    comparison at top level, evaluated post-join.  Catalyst still
-    pushes the predicate into scans after the plan is assembled."""
+    boolean top level, evaluated post-join.  Catalyst still pushes the
+    predicate into scans after the plan is assembled.
+
+    ``star``: set when the filter came from inside an OPTIONAL block
+    and every referenced variable binds to that one optional star — it
+    is then applied PRE-join to the star (equivalent to putting the
+    predicate in the left join's ON condition, SPARQL left-join
+    semantics); post-join application would wrongly drop left rows."""
 
     expr: object
     raw: str = ""
+    star: str | None = None
 
 
 @dataclass(frozen=True)

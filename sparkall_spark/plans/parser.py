@@ -1104,6 +1104,7 @@ def _parse_group(
     optional_triples: list[Triple] = []
     optional_subjects: set[str] = set()
     optional_filters: list[Filter] = []
+    optional_expr_filters: list[ExprFilter] = []
     while True:
         om = re.search(r"OPTIONAL\s*\{", body, re.IGNORECASE)
         if not om:
@@ -1114,16 +1115,15 @@ def _parse_group(
         # left join (they cannot eliminate left rows) — since the engine
         # applies all star filters pre-join, hoisting them preserves the
         # SPARQL semantics as long as they reference optional-star vars
+        # (validated below once the stars are known; this holds for
+        # expression FILTERs too, which become star-scoped pre-join
+        # predicates instead of post-join ones)
         oinner, ofilters, oexpr = _parse_filters(oinner, prefixes)
-        if oexpr:
-            raise SparqlParseError(
-                "expression FILTER inside OPTIONAL is not supported "
-                f"(hoisting would break left-join semantics): {oexpr[0].raw!r}"
-            )
         otr = _parse_triples(oinner, prefixes)
         optional_triples.extend(otr)
         optional_subjects.update(t.subject for t in otr)
         optional_filters.extend(ofilters)
+        optional_expr_filters.extend(oexpr)
         body = body[: om.start()] + " " + body[oend:]
 
     body, filters, expr_filters = _parse_filters(body, prefixes)
@@ -1177,4 +1177,28 @@ def _parse_group(
                 f"?{bound_star}; hoisting it would break left-join semantics "
                 "— move the FILTER outside the OPTIONAL block"
             )
+
+    # Expression FILTERs inside OPTIONAL: sound only as a PRE-join
+    # predicate on one optional star (== the left join's ON condition);
+    # any reference to a mandatory star, or spanning two stars, cannot
+    # be hoisted without changing left-join semantics.
+    for ef in optional_expr_filters:
+        ef_stars = set()
+        for v in expr_vars(ef.expr):
+            if v in stars:
+                ef_stars.add(v)
+            elif v in var_to_star_pred:
+                ef_stars.add(var_to_star_pred[v][0])
+            else:
+                raise SparqlParseError(
+                    f"FILTER({ef.raw}) inside OPTIONAL references unbound ?{v}"
+                )
+        if len(ef_stars) != 1 or not (ef_stars <= optional_subjects):
+            raise SparqlParseError(
+                f"expression FILTER inside OPTIONAL must reference exactly "
+                f"one optional star's variables (got stars "
+                f"{sorted(ef_stars)}): {ef.raw!r}"
+            )
+        expr_filters.append(ExprFilter(ef.expr, ef.raw, star=ef_stars.pop()))
+
     return stars, var_to_star_pred, filters, optional_subjects, expr_filters

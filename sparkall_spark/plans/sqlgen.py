@@ -118,6 +118,20 @@ def _lit_auto(raw: str, force_str: bool = False) -> str:
     return "'" + raw.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
+def _star_sql_resolver(q: ParsedQuery, star_name: str):
+    """SQL twin of executor._star_var_resolver: resolve a variable to
+    its column WITHIN one star's subquery."""
+
+    def resolve(v: str) -> str:
+        if v == star_name:
+            return _q(f"{star_name}_ID")
+        if v in q.var_to_star_pred and q.var_to_star_pred[v][0] == star_name:
+            return _q(q.column_for(*q.var_to_star_pred[v]))
+        raise ValueError(f"variable ?{v} does not belong to star ?{star_name}")
+
+    return resolve
+
+
 def _star_subquery(
     q: ParsedQuery,
     plan: QueryPlan,
@@ -190,6 +204,10 @@ def _star_subquery(
             # join variables resolve via (star, pred) — see executor.py
             # _apply_star_filters for the BSBM Q7/Q8 rationale
             conds.append(_filter_sql(_q(q.column_for(*q.var_to_star_pred[f.var])), f))
+    for ef in q.expr_filters:
+        if ef.star == star_name:
+            # OPTIONAL-internal expression filter: pre-join on this star
+            conds.append(to_sql(ef.expr, _star_sql_resolver(q, star_name)))
     all_conds = conds + row_filters
     # wrap once so every condition references output aliases (Catalyst
     # pushes the predicates back into the scan regardless)
@@ -344,6 +362,7 @@ def _apply_binds_sql(q: ParsedQuery, core: str) -> str:
     conds = [
         to_sql(ef.expr, lambda v: _q(q.column_for_var(v)))
         for ef in q.expr_filters
+        if ef.star is None  # star-scoped ones were applied pre-join
     ]
     for f in q.filters:
         if f.value_is_var:

@@ -381,3 +381,54 @@ def test_numeric_string_functions_match_oracle(engine, duck):
     a = sorted(map(tuple, engine.sparql(q).collect()))
     b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
     assert a == b and len(a) > 0
+
+
+# --- r4: expression FILTERs inside OPTIONAL (star-scoped, pre-join) -------
+
+
+def test_optional_expression_filter_prejoin(engine, duck):
+    """An expression FILTER inside OPTIONAL that references only the
+    optional star applies PRE-join (the left join's ON condition):
+    left rows survive with nulls when the predicate fails."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?totalprice WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            OPTIONAL { ?o a sa:Orders ; sa:customer ?c ;
+                          sa:totalprice ?totalprice .
+                       FILTER (?totalprice / 2 > 100000) }
+        }
+        """
+    )
+    oracle = """
+    SELECT c_name AS name, o_totalprice AS totalprice
+    FROM customer LEFT JOIN orders
+      ON o_custkey = c_custkey AND o_totalprice / 2 > 100000
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+    # every customer survives (left join preserved)
+    n_cust = engine.sparql(
+        PREFIX_BLOCK + "SELECT DISTINCT ?name WHERE { ?c a sa:Customer ; sa:name ?name . }"
+    ).count()
+    assert (
+        engine.sparql(q).select("name").distinct().count() == n_cust
+    )
+
+
+def test_optional_expression_filter_on_mandatory_var_rejected():
+    with pytest.raises(SparqlParseError, match="exactly one optional star"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + """
+            SELECT ?name WHERE {
+                ?c a sa:Customer ; sa:name ?name ; sa:acctbal ?bal .
+                OPTIONAL { ?o a sa:Orders ; sa:customer ?c ;
+                              sa:totalprice ?tp .
+                           FILTER (?tp + ?bal > 1000) }
+            }
+            """
+        )

@@ -324,6 +324,38 @@ _AGG_FNS = {
 }
 
 
+def _attach_subqueries(
+    spark: SparkSession, df: DataFrame, q: ParsedQuery, index: MappingIndex
+) -> DataFrame:
+    """Join each { SELECT ... } subquery's result on its shared
+    projected variables (SPARQL 1.1 §12: a subquery evaluates
+    independently, then joins the enclosing group).  Subquery-only
+    output vars surface under their plain names."""
+    for sub in q.subqueries:
+        sub_df = execute_plan(spark, plan_query(sub), index)
+        shared = [
+            v
+            for v in sub.output_vars()
+            if v in q.stars or v in q.var_to_star_pred
+        ]
+        if not shared:
+            raise ExecutionError(
+                "subquery must share at least one projected variable "
+                "with the outer pattern (cartesian subqueries are not "
+                "supported)"
+            )
+        cond = None
+        for v in shared:
+            c = df[q.column_for_var(v)] == sub_df[v]
+            cond = c if cond is None else cond & c
+        df = df.join(sub_df, cond, "inner")
+        # the outer resolution of a shared var stays the outer column;
+        # drop the subquery's duplicate to keep names unambiguous
+        for v in shared:
+            df = df.drop(sub_df[v])
+    return df
+
+
 def _apply_binds(df: DataFrame, q: ParsedQuery) -> DataFrame:
     """Post-join stage: BIND computed columns (declaration order), then
     the filters that can only run here — filters over bind aliases,
@@ -343,7 +375,11 @@ def _apply_binds(df: DataFrame, q: ParsedQuery) -> DataFrame:
         df = df.filter(
             to_column(ef.expr, lambda v: F.col(q.column_for_var(v)))
         )
-    aliases = {b.alias for b in q.binds}
+    aliases = {b.alias for b in q.binds} | {
+        v
+        for v in q.subquery_vars()
+        if v not in q.stars and v not in q.var_to_star_pred
+    }
     for f in q.filters:
         if f.value_is_var:
             df = df.filter(
@@ -380,11 +416,18 @@ def _branch_core(
         for name, star in q.stars.items()
     }
     _apply_transforms(star_dfs, q, plan)
-    df = _apply_binds(_join_stars(star_dfs, q, plan), q)
+    df = _attach_subqueries(spark, _join_stars(star_dfs, q, plan), q, index)
+    df = _apply_binds(df, q)
     bind_aliases = {b.alias for b in q.binds}
+    sq_vars = q.subquery_vars()
     cols = []
     for v in q.select_vars:
-        if v in q.stars or v in q.var_to_star_pred or v in bind_aliases:
+        if (
+            v in q.stars
+            or v in q.var_to_star_pred
+            or v in bind_aliases
+            or v in sq_vars
+        ):
             cols.append(F.col(q.column_for_var(v)).alias(v))
         else:
             cols.append(F.lit(None).alias(v))
@@ -440,6 +483,13 @@ def execute_plan(
             df = df.limit(q.limit)
         return df
 
+    if not q.stars:
+        raise ExecutionError(
+            "the WHERE group must contain at least one triple pattern "
+            "(a bare { SELECT ... } wrapper adds nothing — run the inner "
+            "query directly)"
+        )
+
     star_dfs: dict[str, DataFrame] = {}
     for name, star in q.stars.items():
         df = build_star_df(
@@ -454,6 +504,7 @@ def execute_plan(
     _apply_transforms(star_dfs, q, plan)
 
     df = _join_stars(star_dfs, q, plan)
+    df = _attach_subqueries(spark, df, q, index)
     df = _apply_minus(spark, df, q, index)
     df = _apply_binds(df, q)
 

@@ -175,6 +175,11 @@ class ParsedQuery:
     # ?y): aggregate calls become internal __aggN aliases, and these
     # Binds compute the declared alias from them after the groupBy
     post_agg_exprs: list[Bind] = field(default_factory=list)
+    # { SELECT ... } sub-selects (SPARQL 1.1 §12): each evaluates
+    # independently and joins the outer pattern on its shared projected
+    # variables; subquery-only output vars surface under their plain
+    # names (see column_for_var)
+    subqueries: list["ParsedQuery"] = field(default_factory=list)
 
     def prefix_label(self, iri: str) -> str:
         """Invert the prefix map for column naming (reference: Helpers.scala:25-36).
@@ -194,15 +199,38 @@ class ParsedQuery:
         _, local = split_iri(pred_iri)
         return f"{star}_{local}_{self.prefix_label(pred_iri)}"
 
+    def output_vars(self) -> list[str]:
+        """Variables this query's RESULT exposes (the subquery join /
+        projection surface): group keys + declared aggregate and
+        post-agg aliases under aggregation, else the select list."""
+        if self.aggregations or self.group_by:
+            return (
+                [v for v in self.select_vars if v in self.group_by]
+                + [
+                    a.alias
+                    for a in self.aggregations
+                    if not a.alias.startswith("__agg")
+                ]
+                + [pe.alias for pe in self.post_agg_exprs]
+            )
+        return list(self.select_vars)
+
+    def subquery_vars(self) -> set[str]:
+        return {v for sq in self.subqueries for v in sq.output_vars()}
+
     def column_for_var(self, var: str) -> str:
         """Internal column for an object variable; subject vars map to
-        ``<star>_ID``; BIND aliases to ``<alias>__bind``."""
+        ``<star>_ID``; BIND aliases to ``<alias>__bind``; subquery
+        outputs keep their plain variable name."""
         if var in self.stars:
             return f"{var}_ID"
         if var in self.var_to_star_pred:
             return self.column_for(*self.var_to_star_pred[var])
         if any(b.alias == var for b in self.binds):
             return f"{var}__bind"
+        for sq in self.subqueries:
+            if var in sq.output_vars():
+                return var
         raise KeyError(f"unknown variable ?{var}")
 
 

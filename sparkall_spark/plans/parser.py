@@ -451,6 +451,12 @@ def _mask_for_paths(body: str) -> str:
             continue
         b1 = _balanced(masked, b0, "{", "}")
         inner = masked[b0 + 1 : b1 - 1]
+        if re.match(r"\s*SELECT\b", inner, re.IGNORECASE):
+            # { SELECT ... } subquery: parsed recursively later, with
+            # its own path expansion — don't token-scan its body here
+            blank(b0, b1)
+            masked = "".join(chars)
+            continue
         for t in _TOKEN_RE.finditer(inner):
             core = t.group(0).rstrip(".;")
             if core and _is_path_candidate(core):
@@ -871,6 +877,23 @@ def parse_sparql(query: str) -> ParsedQuery:
     )
 
     def build(group_body: str) -> ParsedQuery:
+        # { SELECT ... } sub-selects (SPARQL 1.1 §12) parse recursively
+        # as full queries; they must sit at the group's top level
+        subqueries: list[ParsedQuery] = []
+        while True:
+            sm = re.search(r"\{\s*SELECT\b", group_body, re.IGNORECASE)
+            if not sm:
+                break
+            send = _balanced(
+                group_body, group_body.index("{", sm.start()), "{", "}"
+            )
+            inner = group_body[group_body.index("{", sm.start()) + 1 : send - 1]
+            header = "".join(
+                f"PREFIX {label}: <{iri}>\n" for label, iri in prefixes.items()
+            )
+            subqueries.append(parse_sparql(header + inner))
+            group_body = group_body[: sm.start()] + " " + group_body[send:]
+
         # MINUS / FILTER [NOT] EXISTS blocks parse as their own
         # sub-groups (pure extensions over the reference)
         minus_bodies: list[str] = []
@@ -948,8 +971,11 @@ def parse_sparql(query: str) -> ParsedQuery:
         binds = binds + agg_binds + order_binds
 
         # BIND scope check: every referenced variable must be bound by
-        # the BGP or an earlier BIND; aliases must be fresh
+        # the BGP, a subquery projection, or an earlier BIND; aliases
+        # must be fresh
         bound = set(var_to_star_pred) | set(stars)
+        for sq in subqueries:
+            bound.update(sq.output_vars())
         for b in binds:
             if b.alias in bound:
                 raise SparqlParseError(f"BIND rebinds ?{b.alias}")
@@ -1010,6 +1036,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             is_ask=is_ask,
             expr_filters=expr_filters,
             post_agg_exprs=post_agg_exprs,
+            subqueries=subqueries,
         )
 
     main = build(union_bodies[0])

@@ -77,12 +77,15 @@ def plan_query(q: ParsedQuery) -> QueryPlan:
     for ef in q.expr_filters:
         used_vars.update(expr_vars(ef.expr))
 
+    subquery_vars = q.subquery_vars()
     needed: dict[str, set[str]] = {s: set() for s in q.stars}
     for var in used_vars:
         if var in q.stars:
             continue  # subject variable -> ID column, always kept
         if var in bind_aliases:
             continue  # computed post-join, no source column
+        if var in subquery_vars and var not in q.var_to_star_pred:
+            continue  # surfaced by a { SELECT ... } subquery join
         if var not in q.var_to_star_pred:
             if q.partial_binding and var in q.select_vars:
                 continue  # unbound in this UNION branch -> null column

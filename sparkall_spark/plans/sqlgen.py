@@ -118,6 +118,37 @@ def _lit_auto(raw: str, force_str: bool = False) -> str:
     return "'" + raw.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
+def _attach_subqueries_sql(
+    q: ParsedQuery, core: str, index: MappingIndex, views: dict
+) -> str:
+    """SQL twin of executor._attach_subqueries: join each { SELECT ... }
+    subquery (compiled recursively to its own single-SQL form) on its
+    shared projected variables."""
+    for i, sub in enumerate(q.subqueries):
+        sub_c = compile_sql(plan_query(sub), index)
+        views.update(sub_c.views)
+        shared = [
+            v
+            for v in sub.output_vars()
+            if v in q.stars or v in q.var_to_star_pred
+        ]
+        if not shared:
+            raise ValueError(
+                "subquery must share at least one projected variable "
+                "with the outer pattern"
+            )
+        on = " AND ".join(
+            f"{_q(q.column_for_var(v))} = sq{i}.{_q(v)}" for v in shared
+        )
+        # SELECT *: outer star-aliased columns + the sq's plain-named
+        # columns — the alias schemes are disjoint, so no ambiguity
+        core = (
+            f"(SELECT * FROM {core} JOIN (\n{sub_c.sql}\n) AS sq{i} "
+            f"ON {on}) AS wsq{i}"
+        )
+    return core
+
+
 def _star_sql_resolver(q: ParsedQuery, star_name: str):
     """SQL twin of executor._star_var_resolver: resolve a variable to
     its column WITHIN one star's subquery."""
@@ -251,6 +282,7 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
 
     views = {}
     core = _core_sql(plan, index, views)
+    core = _attach_subqueries_sql(q, core, index, views)
     core = _apply_minus_sql(q, plan, index, views, core)
     core = _apply_binds_sql(q, core)
 
@@ -358,7 +390,11 @@ def _apply_binds_sql(q: ParsedQuery, core: str) -> str:
             f"(SELECT *, {expr} AS {_q(q.column_for_var(b.alias))} "
             f"FROM {core}) AS bnd{i}"
         )
-    aliases = {b.alias for b in q.binds}
+    aliases = {b.alias for b in q.binds} | {
+        v
+        for v in q.subquery_vars()
+        if v not in q.stars and v not in q.var_to_star_pred
+    }
     conds = [
         to_sql(ef.expr, lambda v: _q(q.column_for_var(v)))
         for ef in q.expr_filters
@@ -481,11 +517,18 @@ def _branch_sql(
     plan: QueryPlan, index: MappingIndex, views: dict[str, EntityMapping]
 ) -> str:
     q = plan.query
-    core = _apply_binds_sql(q, _core_sql(plan, index, views))
+    core = _attach_subqueries_sql(q, _core_sql(plan, index, views), index, views)
+    core = _apply_binds_sql(q, core)
     bind_aliases = {b.alias for b in q.binds}
+    sq_vars = q.subquery_vars()
     cols = []
     for v in q.select_vars:
-        if v in q.stars or v in q.var_to_star_pred or v in bind_aliases:
+        if (
+            v in q.stars
+            or v in q.var_to_star_pred
+            or v in bind_aliases
+            or v in sq_vars
+        ):
             cols.append(f"{_q(q.column_for_var(v))} AS {_q(v)}")
         else:
             cols.append(f"NULL AS {_q(v)}")

@@ -263,17 +263,24 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         ORDER BY name LIMIT 20 OFFSET 10
         """,
     ),
-    # subject-variable projection (star ID column)
+    # subject-variable projection (star ID column) + a { SELECT ... }
+    # subquery (SPARQL 1.1 §12, r4): per-customer order count computed
+    # independently and joined back on the shared ?c
     "q13_subject_projection": (
         """
-        SELECT ?o ?totalprice WHERE {
-            ?o a sa:Orders ; sa:totalprice ?totalprice .
+        SELECT ?o ?totalprice ?n WHERE {
+            ?o a sa:Orders ; sa:totalprice ?totalprice ; sa:customer ?c .
+            { SELECT ?c (COUNT(*) AS ?n) WHERE {
+                ?o2 a sa:Orders ; sa:customer ?c . } GROUP BY ?c }
             FILTER (?totalprice > 400000)
         }
         """,
         """
-        SELECT o_orderkey AS o, o_totalprice AS totalprice
-        FROM orders WHERE o_totalprice > 400000
+        SELECT o_orderkey AS o, o_totalprice AS totalprice, n
+        FROM orders JOIN
+          (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1) s
+          ON o_custkey = k
+        WHERE o_totalprice > 400000
         """,
     ),
     # OPTIONAL -> left outer join, with a FILTER *inside* the OPTIONAL

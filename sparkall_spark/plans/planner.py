@@ -76,6 +76,10 @@ def plan_query(q: ParsedQuery) -> QueryPlan:
         used_vars.update(expr_vars(b.expr))
     for ef in q.expr_filters:
         used_vars.update(expr_vars(ef.expr))
+    # subquery join keys: a shared output var must keep its outer
+    # column alive even when nothing else projects it
+    for sq in q.subqueries:
+        used_vars.update(sq.output_vars())
 
     subquery_vars = q.subquery_vars()
     needed: dict[str, set[str]] = {s: set() for s in q.stars}

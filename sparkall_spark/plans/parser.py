@@ -791,10 +791,35 @@ def parse_sparql(query: str) -> ParsedQuery:
         nb for b in union_bodies for nb in _expand_property_paths(b)
     ]
 
+    # GROUP BY keys: plain ?vars and/or (expr AS ?alias) items (SPARQL
+    # 1.1 §10.1); an expression key desugars into a pre-agg BIND and the
+    # group runs on the alias column
     group_by: list[str] = []
-    gm = re.search(r"GROUP\s+BY\s+((?:\?[\w]+\s*)+)", tail, re.IGNORECASE)
+    group_binds: list[Bind] = []
+    gm = re.search(r"GROUP\s+BY\s+", tail, re.IGNORECASE)
     if gm:
-        group_by = [m.group(1) for m in _VAR_RE.finditer(gm.group(1))]
+        pos = gm.end()
+        while pos < len(tail):
+            vm2 = re.match(r"\s*\?([\w]+)", tail[pos:])
+            if vm2:
+                group_by.append(vm2.group(1))
+                pos += vm2.end()
+                continue
+            pm = re.match(r"\s*\(", tail[pos:])
+            if not pm:
+                break
+            open_idx = pos + pm.end() - 1
+            end_idx = _balanced(tail, open_idx)
+            item = tail[open_idx + 1 : end_idx - 1]
+            am2 = re.search(r"\s+AS\s+\?([\w]+)\s*$", item, re.IGNORECASE)
+            if not am2:
+                raise SparqlParseError(
+                    f"GROUP BY expression needs AS ?alias: ({item.strip()})"
+                )
+            ast_g = _parse_expr_or_raise(item[: am2.start()], "GROUP BY expression")
+            group_binds.append(Bind(am2.group(1), ast_g, item.strip()))
+            group_by.append(am2.group(1))
+            pos = end_idx
 
     order_keys: list[OrderKey] = []
     order_binds: list[Bind] = []
@@ -968,7 +993,7 @@ def parse_sparql(query: str) -> ParsedQuery:
                 "ORDER BY expressions are not supported together with "
                 "DISTINCT or aggregation"
             )
-        binds = binds + agg_binds + order_binds
+        binds = binds + agg_binds + group_binds + order_binds
 
         # BIND scope check: every referenced variable must be bound by
         # the BGP, a subquery projection, or an earlier BIND; aliases

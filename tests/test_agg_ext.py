@@ -254,3 +254,60 @@ def test_select_expression_over_nongrouped_var_rejected():
             GROUP BY ?flag
             """
         )
+
+
+def test_group_by_expression(engine, duck):
+    """GROUP BY (expr AS ?alias) (SPARQL 1.1 §10.1, r4): the key
+    desugars into a pre-agg bind and groups on the computed column."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?bucket (COUNT(*) AS ?n) WHERE {
+            ?c a sa:Customer ; sa:acctbal ?bal .
+        }
+        GROUP BY (FLOOR(?bal / 1000) AS ?bucket)
+        ORDER BY ?bucket
+        """
+    )
+    oracle = """
+    SELECT floor(c_acctbal / 1000) AS bucket, count(*) AS n
+    FROM customer GROUP BY 1 ORDER BY bucket
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 1
+
+
+def test_group_by_mixed_var_and_expression(engine, duck):
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?flag ?halfq (COUNT(*) AS ?n) WHERE {
+            ?l a sa:Lineitem ; sa:returnflag ?flag ; sa:quantity ?qty .
+        }
+        GROUP BY ?flag (FLOOR(?qty / 10) AS ?halfq)
+        ORDER BY ?flag ?halfq
+        """
+    )
+    oracle = """
+    SELECT l_returnflag AS flag, floor(l_quantity / 10) AS halfq,
+           count(*) AS n
+    FROM lineitem GROUP BY 1, 2 ORDER BY flag, halfq
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+
+
+def test_group_by_expression_without_alias_rejected():
+    from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
+
+    with pytest.raises(SparqlParseError, match="AS"):
+        parse_sparql(
+            """
+            PREFIX sa: <http://sparkall.io/ns/>
+            SELECT (COUNT(*) AS ?n) WHERE {
+                ?c a sa:Customer ; sa:acctbal ?bal .
+            }
+            GROUP BY (FLOOR(?bal / 1000))
+            """
+        )

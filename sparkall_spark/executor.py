@@ -356,6 +356,24 @@ def _attach_subqueries(
     return df
 
 
+def _apply_values(
+    spark: SparkSession, df: DataFrame, q: ParsedQuery
+) -> DataFrame:
+    """Multi-variable VALUES: inner-join the inline solution table on
+    its variables.  Inline data is tiny by definition — broadcast, so
+    at scale this is a map-side lookup, never a shuffle."""
+    for vars_, rows in q.values_tables:
+        vdf = spark.createDataFrame(rows, schema=list(vars_))
+        cond = None
+        for v in vars_:
+            c = df[q.column_for_var(v)] == vdf[v]
+            cond = c if cond is None else cond & c
+        df = df.join(F.broadcast(vdf), cond, "inner")
+        for v in vars_:
+            df = df.drop(vdf[v])
+    return df
+
+
 def _apply_binds(df: DataFrame, q: ParsedQuery) -> DataFrame:
     """Post-join stage: BIND computed columns (declaration order), then
     the filters that can only run here — filters over bind aliases,
@@ -417,6 +435,7 @@ def _branch_core(
     }
     _apply_transforms(star_dfs, q, plan)
     df = _attach_subqueries(spark, _join_stars(star_dfs, q, plan), q, index)
+    df = _apply_values(spark, df, q)
     df = _apply_binds(df, q)
     bind_aliases = {b.alias for b in q.binds}
     sq_vars = q.subquery_vars()
@@ -505,6 +524,7 @@ def execute_plan(
 
     df = _join_stars(star_dfs, q, plan)
     df = _attach_subqueries(spark, df, q, index)
+    df = _apply_values(spark, df, q)
     df = _apply_minus(spark, df, q, index)
     df = _apply_binds(df, q)
 

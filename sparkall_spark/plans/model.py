@@ -180,6 +180,12 @@ class ParsedQuery:
     # variables; subquery-only output vars surface under their plain
     # names (see column_for_var)
     subqueries: list["ParsedQuery"] = field(default_factory=list)
+    # multi-variable VALUES (?a ?b) { (l1 l2) ... }: an inline solution
+    # table inner-joined (broadcast — inline data is tiny by
+    # definition) on its variables; single-var VALUES stays an IN filter
+    values_tables: list[tuple[list[str], list[tuple]]] = field(
+        default_factory=list
+    )
 
     def prefix_label(self, iri: str) -> str:
         """Invert the prefix map for column naming (reference: Helpers.scala:25-36).

@@ -433,9 +433,9 @@ def _mask_for_paths(body: str) -> str:
     for m in _STRING_RE.finditer(body):
         blank(m.start(), m.end())
     masked = "".join(chars)
-    for m in re.finditer(r"\b(?:FILTER|BIND)\b", masked, re.IGNORECASE):
+    for m in re.finditer(r"\b(?:FILTER|BIND|VALUES)\b", masked, re.IGNORECASE):
         p = masked.find("(", m.end())
-        if p >= 0:
+        if p >= 0 and masked[m.end() : p].strip() in ("", "regex", "rlike"):
             blank(p, _balanced(masked, p))
     masked = "".join(chars)
     pos = 0
@@ -460,7 +460,10 @@ def _mask_for_paths(body: str) -> str:
         for t in _TOKEN_RE.finditer(inner):
             core = t.group(0).rstrip(".;")
             if core and _is_path_candidate(core):
-                _, sp = _expand_path(core)
+                try:
+                    _, sp = _expand_path(core)
+                except SparqlParseError:
+                    continue  # not a path token (e.g. a VALUES tuple row)
                 if sp:
                     raise SparqlParseError(
                         "property-path alternation/closure is only "
@@ -940,6 +943,56 @@ def parse_sparql(query: str) -> ParsedQuery:
                 minus_bodies.append(inner)
             group_body = group_body[: mm.start()] + " " + group_body[mend:]
 
+        # VALUES (?a ?b) { (lit lit) ... } -> inline solution table,
+        # inner-joined on its variables (UNDEF not supported)
+        values_tables: list[tuple[list[str], list[tuple]]] = []
+        while True:
+            vm = re.search(
+                r"VALUES\s*\(((?:\s*\?[\w]+)+)\s*\)\s*\{",
+                group_body,
+                re.IGNORECASE,
+            )
+            if not vm:
+                break
+            vend = _balanced(
+                group_body, group_body.index("{", vm.start()), "{", "}"
+            )
+            vars_ = [m.group(1) for m in _VAR_RE.finditer(vm.group(1))]
+            inner = group_body[vm.end() : vend - 1]
+            rows: list[tuple] = []
+            pos2 = 0
+            while True:
+                op = inner.find("(", pos2)
+                if op < 0:
+                    break
+                cl = _balanced(inner, op)
+                toks = re.findall(r'"(?:[^"\\]|\\.)*"|\S+', inner[op + 1 : cl - 1])
+                if len(toks) != len(vars_):
+                    raise SparqlParseError(
+                        f"VALUES row has {len(toks)} values for "
+                        f"{len(vars_)} variables: {inner[op:cl]!r}"
+                    )
+                row: list = []
+                for tok in toks:
+                    if tok.upper() == "UNDEF":
+                        raise SparqlParseError(
+                            "UNDEF in VALUES is not supported"
+                        )
+                    if tok.startswith('"'):
+                        row.append(tok.strip('"'))
+                    else:
+                        row.append(
+                            float(tok)
+                            if ("." in tok or "e" in tok.lower())
+                            else int(tok)
+                        )
+                rows.append(tuple(row))
+                pos2 = cl
+            if not rows:
+                raise SparqlParseError("empty VALUES table")
+            values_tables.append((vars_, rows))
+            group_body = group_body[: vm.start()] + " " + group_body[vend:]
+
         # VALUES ?var { lit lit ... } -> IN-list filter
         values_filters: list[Filter] = []
         while True:
@@ -1062,6 +1115,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             expr_filters=expr_filters,
             post_agg_exprs=post_agg_exprs,
             subqueries=subqueries,
+            values_tables=values_tables,
         )
 
     main = build(union_bodies[0])

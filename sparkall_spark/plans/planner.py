@@ -80,6 +80,8 @@ def plan_query(q: ParsedQuery) -> QueryPlan:
     # column alive even when nothing else projects it
     for sq in q.subqueries:
         used_vars.update(sq.output_vars())
+    for vt_vars, _rows in q.values_tables:
+        used_vars.update(vt_vars)
 
     subquery_vars = q.subquery_vars()
     needed: dict[str, set[str]] = {s: set() for s in q.stars}

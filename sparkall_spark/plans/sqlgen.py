@@ -149,6 +149,26 @@ def _attach_subqueries_sql(
     return core
 
 
+def _apply_values_sql(q: ParsedQuery, core: str) -> str:
+    """SQL twin of executor._apply_values: join the inline VALUES table
+    (Spark SQL: FROM VALUES (..),(..) AS t(cols))."""
+    for i, (vars_, rows) in enumerate(q.values_tables):
+        row_sql = ", ".join(
+            "(" + ", ".join(_lit(v, isinstance(v, str)) for v in row) + ")"
+            for row in rows
+        )
+        cols = ", ".join(_q(v) for v in vars_)
+        on = " AND ".join(
+            f"{_q(q.column_for_var(v))} = vt{i}.{_q(v)}" for v in vars_
+        )
+        core = (
+            f"(SELECT * FROM {core} JOIN "
+            f"(SELECT * FROM VALUES {row_sql} AS t({cols})) AS vt{i} "
+            f"ON {on}) AS wvt{i}"
+        )
+    return core
+
+
 def _star_sql_resolver(q: ParsedQuery, star_name: str):
     """SQL twin of executor._star_var_resolver: resolve a variable to
     its column WITHIN one star's subquery."""
@@ -283,6 +303,7 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
     views = {}
     core = _core_sql(plan, index, views)
     core = _attach_subqueries_sql(q, core, index, views)
+    core = _apply_values_sql(q, core)
     core = _apply_minus_sql(q, plan, index, views, core)
     core = _apply_binds_sql(q, core)
 
@@ -518,6 +539,7 @@ def _branch_sql(
 ) -> str:
     q = plan.query
     core = _attach_subqueries_sql(q, _core_sql(plan, index, views), index, views)
+    core = _apply_values_sql(q, core)
     core = _apply_binds_sql(q, core)
     bind_aliases = {b.alias for b in q.binds}
     sq_vars = q.subquery_vars()

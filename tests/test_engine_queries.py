@@ -300,3 +300,55 @@ def test_count_distinct(engine, duck):
         FROM lineitem GROUP BY 1
         """,
     )
+
+
+def test_multi_var_values_table(engine, duck):
+    """VALUES (?a ?b) { (t1) (t2) }: inline solution table joined on
+    its variables (r4) — correlated tuples, not independent IN lists."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?seg ?nk WHERE {
+            ?c a sa:Customer ; sa:name ?name ; sa:mktsegment ?seg ;
+               sa:nation ?nk .
+            VALUES (?seg ?nk) { ("BUILDING" 11) ("MACHINERY" 19) }
+        }
+        ORDER BY ?name
+        """
+    )
+    oracle = """
+    SELECT c_name AS name, c_mktsegment AS seg, c_nationkey AS nk
+    FROM customer
+    WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 11)
+       OR (c_mktsegment = 'MACHINERY' AND c_nationkey = 19)
+    ORDER BY name
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_multi_var_values_rejections():
+    from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
+
+    with pytest.raises(SparqlParseError, match="UNDEF"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + """
+            SELECT ?name WHERE {
+                ?c a sa:Customer ; sa:name ?name ; sa:mktsegment ?seg .
+                VALUES (?seg ?name) { ("BUILDING" UNDEF) }
+            }
+            """
+        )
+    with pytest.raises(SparqlParseError, match="values for"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + """
+            SELECT ?name WHERE {
+                ?c a sa:Customer ; sa:name ?name ; sa:mktsegment ?seg .
+                VALUES (?seg ?name) { ("BUILDING") }
+            }
+            """
+        )

@@ -567,18 +567,41 @@ def _split_path(pred_tok: str) -> list[tuple[bool, str]]:
     return out
 
 
+_TRIPLE_TOK_RE = re.compile(r'"(?:[^"\\]|\\.)*"|\S+')
+
+
+def _split_quote_aware(text: str, sep: str) -> list[str]:
+    parts: list[str] = []
+    cur: list[str] = []
+    in_str = False
+    for c in text:
+        if c == '"':
+            in_str = not in_str
+        if c == sep and not in_str:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    parts.append("".join(cur))
+    return parts
+
+
 def _parse_triples(
     body: str, prefixes: dict[str, str]
-) -> list[Triple]:
+) -> tuple[list[Triple], list[Filter]]:
+    """Parse triples; literal objects (``?s p "x"`` / ``?s p 42``)
+    desugar into a fresh variable plus an equality filter, so the rest
+    of the engine only ever sees variable objects."""
     triples: list[Triple] = []
+    lit_filters: list[Filter] = []
     for stmt in _split_statements(body):
         # shared-subject form: ?s p1 ?o1 ; p2 ?o2 ; ...
         subj: str | None = None
-        for seg in stmt.split(";"):
+        for seg in _split_quote_aware(stmt, ";"):
             seg = seg.strip()
             if not seg:
                 continue
-            toks = seg.split()
+            toks = _TRIPLE_TOK_RE.findall(seg)
             if subj is None:
                 if len(toks) != 3 or not toks[0].startswith("?"):
                     raise SparqlParseError(f"bad triple: {seg!r}")
@@ -625,9 +648,22 @@ def _parse_triples(
             pred = _expand_iri(pred_tok, prefixes)
             if obj_tok.startswith("?"):
                 triples.append(Triple(subj, pred, obj_tok[1:], True))
+            elif obj_tok.startswith('"') or re.fullmatch(
+                r"-?\d+(?:\.\d+)?", obj_tok
+            ):
+                # literal object -> fresh var + equality filter
+                var = f"__lit{next(_PATH_VAR_COUNTER)}"
+                if obj_tok.startswith('"'):
+                    value: str | int | float = obj_tok[1:-1].replace('\\"', '"')
+                    is_str = True
+                else:
+                    value = float(obj_tok) if "." in obj_tok else int(obj_tok)
+                    is_str = False
+                triples.append(Triple(subj, pred, var, True))
+                lit_filters.append(Filter(var, "=", value, is_str))
             else:
                 triples.append(Triple(subj, pred, _expand_iri(obj_tok, prefixes), False))
-    return triples
+    return triples, lit_filters
 
 
 _AGG_CALL_RE = re.compile(
@@ -1225,16 +1261,18 @@ def _parse_group(
         # expression FILTERs too, which become star-scoped pre-join
         # predicates instead of post-join ones)
         oinner, ofilters, oexpr = _parse_filters(oinner, prefixes)
-        otr = _parse_triples(oinner, prefixes)
+        otr, olit = _parse_triples(oinner, prefixes)
         optional_triples.extend(otr)
         optional_subjects.update(t.subject for t in otr)
         optional_filters.extend(ofilters)
+        optional_filters.extend(olit)  # same pre-join star-filter rule
         optional_expr_filters.extend(oexpr)
         body = body[: om.start()] + " " + body[oend:]
 
     body, filters, expr_filters = _parse_filters(body, prefixes)
     filters += optional_filters
-    triples = _parse_triples(body, prefixes)
+    triples, lit_filters = _parse_triples(body, prefixes)
+    filters += lit_filters
     mandatory_subjects = {t.subject for t in triples}
     optional_subjects -= mandatory_subjects
     triples += optional_triples

@@ -352,3 +352,53 @@ def test_multi_var_values_rejections():
             }
             """
         )
+
+
+def test_literal_triple_objects(engine, duck):
+    """?s p "lit" / ?s p 42 desugar to a fresh variable + equality
+    filter (r4) — incl. multi-word strings and ';' continuations."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name WHERE {
+            ?c a sa:Customer ; sa:mktsegment "BUILDING" ; sa:name ?name .
+        }
+        ORDER BY ?name
+        """
+    )
+    oracle = """
+    SELECT c_name AS name FROM customer
+    WHERE c_mktsegment = 'BUILDING' ORDER BY name
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+
+    # numeric literal + multi-word string literal
+    q2 = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name WHERE {
+            ?p a sa:Part ; sa:size 7 ; sa:name ?name .
+        }
+        """
+    )
+    assert_matches_oracle(
+        engine.sparql(q2), duck,
+        "SELECT p_name AS name FROM part WHERE p_size = 7",
+    )
+    q3 = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?nname WHERE {
+            ?r a sa:Region ; sa:name "MIDDLE EAST" .
+            ?n a sa:Nation ; sa:region ?r ; sa:name ?nname .
+        }
+        """
+    )
+    assert_matches_oracle(
+        engine.sparql(q3), duck,
+        """SELECT n_name AS nname FROM nation JOIN region
+           ON n_regionkey = r_regionkey WHERE r_name = 'MIDDLE EAST'""",
+    )

@@ -78,6 +78,14 @@ _FUNCTIONS = {
     "floor": (F.floor, "floor"),
     "ceil": (F.ceil, "ceil"),
     "trim": (F.trim, "trim"),
+    # SPARQL 1.1 datetime accessors — identical builtins on Spark SQL
+    # and DuckDB over date/timestamp values
+    "year": (F.year, "year"),
+    "month": (F.month, "month"),
+    "day": (F.day, "day"),
+    "hours": (F.hour, "hour"),
+    "minutes": (F.minute, "minute"),
+    "seconds": (F.second, "second"),
     "replace": (lambda s, a, b: F.replace(s, a, b), "replace"),
     "contains": (lambda s, sub: s.contains(sub), "contains"),
     # special-cased in both compilers:

@@ -432,3 +432,30 @@ def test_optional_expression_filter_on_mandatory_var_rejected():
             }
             """
         )
+
+
+def test_datetime_accessors_match_oracle(engine, duck):
+    """SPARQL 1.1 YEAR/MONTH/DAY over the orders date column — grouped
+    revenue per order-month (r4)."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?y ?m (COUNT(*) AS ?n) WHERE {
+            ?o a sa:Orders ; sa:orderdate ?d .
+            BIND(YEAR(?d) AS ?y)
+            BIND(MONTH(?d) AS ?m)
+            FILTER (?y = 1996)
+        }
+        GROUP BY ?y ?m
+        ORDER BY ?m
+        """
+    )
+    oracle = """
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n
+    FROM orders WHERE year(o_orderdate) = 1996
+    GROUP BY 1, 2 ORDER BY m
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) == 12

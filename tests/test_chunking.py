@@ -1,0 +1,93 @@
+"""Document chunking: sliding token windows (operators/chunking.py).
+
+Oracle: DuckDB computes the same windows via string_split +
+generate_series + list_slice.  Plan checks: no UDF (pure Column
+exprs), no Exchange (narrow transformation)."""
+
+import pytest
+
+from sparkall_spark.operators.chunking import chunk_documents
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_chunk_small_examples(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "x y"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=3, stride=2).collect()
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in out
+    }
+    assert got[(1, 0)] == ("a b c", 3)
+    assert got[(1, 1)] == ("c d e", 3)
+    assert got[(1, 2)] == ("e f g", 3)
+    assert got[(1, 3)] == ("g", 1)
+    assert got[(2, 0)] == ("x y", 2)
+    # empty / null documents yield one empty chunk, not zero rows
+    assert got[(3, 0)] == ("", 0)
+    assert got[(4, 0)] == ("", 0)
+    assert len(got) == 7
+
+
+def test_chunk_matches_duckdb_oracle(docs, duck):
+    out = chunk_documents(docs, chunk_tokens=40, stride=30)
+    oracle = """
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                    ELSE string_split_regex(trim(text), '\\s+') END AS t
+        FROM documents
+    ),
+    win AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, greatest(len(t) - 1, 0), 30)) AS g
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(g / 30 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(t, g + 1, g + 40), ' ') AS chunk_text,
+           CAST(len(list_slice(t, g + 1, g + 40)) AS BIGINT) AS n_tokens
+    FROM win
+    """
+    assert_matches_oracle(out, duck, oracle)
+
+
+def test_chunk_total_token_conservation(docs):
+    """With stride == chunk_tokens (no overlap), chunks partition the
+    token stream: sum of chunk n_tokens == total tokens."""
+    from pyspark.sql import functions as F
+
+    out = chunk_documents(docs, chunk_tokens=64, stride=64)
+    total_chunks = out.agg(F.sum("n_tokens")).first()[0]
+    total_tokens = (
+        docs.select(
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).agg(F.sum("n")).first()[0]
+    )
+    assert total_chunks == total_tokens
+
+
+def test_chunk_plan_is_narrow_and_udf_free(docs):
+    out = chunk_documents(docs, chunk_tokens=32, stride=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow: chunks made where docs live
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_validation():
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(None, chunk_tokens=10, stride=11)
+    with pytest.raises(ValueError, match="positive"):
+        chunk_documents(None, chunk_tokens=0)

@@ -10,7 +10,8 @@ corpora on Spark:
   payloads at once, and the *schema contract* of every stage is
   explicit — downstream stages keep composing as DataFrames;
 - container-header decoding (dimensions, channels, mime) is REAL pure
-  Python (``parse_image_header``: PNG/GIF/BMP/JPEG/PPM/PGM) — no native
+  Python (``parse_image_header``: PNG/GIF/BMP/JPEG/PPM/PGM; audio
+  WAV/FLAC/OGG/MP3; video MP4 ``parse_video_header``) — no native
   codec needed; pixel-level features (mean luma, dHash) are ALSO REAL
   for the uncompressed formats (BMP BI_RGB 8/24/32bpp, binary PPM/PGM
   — ``decode_pixels``, pure numpy); only formats whose pixel data is
@@ -244,6 +245,94 @@ def parse_audio_header(payload: bytes) -> dict | None:
     return None
 
 
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+
+def parse_video_header(payload: bytes) -> dict | None:
+    """REAL (pure-Python, no native deps) container-header parse for
+    MP4/QuickTime: walks the ISO-BMFF box tree to ``moov/mvhd``
+    (timescale + duration) and the first video ``tkhd`` (track width/
+    height, 16.16 fixed point).  Sample decoding would need a codec;
+    header structure does not.  Returns None for non-MP4 payloads."""
+    if not payload or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+
+    def boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            btype = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1 and i + 16 <= end:  # 64-bit largesize
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - i  # box extends to end
+            if size < hdr:
+                return
+            yield btype, i + hdr, min(i + size, end)
+            i += size
+
+    out: dict = {
+        "width": None, "height": None,
+        "duration_sec": None, "mime": "video/mp4",
+    }
+    for btype, b0, b1 in boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in boxes(payload, b0, b1):
+            if ctype == b"mvhd" and c1 - c0 >= 20:
+                version = payload[c0]
+                if version == 1 and c1 - c0 >= 28:
+                    timescale = int.from_bytes(payload[c0 + 20 : c0 + 24], "big")
+                    duration = int.from_bytes(payload[c0 + 24 : c0 + 32], "big")
+                else:
+                    timescale = int.from_bytes(payload[c0 + 12 : c0 + 16], "big")
+                    duration = int.from_bytes(payload[c0 + 16 : c0 + 20], "big")
+                if timescale:
+                    out["duration_sec"] = duration / timescale
+            elif ctype == b"trak":
+                for ttype, t0, t1 in boxes(payload, c0, c1):
+                    if ttype == b"tkhd" and t1 - t0 >= 84:
+                        # width/height: last 8 bytes, 16.16 fixed point
+                        w = int.from_bytes(payload[t1 - 8 : t1 - 4], "big") >> 16
+                        h = int.from_bytes(payload[t1 - 4 : t1], "big") >> 16
+                        if w and h and out["width"] is None:
+                            out["width"], out["height"] = w, h
+        return out
+    return out
+
+
+def decode_video_headers(df: DataFrame) -> DataFrame:
+    """Decode a media DataFrame into per-clip video features via
+    mapInPandas — REAL MP4 header fields (parse_video_header); unknown
+    containers and null payloads yield null feature rows."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "width", "height", "duration_sec", "mime"]
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                feats = parse_video_header(payload) if payload is not None else None
+                if feats is None:
+                    feats = dict.fromkeys(cols[1:])
+                feats["media_id"] = mid
+                out.append(feats)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _batches, schema=VIDEO_FEATURES_SCHEMA
+    )
+
+
 def decode_audio(df: DataFrame) -> DataFrame:
     """Decode a media DataFrame into per-clip audio features via
     mapInPandas.  Header fields are REAL for WAV/FLAC/OGG/MP3
@@ -296,6 +385,7 @@ def attach_metadata(df: DataFrame, id_col: str, payload_col: str, modality: str)
         .when(p.substr(1, 4) == F.lit(b"fLaC"), "audio/flac")
         .when(p.substr(1, 4) == F.lit(b"OggS"), "audio/ogg")
         .when(p.substr(1, 3) == F.lit(b"ID3"), "audio/mpeg")
+        .when(p.substr(5, 4) == F.lit(b"ftyp"), "video/mp4")
         .otherwise(F.lit(f"{modality}/unknown"))
     )
     return df.select(

@@ -303,3 +303,57 @@ def test_decode_audio_mapinpandas(spark):
     assert rows[3]["sample_rate"] == 44100
     assert rows[4]["mime"] is None  # null payload -> null row
     assert rows[5]["mime"] is None  # unknown container -> null row
+
+
+def _mp4_bytes(width: int, height: int, timescale: int, duration: int) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0))."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"              # version 0 + flags
+        + b"\x00" * 8                     # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"              # version 0 + flags
+        + b"\x00" * 72                    # ids/times/matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def test_parse_video_header_real_values():
+    mp4 = _mp4_bytes(1920, 1080, 600, 3000)
+    feats = M.parse_video_header(mp4)
+    assert (feats["width"], feats["height"]) == (1920, 1080)
+    assert feats["duration_sec"] == pytest.approx(5.0)
+    assert feats["mime"] == "video/mp4"
+    assert M.parse_video_header(b"not a video at all...") is None
+    assert M.parse_video_header(None) is None
+
+
+def test_decode_video_headers_mapinpandas(spark):
+    raw = spark.createDataFrame(
+        [
+            (1, bytearray(_mp4_bytes(640, 360, 1000, 12500))),
+            (2, bytearray(b"garbage bytes not a container")),
+            (3, None),
+        ],
+        "id long, blob binary",
+    )
+    media = M.attach_metadata(raw, "id", "blob", "video")
+    mimes = {r["media_id"]: r["meta"]["mime"] for r in media.collect()}
+    assert mimes[1] == "video/mp4"
+    assert mimes[2] == "video/unknown"
+    feats = {r["media_id"]: r for r in M.decode_video_headers(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (640, 360)
+    assert feats[1]["duration_sec"] == pytest.approx(12.5)
+    assert feats[2]["width"] is None and feats[3]["width"] is None

@@ -13,10 +13,11 @@ corpora on Spark:
   Python (``parse_image_header``: PNG/GIF/BMP/JPEG/PPM/PGM; audio
   WAV/FLAC/OGG/MP3; video MP4 ``parse_video_header``) — no native
   codec needed; pixel-level features (mean luma, dHash) are ALSO REAL
-  for the uncompressed formats (BMP BI_RGB 8/24/32bpp, binary PPM/PGM
-  — ``decode_pixels``, pure numpy); only formats whose pixel data is
-  entropy-coded (PNG/GIF/JPEG) fall back to a clearly-marked
-  deterministic fake, and ``resize_images`` stays PIL-gated.  The
+  for BMP BI_RGB 8/24/32bpp, binary PPM/PGM, PNG (stdlib zlib +
+  spec unfiltering) and GIF (pure-Python LZW) — ``decode_pixels``;
+  only JPEG (and Adam7-interlaced PNG) pixel data falls back to a
+  clearly-marked deterministic fake, and ``resize_images`` stays
+  PIL-gated.  The
   Spark-side plumbing — schema, partitioning, batch iteration, UDF
   signatures — is real and tested; swapping a fake for a real codec
   changes one function body and zero plan shape.
@@ -25,6 +26,7 @@ corpora on Spark:
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -425,14 +427,249 @@ def _netpbm_header(payload: bytes) -> tuple[int, int, int, int] | None:
     return vals[0], vals[1], vals[2], i + 1  # single ws after maxval
 
 
+def _rec601(rgb: np.ndarray) -> np.ndarray:
+    """HxWx(>=3) float32 array -> HxW luma (Rec. 601 weights)."""
+    return rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth).  ``raw`` is the inflated stream, h*(1+stride) bytes; each
+    scanline starts with a filter-type byte.  None/Sub/Up vectorize
+    (Sub is a per-lane cumsum mod 256); Average/Paeth carry a pixel
+    prefix dependency and fall back to a per-byte loop on just those
+    rows.  Returns an (h, stride) uint8 array of reconstructed bytes."""
+    lines = raw[: h * (1 + stride)].reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        f = int(lines[y, 0])
+        row = lines[y, 1:].astype(np.uint16)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            pad = (-stride) % bpp
+            lanes = np.concatenate([row, np.zeros(pad, dtype=np.uint16)])
+            rec = lanes.reshape(-1, bpp).cumsum(axis=0).ravel()[:stride] & 0xFF
+        elif f == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential along x
+            rec = np.zeros(stride, dtype=np.uint16)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 3:
+                    rec[x] = (int(row[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _png_luma(payload: bytes) -> np.ndarray | None:
+    """REAL PNG pixel decode: chunk walk -> zlib inflate -> unfilter ->
+    luma.  Pure stdlib-zlib + numpy.  Supports non-interlaced images at
+    bit depth 8/16 for gray/RGB/gray+alpha/RGBA and 1/2/4/8 for
+    grayscale and palette; Adam7 interlacing returns None (rare in
+    corpora, and the honest fallback is the marked fake)."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = depth = ctype = None
+    interlace = 0
+    plte: np.ndarray | None = None
+    idat = bytearray()
+    i, n = 8, len(payload)
+    while i + 8 <= n:
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + clen]
+        if tag == b"IHDR" and clen >= 13:
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + clen  # len + tag + crc
+    if not w or not h or interlace != 0 or not idat:
+        return None
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None or (depth not in (8, 16) and not (ctype in (0, 3) and depth in (1, 2, 4))):
+        return None
+    if ctype == 3 and plte is None:
+        return None
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error:
+        return None
+    stride = (w * nch * depth + 7) // 8
+    if raw.size < h * (1 + stride):
+        return None
+    bpp = max(1, nch * depth // 8)
+    rec = _png_unfilter(raw, h, stride, bpp)
+    if depth < 8:  # grayscale or palette indices packed bitwise
+        bits = np.unpackbits(rec, axis=1)[:, : w * depth].reshape(h, w, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        idx = (bits * weights).sum(axis=2).astype(np.float32)
+        if ctype == 3:
+            pal = plte.astype(np.float32)
+            lum = pal[:, 0] * 0.299 + pal[:, 1] * 0.587 + pal[:, 2] * 0.114
+            return lum[idx.astype(np.int64)]
+        return idx * (255.0 / ((1 << depth) - 1))
+    if depth == 16:  # big-endian samples; high byte is the 8-bit value
+        px = rec.reshape(h, w, nch, 2)[:, :, :, 0].astype(np.float32)
+    else:
+        px = rec.reshape(h, w, nch).astype(np.float32)
+    if ctype == 3:
+        pal = plte.astype(np.float32)
+        lum = pal[:, 0] * 0.299 + pal[:, 1] * 0.587 + pal[:, 2] * 0.114
+        return lum[px[:, :, 0].astype(np.int64)]
+    if nch == 1:
+        return px[:, :, 0]
+    if nch == 2:  # gray + alpha: luma is the gray plane
+        return px[:, :, 0]
+    return _rec601(px)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_px: int) -> np.ndarray | None:
+    """GIF-variant LZW decode (spec appendix F): variable code width
+    from min+1 to 12 bits, LSB-first bit packing, clear/EOI codes.
+    Returns palette indices as uint8, or None on a malformed stream."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = np.empty(n_px, dtype=np.uint8)
+    n_out = 0
+    # bit reader state over the concatenated sub-block payload
+    acc = nbits = pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([c]) for c in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while n_out < n_px:
+        while nbits < width:
+            if pos >= len(data):
+                return out[:n_out] if n_out else None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([c]) for c in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        take = min(len(entry), n_px - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out if n_out == n_px else None
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_luma(payload: bytes) -> np.ndarray | None:
+    """REAL GIF pixel decode (first frame): block walk -> LZW -> palette
+    -> luma.  Pure Python/numpy; handles local color tables and
+    interlaced row order.  Transparency/animation compositing is out of
+    scope — the first frame's raw indices are the fingerprint input."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 14:
+        return None
+    flags = payload[10]
+    i = 13
+    gct: np.ndarray | None = None
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 0x07))
+        gct = np.frombuffer(payload[i : i + size], dtype=np.uint8).reshape(-1, 3)
+        i += size
+    n = len(payload)
+    while i < n:
+        block = payload[i]
+        if block == 0x21:  # extension: label byte then sub-blocks
+            i += 2
+            while i < n and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > n:
+                return None
+            w = int.from_bytes(payload[i + 5 : i + 7], "little")
+            h = int.from_bytes(payload[i + 7 : i + 9], "little")
+            iflags = payload[i + 9]
+            i += 10
+            pal = gct
+            if iflags & 0x80:
+                size = 3 * (2 << (iflags & 0x07))
+                pal = np.frombuffer(payload[i : i + size], dtype=np.uint8).reshape(-1, 3)
+                i += size
+            if pal is None or w <= 0 or h <= 0 or i >= n:
+                return None
+            min_code = payload[i]
+            i += 1
+            data = bytearray()
+            while i < n and payload[i] != 0:
+                ln = payload[i]
+                data += payload[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or int(idx.max(initial=0)) >= len(pal):
+                return None
+            rows = idx.reshape(h, w)
+            if iflags & 0x40:  # Adam-style GIF interlace: reorder rows
+                order = [y for start, step in _GIF_INTERLACE_PASSES
+                         for y in range(start, h, step)]
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            palf = pal.astype(np.float32)
+            lum = palf[:, 0] * 0.299 + palf[:, 1] * 0.587 + palf[:, 2] * 0.114
+            return lum[rows.astype(np.int64)]
+        elif block == 0x3B:
+            return None
+        else:
+            return None
+    return None
+
+
 def decode_pixels(payload: bytes) -> np.ndarray | None:
-    """REAL pixel decode (pure numpy, no native codec) for uncompressed
-    formats: BMP BI_RGB at 8 (palette)/24/32 bpp and binary PPM/PGM.
-    Returns an HxW float32 luma array in 0..255 (Rec. 601 weights for
-    color), or None when the format's pixel data is entropy-coded
-    (PNG/GIF/JPEG need a real codec)."""
+    """REAL pixel decode (pure Python/numpy, no native codec): BMP
+    BI_RGB at 8 (palette)/24/32 bpp, binary PPM/PGM, PNG (stdlib zlib
+    inflate + spec unfiltering), and GIF (pure-Python LZW).  Returns an
+    HxW float32 luma array in 0..255 (Rec. 601 weights for color), or
+    None when a real native codec is genuinely required (JPEG, Adam7
+    PNG)."""
     if not payload or len(payload) < 14:
         return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_luma(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_luma(payload)
     if payload[:2] in (b"P5", b"P6"):
         hdr = _netpbm_header(payload)
         if hdr is None:
@@ -512,9 +749,10 @@ def dhash64(luma: np.ndarray) -> int:
 def _decode_one(payload: bytes) -> dict:
     """Per-image feature extraction.  Header fields are REAL for
     PNG/GIF/BMP/JPEG/PPM/PGM (parse_image_header); mean_luma and phash
-    (dHash) are REAL for the uncompressed formats (decode_pixels: BMP
-    BI_RGB, binary PPM/PGM).  Only entropy-coded pixel data (PNG/GIF/
-    JPEG) falls back to a clearly-marked deterministic fake keyed on the
+    (dHash) are REAL for every format except JPEG (decode_pixels: BMP
+    BI_RGB, binary PPM/PGM, PNG via stdlib zlib + spec unfiltering,
+    GIF via pure-Python LZW).  Only JPEG (and rare Adam7-interlaced
+    PNG) falls back to a clearly-marked deterministic fake keyed on the
     payload hash — swapping in PIL changes only this fallback.  Raises
     for None payloads like a real decoder.
     """

@@ -184,7 +184,254 @@ def test_real_pixels_flow_through_decode_images(spark):
     feats = {r["media_id"]: r for r in M.decode_images(media).collect()}
     assert abs(feats[1]["mean_luma"] - 0.5) < 1e-6
     assert abs(feats[2]["mean_luma"] - 0.587) < 1e-6
-    assert feats[3]["width"] == 8  # compressed: header real, luma fake
+    # PNG pixels decode for REAL too (r4): zero-filled 8x8 -> luma 0
+    assert feats[3]["width"] == 8
+    assert feats[3]["mean_luma"] == 0.0
+
+
+def _png_encode(pixels, color_type, depth=8, filters=None, palette=None) -> bytes:
+    """Independent spec-straight PNG encoder for decoder tests.
+
+    ``pixels``: h x w x channels nested lists of samples (palette
+    indices for color type 3).  ``filters``: per-row filter type
+    (default 0); filtering is applied per spec §9 so every filter type
+    exercises the decoder's reconstruction path.
+    """
+    import struct
+    import zlib as _z
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    h = len(pixels)
+    w = len(pixels[0])
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = max(1, nch * depth // 8)
+
+    def row_bytes(row) -> bytes:
+        if depth == 16:
+            return b"".join(
+                struct.pack(">H", s) for px in row for s in (px if nch > 1 else [px])
+            )
+        if depth == 8:
+            return bytes(s for px in row for s in (px if nch > 1 else [px]))
+        # depth < 8: pack samples MSB-first
+        samples = [px for px in row]
+        acc = bits = 0
+        out = bytearray()
+        for s in samples:
+            acc = (acc << depth) | s
+            bits += depth
+            if bits == 8:
+                out.append(acc)
+                acc = bits = 0
+        if bits:
+            out.append(acc << (8 - bits))
+        return bytes(out)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = None
+    for y in range(h):
+        line = row_bytes(pixels[y])
+        f = (filters or [0] * h)[y]
+        up = prev if prev is not None else bytes(len(line))
+        filt = bytearray()
+        for x in range(len(line)):
+            a = line[x - bpp] if x >= bpp else 0
+            b = up[x]
+            c = up[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - a
+            elif f == 2:
+                v = line[x] - b
+            elif f == 3:
+                v = line[x] - (a + b) // 2
+            else:
+                v = line[x] - paeth(a, b, c)
+            filt.append(v & 0xFF)
+        raw += bytes([f]) + bytes(filt)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(c for rgb in palette for c in rgb))
+    return out + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_real_pixel_decode_all_filters():
+    """PNG pixels decode for REAL (zlib inflate + unfiltering): every
+    filter type (None/Sub/Up/Average/Paeth) reconstructs exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    expected = (
+        img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+    ).astype(np.float32)
+    pixels = [[list(map(int, img[y, x])) for x in range(4)] for y in range(5)]
+    png = _png_encode(pixels, color_type=2, filters=[0, 1, 2, 3, 4])
+    luma = M.decode_pixels(png)
+    assert luma is not None and luma.shape == (5, 4)
+    assert np.allclose(luma, expected, atol=1e-3)
+    feats = M._decode_one(png)
+    assert abs(feats["mean_luma"] - float(expected.mean()) / 255.0) < 1e-6
+
+
+def test_png_real_pixel_decode_variants():
+    """Grayscale, gray+alpha, RGBA, 16-bit, sub-byte depths, palette."""
+    import numpy as np
+
+    # 8-bit grayscale with Sub+Paeth filters
+    g = [[10, 20, 30], [40, 50, 60]]
+    png = _png_encode(g, color_type=0, filters=[1, 4])
+    assert np.allclose(M.decode_pixels(png), np.array(g, dtype=np.float32))
+    # gray+alpha: luma is the gray plane, alpha ignored
+    ga = [[[100, 255], [200, 0]]]
+    png = _png_encode(ga, color_type=4, filters=[2])
+    assert np.allclose(M.decode_pixels(png), [[100.0, 200.0]])
+    # RGBA: Rec.601 on RGB
+    rgba = [[[255, 0, 0, 10], [0, 0, 255, 250]]]
+    png = _png_encode(rgba, color_type=6)
+    assert np.allclose(
+        M.decode_pixels(png), [[255 * 0.299, 255 * 0.114]], atol=1e-3
+    )
+    # 16-bit RGB: high byte is the 8-bit value
+    rgb16 = [[[0xFF00, 0x0000, 0x0000], [0x0000, 0xFF00, 0x0000]]]
+    png = _png_encode(rgb16, color_type=2, depth=16)
+    assert np.allclose(
+        M.decode_pixels(png), [[255 * 0.299, 255 * 0.587]], atol=1e-3
+    )
+    # 1-bit grayscale: 0 -> 0, 1 -> 255 (w=3 exercises partial-byte rows)
+    bits = [[1, 0, 1], [0, 1, 0]]
+    png = _png_encode(bits, color_type=0, depth=1)
+    assert np.allclose(
+        M.decode_pixels(png), [[255.0, 0.0, 255.0], [0.0, 255.0, 0.0]]
+    )
+    # 4-bit palette indices -> PLTE luma
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = [[0, 1, 2]]
+    png = _png_encode(idx, color_type=3, depth=4, palette=pal)
+    assert np.allclose(
+        M.decode_pixels(png),
+        [[255 * 0.299, 255 * 0.587, 255 * 0.114]],
+        atol=1e-3,
+    )
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """Independent GIF-variant LZW compressor for decoder tests."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([c]): c for c in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out_bits: list[tuple[int, int]] = [(clear, width)]
+    run = b""
+    for i in indices:
+        cand = run + bytes([i])
+        if cand in table:
+            run = cand
+            continue
+        out_bits.append((table[run], width))
+        table[cand] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        run = bytes([i])
+    if run:
+        out_bits.append((table[run], width))
+    out_bits.append((eoi, width))
+    acc = nbits = 0
+    data = bytearray()
+    for code, wd in out_bits:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _gif_with_pixels(indices_rows, palette, interlaced=False) -> bytes:
+    """A complete GIF89a with one LZW-coded frame over ``palette``."""
+    import struct
+
+    h = len(indices_rows)
+    w = len(indices_rows[0])
+    pal_bits = 1
+    while (1 << (pal_bits + 1)) < len(palette):
+        pal_bits += 1
+    pal_size = 2 << pal_bits
+    gct = bytearray()
+    for i in range(pal_size):
+        gct += bytes(palette[i] if i < len(palette) else (0, 0, 0))
+    rows = list(indices_rows)
+    if interlaced:
+        order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(start, h, step)]
+        rows = [indices_rows[y] for y in order]
+    flat = [i for row in rows for i in row]
+    min_code = max(2, pal_bits + 1)
+    lzw = _gif_lzw_encode(flat, min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks += bytes([len(part)]) + part
+    iflags = (0x40 if interlaced else 0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | pal_bits, 0, 0)
+        + bytes(gct)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+        + bytes([min_code]) + bytes(blocks) + b"\x00"
+        + b"\x3b"
+    )
+
+
+def test_gif_real_pixel_decode():
+    """GIF pixels decode for REAL via pure-Python LZW + palette luma."""
+    import numpy as np
+
+    pal = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)]
+    idx = [[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 2, 2]]
+    gif = _gif_with_pixels(idx, pal)
+    lum = {0: 0.0, 1: 255.0, 2: 255 * 0.299, 3: 255 * 0.114}
+    expected = np.array([[lum[i] for i in row] for row in idx], dtype=np.float32)
+    luma = M.decode_pixels(gif)
+    assert luma is not None and luma.shape == (3, 4)
+    assert np.allclose(luma, expected, atol=1e-3)
+    feats = M._decode_one(gif)
+    assert (feats["width"], feats["height"]) == (4, 3)
+    assert abs(feats["mean_luma"] - float(expected.mean()) / 255.0) < 1e-6
+
+
+def test_gif_interlaced_and_large_table():
+    """Interlaced row order is undone; LZW code-width growth (table past
+    the initial width) round-trips on a many-distinct-runs image."""
+    import numpy as np
+
+    pal = [((17 * i) % 256, (31 * i) % 256, (53 * i) % 256) for i in range(16)]
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 16, size=(16, 16))
+    gif = _gif_with_pixels([list(map(int, r)) for r in idx], pal, interlaced=True)
+    palf = np.array(pal, dtype=np.float32)
+    lum = palf[:, 0] * 0.299 + palf[:, 1] * 0.587 + palf[:, 2] * 0.114
+    expected = lum[idx]
+    luma = M.decode_pixels(gif)
+    assert luma is not None
+    assert np.allclose(luma, expected, atol=1e-3)
 
 
 def test_parse_image_header_rejects_unknown():

@@ -94,10 +94,14 @@ _FUNCTIONS = {
     "strstarts": (None, None), # substring-equality rendering
     "strends": (None, None),
     "bound": (None, None),     # IS NOT NULL on a variable
+    "strbefore": (None, None), # position() + substring rendering
+    "strafter": (None, None),
 }
+# EFun("in", (needle, *haystack)) is built by the infix IN parse only —
+# deliberately NOT in _FUNCTIONS, so call-syntax `in(..)` stays rejected.
 
 # functions whose result is boolean — legal as a FILTER's top node
-BOOLEAN_FNS = frozenset({"bound", "contains", "strstarts", "strends"})
+BOOLEAN_FNS = frozenset({"bound", "contains", "strstarts", "strends", "in"})
 
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 
@@ -157,6 +161,23 @@ class _Parser:
         if (t := self.peek()) and t[0] == "cmp":
             self.take()
             node = EBin(t[1], node, self.sum())
+            return node
+        # infix [NOT] IN (e1, e2, ...)  (SPARQL 1.1 §17.4.1.9)
+        if (t := self.peek()) and t[0] == "name" and t[1].lower() in ("in", "not"):
+            neg = t[1].lower() == "not"
+            self.take()
+            if neg:
+                t2 = self.take()
+                if t2[0] != "name" or t2[1].lower() != "in":
+                    raise ExprParseError(f"expected IN after NOT, got {t2[1]!r}")
+            self.expect("(")
+            items = [self.expr()]
+            while (t3 := self.peek()) and t3[1] == ",":
+                self.take()
+                items.append(self.expr())
+            self.expect(")")
+            node = EFun("in", (node, *items))
+            return ENot(node) if neg else node
         return node
 
     def sum(self):
@@ -203,9 +224,10 @@ class _Parser:
                 len(args) == 1 and isinstance(args[0], EVar)
             ):
                 raise ExprParseError("BOUND takes exactly one variable")
-            if fn in ("strstarts", "strends", "contains", "replace") and len(
-                args
-            ) != (3 if fn == "replace" else 2):
+            if fn in (
+                "strstarts", "strends", "contains", "replace",
+                "strbefore", "strafter",
+            ) and len(args) != (3 if fn == "replace" else 2):
                 raise ExprParseError(f"{fn.upper()} has wrong arity")
             if fn == "substr":
                 if len(args) not in (2, 3):
@@ -293,6 +315,26 @@ def to_column(node, resolve) -> Column:
         if node.fn == "strends":
             s, p = (to_column(a, resolve) for a in node.args)
             return s.endswith(p)
+        if node.fn in ("strbefore", "strafter"):
+            # SPARQL 1.1 §17.4.3.9-10: '' when the separator is absent;
+            # empty separator -> '' (before) / the whole string (after).
+            s, sep = (to_column(a, resolve) for a in node.args)
+            pos = F.position(sep, s)
+            if node.fn == "strbefore":
+                hit = F.substring(s, F.lit(1), pos - 1)
+            else:
+                hit = F.substring(s, pos + F.length(sep), F.length(s))
+            return F.when(pos > 0, hit).otherwise(F.lit(""))
+        if node.fn == "in":
+            needle = to_column(node.args[0], resolve)
+            items = node.args[1:]
+            if all(isinstance(a, ELit) for a in items):
+                # literal list -> Catalyst In predicate (pushdown-able)
+                return needle.isin([a.value for a in items])
+            cond = needle == to_column(items[0], resolve)
+            for a in items[1:]:
+                cond = cond | (needle == to_column(a, resolve))
+            return cond
         if node.fn == "substr":
             pos, ln = _substr_args(node)
             s = to_column(node.args[0], resolve)
@@ -347,6 +389,21 @@ def to_sql(node, resolve) -> str:
         if node.fn == "strends":
             s, p = (to_sql(a, resolve) for a in node.args)
             return f"(right({s}, length({p})) = {p})"
+        if node.fn in ("strbefore", "strafter"):
+            # position(sep IN s) parses identically on Spark SQL and
+            # DuckDB; '' on no-hit matches SPARQL semantics
+            s, p = (to_sql(a, resolve) for a in node.args)
+            pos = f"position({p} IN {s})"
+            hit = (
+                f"substring({s}, 1, {pos} - 1)"
+                if node.fn == "strbefore"
+                else f"substring({s}, {pos} + length({p}))"
+            )
+            return f"(CASE WHEN {pos} > 0 THEN {hit} ELSE '' END)"
+        if node.fn == "in":
+            needle = to_sql(node.args[0], resolve)
+            items = ", ".join(to_sql(a, resolve) for a in node.args[1:])
+            return f"({needle} IN ({items}))"
         if node.fn == "substr":
             pos, ln = _substr_args(node)
             s = to_sql(node.args[0], resolve)

@@ -296,7 +296,7 @@ _PATH_VAR_COUNTER = itertools.count()
 
 _PATH_DEFAULT_CAP = 4
 _PATH_MAX_BRANCHES = 64
-_PATH_QUANT_RE = re.compile(r"(.+?)(\+|\*|\{(\d+)(?:,(\d+))?\})$")
+_PATH_QUANT_RE = re.compile(r"(.+?)(\+|\*|\?|\{(\d+)(?:,(\d+))?\})$")
 
 
 def _path_split_top(tok: str, sep: str = "/") -> list[str]:
@@ -350,6 +350,8 @@ def _expand_path(tok: str) -> tuple[list[list[str]], bool]:
                     quant = (1, _PATH_DEFAULT_CAP)
                 elif qm.group(2) == "*":
                     quant = (0, _PATH_DEFAULT_CAP)
+                elif qm.group(2) == "?":  # zero-or-one (SPARQL 1.1 §9.1)
+                    quant = (0, 1)
                 else:
                     lo = int(qm.group(3))
                     hi = int(qm.group(4)) if qm.group(4) is not None else lo

@@ -459,3 +459,116 @@ def test_datetime_accessors_match_oracle(engine, duck):
     a = sorted(map(tuple, engine.sparql(q).collect()))
     b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
     assert a == b and len(a) == 12
+
+
+# --- r4: STRBEFORE/STRAFTER and infix [NOT] IN ----------------------------
+
+
+def test_strbefore_strafter_match_oracle(engine, duck):
+    """SPARQL 1.1 STRBEFORE/STRAFTER: '' when the separator is absent;
+    dual-compiled (position + substring renders identically on Spark
+    SQL and DuckDB)."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?adj ?noun ?none WHERE {
+            ?p a sa:Part ; sa:name ?name .
+            BIND(STRBEFORE(?name, " ") AS ?adj)
+            BIND(STRAFTER(?name, " ") AS ?noun)
+            BIND(STRBEFORE(?name, "zzz") AS ?none)
+            FILTER (STRAFTER(?name, " ") = "widget")
+        }
+        """
+    )
+    oracle = """
+    SELECT p_name AS name,
+           CASE WHEN position(' ' IN p_name) > 0
+                THEN substring(p_name, 1, position(' ' IN p_name) - 1)
+                ELSE '' END AS adj,
+           CASE WHEN position(' ' IN p_name) > 0
+                THEN substring(p_name, position(' ' IN p_name) + 1)
+                ELSE '' END AS noun,
+           '' AS none
+    FROM part
+    WHERE CASE WHEN position(' ' IN p_name) > 0
+               THEN substring(p_name, position(' ' IN p_name) + 1)
+               ELSE '' END = 'widget'
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+    assert all(r[1] != "" and r[2] == "widget" and r[3] == "" for r in a)
+
+
+def test_str_before_after_empty_separator(spark):
+    """SPARQL 1.1 edge semantics: empty separator -> '' (before) / the
+    whole string (after) — exercised through both compilers."""
+    from pyspark.sql import functions as F
+    from sparkall_spark.plans.exprs import parse_expr, to_column, to_sql
+
+    node_b = parse_expr('STRBEFORE(?s, "")')
+    node_a = parse_expr('STRAFTER(?s, "")')
+    df = spark.createDataFrame([("abc",)], ["s"]).select(
+        to_column(node_b, lambda v: F.col("s")).alias("b"),
+        to_column(node_a, lambda v: F.col("s")).alias("a"),
+    )
+    assert df.collect()[0].asDict() == {"b": "", "a": "abc"}
+    sql_row = spark.sql(
+        "SELECT "
+        + to_sql(node_b, lambda v: "s")
+        + " AS b, "
+        + to_sql(node_a, lambda v: "s")
+        + " AS a FROM (SELECT 'abc' AS s)"
+    ).collect()[0]
+    assert sql_row.asDict() == {"b": "", "a": "abc"}
+
+
+def test_filter_in_list_match_oracle(engine, duck):
+    """Infix [NOT] IN over literal lists compiles to a single Catalyst
+    In predicate (DataFrame backend) / SQL IN (both engines)."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?seg WHERE {
+            ?c a sa:Customer ; sa:name ?name ; sa:mktsegment ?seg .
+            FILTER (?seg IN ("BUILDING", "MACHINERY"))
+            FILTER (?name NOT IN ("Customer#000000001"))
+        }
+        """
+    )
+    oracle = """
+    SELECT c_name AS name, c_mktsegment AS seg FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_name NOT IN ('Customer#000000001')
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+    assert {r[1] for r in a} == {"BUILDING", "MACHINERY"}
+
+
+def test_in_parse_shapes():
+    from sparkall_spark.plans.exprs import ENot, is_boolean_expr
+
+    node = parse_expr('?x IN (1, 2, 3)')
+    assert node == EFun("in", (EVar("x"), ELit(1), ELit(2), ELit(3)))
+    assert is_boolean_expr(node)
+    neg = parse_expr('?x NOT IN ("a")')
+    assert neg == ENot(EFun("in", (EVar("x"), ELit("a"))))
+    # expression needle and items stay in the fragment
+    assert parse_expr("?x + 1 IN (?y, 2 * ?z)") == EFun(
+        "in",
+        (
+            EBin("+", EVar("x"), ELit(1)),
+            EVar("y"),
+            EBin("*", ELit(2), EVar("z")),
+        ),
+    )
+    with pytest.raises(ExprParseError):
+        parse_expr("?x IN ()")
+    with pytest.raises(ExprParseError):
+        parse_expr("?x NOT (1)")
+    with pytest.raises(ExprParseError):
+        parse_expr("in(?x)")

@@ -386,3 +386,45 @@ def test_var_to_var_filter(engine, duck):
     a = sorted(map(tuple, engine.sparql(q).collect()))
     b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
     assert a == b and len(a) > 0
+
+
+def test_zero_or_one_quantifier(tree_engine):
+    """p? == p{0,1} (SPARQL 1.1 §9.1, r4): two branches, one of which
+    is the zero-length BIND; oracle = self UNION parent edges."""
+    import duckdb
+
+    engine, path = tree_engine
+    q = parse_sparql(
+        PREFIX_BLOCK
+        + "SELECT ?y WHERE { ?x a sa:TreeNode . ?x sa:parent? ?y . }"
+    )
+    branches = [q] + q.union_branches
+    assert len(branches) == 2
+    assert sum(1 for b in branches if any(bd.alias == "y" for bd in b.binds)) == 1
+
+    full = (
+        PREFIX_BLOCK
+        + "SELECT ?x ?y WHERE { ?x a sa:TreeNode . ?x sa:parent? ?y . }"
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW tree AS SELECT * FROM '{path}'")
+    oracle = """
+    SELECT node_id AS x, node_id AS y FROM tree
+    UNION ALL
+    SELECT node_id AS x, parent_id AS y FROM tree
+    """
+    assert_matches_oracle(engine.sparql(full), con, oracle)
+    a = sorted(map(tuple, engine.sparql(full).collect()))
+    b = sorted(map(tuple, engine.sparql(full, backend="sql").collect()))
+    assert a == b and len(a) > 0
+    con.close()
+
+
+def test_zero_or_one_does_not_eat_variables():
+    """The '?' quantifier must not misread '?var' tokens: a plain
+    triple with variables parses unchanged."""
+    q = parse_sparql(
+        PREFIX_BLOCK
+        + "SELECT ?x ?y WHERE { ?x a sa:Nation ; sa:name ?y . }"
+    )
+    assert q.union_branches == []

@@ -453,7 +453,44 @@ def _branch_core(
     return df.select(*cols)
 
 
+def _apply_construct(df: DataFrame, q: ParsedQuery) -> DataFrame:
+    """CONSTRUCT materialization: one (subject, predicate, object)
+    string row per template triple per solution.  Solutions with an
+    unbound template variable emit no triple for that pattern (SPARQL
+    1.1 §16.2), and the result deduplicates — an RDF graph is a set.
+    k template triples = k narrow projections of ONE shared solution
+    plan; Catalyst reuses the subtree, so the WHERE runs once."""
+    parts: list[DataFrame] = []
+    for trip in q.construct_template:
+        cols: list[Column] = []
+        null_guard: Column | None = None
+        for term, out_name in zip(trip, ("subject", "predicate", "object")):
+            kind, val = term
+            if kind == "var":
+                c = F.col(val).cast("string")
+                guard = F.col(val).isNotNull()
+                null_guard = guard if null_guard is None else null_guard & guard
+            else:  # iri / lit both surface as their lexical form
+                c = F.lit(str(val))
+            cols.append(c.alias(out_name))
+        part = df if null_guard is None else df.filter(null_guard)
+        parts.append(part.select(*cols))
+    out = parts[0]
+    for other in parts[1:]:
+        out = out.unionByName(other)
+    return out.distinct()
+
+
 def execute_plan(
+    spark: SparkSession, plan: QueryPlan, index: MappingIndex
+) -> DataFrame:
+    df = _execute_solutions(spark, plan, index)
+    if plan.query.construct_template:
+        df = _apply_construct(df, plan.query)
+    return df
+
+
+def _execute_solutions(
     spark: SparkSession, plan: QueryPlan, index: MappingIndex
 ) -> DataFrame:
     q = plan.query

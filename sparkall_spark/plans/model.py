@@ -169,6 +169,13 @@ class ParsedQuery:
     # ASK { ... } (extension): result is one boolean row named `ask` —
     # true iff the pattern has at least one solution
     is_ask: bool = False
+    # CONSTRUCT { template } (SPARQL 1.1 §16.2): result is an RDF graph
+    # as a (subject, predicate, object) string DataFrame — one output
+    # per template triple per solution, rows with unbound template vars
+    # dropped, duplicate triples merged (a graph is a set).  Terms are
+    # ("var"|"iri"|"lit", value) pairs; select_vars carries the
+    # template's variables so the WHERE pipeline is unchanged.
+    construct_template: list[tuple] = field(default_factory=list)
     # general expression FILTERs (see ExprFilter), applied post-join
     expr_filters: list[ExprFilter] = field(default_factory=list)
     # SELECT expressions OVER aggregates, e.g. (ROUND(SUM(?x), 2) AS

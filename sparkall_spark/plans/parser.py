@@ -668,6 +668,58 @@ def _parse_triples(
     return triples, lit_filters
 
 
+def _parse_construct_template(
+    body: str, prefixes: dict[str, str]
+) -> list[tuple]:
+    """Parse a CONSTRUCT template into (subject, predicate, object)
+    term triples.  Each term is a tagged pair: ``("var", name)``,
+    ``("iri", full_iri)`` or ``("lit", text)``.  Supports '.'-separated
+    statements and ';' shared-subject continuations, like the BGP
+    grammar — but terms here are emitted, not matched, so literals and
+    IRIs are allowed in any position (predicate: var or IRI)."""
+
+    def term(tok: str, *, is_pred: bool = False) -> tuple:
+        if tok.startswith("?"):
+            return ("var", tok[1:])
+        if tok.startswith('"'):
+            if is_pred:
+                raise SparqlParseError(
+                    f"CONSTRUCT predicate cannot be a literal: {tok!r}"
+                )
+            return ("lit", tok[1:-1].replace('\\"', '"'))
+        if re.fullmatch(r"-?\d+(?:\.\d+)?", tok):
+            if is_pred:
+                raise SparqlParseError(
+                    f"CONSTRUCT predicate cannot be a literal: {tok!r}"
+                )
+            return ("lit", tok)
+        return ("iri", _expand_iri(tok, prefixes))
+
+    out: list[tuple] = []
+    for stmt in _split_statements(body):
+        subj: tuple | None = None
+        for seg in _split_quote_aware(stmt, ";"):
+            seg = seg.strip()
+            if not seg:
+                continue
+            toks = _TRIPLE_TOK_RE.findall(seg)
+            if subj is None:
+                if len(toks) != 3:
+                    raise SparqlParseError(f"bad CONSTRUCT template triple: {seg!r}")
+                subj = term(toks[0])
+                pred_tok, obj_tok = toks[1], toks[2]
+            else:
+                if len(toks) != 2:
+                    raise SparqlParseError(
+                        f"bad CONSTRUCT ';' continuation: {seg!r}"
+                    )
+                pred_tok, obj_tok = toks[0], toks[1]
+            out.append((subj, term(pred_tok, is_pred=True), term(obj_tok)))
+    if not out:
+        raise SparqlParseError("empty CONSTRUCT template")
+    return out
+
+
 _AGG_CALL_RE = re.compile(
     r"\b(SUM|MIN|MAX|AVG|COUNT|SAMPLE|GROUP_CONCAT)\s*\(", re.IGNORECASE
 )
@@ -803,22 +855,53 @@ def parse_sparql(query: str) -> ParsedQuery:
 
     sel_m = re.search(r"\bSELECT\b(.*?)\bWHERE\b", query, re.IGNORECASE | re.DOTALL)
     is_ask = False
-    if not sel_m:
-        # ASK [WHERE] { ... } (extension): boolean existence query
-        ask_m = re.search(r"\bASK\b(\s+WHERE\b)?", query, re.IGNORECASE)
-        if not ask_m:
-            raise SparqlParseError("no SELECT ... WHERE (or ASK) found")
-        is_ask = True
-        sel_m = ask_m
-    sel = "" if is_ask else sel_m.group(1)
-    distinct = bool(re.match(r"\s*DISTINCT\b", sel, re.IGNORECASE))
-    if distinct:
-        sel = re.sub(r"\s*DISTINCT\b", "", sel, count=1, flags=re.IGNORECASE)
+    construct_template: list[tuple] = []
+    con_m = re.search(r"\bCONSTRUCT\b", query, re.IGNORECASE)
+    if con_m and (sel_m is None or con_m.start() < sel_m.start()):
+        # CONSTRUCT { template } WHERE { ... }: the template's variables
+        # become the select list, so the whole WHERE pipeline (stars,
+        # joins, filters, modifiers) is reused unchanged; the triple
+        # materialization happens as a final stage in both backends.
+        tb = query.find("{", con_m.end())
+        if tb < 0:
+            raise SparqlParseError("no '{' after CONSTRUCT")
+        tend = _balanced(query, tb, "{", "}")
+        construct_template = _parse_construct_template(
+            query[tb + 1 : tend - 1], prefixes
+        )
+        wm = re.search(r"\bWHERE\b", query[tend:], re.IGNORECASE)
+        if not wm:
+            raise SparqlParseError("CONSTRUCT needs a WHERE { ... } clause")
+        tvars: list[str] = []
+        for trip in construct_template:
+            for kind, val in trip:
+                if kind == "var" and val not in tvars:
+                    tvars.append(val)
+        if not tvars:
+            raise SparqlParseError("CONSTRUCT template references no variables")
+        sel = " ".join("?" + v for v in tvars)
+        head_end = tend + wm.end()
+        distinct = False
+    else:
+        if not sel_m:
+            # ASK [WHERE] { ... } (extension): boolean existence query
+            ask_m = re.search(r"\bASK\b(\s+WHERE\b)?", query, re.IGNORECASE)
+            if not ask_m:
+                raise SparqlParseError(
+                    "no SELECT ... WHERE (or ASK/CONSTRUCT) found"
+                )
+            is_ask = True
+            sel_m = ask_m
+        sel = "" if is_ask else sel_m.group(1)
+        head_end = sel_m.end()
+        distinct = bool(re.match(r"\s*DISTINCT\b", sel, re.IGNORECASE))
+        if distinct:
+            sel = re.sub(r"\s*DISTINCT\b", "", sel, count=1, flags=re.IGNORECASE)
 
     sel_plain, aggregations, agg_binds, post_agg_exprs = _extract_aggregations(sel)
     select_vars = [m.group(1) for m in _VAR_RE.finditer(sel_plain)]
 
-    brace = query.find("{", sel_m.end() - 1)
+    brace = query.find("{", head_end - 1)
     if brace < 0:
         raise SparqlParseError("no '{' after WHERE")
     end = _balanced(query, brace, "{", "}")
@@ -941,6 +1024,12 @@ def parse_sparql(query: str) -> ParsedQuery:
     having = _parse_having(
         tail, aggregations, {pe.alias for pe in post_agg_exprs}
     )
+
+    if construct_template and (aggregations or group_by):
+        raise SparqlParseError(
+            "CONSTRUCT cannot be combined with aggregation/GROUP BY — "
+            "wrap the aggregation in a { SELECT ... } subquery instead"
+        )
 
     def build(group_body: str) -> ParsedQuery:
         # { SELECT ... } sub-selects (SPARQL 1.1 §12) parse recursively
@@ -1150,6 +1239,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             offset=offset,
             binds=binds,
             is_ask=is_ask,
+            construct_template=construct_template,
             expr_filters=expr_filters,
             post_agg_exprs=post_agg_exprs,
             subqueries=subqueries,

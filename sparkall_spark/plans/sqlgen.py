@@ -268,6 +268,35 @@ def _star_subquery(
     return f"({sub})"
 
 
+def _apply_construct_sql(q: ParsedQuery, sql: str) -> str:
+    """CONSTRUCT materialization, SQL rendering: the solution query
+    becomes a CTE, each template triple one projection over it (null
+    template vars emit nothing), deduplicated — mirrors
+    executor._apply_construct."""
+    if not q.construct_template:
+        return sql
+    parts: list[str] = []
+    for trip in q.construct_template:
+        sel: list[str] = []
+        guards: list[str] = []
+        for term, out in zip(trip, ("subject", "predicate", "object")):
+            kind, val = term
+            if kind == "var":
+                sel.append(f"CAST({_q(val)} AS STRING) AS {_q(out)}")
+                guards.append(f"{_q(val)} IS NOT NULL")
+            else:
+                sel.append(f"{_lit(str(val), True)} AS {_q(out)}")
+        p = f"SELECT {', '.join(sel)} FROM sol"
+        if guards:
+            p += " WHERE " + " AND ".join(guards)
+        parts.append(p)
+    body = "\nUNION ALL\n".join(f"({p})" for p in parts)
+    return (
+        f"WITH sol AS ({sql})\n"
+        f"SELECT DISTINCT * FROM (\n{body}\n) AS graph"
+    )
+
+
 def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
     q = plan.query
     if q.union_branches:
@@ -298,7 +327,7 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
             outer += f" LIMIT {q.limit}"
         if q.offset is not None:
             outer += f" OFFSET {q.offset}"
-        return CompiledSql(outer, views)
+        return CompiledSql(_apply_construct_sql(q, outer), views)
 
     views = {}
     core = _core_sql(plan, index, views)
@@ -397,7 +426,7 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
         sql += f" LIMIT {q.limit}"
     if q.offset is not None:
         sql += f" OFFSET {q.offset}"
-    return CompiledSql(sql, views)
+    return CompiledSql(_apply_construct_sql(q, sql), views)
 
 
 def _apply_binds_sql(q: ParsedQuery, core: str) -> str:

@@ -1,0 +1,195 @@
+"""Deterministic sampling, splitting, and sequence packing for
+training-data pipelines (extension; no reference analog).
+
+Everything here is a pure Column-expression transformation with three
+properties the 100 TB data-prep flow needs:
+
+- **Deterministic**: membership depends only on (id, seed), never on
+  partitioning, task order, or Spark's RNG — reruns, retries, and
+  backfills assign every row identically, and train/test splits stay
+  stable as the corpus grows (a new document never moves an old one).
+- **Engine-portable**: the hash is explicit modular arithmetic (two
+  LCG rounds mod the Mersenne prime 2^31-1, same idiom as
+  ``functions.text.fingerprint``), so any ANSI-SQL engine reproduces
+  the exact assignment — bit-for-bit DuckDB oracles in tests, and
+  downstream systems can recompute splits without Spark.
+- **Shuffle-shaped for scale**: splits and fraction samples are
+  map-only (no shuffle at all); stratified sampling shuffles once on
+  the stratum key; sequence packing windows over bounded shards, never
+  one global ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_M = 2_147_483_647  # 2^31 - 1, prime
+_A1, _B1 = 1_103_515_245, 12_345
+_A2 = 48_271
+
+#: bucket resolution for weight -> threshold conversion
+N_BUCKETS = 1_000_000
+
+
+def _mix(c: Column, seed: int) -> Column:
+    """Two LCG rounds mod 2^31-1 over a bigint id.  All intermediates
+    stay < 2^63 ((M-1)*A1 ~ 2.4e18), so the same expression evaluates
+    identically on any engine with 64-bit integer arithmetic."""
+    h = (F.abs(c.cast("bigint")) + F.lit(seed)) % _M
+    h = (h * _A1 + _B1) % _M
+    return (h * _A2) % _M
+
+
+def mix_sql(col_sql: str, seed: int) -> str:
+    """ANSI-SQL rendering of :func:`_mix` — the oracle/portability
+    contract.  Must stay textually in lockstep with ``_mix``."""
+    return (
+        f"((((abs(CAST({col_sql} AS BIGINT)) + {seed}) % {_M})"
+        f" * {_A1} + {_B1}) % {_M} * {_A2}) % {_M}"
+    )
+
+
+def split_bucket(id_col: Column | str, seed: int = 0) -> Column:
+    """Deterministic bucket in [0, N_BUCKETS) for a numeric id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return _mix(c, seed) % N_BUCKETS
+
+
+def split_bucket_sql(col_sql: str, seed: int = 0) -> str:
+    return f"({mix_sql(col_sql, seed)}) % {N_BUCKETS}"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by
+    deterministic id hash.
+
+    ``weights`` maps split name -> fraction; fractions must sum to 1
+    (±1e-9).  Assignment is a map-side expression — no shuffle, no
+    sampling pass, and the split column is reproducible anywhere via
+    :func:`hash_split_sql`.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if not weights:
+        raise ValueError("at least one split required")
+    bucket = split_bucket(id_col, seed)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        threshold = int(round(acc * N_BUCKETS))
+        branch = F.lit(name)
+        if expr is None:
+            expr = F.when(bucket < threshold, branch)
+        else:
+            expr = expr.when(bucket < threshold, branch)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def hash_split_sql(
+    col_sql: str, weights: dict[str, float], seed: int = 0
+) -> str:
+    """CASE-WHEN rendering of :func:`hash_split` for SQL oracles."""
+    bucket = split_bucket_sql(col_sql, seed)
+    parts = ["CASE"]
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        threshold = int(round(acc * N_BUCKETS))
+        parts.append(f"WHEN ({bucket}) < {threshold} THEN '{name}'")
+    parts.append(f"ELSE '{names[-1]}' END")
+    return " ".join(parts)
+
+
+def fraction_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by id hash.  Unlike
+    ``DataFrame.sample`` this is stable across reruns/retries and
+    composable (disjoint seeds -> independent samples); map-only."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(round(fraction * N_BUCKETS))
+    return df.filter(split_bucket(id_col, seed) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by
+    deterministic hash order (ties broken by id — total order, so the
+    pick is unique).  ONE shuffle on the stratum key; per-stratum state
+    is a running top-k, never a sort of the whole corpus.
+
+    At 100 TB: a hot stratum concentrates on one task only up to the
+    window's partition; for pathological single-stratum corpora,
+    pre-split the stratum (e.g. salt, take k per salt, re-take k).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    order = [_mix(F.col(id_col), seed).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    ctx_len: int,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a
+    deterministic pseudo-random order and cut the stream into
+    ``ctx_len``-token training sequences.
+
+    Returns the input plus ``shard`` (which independent stream the doc
+    belongs to), ``start_offset`` (the doc's first token's position in
+    its shard's stream) and ``seq_id`` (the training sequence its first
+    token lands in — documents straddle boundaries, standard
+    concat-then-chunk packing).
+
+    Scale design: one window per SHARD (id-hash mod ``n_shards``),
+    never a global ordering — each shard's cumulative sum is an
+    independent task, so pick n_shards so a shard's rows fit a task
+    (e.g. corpus_docs / 10M).  Deterministic: order is (mixed hash,
+    id), so reruns pack identically.
+    """
+    if ctx_len <= 0 or n_shards <= 0:
+        raise ValueError("ctx_len and n_shards must be positive")
+    mixed = _mix(F.col(id_col), seed)
+    shard = mixed % n_shards
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(mixed.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "start_offset",
+        (F.sum(F.col(n_tokens_col)).over(w) - F.col(n_tokens_col)).cast(
+            "bigint"
+        ),
+    )
+    return out.withColumn(
+        "seq_id", F.floor(F.col("start_offset") / ctx_len).cast("bigint")
+    )

@@ -1,0 +1,185 @@
+"""Deterministic sampling / splitting / packing (operators/sampling.py).
+
+The portability contract is the point: every assignment must reproduce
+bit-for-bit in DuckDB via the *_sql mirrors (same two-LCG-rounds-mod-
+prime arithmetic), so splits survive engine changes and downstream
+systems can recompute them.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sparkall_spark.operators import sampling as S
+
+CUST = "/root/testdata/sf0.001/customer.parquet"
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def cust(spark):
+    return spark.read.parquet(CUST)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def _duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{CUST}'")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    return con
+
+
+def test_hash_split_matches_sql_mirror(cust):
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = S.hash_split(cust, "c_custkey", weights, seed=7)
+    got = {
+        r["c_custkey"]: r["split"]
+        for r in out.select("c_custkey", "split").collect()
+    }
+    con = _duck()
+    mirror = con.execute(
+        "SELECT c_custkey, "
+        + S.hash_split_sql("c_custkey", weights, seed=7)
+        + " AS split FROM customer"
+    ).fetchall()
+    con.close()
+    assert dict(mirror) == got
+    # complete + deterministic + all splits used at n=150
+    assert len(got) == cust.count()
+    assert set(got.values()) == {"train", "val", "test"}
+    again = {
+        r["c_custkey"]: r["split"]
+        for r in S.hash_split(cust, "c_custkey", weights, seed=7)
+        .select("c_custkey", "split")
+        .collect()
+    }
+    assert again == got
+    # a different seed reshuffles membership
+    other = {
+        r["c_custkey"]: r["split"]
+        for r in S.hash_split(cust, "c_custkey", weights, seed=8)
+        .select("c_custkey", "split")
+        .collect()
+    }
+    assert other != got
+
+
+def test_hash_split_weight_validation(cust):
+    with pytest.raises(ValueError, match="sum to 1"):
+        S.hash_split(cust, "c_custkey", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="fraction"):
+        S.fraction_sample(cust, "c_custkey", 1.5)
+
+
+def test_hash_split_is_map_only(cust):
+    """Split assignment must not shuffle: no Exchange in the plan."""
+    out = S.hash_split(cust, "c_custkey", {"a": 0.5, "b": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_fraction_sample_stability(cust):
+    """Growing the corpus never moves an existing row (the property
+    DataFrame.sample does NOT have)."""
+    half = cust.filter(F.col("c_custkey") <= 75)
+    picked_half = {
+        r["c_custkey"]
+        for r in S.fraction_sample(half, "c_custkey", 0.3, seed=3).collect()
+    }
+    picked_full = {
+        r["c_custkey"]
+        for r in S.fraction_sample(cust, "c_custkey", 0.3, seed=3).collect()
+    }
+    assert picked_half == {k for k in picked_full if k <= 75}
+    assert 0 < len(picked_full) < cust.count()
+
+
+def test_stratified_sample_exact_k(cust):
+    out = S.stratified_sample(cust, "c_mktsegment", 5, "c_custkey", seed=1)
+    counts = {
+        r["c_mktsegment"]: r["n"]
+        for r in out.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {
+        r["c_mktsegment"]: r["n"]
+        for r in cust.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {k: min(5, v) for k, v in sizes.items()}
+    # deterministic pick, mirrored in SQL (row_number over mixed hash)
+    con = _duck()
+    mirror = con.execute(
+        f"""
+        SELECT c_custkey FROM (
+            SELECT c_custkey,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY {S.mix_sql('c_custkey', 1)}, c_custkey
+                   ) AS rn
+            FROM customer
+        ) WHERE rn <= 5
+        """
+    ).fetchall()
+    con.close()
+    assert {r[0] for r in mirror} == {
+        r["c_custkey"] for r in out.select("c_custkey").collect()
+    }
+
+
+def test_pack_sequences_matches_sql_and_conserves_tokens(spark, docs):
+    d = docs.withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+    ).select("doc_id", "n_tokens")
+    out = S.pack_sequences(d, "doc_id", "n_tokens", ctx_len=512, n_shards=4, seed=5)
+    rows = out.select("doc_id", "shard", "start_offset", "seq_id").collect()
+    got = {r["doc_id"]: (r["shard"], r["start_offset"], r["seq_id"]) for r in rows}
+
+    con = _duck()
+    mix = S.mix_sql("doc_id", 5)
+    mirror = con.execute(
+        f"""
+        WITH d AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+                   ({mix}) % 4 AS shard, ({mix}) AS mixed
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY mixed, doc_id
+               ) - n_tokens AS start_offset
+        FROM d
+        """
+    ).fetchall()
+    con.close()
+    for doc_id, shard, start in mirror:
+        g = got[doc_id]
+        assert g[0] == shard and g[1] == start
+        assert g[2] == start // 512
+
+    # stream conservation per shard: offsets tile the token stream
+    # exactly (no gaps, no overlaps)
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    tok = {
+        r["doc_id"]: r["n_tokens"]
+        for r in d.collect()
+    }
+    for doc_id, (shard, start, _seq) in got.items():
+        by_shard[shard].append((start, tok[doc_id]))
+    for shard, items in by_shard.items():
+        items.sort()
+        pos = 0
+        for start, n in items:
+            assert start == pos
+            pos += n
+
+    # scale shape: the window partitions by shard, not globally
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan or "hashpartitioning" in plan

@@ -1345,6 +1345,12 @@ def _parse_group(
             break
         oend = _balanced(body, body.index("{", om.start()), "{", "}")
         oinner = body[om.end() : oend - 1]
+        if re.search(r"OPTIONAL\s*\{", oinner, re.IGNORECASE):
+            raise SparqlParseError(
+                "nested OPTIONAL blocks are not supported — flatten the "
+                "pattern into sibling OPTIONALs (each left-joins the "
+                "mandatory part independently)"
+            )
         # FILTERs inside OPTIONAL constrain the optional star BEFORE the
         # left join (they cannot eliminate left rows) — since the engine
         # applies all star filters pre-join, hoisting them preserves the

@@ -235,3 +235,25 @@ def test_comments_stripped():
         """
     )
     assert len(q.stars["p"].triples) == 1
+
+
+def test_nested_optional_rejected_clearly():
+    """Nested OPTIONAL would need nested left-join scoping the flat
+    star model doesn't represent — rejected with guidance (r4), not a
+    confusing 'bad triple' error."""
+    import pytest
+
+    from sparkall_spark.fixtures import PREFIX_BLOCK
+    from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
+
+    with pytest.raises(SparqlParseError, match="nested OPTIONAL"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + """
+            SELECT ?a WHERE {
+                ?x a sa:Nation ; sa:name ?a .
+                OPTIONAL { ?y a sa:Customer ; sa:nation ?x .
+                           OPTIONAL { ?z a sa:Orders ; sa:customer ?y . } }
+            }
+            """
+        )

@@ -222,3 +222,72 @@ def token_set(col: Column | str) -> Column:
     return F.array_sort(
         F.array_distinct(tokens(F.lower(F.col(col) if isinstance(col, str) else col)))
     )
+
+
+# --- PII detection / redaction (r4) ---------------------------------------
+#
+# Pretraining corpora are scrubbed of obvious PII before packing.  These
+# are pure Column expressions (regexp_*, zero UDFs) using a regex subset
+# that parses identically under Java regex (Spark) and RE2 (DuckDB), so
+# tests mirror every pattern cross-engine.  Pattern scope is the
+# standard high-precision trio — emails, international-ish phone
+# numbers, IPv4 addresses — NOT an anonymization guarantee (that needs
+# NER); the operator contract is deterministic masking of the
+# unambiguous shapes.
+
+PII_PATTERNS = {
+    # local@domain.tld — conservative: requires a dot in the domain
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # +country / (area) / separator-tolerant (space, dash, parens —
+    # deliberately NOT '.', which would swallow IPv4 dotted quads)
+    "phone": r"\+?[0-9][0-9()\- ]{7,18}[0-9]",
+    # IPv4 dotted quad (word-bounded; over-matching octets >255 is fine
+    # for redaction purposes)
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """How many matches of one PII pattern the text contains."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def redact_pii(
+    col: Column | str, kinds: tuple[str, ...] = ("email", "phone", "ipv4")
+) -> Column:
+    """Replace each PII match with its ``[KIND]`` placeholder.
+
+    Email first: an address's domain must not be half-eaten by the
+    phone pattern's digit runs.  Deterministic, single projection —
+    Catalyst fuses the chained regexp_replace calls into one
+    whole-stage-codegen pass over the text.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return c
+
+
+def extract_urls(col: Column | str) -> Column:
+    """Distinct http(s) URLs in the text (scheme://host/path...)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.regexp_extract_all(
+            c, F.lit(r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"), F.lit(0)
+        )
+    )
+
+
+def url_domains(col: Column | str) -> Column:
+    """Distinct lowercase registrable hosts of the text's URLs — the
+    unit for domain-level corpus filtering (blocklists, per-domain
+    caps).  Column-only: extract -> transform -> distinct."""
+    return F.array_distinct(
+        F.transform(
+            extract_urls(col),
+            lambda u: F.lower(
+                F.regexp_extract(u, r"https?://([A-Za-z0-9.-]+)", 1)
+            ),
+        )
+    )

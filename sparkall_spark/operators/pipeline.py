@@ -6,6 +6,7 @@ into the standard pretraining data-prep flow.
       -> language identification (stopword heuristic)
       -> exact dedup (normalized fingerprint, keep min id)
       -> [optional] near-dedup (MinHash-LSH)
+      -> [optional] PII redaction (email/phone/IPv4 masking)
       -> partitioned/bucketed write
 
 Every stage is a lazy DataFrame transformation, so the whole pipeline
@@ -32,6 +33,7 @@ def prepare_documents(
     near_dedup_threshold: float = 0.9,
     max_dup_line_ratio: float | None = None,
     max_dup_ngram_ratio: float | None = None,
+    redact_pii: bool = False,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
@@ -72,4 +74,9 @@ def prepare_documents(
             deduped, id_col=id_col, text_col=text_col,
             threshold=near_dedup_threshold,
         )
+    if redact_pii:
+        # AFTER dedup on purpose: masking collapses distinct addresses
+        # to one token, which would merge genuinely different documents
+        # under the dedup fingerprint
+        deduped = deduped.withColumn(text_col, X.redact_pii(text_col))
     return deduped

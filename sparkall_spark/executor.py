@@ -481,12 +481,73 @@ def _apply_construct(df: DataFrame, q: ParsedQuery) -> DataFrame:
     return out.distinct()
 
 
+def _apply_describe(
+    spark: SparkSession, sol: DataFrame, q: ParsedQuery, index: MappingIndex
+) -> DataFrame:
+    """DESCRIBE materialization: for each described variable, semi-join
+    every relevant source on the solution ids and unpivot ALL mapped
+    predicates (plus the rdf:type triple) into (subject, predicate,
+    object) strings.  ONE scan per source via DataFrame.unpivot — not
+    one scan per predicate; mapping-declared transforms apply exactly
+    as in build_star_df."""
+    from sparkall_spark.plans.parser import RDF_TYPE
+
+    parts: list[DataFrame] = []
+    for v in q.describe_vars:
+        ids = sol.select(F.col(v).alias("__desc_id")).distinct()
+        star = q.stars[v]
+        for m in index.relevant_sources(star):
+            raw = load_source(spark, m)
+            sel = raw.join(
+                ids, raw[m.id_attr] == ids["__desc_id"], "leftsemi"
+            )
+            subj = F.col(m.id_attr).cast("string").alias("subject")
+            preds = sorted(m.predicates.items())  # (iri, attr), stable
+            safe_cols = []
+            for i, (iri, attr) in enumerate(preds):
+                col = F.col(attr)
+                if iri in m.transforms:
+                    col, flts = apply_transform_chain(col, m.transforms[iri])
+                    for flt in flts:
+                        sel = sel.filter(flt)
+                safe_cols.append(col.cast("string").alias(f"__p{i}"))
+            wide = sel.select(subj, *safe_cols)
+            trip = wide.unpivot(
+                ["subject"],
+                [f"__p{i}" for i in range(len(preds))],
+                "predicate",
+                "object",
+            ).filter(F.col("object").isNotNull())
+            pred_iri: Column = F.col("predicate")
+            for i, (iri, _attr) in reversed(list(enumerate(preds))):
+                pred_iri = F.when(
+                    F.col("predicate") == f"__p{i}", F.lit(iri)
+                ).otherwise(pred_iri)
+            parts.append(
+                trip.select("subject", pred_iri.alias("predicate"), "object")
+            )
+            if m.class_iri:
+                parts.append(
+                    sel.select(
+                        subj,
+                        F.lit(RDF_TYPE).alias("predicate"),
+                        F.lit(m.class_iri).alias("object"),
+                    )
+                )
+    out = parts[0]
+    for other in parts[1:]:
+        out = out.unionByName(other)
+    return out.distinct()
+
+
 def execute_plan(
     spark: SparkSession, plan: QueryPlan, index: MappingIndex
 ) -> DataFrame:
     df = _execute_solutions(spark, plan, index)
     if plan.query.construct_template:
         df = _apply_construct(df, plan.query)
+    if plan.query.describe_vars:
+        df = _apply_describe(spark, df, plan.query, index)
     return df
 
 

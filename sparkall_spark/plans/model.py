@@ -176,6 +176,11 @@ class ParsedQuery:
     # ("var"|"iri"|"lit", value) pairs; select_vars carries the
     # template's variables so the WHERE pipeline is unchanged.
     construct_template: list[tuple] = field(default_factory=list)
+    # DESCRIBE ?x [?y ...] (SPARQL 1.1 §16.4): emit every known triple
+    # about each resource the WHERE binds to the listed variables —
+    # well-defined here because the mapping model closes each entity's
+    # predicate set.  Result schema matches CONSTRUCT's (s, p, o).
+    describe_vars: list[str] = field(default_factory=list)
     # general expression FILTERs (see ExprFilter), applied post-join
     expr_filters: list[ExprFilter] = field(default_factory=list)
     # SELECT expressions OVER aggregates, e.g. (ROUND(SUM(?x), 2) AS

@@ -856,8 +856,32 @@ def parse_sparql(query: str) -> ParsedQuery:
     sel_m = re.search(r"\bSELECT\b(.*?)\bWHERE\b", query, re.IGNORECASE | re.DOTALL)
     is_ask = False
     construct_template: list[tuple] = []
+    describe_vars: list[str] = []
     con_m = re.search(r"\bCONSTRUCT\b", query, re.IGNORECASE)
-    if con_m and (sel_m is None or con_m.start() < sel_m.start()):
+    desc_m = re.search(r"\bDESCRIBE\b", query, re.IGNORECASE)
+    if desc_m and (sel_m is None or desc_m.start() < sel_m.start()):
+        # DESCRIBE ?x [?y ...] WHERE { ... }: describe every resource
+        # the WHERE binds to the listed variables.  The closed mapping
+        # model makes this well-defined: each variable must be a star
+        # subject, whose entity's full predicate set is known.
+        wm = re.search(r"\bWHERE\b", query[desc_m.end() :], re.IGNORECASE)
+        if not wm:
+            raise SparqlParseError(
+                "DESCRIBE requires the variable form with a WHERE clause: "
+                "DESCRIBE ?x WHERE { ... }"
+            )
+        head = query[desc_m.end() : desc_m.end() + wm.start()]
+        describe_vars = [m.group(1) for m in _VAR_RE.finditer(head)]
+        if not describe_vars or head.split() != [
+            "?" + v for v in describe_vars
+        ]:
+            raise SparqlParseError(
+                "DESCRIBE accepts only ?variables before WHERE"
+            )
+        sel = " ".join("?" + v for v in describe_vars)
+        head_end = desc_m.end() + wm.end()
+        distinct = False
+    elif con_m and (sel_m is None or con_m.start() < sel_m.start()):
         # CONSTRUCT { template } WHERE { ... }: the template's variables
         # become the select list, so the whole WHERE pipeline (stars,
         # joins, filters, modifiers) is reused unchanged; the triple
@@ -1029,6 +1053,10 @@ def parse_sparql(query: str) -> ParsedQuery:
         raise SparqlParseError(
             "CONSTRUCT cannot be combined with aggregation/GROUP BY — "
             "wrap the aggregation in a { SELECT ... } subquery instead"
+        )
+    if describe_vars and (aggregations or group_by):
+        raise SparqlParseError(
+            "DESCRIBE cannot be combined with aggregation/GROUP BY"
         )
 
     def build(group_body: str) -> ParsedQuery:
@@ -1240,6 +1268,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             binds=binds,
             is_ask=is_ask,
             construct_template=construct_template,
+            describe_vars=describe_vars,
             expr_filters=expr_filters,
             post_agg_exprs=post_agg_exprs,
             subqueries=subqueries,
@@ -1252,6 +1281,16 @@ def parse_sparql(query: str) -> ParsedQuery:
         main.partial_binding = True
         for b in main.union_branches:
             b.partial_binding = True
+    if describe_vars:
+        if main.union_branches:
+            raise SparqlParseError("DESCRIBE over UNION is not supported")
+        for v in describe_vars:
+            if v not in main.stars:
+                raise SparqlParseError(
+                    f"DESCRIBE variable ?{v} must be a star subject in "
+                    "the WHERE pattern (its entity determines the "
+                    "described predicate set)"
+                )
     return main
 
 

@@ -26,6 +26,8 @@ from sparkall_spark.functions.transforms import TransformError, _FN_RE
 from sparkall_spark.plans.exprs import to_sql
 from sparkall_spark.mappings import EntityMapping, MappingIndex
 from sparkall_spark.plans.model import Filter, ParsedQuery
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 from sparkall_spark.plans.planner import QueryPlan, plan_query
 
 
@@ -297,6 +299,53 @@ def _apply_construct_sql(q: ParsedQuery, sql: str) -> str:
     )
 
 
+def _apply_describe_sql(
+    plan: QueryPlan, index: MappingIndex, views: dict[str, EntityMapping],
+    sql: str,
+) -> str:
+    """DESCRIBE, SQL rendering: solution query -> CTE `sol`; one SELECT
+    per (source, predicate) filtered by `id IN (SELECT var FROM sol)`,
+    plus the rdf:type triple, UNION ALL + DISTINCT.  More scans than
+    the DataFrame backend's unpivot, but this backend's contract is a
+    single portable SQL statement; Catalyst's CSE still collapses the
+    repeated view reads."""
+    q = plan.query
+    if not q.describe_vars:
+        return sql
+    parts: list[str] = []
+    for v in q.describe_vars:
+        star = q.stars[v]
+        for mi, m in enumerate(index.relevant_sources(star)):
+            view = f"dsc_{m.name.lower()}_{mi}"
+            views[view] = m
+            member = f"{_q(m.id_attr)} IN (SELECT {_q(v)} FROM sol)"
+            subj = f"CAST({_q(m.id_attr)} AS STRING) AS `subject`"
+            for iri, attr in sorted(m.predicates.items()):
+                expr = _q(attr)
+                conds = [member]
+                for fn in m.transforms.get(iri, ()):
+                    expr, flt = _transform_sql(expr, fn)
+                    if flt:
+                        conds.append(f"{expr} {flt}")
+                conds.append(f"{expr} IS NOT NULL")
+                parts.append(
+                    f"SELECT {subj}, {_lit(iri, True)} AS `predicate`, "
+                    f"CAST({expr} AS STRING) AS `object` "
+                    f"FROM {_q(view)} WHERE {' AND '.join(conds)}"
+                )
+            if m.class_iri:
+                parts.append(
+                    f"SELECT {subj}, {_lit(RDF_TYPE, True)} AS `predicate`, "
+                    f"{_lit(m.class_iri, True)} AS `object` "
+                    f"FROM {_q(view)} WHERE {member}"
+                )
+    body = "\nUNION ALL\n".join(f"({p})" for p in parts)
+    return (
+        f"WITH sol AS ({sql})\n"
+        f"SELECT DISTINCT * FROM (\n{body}\n) AS described"
+    )
+
+
 def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
     q = plan.query
     if q.union_branches:
@@ -426,7 +475,9 @@ def compile_sql(plan: QueryPlan, index: MappingIndex) -> CompiledSql:
         sql += f" LIMIT {q.limit}"
     if q.offset is not None:
         sql += f" OFFSET {q.offset}"
-    return CompiledSql(_apply_construct_sql(q, sql), views)
+    sql = _apply_construct_sql(q, sql)
+    sql = _apply_describe_sql(plan, index, views, sql)
+    return CompiledSql(sql, views)
 
 
 def _apply_binds_sql(q: ParsedQuery, core: str) -> str:

@@ -218,33 +218,24 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
         None,  # rounded by wrapper below
     ),
     # SPARQL MINUS -> anti-join on shared variables (extension)
-    "q21_sparql_minus": (
+    # MINUS (anti-join) + FILTER EXISTS (semi-join) in ONE pattern
+    # (extensions; merged r4 from the former q21/q22 twins to free a
+    # registry slot for e23 — both negation forms still driver-gated):
+    # customers WITH at least one order but NONE above the threshold
+    "q21_minus_exists": (
         """
         SELECT ?name WHERE {
             ?c a sa:Customer ; sa:name ?name .
-            MINUS { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp .
+            FILTER EXISTS { ?o a sa:Orders ; sa:customer ?c . }
+            MINUS { ?o2 a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp .
                     FILTER (?tp > 400000) }
         }
         """,
         """
         SELECT c_name AS name FROM customer
-        WHERE c_custkey NOT IN
-          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
-        """,
-    ),
-    # FILTER EXISTS -> semi-join (extension)
-    "q22_filter_exists": (
-        """
-        SELECT ?name WHERE {
-            ?c a sa:Customer ; sa:name ?name .
-            FILTER EXISTS { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp .
-                            FILTER (?tp > 400000) }
-        }
-        """,
-        """
-        SELECT c_name AS name FROM customer
-        WHERE c_custkey IN
-          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+          AND c_custkey NOT IN
+            (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
         """,
     ),
     # VALUES inline data + OFFSET paging (extensions)
@@ -1376,6 +1367,57 @@ SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
 """
 
 
+def _e23_split_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + GPT-style sequence packing
+    (operators/sampling.py, r4): every assignment is pure id-hash
+    arithmetic (two LCG rounds mod 2^31-1), so the oracle reproduces it
+    bit-for-bit — the property that makes splits stable across engines,
+    reruns, and corpus growth.  Packs by the n_chars length column over
+    8 independent shards (per-shard windows, never a global ordering)."""
+    from sparkall_spark.operators import sampling as S
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = S.hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42
+    )
+    out = S.pack_sequences(
+        out, "doc_id", "n_chars", ctx_len=2048, n_shards=8, seed=42
+    )
+    return out.select(
+        "doc_id",
+        "split",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("start_offset").cast("bigint").alias("start_offset"),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+    )
+
+
+def _e23_oracle_sql() -> str:
+    from sparkall_spark.operators import sampling as S
+
+    split_case = S.hash_split_sql(
+        "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42
+    )
+    mix = S.mix_sql("doc_id", 42)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, n_chars, {split_case} AS split,
+               ({mix}) % 8 AS shard, ({mix}) AS mixed
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, split, shard,
+               sum(n_chars) OVER (
+                   PARTITION BY shard ORDER BY mixed, doc_id
+               ) - n_chars AS start_offset
+        FROM d
+    )
+    SELECT doc_id, split, shard, start_offset,
+           CAST(floor(start_offset / 2048) AS BIGINT) AS seq_id
+    FROM packed
+    """
+
+
 def _e13_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the nation table to N-Triples with Spark, then load it
     back through the RDF pivot reader via the SPARQL engine — exercises
@@ -1489,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e20_pretrain_pipeline"] = _e20_pretrain_pipeline
     out["e21_stats_aggregates"] = _e21_stats_aggregates
     out["e22_dedup_clusters"] = _e22_dedup_clusters
+    out["e23_split_pack"] = _e23_split_pack
 
     # Entry teardown: the dedup/graph operators persist intermediates
     # that must outlive their call (the driver consumes results lazily).
@@ -1539,4 +1582,5 @@ def oracle_sql() -> dict[str, str]:
     out["e20_pretrain_pipeline"] = _E20_ORACLE
     out["e21_stats_aggregates"] = _E21_ORACLE
     out["e22_dedup_clusters"] = _E22_ORACLE
+    out["e23_split_pack"] = _e23_oracle_sql()
     return out

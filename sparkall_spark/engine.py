@@ -19,7 +19,12 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 from sparkall_spark.executor import execute_plan
-from sparkall_spark.mappings import MappingIndex, SourceCatalog, load_rml
+from sparkall_spark.mappings import (
+    MappingIndex,
+    SourceCatalog,
+    expand_negated_paths,
+    load_rml,
+)
 from sparkall_spark.plans.parser import parse_sparql
 from sparkall_spark.plans.planner import QueryPlan, plan_query
 
@@ -39,8 +44,15 @@ class Engine:
         catalog = SourceCatalog.from_json(config_path) if config_path else None
         return cls(spark, load_rml(mappings_path, catalog))
 
+    def _prep(self, query_text: str) -> str:
+        """Mapping-aware text rewrites that must precede parsing —
+        today: negated property sets, which desugar to the positive
+        complement alternation (the mapping closes each entity's
+        predicate set)."""
+        return expand_negated_paths(query_text, self.mappings)
+
     def plan(self, query_text: str) -> QueryPlan:
-        return plan_query(parse_sparql(query_text))
+        return plan_query(parse_sparql(self._prep(query_text)))
 
     def sparql(self, query_text: str, backend: str = "dataframe") -> DataFrame:
         """Compile one SPARQL query to one lazy DataFrame.
@@ -54,7 +66,9 @@ class Engine:
         if backend == "sql":
             from sparkall_spark.plans.sqlgen import execute_sql_backend
 
-            return execute_sql_backend(self.spark, query_text, self.mappings)
+            return execute_sql_backend(
+                self.spark, self._prep(query_text), self.mappings
+            )
         return execute_plan(self.spark, self.plan(query_text), self.mappings)
 
     def to_sql(self, query_text: str) -> str:

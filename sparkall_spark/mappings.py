@@ -383,3 +383,108 @@ def load_rml(path: str | Path, config: SourceCatalog | None = None) -> MappingIn
         )
     idx = MappingIndex(mappings)
     return idx.with_config(config) if config else idx
+
+
+# --- negated property paths (SPARQL 1.1 §9.1, r4) -------------------------
+
+_NEG_TOKEN_RE = re.compile(
+    r"!\((?P<group>[^()]*)\)|!(?P<single><[^>\s]+>|[A-Za-z_][\w-]*:[\w.-]+|a\b)"
+)
+
+
+def expand_negated_paths(query_text: str, index: "MappingIndex") -> str:
+    """Rewrite negated property sets ``?s !p ?o`` / ``?s !(p1|p2) ?o``
+    into positive alternations over the subject's entity predicates.
+
+    SPARQL's open-world ``!(...)`` matches any predicate not listed; in
+    the closed mapping model the candidate set is exactly the entity's
+    mapped (non-rdf:type) predicates, so negation desugars to the
+    alternation of the complement — and from there the ordinary path
+    machinery (UNION-branch expansion) takes over, both backends
+    unchanged.
+
+    Fragment restrictions (loud errors, not silent misses): the subject
+    variable must carry an ``a <Class>`` triple in the same WHERE text
+    (the class fixes the predicate set), and — inherited from the
+    alternation expander — the rewrite is only legal in the top-level
+    BGP.  Queries without a ``!`` token return unchanged at the cost of
+    one regex scan.
+    """
+    if "!" not in query_text:
+        return query_text
+    from sparkall_spark.plans.parser import (
+        SparqlParseError,
+        _balanced,
+        _expand_iri,
+        _PREFIX_RE,
+        _STRING_RE,
+    )
+
+    # mask string literals and FILTER/BIND parenthesized spans so a
+    # boolean !(...) / !BOUND(...) is never mistaken for a path token
+    chars = list(query_text)
+
+    def blank(a: int, b: int) -> None:
+        for i in range(a, b):
+            chars[i] = " "
+
+    for m in _STRING_RE.finditer(query_text):
+        blank(m.start(), m.end())
+    masked = "".join(chars)
+    for m in re.finditer(r"\b(?:FILTER|BIND|HAVING)\b", masked, re.IGNORECASE):
+        p = masked.find("(", m.end())
+        if p >= 0 and masked[m.end() : p].strip() in (
+            "", "regex", "rlike", "EXISTS", "NOT EXISTS",
+        ):
+            blank(p, _balanced(masked, p))
+    masked = "".join(chars)
+
+    hits = list(_NEG_TOKEN_RE.finditer(masked))
+    if not hits:
+        return query_text
+    prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(query_text)}
+    classes = {
+        m.class_iri: m for m in index.mappings if m.class_iri is not None
+    }
+
+    out = query_text
+    for hm in reversed(hits):
+        # subject variable directly before the token (standalone form)
+        sm = re.search(r"(\?[\w]+)\s*$", masked[: hm.start()])
+        if not sm:
+            raise SparqlParseError(
+                "negated property path requires the standalone form "
+                "'?s !(p1|p2) ?o'"
+            )
+        subj = re.escape(sm.group(1))
+        tm = re.search(
+            subj + r"\b[^.{}]*?\ba\s+([^\s;.]+)", masked
+        )
+        if not tm:
+            raise SparqlParseError(
+                f"negated property path needs an 'a <Class>' triple for "
+                f"{sm.group(1)} — the class fixes the predicate set the "
+                "negation complements"
+            )
+        cls = _expand_iri(tm.group(1), prefixes)
+        mapping = classes.get(cls)
+        if mapping is None:
+            raise SparqlParseError(f"no mapping for class {cls}")
+        raw_items = (
+            [t.strip() for t in hm.group("group").split("|")]
+            if hm.group("group") is not None
+            else [hm.group("single")]
+        )
+        negated = {_expand_iri(t, prefixes) for t in raw_items if t}
+        allowed = [p for p in sorted(mapping.predicates) if p not in negated]
+        if not allowed:
+            raise SparqlParseError(
+                f"negated path excludes every predicate of {cls}"
+            )
+        repl = (
+            f"<{allowed[0]}>"
+            if len(allowed) == 1
+            else "(" + "|".join(f"<{p}>" for p in allowed) + ")"
+        )
+        out = out[: hm.start()] + repl + out[hm.end() :]
+    return out

@@ -428,3 +428,73 @@ def test_zero_or_one_does_not_eat_variables():
         + "SELECT ?x ?y WHERE { ?x a sa:Nation ; sa:name ?y . }"
     )
     assert q.union_branches == []
+
+
+# --- r4: negated property sets !p / !(p1|p2) ------------------------------
+
+
+def test_negated_path_single_complement(engine, duck):
+    """!sa:region on a Nation star: the complement is exactly {name},
+    so the rewrite is a plain positive triple — both backends, oracle."""
+    q = (
+        PREFIX_BLOCK
+        + "SELECT ?n ?o WHERE { ?n a sa:Nation . ?n !sa:region ?o . }"
+    )
+    oracle = "SELECT n_nationkey AS n, n_name AS o FROM nation"
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) == 25
+
+
+def test_negated_path_group_becomes_alternation(engine, duck):
+    """!(sa:nation|sa:acctbal) on Customer complements to
+    (name|mktsegment) — a UNION over the remaining predicates."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?c ?o WHERE {
+            ?c a sa:Customer .
+            ?c !(sa:nation|sa:acctbal) ?o .
+        }
+        """
+    )
+    oracle = """
+    SELECT c_custkey AS c, c_name AS o FROM customer
+    UNION ALL
+    SELECT c_custkey, c_mktsegment FROM customer
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) == 2 * 150
+
+
+def test_negated_path_leaves_boolean_negation_alone(engine, duck):
+    """FILTER (!(...)) and !BOUND are expression negation, not paths —
+    the rewriter must not touch them."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name WHERE {
+            ?c a sa:Customer ; sa:name ?name ; sa:acctbal ?bal .
+            FILTER (!(?bal > 1000))
+        }
+        """
+    )
+    oracle = "SELECT c_name AS name FROM customer WHERE NOT c_acctbal > 1000"
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+
+
+def test_negated_path_validation(engine):
+    from sparkall_spark.plans.parser import SparqlParseError
+
+    with pytest.raises(SparqlParseError, match="a <Class>"):
+        engine.sparql(
+            PREFIX_BLOCK + "SELECT ?o WHERE { ?x !sa:name ?o . }"
+        )
+    with pytest.raises(SparqlParseError, match="excludes every predicate"):
+        engine.sparql(
+            PREFIX_BLOCK
+            + "SELECT ?o WHERE { ?n a sa:Region . ?n !sa:name ?o . }"
+        )

@@ -49,7 +49,24 @@ filter_st = st.sampled_from(
         for op in ["=", "!="]
         for i in (1, 3)
     ]
+    # r4: infix [NOT] IN lists and STRBEFORE/STRAFTER predicates
+    + [
+        ("brand", "in", ("Brand#1", "Brand#3")),
+        ("brand", "not in", ("Brand#2",)),
+        ("name", "strbefore=", "large"),
+        ("name", "strafter=", "widget"),
+    ]
 )
+
+
+def _strcut_sql(col: str, which: str) -> str:
+    pos = f"position(' ' IN {col})"
+    inner = (
+        f"substring({col}, 1, {pos} - 1)"
+        if which == "strbefore"
+        else f"substring({col}, {pos} + 1)"
+    )
+    return f"CASE WHEN {pos} > 0 THEN {inner} ELSE '' END"
 
 query_st = st.fixed_dictionaries(
     {
@@ -80,15 +97,26 @@ def _build(spec):
     filters = []
     sql_filters = []
     for var, op, val in spec["filters"]:
-        if isinstance(val, str):
+        col = PART_PREDS[var][0]
+        if op in ("in", "not in"):
+            items = ", ".join(f'"{v}"' for v in val)
+            sql_items = ", ".join(f"'{v}'" for v in val)
+            kw = "NOT IN" if op == "not in" else "IN"
+            filters.append(f"FILTER (?{var} {kw} ({items}))")
+            sql_filters.append(f"{col} {kw} ({sql_items})")
+        elif op in ("strbefore=", "strafter="):
+            fn = op[:-1]
+            filters.append(f'FILTER ({fn.upper()}(?{var}, " ") = "{val}")')
+            sql_filters.append(f"{_strcut_sql(col, fn)} = '{val}'")
+        elif isinstance(val, str):
             filters.append(f'FILTER (?{var} {op} "{val}")')
             sql_filters.append(
-                f"{PART_PREDS[var][0]} {'<>' if op == '!=' else op} '{val}'"
+                f"{col} {'<>' if op == '!=' else op} '{val}'"
             )
         else:
             filters.append(f"FILTER (?{var} {op} {val})")
             sql_filters.append(
-                f"{PART_PREDS[var][0]} {'<>' if op == '!=' else op} {val}"
+                f"{col} {'<>' if op == '!=' else op} {val}"
             )
     order = spec["order"]
     # LIMIT without a total order is nondeterministic -> force unique

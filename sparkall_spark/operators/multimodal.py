@@ -13,11 +13,12 @@ corpora on Spark:
   Python (``parse_image_header``: PNG/GIF/BMP/JPEG/PPM/PGM; audio
   WAV/FLAC/OGG/MP3; video MP4 ``parse_video_header``) — no native
   codec needed; pixel-level features (mean luma, dHash) are ALSO REAL
-  for BMP BI_RGB 8/24/32bpp, binary PPM/PGM, PNG (stdlib zlib +
-  spec unfiltering) and GIF (pure-Python LZW) — ``decode_pixels``;
-  only JPEG (and Adam7-interlaced PNG) pixel data falls back to a
-  clearly-marked deterministic fake, and ``resize_images`` stays
-  PIL-gated.  The
+  for every common format — BMP BI_RGB 8/24/32bpp, binary PPM/PGM,
+  PNG (stdlib zlib + spec unfiltering), GIF (pure-Python LZW), and
+  baseline JPEG (huffman entropy decode + numpy IDCT, luma plane) —
+  ``decode_pixels``; only the rare encodings (progressive/arithmetic
+  JPEG, Adam7-interlaced PNG) fall back to a clearly-marked
+  deterministic fake, and ``resize_images`` stays PIL-gated.  The
   Spark-side plumbing — schema, partitioning, batch iteration, UDF
   signatures — is real and tested; swapping a fake for a real codec
   changes one function body and zero plan shape.
@@ -657,19 +658,274 @@ def _gif_luma(payload: bytes) -> np.ndarray | None:
     return None
 
 
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _idct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis; IDCT(block) = M.T @ B @ M."""
+    k = np.arange(8)
+    m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m[0, :] = 1.0
+    m *= np.sqrt(np.where(k == 0, 1.0, 2.0))[:, None] / np.sqrt(8.0)
+    return m
+
+
+_IDCT_M = _idct_matrix()
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    byte-unstuffing; stops (raises StopIteration) at a marker."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker: caller resyncs
+                raise StopIteration
+            else:
+                raise StopIteration
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Skip to just past the next RSTn marker (byte-aligned)."""
+        self.acc = self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("missing JPEG restart marker")
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad JPEG huffman stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_luma(payload: bytes) -> np.ndarray | None:
+    """REAL baseline-JPEG luma decode: segment walk -> huffman entropy
+    decode -> dequantize -> 8x8 IDCT (numpy basis multiply).  Only the
+    Y plane is materialized (mean_luma/dHash need no chroma), but Cb/Cr
+    blocks are still entropy-decoded to advance the bit stream.
+
+    Pure Python + numpy — slow (fine for feature extraction on small
+    images; swap PIL in for production throughput) but exact.  Returns
+    None for progressive/arithmetic/12-bit streams (fake fallback)."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    comps: list[dict] = []  # SOF components: id, h, v, tq
+    w = h = 0
+    restart = 0
+    i, n = 2, len(payload)
+    sos_pos = None
+    scan_comp: list[dict] = []
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        body = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                prec, tid = body[j] >> 4, body[j] & 0x0F
+                if prec != 0:
+                    return None  # 16-bit tables: rare, not supported
+                qt[tid] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=j + 1
+                ).astype(np.float64)
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                cls, tid = body[j] >> 4, body[j] & 0x0F
+                counts = body[j + 1 : j + 17]
+                syms = body[j + 17 : j + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(cls, tid)] = table
+                j += 17 + sum(counts)
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended seq.
+            if len(body) < 6 or body[0] != 8:
+                return None  # truncated, or 12-bit samples
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if len(body) < 6 + 3 * nc:
+                return None  # malformed: fewer component specs than nc
+            comps = [
+                {
+                    "id": body[6 + 3 * c],
+                    "h": body[7 + 3 * c] >> 4,
+                    "v": body[7 + 3 * c] & 0x0F,
+                    "tq": body[8 + 3 * c],
+                }
+                for c in range(nc)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comp = []
+            for c in range(ns):
+                cid, tsel = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan_comp.append(
+                    {**comp, "dc": tsel >> 4, "ac": tsel & 0x0F}
+                )
+            sos_pos = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if sos_pos is None or not comps or w <= 0 or h <= 0:
+        return None
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    y_comp = scan_comp[0]
+    yw, yv = y_comp["h"], y_comp["v"]
+    luma = np.zeros((mcus_y * 8 * yv, mcus_x * 8 * yw), dtype=np.float64)
+
+    reader = _BitReader(payload, sos_pos)
+    preds = {c["id"]: 0 for c in scan_comp}
+    mcu_count = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and mcu_count and mcu_count % restart == 0:
+                    reader.align_restart()
+                    preds = {c["id"]: 0 for c in scan_comp}
+                mcu_count += 1
+                for ci, c in enumerate(scan_comp):
+                    dc_tab = huff[(0, c["dc"])]
+                    ac_tab = huff[(1, c["ac"])]
+                    q = qt[c["tq"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coeff = np.zeros(64, dtype=np.float64)
+                            s = _huff_decode(reader, dc_tab)
+                            diff = _extend(reader.bits(s), s) if s else 0
+                            preds[c["id"]] += diff
+                            coeff[0] = preds[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(reader, ac_tab)
+                                r, s = rs >> 4, rs & 0x0F
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC index overflow")
+                                coeff[k] = _extend(reader.bits(s), s)
+                                k += 1
+                            if ci == 0:  # luma: dequant + IDCT + place
+                                block = np.zeros(64, dtype=np.float64)
+                                block[_ZIGZAG] = coeff * q
+                                spatial = (
+                                    _IDCT_M.T @ block.reshape(8, 8) @ _IDCT_M
+                                ) + 128.0
+                                y0 = (my * yv + by) * 8
+                                x0 = (mx * yw + bx) * 8
+                                luma[y0 : y0 + 8, x0 : x0 + 8] = spatial
+    except (StopIteration, IndexError):
+        pass  # truncated stream: keep what decoded
+    except ValueError:
+        return None
+    # Y plane dims per spec: ceil(dim * factor / max_factor)
+    y_h = -(-h * yv // vmax)
+    y_w = -(-w * yw // hmax)
+    return np.clip(luma[:y_h, :y_w], 0.0, 255.0).astype(np.float32)
+
+
 def decode_pixels(payload: bytes) -> np.ndarray | None:
     """REAL pixel decode (pure Python/numpy, no native codec): BMP
     BI_RGB at 8 (palette)/24/32 bpp, binary PPM/PGM, PNG (stdlib zlib
-    inflate + spec unfiltering), and GIF (pure-Python LZW).  Returns an
-    HxW float32 luma array in 0..255 (Rec. 601 weights for color), or
-    None when a real native codec is genuinely required (JPEG, Adam7
-    PNG)."""
+    inflate + spec unfiltering), GIF (pure-Python LZW), and baseline
+    JPEG (huffman + numpy IDCT, luma plane).  Returns an HxW float32
+    luma array in 0..255 (Rec. 601 weights for color), or None for the
+    rare encodings that still need a native codec (progressive/
+    arithmetic JPEG, Adam7 PNG)."""
     if not payload or len(payload) < 14:
         return None
+    # malformed compressed payloads are DATA at corpus scale, not
+    # errors: any codec-internal failure degrades to None (fake path)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return _png_luma(payload)
+        try:
+            return _png_luma(payload)
+        except Exception:
+            return None
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return _gif_luma(payload)
+        try:
+            return _gif_luma(payload)
+        except Exception:
+            return None
+    if payload[:2] == b"\xff\xd8":
+        try:
+            return _jpeg_luma(payload)
+        except Exception:
+            return None
     if payload[:2] in (b"P5", b"P6"):
         hdr = _netpbm_header(payload)
         if hdr is None:
@@ -749,12 +1005,13 @@ def dhash64(luma: np.ndarray) -> int:
 def _decode_one(payload: bytes) -> dict:
     """Per-image feature extraction.  Header fields are REAL for
     PNG/GIF/BMP/JPEG/PPM/PGM (parse_image_header); mean_luma and phash
-    (dHash) are REAL for every format except JPEG (decode_pixels: BMP
+    (dHash) are REAL for every common format (decode_pixels: BMP
     BI_RGB, binary PPM/PGM, PNG via stdlib zlib + spec unfiltering,
-    GIF via pure-Python LZW).  Only JPEG (and rare Adam7-interlaced
-    PNG) falls back to a clearly-marked deterministic fake keyed on the
-    payload hash — swapping in PIL changes only this fallback.  Raises
-    for None payloads like a real decoder.
+    GIF via pure-Python LZW, baseline JPEG via pure-Python huffman +
+    numpy IDCT).  Only rare encodings (progressive/arithmetic JPEG,
+    Adam7 PNG) fall back to a clearly-marked deterministic fake keyed
+    on the payload hash — swapping in PIL changes only this fallback.
+    Raises for None payloads like a real decoder.
     """
     if payload is None:
         raise ValueError("cannot decode empty payload")

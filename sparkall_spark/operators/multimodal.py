@@ -336,6 +336,98 @@ def decode_video_headers(df: DataFrame) -> DataFrame:
     )
 
 
+WAVEFORM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_waveform(payload: bytes) -> np.ndarray | None:
+    """REAL waveform decode for PCM WAV (pure numpy): RIFF chunk walk
+    -> fmt/data -> normalized float samples in [-1, 1], channels
+    interleaved-averaged to mono.  Returns None for non-WAV containers
+    and compressed codecs (FLAC/OGG/MP3 need a real decoder)."""
+    if (
+        not payload
+        or len(payload) < 44
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format not in (1, 0xFFFE) or channels <= 0:
+        return None
+    if bits == 8:  # unsigned
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2"
+        ).astype(np.float64) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(
+            data[: len(data) // 4 * 4], dtype="<i4"
+        ).astype(np.float64) / 2147483648.0
+    else:
+        return None  # 24-bit packed: rare, needs byte regrouping
+    usable = x.size // channels * channels
+    if usable == 0:
+        return None
+    return x[:usable].reshape(-1, channels).mean(axis=1)
+
+
+def decode_waveforms(df: DataFrame) -> DataFrame:
+    """Per-clip REAL waveform features (n_samples, RMS, peak) for PCM
+    WAV payloads via Arrow-batched mapInPandas; compressed codecs and
+    null payloads yield null feature rows."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "n_samples", "rms", "peak"]
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mono = (
+                    decode_waveform(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if mono is None:
+                    row = dict.fromkeys(cols[1:])
+                else:
+                    row = {
+                        "n_samples": int(mono.size),
+                        "rms": float(np.sqrt(np.mean(mono**2))),
+                        "peak": float(np.abs(mono).max()),
+                    }
+                row["media_id"] = mid
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _batches, schema=WAVEFORM_FEATURES_SCHEMA
+    )
+
+
 def decode_audio(df: DataFrame) -> DataFrame:
     """Decode a media DataFrame into per-clip audio features via
     mapInPandas.  Header fields are REAL for WAV/FLAC/OGG/MP3

@@ -122,3 +122,49 @@ def test_streaming_exact_dedup(spark, tmp_path):
         assert ids == [1, 2, 5]
     finally:
         q.stop()
+
+
+def test_streaming_split_and_redact_stateless(spark, tmp_path):
+    """Map-only operators (hash_split, redact_pii) compose onto a
+    stream unchanged and agree with their batch twin — the benefit of
+    keeping them pure Column expressions (r4)."""
+    import pandas as pd
+
+    from sparkall_spark.functions.text import redact_pii
+    from sparkall_spark.operators.sampling import hash_split
+
+    stage = tmp_path / "docs_split_stream"
+    stage.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 21)),
+            "text": [
+                f"doc {i} reach me at user{i}@mail.example.com" for i in range(1, 21)
+            ],
+        }
+    )
+    pdf.to_parquet(stage / "batch0.parquet")
+
+    batch = spark.read.parquet(str(stage))
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(str(stage))
+    )
+
+    def xform(df):
+        out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.2}, seed=11)
+        return out.withColumn("text", redact_pii("text"))
+
+    q = W.run_to_memory_sink(xform(stream), "t_stream_split", mode="append")
+    try:
+        got = {
+            r["doc_id"]: (r["split"], r["text"])
+            for r in spark.sql("SELECT * FROM t_stream_split").collect()
+        }
+        want = {
+            r["doc_id"]: (r["split"], r["text"]) for r in xform(batch).collect()
+        }
+        assert got == want and len(got) == 20
+        assert all("[EMAIL]" in t for _, t in got.values())
+        assert {s for s, _ in got.values()} == {"train", "val"}
+    finally:
+        q.stop()

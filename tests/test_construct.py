@@ -188,3 +188,31 @@ def test_construct_optional_skips_unbound(engine, duck):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     # no null objects ever reach the graph
     assert all(r["object"] is not None for r in a)
+
+
+def test_construct_over_aggregation_subquery(engine, duck):
+    """The documented escape hatch for CONSTRUCT + aggregation: wrap
+    the GROUP BY in a { SELECT ... } subquery."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        CONSTRUCT { ?n sa:customerCount ?cnt . }
+        WHERE {
+            ?n a sa:Nation .
+            { SELECT ?n (COUNT(*) AS ?cnt) WHERE {
+                ?c a sa:Customer ; sa:nation ?n . } GROUP BY ?n }
+        }
+        """
+    )
+    oracle = f"""
+    SELECT DISTINCT CAST(n_nationkey AS VARCHAR) AS subject,
+           '{NS}customerCount' AS predicate,
+           CAST(cnt AS VARCHAR) AS object
+    FROM nation JOIN (
+        SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1
+    ) s ON n_nationkey = c_nationkey
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) == 25

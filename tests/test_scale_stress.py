@@ -248,3 +248,34 @@ def test_star_join_hot_fk_skew_split(spark, tmp_path_factory):
     # hot bucket must not blow up runtime (all-pairs would be 5k x 5k
     # per table; bounded candidate join finishes in seconds)
     assert dt < 60
+
+
+def test_pack_sequences_shard_balance_and_scaling(spark):
+    """Sequence packing (r4): shards stay hash-balanced (max/min doc
+    count within 2x at 64 shards over 1M rows) and runtime is
+    near-linear in rows (4x data < 9x time) — no global sort, one
+    window per shard (docs/SCALE.md)."""
+    from sparkall_spark.operators.sampling import pack_sequences
+
+    def run(n_rows: int) -> float:
+        df = spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 900 + 100).alias("n_tokens"),
+        )
+        out = pack_sequences(df, "doc_id", "n_tokens", ctx_len=4096,
+                             n_shards=64, seed=1)
+        t0 = time.time()
+        agg = out.groupBy("shard").agg(
+            F.count("*").alias("n"), F.max("seq_id").alias("max_seq")
+        ).collect()
+        dt = time.time() - t0
+        counts = [r["n"] for r in agg]
+        assert len(counts) == 64
+        assert max(counts) < 2 * min(counts), "shard skew"
+        return dt
+
+    t_small = run(250_000)
+    t_big = run(1_000_000)
+    assert t_big < max(9 * t_small, t_small + 8.0), (
+        f"packing not near-linear: {t_small:.2f}s -> {t_big:.2f}s"
+    )

@@ -361,15 +361,30 @@ def _apply_values(
 ) -> DataFrame:
     """Multi-variable VALUES: inner-join the inline solution table on
     its variables.  Inline data is tiny by definition — broadcast, so
-    at scale this is a map-side lookup, never a shuffle."""
+    at scale this is a map-side lookup, never a shuffle.  UNDEF rows
+    (SPARQL 1.1 §10.2.2) carry None: the per-variable condition becomes
+    null-or-equal, and an all-UNDEF column drops out entirely."""
     for vars_, rows in q.values_tables:
-        vdf = spark.createDataFrame(rows, schema=list(vars_))
+        # all-UNDEF columns constrain nothing: prune them (also keeps
+        # createDataFrame away from untyped all-null columns)
+        keep = [
+            i for i, v in enumerate(vars_)
+            if any(row[i] is not None for row in rows)
+        ]
+        if not keep:
+            continue
+        kvars = [vars_[i] for i in keep]
+        krows = [tuple(row[i] for i in keep) for row in rows]
+        vdf = spark.createDataFrame(krows, schema=list(kvars))
+        has_undef = any(v is None for row in krows for v in row)
         cond = None
-        for v in vars_:
+        for v in kvars:
             c = df[q.column_for_var(v)] == vdf[v]
+            if has_undef:
+                c = vdf[v].isNull() | c
             cond = c if cond is None else cond & c
         df = df.join(F.broadcast(vdf), cond, "inner")
-        for v in vars_:
+        for v in kvars:
             df = df.drop(vdf[v])
     return df
 

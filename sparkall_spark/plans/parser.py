@@ -1099,7 +1099,8 @@ def parse_sparql(query: str) -> ParsedQuery:
             group_body = group_body[: mm.start()] + " " + group_body[mend:]
 
         # VALUES (?a ?b) { (lit lit) ... } -> inline solution table,
-        # inner-joined on its variables (UNDEF not supported)
+        # inner-joined on its variables; UNDEF rows carry None
+        # wildcards (null-or-equal join condition)
         values_tables: list[tuple[list[str], list[tuple]]] = []
         while True:
             vm = re.search(
@@ -1130,9 +1131,10 @@ def parse_sparql(query: str) -> ParsedQuery:
                 row: list = []
                 for tok in toks:
                     if tok.upper() == "UNDEF":
-                        raise SparqlParseError(
-                            "UNDEF in VALUES is not supported"
-                        )
+                        # SPARQL 1.1 §10.2.2: UNDEF leaves the variable
+                        # unconstrained for this row -> None wildcard
+                        row.append(None)
+                        continue
                     if tok.startswith('"'):
                         row.append(tok.strip('"'))
                     else:

@@ -153,15 +153,36 @@ def _attach_subqueries_sql(
 
 def _apply_values_sql(q: ParsedQuery, core: str) -> str:
     """SQL twin of executor._apply_values: join the inline VALUES table
-    (Spark SQL: FROM VALUES (..),(..) AS t(cols))."""
-    for i, (vars_, rows) in enumerate(q.values_tables):
+    (Spark SQL: FROM VALUES (..),(..) AS t(cols)); UNDEF -> NULL with a
+    null-or-equal condition, all-UNDEF columns pruned."""
+    for i, (all_vars, rows) in enumerate(q.values_tables):
+        keep = [
+            j for j, v in enumerate(all_vars)
+            if any(row[j] is not None for row in rows)
+        ]
+        if not keep:
+            continue
+        vars_ = [all_vars[j] for j in keep]
+        krows = [tuple(row[j] for j in keep) for row in rows]
+        has_undef = any(v is None for row in krows for v in row)
         row_sql = ", ".join(
-            "(" + ", ".join(_lit(v, isinstance(v, str)) for v in row) + ")"
-            for row in rows
+            "("
+            + ", ".join(
+                "NULL" if v is None else _lit(v, isinstance(v, str))
+                for v in row
+            )
+            + ")"
+            for row in krows
         )
         cols = ", ".join(_q(v) for v in vars_)
         on = " AND ".join(
-            f"{_q(q.column_for_var(v))} = vt{i}.{_q(v)}" for v in vars_
+            (
+                f"(vt{i}.{_q(v)} IS NULL OR "
+                f"{_q(q.column_for_var(v))} = vt{i}.{_q(v)})"
+                if has_undef
+                else f"{_q(q.column_for_var(v))} = vt{i}.{_q(v)}"
+            )
+            for v in vars_
         )
         core = (
             f"(SELECT * FROM {core} JOIN "

@@ -329,19 +329,51 @@ def test_multi_var_values_table(engine, duck):
     assert a == b and len(a) > 0
 
 
+def test_multi_var_values_undef_wildcard(engine, duck):
+    """UNDEF leaves a variable unconstrained for that row (SPARQL 1.1
+    §10.2.2, r4): ("BUILDING" UNDEF) admits every BUILDING customer,
+    (UNDEF 19) every nation-19 customer."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?seg ?nk WHERE {
+            ?c a sa:Customer ; sa:name ?name ; sa:mktsegment ?seg ;
+               sa:nation ?nk .
+            VALUES (?seg ?nk) { ("BUILDING" UNDEF) (UNDEF 19) }
+        }
+        """
+    )
+    oracle = """
+    SELECT c_name AS name, c_mktsegment AS seg, c_nationkey AS nk
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_name, c_mktsegment, c_nationkey FROM customer
+    WHERE c_nationkey = 19
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+    # BUILDING + nation-19 customers appear TWICE (both rows match —
+    # SPARQL join multiplicity, mirrored by the UNION ALL oracle)
+    from collections import Counter
+
+    dupes = [k for k, n in Counter(a).items() if n == 2]
+    assert dupes and all(r[1] == "BUILDING" and r[2] == 19 for r in dupes)
+
+    # parse shape: UNDEF -> None wildcard
+    from sparkall_spark.plans.parser import parse_sparql
+
+    pq = parse_sparql(q)
+    assert pq.values_tables == [
+        (["seg", "nk"], [("BUILDING", None), (None, 19)])
+    ]
+
+
 def test_multi_var_values_rejections():
     from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
 
-    with pytest.raises(SparqlParseError, match="UNDEF"):
-        parse_sparql(
-            PREFIX_BLOCK
-            + """
-            SELECT ?name WHERE {
-                ?c a sa:Customer ; sa:name ?name ; sa:mktsegment ?seg .
-                VALUES (?seg ?name) { ("BUILDING" UNDEF) }
-            }
-            """
-        )
     with pytest.raises(SparqlParseError, match="values for"):
         parse_sparql(
             PREFIX_BLOCK

@@ -96,6 +96,11 @@ _FUNCTIONS = {
     "bound": (None, None),     # IS NOT NULL on a variable
     "strbefore": (None, None), # position() + substring rendering
     "strafter": (None, None),
+    # SPARQL 1.1 §17.4.2.5 STR and §17.4.4 hash functions: arguments
+    # are stringified first so both compilers hash the lexical form
+    "str": (None, None),
+    "md5": (None, None),
+    "sha256": (None, None),
 }
 # EFun("in", (needle, *haystack)) is built by the infix IN parse only —
 # deliberately NOT in _FUNCTIONS, so call-syntax `in(..)` stays rejected.
@@ -229,6 +234,8 @@ class _Parser:
                 "strbefore", "strafter",
             ) and len(args) != (3 if fn == "replace" else 2):
                 raise ExprParseError(f"{fn.upper()} has wrong arity")
+            if fn in ("str", "md5", "sha256") and len(args) != 1:
+                raise ExprParseError(f"{fn.upper()} takes exactly one argument")
             if fn == "substr":
                 if len(args) not in (2, 3):
                     raise ExprParseError("SUBSTR takes (str, pos[, len])")
@@ -325,6 +332,13 @@ def to_column(node, resolve) -> Column:
             else:
                 hit = F.substring(s, pos + F.length(sep), F.length(s))
             return F.when(pos > 0, hit).otherwise(F.lit(""))
+        if node.fn in ("str", "md5", "sha256"):
+            c = to_column(node.args[0], resolve).cast("string")
+            if node.fn == "md5":
+                return F.md5(c.cast("binary"))
+            if node.fn == "sha256":
+                return F.sha2(c.cast("binary"), 256)
+            return c
         if node.fn == "in":
             needle = to_column(node.args[0], resolve)
             items = node.args[1:]
@@ -400,6 +414,14 @@ def to_sql(node, resolve) -> str:
                 else f"substring({s}, {pos} + length({p}))"
             )
             return f"(CASE WHEN {pos} > 0 THEN {hit} ELSE '' END)"
+        if node.fn in ("str", "md5", "sha256"):
+            s = f"CAST({to_sql(node.args[0], resolve)} AS STRING)"
+            if node.fn == "md5":
+                return f"md5({s})"
+            if node.fn == "sha256":
+                # Spark SQL spells SHA-256 as sha2(x, 256)
+                return f"sha2({s}, 256)"
+            return s
         if node.fn == "in":
             needle = to_sql(node.args[0], resolve)
             items = ", ".join(to_sql(a, resolve) for a in node.args[1:])

@@ -572,3 +572,31 @@ def test_in_parse_shapes():
         parse_expr("?x NOT (1)")
     with pytest.raises(ExprParseError):
         parse_expr("in(?x)")
+
+
+def test_str_and_hash_functions_match_oracle(engine, duck):
+    """SPARQL 1.1 STR / MD5 / SHA256 (§17.4): hashed over the lexical
+    form (stringified argument) so engines agree byte-for-byte."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name ?s ?m ?h WHERE {
+            ?n a sa:Nation ; sa:name ?name ; sa:region ?r .
+            BIND(STR(?r) AS ?s)
+            BIND(MD5(?name) AS ?m)
+            BIND(SHA256(CONCAT(?name, "-", STR(?r))) AS ?h)
+        }
+        """
+    )
+    oracle = """
+    SELECT n_name AS name, CAST(n_regionkey AS VARCHAR) AS s,
+           md5(n_name) AS m,
+           sha256(n_name || '-' || CAST(n_regionkey AS VARCHAR)) AS h
+    FROM nation
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) == 25
+    with pytest.raises(ExprParseError):
+        parse_expr("MD5(?a, ?b)")

@@ -267,6 +267,27 @@ def expr_vars(node) -> set[str]:
     return set()
 
 
+# functions that can produce a non-null result from null inputs — the
+# set that makes post-join evaluation of OPTIONAL-internal BINDs unsound
+NULL_ABSORBING_FNS = frozenset({"coalesce", "if", "bound"})
+
+
+def absorbs_null(node) -> bool:
+    """True when any subexpression can turn NULL inputs into a non-null
+    value (COALESCE/IF/BOUND).  Everything else in the fragment —
+    arithmetic, comparisons, string/hash functions, IN, NOT —
+    null-propagates in Spark."""
+    if isinstance(node, EFun):
+        if node.fn in NULL_ABSORBING_FNS:
+            return True
+        return any(absorbs_null(a) for a in node.args)
+    if isinstance(node, EBin):
+        return absorbs_null(node.left) or absorbs_null(node.right)
+    if isinstance(node, ENot):
+        return absorbs_null(node.arg)
+    return False
+
+
 def is_boolean_expr(node) -> bool:
     """True when the node is usable as a FILTER's top-level predicate:
     a comparison, a negation, or a boolean-returning function."""

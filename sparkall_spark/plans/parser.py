@@ -31,6 +31,7 @@ from sparkall_spark.plans.exprs import (
     _CMP_OPS,
     EBin,
     ExprParseError,
+    absorbs_null,
     expr_vars,
     is_boolean_expr,
     parse_expr,
@@ -1172,12 +1173,25 @@ def parse_sparql(query: str) -> ParsedQuery:
             group_body = group_body[: vm.start()] + " " + group_body[vend:]
 
         # BIND(expr AS ?alias) -> post-join computed column (extension;
-        # expression fragment: plans/exprs.py)
+        # expression fragment: plans/exprs.py).  BINDs textually inside
+        # an OPTIONAL block are remembered: post-join evaluation is only
+        # sound for them when NULL propagation makes the alias unbound
+        # exactly when the OPTIONAL did not match (validated below once
+        # the stars are known).
         binds: list[Bind] = []
+        optional_bind_aliases: set[str] = set()
         while True:
             bm = re.search(r"BIND\s*\(", group_body, re.IGNORECASE)
             if not bm:
                 break
+            in_optional = any(
+                om.start() < bm.start() < _balanced(
+                    group_body, group_body.index("{", om.start()), "{", "}"
+                )
+                for om in re.finditer(
+                    r"OPTIONAL\s*\{", group_body, re.IGNORECASE
+                )
+            )
             bend = _balanced(group_body, group_body.index("(", bm.start()))
             inner = group_body[bm.end() : bend - 1]
             am = re.search(r"\s+AS\s+\?([\w]+)\s*$", inner, re.IGNORECASE)
@@ -1188,12 +1202,41 @@ def parse_sparql(query: str) -> ParsedQuery:
             except ExprParseError as exc:
                 raise SparqlParseError(f"bad BIND expression: {exc}") from exc
             binds.append(Bind(am.group(1), ast, inner.strip()))
+            if in_optional:
+                optional_bind_aliases.add(am.group(1))
             group_body = group_body[: bm.start()] + " " + group_body[bend:]
 
         stars, var_to_star_pred, filters, optional_subjects, expr_filters = (
             _parse_group(group_body, prefixes)
         )
         filters = filters + values_filters
+
+        # OPTIONAL-internal BIND soundness: the alias must come out
+        # unbound (NULL) exactly when the OPTIONAL did not match.  That
+        # holds post-join iff the expression references at least one
+        # optional-star variable and contains no NULL-absorbing function
+        # (SPARQL left-join semantics; same rationale as the
+        # expression-FILTER-in-OPTIONAL restrictions).
+        if optional_bind_aliases:
+            opt_vars = optional_subjects | {
+                v
+                for v, (s, _p) in var_to_star_pred.items()
+                if s in optional_subjects
+            }
+            for b in binds:
+                if b.alias not in optional_bind_aliases:
+                    continue
+                refs = expr_vars(b.expr)
+                if not (refs & opt_vars) or absorbs_null(b.expr):
+                    raise SparqlParseError(
+                        f"BIND({b.raw} AS ?{b.alias}) inside OPTIONAL is "
+                        "only supported when the expression references "
+                        "the optional star's variables and propagates "
+                        "NULL (no COALESCE/IF/BOUND, no constant-only "
+                        "expressions) — otherwise the alias would be "
+                        "bound even for rows where the OPTIONAL did not "
+                        "match; move the BIND outside the OPTIONAL block"
+                    )
 
         # implicit binds from aggregate / ORDER BY expressions run
         # after the body's explicit binds (they may reference those

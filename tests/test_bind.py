@@ -600,3 +600,67 @@ def test_str_and_hash_functions_match_oracle(engine, duck):
     assert a == b and len(a) == 25
     with pytest.raises(ExprParseError):
         parse_expr("MD5(?a, ?b)")
+
+
+# --- r4: BIND inside OPTIONAL (left-join soundness) -----------------------
+
+
+def test_bind_inside_optional_null_propagating(engine, duck):
+    """A null-propagating BIND over the optional star's variables is
+    sound post-join: the alias is NULL exactly when the OPTIONAL did
+    not match."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?nname ?double WHERE {
+            ?n a sa:Nation ; sa:name ?nname .
+            OPTIONAL { ?c a sa:Customer ; sa:nation ?n ; sa:acctbal ?b .
+                       FILTER (?b > 9900)
+                       BIND(?b * 2 AS ?double) }
+        }
+        """
+    )
+    oracle = """
+    SELECT n_name AS nname, c_acctbal * 2 AS double
+    FROM nation LEFT JOIN customer
+      ON c_nationkey = n_nationkey AND c_acctbal > 9900
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    rows = engine.sparql(q).collect()
+    assert any(r["double"] is None for r in rows)  # non-matching nations
+    assert any(r["double"] is not None for r in rows)
+
+
+def test_bind_inside_optional_unsound_shapes_rejected():
+    """Constant-only and NULL-absorbing BINDs inside OPTIONAL would
+    bind the alias even for non-matching rows — rejected with guidance
+    (the same left-join reasoning as expression FILTERs in OPTIONAL)."""
+    for bad in (
+        "BIND(1 AS ?x)",
+        "BIND(COALESCE(?b, 0) AS ?x)",
+        "BIND(IF(?b > 1, 1, 2) AS ?x)",
+        "BIND(BOUND(?b) AS ?x)",
+    ):
+        with pytest.raises(SparqlParseError, match="inside OPTIONAL"):
+            parse_sparql(
+                PREFIX_BLOCK
+                + f"""
+                SELECT ?nname ?x WHERE {{
+                    ?n a sa:Nation ; sa:name ?nname .
+                    OPTIONAL {{ ?c a sa:Customer ; sa:nation ?n ;
+                               sa:acctbal ?b . {bad} }}
+                }}
+                """
+            )
+    # referencing ONLY mandatory vars inside OPTIONAL: also unsound
+    with pytest.raises(SparqlParseError, match="inside OPTIONAL"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + """
+            SELECT ?nname ?x WHERE {
+                ?n a sa:Nation ; sa:name ?nname .
+                OPTIONAL { ?c a sa:Customer ; sa:nation ?n ; sa:acctbal ?b .
+                           BIND(STRLEN(?nname) AS ?x) }
+            }
+            """
+        )

@@ -473,27 +473,34 @@ def _apply_construct(df: DataFrame, q: ParsedQuery) -> DataFrame:
     string row per template triple per solution.  Solutions with an
     unbound template variable emit no triple for that pattern (SPARQL
     1.1 §16.2), and the result deduplicates — an RDF graph is a set.
-    k template triples = k narrow projections of ONE shared solution
-    plan; Catalyst reuses the subtree, so the WHERE runs once."""
-    parts: list[DataFrame] = []
+
+    Shape matters at scale: k template triples explode from an ARRAY of
+    structs in a single projection, so the WHERE subtree executes ONCE
+    — a union of k projections would re-run the solution plan k times
+    (Spark does not common-subexpression-eliminate across union
+    branches)."""
+    structs: list[Column] = []
     for trip in q.construct_template:
-        cols: list[Column] = []
-        null_guard: Column | None = None
+        fields: list[Column] = []
         for term, out_name in zip(trip, ("subject", "predicate", "object")):
             kind, val = term
-            if kind == "var":
-                c = F.col(val).cast("string")
-                guard = F.col(val).isNotNull()
-                null_guard = guard if null_guard is None else null_guard & guard
-            else:  # iri / lit both surface as their lexical form
-                c = F.lit(str(val))
-            cols.append(c.alias(out_name))
-        part = df if null_guard is None else df.filter(null_guard)
-        parts.append(part.select(*cols))
-    out = parts[0]
-    for other in parts[1:]:
-        out = out.unionByName(other)
-    return out.distinct()
+            c = (
+                F.col(val).cast("string")
+                if kind == "var"
+                else F.lit(str(val))  # iri / lit: lexical form
+            )
+            fields.append(c.alias(out_name))
+        structs.append(F.struct(*fields))
+    out = df.select(F.explode(F.array(*structs)).alias("t"))
+    return (
+        out.filter(
+            F.col("t.subject").isNotNull()
+            & F.col("t.predicate").isNotNull()
+            & F.col("t.object").isNotNull()
+        )
+        .select("t.subject", "t.predicate", "t.object")
+        .distinct()
+    )
 
 
 def _apply_describe(

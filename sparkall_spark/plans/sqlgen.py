@@ -292,31 +292,32 @@ def _star_subquery(
 
 
 def _apply_construct_sql(q: ParsedQuery, sql: str) -> str:
-    """CONSTRUCT materialization, SQL rendering: the solution query
-    becomes a CTE, each template triple one projection over it (null
-    template vars emit nothing), deduplicated — mirrors
+    """CONSTRUCT materialization, SQL rendering: explode an ARRAY of
+    named_structs over the solution query, so the WHERE executes ONCE
+    (Spark inlines CTEs — a UNION ALL of per-triple selects would
+    re-run the solution plan k times).  Mirrors
     executor._apply_construct."""
     if not q.construct_template:
         return sql
-    parts: list[str] = []
+    structs: list[str] = []
     for trip in q.construct_template:
-        sel: list[str] = []
-        guards: list[str] = []
+        fields: list[str] = []
         for term, out in zip(trip, ("subject", "predicate", "object")):
             kind, val = term
-            if kind == "var":
-                sel.append(f"CAST({_q(val)} AS STRING) AS {_q(out)}")
-                guards.append(f"{_q(val)} IS NOT NULL")
-            else:
-                sel.append(f"{_lit(str(val), True)} AS {_q(out)}")
-        p = f"SELECT {', '.join(sel)} FROM sol"
-        if guards:
-            p += " WHERE " + " AND ".join(guards)
-        parts.append(p)
-    body = "\nUNION ALL\n".join(f"({p})" for p in parts)
+            expr = (
+                f"CAST({_q(val)} AS STRING)"
+                if kind == "var"
+                else _lit(str(val), True)
+            )
+            fields.append(f"'{out}', {expr}")
+        structs.append(f"named_struct({', '.join(fields)})")
+    arr = ",\n  ".join(structs)
     return (
-        f"WITH sol AS ({sql})\n"
-        f"SELECT DISTINCT * FROM (\n{body}\n) AS graph"
+        f"SELECT DISTINCT t.`subject`, t.`predicate`, t.`object` FROM (\n"
+        f"SELECT explode(array(\n  {arr}\n)) AS t FROM ({sql}) AS sol\n"
+        f") AS graph\n"
+        f"WHERE t.`subject` IS NOT NULL AND t.`predicate` IS NOT NULL "
+        f"AND t.`object` IS NOT NULL"
     )
 
 

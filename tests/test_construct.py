@@ -216,3 +216,29 @@ def test_construct_over_aggregation_subquery(engine, duck):
     a = sorted(map(tuple, engine.sparql(q).collect()))
     b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
     assert a == b and len(a) == 25
+
+
+def test_construct_executes_where_once(engine):
+    """Scale shape: the solution subtree appears ONCE in the physical
+    plan (explode-over-array), not once per template triple."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        CONSTRUCT {
+            ?c sa:inNation ?nname .
+            ?c sa:balance ?bal .
+            ?c a sa:Customer .
+        }
+        WHERE {
+            ?c a sa:Customer ; sa:nation ?n ; sa:acctbal ?bal .
+            ?n a sa:Nation ; sa:name ?nname .
+        }
+        """
+    )
+    for backend in ("dataframe", "sql"):
+        plan = (
+            engine.sparql(q, backend=backend)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Scan parquet") == 2, backend  # customer + nation
+        assert "Generate explode" in plan, backend

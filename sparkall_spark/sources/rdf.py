@@ -58,9 +58,17 @@ def parse_ntriples(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract("value", _NT_LINE, 3).alias("o_raw"),
     ).filter(F.col("p") != "")
     is_iri = F.col("o_raw").startswith("<")
-    lex = F.when(is_iri, F.regexp_extract("o_raw", r"^<([^>]*)>$", 1)).otherwise(
-        F.regexp_extract("o_raw", r'^"((?:[^"\\]|\\.)*)"', 1)
-    )
+    raw_lit = F.regexp_extract("o_raw", r'^"((?:[^"\\]|\\.)*)"', 1)
+    # N-Triples escape decoding (spec §2.1.1).  Escaped backslashes are
+    # swapped to a sentinel FIRST so their trailing char is never
+    # misread as a fresh escape (\\n is backslash+n, not newline).
+    u = F.regexp_replace(raw_lit, r"\\\\", "\x00")
+    u = F.regexp_replace(u, r'\\"', '"')
+    u = F.regexp_replace(u, r"\\n", "\n")
+    u = F.regexp_replace(u, r"\\r", "\r")
+    u = F.regexp_replace(u, r"\\t", "\t")
+    u = F.regexp_replace(u, "\x00", "\\\\")
+    lex = F.when(is_iri, F.regexp_extract("o_raw", r"^<([^>]*)>$", 1)).otherwise(u)
     dtype = F.regexp_extract("o_raw", r"\^\^<([^>]*)>$", 1)
     return t.select(
         F.regexp_replace("s_raw", r"^<|>$", "").alias("s"),
@@ -161,3 +169,81 @@ def read_ntriples(spark: SparkSession, mapping: EntityMapping) -> DataFrame:
             expr = F.try_element_at(c, F.lit(1)).cast(spark_type)
         cols.append(expr.alias(col_names[p]))
     return wide.select(*cols)
+
+
+# --- serialization (r4): DataFrame -> N-Triples ---------------------------
+
+_PY_TO_XSD = {
+    "int": XSD + "integer",
+    "bigint": XSD + "integer",
+    "smallint": XSD + "integer",
+    "double": XSD + "double",
+    "float": XSD + "double",
+    "boolean": XSD + "boolean",
+    "timestamp": XSD + "dateTime",
+    "date": XSD + "date",
+}
+
+
+def _nt_escape(col):
+    """N-Triples string-literal escaping (spec §2.1.1): backslash first,
+    then quote and the control characters."""
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    c = F.regexp_replace(c, "\n", "\\\\n")
+    c = F.regexp_replace(c, "\r", "\\\\r")
+    c = F.regexp_replace(c, "\t", "\\\\t")
+    return c
+
+
+def to_ntriples_lines(
+    df: DataFrame,
+    id_col: str,
+    subject_template: str,
+    class_iri: str | None = None,
+    predicates: dict[str, str] | None = None,
+) -> DataFrame:
+    """Serialize a wide entity DataFrame into N-Triples lines (one
+    string column ``line``), the inverse of :func:`read_ntriples`.
+
+    ``subject_template`` is the same ``http://.../{attr}`` form the
+    reader inverts; ``predicates`` maps predicate IRI -> column name
+    (defaults to every non-id column under ``{class_ns}{col}``).  Typed
+    columns get XSD datatype tags; strings are escaped per spec.  Pure
+    Column expressions — write with ``df.write.text`` for a distributed
+    N-Triples export."""
+    m = re.match(r"^(.*)\{[^{}]+\}(.*)$", subject_template)
+    if not m:
+        raise ValueError(f"bad subject template: {subject_template!r}")
+    subj = F.concat(
+        F.lit("<" + m.group(1)),
+        F.col(id_col).cast("string"),
+        F.lit(m.group(2) + ">"),
+    )
+    if predicates is None:
+        ns = (class_iri.rsplit("#", 1)[0].rsplit("/", 1)[0] + "/") if class_iri else "urn:col/"
+        predicates = {ns + c: c for c in df.columns if c != id_col}
+    parts: list = []
+    if class_iri:
+        parts.append(
+            F.concat(subj, F.lit(f" <{RDF_TYPE}> <{class_iri}> ."))
+        )
+    dtypes = dict(df.dtypes)
+    for iri, col in sorted(predicates.items()):
+        t = dtypes.get(col, "string")
+        if t == "string":
+            obj = F.concat(F.lit('"'), _nt_escape(F.col(col)), F.lit('"'))
+        else:
+            xsd = _PY_TO_XSD.get(t)
+            lex = F.col(col).cast("string")
+            obj = (
+                F.concat(F.lit('"'), lex, F.lit(f'"^^<{xsd}>'))
+                if xsd
+                else F.concat(F.lit('"'), _nt_escape(lex), F.lit('"'))
+            )
+        line = F.concat(subj, F.lit(f" <{iri}> "), obj, F.lit(" ."))
+        parts.append(F.when(F.col(col).isNotNull(), line))
+    out = df.select(
+        F.explode(F.array(*[p.alias("l") for p in parts])).alias("line")
+    )
+    return out.filter(F.col("line").isNotNull())

@@ -118,6 +118,80 @@ def test_edge_cases_blank_lang_escapes(spark, tmp_path):
     assert "_:b0" in rows
     assert rows["_:b0"]["label"] == "blank node subject"
     r10 = rows["10"]
-    assert r10["label"] == 'hello \\"quoted\\" world'
+    # escapes decoded per N-Triples spec (r4: was raw before)
+    assert r10["label"] == 'hello "quoted" world'
     assert r10["note"] == "bonjour"
     assert r10["empty"] == ""
+
+
+# --- r4: serialization round-trip + literal edge parsing ------------------
+
+
+def test_lang_tagged_and_escaped_literals_parse(spark, tmp_path):
+    """Language-tagged literals keep their value (tag stripped); typed
+    literals carry their datatype IRI."""
+    nt = tmp_path / "lit.nt"
+    nt.write_text(
+        '<http://x/1> <http://p/name> "chat"@fr .\n'
+        '<http://x/1> <http://p/n> "5"^^<http://www.w3.org/2001/XMLSchema#int> .\n'
+        '<http://x/1> <http://p/quote> "say \\"hi\\"" .\n'
+    )
+    from sparkall_spark.sources.rdf import parse_ntriples
+
+    rows = {
+        r["p"]: r for r in parse_ntriples(spark, str(nt)).collect()
+    }
+    assert rows["http://p/name"]["lex"] == "chat"
+    assert rows["http://p/n"]["lex"] == "5"
+    assert rows["http://p/n"]["dtype"].endswith("#int")
+    assert rows["http://p/quote"]["lex"] == 'say "hi"'  # escapes decoded
+
+
+def test_ntriples_write_read_roundtrip(spark, tmp_path):
+    """to_ntriples_lines is the inverse of read_ntriples: serialize a
+    typed frame, read it back through the full pivot reader, compare."""
+    from sparkall_spark.mappings import EntityMapping
+    from sparkall_spark.sources.rdf import to_ntriples_lines, read_ntriples
+
+    NS = "http://ex.org/ns/"
+    src = spark.createDataFrame(
+        [
+            (1, 'plain "quoted" text', 10, 2.5, True),
+            (2, "back\\slash and\nnewline", None, 0.5, False),
+        ],
+        ["nid", "label", "n", "score", "flag"],
+    )
+    lines = to_ntriples_lines(
+        src,
+        id_col="nid",
+        subject_template="http://ex.org/node/{nid}",
+        class_iri=NS + "Node",
+        predicates={
+            NS + "label": "label", NS + "n": "n",
+            NS + "score": "score", NS + "flag": "flag",
+        },
+    )
+    out = tmp_path / "nodes_nt"
+    lines.coalesce(1).write.mode("overwrite").text(str(out))
+    # row 2 has a null n -> no triple for it (serialize skips nulls)
+    assert lines.count() == 2 + 4 + 3
+
+    mapping = EntityMapping(
+        name="Node",
+        source=str(out),
+        source_type="rdf",
+        id_attr="nid",
+        predicates={NS + k: k for k in ("label", "n", "score", "flag")},
+        class_iri=NS + "Node",
+        options={"subject_template": "http://ex.org/node/{nid}"},
+    )
+    back = read_ntriples(spark, mapping)
+    got = {
+        int(r["nid"]): r
+        for r in back.select("nid", "label", "n", "score", "flag").collect()
+    }
+    assert got[1]["label"] == 'plain "quoted" text'
+    assert got[1]["n"] == 10 and abs(got[1]["score"] - 2.5) < 1e-9
+    assert got[1]["flag"] is True
+    assert got[2]["label"] == "back\\slash and\nnewline"
+    assert got[2]["n"] is None and got[2]["flag"] is False

@@ -291,3 +291,34 @@ def url_domains(col: Column | str) -> Column:
             ),
         )
     )
+
+
+def vocabulary(
+    df, text_col: str = "text", min_count: int = 1, max_size: int | None = None
+):
+    """Corpus vocabulary: one row per distinct lowercase token with
+    ``count`` (total occurrences) and ``doc_freq`` (documents containing
+    it), ordered by count desc, token asc (deterministic ties).
+
+    ONE explode + ONE groupBy shuffle with map-side combine — the
+    canonical corpus-stats pass; ``max_size`` caps the result via
+    TakeOrdered (no full sort materialization at the driver).
+    """
+    toks = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    # doc_freq needs per-document distinct tokens; recompute from the
+    # source row rather than shuffling (token, doc) pairs twice
+    per_doc = df.select(
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(text_col))))
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("count"))
+    dfreq = per_doc.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    out = (
+        counts.join(dfreq, "token")
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.col("count").desc(), F.col("token").asc())
+    )
+    return out.limit(max_size) if max_size else out

@@ -221,3 +221,34 @@ def test_pipeline_repetition_filters(spark):
     assert {r["doc_id"] for r in strict.collect()} == {1}
     strict2 = prepare_documents(df, min_quality=0.0, max_dup_ngram_ratio=0.5)
     assert {r["doc_id"] for r in strict2.collect()} == {1}
+
+
+def test_vocabulary_matches_oracle(spark, duck, sf_dir):
+    """Corpus vocabulary (r4): token counts + doc frequencies vs a
+    DuckDB unnest oracle on the documents fixture."""
+    from sparkall_spark.functions.text import vocabulary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["token"]: (r["count"], r["doc_freq"])
+        for r in vocabulary(docs).collect()
+    }
+    oracle = duck.execute(
+        """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''
+            )) AS token
+            FROM documents
+        )
+        SELECT token, count(*) AS c, count(DISTINCT doc_id) AS df
+        FROM toks GROUP BY token
+        """
+    ).fetchall()
+    assert {t: (c, d) for t, c, d in oracle} == got
+    # top-k path is deterministic and ordered
+    top = vocabulary(docs, max_size=5).collect()
+    assert len(top) == 5
+    assert [r["count"] for r in top] == sorted(
+        [r["count"] for r in top], reverse=True
+    )

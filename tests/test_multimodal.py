@@ -851,3 +851,55 @@ def test_wav_waveforms_mapinpandas(spark):
     assert feats[1]["n_samples"] == 800
     assert abs(feats[1]["rms"] - 0.5 / np.sqrt(2)) < 0.01
     assert feats[2]["rms"] is None and feats[3]["rms"] is None
+
+
+# --- r4: codec robustness fuzz --------------------------------------------
+
+
+def test_decoders_never_raise_on_garbage():
+    """decode_pixels/_decode_one/parse_*_header must treat arbitrary
+    bytes as data: None/fake results, never exceptions (a malformed
+    payload must not kill a 100 TB job)."""
+    import random
+
+    rng = random.Random(1234)
+    magics = [
+        b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"\xff\xd8", b"BM",
+        b"P5 ", b"P6 ", b"RIFF", b"fLaC", b"OggS", b"ID3", b"",
+    ]
+    for trial in range(300):
+        magic = magics[trial % len(magics)]
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        payload = magic + body
+        luma = M.decode_pixels(payload)  # must not raise
+        assert luma is None or luma.ndim == 2
+        feats = M._decode_one(payload)  # falls back to the marked fake
+        assert set(feats) == {"width", "height", "channels", "mean_luma", "phash"}
+        M.parse_image_header(payload)
+        M.parse_audio_header(payload)
+        M.parse_video_header(payload)
+        M.decode_waveform(payload)
+
+
+def test_truncated_real_files_never_raise():
+    """Truncations of VALID files at every prefix length: the nastiest
+    malformed inputs are half-written real ones."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    pixels = [[list(map(int, img[y, x])) for x in range(8)] for y in range(8)]
+    png = _png_encode(pixels, color_type=2, filters=[0, 1, 2, 3, 4, 0, 1, 2])
+    pal = [((7 * i) % 256, i, 255 - i) for i in range(8)]
+    gif = _gif_with_pixels(
+        [[int(v) for v in row] for row in rng.integers(0, 8, size=(6, 6))], pal
+    )
+    jpg = _jpeg_encode(img[:, :, 0].astype(np.float64))
+    wav = _wav_pcm(np.sin(np.arange(400) / 10.0) * 0.3)
+    for full in (png, gif, jpg, wav):
+        for cut in range(0, len(full), 7):
+            payload = full[:cut]
+            M.decode_pixels(payload)
+            M.decode_waveform(payload)
+            if payload:
+                M._decode_one(payload)

@@ -136,3 +136,31 @@ def test_bind_filter_pushes_into_scan(engine):
     assert "round(" in lineitem_scan
     assert "RLIKE" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_in_filter_pushes_into_scan(engine):
+    """Infix IN over literals (r4) must reach the parquet scan as a
+    single In predicate — not a post-scan OR chain."""
+    df = engine.sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?name WHERE {
+            ?c a sa:Customer ; sa:name ?name ; sa:mktsegment ?seg .
+            FILTER (?seg IN ("BUILDING", "MACHINERY"))
+        }
+        """
+    )
+    plan = _plan(df)
+    assert "In(c_mktsegment, [BUILDING,MACHINERY])" in plan
+
+
+def test_negated_path_stays_pushdown_friendly(engine):
+    """The negated-path rewrite produces plain positive scans: minimal
+    ReadSchema, no extra shuffle beyond the union."""
+    df = engine.sparql(
+        PREFIX_BLOCK
+        + "SELECT ?n ?o WHERE { ?n a sa:Nation . ?n !sa:region ?o . }"
+    )
+    plan = _plan(df)
+    assert "ReadSchema: struct<n_nationkey:int,n_name:string>" in plan
+    assert "Exchange" not in plan  # single complement -> map-only scan

@@ -103,3 +103,22 @@ def test_describe_join_restricted(engine):
     # 4 predicate triples + type triple per described customer
     subjects = {r["subject"] for r in a}
     assert len(a) == 5 * len(subjects) and len(subjects) >= 1
+
+
+def test_describe_multiple_variables(engine):
+    """DESCRIBE ?c ?n emits both entities' descriptions in one graph."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        DESCRIBE ?c ?n WHERE {
+            ?c a sa:Customer ; sa:nation ?n ; sa:acctbal ?bal .
+            ?n a sa:Nation .
+            FILTER (?bal > 9900)
+        }
+        """
+    )
+    a = engine.sparql(q).collect()
+    b = engine.sparql(q, backend="sql").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    types = {r["object"] for r in a if r["predicate"] == RDF_TYPE}
+    assert types == {NS + "Customer", NS + "Nation"}

@@ -457,8 +457,12 @@ def expand_negated_paths(query_text: str, index: "MappingIndex") -> str:
                 "'?s !(p1|p2) ?o'"
             )
         subj = re.escape(sm.group(1))
+        type_tok = (
+            r"(?:a|rdf:type|"
+            r"<http://www\.w3\.org/1999/02/22-rdf-syntax-ns#type>)"
+        )
         tm = re.search(
-            subj + r"\b[^.{}]*?\ba\s+([^\s;.]+)", masked
+            subj + r"\b[^.{}]*?\s" + type_tok + r"\s+([^\s;.]+)", masked
         )
         if not tm:
             raise SparqlParseError(

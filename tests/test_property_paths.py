@@ -498,3 +498,15 @@ def test_negated_path_validation(engine):
             PREFIX_BLOCK
             + "SELECT ?o WHERE { ?n a sa:Region . ?n !sa:name ?o . }"
         )
+
+
+def test_negated_path_with_full_type_iri(engine, duck):
+    """The class triple may use the full rdf:type IRI, not just 'a'."""
+    q = (
+        PREFIX_BLOCK
+        + "SELECT ?n ?o WHERE { "
+        "?n <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> sa:Nation . "
+        "?n !sa:region ?o . }"
+    )
+    oracle = "SELECT n_nationkey AS n, n_name AS o FROM nation"
+    assert_matches_oracle(engine.sparql(q), duck, oracle)

@@ -1488,6 +1488,8 @@ SQL_BACKEND_KEYS = {
     "q25_bsbm_q1",
     "q06_bind_rlike",
     "q34_path_groupconcat",
+    # r4: UNION + path-alternation shapes through the compiled-SQL route
+    "q19_sparql_union",
 }
 
 

@@ -165,3 +165,25 @@ def test_to_sql_is_single_statement(engine):
     assert sql.count("SELECT") >= 5  # one subquery per star + outer
     assert ";" not in sql
     assert "JOIN" in sql
+
+
+def test_every_registry_sparql_entry_agrees_across_backends(spark):
+    """Sweep: EVERY SPARQL entry in the driver registry must compile
+    through the single-SQL backend and produce exactly the DataFrame
+    backend's rows.  Guarantees the compiled-SQL surface covers the
+    whole registered fragment, not just the driver-routed subset."""
+    import __spark_entry__ as E
+    from sparkall_spark.fixtures import tpch_mappings
+    from sparkall_spark.engine import Engine
+
+    engine = Engine(spark, tpch_mappings("/root/testdata/sf0.001"))
+    checked = 0
+    from sparkall_spark.fixtures import PREFIX_BLOCK
+
+    for name, (text, _oracle) in E.SPARQL_QUERIES.items():
+        q = PREFIX_BLOCK + text
+        a = sorted(map(tuple, engine.sparql(q).collect()))
+        b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+        assert a == b, f"backend disagreement on {name}"
+        checked += 1
+    assert checked >= 20  # the whole SPARQL side of the registry

@@ -100,3 +100,71 @@ def dedup_clusters(
     return df.join(comps, id_col, "left").withColumn(
         "cluster_rep", F.coalesce(F.col("comp"), F.col(id_col))
     ).drop("comp")
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge DataFrame (extension).
+
+    Pretraining use case: domain-level authority over a web link graph
+    drives per-domain sampling weights and quality priors (the classic
+    "rank the crawl" step).  Semantics: standard power iteration with
+    uniform teleport over the node set; dangling nodes (no out-edges)
+    keep their teleport mass only — the simple variant every SQL
+    oracle can mirror with a k-step CTE chain.
+
+        pr_0       = 1/N
+        pr_{t+1}   = (1-d)/N + d * sum_{(u,v) in E} pr_t(u)/outdeg(u)
+
+    Scale design: each iteration is ONE shuffle (groupBy dst) over |E|
+    rows joined map-side against the persisted rank table;
+    localCheckpoint every ``checkpoint_every`` rounds truncates lineage
+    (the iterative-Spark failure mode).  Returns (node, rank).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    _register_cache(nodes)
+    n_nodes = nodes.count()  # one metadata-scale job, reused every round
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    _register_cache(outdeg)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    teleport = (1.0 - damping) / n_nodes
+    for i in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=False)
+        ranks = new_ranks
+    return ranks

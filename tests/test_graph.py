@@ -57,3 +57,62 @@ def test_dedup_clusters_vs_recursive_cte(spark, sf_dir):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_pagerank_matches_iterative_oracle(spark):
+    """Fixed-iteration PageRank vs a DuckDB k-step CTE chain oracle on
+    a small digraph (r4)."""
+    import duckdb
+
+    from sparkall_spark.operators.graph import pagerank
+
+    EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iters=3, checkpoint_every=100).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src INT, dst INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", EDGES)
+    oracle = con.execute(
+        """
+        WITH nodes AS (SELECT DISTINCT src AS node FROM e
+                       UNION SELECT DISTINCT dst FROM e),
+        deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS rank
+               FROM nodes),
+        r1 AS (SELECT n.node, 0.15 / (SELECT count(*) FROM nodes)
+                      + 0.85 * coalesce(sum(r0.rank / deg.d), 0) AS rank
+               FROM nodes n
+               LEFT JOIN e ON e.dst = n.node
+               LEFT JOIN r0 ON r0.node = e.src
+               LEFT JOIN deg ON deg.src = e.src
+               GROUP BY n.node),
+        r2 AS (SELECT n.node, 0.15 / (SELECT count(*) FROM nodes)
+                      + 0.85 * coalesce(sum(r1.rank / deg.d), 0) AS rank
+               FROM nodes n
+               LEFT JOIN e ON e.dst = n.node
+               LEFT JOIN r1 ON r1.node = e.src
+               LEFT JOIN deg ON deg.src = e.src
+               GROUP BY n.node),
+        r3 AS (SELECT n.node, 0.15 / (SELECT count(*) FROM nodes)
+                      + 0.85 * coalesce(sum(r2.rank / deg.d), 0) AS rank
+               FROM nodes n
+               LEFT JOIN e ON e.dst = n.node
+               LEFT JOIN r2 ON r2.node = e.src
+               LEFT JOIN deg ON deg.src = e.src
+               GROUP BY n.node)
+        SELECT node, rank FROM r3
+        """
+    ).fetchall()
+    con.close()
+    want = dict(oracle)
+    assert set(got) == set(want)
+    for node, rank in want.items():
+        assert abs(got[node] - rank) < 1e-12, node
+    # node 3 has the most in-links -> highest rank; dangling node 4
+    # keeps teleport mass only -> lowest
+    order = sorted(got, key=got.get, reverse=True)
+    assert order[0] == 3 and order[-1] == 4

@@ -322,3 +322,55 @@ def vocabulary(
         .orderBy(F.col("count").desc(), F.col("token").asc())
     )
     return out.limit(max_size) if max_size else out
+
+
+def tfidf_top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_docs: int | None = None,
+):
+    """Top-``k`` TF-IDF terms per document: ``(id, token, tf, score,
+    rank)`` with smoothed IDF ``ln((N+1)/(df+1)) + 1``.
+
+    Two shuffles — (doc, token) term frequencies, then the per-doc
+    top-k window — plus a broadcast-joined doc-frequency table (distinct
+    tokens are vocabulary-scale, far smaller than the corpus).  Ties
+    break by token asc, so results are deterministic and
+    oracle-comparable.  ``n_docs`` skips the counting job when the
+    caller already knows the corpus size.
+    """
+    if n_docs is None:
+        n_docs = df.count()  # one metadata-scale job
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = (
+        df.select(
+            F.explode(
+                F.array_distinct(tokens(F.lower(F.col(text_col))))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1) / (F.col("doc_freq") + 1)) + 1
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "score", F.round(F.col("tf") * idf, 6)
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "token", "tf", "score", "rank")
+    )

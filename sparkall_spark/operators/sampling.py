@@ -193,3 +193,53 @@ def pack_sequences(
     return out.withColumn(
         "seq_id", F.floor(F.col("start_offset") / ctx_len).cast("bigint")
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    source_col: str,
+    n_tokens_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic corpus mixing: sample each source down so the
+    result approximates ``token_budget`` tokens split by ``weights``
+    (the pretraining mixture-weights step).
+
+    Per source s: keep fraction ``min(1, budget*w_s / tokens_s)`` via
+    the stable id-hash (so reruns keep identical rows).  Sources not in
+    ``weights`` are dropped.  The only driver-side data is the
+    per-source token totals (one aggregate, bounded by #sources);
+    membership itself is a map-only expression.  Under-filled sources
+    (fewer tokens than their share) are NOT rebalanced onto others —
+    deterministic membership is the contract; renormalize weights and
+    rerun to redistribute.
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    shares = {s: w / total for s, w in weights.items()}
+    stats = {
+        r["s"]: r["toks"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(n_tokens_col).alias("toks"))
+        .collect()  # bounded by #sources — metadata, not data
+    }
+    fractions = {
+        s: min(1.0, token_budget * share / stats[s])
+        for s, share in shares.items()
+        if s in stats and stats[s] > 0
+    }
+    if not fractions:
+        raise ValueError("no overlap between weights and sources")
+    bucket = split_bucket(id_col, seed)
+    frac_col = None
+    for s, frac in fractions.items():
+        threshold = int(round(frac * N_BUCKETS))
+        branch = F.when(F.col(source_col) == s, F.lit(threshold))
+        frac_col = branch if frac_col is None else frac_col.when(
+            F.col(source_col) == s, F.lit(threshold)
+        )
+    return df.filter(bucket < frac_col.otherwise(F.lit(0)))

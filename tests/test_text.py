@@ -252,3 +252,87 @@ def test_vocabulary_matches_oracle(spark, duck, sf_dir):
     assert [r["count"] for r in top] == sorted(
         [r["count"] for r in top], reverse=True
     )
+
+
+def test_tfidf_top_terms_matches_oracle(spark, duck, sf_dir):
+    """Per-doc TF-IDF top-k vs a DuckDB window oracle (r4)."""
+    from sparkall_spark.functions.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tfidf_top_terms(docs, k=3)
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["score"])
+        for r in out.collect()
+    }
+    n_docs = docs.count()
+    oracle = duck.execute(
+        f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''
+            )) AS token FROM documents
+        ),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM toks GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+                  GROUP BY token),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   round(tf.tf * (ln(({n_docs} + 1.0) / (df + 1)) + 1), 6)
+                       AS score
+            FROM tf JOIN dfreq USING (token)
+        )
+        SELECT doc_id, token, tf, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token ASC) AS rank
+        FROM scored QUALIFY rank <= 3
+        """
+    ).fetchall()
+    want = {(d, r): (t, tf, s) for d, t, tf, s, r in oracle}
+    assert set(got) == set(want)
+    for key, (tok, tf, score) in want.items():
+        gt, gf, gs = got[key]
+        assert (gt, gf) == (tok, tf), key
+        assert abs(gs - score) < 1e-9, key
+
+
+def test_mix_corpus_deterministic_budget(spark):
+    """Corpus mixing: per-source keep fractions hit the budget split
+    and membership is the stable id-hash (reruns identical)."""
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.sampling import mix_corpus
+
+    rows = [
+        (i, "web" if i < 8000 else ("books" if i < 9000 else "code"), 100)
+        for i in range(10000)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = mix_corpus(
+        df, "source", "n_tokens",
+        weights={"web": 0.5, "books": 0.5},  # 'code' dropped
+        token_budget=100_000, id_col="doc_id", seed=3,
+    )
+    toks = {
+        r["source"]: r["t"]
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert set(toks) == {"web", "books"}
+    # web: 50k budget over 800k available -> ~6.25% kept; books has
+    # only 100k for its 50k share -> ~50% kept; hash sampling is
+    # binomial so allow generous tolerance
+    assert abs(toks["web"] - 50_000) < 10_000
+    assert abs(toks["books"] - 50_000) < 10_000
+    again = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert again == sorted(
+        r["doc_id"]
+        for r in mix_corpus(
+            df, "source", "n_tokens", {"web": 0.5, "books": 0.5},
+            100_000, "doc_id", 3,
+        ).select("doc_id").collect()
+    )
+    # over-budget share caps at keeping the whole source
+    all_books = mix_corpus(
+        df, "source", "n_tokens", {"books": 1.0}, 10_000_000, "doc_id"
+    )
+    assert all_books.count() == 1000

@@ -75,9 +75,6 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
-_REAL_CODECS = False  # flips when PIL/ffmpeg are installed
-
-
 def parse_image_header(payload: bytes) -> dict | None:
     """REAL (pure-Python, no native deps) container-header parse for the
     common image formats: returns true ``width``/``height``/``channels``
@@ -1170,15 +1167,80 @@ def decode_images(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def _resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resample of an HxW float array (pixel-center
+    alignment, edge-clamped) — the standard thumbnail kernel."""
+    h, w = img.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: real implementation needs PIL — the plumbing
-    (signature, schema, batch shape) is what this defines."""
-    if not _REAL_CODECS:
-        raise NotImplementedError(
-            "image resize requires PIL/opencv, not present in this "
-            "environment; decode_images() demonstrates the mapInPandas "
-            "plumbing with a deterministic fake"
-        )
+    """REAL image resize (r4 — no PIL): decode the pixel plane with the
+    pure-Python codecs (PNG/GIF/BMP/PPM/PGM/baseline JPEG), bilinear-
+    resample the luma, and re-encode as a binary PGM payload — a valid
+    image any downstream tool (or decode_images itself) can read.
+
+    Arrow-batched mapInPandas; payloads the codecs cannot decode
+    (progressive JPEG, Adam7 PNG, garbage) yield NULL payloads —
+    at corpus scale they are data, not errors.  Grayscale-only by
+    design: thumbnails for vision-model dedup/quality filtering, not
+    color-faithful rendering.
+    """
+    if width <= 0 or height <= 0:
+        raise ValueError("resize dimensions must be positive")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "payload", "width", "height"]
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                luma = (
+                    decode_pixels(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if luma is None or luma.size == 0:
+                    out.append(
+                        {"media_id": mid, "payload": None,
+                         "width": None, "height": None}
+                    )
+                    continue
+                small = np.clip(
+                    _resize_bilinear(luma.astype(np.float64), height, width),
+                    0, 255,
+                ).astype(np.uint8)
+                pgm = (
+                    f"P5 {width} {height} 255\n".encode() + small.tobytes()
+                )
+                out.append(
+                    {"media_id": mid, "payload": pgm,
+                     "width": width, "height": height}
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _batches, schema=RESIZED_SCHEMA
+    )
 
 
 def sample_video_frames(df: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:

@@ -440,9 +440,36 @@ def test_parse_image_header_rejects_unknown():
     assert M.parse_image_header(b"\x89PNG") is None  # truncated
 
 
-def test_resize_is_explicit_stub(media):
-    with pytest.raises(NotImplementedError):
-        M.resize_images(media, 224, 224)
+def test_resize_images_real_roundtrip(spark):
+    """resize_images is REAL (r4): decode -> bilinear -> PGM payload
+    that decode_images can read back at the target size; undecodable
+    payloads yield null rows."""
+    import numpy as np
+
+    big = _bmp_with_pixels(
+        [[(v, v, v) for v in row] for row in
+         np.repeat(np.repeat([[0, 255], [255, 0]], 8, axis=0), 8, axis=1)]
+    )
+    raw = spark.createDataFrame(
+        [(1, bytearray(big)), (2, bytearray(b"garbage not an image")), (3, None)],
+        ["id", "blob"],
+    )
+    media = M.attach_metadata(raw, "id", "blob", "image")
+    out = {r["media_id"]: r for r in M.resize_images(media, 4, 4).collect()}
+    assert out[1]["width"] == 4 and out[1]["payload"] is not None
+    assert out[2]["payload"] is None and out[3]["payload"] is None
+    # the resized payload is a real PGM: decode it back
+    luma = M.decode_pixels(bytes(out[1]["payload"]))
+    assert luma.shape == (4, 4)
+    # checkerboard halves average toward mid-gray after downsample;
+    # corners keep their block's dominant value
+    assert luma[0, 0] < 128 < luma[0, 3]
+    # the resized frame flows through decode_images as a normal image
+    rdf = spark.createDataFrame(
+        [(9, bytearray(out[1]["payload"]))], ["id", "blob"]
+    )
+    feats = M.decode_images(M.attach_metadata(rdf, "id", "blob", "image")).collect()[0]
+    assert (feats["width"], feats["height"]) == (4, 4)
 
 
 def test_video_frame_sampling_plumbing(media):

@@ -18,7 +18,9 @@ corpora on Spark:
   baseline JPEG (huffman entropy decode + numpy IDCT, luma plane) —
   ``decode_pixels``; only the rare encodings (progressive/arithmetic
   JPEG, Adam7-interlaced PNG) fall back to a clearly-marked
-  deterministic fake, and ``resize_images`` stays PIL-gated.  The
+  deterministic fake.  ``resize_images`` is REAL too: decode ->
+  vectorized bilinear -> valid PGM re-encode (null rows for
+  undecodable payloads).  The
   Spark-side plumbing — schema, partitioning, batch iteration, UDF
   signatures — is real and tested; swapping a fake for a real codec
   changes one function body and zero plan shape.

@@ -1245,31 +1245,108 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
-def sample_video_frames(df: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
-    """Frame-sampling stub (ffmpeg needed); deterministic fake emits one
-    synthetic frame reference per payload so pipelines can be tested."""
+def parse_avi_mjpeg(payload: bytes) -> tuple[float, list[bytes]] | None:
+    """REAL AVI container walk (RIFF chunk tree): returns
+    ``(seconds_per_frame, [frame_bytes, ...])`` for AVIs whose video
+    chunks ('..dc'/'..db') carry per-frame payloads — the MJPEG layout,
+    where every frame is a standalone JPEG our pure-Python decoder can
+    read.  None for non-AVI containers or malformed trees."""
+    if (
+        not payload
+        or len(payload) < 24
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        return None
+    us_per_frame = None
+    frames: list[bytes] = []
 
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("frame_idx", T.IntegerType(), False),
-            T.StructField("frame_ref", T.StringType(), True),
-        ]
-    )
+    def walk(start: int, end: int) -> None:
+        nonlocal us_per_frame
+        i = start
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body_start = i + 8
+            body_end = min(body_start + sz, end)
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)  # skip the list subtype
+            elif cid == b"avih" and sz >= 4:
+                us_per_frame = int.from_bytes(
+                    payload[body_start : body_start + 4], "little"
+                )
+            elif cid[2:4] in (b"dc", b"db") and sz > 0:
+                frames.append(payload[body_start:body_end])
+            i = body_end + (sz & 1)  # chunks are word-aligned
+
+    try:
+        walk(12, len(payload))
+    except (IndexError, RecursionError):
+        return None
+    if not frames or not us_per_frame:
+        return None
+    return us_per_frame / 1e6, frames
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("t_sec", T.DoubleType(), True),
+        T.StructField("frame_payload", T.BinaryType(), True),
+        T.StructField("frame_ref", T.StringType(), True),
+    ]
+)
+
+
+def sample_video_frames(df: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
+    """Frame sampling: REAL for MJPEG-in-AVI (r4 — RIFF walk + the
+    pure-Python JPEG path downstream), marked fake for codec-compressed
+    containers (MP4/H.264 genuinely need ffmpeg).
+
+    Real rows carry the frame's standalone JPEG bytes in
+    ``frame_payload`` (feed them straight into ``decode_images`` /
+    ``resize_images``) and a null ``frame_ref``; fake rows carry a
+    ``fake://`` ref and a null payload — the honesty split is explicit
+    in the schema."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "t_sec", "frame_payload", "frame_ref"]
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                avi = (
+                    parse_avi_mjpeg(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if avi is not None:
+                    spf, frames = avi
+                    step = max(1, round(every_n_seconds / spf))
+                    for k, idx in enumerate(range(0, len(frames), step)):
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": k,
+                                "t_sec": idx * spf,
+                                "frame_payload": frames[idx],
+                                "frame_ref": None,
+                            }
+                        )
+                    continue
                 n = 1 if payload is None else 1 + (len(payload) % 3)
                 for i in range(n):
                     rows.append(
                         {
                             "media_id": mid,
                             "frame_idx": i,
+                            "t_sec": None,
+                            "frame_payload": None,
                             "frame_ref": f"fake://media/{mid}/frame/{i}",
                         }
                     )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ref"])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return df.select("media_id", "payload").mapInPandas(_batches, schema=out_schema)
+    return df.select("media_id", "payload").mapInPandas(
+        _batches, schema=FRAME_SCHEMA
+    )

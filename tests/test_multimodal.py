@@ -473,18 +473,20 @@ def test_resize_images_real_roundtrip(spark):
 
 
 def test_video_frame_sampling_plumbing(media):
+    """Non-AVI payloads keep the marked fake refs with null payloads."""
     frames = M.sample_video_frames(media)
     rows = frames.collect()
     assert {f.name for f in frames.schema.fields} == {
-        "media_id",
-        "frame_idx",
-        "frame_ref",
+        "media_id", "frame_idx", "t_sec", "frame_payload", "frame_ref",
     }
     by_media = {}
     for r in rows:
         by_media.setdefault(r["media_id"], []).append(r)
     assert set(by_media) == {1, 2, 3}
-    assert all(r["frame_ref"].startswith("fake://") for r in rows)
+    assert all(
+        r["frame_ref"].startswith("fake://") and r["frame_payload"] is None
+        for r in rows
+    )
 
 
 def _wav_bytes(rate: int, ch: int, bits: int, n_frames: int) -> bytes:
@@ -930,3 +932,51 @@ def test_truncated_real_files_never_raise():
             M.decode_waveform(payload)
             if payload:
                 M._decode_one(payload)
+
+
+def _mjpeg_avi(jpeg_frames, us_per_frame=500_000) -> bytes:
+    """Minimal MJPEG AVI: RIFF(AVI ) { LIST(hdrl){avih}, LIST(movi){00dc...} }."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack("<I", us_per_frame) + b"\x00" * 52
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_mjpeg_avi_real_frame_sampling(spark):
+    """MJPEG AVI frames sample for REAL: every-other-frame at 2 fps /
+    1 s sampling, payloads are standalone JPEGs our decoder reads."""
+    import numpy as np
+
+    frames = [
+        _jpeg_encode(np.full((8, 8), v, dtype=np.float64)) for v in (40, 120, 200)
+    ]
+    avi = _mjpeg_avi(frames, us_per_frame=500_000)  # 2 fps
+    raw = spark.createDataFrame([(7, bytearray(avi))], ["id", "blob"])
+    media = M.attach_metadata(raw, "id", "blob", "video")
+    rows = sorted(
+        M.sample_video_frames(media, every_n_seconds=1.0).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    # frames 0 and 2 (step = 1.0 / 0.5 = 2)
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+    assert [r["t_sec"] for r in rows] == [0.0, 1.0]
+    assert all(r["frame_ref"] is None for r in rows)
+    lumas = [float(M.decode_pixels(bytes(r["frame_payload"])).mean()) for r in rows]
+    assert abs(lumas[0] - 40) < 3 and abs(lumas[1] - 200) < 3
+    # sampled frames compose with the image pipeline
+    fdf = spark.createDataFrame(
+        [(r["frame_idx"], bytearray(r["frame_payload"])) for r in rows],
+        ["id", "blob"],
+    )
+    feats = M.decode_images(
+        M.attach_metadata(fdf, "id", "blob", "image")
+    ).collect()
+    assert all((f["width"], f["height"]) == (8, 8) for f in feats)

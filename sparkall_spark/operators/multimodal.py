@@ -263,8 +263,27 @@ def parse_video_header(payload: bytes) -> dict | None:
     MP4/QuickTime: walks the ISO-BMFF box tree to ``moov/mvhd``
     (timescale + duration) and the first video ``tkhd`` (track width/
     height, 16.16 fixed point).  Sample decoding would need a codec;
-    header structure does not.  Returns None for non-MP4 payloads."""
-    if not payload or len(payload) < 16 or payload[4:8] != b"ftyp":
+    header structure does not.  Also parses AVI main headers (r4:
+    dwWidth/dwHeight/dwTotalFrames x dwMicroSecPerFrame from ``avih``).
+    Returns None for unknown containers."""
+    if not payload or len(payload) < 16:
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # avih is the first chunk of LIST hdrl: RIFF(12) LIST hdr(8)
+        # 'hdrl'(4) 'avih'(4) size(4) -> fields at offset 32
+        a = payload.find(b"avih")
+        if a < 0 or a + 48 > len(payload):
+            return None
+        base = a + 8  # past id + size
+        usf = int.from_bytes(payload[base : base + 4], "little")
+        total = int.from_bytes(payload[base + 16 : base + 20], "little")
+        return {
+            "width": int.from_bytes(payload[base + 32 : base + 36], "little"),
+            "height": int.from_bytes(payload[base + 36 : base + 40], "little"),
+            "duration_sec": total * usf / 1e6 if usf else None,
+            "mime": "video/x-msvideo",
+        }
+    if payload[4:8] != b"ftyp":
         return None
 
     def boxes(buf: bytes, start: int, end: int):
@@ -480,6 +499,10 @@ def attach_metadata(df: DataFrame, id_col: str, payload_col: str, modality: str)
         .when(p.substr(1, 4) == F.lit(b"OggS"), "audio/ogg")
         .when(p.substr(1, 3) == F.lit(b"ID3"), "audio/mpeg")
         .when(p.substr(5, 4) == F.lit(b"ftyp"), "video/mp4")
+        .when(
+            (p.substr(1, 4) == F.lit(b"RIFF")) & (p.substr(9, 4) == F.lit(b"AVI ")),
+            "video/x-msvideo",
+        )
         .otherwise(F.lit(f"{modality}/unknown"))
     )
     return df.select(

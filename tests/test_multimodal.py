@@ -980,3 +980,26 @@ def test_mjpeg_avi_real_frame_sampling(spark):
         M.attach_metadata(fdf, "id", "blob", "image")
     ).collect()
     assert all((f["width"], f["height"]) == (8, 8) for f in feats)
+
+
+def test_avi_header_and_mime(spark):
+    """AVI main-header parse (avih) + RIFF/AVI mime sniff (r4)."""
+    import numpy as np
+    import struct
+
+    frames = [_jpeg_encode(np.full((4, 6), 99, dtype=np.float64))] * 4
+    avi = _mjpeg_avi(frames, us_per_frame=250_000)
+    # patch dwTotalFrames / dwWidth / dwHeight into avih for the test
+    a = avi.find(b"avih") + 8
+    avi = (
+        avi[: a + 16] + struct.pack("<I", 4) + avi[a + 20 : a + 32]
+        + struct.pack("<II", 6, 4) + avi[a + 40 :]
+    )
+    hdr = M.parse_video_header(avi)
+    assert hdr == {
+        "width": 6, "height": 4, "duration_sec": 1.0,
+        "mime": "video/x-msvideo",
+    }
+    raw = spark.createDataFrame([(1, bytearray(avi))], ["id", "blob"])
+    media = M.attach_metadata(raw, "id", "blob", "video")
+    assert media.collect()[0]["meta"]["mime"] == "video/x-msvideo"

@@ -16,8 +16,8 @@ corpora on Spark:
   for every common format — BMP BI_RGB 8/24/32bpp, binary PPM/PGM,
   PNG (stdlib zlib + spec unfiltering), GIF (pure-Python LZW), and
   baseline JPEG (huffman entropy decode + numpy IDCT, luma plane) —
-  ``decode_pixels``; only the rare encodings (progressive/arithmetic
-  JPEG, Adam7-interlaced PNG) fall back to a clearly-marked
+  ``decode_pixels``, including Adam7-interlaced PNG; only
+  progressive/arithmetic JPEG falls back to a clearly-marked
   deterministic fake.  ``resize_images`` is REAL too: decode ->
   vectorized bilinear -> valid PGM re-encode (null rows for
   undecodable payloads).  The
@@ -590,10 +590,10 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 def _png_luma(payload: bytes) -> np.ndarray | None:
     """REAL PNG pixel decode: chunk walk -> zlib inflate -> unfilter ->
-    luma.  Pure stdlib-zlib + numpy.  Supports non-interlaced images at
-    bit depth 8/16 for gray/RGB/gray+alpha/RGBA and 1/2/4/8 for
-    grayscale and palette; Adam7 interlacing returns None (rare in
-    corpora, and the honest fallback is the marked fake)."""
+    luma.  Pure stdlib-zlib + numpy.  Supports bit depth 8/16 for
+    gray/RGB/gray+alpha/RGBA and 1/2/4/8 for grayscale and palette,
+    both non-interlaced and Adam7-interlaced (r4: per-pass unfilter +
+    scatter)."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     w = h = depth = ctype = None
@@ -616,7 +616,7 @@ def _png_luma(payload: bytes) -> np.ndarray | None:
         elif tag == b"IEND":
             break
         i += 12 + clen  # len + tag + crc
-    if not w or not h or interlace != 0 or not idat:
+    if not w or not h or interlace not in (0, 1) or not idat:
         return None
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None or (depth not in (8, 16) and not (ctype in (0, 3) and depth in (1, 2, 4))):
@@ -627,31 +627,54 @@ def _png_luma(payload: bytes) -> np.ndarray | None:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error:
         return None
-    stride = (w * nch * depth + 7) // 8
-    if raw.size < h * (1 + stride):
-        return None
     bpp = max(1, nch * depth // 8)
-    rec = _png_unfilter(raw, h, stride, bpp)
-    if depth < 8:  # grayscale or palette indices packed bitwise
-        bits = np.unpackbits(rec, axis=1)[:, : w * depth].reshape(h, w, depth)
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        idx = (bits * weights).sum(axis=2).astype(np.float32)
-        if ctype == 3:
-            pal = plte.astype(np.float32)
-            lum = pal[:, 0] * 0.299 + pal[:, 1] * 0.587 + pal[:, 2] * 0.114
-            return lum[idx.astype(np.int64)]
-        return idx * (255.0 / ((1 << depth) - 1))
-    if depth == 16:  # big-endian samples; high byte is the 8-bit value
-        px = rec.reshape(h, w, nch, 2)[:, :, :, 0].astype(np.float32)
+
+    def samples(rec: np.ndarray, pw: int, ph: int) -> np.ndarray:
+        """(ph, pw, nch) raw sample values from reconstructed bytes."""
+        if depth < 8:
+            bits = np.unpackbits(rec, axis=1)[:, : pw * depth].reshape(
+                ph, pw, depth
+            )
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            return (bits * weights).sum(axis=2).astype(np.float32)[..., None]
+        if depth == 16:  # big-endian; high byte is the 8-bit value
+            return rec.reshape(ph, pw, nch, 2)[:, :, :, 0].astype(np.float32)
+        return rec.reshape(ph, pw, nch).astype(np.float32)
+
+    if interlace == 1:  # Adam7 (r4): 7 sub-images, per-pass filtering
+        px = np.zeros((h, w, nch), dtype=np.float32)
+        pos = 0
+        for x0, y0, xs, ys in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * nch * depth + 7) // 8
+            need = ph * (1 + stride)
+            if raw.size < pos + need:
+                return None
+            rec = _png_unfilter(raw[pos : pos + need], ph, stride, bpp)
+            pos += need
+            px[y0::ys, x0::xs] = samples(rec, pw, ph)
     else:
-        px = rec.reshape(h, w, nch).astype(np.float32)
+        stride = (w * nch * depth + 7) // 8
+        if raw.size < h * (1 + stride):
+            return None
+        px = samples(_png_unfilter(raw, h, stride, bpp), w, h)
+
     if ctype == 3:
         pal = plte.astype(np.float32)
         lum = pal[:, 0] * 0.299 + pal[:, 1] * 0.587 + pal[:, 2] * 0.114
-        return lum[px[:, :, 0].astype(np.int64)]
-    if nch == 1:
-        return px[:, :, 0]
-    if nch == 2:  # gray + alpha: luma is the gray plane
+        idx = px[:, :, 0].astype(np.int64)
+        if idx.max(initial=0) >= len(lum):
+            return None
+        return lum[idx]
+    if ctype == 0 and depth < 8:
+        return px[:, :, 0] * (255.0 / ((1 << depth) - 1))
+    if nch in (1, 2):  # gray / gray+alpha: luma is the gray plane
         return px[:, :, 0]
     return _rec601(px)
 
@@ -1019,8 +1042,8 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
     inflate + spec unfiltering), GIF (pure-Python LZW), and baseline
     JPEG (huffman + numpy IDCT, luma plane).  Returns an HxW float32
     luma array in 0..255 (Rec. 601 weights for color), or None for the
-    rare encodings that still need a native codec (progressive/
-    arithmetic JPEG, Adam7 PNG)."""
+    one rare encoding that still needs a native codec (progressive/
+    arithmetic JPEG)."""
     if not payload or len(payload) < 14:
         return None
     # malformed compressed payloads are DATA at corpus scale, not
@@ -1122,9 +1145,9 @@ def _decode_one(payload: bytes) -> dict:
     (dHash) are REAL for every common format (decode_pixels: BMP
     BI_RGB, binary PPM/PGM, PNG via stdlib zlib + spec unfiltering,
     GIF via pure-Python LZW, baseline JPEG via pure-Python huffman +
-    numpy IDCT).  Only rare encodings (progressive/arithmetic JPEG,
-    Adam7 PNG) fall back to a clearly-marked deterministic fake keyed
-    on the payload hash — swapping in PIL changes only this fallback.
+    numpy IDCT, incl. Adam7-interlaced PNG).  Only progressive/
+    arithmetic JPEG falls back to a clearly-marked deterministic fake
+    keyed on the payload hash — swapping in PIL changes only this fallback.
     Raises for None payloads like a real decoder.
     """
     if payload is None:
@@ -1226,7 +1249,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     image any downstream tool (or decode_images itself) can read.
 
     Arrow-batched mapInPandas; payloads the codecs cannot decode
-    (progressive JPEG, Adam7 PNG, garbage) yield NULL payloads —
+    (progressive JPEG, garbage) yield NULL payloads —
     at corpus scale they are data, not errors.  Grayscale-only by
     design: thumbnails for vision-model dedup/quality filtering, not
     color-faithful rendering.

@@ -189,7 +189,8 @@ def test_real_pixels_flow_through_decode_images(spark):
     assert feats[3]["mean_luma"] == 0.0
 
 
-def _png_encode(pixels, color_type, depth=8, filters=None, palette=None) -> bytes:
+def _png_encode(pixels, color_type, depth=8, filters=None, palette=None,
+                interlace=0) -> bytes:
     """Independent spec-straight PNG encoder for decoder tests.
 
     ``pixels``: h x w x channels nested lists of samples (palette
@@ -237,31 +238,47 @@ def _png_encode(pixels, color_type, depth=8, filters=None, palette=None) -> byte
         pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
         return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
 
-    raw = bytearray()
-    prev = None
-    for y in range(h):
-        line = row_bytes(pixels[y])
-        f = (filters or [0] * h)[y]
-        up = prev if prev is not None else bytes(len(line))
-        filt = bytearray()
-        for x in range(len(line)):
-            a = line[x - bpp] if x >= bpp else 0
-            b = up[x]
-            c = up[x - bpp] if x >= bpp else 0
-            if f == 0:
-                v = line[x]
-            elif f == 1:
-                v = line[x] - a
-            elif f == 2:
-                v = line[x] - b
-            elif f == 3:
-                v = line[x] - (a + b) // 2
-            else:
-                v = line[x] - paeth(a, b, c)
-            filt.append(v & 0xFF)
-        raw += bytes([f]) + bytes(filt)
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    def encode_rows(rows, row_filters):
+        out_ = bytearray()
+        prev_ = None
+        for y, row in enumerate(rows):
+            line = row_bytes(row)
+            f = row_filters[y] if row_filters else 0
+            up = prev_ if prev_ is not None else bytes(len(line))
+            filt = bytearray()
+            for x in range(len(line)):
+                a = line[x - bpp] if x >= bpp else 0
+                b = up[x]
+                c = up[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    v = line[x]
+                elif f == 1:
+                    v = line[x] - a
+                elif f == 2:
+                    v = line[x] - b
+                elif f == 3:
+                    v = line[x] - (a + b) // 2
+                else:
+                    v = line[x] - paeth(a, b, c)
+                filt.append(v & 0xFF)
+            out_ += bytes([f]) + bytes(filt)
+            prev_ = line
+        return out_
+
+    if interlace:
+        raw = bytearray()
+        for x0, y0, xs, ys in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            rows = [
+                [pixels[y][x] for x in range(x0, w, xs)]
+                for y in range(y0, h, ys)
+            ]
+            if rows and rows[0]:
+                raw += encode_rows(rows, None)
+    else:
+        raw = encode_rows(pixels, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", bytes(c for rgb in palette for c in rgb))
@@ -1003,3 +1020,25 @@ def test_avi_header_and_mime(spark):
     raw = spark.createDataFrame([(1, bytearray(avi))], ["id", "blob"])
     media = M.attach_metadata(raw, "id", "blob", "video")
     assert media.collect()[0]["meta"]["mime"] == "video/x-msvideo"
+
+
+def test_png_adam7_interlaced_decodes(  ):
+    """Adam7-interlaced PNG decodes for REAL (r4): per-pass unfilter +
+    scatter reassembles the exact image (RGB and sub-byte gray)."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    pixels = [[list(map(int, img[y, x])) for x in range(9)] for y in range(11)]
+    png = _png_encode(pixels, color_type=2, interlace=1)
+    expected = (
+        img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+    )
+    luma = M.decode_pixels(png)
+    assert luma is not None and luma.shape == (11, 9)
+    assert np.allclose(luma, expected, atol=1e-3)
+    # 1-bit grayscale interlaced: partial-byte pass rows
+    bits = [[int(v) for v in rng.integers(0, 2, size=5)] for _ in range(7)]
+    png1 = _png_encode(bits, color_type=0, depth=1, interlace=1)
+    want = np.array(bits, dtype=np.float32) * 255.0
+    assert np.allclose(M.decode_pixels(png1), want)

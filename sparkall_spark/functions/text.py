@@ -300,9 +300,11 @@ def vocabulary(
     ``count`` (total occurrences) and ``doc_freq`` (documents containing
     it), ordered by count desc, token asc (deterministic ties).
 
-    ONE explode + ONE groupBy shuffle with map-side combine — the
-    canonical corpus-stats pass; ``max_size`` caps the result via
-    TakeOrdered (no full sort materialization at the driver).
+    Two token-keyed aggregations (occurrences; per-doc distinct
+    presence) joined on the token — both shuffle vocabulary-sized keys
+    with map-side combine, never (token, doc) pairs to the driver;
+    ``max_size`` caps the result via TakeOrdered (no full sort
+    materialization).
     """
     toks = df.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token")

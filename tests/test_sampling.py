@@ -183,3 +183,31 @@ def test_pack_sequences_matches_sql_and_conserves_tokens(spark, docs):
     # scale shape: the window partitions by shard, not globally
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(shard" in plan or "hashpartitioning" in plan
+
+
+def test_mix_hash_portability_property(spark):
+    """Property: for arbitrary int64 ids (incl. negatives and huge
+    values) the Spark mix hash equals the DuckDB rendering — the
+    portability contract under adversarial ids."""
+    import random
+
+    rng = random.Random(99)
+    ids = (
+        [0, 1, -1, 2**62, -(2**62), 2**31 - 1, -(2**31)]
+        + [rng.randrange(-(2**62), 2**62) for _ in range(200)]
+    )
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = {
+        r["id"]: r["b"]
+        for r in df.select("id", S.split_bucket("id", seed=17).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    mirror = dict(
+        con.execute(
+            f"SELECT id, {S.split_bucket_sql('id', seed=17)} FROM t"
+        ).fetchall()
+    )
+    con.close()
+    assert mirror == got

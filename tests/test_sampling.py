@@ -211,3 +211,58 @@ def test_mix_hash_portability_property(spark):
     )
     con.close()
     assert mirror == got
+
+
+def test_pretrain_pipeline_v2_composition(spark):
+    """The r4 operator set composes into one lazy end-to-end plan:
+    corpus mixing -> quality/PII prep -> split -> packing.  Invariants:
+    deterministic, splits partition the survivors, packing tiles each
+    shard, no PII in the output text."""
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.functions.text import token_count
+    from sparkall_spark.operators.pipeline import prepare_documents
+    from sparkall_spark.operators.sampling import (
+        hash_split,
+        mix_corpus,
+        pack_sequences,
+    )
+
+    rows = []
+    for i in range(400):
+        src = "web" if i % 2 == 0 else "books"
+        text = (
+            f"document {i} from {src} with plenty of plain words to pass "
+            f"quality checks and a contact mail user{i}@site.example.org"
+        )
+        rows.append((i, src, text))
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs = docs.withColumn("n_tokens", token_count("text"))
+
+    mixed = mix_corpus(
+        docs, "source", "n_tokens", {"web": 0.7, "books": 0.3},
+        token_budget=4000, id_col="doc_id", seed=1,
+    )
+    prepped = prepare_documents(mixed, min_quality=0.3, redact_pii=True)
+    split = hash_split(prepped, "doc_id", {"train": 0.9, "val": 0.1}, seed=2)
+    packed = pack_sequences(
+        split.filter(F.col("split") == "train"),
+        "doc_id", "n_tokens", ctx_len=128, n_shards=4, seed=3,
+    )
+    out = packed.collect()
+    assert len(out) > 20
+    assert all("@" not in r["text"] and "[EMAIL]" in r["text"] for r in out)
+    # packing tiles each shard exactly
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for r in out:
+        by_shard[r["shard"]].append((r["start_offset"], r["n_tokens"]))
+    for items in by_shard.values():
+        pos = 0
+        for start, n in sorted(items):
+            assert start == pos
+            pos += n
+    # rerun -> identical
+    again = packed.collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

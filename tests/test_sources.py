@@ -328,3 +328,36 @@ def test_jdbc_live_roundtrip_derby(spark, duck, sf_dir, tmp_path):
     pdf = load_source(spark, nation_par)
     assert pdf.rdd.getNumPartitions() == 4
     assert pdf.count() == 25
+
+
+def test_json_corrupt_records_are_data(spark, tmp_path):
+    """A malformed line in a JSONL source must not kill the scan:
+    default PERMISSIVE mode surfaces it in _corrupt_record, and
+    mode=DROPMALFORMED (a mapping option passthrough) silently drops it
+    — corpus-scale robustness is a reader option, not custom code."""
+    from sparkall_spark.mappings import EntityMapping
+    from sparkall_spark.sources import load_source
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        "{this is not json at all\n"
+        '{"doc_id": 2, "text": "another good row"}\n'
+    )
+
+    def mapping(**options):
+        return EntityMapping(
+            name="JDoc", source=str(p), source_type="json",
+            id_attr="doc_id", predicates={}, options=options,
+        )
+
+    df = load_source(spark, mapping())
+    rows = df.collect()
+    good = [r for r in rows if r["doc_id"] is not None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+    dropped = load_source(spark, mapping(mode="DROPMALFORMED"))
+    assert {r["doc_id"] for r in dropped.collect()} == {1, 2}
+    assert "_corrupt_record" not in dropped.columns

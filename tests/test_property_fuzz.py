@@ -318,3 +318,71 @@ def test_bind_expr_fuzz(engine, duck, tree):
         f"SELECT p_size AS size, {_render_sql(tree)} AS v FROM part"
     )
     assert_matches_oracle(engine.sparql(q), duck, oracle)
+
+
+# ---------------------------------------------------------------------------
+# 3-star chain fuzz (r4): customer -> nation -> region with random
+# per-star filters/projections — the deepest common join shape.
+# ---------------------------------------------------------------------------
+
+chain_query_st = st.fixed_dictionaries(
+    {
+        "cust_sel": st.sets(
+            st.sampled_from(["cname", "bal", "seg"]), min_size=1, max_size=2
+        ),
+        "bal_filter": st.sampled_from([None, 0, 5000.0]),
+        "region_filter": st.sampled_from([None, "REGION_1", "REGION_3"]),
+        "distinct": st.booleans(),
+        "backend": st.sampled_from(["dataframe", "sql"]),
+    }
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=chain_query_st)
+def test_random_three_star_chain_matches_oracle(engine, duck, spec):
+    sel = sorted(spec["cust_sel"])
+    triples = " ".join(f"?c sa:{CUST_PREDS[v][1]} ?{v} ." for v in sel)
+    filters = []
+    sql_filters = []
+    if spec["bal_filter"] is not None:
+        if "bal" not in sel:
+            sel_plus = sel + ["bal"]
+            triples += " ?c sa:acctbal ?bal ."
+        else:
+            sel_plus = sel
+        filters.append(f"FILTER (?bal > {spec['bal_filter']})")
+        sql_filters.append(f"c_acctbal > {spec['bal_filter']}")
+    else:
+        sel_plus = sel
+    if spec["region_filter"] is not None:
+        filters.append(f'FILTER (?rname = "{spec["region_filter"]}")')
+        sql_filters.append(f"r_name = '{spec['region_filter']}'")
+    distinct = "DISTINCT " if spec["distinct"] else ""
+    out_vars = sel_plus + ["rname"]
+    sparql = (
+        PREFIX_BLOCK
+        + f"SELECT {distinct}{' '.join('?' + v for v in out_vars)} WHERE {{ "
+        + "?c a sa:Customer ; sa:nation ?n . "
+        + triples
+        + " ?n a sa:Nation ; sa:region ?r . "
+        + "?r a sa:Region ; sa:name ?rname . "
+        + " ".join(filters)
+        + " }"
+    )
+    sql_cols = [f"{CUST_PREDS[v][0]} AS {v}" for v in sel_plus] + [
+        "r_name AS rname"
+    ]
+    sql = (
+        f"SELECT {distinct}{', '.join(sql_cols)} FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey"
+    )
+    if sql_filters:
+        sql += " WHERE " + " AND ".join(sql_filters)
+    df = engine.sparql(sparql, backend=spec["backend"])
+    assert_matches_oracle(df, duck, sql)

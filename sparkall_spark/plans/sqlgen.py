@@ -630,7 +630,23 @@ def _core_sql(
                 raise ValueError("disconnected join graph")
             continue
         stall = 0
-    core = f"(SELECT * FROM {sql}"
+    # mapping-declared broadcast dims surface as JOIN hints: the
+    # DataFrame backend forces them via F.broadcast; at real scale the
+    # SQL backend has no size statistics for freshly-registered views,
+    # so without the hint a small dim would sort-merge
+    bstars = sorted(
+        name
+        for name, star in q.stars.items()
+        if name in seen
+        and (srcs := index.relevant_sources(star))
+        and all(m.broadcast for m in srcs)
+    )
+    hint = (
+        "/*+ " + ", ".join(f"BROADCAST({_q(s)})" for s in bstars) + " */ "
+        if bstars
+        else ""
+    )
+    core = f"(SELECT {hint}* FROM {sql}"
     if extra_conds:
         core += " WHERE " + " AND ".join(extra_conds)
     return core + ") AS joined"

@@ -187,3 +187,29 @@ def test_every_registry_sparql_entry_agrees_across_backends(spark):
         assert a == b, f"backend disagreement on {name}"
         checked += 1
     assert checked >= 20  # the whole SPARQL side of the registry
+
+
+def test_broadcast_mappings_emit_join_hints(spark):
+    """Mappings flagged broadcast surface as /*+ BROADCAST(star) */
+    hints in the compiled SQL (the DataFrame twin forces F.broadcast;
+    at 100 TB the SQL backend's fresh views have no size stats)."""
+    from sparkall_spark.engine import Engine
+    from sparkall_spark.fixtures import PREFIX_BLOCK, tpch_mappings
+
+    engine = Engine(spark, tpch_mappings("/root/testdata/sf0.001"))
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?cname ?nname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation ; sa:name ?nname .
+        }
+        """
+    )
+    sql = engine.to_sql(q)
+    assert "/*+ BROADCAST(`n`) */" in sql  # nation is broadcast-flagged
+    plan = (
+        engine.sparql(q, backend="sql")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -196,3 +196,14 @@ def test_having_alias_form_and_sql_backend(engine, duck):
             FROM lineitem GROUP BY 1 HAVING count(*) > 1000
             """,
         )
+
+
+def test_session_scale_defaults_pinned(spark):
+    """The scale-critical session defaults must not silently regress:
+    AQE (+ coalescing + skew-join), Arrow batching, UTC."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"

@@ -63,6 +63,8 @@ def _filter_condition(col: Column, f: Filter, value: Column | None = None) -> Co
     if f.op == "regex":
         # reference semantics: SQL LIKE wildcards (SparkExecutor.scala:180-182)
         return col.like(str(f.value))
+    if f.op == "ilike":  # regex(?v, pat, "i") — case-insensitive LIKE
+        return col.ilike(str(f.value))
     if f.op == "rlike":
         return col.rlike(str(f.value))
     raise ExecutionError(f"unknown filter op {f.op!r}")

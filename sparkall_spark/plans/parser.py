@@ -168,10 +168,28 @@ def _parse_filters(
         inner = body[m.end() : end - 1].strip()
         kind = (m.group(1) or "").lower()
         if kind in ("regex", "rlike"):
-            fm = re.match(r"\s*\?([\w]+)\s*,\s*\"((?:[^\"\\]|\\.)*)\"", inner)
+            fm = re.match(
+                r"\s*\?([\w]+)\s*,\s*\"((?:[^\"\\]|\\.)*)\""
+                r"(?:\s*,\s*\"([a-z]*)\")?\s*$",
+                inner,
+            )
             if not fm:
                 raise SparqlParseError(f"bad FILTER {kind}: {inner!r}")
-            filters.append(Filter(fm.group(1), kind, fm.group(2), True))
+            op, pattern = kind, fm.group(2)
+            flags = fm.group(3) or ""
+            if flags not in ("", "i"):
+                raise SparqlParseError(
+                    f"unsupported {kind.upper()} flags {flags!r} (only 'i')"
+                )
+            if flags == "i":
+                # rlike: inline (?i) works on any modern regex engine;
+                # regex (LIKE semantics): ILIKE, supported by both
+                # Spark SQL and common ANSI engines
+                if kind == "rlike":
+                    pattern = "(?i)" + pattern
+                else:
+                    op = "ilike"
+            filters.append(Filter(fm.group(1), op, pattern, True))
         elif "||" in inner:
             # OR filter (extension): supported as a same-variable
             # equality chain, desugared to one IN filter (the shape that

@@ -54,6 +54,8 @@ def _lit(value, is_string: bool) -> str:
 def _filter_sql(col: str, f: Filter) -> str:
     if f.op == "regex":
         return f"{col} LIKE {_lit(f.value, True)}"
+    if f.op == "ilike":
+        return f"{col} ILIKE {_lit(f.value, True)}"
     if f.op == "rlike":
         return f"{col} RLIKE {_lit(f.value, True)}"
     if f.op == "in":  # VALUES ?v { ... }

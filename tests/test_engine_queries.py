@@ -434,3 +434,35 @@ def test_literal_triple_objects(engine, duck):
         """SELECT n_name AS nname FROM nation JOIN region
            ON n_regionkey = r_regionkey WHERE r_name = 'MIDDLE EAST'""",
     )
+
+
+def test_regex_flags_case_insensitive(engine, duck):
+    """regex(?v, pat, "i") -> ILIKE; rlike(?v, pat, "i") -> (?i) inline
+    flag (SPARQL 1.1 §17.4.3.14 flags argument, r4)."""
+    q = (
+        PREFIX_BLOCK
+        + """
+        SELECT ?name WHERE {
+            ?p a sa:Part ; sa:name ?name .
+            FILTER regex(?name, "%WIDGET%", "i")
+            FILTER rlike(?name, "^LARGE", "i")
+        }
+        """
+    )
+    oracle = """
+    SELECT p_name AS name FROM part
+    WHERE p_name ILIKE '%WIDGET%' AND regexp_matches(p_name, '(?i)^LARGE')
+    """
+    assert_matches_oracle(engine.sparql(q), duck, oracle)
+    a = sorted(map(tuple, engine.sparql(q).collect()))
+    b = sorted(map(tuple, engine.sparql(q, backend="sql").collect()))
+    assert a == b and len(a) > 0
+
+    from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
+
+    with pytest.raises(SparqlParseError, match="flags"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + 'SELECT ?n WHERE { ?p a sa:Part ; sa:name ?n . '
+            'FILTER regex(?n, "x", "gms") }'
+        )

@@ -26,9 +26,9 @@ from sparkall_spark.functions.transforms import TransformError, _FN_RE
 from sparkall_spark.plans.exprs import to_sql
 from sparkall_spark.mappings import EntityMapping, MappingIndex
 from sparkall_spark.plans.model import Filter, ParsedQuery
+from sparkall_spark.plans.planner import QueryPlan, plan_query
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-from sparkall_spark.plans.planner import QueryPlan, plan_query
 
 
 @dataclass

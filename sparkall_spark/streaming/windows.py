@@ -168,3 +168,42 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
     )
     q.processAllAvailable()
     return q
+
+
+def stream_signature_dedup(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming NEAR-dup dedup at signature granularity (r4): drop
+    documents whose full MinHash signature was already seen within the
+    watermark horizon.
+
+    Honest semantics: signature-identical is a strict (high-precision,
+    partial-recall) form of near-duplication — identical signatures
+    imply very high Jaccard, but near-dups that differ in any hash
+    survive.  That is the trade the streaming model forces: the banded
+    LSH candidate JOIN of the batch pipeline has no bounded-state
+    streaming equivalent, while signature-keyed
+    ``dropDuplicatesWithinWatermark`` keeps ONE compact state entry per
+    distinct signature and evicts by watermark.  Run the batch
+    `minhash_dedup` periodically for full-recall compaction; use this
+    to cheaply thin obvious near-dup floods at ingest."""
+    from sparkall_spark.operators.dedup import minhash_signature
+    from sparkall_spark.functions.text import token_set
+
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    # same shingling as the batch pipeline (ngram=1 -> token set)
+    sig = minhash_signature(
+        token_set(text_col), k=num_hashes, seed=seed
+    ).cast("array<string>")
+    return (
+        stream_df.withColumn("__sig", F.concat_ws(",", sig))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__sig"])
+        .drop("__sig")
+    )

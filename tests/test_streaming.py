@@ -168,3 +168,44 @@ def test_streaming_split_and_redact_stateless(spark, tmp_path):
         assert {s for s, _ in got.values()} == {"train", "val"}
     finally:
         q.stop()
+
+
+def test_streaming_signature_near_dedup(spark, tmp_path):
+    """Signature-identical near-dups are dropped within the watermark;
+    genuinely different documents survive (honest partial-recall
+    semantics documented on the operator)."""
+    import pandas as pd
+
+    stage = tmp_path / "sig_stream"
+    stage.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    # docs 1 and 3 have the SAME token set (order/duplication ignored
+    # by token_set shingling) -> identical signature
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "ts": pd.Series([base, base]).astype("datetime64[us]"),
+            "text": ["alpha beta gamma", "wholly different text here"],
+        }
+    ).to_parquet(stage / "b0.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [3, 4],
+            "ts": pd.Series(
+                [base + pd.Timedelta(seconds=30)] * 2
+            ).astype("datetime64[us]"),
+            "text": ["gamma beta alpha alpha", "yet another unique doc"],
+        }
+    ).to_parquet(stage / "b1.parquet")
+
+    stream = W.stream_events(spark, str(stage))
+    dedup = W.stream_signature_dedup(stream, ts_col="ts", text_col="text")
+    q = W.run_to_memory_sink(dedup, "t_stream_sigdedup", mode="append")
+    try:
+        ids = sorted(
+            r["doc_id"]
+            for r in spark.sql("SELECT doc_id FROM t_stream_sigdedup").collect()
+        )
+        assert ids == [1, 2, 4]  # 3 is signature-identical to 1
+    finally:
+        q.stop()

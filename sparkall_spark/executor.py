@@ -199,6 +199,21 @@ def _join_stars(
     edges = deque(
         sorted(plan.join_edges, key=lambda e: e.left_outer)  # mandatory first
     )
+    # Nested OPTIONAL produces edges whose BOTH endpoints are optional
+    # (outer-optional star -> inner-optional star); such an edge cannot
+    # anchor the join tree (neither side may be the preserved base).
+    # Rotate until the first edge touches a mandatory star; if every
+    # edge is optional-optional the whole pattern is optional and any
+    # anchor is as good as another.
+    for _ in range(len(edges)):
+        e0 = edges[0]
+        if not (
+            e0.left_outer
+            and e0.left_star in q.optional_stars
+            and e0.right_star in q.optional_stars
+        ):
+            break
+        edges.rotate(-1)
     if not edges:
         if len(star_dfs) > 1:
             raise ExecutionError(

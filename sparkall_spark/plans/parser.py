@@ -26,6 +26,7 @@ parse time — and the ASK query form.
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 from sparkall_spark.plans.exprs import (
     _CMP_OPS,
@@ -1427,6 +1428,62 @@ def _split_union(body: str) -> list[str]:
     return branches if len(branches) > 1 else [body]
 
 
+@dataclass
+class _OptBlock:
+    """One OPTIONAL block, with enough structure to validate nesting.
+
+    ``depth`` is 1 for a top-level OPTIONAL, 2 for an OPTIONAL inside it,
+    etc.  ``parent`` is the enclosing block (None at depth 1).  A nested
+    block is sound only when it introduces brand-new stars that connect
+    through its *parent* block — then the left-deep join chain
+    ``... LEFT JOIN parent LEFT JOIN child ON parent.col = child_ID``
+    reproduces SPARQL's nested-left-join semantics exactly (the child's
+    join key is NULL wherever the parent did not match, so the child
+    cannot match either — the well-designed-pattern case of
+    Pérez/Arenas/Gutierrez 2009, §4.2)."""
+
+    triples: list
+    subjects: set
+    obj_vars: set
+    filters: list
+    expr_filters: list
+    depth: int
+    parent: "_OptBlock | None" = None
+
+
+def _collect_optional_blocks(
+    inner: str, prefixes: dict[str, str], depth: int, blocks: list[_OptBlock]
+) -> _OptBlock:
+    """Parse one OPTIONAL block body, recursing into nested OPTIONALs.
+
+    Appends to ``blocks`` parent-first (the enclosing block before its
+    children) so downstream star/edge construction sees parents first,
+    which keeps the left-deep join order parent-before-child."""
+    child_bodies: list[str] = []
+    while True:
+        om = re.search(r"OPTIONAL\s*\{", inner, re.IGNORECASE)
+        if not om:
+            break
+        oend = _balanced(inner, inner.index("{", om.start()), "{", "}")
+        child_bodies.append(inner[om.end() : oend - 1])
+        inner = inner[: om.start()] + " " + inner[oend:]
+    inner, ofilters, oexpr = _parse_filters(inner, prefixes)
+    otr, olit = _parse_triples(inner, prefixes)
+    blk = _OptBlock(
+        triples=otr,
+        subjects={t.subject for t in otr},
+        obj_vars={t.obj for t in otr if t.obj_is_var},
+        filters=ofilters + olit,
+        expr_filters=oexpr,
+        depth=depth,
+    )
+    blocks.append(blk)
+    for cb in child_bodies:
+        child = _collect_optional_blocks(cb, prefixes, depth + 1, blocks)
+        child.parent = blk
+    return blk
+
+
 def _parse_group(
     body: str, prefixes: dict[str, str]
 ) -> tuple[
@@ -1436,38 +1493,28 @@ def _parse_group(
     set[str],
     list[ExprFilter],
 ]:
-    """Parse one group graph pattern: triples + FILTERs + OPTIONAL blocks."""
-    optional_triples: list[Triple] = []
-    optional_subjects: set[str] = set()
-    optional_filters: list[Filter] = []
-    optional_expr_filters: list[ExprFilter] = []
+    """Parse one group graph pattern: triples + FILTERs + OPTIONAL blocks
+    (including nested OPTIONAL, which becomes a left-deep LEFT JOIN
+    chain — see _OptBlock)."""
+    opt_blocks: list[_OptBlock] = []
     while True:
         om = re.search(r"OPTIONAL\s*\{", body, re.IGNORECASE)
         if not om:
             break
         oend = _balanced(body, body.index("{", om.start()), "{", "}")
         oinner = body[om.end() : oend - 1]
-        if re.search(r"OPTIONAL\s*\{", oinner, re.IGNORECASE):
-            raise SparqlParseError(
-                "nested OPTIONAL blocks are not supported — flatten the "
-                "pattern into sibling OPTIONALs (each left-joins the "
-                "mandatory part independently)"
-            )
         # FILTERs inside OPTIONAL constrain the optional star BEFORE the
         # left join (they cannot eliminate left rows) — since the engine
         # applies all star filters pre-join, hoisting them preserves the
-        # SPARQL semantics as long as they reference optional-star vars
-        # (validated below once the stars are known; this holds for
-        # expression FILTERs too, which become star-scoped pre-join
-        # predicates instead of post-join ones)
-        oinner, ofilters, oexpr = _parse_filters(oinner, prefixes)
-        otr, olit = _parse_triples(oinner, prefixes)
-        optional_triples.extend(otr)
-        optional_subjects.update(t.subject for t in otr)
-        optional_filters.extend(ofilters)
-        optional_filters.extend(olit)  # same pre-join star-filter rule
-        optional_expr_filters.extend(oexpr)
+        # SPARQL semantics as long as they reference that block's
+        # optional-star vars (validated below once the stars are known;
+        # this holds for expression FILTERs too, which become star-scoped
+        # pre-join predicates instead of post-join ones)
+        _collect_optional_blocks(oinner, prefixes, 1, opt_blocks)
         body = body[: om.start()] + " " + body[oend:]
+    optional_triples = [t for blk in opt_blocks for t in blk.triples]
+    optional_subjects = {s for blk in opt_blocks for s in blk.subjects}
+    optional_filters = [f for blk in opt_blocks for f in blk.filters]
 
     body, filters, expr_filters = _parse_filters(body, prefixes)
     filters += optional_filters
@@ -1488,61 +1535,119 @@ def _parse_group(
         if t.obj_is_var:
             var_to_star_pred.setdefault(t.obj, (t.subject, t.predicate))
 
+    # Nested-OPTIONAL soundness: a child block must introduce brand-new
+    # stars (not re-bind a mandatory or enclosing-block subject — that
+    # would be column-level optionality inside an already-optional star,
+    # which the flat star model cannot express) and must connect through
+    # its PARENT block (the child's subject appears as an object variable
+    # of a parent triple), so the left-deep join chain's child join key
+    # is NULL exactly when the parent did not match.
+    for blk in opt_blocks:
+        if blk.depth == 1:
+            continue
+        assert blk.parent is not None
+        if blk.subjects & mandatory_subjects:
+            raise SparqlParseError(
+                "nested OPTIONAL must introduce a new star; "
+                f"{sorted(blk.subjects & mandatory_subjects)} already "
+                "appear(s) in the mandatory pattern — move the triples "
+                "into the outer group or a top-level OPTIONAL"
+            )
+        if blk.subjects & blk.parent.subjects:
+            raise SparqlParseError(
+                "nested OPTIONAL re-binds its enclosing OPTIONAL's star "
+                f"{sorted(blk.subjects & blk.parent.subjects)}; per-column "
+                "optionality inside an optional star is not expressible — "
+                "flatten into the enclosing block"
+            )
+        for s in blk.subjects:
+            # connected either direction: the parent points at the child
+            # (parent triple's object var == child subject) or the child
+            # points at the parent / a sibling star of the same block
+            # (child triple's object var == parent or sibling subject)
+            reachable = blk.parent.subjects | (blk.subjects - {s})
+            child_points_out = any(
+                t.subject == s and t.obj_is_var and t.obj in reachable
+                for t in blk.triples
+            )
+            if s not in blk.parent.obj_vars and not child_points_out:
+                raise SparqlParseError(
+                    f"nested OPTIONAL star ?{s} does not connect through "
+                    "its enclosing OPTIONAL block (one side's triple must "
+                    "point at the other's subject) — a disconnected "
+                    "nested OPTIONAL is not a well-designed pattern"
+                )
+
     # Hoisting an OPTIONAL-internal FILTER to a pre-join star filter is
-    # only sound when the filter constrains an *optional* star: applied
-    # to a mandatory star it would eliminate left rows, violating SPARQL
-    # left-join semantics (the reference leaves OPTIONAL unimplemented,
+    # only sound when the filter constrains a star of *that block*:
+    # applied to a mandatory star it would eliminate left rows, and
+    # applied to a different block's star it would constrain an
+    # unrelated left join, both violating SPARQL left-join semantics
+    # (the reference leaves OPTIONAL unimplemented,
     # QueryAnalyser.scala:163 TODO; we support it but refuse the shapes
     # we would silently get wrong).
-    for f in optional_filters:
-        if getattr(f, "value_is_var", False):
-            # Var-to-var comparisons are applied POST-join (they may
-            # span stars), where OPTIONAL non-matches carry NULLs — the
-            # predicate would eliminate left rows even when both vars
-            # belong to the optional star.  Same unsoundness as
-            # expression FILTERs, same remedy: refuse.
-            raise SparqlParseError(
-                f"var-to-var FILTER (?{f.var} {f.op} ?{f.value}) inside "
-                "OPTIONAL is not supported (post-join application would "
-                "break left-join semantics) — move it outside the "
-                "OPTIONAL block"
-            )
-        if f.var in stars:
-            bound_star = f.var
-        elif f.var in var_to_star_pred:
-            bound_star = var_to_star_pred[f.var][0]
-        else:
-            raise SparqlParseError(
-                f"FILTER inside OPTIONAL references unbound variable ?{f.var}"
-            )
-        if bound_star not in optional_subjects:
-            raise SparqlParseError(
-                f"FILTER on ?{f.var} inside OPTIONAL binds to mandatory star "
-                f"?{bound_star}; hoisting it would break left-join semantics "
-                "— move the FILTER outside the OPTIONAL block"
-            )
-
-    # Expression FILTERs inside OPTIONAL: sound only as a PRE-join
-    # predicate on one optional star (== the left join's ON condition);
-    # any reference to a mandatory star, or spanning two stars, cannot
-    # be hoisted without changing left-join semantics.
-    for ef in optional_expr_filters:
-        ef_stars = set()
-        for v in expr_vars(ef.expr):
-            if v in stars:
-                ef_stars.add(v)
-            elif v in var_to_star_pred:
-                ef_stars.add(var_to_star_pred[v][0])
+    for blk in opt_blocks:
+        for f in blk.filters:
+            if getattr(f, "value_is_var", False):
+                # Var-to-var comparisons are applied POST-join (they may
+                # span stars), where OPTIONAL non-matches carry NULLs —
+                # the predicate would eliminate left rows even when both
+                # vars belong to the optional star.  Same unsoundness as
+                # expression FILTERs, same remedy: refuse.
+                raise SparqlParseError(
+                    f"var-to-var FILTER (?{f.var} {f.op} ?{f.value}) inside "
+                    "OPTIONAL is not supported (post-join application would "
+                    "break left-join semantics) — move it outside the "
+                    "OPTIONAL block"
+                )
+            if f.var in stars:
+                bound_star = f.var
+            elif f.var in var_to_star_pred:
+                bound_star = var_to_star_pred[f.var][0]
             else:
                 raise SparqlParseError(
-                    f"FILTER({ef.raw}) inside OPTIONAL references unbound ?{v}"
+                    f"FILTER inside OPTIONAL references unbound variable "
+                    f"?{f.var}"
                 )
-        if len(ef_stars) != 1 or not (ef_stars <= optional_subjects):
-            raise SparqlParseError(
-                f"expression FILTER inside OPTIONAL must reference exactly "
-                f"one optional star's variables (got stars "
-                f"{sorted(ef_stars)}): {ef.raw!r}"
-            )
-        expr_filters.append(ExprFilter(ef.expr, ef.raw, star=ef_stars.pop()))
+            if bound_star not in optional_subjects:
+                raise SparqlParseError(
+                    f"FILTER on ?{f.var} inside OPTIONAL binds to mandatory "
+                    f"star ?{bound_star}; hoisting it would break left-join "
+                    "semantics — move the FILTER outside the OPTIONAL block"
+                )
+            if bound_star not in blk.subjects:
+                raise SparqlParseError(
+                    f"FILTER on ?{f.var} binds to star ?{bound_star} from a "
+                    "different OPTIONAL block; hoisting it would constrain "
+                    "an unrelated left join — move the FILTER into that "
+                    "block"
+                )
+
+        # Expression FILTERs inside OPTIONAL: sound only as a PRE-join
+        # predicate on one star of that block (== the left join's ON
+        # condition); any reference to a mandatory star, another block's
+        # star, or spanning two stars cannot be hoisted without changing
+        # left-join semantics.
+        for ef in blk.expr_filters:
+            ef_stars = set()
+            for v in expr_vars(ef.expr):
+                if v in stars:
+                    ef_stars.add(v)
+                elif v in var_to_star_pred:
+                    ef_stars.add(var_to_star_pred[v][0])
+                else:
+                    raise SparqlParseError(
+                        f"FILTER({ef.raw}) inside OPTIONAL references "
+                        f"unbound ?{v}"
+                    )
+            if len(ef_stars) != 1 or not (
+                ef_stars <= (optional_subjects & blk.subjects)
+            ):
+                raise SparqlParseError(
+                    f"expression FILTER inside OPTIONAL must reference "
+                    f"exactly one of that block's optional stars (got "
+                    f"stars {sorted(ef_stars)}): {ef.raw!r}"
+                )
+            expr_filters.append(ExprFilter(ef.expr, ef.raw, star=ef_stars.pop()))
 
     return stars, var_to_star_pred, filters, optional_subjects, expr_filters

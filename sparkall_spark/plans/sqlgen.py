@@ -588,6 +588,18 @@ def _core_sql(
     from collections import deque
 
     edges = deque(sorted(plan.join_edges, key=lambda e: e.left_outer))
+    # nested-OPTIONAL edges join two optional stars; neither endpoint
+    # may anchor the chain — rotate to an edge touching a mandatory star
+    # (mirrors the DataFrame backend's base selection)
+    for _ in range(len(edges)):
+        e0 = edges[0]
+        if not (
+            e0.left_outer
+            and e0.left_star in q.optional_stars
+            and e0.right_star in q.optional_stars
+        ):
+            break
+        edges.rotate(-1)
     first = edges[0]
     # the base table must be a mandatory star so LEFT JOIN preserves it
     base = (

@@ -466,3 +466,89 @@ def test_regex_flags_case_insensitive(engine, duck):
             + 'SELECT ?n WHERE { ?p a sa:Part ; sa:name ?n . '
             'FILTER regex(?n, "x", "gms") }'
         )
+
+
+def test_nested_optional_left_join_chain(engine, duck):
+    """Nested OPTIONAL (r4): A OPT { B OPT { C } } renders a left-deep
+    LEFT JOIN chain where C's join key is NULL wherever B did not match
+    — the well-designed-pattern equivalence.  The inner star's rows must
+    be absent exactly where the outer optional failed, and the FILTER
+    inside the outer block acts pre-join (it cannot drop nations)."""
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?nname ?cname ?tp WHERE {
+            ?n a sa:Nation ; sa:name ?nname .
+            OPTIONAL {
+                ?c a sa:Customer ; sa:nation ?n ; sa:name ?cname ;
+                   sa:acctbal ?bal .
+                FILTER (?bal > 9000)
+                OPTIONAL { ?o a sa:Orders ; sa:customer ?c ;
+                              sa:totalprice ?tp . }
+            }
+        }
+        """
+        )
+    )
+    oracle = """
+    SELECT n_name AS nname, c.c_name AS cname, o.o_totalprice AS tp
+    FROM nation
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) AS c
+        ON c.c_nationkey = n_nationkey
+    LEFT JOIN orders AS o ON o.o_custkey = c.c_custkey
+    """
+    assert_matches_oracle(df, duck, oracle)
+    # cross-backend agreement, and both preserve every nation
+    a = sorted(map(tuple, df.collect()), key=lambda t: tuple(map(str, t)))
+    b = sorted(
+        map(tuple, engine.sparql(
+            q(
+                """
+        SELECT ?nname ?cname ?tp WHERE {
+            ?n a sa:Nation ; sa:name ?nname .
+            OPTIONAL {
+                ?c a sa:Customer ; sa:nation ?n ; sa:name ?cname ;
+                   sa:acctbal ?bal .
+                FILTER (?bal > 9000)
+                OPTIONAL { ?o a sa:Orders ; sa:customer ?c ;
+                              sa:totalprice ?tp . }
+            }
+        }
+        """
+            ),
+            backend="sql",
+        ).collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert a == b and len(a) > 0
+    nations = duck.execute("SELECT count(DISTINCT n_name) FROM nation").fetchone()[0]
+    assert len({r[0] for r in a}) == nations
+
+
+def test_nested_optional_inner_filter(engine, duck):
+    """FILTER inside the inner nested block scopes to the inner star
+    only: outer-optional matches survive even when the inner filter
+    kills every inner row."""
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?nname ?cname ?tp WHERE {
+            ?n a sa:Nation ; sa:name ?nname .
+            OPTIONAL {
+                ?c a sa:Customer ; sa:nation ?n ; sa:name ?cname .
+                OPTIONAL { ?o a sa:Orders ; sa:customer ?c ;
+                              sa:totalprice ?tp .
+                           FILTER (?tp > 400000) }
+            }
+        }
+        """
+        )
+    )
+    oracle = """
+    SELECT n_name AS nname, c.c_name AS cname, o.o_totalprice AS tp
+    FROM nation
+    LEFT JOIN customer AS c ON c.c_nationkey = n_nationkey
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) AS o
+        ON o.o_custkey = c.c_custkey
+    """
+    assert_matches_oracle(df, duck, oracle)

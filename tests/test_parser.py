@@ -237,23 +237,88 @@ def test_comments_stripped():
     assert len(q.stars["p"].triples) == 1
 
 
-def test_nested_optional_rejected_clearly():
-    """Nested OPTIONAL would need nested left-join scoping the flat
-    star model doesn't represent — rejected with guidance (r4), not a
-    confusing 'bad triple' error."""
+def test_nested_optional_parses_and_marks_stars():
+    """Well-designed nested OPTIONAL (r4): both stars land in
+    optional_stars and the join edges chain child -> parent -> mandatory
+    so execution renders a left-deep LEFT JOIN chain."""
+    from sparkall_spark.fixtures import PREFIX_BLOCK
+    from sparkall_spark.plans.parser import parse_sparql
+
+    q = parse_sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?a WHERE {
+            ?x a sa:Nation ; sa:name ?a .
+            OPTIONAL { ?y a sa:Customer ; sa:nation ?x .
+                       OPTIONAL { ?z a sa:Orders ; sa:customer ?y . } }
+        }
+        """
+    )
+    assert q.optional_stars == {"y", "z"}
+    assert set(q.stars) == {"x", "y", "z"}
+
+
+def test_nested_optional_rebinding_enclosing_star_rejected():
+    """Per-column optionality inside an already-optional star is not
+    expressible in the flat star model — reject, don't silently merge."""
     import pytest
 
     from sparkall_spark.fixtures import PREFIX_BLOCK
     from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
 
-    with pytest.raises(SparqlParseError, match="nested OPTIONAL"):
+    with pytest.raises(SparqlParseError, match="re-binds"):
         parse_sparql(
             PREFIX_BLOCK
             + """
             SELECT ?a WHERE {
                 ?x a sa:Nation ; sa:name ?a .
                 OPTIONAL { ?y a sa:Customer ; sa:nation ?x .
-                           OPTIONAL { ?z a sa:Orders ; sa:customer ?y . } }
+                           OPTIONAL { ?y sa:acctbal ?b . } }
+            }
+            """
+        )
+
+
+def test_nested_optional_disconnected_rejected():
+    """A nested OPTIONAL star that connects straight to the mandatory
+    pattern (skipping its parent block) is not a well-designed pattern:
+    the left-deep chain would attach it even where the parent failed."""
+    import pytest
+
+    from sparkall_spark.fixtures import PREFIX_BLOCK
+    from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
+
+    with pytest.raises(SparqlParseError, match="does not connect through"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + """
+            SELECT ?a WHERE {
+                ?x a sa:Nation ; sa:name ?a .
+                OPTIONAL { ?y a sa:Customer ; sa:nation ?x .
+                           OPTIONAL { ?z a sa:Supplier ; sa:nation ?x . } }
+            }
+            """
+        )
+
+
+def test_filter_in_one_optional_block_binding_other_block_rejected():
+    """A FILTER inside OPTIONAL block 1 that binds to block 2's star
+    cannot be hoisted (it would constrain an unrelated left join)."""
+    import pytest
+
+    from sparkall_spark.fixtures import PREFIX_BLOCK
+    from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
+
+    with pytest.raises(SparqlParseError, match="different OPTIONAL block"):
+        parse_sparql(
+            PREFIX_BLOCK
+            + """
+            SELECT ?a WHERE {
+                ?x a sa:Nation ; sa:name ?a .
+                OPTIONAL { ?y a sa:Customer ; sa:nation ?x . }
+                OPTIONAL { ?s a sa:Supplier ; sa:nation ?x ;
+                              sa:acctbal ?bal .
+                           FILTER(?y != 3) }
             }
             """
         )

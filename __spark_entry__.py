@@ -279,48 +279,62 @@ SPARQL_QUERIES: dict[str, tuple[str, str | None]] = {
     # left-join semantics == SQL LEFT JOIN ... ON key AND cond); a
     # filter binding a mandatory-star var in there is a parse error
     # (tests/test_parser.py::test_optional_filter_on_mandatory_var_rejected)
-    "q10_optional_left_join": (
+    # OPTIONAL incl. NESTED OPTIONAL (r4): left-deep LEFT JOIN chain;
+    # the inner star's join key is NULL wherever the outer optional
+    # failed, so lineitems can only attach to matched orders.  Block
+    # FILTERs hoist pre-join (they cannot drop customers / matched
+    # orders).  Flat OPTIONAL stays driver-covered by q31/q32 (BSBM
+    # Q7/Q8).  parser.py:_collect_optional_blocks
+    "q10_nested_optional": (
         """
-        SELECT ?name ?totalprice WHERE {
+        SELECT ?name ?totalprice ?qty WHERE {
             ?c a sa:Customer ; sa:name ?name .
             OPTIONAL { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?totalprice .
-                       FILTER (?totalprice > 200000) }
+                       FILTER (?totalprice > 200000)
+                       OPTIONAL { ?l a sa:Lineitem ; sa:order ?o ; sa:quantity ?qty .
+                                  FILTER (?qty > 45) } }
         }
         """,
         """
-        SELECT c_name AS name, o_totalprice AS totalprice
-        FROM customer LEFT JOIN orders
-          ON o_custkey = c_custkey AND o_totalprice > 200000
+        SELECT c_name AS name, o.o_totalprice AS totalprice,
+               l.l_quantity AS qty
+        FROM customer
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) AS o
+          ON o.o_custkey = c_custkey
+        LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) AS l
+          ON l.l_orderkey = o.o_orderkey
         """,
     ),
-    # TRANSFORM DSL on join columns (scl both sides — result must equal plain join)
-    "q11_transform_scl": (
+    # TRANSFORM DSL on join columns: chained fns on the left side
+    # (toInt -> scl -> skp, the full §2.8 chain semantics: skp drops
+    # rows where the TRANSFORMED value equals the literal) + scl on the
+    # right side — merges r3's q11 (scl) and q12 (skp) entries
+    "q11_transform_chain": (
         """
         SELECT ?cname ?nname WHERE {
             ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
             ?n a sa:Nation ; sa:name ?nname .
         }
-        TRANSFORM(?c?n.l.toInt.scl(+1) && ?c?n.r.toInt.scl(+1))
+        TRANSFORM(?c?n.l.toInt.scl(+1).skp(4) && ?c?n.r.toInt.scl(+1))
         """,
         """
         SELECT c_name AS cname, n_name AS nname
         FROM customer JOIN nation
           ON (CAST(c_nationkey AS INT) + 1) = (CAST(n_nationkey AS INT) + 1)
+        WHERE (CAST(c_nationkey AS INT) + 1) <> 4
         """,
     ),
-    # TRANSFORM skp -> row-skip filter on the join column
-    "q12_transform_skp": (
+    # ASK query form (SPARQL 1.1 §16.3): one boolean row, limit(1)
+    # existence probe — driver-gates the r3 pytest-only surface
+    "q12_ask_exists": (
         """
-        SELECT ?cname ?nname WHERE {
-            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
-            ?n a sa:Nation ; sa:name ?nname .
-        }
-        TRANSFORM(?c?n.l.skp(3))
+        ASK { ?c a sa:Customer ; sa:acctbal ?b ; sa:mktsegment "BUILDING" .
+              FILTER (?b > 9000) }
         """,
         """
-        SELECT c_name AS cname, n_name AS nname
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
-        WHERE c_nationkey <> 3
+        SELECT EXISTS(SELECT 1 FROM customer
+                      WHERE c_acctbal > 9000
+                        AND c_mktsegment = 'BUILDING') AS ask
         """,
     ),
     # ---------------------------------------------------------------

@@ -185,9 +185,14 @@ def _apply_transforms(
             target_star, colname = spec.right_var, f"{spec.right_var}_ID"
         df = star_dfs[target_star]
         new_col, row_filters = apply_transform_chain(F.col(colname), spec.functions)
-        df = df.withColumn(colname, new_col)
+        # row filters (skp) FIRST: their expression trees reference the
+        # untransformed column by name, so they must resolve before
+        # withColumn replaces it — filtering after would re-apply the
+        # upstream chain to the already-transformed value (e.g.
+        # toInt.scl(+1).skp(4) would compare (x+1)+1 <> 4)
         for flt in row_filters:
             df = df.filter(flt)
+        df = df.withColumn(colname, new_col)
         star_dfs[target_star] = df
 
 

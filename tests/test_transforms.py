@@ -79,3 +79,37 @@ def test_errors():
         transform_column(F.col("x"), "scl(bad)")
     with pytest.raises(TransformError):
         transform_column(F.col("x"), "substit(onlyone)")
+
+
+def test_chain_skp_after_scl_engine_order(spark, sf_dir, duck):
+    """Regression (r4): in the ENGINE path, skp's row filter must be
+    applied before withColumn replaces the join column — applying it
+    after re-resolves the filter against the transformed value and
+    double-applies the upstream chain ((x+1)+1 <> 4 instead of
+    (x+1) <> 4), silently dropping the wrong rows."""
+    from tests.conftest import assert_matches_oracle
+
+    from sparkall_spark.engine import Engine
+    from sparkall_spark.fixtures import PREFIX_BLOCK, tpch_mappings
+
+    engine = Engine(spark, tpch_mappings(sf_dir))
+    df = engine.sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?cname WHERE {
+            ?c a sa:Customer ; sa:name ?cname ; sa:nation ?n .
+            ?n a sa:Nation .
+        }
+        TRANSFORM(?c?n.l.toInt.scl(+1).skp(4) && ?c?n.r.toInt.scl(+1))
+        """
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT c_name AS cname
+        FROM customer JOIN nation
+          ON (CAST(c_nationkey AS INT) + 1) = (CAST(n_nationkey AS INT) + 1)
+        WHERE (CAST(c_nationkey AS INT) + 1) <> 4
+        """,
+    )

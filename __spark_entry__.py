@@ -1278,12 +1278,19 @@ FROM cube_t LEFT JOIN piv ON flag = pflag
 
 
 def _e20_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed pipeline: quality filter -> lang-id -> exact dedup —
-    one lazy plan end-to-end (operators/pipeline.py)."""
+    """Composed pipeline: quality filter -> lang-id -> exact dedup ->
+    benchmark decontamination (8-gram overlap vs a deterministic eval
+    slice, r4) — one lazy plan end-to-end (operators/pipeline.py,
+    operators/decontam.py)."""
+    from pyspark.sql import functions as F
+
     from sparkall_spark.operators.pipeline import prepare_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    out = prepare_documents(docs, min_quality=0.5)
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    out = prepare_documents(
+        docs, min_quality=0.5, decontam_bench=bench, decontam_n=8
+    )
     return out.select("doc_id", "lang_pred", "quality")
 
 
@@ -1318,11 +1325,31 @@ scored AS (
               WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
               WHEN h_fr >= h_es THEN 'fr'
               ELSE 'es' END AS lang_pred
-  FROM t)
-SELECT doc_id, lang_pred, quality FROM (
-  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-  FROM scored WHERE quality >= 0.5) s
-WHERE rn = 1
+  FROM t),
+surv AS (
+  SELECT doc_id, lang_pred, quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM scored WHERE quality >= 0.5) s
+  WHERE rn = 1),
+-- benchmark decontamination (r4): 8-gram overlap vs the doc_id%17
+-- eval slice, same tokenization as the engine (lowercased non-empty
+-- whitespace tokens)
+dtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+dgrams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(tk) - 7, 0) + 1),
+             i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+  FROM dtoks WHERE len(tk) >= 8),
+bgrams AS (
+  SELECT DISTINCT gram FROM dgrams WHERE doc_id % 17 = 0),
+dirty AS (
+  SELECT DISTINCT doc_id FROM dgrams JOIN bgrams USING (gram))
+SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
 """
 
 

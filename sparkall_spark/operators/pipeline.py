@@ -6,6 +6,7 @@ into the standard pretraining data-prep flow.
       -> language identification (stopword heuristic)
       -> exact dedup (normalized fingerprint, keep min id)
       -> [optional] near-dedup (MinHash-LSH)
+      -> [optional] benchmark decontamination (n-gram overlap removal)
       -> [optional] PII redaction (email/phone/IPv4 masking)
       -> partitioned/bucketed write
 
@@ -34,6 +35,10 @@ def prepare_documents(
     max_dup_line_ratio: float | None = None,
     max_dup_ngram_ratio: float | None = None,
     redact_pii: bool = False,
+    decontam_bench: DataFrame | None = None,
+    decontam_n: int = 8,
+    decontam_min_hits: int = 1,
+    decontam_text_col: str | None = None,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
@@ -73,6 +78,23 @@ def prepare_documents(
         deduped = minhash_dedup(
             deduped, id_col=id_col, text_col=text_col,
             threshold=near_dedup_threshold,
+        )
+    if decontam_bench is not None:
+        # benchmark decontamination AFTER dedup (contamination is a
+        # property of the text, so removing dup copies first shrinks the
+        # gram expansion) and BEFORE PII masking: eval overlap must be
+        # judged on the original text, not the redacted rewrite
+        from sparkall_spark.operators.decontam import ngram_decontaminate
+
+        deduped = ngram_decontaminate(
+            deduped,
+            decontam_bench,
+            id_col=id_col,
+            text_col=text_col,
+            bench_text_col=decontam_text_col,
+            n=decontam_n,
+            min_hits=decontam_min_hits,
+            mode="clean",
         )
     if redact_pii:
         # AFTER dedup on purpose: masking collapses distinct addresses

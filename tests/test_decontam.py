@@ -1,0 +1,134 @@
+"""Benchmark decontamination: DuckDB oracle + plan shape + edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkall_spark.operators.decontam import ngram_decontaminate, ngrams
+
+N = 5
+
+
+def _duck_grams_cte(table: str, n: int) -> str:
+    """CTE body producing (doc_id, gram) distinct rows for a table."""
+    return f"""
+    SELECT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - {n - 1}, 0) + 1),
+                   i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS gram
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM {table}
+        )
+        WHERE len(t) >= {n}
+    )
+    """
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def bench(docs):
+    # a deterministic slice of the corpus plays the benchmark: real
+    # overlap exists (synthetic documents share templated sentences)
+    return docs.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+
+
+def test_annotate_matches_duckdb_oracle(spark, duck, docs, bench):
+    out = ngram_decontaminate(
+        docs, bench, n=N, min_hits=1, mode="annotate"
+    ).select("doc_id", "n_hits", "contaminated")
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in out.collect()}
+
+    oracle = duck.execute(
+        f"""
+        WITH bench_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0
+        ),
+        bgrams AS (SELECT DISTINCT gram FROM ({_duck_grams_cte('bench_docs', N)})),
+        dgrams AS ({_duck_grams_cte('documents', N)}),
+        hits AS (
+            SELECT doc_id, count(*) AS n_hits
+            FROM dgrams JOIN bgrams USING (gram)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """
+    ).fetchall()
+    want = {doc_id: (n_hits, n_hits >= 1) for doc_id, n_hits in oracle}
+    assert got == want
+    # the benchmark slice itself must be fully self-contaminated
+    # (every bench doc with >= N tokens shares all its grams)
+    bench_ids = {r["doc_id"] for r in bench.collect()}
+    long_enough = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", F.size(ngrams("text", N)).alias("g")
+        ).collect()
+        if r["g"] > 0
+    }
+    for b in bench_ids & long_enough:
+        assert got[b][1] is True
+
+
+def test_clean_drops_exactly_contaminated(spark, docs, bench):
+    ann = ngram_decontaminate(docs, bench, n=N, min_hits=2, mode="annotate")
+    dirty = {r["doc_id"] for r in ann.filter("contaminated").collect()}
+    clean = ngram_decontaminate(docs, bench, n=N, min_hits=2, mode="clean")
+    kept = {r["doc_id"] for r in clean.collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - dirty
+    assert clean.columns == docs.columns  # original schema, no annotations
+
+
+def test_planted_contamination_exact_hits(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "alpha beta gamma delta epsilon DIFFERENT"),
+            (4, "short text"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "ALPHA BETA GAMMA DELTA EPSILON")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in ngram_decontaminate(docs, bench, n=5).collect()
+    }
+    # bench has exactly one 5-gram (lowercased); doc1 and doc3 contain it
+    assert out == {1: 1, 2: 0, 3: 1, 4: 0}
+
+
+def test_short_docs_yield_empty_not_null(spark):
+    df = spark.createDataFrame([("a b",), ("",), ("   ",)], "text string")
+    rows = df.select(F.size(ngrams("text", 3)).alias("s")).collect()
+    assert [r["s"] for r in rows] == [0, 0, 0]
+
+
+def test_plan_no_corpus_shuffle_before_join(docs, bench):
+    """The corpus side must reach the gram join via map-side explode +
+    BroadcastHashJoin — an Exchange before the join would shuffle the
+    exploded corpus (catastrophic at 100 TB); the only exchange allowed
+    below the final annotate join is the matched-gram groupBy.  No
+    Python UDF may appear anywhere."""
+    out = ngram_decontaminate(docs, bench, n=N)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan  # both joins must broadcast
+    # exactly ONE hash-partitioned exchange in the whole plan: the
+    # matched-gram groupBy (corpus-size-independent); every other
+    # exchange must be a broadcast
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) <= 2, shuffles  # partial+final agg pair max

@@ -1,0 +1,155 @@
+"""Cross-document boilerplate line removal (CCNet / RefinedWeb style).
+
+Web corpora repeat navigation chrome, cookie banners, and footer lines
+across thousands of pages.  Per-document repetition filters can't see
+them (each line appears once per doc); the signal is the number of
+DISTINCT documents a normalized line occurs in.  This operator counts
+that document frequency and strips frequent lines from every document,
+preserving original line text, order, and blank-line structure for the
+lines that stay.
+
+100 TB design — two size-adaptive strategies, like the dedup family:
+
+1. count document frequency per normalized line: per-doc DISTINCT
+   lines expand map-side (``split`` → ``array_distinct`` → explode),
+   then ONE groupBy — the only mandatory shuffle, carrying ~(total
+   distinct lines) compact rows;
+2. the frequent set is decided by one metadata-scale aggregate:
+   - **small** (<= ``collect_limit`` frequent lines — the normal case:
+     boilerplate is by definition a small set of very common lines):
+     64-bit hashes come back to the driver as ONE bounded collect
+     (8 B/line) and the strip is a pure map-side filter against a
+     literal array — zero further shuffles;
+   - **large**: every document's lines posexplode into a broadcast-anti
+     join against the frequent-hash table and the text is rebuilt with
+     one groupBy(id) — fully distributed, no driver materialization.
+
+Normalization for matching is trim+lower (configurable); lines shorter
+than ``min_line_chars`` after trimming are never treated as boilerplate
+(they are structure, not chrome).  No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _norm(c: Column, normalize: bool) -> Column:
+    return F.trim(F.lower(c)) if normalize else c
+
+
+def line_doc_frequency(
+    docs: DataFrame,
+    text_col: str = "text",
+    normalize: bool = True,
+    min_line_chars: int = 4,
+) -> DataFrame:
+    """Document frequency per normalized line: (line_hash, line, n_docs).
+
+    Lines are distinct per document before counting, so ``n_docs`` is a
+    true document frequency, not an occurrence count."""
+    lines = docs.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.split(F.col(text_col), "\n"),
+                        lambda ln: _norm(ln, normalize),
+                    ),
+                    lambda ln: F.length(ln) >= min_line_chars,
+                )
+            )
+        ).alias("line")
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.xxhash64("line").alias("line_hash"), "line", "n_docs")
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_doc_frac: float | None = None,
+    normalize: bool = True,
+    min_line_chars: int = 4,
+    collect_limit: int = 100_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Strip lines occurring in >= ``min_docs`` documents (or
+    >= ``min_doc_frac`` of the corpus, whichever threshold is larger)
+    from every document.
+
+    Returns ``docs`` with ``text_col`` (or ``out_col``) rewritten:
+    surviving lines keep their original text and order, joined with
+    ``\\n``.  Documents whose every line is boilerplate become the
+    empty string (callers drop them with a length filter if desired).
+    """
+    out_col = out_col or text_col
+    freq = line_doc_frequency(docs, text_col, normalize, min_line_chars)
+
+    thresh = int(min_docs)
+    if min_doc_frac is not None:
+        # metadata-scale: one count job sizes the corpus
+        n_total = docs.count()
+        thresh = max(thresh, int(min_doc_frac * n_total) + 1)
+    frequent = freq.filter(F.col("n_docs") >= thresh).select("line_hash")
+
+    # strategy gate: one aggregate decides collect vs distributed strip
+    n_frequent = frequent.count()
+
+    lines = F.split(F.col(text_col), "\n")
+
+    def _is_structural(ln: Column) -> Column:
+        return F.length(_norm(ln, normalize)) < min_line_chars
+
+    if n_frequent <= collect_limit:
+        # bounded driver collect (8 bytes/line; boilerplate sets are
+        # small by construction) -> literal array -> map-side filter
+        hashes = [r["line_hash"] for r in frequent.collect()]
+        if not hashes:
+            return docs.withColumn(out_col, F.col(text_col))
+        hset = F.array(*[F.lit(h) for h in hashes])
+        kept = F.filter(
+            lines,
+            lambda ln: _is_structural(ln)
+            | ~F.array_contains(hset, F.xxhash64(_norm(ln, normalize))),
+        )
+        return docs.withColumn(out_col, F.concat_ws("\n", kept))
+
+    # distributed strip: posexplode keeps order; broadcast-anti join
+    # removes frequent lines; groupBy(id) rebuilds the text.  Joined
+    # back on the caller's id column (deterministic under retries,
+    # unlike monotonically_increasing_id).
+    exploded = docs.select(
+        F.col(id_col).alias("__bp_id"),
+        F.posexplode(lines).alias("__pos", "__line"),
+    ).withColumn(
+        "__lh",
+        F.when(
+            ~_is_structural(F.col("__line")),
+            F.xxhash64(_norm(F.col("__line"), normalize)),
+        ),
+    )
+    kept_rows = exploded.join(
+        F.broadcast(frequent),
+        exploded["__lh"] == frequent["line_hash"],
+        "left_anti",
+    )
+    rebuilt = kept_rows.groupBy("__bp_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias("__bp_text")
+    )
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["__bp_id"], "left")
+        .withColumn(out_col, F.coalesce(F.col("__bp_text"), F.lit("")))
+        .drop("__bp_text", "__bp_id")
+    )

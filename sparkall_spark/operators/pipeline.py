@@ -2,6 +2,8 @@
 into the standard pretraining data-prep flow.
 
     raw documents
+      -> [optional] boilerplate line removal (cross-doc chrome first,
+         CCNet order — it inflates every later signal)
       -> quality scoring (length / diversity / punctuation)
       -> language identification (stopword heuristic)
       -> exact dedup (normalized fingerprint, keep min id)
@@ -39,6 +41,7 @@ def prepare_documents(
     decontam_n: int = 8,
     decontam_min_hits: int = 1,
     decontam_text_col: str | None = None,
+    boilerplate_min_docs: int | None = None,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
@@ -48,6 +51,18 @@ def prepare_documents(
     within-document repetition filters (duplicate line / word-bigram
     fractions) — still Column expressions in the same single pass.
     """
+    if boilerplate_min_docs is not None:
+        # FIRST: cross-document chrome inflates every later signal
+        # (quality ratios, dup-line ratios, dedup fingerprints) — CCNet
+        # order.  Runs its own gate jobs (documented in the operator).
+        from sparkall_spark.operators.boilerplate import (
+            remove_boilerplate_lines,
+        )
+
+        docs = remove_boilerplate_lines(
+            docs, id_col=id_col, text_col=text_col,
+            min_docs=boilerplate_min_docs,
+        )
     scored = docs.withColumn("quality", X.quality_score(text_col)).withColumn(
         "lang_pred", X.lang_id(text_col)
     )

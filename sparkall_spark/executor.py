@@ -199,27 +199,24 @@ def _apply_transforms(
 def _join_stars(
     star_dfs: dict[str, DataFrame], q: ParsedQuery, plan: QueryPlan
 ) -> DataFrame:
-    """Chained pairwise equi-joins, pending-queue algorithm
-    (SparkExecutor.scala:247-359); optional edges attach LEFT OUTER."""
-    edges = deque(
-        sorted(plan.join_edges, key=lambda e: e.left_outer)  # mandatory first
-    )
-    # Nested OPTIONAL produces edges whose BOTH endpoints are optional
-    # (outer-optional star -> inner-optional star); such an edge cannot
-    # anchor the join tree (neither side may be the preserved base).
-    # Rotate until the first edge touches a mandatory star; if every
-    # edge is optional-optional the whole pattern is optional and any
-    # anchor is as good as another.
-    for _ in range(len(edges)):
-        e0 = edges[0]
-        if not (
-            e0.left_outer
-            and e0.left_star in q.optional_stars
-            and e0.right_star in q.optional_stars
-        ):
-            break
-        edges.rotate(-1)
-    if not edges:
+    """Chained pairwise equi-joins, pending-queue algorithm for the
+    mandatory pattern (SparkExecutor.scala:247-359), with OPTIONAL
+    blocks attached as JOIN UNITS.
+
+    SPARQL left-join semantics are per block: a block containing
+    several stars either matches wholly or binds nothing.  Each
+    model.OptionalBlock therefore inner-joins its own stars first
+    (applying its block-scoped var/expression filters), recursively
+    LEFT-joins child blocks, and the assembled unit LEFT-joins the
+    enclosing scope on ALL of its connecting edges at once.  A flat
+    per-star left-join chain (the r3 design) would partially bind a
+    failed multi-star block — 20/318 wrong rows on the sf0.001 probe
+    that motivated this rewrite."""
+    blocks = q.optional_blocks
+    star_block = {s: b.idx for b in blocks for s in b.subjects}
+    mandatory = [s for s in star_dfs if s not in star_block]
+
+    if not plan.join_edges:
         if len(star_dfs) > 1:
             raise ExecutionError(
                 "disconnected join graph: stars "
@@ -229,65 +226,149 @@ def _join_stars(
         (only,) = star_dfs.values()
         return only
 
-    def _attach_how(attached_star: str, e) -> str:
-        """Outer-join direction: preserve the mandatory/already-joined
-        side; 'left' when the star being attached is the optional one,
-        'right' when a mandatory star attaches to an optional subgraph."""
-        if not e.left_outer:
-            return "inner"
-        return "left" if attached_star in q.optional_stars else "right"
-
-    joined: DataFrame | None = None
-    seen: set[str] = set()
-    stall = 0
-    while edges:
-        e = edges.popleft()
-        lcol = q.column_for(e.left_star, e.pred)
-        rcol = f"{e.right_star}_ID"
-        if joined is None:
-            # base must be the mandatory side so OPTIONAL preserves it
-            if e.left_outer and e.left_star in q.optional_stars:
-                joined = star_dfs[e.right_star].join(
-                    star_dfs[e.left_star], F.col(lcol) == F.col(rcol), "left"
-                )
-            else:
-                joined = star_dfs[e.left_star].join(
-                    star_dfs[e.right_star],
-                    F.col(lcol) == F.col(rcol),
-                    "left" if e.left_outer else "inner",
-                )
-            seen = {e.left_star, e.right_star}
-        elif e.left_star in seen and e.right_star in seen:
-            joined = joined.filter(F.col(lcol) == F.col(rcol))  # cycle edge
-        elif e.left_star in seen:
-            joined = joined.join(
-                star_dfs[e.right_star],
-                F.col(lcol) == F.col(rcol),
-                _attach_how(e.right_star, e),
-            )
-            seen.add(e.right_star)
-        elif e.right_star in seen:
-            joined = joined.join(
-                star_dfs[e.left_star],
-                F.col(lcol) == F.col(rcol),
-                _attach_how(e.left_star, e),
-            )
-            seen.add(e.left_star)
+    # ---- partition edges by scope --------------------------------
+    mand_edges: list = []
+    internal: dict[int, list] = {b.idx: [] for b in blocks}
+    connecting: dict[int, list] = {b.idx: [] for b in blocks}
+    for e in plan.join_edges:
+        sl = star_block.get(e.left_star)
+        sr = star_block.get(e.right_star)
+        if sl is None and sr is None:
+            mand_edges.append(e)
+        elif sl == sr:
+            internal[sl].append(e)
         else:
-            edges.append(e)
-            stall += 1
-            if stall > len(edges):
-                raise ExecutionError(
-                    "disconnected join graph: stars "
-                    f"{sorted(set(star_dfs) - seen)} unreachable"
-                )
-            continue
-        stall = 0
+            # the LATER-declared block owns the edge: its condition may
+            # reference anything attached before it (its parent scope,
+            # the mandatory pattern, or an earlier sibling block)
+            owner = sr if sl is None else sl if sr is None else max(sl, sr)
+            connecting[owner].append(e)
 
-    missing = set(star_dfs) - seen
-    if missing:
-        raise ExecutionError(f"stars not joined (cartesian not supported): {missing}")
-    return joined
+    def _econd(e) -> Column:
+        return F.col(q.column_for(e.left_star, e.pred)) == F.col(
+            f"{e.right_star}_ID"
+        )
+
+    def _inner_walk(names: list[str], edges: list) -> DataFrame:
+        """Inner-join a set of stars with the pending-queue algorithm."""
+        if len(names) == 1:
+            return star_dfs[names[0]]
+        pend = deque(edges)
+        joined: DataFrame | None = None
+        seen: set[str] = set()
+        stall = 0
+        while pend:
+            e = pend.popleft()
+            if joined is None:
+                joined = star_dfs[e.left_star].join(
+                    star_dfs[e.right_star], _econd(e), "inner"
+                )
+                seen = {e.left_star, e.right_star}
+            elif e.left_star in seen and e.right_star in seen:
+                joined = joined.filter(_econd(e))  # cycle edge
+            elif e.left_star in seen:
+                joined = joined.join(star_dfs[e.right_star], _econd(e), "inner")
+                seen.add(e.right_star)
+            elif e.right_star in seen:
+                joined = joined.join(star_dfs[e.left_star], _econd(e), "inner")
+                seen.add(e.left_star)
+            else:
+                pend.append(e)
+                stall += 1
+                if stall > len(pend):
+                    raise ExecutionError(
+                        "disconnected join graph: stars "
+                        f"{sorted(set(names) - seen)} unreachable"
+                    )
+                continue
+            stall = 0
+        missing = set(names) - seen
+        if missing:
+            raise ExecutionError(
+                f"stars not joined (cartesian not supported): {sorted(missing)}"
+            )
+        return joined
+
+    from sparkall_spark.plans.exprs import to_column
+
+    def _build_unit(b) -> DataFrame:
+        df = _inner_walk(sorted(b.subjects), internal[b.idx])
+        for f in b.var_filters:
+            df = df.filter(
+                _filter_condition(
+                    F.col(q.column_for_var(f.var)),
+                    f,
+                    value=F.col(q.column_for_var(str(f.value))),
+                )
+            )
+        for ef in b.expr_filters:
+            df = df.filter(
+                to_column(ef.expr, lambda v: F.col(q.column_for_var(v)))
+            )
+        for c in blocks:
+            if c.parent == b.idx:
+                df = _attach_unit(df, c, scope=b.subjects)
+        return df
+
+    def _attach_unit(scope_df: DataFrame, b, scope: frozenset) -> DataFrame:
+        edges = connecting[b.idx]
+        if not edges:
+            raise ExecutionError(
+                f"OPTIONAL block {{{', '.join('?' + s for s in sorted(b.subjects))}}} "
+                "shares no join variable with its enclosing pattern "
+                "(cartesian products are not part of the supported fragment)"
+            )
+        unit_df = _build_unit(b)
+        cond = None
+        for e in edges:
+            other = (
+                e.right_star if e.left_star in b.subjects else e.left_star
+            )
+            if other not in scope:
+                raise ExecutionError(
+                    f"OPTIONAL block star ?{other} is referenced from a "
+                    "scope that cannot see it (not a well-designed "
+                    "pattern)"
+                )
+            c = _econd(e)
+            cond = c if cond is None else cond & c
+        return scope_df.join(unit_df, cond, "left")
+
+    # ---- mandatory scope -----------------------------------------
+    if mandatory:
+        result = _inner_walk(sorted(mandatory), mand_edges)
+        attached: set[str] = set(mandatory)
+    else:
+        # fully-optional pattern: the first unit is the base scope
+        top = [b for b in blocks if b.parent is None]
+        base, rest = top[0], top[1:]
+        result = _build_unit(base)
+        attached = set(base.subjects)
+        for b in rest:
+            result = _attach_unit(result, b, scope=frozenset(attached))
+            attached |= set(b.subjects)
+        return result
+
+    for b in blocks:
+        if b.parent is None:
+            result = _attach_unit(result, b, scope=frozenset(attached))
+            attached |= {
+                s
+                for c in blocks
+                if c.idx == b.idx or _ancestor(blocks, c, b.idx)
+                for s in c.subjects
+            }
+    return result
+
+
+def _ancestor(blocks, c, root_idx: int) -> bool:
+    """True when block ``c`` has ``root_idx`` in its parent chain."""
+    p = c.parent
+    while p is not None:
+        if p == root_idx:
+            return True
+        p = blocks[p].parent
+    return False
 
 
 def _apply_minus(

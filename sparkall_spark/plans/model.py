@@ -127,6 +127,34 @@ class Star:
         return [t.predicate for t in self.triples if t.obj_is_var]
 
 
+@dataclass(frozen=True)
+class OptionalBlock:
+    """One OPTIONAL block as a join-time UNIT.
+
+    SPARQL left-join semantics are per *block*, not per star: when a
+    block contains several stars, either the whole block matches (all
+    its stars joined) or none of its variables bind.  Execution
+    therefore inner-joins the block's stars first, recursively attaches
+    child blocks with LEFT JOINs, and finally left-joins the assembled
+    block onto the enclosing scope — a per-star left-join chain would
+    partially bind a failed block.
+
+    ``subjects`` holds only the NEW stars this block introduces (an
+    outer-level block that re-reads a mandatory star's columns adds no
+    group).  ``parent`` is the index of the enclosing block in
+    ``ParsedQuery.optional_blocks`` (None = attaches to the mandatory
+    scope).  ``var_filters`` / ``expr_filters`` are filters referencing
+    more than one star of THIS block: they apply after the block's
+    internal inner join, before the block attaches (still inside the
+    left join, so they cannot drop enclosing rows)."""
+
+    idx: int
+    parent: int | None
+    subjects: frozenset[str]
+    var_filters: tuple = ()
+    expr_filters: tuple = ()
+
+
 @dataclass
 class ParsedQuery:
     """Everything extracted from one SPARQL text."""
@@ -143,6 +171,10 @@ class ParsedQuery:
     limit: int | None
     transforms: list[TransformSpec] = field(default_factory=list)
     optional_stars: set[str] = field(default_factory=set)  # stars joined LEFT OUTER
+    # OPTIONAL blocks as join units, parent-before-child (see
+    # OptionalBlock); optional_stars stays the flat union for the
+    # planner's edge flags and quick membership checks
+    optional_blocks: list[OptionalBlock] = field(default_factory=list)
     # extra UNION branches (extension: the reference excluded UNION
     # queries from its evaluation, evaluation/README.md:9); each branch
     # carries its own stars/filters, solution modifiers live on self

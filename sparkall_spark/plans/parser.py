@@ -1225,9 +1225,14 @@ def parse_sparql(query: str) -> ParsedQuery:
                 optional_bind_aliases.add(am.group(1))
             group_body = group_body[: bm.start()] + " " + group_body[bend:]
 
-        stars, var_to_star_pred, filters, optional_subjects, expr_filters = (
-            _parse_group(group_body, prefixes)
-        )
+        (
+            stars,
+            var_to_star_pred,
+            filters,
+            optional_subjects,
+            expr_filters,
+            optional_blocks,
+        ) = _parse_group(group_body, prefixes)
         filters = filters + values_filters
 
         # OPTIONAL-internal BIND soundness: the alias must come out
@@ -1294,7 +1299,7 @@ def parse_sparql(query: str) -> ParsedQuery:
                 )
 
         def subgroup(body_text: str) -> ParsedQuery:
-            ms, mv, mf, mo, mef = _parse_group(body_text, prefixes)
+            ms, mv, mf, mo, mef, mob = _parse_group(body_text, prefixes)
             return ParsedQuery(
                 prefixes=prefixes,
                 select_vars=[],
@@ -1307,6 +1312,7 @@ def parse_sparql(query: str) -> ParsedQuery:
                 order_keys=[],
                 limit=None,
                 optional_stars=mo,
+                optional_blocks=mob,
                 expr_filters=mef,
             )
 
@@ -1325,6 +1331,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             limit=limit,
             transforms=transforms,
             optional_stars=optional_subjects,
+            optional_blocks=optional_blocks,
             having=having,
             minus_groups=minus_groups,
             exists_groups=exists_groups,
@@ -1492,10 +1499,14 @@ def _parse_group(
     list[Filter],
     set[str],
     list[ExprFilter],
+    list,
 ]:
     """Parse one group graph pattern: triples + FILTERs + OPTIONAL blocks
-    (including nested OPTIONAL, which becomes a left-deep LEFT JOIN
-    chain — see _OptBlock)."""
+    (including nested OPTIONAL).  Each OPTIONAL block that introduces
+    new stars becomes a model.OptionalBlock join unit — the executor
+    inner-joins a unit's stars, attaches child units with LEFT JOINs,
+    and left-joins the assembled unit onto its enclosing scope (see
+    _OptBlock for the source-level structure)."""
     opt_blocks: list[_OptBlock] = []
     while True:
         om = re.search(r"OPTIONAL\s*\{", body, re.IGNORECASE)
@@ -1514,7 +1525,15 @@ def _parse_group(
         body = body[: om.start()] + " " + body[oend:]
     optional_triples = [t for blk in opt_blocks for t in blk.triples]
     optional_subjects = {s for blk in opt_blocks for s in blk.subjects}
-    optional_filters = [f for blk in opt_blocks for f in blk.filters]
+    # var-to-var filters stay with their block (applied inside the
+    # block's internal inner join when legal — see validation below);
+    # everything else hoists to pre-join star filters
+    optional_filters = [
+        f
+        for blk in opt_blocks
+        for f in blk.filters
+        if not getattr(f, "value_is_var", False)
+    ]
 
     body, filters, expr_filters = _parse_filters(body, prefixes)
     filters += optional_filters
@@ -1586,29 +1605,71 @@ def _parse_group(
     # (the reference leaves OPTIONAL unimplemented,
     # QueryAnalyser.scala:163 TODO; we support it but refuse the shapes
     # we would silently get wrong).
+    # Build the join-unit records (model.OptionalBlock): only blocks
+    # introducing NEW stars form units; parent links skip unit-less
+    # ancestors (a block that merely re-reads mandatory columns is not
+    # a join scope in the flat relational mapping).
+    from sparkall_spark.plans.model import OptionalBlock
+
+    unit_idx: dict[int, int] = {}  # id(_OptBlock) -> OptionalBlock idx
+    optional_blocks: list[OptionalBlock] = []
+    blk_var_filters: dict[int, list] = {}
+    blk_expr_filters: dict[int, list] = {}
     for blk in opt_blocks:
+        new_subjects = blk.subjects - mandatory_subjects
+        if not new_subjects:
+            continue
+        parent = blk.parent
+        while parent is not None and id(parent) not in unit_idx:
+            parent = parent.parent
+        pidx = unit_idx[id(parent)] if parent is not None else None
+        unit_idx[id(blk)] = len(optional_blocks)
+        blk_var_filters[len(optional_blocks)] = []
+        blk_expr_filters[len(optional_blocks)] = []
+        optional_blocks.append(
+            OptionalBlock(
+                idx=len(optional_blocks),
+                parent=pidx,
+                subjects=frozenset(new_subjects),
+            )
+        )
+
+    def _star_of(var: str, ctx: str) -> str:
+        if var in stars:
+            return var
+        if var in var_to_star_pred:
+            return var_to_star_pred[var][0]
+        raise SparqlParseError(
+            f"{ctx} inside OPTIONAL references unbound variable ?{var}"
+        )
+
+    for blk in opt_blocks:
+        uidx = unit_idx.get(id(blk))
+        usubjects = (
+            optional_blocks[uidx].subjects if uidx is not None else frozenset()
+        )
         for f in blk.filters:
             if getattr(f, "value_is_var", False):
-                # Var-to-var comparisons are applied POST-join (they may
-                # span stars), where OPTIONAL non-matches carry NULLs —
-                # the predicate would eliminate left rows even when both
-                # vars belong to the optional star.  Same unsoundness as
-                # expression FILTERs, same remedy: refuse.
+                # Var-to-var comparison: legal when BOTH vars bind to
+                # stars of THIS block's unit — it then applies inside
+                # the block's internal inner join, before the unit
+                # left-joins the enclosing scope (cannot drop enclosing
+                # rows).  Anything else would need post-join
+                # application, which breaks left-join semantics.
+                s1 = _star_of(f.var, f"FILTER (?{f.var} {f.op} ?{f.value})")
+                s2 = _star_of(
+                    str(f.value), f"FILTER (?{f.var} {f.op} ?{f.value})"
+                )
+                if uidx is not None and {s1, s2} <= set(usubjects):
+                    blk_var_filters[uidx].append(f)
+                    continue
                 raise SparqlParseError(
                     f"var-to-var FILTER (?{f.var} {f.op} ?{f.value}) inside "
-                    "OPTIONAL is not supported (post-join application would "
-                    "break left-join semantics) — move it outside the "
-                    "OPTIONAL block"
+                    "OPTIONAL must reference only that block's stars "
+                    "(post-join application would break left-join "
+                    "semantics) — move it outside the OPTIONAL block"
                 )
-            if f.var in stars:
-                bound_star = f.var
-            elif f.var in var_to_star_pred:
-                bound_star = var_to_star_pred[f.var][0]
-            else:
-                raise SparqlParseError(
-                    f"FILTER inside OPTIONAL references unbound variable "
-                    f"?{f.var}"
-                )
+            bound_star = _star_of(f.var, "FILTER")
             if bound_star not in optional_subjects:
                 raise SparqlParseError(
                     f"FILTER on ?{f.var} inside OPTIONAL binds to mandatory "
@@ -1623,31 +1684,52 @@ def _parse_group(
                     "block"
                 )
 
-        # Expression FILTERs inside OPTIONAL: sound only as a PRE-join
-        # predicate on one star of that block (== the left join's ON
-        # condition); any reference to a mandatory star, another block's
-        # star, or spanning two stars cannot be hoisted without changing
-        # left-join semantics.
+        # Expression FILTERs inside OPTIONAL: a single-star reference
+        # hoists to a PRE-join predicate on that star (== the left
+        # join's ON condition); a multi-star reference is legal when
+        # every star belongs to THIS block's unit (applied inside the
+        # unit's inner join).  References to mandatory or other blocks'
+        # stars cannot be hoisted without changing left-join semantics.
         for ef in blk.expr_filters:
-            ef_stars = set()
-            for v in expr_vars(ef.expr):
-                if v in stars:
-                    ef_stars.add(v)
-                elif v in var_to_star_pred:
-                    ef_stars.add(var_to_star_pred[v][0])
-                else:
-                    raise SparqlParseError(
-                        f"FILTER({ef.raw}) inside OPTIONAL references "
-                        f"unbound ?{v}"
-                    )
-            if len(ef_stars) != 1 or not (
-                ef_stars <= (optional_subjects & blk.subjects)
+            ef_stars = {
+                _star_of(v, f"FILTER({ef.raw})") for v in expr_vars(ef.expr)
+            }
+            if len(ef_stars) == 1 and ef_stars <= (
+                optional_subjects & blk.subjects
             ):
-                raise SparqlParseError(
-                    f"expression FILTER inside OPTIONAL must reference "
-                    f"exactly one of that block's optional stars (got "
-                    f"stars {sorted(ef_stars)}): {ef.raw!r}"
+                expr_filters.append(
+                    ExprFilter(ef.expr, ef.raw, star=ef_stars.pop())
                 )
-            expr_filters.append(ExprFilter(ef.expr, ef.raw, star=ef_stars.pop()))
+                continue
+            if (
+                uidx is not None
+                and len(ef_stars) > 1
+                and ef_stars <= set(usubjects)
+            ):
+                blk_expr_filters[uidx].append(ef)
+                continue
+            raise SparqlParseError(
+                f"expression FILTER inside OPTIONAL must reference only "
+                f"that block's optional stars (got stars "
+                f"{sorted(ef_stars)}): {ef.raw!r}"
+            )
 
-    return stars, var_to_star_pred, filters, optional_subjects, expr_filters
+    optional_blocks = [
+        OptionalBlock(
+            idx=b.idx,
+            parent=b.parent,
+            subjects=b.subjects,
+            var_filters=tuple(blk_var_filters[b.idx]),
+            expr_filters=tuple(blk_expr_filters[b.idx]),
+        )
+        for b in optional_blocks
+    ]
+
+    return (
+        stars,
+        var_to_star_pred,
+        filters,
+        optional_subjects,
+        expr_filters,
+        optional_blocks,
+    )

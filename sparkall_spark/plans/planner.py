@@ -76,6 +76,14 @@ def plan_query(q: ParsedQuery) -> QueryPlan:
         used_vars.update(expr_vars(b.expr))
     for ef in q.expr_filters:
         used_vars.update(expr_vars(ef.expr))
+    # OPTIONAL-block-scoped filters live on the block records, not in
+    # q.filters / q.expr_filters — their columns must stay alive too
+    for blk in q.optional_blocks:
+        for f in blk.var_filters:
+            used_vars.add(f.var)
+            used_vars.add(str(f.value))
+        for ef in blk.expr_filters:
+            used_vars.update(expr_vars(ef.expr))
     # subquery join keys: a shared output var must keep its outer
     # column alive even when nothing else projects it
     for sq in q.subqueries:

@@ -575,7 +575,11 @@ def _apply_minus_sql(
 def _core_sql(
     plan: QueryPlan, index: MappingIndex, views: dict[str, EntityMapping]
 ) -> str:
-    """FROM clause: star subqueries chained with JOIN ... ON."""
+    """FROM clause: star subqueries chained with JOIN ... ON, OPTIONAL
+    blocks rendered as LEFT-joined UNIT subqueries (mirrors
+    executor._join_stars — a block's stars inner-join inside one
+    subquery, child blocks LEFT-join inside it, and the assembled unit
+    LEFT-joins the enclosing scope on all its connecting edges)."""
     q = plan.query
     subs = {
         name: _star_subquery(q, plan, name, index.relevant_sources(star), views)
@@ -587,82 +591,141 @@ def _core_sql(
 
     from collections import deque
 
-    edges = deque(sorted(plan.join_edges, key=lambda e: e.left_outer))
-    # nested-OPTIONAL edges join two optional stars; neither endpoint
-    # may anchor the chain — rotate to an edge touching a mandatory star
-    # (mirrors the DataFrame backend's base selection)
-    for _ in range(len(edges)):
-        e0 = edges[0]
-        if not (
-            e0.left_outer
-            and e0.left_star in q.optional_stars
-            and e0.right_star in q.optional_stars
-        ):
-            break
-        edges.rotate(-1)
-    first = edges[0]
-    # the base table must be a mandatory star so LEFT JOIN preserves it
-    base = (
-        first.right_star
-        if first.left_outer and first.left_star in q.optional_stars
-        else first.left_star
-    )
-    seen = {base}
-    sql = f"{subs[base]} AS {_q(base)}"
-    pending = deque(edges)
-    stall = 0
-    extra_conds = []
-    while pending:
-        e = pending.popleft()
-        lcol = f"{_q(e.left_star)}.{_q(q.column_for(e.left_star, e.pred))}"
-        rcol = f"{_q(e.right_star)}.{_q(f'{e.right_star}_ID')}"
+    blocks = q.optional_blocks
+    star_block = {s: b.idx for b in blocks for s in b.subjects}
+    mandatory = [s for s in q.stars if s not in star_block]
 
-        def jt(attached: str) -> str:
-            if not e.left_outer:
-                return "JOIN"
-            # preserve the mandatory/already-joined side
-            return "LEFT JOIN" if attached in q.optional_stars else "RIGHT JOIN"
-
-        if e.left_star in seen and e.right_star in seen:
-            extra_conds.append(f"{lcol} = {rcol}")
-        elif e.left_star in seen:
-            sql += (
-                f"\n{jt(e.right_star)} {subs[e.right_star]} AS "
-                f"{_q(e.right_star)} ON {lcol} = {rcol}"
-            )
-            seen.add(e.right_star)
-        elif e.right_star in seen:
-            sql += (
-                f"\n{jt(e.left_star)} {subs[e.left_star]} AS "
-                f"{_q(e.left_star)} ON {lcol} = {rcol}"
-            )
-            seen.add(e.left_star)
+    mand_edges: list = []
+    internal: dict[int, list] = {b.idx: [] for b in blocks}
+    connecting: dict[int, list] = {b.idx: [] for b in blocks}
+    for e in plan.join_edges:
+        sl = star_block.get(e.left_star)
+        sr = star_block.get(e.right_star)
+        if sl is None and sr is None:
+            mand_edges.append(e)
+        elif sl == sr:
+            internal[sl].append(e)
         else:
-            pending.append(e)
-            stall += 1
-            if stall > len(pending):
-                raise ValueError("disconnected join graph")
-            continue
+            owner = sr if sl is None else sl if sr is None else max(sl, sr)
+            connecting[owner].append(e)
+
+    def econd(e) -> str:
+        # column names are globally unique (star_pred_prefix scheme), so
+        # unqualified references resolve across arbitrary nesting
+        return (
+            f"{_q(q.column_for(e.left_star, e.pred))} = "
+            f"{_q(f'{e.right_star}_ID')}"
+        )
+
+    def _hint(names) -> str:
+        bstars = sorted(
+            name
+            for name in names
+            if (srcs := index.relevant_sources(q.stars[name]))
+            and all(m.broadcast for m in srcs)
+        )
+        return (
+            "/*+ " + ", ".join(f"BROADCAST({_q(s)})" for s in bstars) + " */ "
+            if bstars
+            else ""
+        )
+
+    def inner_chain(names: list, edges: list) -> tuple[str, list]:
+        """JOIN chain over a star set; returns (sql, cycle_conds)."""
+        if len(names) == 1:
+            return f"{subs[names[0]]} AS {_q(names[0])}", []
+        pend = deque(edges)
+        sql = None
+        seen: set = set()
+        extra: list = []
         stall = 0
-    # mapping-declared broadcast dims surface as JOIN hints: the
-    # DataFrame backend forces them via F.broadcast; at real scale the
-    # SQL backend has no size statistics for freshly-registered views,
-    # so without the hint a small dim would sort-merge
-    bstars = sorted(
-        name
-        for name, star in q.stars.items()
-        if name in seen
-        and (srcs := index.relevant_sources(star))
-        and all(m.broadcast for m in srcs)
-    )
-    hint = (
-        "/*+ " + ", ".join(f"BROADCAST({_q(s)})" for s in bstars) + " */ "
-        if bstars
-        else ""
-    )
-    core = f"(SELECT {hint}* FROM {sql}"
-    if extra_conds:
-        core += " WHERE " + " AND ".join(extra_conds)
+        while pend:
+            e = pend.popleft()
+            if sql is None:
+                sql = (
+                    f"{subs[e.left_star]} AS {_q(e.left_star)}"
+                    f"\nJOIN {subs[e.right_star]} AS {_q(e.right_star)} "
+                    f"ON {econd(e)}"
+                )
+                seen = {e.left_star, e.right_star}
+            elif e.left_star in seen and e.right_star in seen:
+                extra.append(econd(e))
+            elif e.left_star in seen:
+                sql += (
+                    f"\nJOIN {subs[e.right_star]} AS {_q(e.right_star)} "
+                    f"ON {econd(e)}"
+                )
+                seen.add(e.right_star)
+            elif e.right_star in seen:
+                sql += (
+                    f"\nJOIN {subs[e.left_star]} AS {_q(e.left_star)} "
+                    f"ON {econd(e)}"
+                )
+                seen.add(e.left_star)
+            else:
+                pend.append(e)
+                stall += 1
+                if stall > len(pend):
+                    raise ValueError("disconnected join graph")
+                continue
+            stall = 0
+        if set(names) - seen:
+            raise ValueError(
+                f"stars not joined (cartesian not supported): "
+                f"{sorted(set(names) - seen)}"
+            )
+        return sql, extra
+
+    def render_unit(b) -> str:
+        chain, extra = inner_chain(sorted(b.subjects), internal[b.idx])
+        conds = list(extra)
+        for f in b.var_filters:
+            op = "<>" if f.op == "!=" else f.op
+            conds.append(
+                f"{_q(q.column_for_var(f.var))} {op} "
+                f"{_q(q.column_for_var(str(f.value)))}"
+            )
+        for ef in b.expr_filters:
+            conds.append(to_sql(ef.expr, lambda v: _q(q.column_for_var(v))))
+        core = (
+            f"(SELECT {_hint(b.subjects)}* FROM {chain}"
+            + (f" WHERE {' AND '.join(conds)}" if conds else "")
+            + f") AS u{b.idx}"
+        )
+        for c in blocks:
+            if c.parent == b.idx:
+                core = (
+                    f"(SELECT * FROM {core}"
+                    f"\nLEFT JOIN {render_unit(c)} ON {attach_cond(c)}"
+                    f") AS un{c.idx}"
+                )
+        return core
+
+    def attach_cond(b) -> str:
+        if not connecting[b.idx]:
+            raise ValueError(
+                "OPTIONAL block "
+                f"{{{', '.join('?' + s for s in sorted(b.subjects))}}} "
+                "shares no join variable with its enclosing pattern"
+            )
+        return " AND ".join(econd(e) for e in connecting[b.idx])
+
+    tops = [b for b in blocks if b.parent is None]
+    if mandatory:
+        sql, extra = inner_chain(sorted(mandatory), mand_edges)
+        hint_names: list = list(mandatory)
+    else:
+        # fully-optional pattern: the first unit is the base scope
+        base, tops = tops[0], tops[1:]
+        sql, extra = render_unit(base), []
+        hint_names = []
+
+    for b in tops:
+        sql += f"\nLEFT JOIN {render_unit(b)} ON {attach_cond(b)}"
+
+    core = f"(SELECT {_hint(hint_names)}* FROM {sql}"
+    if extra:
+        core += " WHERE " + " AND ".join(extra)
     return core + ") AS joined"
 
 

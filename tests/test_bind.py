@@ -421,7 +421,7 @@ def test_optional_expression_filter_prejoin(engine, duck):
 
 def test_optional_expression_filter_on_mandatory_var_rejected():
     with pytest.raises(
-        SparqlParseError, match="exactly one of that block's optional stars"
+        SparqlParseError, match="only.*that block's optional stars"
     ):
         parse_sparql(
             PREFIX_BLOCK

@@ -552,3 +552,76 @@ def test_nested_optional_inner_filter(engine, duck):
         ON o.o_custkey = c.c_custkey
     """
     assert_matches_oracle(df, duck, oracle)
+
+
+def test_multi_star_optional_block_is_a_unit(engine, duck):
+    """An OPTIONAL block containing TWO stars matches as a UNIT: when a
+    nation's customers exist but none of their orders pass the block's
+    filter, BOTH ?cname and ?tp must be unbound (the r3 per-star chain
+    left ?cname bound — 20 wrong rows on this very query at sf0.001)."""
+    text = q(
+        """
+        SELECT ?nname ?cname ?tp WHERE {
+            ?n a sa:Nation ; sa:name ?nname .
+            OPTIONAL {
+                ?c a sa:Customer ; sa:nation ?n ; sa:name ?cname ;
+                   sa:acctbal ?bal .
+                ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp .
+                FILTER (?tp > 400000)
+            }
+        }
+        """
+    )
+    df = engine.sparql(text)
+    oracle = """
+    SELECT n_name AS nname, blk.c_name AS cname, blk.o_totalprice AS tp
+    FROM nation LEFT JOIN (
+        SELECT c_name, c_nationkey, o_totalprice
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE o_totalprice > 400000
+    ) AS blk ON blk.c_nationkey = n_nationkey
+    """
+    assert_matches_oracle(df, duck, oracle)
+    # no partially-bound block rows
+    assert df.filter("cname IS NOT NULL AND tp IS NULL").count() == 0
+    # both backends agree bit-for-bit
+    a = sorted(map(tuple, df.collect()), key=lambda t: tuple(map(str, t)))
+    b = sorted(
+        map(tuple, engine.sparql(text, backend="sql").collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert a == b and len(a) > 0
+
+
+def test_optional_block_var_to_var_filter(engine, duck):
+    """Var-to-var FILTER across two stars of ONE block applies inside
+    the unit's inner join (r4; rejected pre-r4)."""
+    text = q(
+        """
+        SELECT ?nname ?cname ?tp WHERE {
+            ?n a sa:Nation ; sa:name ?nname .
+            OPTIONAL {
+                ?c a sa:Customer ; sa:nation ?n ; sa:name ?cname ;
+                   sa:acctbal ?bal .
+                ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp .
+                FILTER (?bal < ?tp)
+            }
+        }
+        """
+    )
+    df = engine.sparql(text)
+    oracle = """
+    SELECT n_name AS nname, blk.c_name AS cname, blk.o_totalprice AS tp
+    FROM nation LEFT JOIN (
+        SELECT c_name, c_nationkey, o_totalprice
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE c_acctbal < o_totalprice
+    ) AS blk ON blk.c_nationkey = n_nationkey
+    """
+    assert_matches_oracle(df, duck, oracle)
+    a = sorted(map(tuple, df.collect()), key=lambda t: tuple(map(str, t)))
+    b = sorted(
+        map(tuple, engine.sparql(text, backend="sql").collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert a == b and len(a) > 0

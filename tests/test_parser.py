@@ -180,20 +180,41 @@ def test_optional_filter_on_mandatory_subject_rejected():
         )
 
 
-def test_optional_var_to_var_filter_rejected():
-    """A var-to-var comparison inside OPTIONAL is applied post-join,
-    where non-matches carry NULLs — it would eliminate left rows even
-    when both vars belong to the optional star.  Must be refused, like
-    expression FILTERs in OPTIONAL (r4; advisor finding)."""
+def test_optional_var_to_var_filter_block_scoped():
+    """A var-to-var comparison whose vars all bind to the OPTIONAL
+    block's own stars is applied INSIDE the block unit (before the left
+    join attaches), so it cannot drop left rows — accepted and recorded
+    on the block (r4 block-unit semantics; was rejected pre-r4)."""
+    q = parse_sparql(
+        """
+        PREFIX sa: <http://sparkall.io/ns/>
+        SELECT ?name WHERE {
+            ?c a sa:Customer . ?c sa:name ?name .
+            OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
+                       ?o sa:totalprice ?tp . ?o sa:shippriority ?sp .
+                       FILTER (?tp > ?sp) }
+        }
+        """
+    )
+    (blk,) = q.optional_blocks
+    assert blk.subjects == frozenset({"o"})
+    assert len(blk.var_filters) == 1
+    # the filter must NOT also be hoisted to the post-join global list
+    assert not any(f.value_is_var for f in q.filters)
+
+
+def test_optional_var_to_var_filter_cross_scope_rejected():
+    """A var-to-var comparison spanning the OPTIONAL block and the
+    mandatory pattern cannot be block-scoped — still refused."""
     with pytest.raises(SparqlParseError, match="var-to-var"):
         parse_sparql(
             """
             PREFIX sa: <http://sparkall.io/ns/>
             SELECT ?name WHERE {
-                ?c a sa:Customer . ?c sa:name ?name .
+                ?c a sa:Customer . ?c sa:name ?name . ?c sa:acctbal ?bal .
                 OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
-                           ?o sa:totalprice ?tp . ?o sa:shippriority ?sp .
-                           FILTER (?tp > ?sp) }
+                           ?o sa:totalprice ?tp .
+                           FILTER (?tp > ?bal) }
             }
             """
         )

@@ -332,6 +332,24 @@ def _join_stars(
                 )
             c = _econd(e)
             cond = c if cond is None else cond & c
+        # SPARQL LeftJoin(Ω1, Ω2, expr): block FILTERs referencing the
+        # enclosing scope join the ON condition — they decide whether
+        # the block matches, never whether the enclosing row survives
+        for f in b.attach_var_filters:
+            fc = _filter_condition(
+                F.col(q.column_for_var(f.var)),
+                f,
+                value=(
+                    F.col(q.column_for_var(str(f.value)))
+                    if f.value_is_var
+                    else None
+                ),
+            )
+            cond = cond & fc
+        for ef in b.attach_expr_filters:
+            cond = cond & to_column(
+                ef.expr, lambda v: F.col(q.column_for_var(v))
+            )
         return scope_df.join(unit_df, cond, "left")
 
     # ---- mandatory scope -----------------------------------------

@@ -153,6 +153,12 @@ class OptionalBlock:
     subjects: frozenset[str]
     var_filters: tuple = ()
     expr_filters: tuple = ()
+    # filters referencing BOTH this block's stars and enclosing-scope
+    # stars: SPARQL LeftJoin(Ω1, Ω2, expr) — they become part of the
+    # unit's LEFT JOIN ON condition (they decide whether the block
+    # matches, never whether the enclosing row survives)
+    attach_var_filters: tuple = ()
+    attach_expr_filters: tuple = ()
 
 
 @dataclass

@@ -1643,19 +1643,43 @@ def _parse_group(
             f"{ctx} inside OPTIONAL references unbound variable ?{var}"
         )
 
+    blk_attach_var: dict[int, list] = {b.idx: [] for b in optional_blocks}
+    blk_attach_expr: dict[int, list] = {b.idx: [] for b in optional_blocks}
+
+    def _visible_scope(uidx: int) -> set[str]:
+        """Stars whose columns are present when unit ``uidx`` attaches:
+        a top-level unit sees the mandatory pattern plus every earlier
+        top-level tree; a nested unit sees its ancestor units (it
+        attaches INSIDE the parent, before the parent meets the
+        mandatory pattern)."""
+        b = optional_blocks[uidx]
+        if b.parent is None:
+            vis = set(mandatory_subjects)
+            for u in optional_blocks:
+                if u.idx < uidx:
+                    vis |= set(u.subjects)
+            return vis
+        vis = set()
+        p = b.parent
+        while p is not None:
+            vis |= set(optional_blocks[p].subjects)
+            p = optional_blocks[p].parent
+        return vis
+
     for blk in opt_blocks:
         uidx = unit_idx.get(id(blk))
         usubjects = (
             optional_blocks[uidx].subjects if uidx is not None else frozenset()
         )
+        visible = _visible_scope(uidx) if uidx is not None else set()
         for f in blk.filters:
             if getattr(f, "value_is_var", False):
-                # Var-to-var comparison: legal when BOTH vars bind to
-                # stars of THIS block's unit — it then applies inside
-                # the block's internal inner join, before the unit
-                # left-joins the enclosing scope (cannot drop enclosing
-                # rows).  Anything else would need post-join
-                # application, which breaks left-join semantics.
+                # Var-to-var comparison: applied inside the unit when
+                # both vars bind to THIS block's stars; as part of the
+                # unit's LEFT JOIN ON condition when it spans the block
+                # and its enclosing scope (SPARQL LeftJoin(Ω1, Ω2,
+                # expr) — the filter decides whether the block matches,
+                # never whether the enclosing row survives).
                 s1 = _star_of(f.var, f"FILTER (?{f.var} {f.op} ?{f.value})")
                 s2 = _star_of(
                     str(f.value), f"FILTER (?{f.var} {f.op} ?{f.value})"
@@ -1663,33 +1687,40 @@ def _parse_group(
                 if uidx is not None and {s1, s2} <= set(usubjects):
                     blk_var_filters[uidx].append(f)
                     continue
+                if uidx is not None and {s1, s2} <= (
+                    set(usubjects) | visible
+                ):
+                    blk_attach_var[uidx].append(f)
+                    continue
                 raise SparqlParseError(
                     f"var-to-var FILTER (?{f.var} {f.op} ?{f.value}) inside "
-                    "OPTIONAL must reference only that block's stars "
-                    "(post-join application would break left-join "
-                    "semantics) — move it outside the OPTIONAL block"
+                    "OPTIONAL references a star outside the block's "
+                    "enclosing scope — move it outside the OPTIONAL block"
                 )
             bound_star = _star_of(f.var, "FILTER")
-            if bound_star not in optional_subjects:
-                raise SparqlParseError(
-                    f"FILTER on ?{f.var} inside OPTIONAL binds to mandatory "
-                    f"star ?{bound_star}; hoisting it would break left-join "
-                    "semantics — move the FILTER outside the OPTIONAL block"
-                )
-            if bound_star not in blk.subjects:
-                raise SparqlParseError(
-                    f"FILTER on ?{f.var} binds to star ?{bound_star} from a "
-                    "different OPTIONAL block; hoisting it would constrain "
-                    "an unrelated left join — move the FILTER into that "
-                    "block"
-                )
+            if bound_star in blk.subjects:
+                continue  # hoisted pre-join star filter (optional_filters)
+            # a filter on an ENCLOSING-scope var inside OPTIONAL guards
+            # whether the block matches: LEFT JOIN ON condition
+            if uidx is not None and bound_star in visible:
+                blk_attach_var[uidx].append(f)
+                # remove from the hoisted pre-join lists BY IDENTITY
+                # (an equal filter may legitimately exist outside the
+                # OPTIONAL and must keep applying globally): applied at
+                # attach time instead, pre-join would drop left rows
+                optional_filters[:] = [x for x in optional_filters if x is not f]
+                filters[:] = [x for x in filters if x is not f]
+                continue
+            raise SparqlParseError(
+                f"FILTER on ?{f.var} inside OPTIONAL binds to star "
+                f"?{bound_star}, which is not visible where this block "
+                "attaches — move the FILTER outside the OPTIONAL block"
+            )
 
         # Expression FILTERs inside OPTIONAL: a single-star reference
-        # hoists to a PRE-join predicate on that star (== the left
-        # join's ON condition); a multi-star reference is legal when
-        # every star belongs to THIS block's unit (applied inside the
-        # unit's inner join).  References to mandatory or other blocks'
-        # stars cannot be hoisted without changing left-join semantics.
+        # hoists to a PRE-join predicate on that star; multi-star within
+        # the block applies inside the unit; spanning the block and its
+        # enclosing scope becomes the unit's LEFT JOIN ON condition.
         for ef in blk.expr_filters:
             ef_stars = {
                 _star_of(v, f"FILTER({ef.raw})") for v in expr_vars(ef.expr)
@@ -1708,9 +1739,12 @@ def _parse_group(
             ):
                 blk_expr_filters[uidx].append(ef)
                 continue
+            if uidx is not None and ef_stars <= (set(usubjects) | visible):
+                blk_attach_expr[uidx].append(ef)
+                continue
             raise SparqlParseError(
-                f"expression FILTER inside OPTIONAL must reference only "
-                f"that block's optional stars (got stars "
+                f"expression FILTER inside OPTIONAL references stars "
+                f"outside the block's enclosing scope (got stars "
                 f"{sorted(ef_stars)}): {ef.raw!r}"
             )
 
@@ -1721,6 +1755,8 @@ def _parse_group(
             subjects=b.subjects,
             var_filters=tuple(blk_var_filters[b.idx]),
             expr_filters=tuple(blk_expr_filters[b.idx]),
+            attach_var_filters=tuple(blk_attach_var[b.idx]),
+            attach_expr_filters=tuple(blk_attach_expr[b.idx]),
         )
         for b in optional_blocks
     ]

@@ -79,10 +79,11 @@ def plan_query(q: ParsedQuery) -> QueryPlan:
     # OPTIONAL-block-scoped filters live on the block records, not in
     # q.filters / q.expr_filters — their columns must stay alive too
     for blk in q.optional_blocks:
-        for f in blk.var_filters:
+        for f in list(blk.var_filters) + list(blk.attach_var_filters):
             used_vars.add(f.var)
-            used_vars.add(str(f.value))
-        for ef in blk.expr_filters:
+            if f.value_is_var:
+                used_vars.add(str(f.value))
+        for ef in list(blk.expr_filters) + list(blk.attach_expr_filters):
             used_vars.update(expr_vars(ef.expr))
     # subquery join keys: a shared output var must keep its outer
     # column alive even when nothing else projects it

@@ -708,7 +708,21 @@ def _core_sql(
                 f"{{{', '.join('?' + s for s in sorted(b.subjects))}}} "
                 "shares no join variable with its enclosing pattern"
             )
-        return " AND ".join(econd(e) for e in connecting[b.idx])
+        conds = [econd(e) for e in connecting[b.idx]]
+        # LeftJoin(Ω1, Ω2, expr): scope-spanning block FILTERs join the
+        # ON condition (mirrors executor._attach_unit)
+        for f in b.attach_var_filters:
+            if f.value_is_var:
+                op = "<>" if f.op == "!=" else f.op
+                conds.append(
+                    f"{_q(q.column_for_var(f.var))} {op} "
+                    f"{_q(q.column_for_var(str(f.value)))}"
+                )
+            else:
+                conds.append(_filter_sql(_q(q.column_for_var(f.var)), f))
+        for ef in b.attach_expr_filters:
+            conds.append(to_sql(ef.expr, lambda v: _q(q.column_for_var(v))))
+        return " AND ".join(conds)
 
     tops = [b for b in blocks if b.parent is None]
     if mandatory:

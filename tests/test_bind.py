@@ -419,21 +419,43 @@ def test_optional_expression_filter_prejoin(engine, duck):
     )
 
 
-def test_optional_expression_filter_on_mandatory_var_rejected():
-    with pytest.raises(
-        SparqlParseError, match="only.*that block's optional stars"
-    ):
-        parse_sparql(
-            PREFIX_BLOCK
-            + """
-            SELECT ?name WHERE {
-                ?c a sa:Customer ; sa:name ?name ; sa:acctbal ?bal .
-                OPTIONAL { ?o a sa:Orders ; sa:customer ?c ;
-                              sa:totalprice ?tp .
-                           FILTER (?tp + ?bal > 1000) }
-            }
-            """
-        )
+def test_optional_expression_filter_spanning_scopes_attaches():
+    """An expression FILTER inside OPTIONAL referencing both the block
+    and the mandatory pattern is the LeftJoin expr — recorded as the
+    unit's attach condition (r4; was rejected pre-r4)."""
+    q = parse_sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?name WHERE {
+            ?c a sa:Customer ; sa:name ?name ; sa:acctbal ?bal .
+            OPTIONAL { ?o a sa:Orders ; sa:customer ?c ;
+                          sa:totalprice ?tp .
+                       FILTER (?tp + ?bal > 1000) }
+        }
+        """
+    )
+    (blk,) = q.optional_blocks
+    assert len(blk.attach_expr_filters) == 1
+    assert not q.expr_filters  # not applied post-join
+
+
+def test_optional_expression_filter_mandatory_only_attaches():
+    """An expression FILTER inside OPTIONAL referencing ONLY mandatory
+    stars still guards the block match (LeftJoin expr over Ω1 vars):
+    attach condition, never a filter on the mandatory rows."""
+    q = parse_sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?name WHERE {
+            ?c a sa:Customer ; sa:name ?name ; sa:acctbal ?bal .
+            OPTIONAL { ?o a sa:Orders ; sa:customer ?c .
+                       FILTER (ABS(?bal) > 100) }
+        }
+        """
+    )
+    (blk,) = q.optional_blocks
+    assert len(blk.attach_expr_filters) == 1
+    assert not q.expr_filters
 
 
 def test_datetime_accessors_match_oracle(engine, duck):

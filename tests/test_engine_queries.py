@@ -625,3 +625,39 @@ def test_optional_block_var_to_var_filter(engine, duck):
         key=lambda t: tuple(map(str, t)),
     )
     assert a == b and len(a) > 0
+
+
+def test_optional_attach_condition_filters(engine, duck):
+    """FILTERs inside OPTIONAL that reference the mandatory scope are
+    LeftJoin(Ω1, Ω2, expr): they join the LEFT JOIN ON condition.
+    Every customer must survive; orders attach only where the customer
+    is in BUILDING AND the order beats the account balance."""
+    text = q(
+        """
+        SELECT ?name ?tp WHERE {
+            ?c a sa:Customer ; sa:name ?name ; sa:acctbal ?bal ;
+               sa:mktsegment ?seg .
+            OPTIONAL { ?o a sa:Orders ; sa:customer ?c ;
+                          sa:totalprice ?tp .
+                       FILTER (?seg = "BUILDING")
+                       FILTER (?tp > ?bal) }
+        }
+        """
+    )
+    df = engine.sparql(text)
+    oracle = """
+    SELECT c_name AS name, o.o_totalprice AS tp
+    FROM customer LEFT JOIN orders AS o
+      ON o.o_custkey = c_custkey
+     AND c_mktsegment = 'BUILDING'
+     AND o.o_totalprice > c_acctbal
+    """
+    assert_matches_oracle(df, duck, oracle)
+    customers = duck.execute("SELECT count(*) FROM customer").fetchone()[0]
+    assert df.select("name").distinct().count() == customers
+    a = sorted(map(tuple, df.collect()), key=lambda t: tuple(map(str, t)))
+    b = sorted(
+        map(tuple, engine.sparql(text, backend="sql").collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert a == b and len(a) > 0

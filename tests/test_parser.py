@@ -150,34 +150,43 @@ def test_optional_filter_on_optional_var_hoists():
     assert any(f.var == "oprice" for f in q.filters)
 
 
-def test_optional_filter_on_mandatory_var_rejected():
-    """A FILTER inside OPTIONAL that binds to a mandatory star cannot be
-    hoisted pre-join without breaking left-join semantics — parse error."""
-    with pytest.raises(SparqlParseError, match="mandatory star"):
-        parse_sparql(
-            """
-            PREFIX sa: <http://sparkall.io/ns/>
-            SELECT ?name WHERE {
-                ?c a sa:Customer . ?c sa:name ?name . ?c sa:acctbal ?bal .
-                OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
-                           FILTER (?bal > 100) }
-            }
-            """
-        )
+def test_optional_filter_on_mandatory_var_becomes_attach_condition():
+    """A FILTER inside OPTIONAL that binds to a mandatory star is
+    SPARQL LeftJoin(Ω1, Ω2, expr): it guards whether the block matches
+    (part of the LEFT JOIN ON condition), never whether the mandatory
+    row survives — recorded as an attach filter, NOT hoisted pre-join
+    (r4 block-unit semantics; was rejected pre-r4)."""
+    q = parse_sparql(
+        """
+        PREFIX sa: <http://sparkall.io/ns/>
+        SELECT ?name WHERE {
+            ?c a sa:Customer . ?c sa:name ?name . ?c sa:acctbal ?bal .
+            OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
+                       FILTER (?bal > 100) }
+        }
+        """
+    )
+    (blk,) = q.optional_blocks
+    assert len(blk.attach_var_filters) == 1
+    assert blk.attach_var_filters[0].var == "bal"
+    # NOT in the global pre-join list (that would drop customers)
+    assert not any(f.var == "bal" for f in q.filters)
 
 
-def test_optional_filter_on_mandatory_subject_rejected():
-    with pytest.raises(SparqlParseError, match="mandatory star"):
-        parse_sparql(
-            """
-            PREFIX sa: <http://sparkall.io/ns/>
-            SELECT ?name WHERE {
-                ?c a sa:Customer . ?c sa:name ?name .
-                OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
-                           FILTER (?c = 5) }
-            }
-            """
-        )
+def test_optional_filter_on_mandatory_subject_becomes_attach_condition():
+    q = parse_sparql(
+        """
+        PREFIX sa: <http://sparkall.io/ns/>
+        SELECT ?name WHERE {
+            ?c a sa:Customer . ?c sa:name ?name .
+            OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
+                       FILTER (?c = 5) }
+        }
+        """
+    )
+    (blk,) = q.optional_blocks
+    assert len(blk.attach_var_filters) == 1
+    assert not any(f.var == "c" for f in q.filters)
 
 
 def test_optional_var_to_var_filter_block_scoped():
@@ -203,21 +212,24 @@ def test_optional_var_to_var_filter_block_scoped():
     assert not any(f.value_is_var for f in q.filters)
 
 
-def test_optional_var_to_var_filter_cross_scope_rejected():
+def test_optional_var_to_var_filter_cross_scope_attaches():
     """A var-to-var comparison spanning the OPTIONAL block and the
-    mandatory pattern cannot be block-scoped — still refused."""
-    with pytest.raises(SparqlParseError, match="var-to-var"):
-        parse_sparql(
-            """
-            PREFIX sa: <http://sparkall.io/ns/>
-            SELECT ?name WHERE {
-                ?c a sa:Customer . ?c sa:name ?name . ?c sa:acctbal ?bal .
-                OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
-                           ?o sa:totalprice ?tp .
-                           FILTER (?tp > ?bal) }
-            }
-            """
-        )
+    mandatory pattern is the LeftJoin expr: it joins the unit's LEFT
+    JOIN ON condition (r4; was rejected pre-r4)."""
+    q = parse_sparql(
+        """
+        PREFIX sa: <http://sparkall.io/ns/>
+        SELECT ?name WHERE {
+            ?c a sa:Customer . ?c sa:name ?name . ?c sa:acctbal ?bal .
+            OPTIONAL { ?o a sa:Orders . ?o sa:customer ?c .
+                       ?o sa:totalprice ?tp .
+                       FILTER (?tp > ?bal) }
+        }
+        """
+    )
+    (blk,) = q.optional_blocks
+    assert len(blk.attach_var_filters) == 1
+    assert not any(f.value_is_var for f in q.filters)
 
 
 def test_optional_filter_on_unbound_var_rejected():
@@ -322,24 +334,40 @@ def test_nested_optional_disconnected_rejected():
         )
 
 
-def test_filter_in_one_optional_block_binding_other_block_rejected():
-    """A FILTER inside OPTIONAL block 1 that binds to block 2's star
-    cannot be hoisted (it would constrain an unrelated left join)."""
+def test_filter_in_later_block_on_earlier_block_star_attaches():
+    """A FILTER inside OPTIONAL block 2 binding block 1's star: block 1
+    attaches first (declaration order), so its columns are visible when
+    block 2 attaches — the filter becomes block 2's ON condition (r4;
+    was rejected pre-r4).  The reverse direction (block 1 referencing
+    block 2) stays rejected: block 2 is not yet attached."""
     import pytest
 
     from sparkall_spark.fixtures import PREFIX_BLOCK
     from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
 
-    with pytest.raises(SparqlParseError, match="different OPTIONAL block"):
+    q = parse_sparql(
+        PREFIX_BLOCK
+        + """
+        SELECT ?a WHERE {
+            ?x a sa:Nation ; sa:name ?a .
+            OPTIONAL { ?y a sa:Customer ; sa:nation ?x . }
+            OPTIONAL { ?s a sa:Supplier ; sa:nation ?x ;
+                          sa:acctbal ?bal .
+                       FILTER(?y != 3) }
+        }
+        """
+    )
+    assert len(q.optional_blocks[1].attach_var_filters) == 1
+
+    with pytest.raises(SparqlParseError, match="not visible"):
         parse_sparql(
             PREFIX_BLOCK
             + """
             SELECT ?a WHERE {
                 ?x a sa:Nation ; sa:name ?a .
-                OPTIONAL { ?y a sa:Customer ; sa:nation ?x . }
-                OPTIONAL { ?s a sa:Supplier ; sa:nation ?x ;
-                              sa:acctbal ?bal .
-                           FILTER(?y != 3) }
+                OPTIONAL { ?y a sa:Customer ; sa:nation ?x .
+                           FILTER(?s != 3) }
+                OPTIONAL { ?s a sa:Supplier ; sa:nation ?x . }
             }
             """
         )

@@ -1,0 +1,70 @@
+"""Deterministic global shuffle for training order.
+
+Pretraining pipelines need a reproducible, seed-controlled random order
+over the whole corpus (and a different one per epoch) — `df.sample` /
+`rand()` are partition-layout-dependent and irreproducible across
+retries, so the correct primitive is ORDER BY a deterministic hash of
+the row id and the seed.
+
+100 TB design: one range-partitioned sort (Spark's TimSort + range
+exchange — the same machinery as any global ORDER BY), nothing
+driver-side.  The sort key is the engine-portable LCG mix from
+operators/sampling.py, so the order is bit-reproducible across Spark
+versions, partition counts, retries, AND mirrors exactly in ANSI SQL
+(tested against DuckDB).  For epoch variation pass ``seed=epoch``.
+
+``shard_shuffle`` composes the shuffle with ``pack_sequences``-style
+shard assignment: rows land in ``n_shards`` contiguous output files,
+each internally ordered by the same hash — the standard layout for
+sharded dataloaders (readers stream shard k in order and the global
+order is recovered by interleaving).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sparkall_spark.operators.sampling import _mix, mix_sql
+
+
+def shuffle_key(id_col: Column | str, seed: int = 0) -> Column:
+    """The deterministic sort key: LCG mix of (id, seed), with the id
+    itself as tiebreak (ids colliding in the mix stay deterministic)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return _mix(c, seed)
+
+
+def shuffle_key_sql(col_sql: str, seed: int = 0) -> str:
+    return mix_sql(col_sql, seed)
+
+
+def shuffle_corpus(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Rows in deterministic pseudo-random order (stable across runs,
+    partitionings, and engines).  Different ``seed`` → different order."""
+    return df.orderBy(
+        shuffle_key(id_col, seed).asc(), F.col(id_col).asc()
+    )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 64,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shuffle + shard assignment for sharded dataloaders.
+
+    Adds ``shard_col`` in [0, n_shards) from the shuffle key (so shard
+    membership is itself pseudo-random and reproducible) and sorts
+    WITHIN each shard by the key: ``repartition(shard).sortWithinPartitions``
+    writes one internally-ordered file per shard with no global sort
+    barrier — at 100 TB this is one hash exchange instead of a full
+    range-partitioned sort."""
+    key = shuffle_key(id_col, seed)
+    out = df.withColumn(shard_col, (key % n_shards).cast("int"))
+    return out.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
+        key.asc(), F.col(id_col).asc()
+    )

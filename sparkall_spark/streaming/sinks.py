@@ -1,0 +1,124 @@
+"""Durable streaming sinks: exactly-once parquet append and keyed upsert.
+
+The reference has no streaming at all (SURVEY §2.9); this completes the
+extension's write side:
+
+- :func:`write_stream_parquet` — the built-in file sink: append-only
+  parquet with a checkpointed WAL; Spark's file-sink manifest gives
+  exactly-once per-file semantics for free.
+- :func:`foreach_batch_upsert` — keyed upsert (the MERGE pattern)
+  without a lakehouse format: the target is parquet partitioned by a
+  hash bucket of the key, and each micro-batch rewrites ONLY the
+  buckets it touches (dynamic partition overwrite).  Merge = existing
+  rows anti-joined on the key, unioned with the batch's latest rows.
+
+100 TB design for the upsert:
+- the target is bucket-partitioned, so a batch touching k keys reads
+  and rewrites at most k buckets, not the table — update cost scales
+  with the update, not the data;
+- per batch, one broadcast anti-join (batch keys are micro-batch-sized)
+  and one partition-pruned scan of the touched buckets;
+- retries are idempotent: re-merging the same batch produces identical
+  bucket contents, and dynamic partition overwrite replaces whole
+  bucket directories atomically-enough for reprocessing (the same
+  guarantee foreachBatch documents: the batch id is stable on retry —
+  callers needing stronger transactionality use a table format).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+BUCKET_COL = "__upsert_bucket"
+
+
+def write_stream_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Append-only parquet file sink with checkpointed exactly-once
+    manifest.  Returns the started StreamingQuery."""
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def _bucket(col, n_buckets: int):
+    # hash the canonical STRING form: xxhash64 is type-sensitive (int 7
+    # and bigint 7 hash differently), and a batch whose key column
+    # arrives as a different numeric width would otherwise land in the
+    # wrong bucket and leave the stale row alive in the original one
+    return F.pmod(F.xxhash64(col.cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def upsert_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """Merge one batch into the bucket-partitioned parquet target at
+    ``path``: per key keep the batch's LAST row (by struct max over the
+    whole row is non-deterministic — callers pre-dedup if a batch can
+    carry several rows per key; here we keep an arbitrary-but-single
+    row via dropDuplicates), replacing any existing row with that key.
+    Only the touched buckets are read and rewritten."""
+    batch = batch.dropDuplicates([key_col]).withColumn(
+        BUCKET_COL, _bucket(F.col(key_col), n_buckets)
+    )
+    touched = [r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()]
+    if not touched:
+        return
+    try:
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(BUCKET_COL).isin(touched))
+        )
+        keys = batch.select(key_col)
+        keep = existing.join(F.broadcast(keys), key_col, "left_anti")
+        merged = keep.unionByName(batch)
+    except Exception:  # first batch: target does not exist yet
+        merged = batch
+    (
+        merged.repartition(len(touched), F.col(BUCKET_COL))
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    n_buckets: int = 64,
+    trigger_once: bool = True,
+):
+    """Streaming keyed upsert via foreachBatch + :func:`upsert_batch`.
+
+    Returns the started StreamingQuery.  The sink is idempotent per
+    batch (re-merging replaces the same buckets with the same rows), so
+    foreachBatch's at-least-once retries converge."""
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        upsert_batch(
+            batch.sparkSession, batch, path, key_col, n_buckets
+        )
+
+    w = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

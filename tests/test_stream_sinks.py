@@ -1,0 +1,127 @@
+"""Streaming sinks: exactly-once parquet append + keyed upsert merge."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkall_spark.streaming.sinks import (
+    BUCKET_COL,
+    foreach_batch_upsert,
+    upsert_batch,
+    write_stream_parquet,
+)
+
+
+def test_upsert_batch_merges_by_key(spark, tmp_path):
+    tgt = str(tmp_path / "tgt")
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    upsert_batch(spark, b1, tgt, "k", n_buckets=4)
+    b2 = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "k int, v string"
+    )
+    upsert_batch(spark, b2, tgt, "k", n_buckets=4)
+    got = {
+        (r["k"], r["v"])
+        for r in spark.read.parquet(tgt).select("k", "v").collect()
+    }
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    # idempotent: replaying batch 2 changes nothing
+    upsert_batch(spark, b2, tgt, "k", n_buckets=4)
+    again = {
+        (r["k"], r["v"])
+        for r in spark.read.parquet(tgt).select("k", "v").collect()
+    }
+    assert again == got
+    # bucket-partitioned layout on disk
+    assert any(d.startswith(f"{BUCKET_COL}=") for d in os.listdir(tgt))
+
+
+def test_upsert_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    tgt = str(tmp_path / "tgt2")
+    base = spark.range(0, 200).withColumn("v", F.lit("base"))
+    upsert_batch(spark, base.withColumnRenamed("id", "k"), tgt, "k", n_buckets=8)
+    dirs = {
+        d: os.path.getmtime(os.path.join(tgt, d))
+        for d in os.listdir(tgt)
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    assert len(dirs) == 8
+    one = spark.createDataFrame([(7, "upd")], "k int, v string")
+    # key 7's bucket
+    bucket = one.select(
+        F.pmod(F.xxhash64(F.col("k").cast("string")), F.lit(8)).cast("int").alias("b")
+    ).first()["b"]
+    upsert_batch(spark, one, tgt, "k", n_buckets=8)
+    after = {
+        d: os.path.getmtime(os.path.join(tgt, d))
+        for d in os.listdir(tgt)
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    changed = {d for d in dirs if after[d] != dirs[d]}
+    assert changed == {f"{BUCKET_COL}={bucket}"}
+    # data correct
+    got = dict(
+        (r["k"], r["v"]) for r in spark.read.parquet(tgt).collect()
+    )
+    assert got[7] == "upd" and got[6] == "base" and len(got) == 200
+
+
+def test_streaming_upsert_end_to_end(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    tgt = str(tmp_path / "tgt3")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).write.mode("overwrite").parquet(str(src / "f1"))
+
+    schema = "k int, v string"
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = foreach_batch_upsert(stream, tgt, ckpt, "k", n_buckets=4)
+    q.awaitTermination(60)
+    got = {
+        (r["k"], r["v"]) for r in spark.read.parquet(tgt).select("k", "v").collect()
+    }
+    assert got == {(1, "a"), (2, "b")}
+
+    # second wave: update + insert, resume from the checkpoint
+    spark.createDataFrame(
+        [(2, "B2"), (3, "c")], "k int, v string"
+    ).write.mode("overwrite").parquet(str(src / "f2"))
+    stream2 = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q2 = foreach_batch_upsert(stream2, tgt, ckpt, "k", n_buckets=4)
+    q2.awaitTermination(60)
+    got2 = {
+        (r["k"], r["v"]) for r in spark.read.parquet(tgt).select("k", "v").collect()
+    }
+    assert got2 == {(1, "a"), (2, "B2"), (3, "c")}
+
+
+def test_stream_parquet_append_exactly_once(spark, tmp_path):
+    src = tmp_path / "src4"
+    src.mkdir()
+    out = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ckpt4")
+    spark.createDataFrame([(1,), (2,)], "k int").write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+    stream = spark.readStream.schema("k int").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = write_stream_parquet(stream, out, ckpt)
+    q.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 2
+    # restart with the same checkpoint: nothing reprocessed
+    stream2 = spark.readStream.schema("k int").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q2 = write_stream_parquet(stream2, out, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 2

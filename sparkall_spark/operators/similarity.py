@@ -341,3 +341,226 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------
+# IVF-PQ: product-quantized fine search inside IVF cells (r4)
+# --------------------------------------------------------------------
+
+def train_pq_codebooks(
+    sample: np.ndarray, m: int, ks: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace k-means codebooks: (m, ks, dim//m).
+
+    Lloyd iterations over a driver-bounded sample — O(|sample|*ks*iters)
+    per subspace, independent of corpus size (same contract as the IVF
+    centroid step)."""
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, d))
+    for j in range(m):
+        sub = sample[:, j * d : (j + 1) * d]
+        cents = sub[rng.choice(n, size=min(ks, n), replace=False)].astype(float)
+        if len(cents) < ks:  # degenerate tiny sample: pad by repetition
+            cents = np.resize(cents, (ks, d))
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(vec: Column, books: np.ndarray) -> Column:
+    """PQ code array<int> of length m for a vector column.
+
+    Arrow-vectorized per batch: one (rows x ks) distance matrix per
+    subspace — the same legitimate-Pandas-UDF case as bucket_ids (no
+    built-in expresses a matmul).  Null / wrong-dim rows encode NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, d = books.shape
+    dim = m * d
+    bt = books  # capture
+
+    @pandas_udf("array<int>")
+    def _encode(vs: pd.Series) -> pd.Series:
+        res: list = [None] * len(vs)
+        good_idx, good_vecs = [], []
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                good_idx.append(i)
+                good_vecs.append(v)
+        if good_vecs:
+            mat = np.asarray(good_vecs, dtype=np.float64)
+            codes = np.empty((len(good_vecs), m), dtype=np.int64)
+            for j in range(m):
+                sub = mat[:, j * d : (j + 1) * d]
+                d2 = ((sub[:, None, :] - bt[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            for r, i in enumerate(good_idx):
+                res[i] = codes[r].tolist()
+        return pd.Series(res)
+
+    return _encode(vec)
+
+
+def _pq_approx_dot(qv: Column, code: Column, books: np.ndarray) -> Column:
+    """Asymmetric distance: dot(query, reconstruction(code)) via the
+    per-batch lookup  sum_j books[j][code_j] . q_sub_j  (vectorized)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, d = books.shape
+    bt = books
+
+    @pandas_udf("double")
+    def _score(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.full(len(qvs), np.nan)
+        good = [
+            i
+            for i in range(len(qvs))
+            if qvs[i] is not None and codes[i] is not None
+        ]
+        if good:
+            q = np.asarray([qvs[i] for i in good], dtype=np.float64)
+            c = np.asarray([codes[i] for i in good], dtype=np.int64)
+            acc = np.zeros(len(good))
+            for j in range(m):
+                sub = q[:, j * d : (j + 1) * d]
+                acc += np.einsum("nd,nd->n", sub, bt[j][c[:, j]])
+            out[good] = acc
+        return pd.Series(out)
+
+    return _score(qv, code)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    refine: int = 4,
+    sample_size: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ ANN with exact refinement: coarse IVF cells + product-
+    quantized codes for the candidate scoring, then exact cosine over
+    the ``refine * k`` best PQ candidates per query.
+
+    The 100 TB memory story: a corpus vector is stored for search as
+    ONE int cell id + ``m`` small codes (m bytes at ks<=256) instead of
+    dim doubles — 64x smaller at dim=64/m=8 — so the searchable index
+    for a trillion vectors fits a modest cluster, with the full vectors
+    touched only for the tiny refine set (partition-pruned join back).
+    All heavy math is Arrow-batched numpy (encode: one distance matrix
+    per subspace per batch; scoring: m gather-dot-products per batch);
+    candidates never exceed the probed cells.
+
+    Output schema matches the other top-k operators:
+    (query_id, neighbor_id, cosine, rank).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    rows = [r["__cv"] for r in c.select("__cv").limit(sample_size).collect()]
+    sample = np.asarray(rows, dtype=np.float64)
+    dim = sample.shape[1]
+
+    # coarse quantizer: reuse the IVF centroid construction
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)),
+                              replace=False)].astype(float)
+    for _ in range(iters):
+        dmat = sample @ cents.T
+        norms = np.linalg.norm(sample, axis=1, keepdims=True) * np.linalg.norm(
+            cents, axis=1
+        )
+        assign = np.argmax(
+            np.divide(dmat, norms, out=np.zeros_like(dmat), where=norms > 0),
+            axis=1,
+        )
+        for j in range(len(cents)):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+
+    # PQ codebooks over RESIDUAL-free subvectors (plain PQ: simpler and
+    # adequate at cosine similarity on normalized-ish data)
+    books = train_pq_codebooks(sample, m=m, ks=ks, iters=iters, seed=seed + 1)
+
+    def cell_expr(vec: Column, top_n: int) -> Column:
+        sims = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine_similarity(
+                            vec, F.array(*[F.lit(float(x)) for x in cent])
+                        ),
+                        6,
+                    ).alias("s"),
+                    F.lit(j).alias("cell"),
+                )
+                for j, cent in enumerate(cents)
+            ]
+        )
+        ordered = F.reverse(F.array_sort(sims))
+        return F.transform(F.slice(ordered, 1, top_n), lambda x: x["cell"])
+
+    # index: cell id + PQ code per corpus vector (map-side, one pass)
+    indexed = c.withColumn(
+        "cell", F.element_at(cell_expr(F.col("__cv"), 1), 1)
+    ).withColumn("__code", pq_encode(F.col("__cv"), books))
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        .withColumn("cell", F.explode(cell_expr(F.col("__qv"), nprobe)))
+        .withColumn("__qn", l2_norm(F.col("__qv")))
+    )
+
+    # candidate scoring on CODES only (the full corpus vector is not in
+    # the candidate row — this is what shrinks the searchable index)
+    cand = (
+        indexed.drop("__cv")
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "__approx", _pq_approx_dot(F.col("__qv"), F.col("__code"), books)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("__prank", F.row_number().over(w))
+        .filter(F.col("__prank") <= refine * k)
+        .select("query_id", "neighbor_id", "__qv", "__qn")
+    )
+
+    # exact refine: join the full vectors back for the shortlist only
+    refined = shortlist.join(c, "neighbor_id").withColumn(
+        "__cn", l2_norm(F.col("__cv"))
+    ).withColumn("cosine", _paired_cosine())
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

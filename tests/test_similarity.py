@@ -120,3 +120,52 @@ def test_bucket_ids_null_and_ragged_vectors(spark):
     assert got[(2, 0)] == 0 and got[(2, 1)] == 0
     assert got[(3, 0)] == 0 and got[(3, 1)] == 0
     assert len(got) == 6
+
+
+def test_ivf_pq_recall_against_brute_force(spark, sf_dir):
+    """IVF-PQ + exact refine: with half the cells probed and a 4x
+    refine shortlist, recall against brute force must stay high even on
+    uniform random vectors (the hard case for ANN)."""
+    corpus = emb(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(corpus, queries, k=5)
+    approx = S.ivf_pq_topk(
+        corpus, queries, k=5, n_cells=8, nprobe=4, m=16, ks=32, refine=8
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"
+    # refined scores are EXACT cosines: every overlapping pair agrees
+    # with brute force bit-for-bit (both round at 6dp)
+    escore = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in escore:
+            assert abs(r["cosine"] - escore[key]) < 1e-9
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    import numpy as np
+
+    corpus = emb(spark, sf_dir)
+    rows = [
+        r["e"]
+        for r in corpus.select(
+            F.col("embedding").cast("array<double>").alias("e")
+        ).limit(256).collect()
+    ]
+    sample = np.asarray(rows)
+    books = S.train_pq_codebooks(sample, m=8, ks=16, iters=3, seed=1)
+    assert books.shape == (8, 16, sample.shape[1] // 8)
+    df = corpus.limit(50).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c1 = {r["vec_id"]: r["c"] for r in df.select(
+        "vec_id", S.pq_encode(F.col("v"), books).alias("c")).collect()}
+    c2 = {r["vec_id"]: r["c"] for r in df.repartition(7).select(
+        "vec_id", S.pq_encode(F.col("v"), books).alias("c")).collect()}
+    assert c1 == c2  # partition-layout invariant
+    assert all(len(v) == 8 and all(0 <= x < 16 for x in v) for v in c1.values())
+    # a PQ row is 8 codes vs 64 doubles: the 64x memory claim
+    assert sample.shape[1] == 64

@@ -386,3 +386,85 @@ def test_random_three_star_chain_matches_oracle(engine, duck, spec):
         sql += " WHERE " + " AND ".join(sql_filters)
     df = engine.sparql(sparql, backend=spec["backend"])
     assert_matches_oracle(df, duck, sql)
+
+
+# --------------------------------------------------------------------
+# r4: OPTIONAL block-unit semantics fuzz — random placements of block
+# filters, attach (ON) filters, nesting, and cross-scope comparisons
+# must agree with a generated LEFT-JOIN-subquery oracle on BOTH
+# backends.
+# --------------------------------------------------------------------
+
+optional_spec_st = st.fixed_dictionaries(
+    {
+        "block_filter": st.sampled_from([None, 2000.0, 8000.0]),
+        "attach_on_mand": st.booleans(),
+        "nested": st.booleans(),
+        "nested_filter": st.sampled_from([None, 200000.0]),
+        "nested_attach_crossvar": st.booleans(),
+        "backend": st.sampled_from(["dataframe", "sql"]),
+    }
+)
+
+
+def _build_optional(spec):
+    blk_f = spec["block_filter"]
+    nested = spec["nested"]
+    nf = spec["nested_filter"]
+    cross = spec["nested_attach_crossvar"] and nested
+
+    sparql_parts = [
+        "?c a sa:Customer ; sa:nation ?n ; sa:name ?cname ; sa:acctbal ?bal ."
+    ]
+    if blk_f is not None:
+        sparql_parts.append(f"FILTER (?bal > {blk_f})")
+    if spec["attach_on_mand"]:
+        sparql_parts.append('FILTER (?nname != "NATION_3")')
+    if nested:
+        inner = ["?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp ."]
+        if nf is not None:
+            inner.append(f"FILTER (?tp > {nf})")
+        if cross:
+            inner.append("FILTER (?tp > ?bal)")
+        sparql_parts.append("OPTIONAL { " + " ".join(inner) + " }")
+    proj = "?nname ?cname" + (" ?tp" if nested else "")
+    sparql = (
+        PREFIX_BLOCK
+        + f"SELECT {proj} WHERE {{ ?n a sa:Nation ; sa:name ?nname . "
+        + "OPTIONAL { "
+        + " ".join(sparql_parts)
+        + " } }"
+    )
+
+    c_sub = "SELECT * FROM customer"
+    if blk_f is not None:
+        c_sub += f" WHERE c_acctbal > {blk_f}"
+    on_c = "c.c_nationkey = n_nationkey"
+    if spec["attach_on_mand"]:
+        on_c += " AND n_name <> 'NATION_3'"
+    sql = (
+        "SELECT n_name AS nname, c.c_name AS cname"
+        + (", o.o_totalprice AS tp" if nested else "")
+        + f" FROM nation LEFT JOIN ({c_sub}) AS c ON {on_c}"
+    )
+    if nested:
+        o_sub = "SELECT * FROM orders"
+        if nf is not None:
+            o_sub += f" WHERE o_totalprice > {nf}"
+        on_o = "o.o_custkey = c.c_custkey"
+        if cross:
+            on_o += " AND o.o_totalprice > c.c_acctbal"
+        sql += f" LEFT JOIN ({o_sub}) AS o ON {on_o}"
+    return sparql, sql
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=optional_spec_st)
+def test_optional_block_fuzz_matches_left_join_oracle(engine, duck, spec):
+    sparql, sql = _build_optional(spec)
+    df = engine.sparql(sparql, backend=spec["backend"])
+    assert_matches_oracle(df, duck, sql)

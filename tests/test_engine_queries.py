@@ -661,3 +661,65 @@ def test_optional_attach_condition_filters(engine, duck):
         key=lambda t: tuple(map(str, t)),
     )
     assert a == b and len(a) > 0
+
+
+def test_three_level_nested_optional(engine, duck):
+    """Three-deep nesting: each unit attaches inside its parent, so the
+    lineitem filter can only prune lineitems of matched orders of
+    matched customers."""
+    text = q(
+        """
+        SELECT ?nname ?cname ?tp ?qty WHERE {
+            ?n a sa:Nation ; sa:name ?nname .
+            OPTIONAL { ?c a sa:Customer ; sa:nation ?n ; sa:name ?cname .
+                OPTIONAL { ?o a sa:Orders ; sa:customer ?c ;
+                              sa:totalprice ?tp .
+                    OPTIONAL { ?l a sa:Lineitem ; sa:order ?o ;
+                                  sa:quantity ?qty .
+                               FILTER (?qty > 48) } } }
+        }
+        """
+    )
+    df = engine.sparql(text)
+    oracle = """
+    SELECT n_name AS nname, c.c_name AS cname, o.o_totalprice AS tp,
+           l.l_quantity AS qty
+    FROM nation
+    LEFT JOIN customer AS c ON c.c_nationkey = n_nationkey
+    LEFT JOIN orders AS o ON o.o_custkey = c.c_custkey
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 48) AS l
+      ON l.l_orderkey = o.o_orderkey
+    """
+    assert_matches_oracle(df, duck, oracle)
+    a = sorted(map(tuple, df.collect()), key=lambda t: tuple(map(str, t)))
+    b = sorted(
+        map(tuple, engine.sparql(text, backend="sql").collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert a == b
+
+
+def test_optional_inside_union_branch(engine, duck):
+    df = engine.sparql(
+        q(
+            """
+        SELECT ?name ?tp WHERE {
+            { ?c a sa:Customer ; sa:name ?name .
+              OPTIONAL { ?o a sa:Orders ; sa:customer ?c ;
+                            sa:totalprice ?tp .
+                         FILTER (?tp > 400000) } }
+            UNION
+            { ?s a sa:Supplier ; sa:name ?name . }
+        }
+        """
+        )
+    )
+    oracle = """
+    SELECT c_name AS name, o.o_totalprice AS tp
+    FROM customer LEFT JOIN (
+        SELECT * FROM orders WHERE o_totalprice > 400000) AS o
+      ON o.o_custkey = c_custkey
+    UNION ALL
+    SELECT s_name AS name, NULL AS tp FROM supplier
+    """
+    assert_matches_oracle(df, duck, oracle)

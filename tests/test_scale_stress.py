@@ -279,3 +279,84 @@ def test_pack_sequences_shard_balance_and_scaling(spark):
     assert t_big < max(9 * t_small, t_small + 8.0), (
         f"packing not near-linear: {t_small:.2f}s -> {t_big:.2f}s"
     )
+
+
+def test_decontam_scales_with_contamination_not_corpus(spark):
+    """Decontamination's one shuffle carries only MATCHED grams: growing
+    the CLEAN part of the corpus 4x must grow runtime far less than 4x
+    of the per-row work would suggest (near-linear map cost, constant
+    shuffle).  Also checks hit exactness on the planted overlap."""
+    import time as _t
+
+    from sparkall_spark.operators.decontam import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+
+    def corpus(n):
+        clean = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("clean document body number "),
+                F.col("id").cast("string"),
+                F.lit(" with filler words here"),
+            ).alias("text"),
+        )
+        dirty = spark.range(2_000_000, 2_000_050).select(
+            F.col("id").alias("doc_id"),
+            F.lit(
+                "prefix alpha beta gamma delta epsilon zeta eta theta suffix"
+            ).alias("text"),
+        )
+        return clean.unionByName(dirty)
+
+    def run(n):
+        t0 = _t.perf_counter()
+        out = ngram_decontaminate(corpus(n), bench, n=8, mode="annotate")
+        dirty_n = out.filter("contaminated").count()
+        return _t.perf_counter() - t0, dirty_n
+
+    run(10_000)  # warm
+    t1, d1 = run(50_000)
+    t4, d4 = run(200_000)
+    assert d1 == d4 == 50  # exactly the planted overlap, at every size
+    assert t4 < t1 * 4, f"superlinear: {t1:.2f}s -> {t4:.2f}s"
+
+
+def test_boilerplate_strip_scales_and_stays_exact(spark):
+    """Boilerplate removal at 200k docs with a 3-line chrome banner:
+    the frequent set stays tiny (map-side strip), runtime near-linear,
+    and the banner is gone from every document."""
+    import time as _t
+
+    from sparkall_spark.operators.boilerplate import remove_boilerplate_lines
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("Cookie notice: we use cookies\n"),
+                F.lit("unique line "),
+                F.col("id").cast("string"),
+                F.lit("\nAll rights reserved 2026"),
+            ).alias("text"),
+        )
+
+    def run(n):
+        t0 = _t.perf_counter()
+        out = remove_boilerplate_lines(corpus(n), min_docs=1000)
+        bad = out.filter(
+            F.col("text").contains("cookies")
+            | F.col("text").contains("rights reserved")
+        ).count()
+        total = out.count()
+        return _t.perf_counter() - t0, bad, total
+
+    run(10_000)  # warm
+    t1, bad1, n1 = run(50_000)
+    t4, bad4, n4 = run(200_000)
+    assert bad1 == bad4 == 0
+    assert n1 == 50_000 and n4 == 200_000
+    assert t4 < t1 * 4, f"superlinear: {t1:.2f}s -> {t4:.2f}s"

@@ -47,6 +47,10 @@ class ExecutionError(RuntimeError):
 def _filter_condition(col: Column, f: Filter, value: Column | None = None) -> Column:
     if f.op == "in":  # VALUES ?v { ... }
         return col.isin(list(f.value))
+    if f.op == "in_null_ok":
+        # outer VALUES on an optional var: SPARQL compatibility keeps
+        # rows where the var is UNBOUND (null), drops bound mismatches
+        return col.isNull() | col.isin(list(f.value))
     value = F.lit(f.value) if value is None else value
     if f.op == "=":
         return col == value
@@ -119,6 +123,8 @@ def _apply_star_filters(
     for f in q.filters:
         if f.value_is_var:
             continue  # var-to-var comparisons apply post-join
+        if f.op == "in_null_ok":
+            continue  # null-compatible outer VALUES: post-join only
         if f.var == star_name:
             conds.append(_filter_condition(F.col(f"{star_name}_ID"), f))
         elif f.var in q.var_to_star_pred and q.var_to_star_pred[f.var][0] == star_name:
@@ -543,7 +549,7 @@ def _apply_binds(df: DataFrame, q: ParsedQuery) -> DataFrame:
                     value=F.col(q.column_for_var(str(f.value))),
                 )
             )
-        elif f.var in aliases:
+        elif f.op == "in_null_ok" or f.var in aliases:
             df = df.filter(_filter_condition(F.col(q.column_for_var(f.var)), f))
     return df
 

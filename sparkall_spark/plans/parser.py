@@ -1170,12 +1170,24 @@ def parse_sparql(query: str) -> ParsedQuery:
             values_tables.append((vars_, rows))
             group_body = group_body[: vm.start()] + " " + group_body[vend:]
 
-        # VALUES ?var { lit lit ... } -> IN-list filter
-        values_filters: list[Filter] = []
+        # VALUES ?var { lit lit ... } -> IN-list filter.  Placement
+        # matters for OPTIONAL semantics (classified after the stars
+        # are known): inside a block it constrains the block pre-join;
+        # outside, on an optional var, SPARQL's compatibility rule
+        # keeps UNBOUND rows (null-or-in, applied post-join).
+        values_filters: list[tuple[Filter, bool]] = []
         while True:
             vm = re.search(r"VALUES\s+\?([\w]+)\s*\{", group_body, re.IGNORECASE)
             if not vm:
                 break
+            in_opt = any(
+                om.start() < vm.start() < _balanced(
+                    group_body, group_body.index("{", om.start()), "{", "}"
+                )
+                for om in re.finditer(
+                    r"OPTIONAL\s*\{", group_body, re.IGNORECASE
+                )
+            )
             vend = _balanced(group_body, group_body.index("{", vm.start()), "{", "}")
             inner = group_body[vm.end() : vend - 1]
             vals: list = []
@@ -1188,7 +1200,9 @@ def parse_sparql(query: str) -> ParsedQuery:
                     vals.append(
                         float(tok) if ("." in tok or "e" in tok.lower()) else int(tok)
                     )
-            values_filters.append(Filter(vm.group(1), "in", tuple(vals), is_str))
+            values_filters.append(
+                (Filter(vm.group(1), "in", tuple(vals), is_str), in_opt)
+            )
             group_body = group_body[: vm.start()] + " " + group_body[vend:]
 
         # BIND(expr AS ?alias) -> post-join computed column (extension;
@@ -1233,7 +1247,31 @@ def parse_sparql(query: str) -> ParsedQuery:
             expr_filters,
             optional_blocks,
         ) = _parse_group(group_body, prefixes)
-        filters = filters + values_filters
+        # classify VALUES by placement now that stars are known
+        for vf, in_opt in values_filters:
+            v_star = (
+                vf.var
+                if vf.var in stars
+                else var_to_star_pred.get(vf.var, (None,))[0]
+            )
+            if v_star is None:
+                raise SparqlParseError(
+                    f"VALUES ?{vf.var} references an unbound variable"
+                )
+            if in_opt and v_star not in optional_subjects:
+                raise SparqlParseError(
+                    f"VALUES ?{vf.var} inside OPTIONAL binds to mandatory "
+                    f"star ?{v_star}; hoisting it pre-join would break "
+                    "left-join semantics — move it outside the block"
+                )
+            if not in_opt and v_star in optional_subjects:
+                # SPARQL compatibility: an UNBOUND var matches any
+                # VALUES row, so rows where the OPTIONAL failed survive
+                filters = filters + [
+                    Filter(vf.var, "in_null_ok", vf.value, vf.value_is_string)
+                ]
+            else:
+                filters = filters + [vf]
 
         # OPTIONAL-internal BIND soundness: the alias must come out
         # unbound (NULL) exactly when the OPTIONAL did not match.  That

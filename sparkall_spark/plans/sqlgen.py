@@ -58,10 +58,13 @@ def _filter_sql(col: str, f: Filter) -> str:
         return f"{col} ILIKE {_lit(f.value, True)}"
     if f.op == "rlike":
         return f"{col} RLIKE {_lit(f.value, True)}"
-    if f.op == "in":  # VALUES ?v { ... }
+    if f.op in ("in", "in_null_ok"):  # VALUES ?v { ... }
         items = ", ".join(
             _lit(v, isinstance(v, str)) for v in f.value
         )
+        if f.op == "in_null_ok":
+            # outer VALUES on an optional var: unbound rows survive
+            return f"({col} IS NULL OR {col} IN ({items}))"
         return f"{col} IN ({items})"
     op = "<>" if f.op == "!=" else f.op
     return f"{col} {op} {_lit(f.value, f.value_is_string)}"
@@ -272,6 +275,8 @@ def _star_subquery(
     for f in q.filters:
         if f.value_is_var:
             continue  # var-to-var comparisons apply post-join
+        if f.op == "in_null_ok":
+            continue  # null-compatible outer VALUES: post-join only
         if f.var == star_name:
             conds.append(_filter_sql(_q(f"{star_name}_ID"), f))
         elif (
@@ -532,7 +537,7 @@ def _apply_binds_sql(q: ParsedQuery, core: str) -> str:
                 f"{_q(q.column_for_var(f.var))} {op} "
                 f"{_q(q.column_for_var(str(f.value)))}"
             )
-        elif f.var in aliases:
+        elif f.op == "in_null_ok" or f.var in aliases:
             conds.append(_filter_sql(_q(q.column_for_var(f.var)), f))
     if conds:
         core = f"(SELECT * FROM {core} WHERE {' AND '.join(conds)}) AS bndf"

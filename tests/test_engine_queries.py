@@ -723,3 +723,81 @@ def test_optional_inside_union_branch(engine, duck):
     SELECT s_name AS name, NULL AS tp FROM supplier
     """
     assert_matches_oracle(df, duck, oracle)
+
+
+def test_values_placement_in_optional(engine, duck):
+    """VALUES placement semantics (r4): INSIDE the block it constrains
+    the block pre-join (customers always survive); OUTSIDE, on an
+    optional var, SPARQL's compatibility rule keeps UNBOUND rows and
+    drops bound mismatches (null-or-in, post-join)."""
+    inner = q(
+        """
+        SELECT ?name ?tp WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            OPTIONAL { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp ;
+                          sa:orderpriority ?pr .
+                       VALUES ?pr { "1-URGENT" "2-HIGH" } }
+        }
+        """
+    )
+    assert_matches_oracle(
+        engine.sparql(inner),
+        duck,
+        """
+        SELECT c_name AS name, o.o_totalprice AS tp
+        FROM customer LEFT JOIN (
+            SELECT * FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS o
+          ON o.o_custkey = c_custkey
+        """,
+    )
+    outer = q(
+        """
+        SELECT ?name ?tp WHERE {
+            ?c a sa:Customer ; sa:name ?name .
+            OPTIONAL { ?o a sa:Orders ; sa:customer ?c ; sa:totalprice ?tp ;
+                          sa:orderpriority ?pr . }
+            VALUES ?pr { "1-URGENT" "2-HIGH" }
+        }
+        """
+    )
+    df = engine.sparql(outer)
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT name, tp FROM (
+            SELECT c_name AS name, o.o_totalprice AS tp,
+                   o.o_orderpriority AS pr
+            FROM customer LEFT JOIN orders AS o ON o.o_custkey = c_custkey
+        ) WHERE pr IS NULL OR pr IN ('1-URGENT', '2-HIGH')
+        """,
+    )
+    # both backends agree on both placements
+    for text in (inner, outer):
+        a = sorted(
+            map(tuple, engine.sparql(text).collect()),
+            key=lambda t: tuple(map(str, t)),
+        )
+        b = sorted(
+            map(tuple, engine.sparql(text, backend="sql").collect()),
+            key=lambda t: tuple(map(str, t)),
+        )
+        assert a == b and len(a) > 0
+
+
+def test_values_in_optional_on_mandatory_var_rejected(engine):
+    from sparkall_spark.plans.parser import SparqlParseError, parse_sparql
+
+    with pytest.raises(SparqlParseError, match="mandatory star"):
+        parse_sparql(
+            q(
+                """
+            SELECT ?name WHERE {
+                ?c a sa:Customer ; sa:name ?name ; sa:mktsegment ?seg .
+                OPTIONAL { ?o a sa:Orders ; sa:customer ?c .
+                           VALUES ?seg { "BUILDING" } }
+            }
+            """
+            )
+        )

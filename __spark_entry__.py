@@ -759,22 +759,15 @@ FROM documents GROUP BY text
 """
 
 
-def _e02_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
-
-
-_E02_ORACLE = """
-SELECT doc_id,
-       list_reduce(
+# portable rolling-hash document fingerprint, mirrored in DuckDB —
+# shared by the e10 select and the e20 pipeline dedup stage
+_FP_SQL = """list_reduce(
          list_prepend(0::BIGINT,
            [ascii(c) FOR c IN
               list_filter(string_split(
                 regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ''),
                 x -> x <> '')]),
-         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-FROM documents
-"""
+         (acc, c) -> (acc * 31 + c) % 1000000007)"""
 
 
 def _e03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1041,15 +1034,75 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+# data-independent seeded codebook for the SemDeDup entry (same trick
+# as _E09_CENTROIDS: fixed literals make the cell argmax, the
+# within-cell pruning, and the SQL mirror fully deterministic)
+_E24_CENTROIDS = __import__("numpy").random.default_rng(321).standard_normal((8, 64))
+
+
+def _e24_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.py:semdedup):
+    k-means cells + within-cell cosine pruning, greedy min-id keep.
+    The fixture has no natural near-dups (max pairwise cosine ~0.5), so
+    affine near-copies (cosine ~0.99998) of every 40th vector are
+    planted in-query — survivors must be exactly the originals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(1.01) + F.lit(0.002),
+        ).alias("embedding"),
+    )
+    aug = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    return D.semdedup(aug, threshold=0.95, centroids=_E24_CENTROIDS)
+
+
+def _e24_oracle_sql() -> str:
+    """Mirror of semdedup with the fixed codebook: cell = argmax 6dp
+    cosine over the 8 literal centroids (ties to the higher cell id —
+    the reverse(array_sort) order), dropped = any row with a smaller-id
+    same-cell neighbor at cosine >= 0.95, survivors = the rest."""
+    structs = ", ".join(
+        "{'s': round(list_cosine_similarity(e, ["
+        + ", ".join(repr(float(x)) for x in cent)
+        + f"]), 6), 'cell': {j}}}"
+        for j, cent in enumerate(_E24_CENTROIDS)
+    )
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[],
+                                         x -> x * 1.01 + 0.002)
+  FROM embeddings WHERE vec_id % 40 = 0),
+cellinfo AS (
+  SELECT vec_id, e,
+         list_reverse(list_sort([{structs}]))[1].cell AS cell
+  FROM aug),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cellinfo a JOIN cellinfo b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.95)
+SELECT vec_id, CAST(cell AS INT) AS cell FROM cellinfo
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 def _e10_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One pass over documents computing the full text-analysis family:
-    token/char stats, punctuation ratio, n-gram language ID, and the
-    composite quality score (merged e10+e11+e12 so every family member
-    keeps a driver-checked row within the 50-entry correctness budget;
-    all pure Column expressions, zero UDFs)."""
+    token/char stats, punctuation ratio, n-gram language ID, the
+    composite quality score, and the rolling-hash document fingerprint
+    (merged e10+e11+e12+e02 so every family member keeps a
+    driver-checked row within the 50-entry correctness budget; all pure
+    Column expressions, zero UDFs)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        X.fingerprint("text").alias("fp"),
         X.token_count("text").cast("bigint").alias("n_tokens"),
         X.distinct_token_count("text").cast("bigint").alias("n_distinct"),
         X.char_count("text").cast("bigint").alias("n_chars_calc"),
@@ -1082,6 +1135,7 @@ def _langid_hits(lang: str) -> str:
 _E10_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, text,
+         {_FP_SQL} AS fp,
          len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
            AS n_tok,
          len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -1098,6 +1152,7 @@ WITH t AS (
                      x -> x <> '') AS lt
   FROM documents)
 SELECT doc_id,
+       fp,
        n_tok AS n_tokens,
        n_dist AS n_distinct,
        len(text) AS n_chars_calc,
@@ -1279,20 +1334,43 @@ FROM cube_t LEFT JOIN piv ON flag = pflag
 
 def _e20_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pipeline: quality filter -> lang-id -> exact dedup ->
-    benchmark decontamination (8-gram overlap vs a deterministic eval
-    slice, r4) — one lazy plan end-to-end (operators/pipeline.py,
-    operators/decontam.py)."""
+    CCNet-style LM perplexity filter (unigram LM trained on the
+    doc_id%13 reference slice, exact integer micro-logp threshold, r4)
+    -> benchmark decontamination (8-gram overlap vs a deterministic
+    eval slice, r4) — one lazy plan end-to-end (operators/pipeline.py,
+    operators/lm.py, operators/decontam.py)."""
     from pyspark.sql import functions as F
 
     from sparkall_spark.operators.pipeline import prepare_documents
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    lm_ref = docs.filter(F.col("doc_id") % 13 == 0)
     out = prepare_documents(
-        docs, min_quality=0.5, decontam_bench=bench, decontam_n=8
+        docs,
+        min_quality=0.5,
+        decontam_bench=bench,
+        decontam_n=8,
+        lm_ref=lm_ref,
+        lm_max_perplexity=_E20_MAX_PPL,
     )
     return out.select("doc_id", "lang_pred", "quality")
 
+
+# LM perplexity cap for the e20 pipeline: fixture perplexities under
+# the %13-slice model span ~29-35; 31.0 keeps ~3/4 of the docs, so the
+# stage filters non-vacuously in both directions.  The predicate runs
+# in the exact integer micro-logp domain (operators/lm.py), so the cap
+# needs no float-tie safety margin.
+_E20_MAX_PPL = 31.0
+
+from sparkall_spark.operators.lm import lm_threshold_micro as _lm_t_micro
+
+_E20_T_MICRO = _lm_t_micro(_E20_MAX_PPL)
+
+_E20_LM_TOK = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+)
 
 _E20_ORACLE = f"""
 WITH t AS (
@@ -1348,8 +1426,36 @@ dgrams AS (
 bgrams AS (
   SELECT DISTINCT gram FROM dgrams WHERE doc_id % 17 = 0),
 dirty AS (
-  SELECT DISTINCT doc_id FROM dgrams JOIN bgrams USING (gram))
-SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+  SELECT DISTINCT doc_id FROM dgrams JOIN bgrams USING (gram)),
+-- CCNet-style LM perplexity filter (r4): unigram LM trained on the
+-- doc_id%13 slice, add-one smoothing, integer micro-logp scoring —
+-- keep docs with sum_logp_micro >= -T_micro * n (exact integers, the
+-- same predicate the engine runs; see operators/lm.py)
+lmtok AS (
+  SELECT doc_id, unnest({_E20_LM_TOK}) AS token FROM documents),
+lmref AS (
+  SELECT token, count(*) AS c FROM lmtok WHERE doc_id % 13 = 0
+  GROUP BY token),
+lmtot AS (SELECT sum(c) AS total, count(*) AS v FROM lmref),
+lmmodel AS (
+  SELECT token,
+         CAST(round(ln((c + 1.0) / (total + v + 1)) * 1000000) AS BIGINT)
+           AS lp
+  FROM lmref, lmtot),
+lmunk AS (
+  SELECT CAST(round(ln(1.0 / (total + v + 1)) * 1000000) AS BIGINT) AS u
+  FROM lmtot),
+lmper AS (
+  SELECT t.doc_id, count(*) AS n,
+         CAST(sum(coalesce(m.lp, lmunk.u)) AS BIGINT) AS s
+  FROM lmtok t LEFT JOIN lmmodel m USING (token), lmunk
+  GROUP BY t.doc_id),
+lmkeep AS (
+  SELECT doc_id FROM lmper
+  WHERE n > 0 AND s >= -({_E20_T_MICRO}) * n)
+SELECT * FROM surv
+WHERE doc_id IN (SELECT doc_id FROM lmkeep)
+  AND doc_id NOT IN (SELECT doc_id FROM dirty)
 """
 
 
@@ -1556,7 +1662,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q15_events_sessions"] = _q15_events_sessions
     out["q24_rml_fno_transform"] = _q24_rml_fno
     out["e01_dedup_exact"] = _e01_dedup_exact
-    out["e02_text_fingerprint"] = _e02_fingerprint
     out["e03_dedup_minhash"] = _e03_dedup_minhash
     out["e04_dedup_simhash"] = _e04_dedup_simhash
     out["e05_dedup_ngram_jaccard"] = _e05_dedup_ngram
@@ -1575,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e21_stats_aggregates"] = _e21_stats_aggregates
     out["e22_dedup_clusters"] = _e22_dedup_clusters
     out["e23_split_pack"] = _e23_split_pack
+    out["e24_semdedup"] = _e24_semdedup
 
     # Entry teardown: the dedup/graph operators persist intermediates
     # that must outlive their call (the driver consumes results lazily).
@@ -1607,7 +1713,6 @@ def oracle_sql() -> dict[str, str]:
     out["q15_events_sessions"] = _Q15_ORACLE
     out["q24_rml_fno_transform"] = _Q24_ORACLE
     out["e01_dedup_exact"] = _E01_ORACLE
-    out["e02_text_fingerprint"] = _E02_ORACLE
     out["e03_dedup_minhash"] = _E03_ORACLE
     out["e04_dedup_simhash"] = _E04_ORACLE
     out["e05_dedup_ngram_jaccard"] = _E05_ORACLE
@@ -1626,4 +1731,5 @@ def oracle_sql() -> dict[str, str]:
     out["e21_stats_aggregates"] = _E21_ORACLE
     out["e22_dedup_clusters"] = _E22_ORACLE
     out["e23_split_pack"] = _e23_oracle_sql()
+    out["e24_semdedup"] = _e24_oracle_sql()
     return out

@@ -836,3 +836,98 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    centroids=None,
+    n_cells: int = 16,
+    sample_size: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with k-means, then prune near-duplicates WITHIN each
+    cluster only.
+
+    Unlike :func:`embedding_neardup_pairs` (LSH candidates, aims for
+    full recall), this is the deliberately lossy cluster-local variant:
+    cross-cluster near-dups are out of scope by design, which is what
+    bounds the pair search at web scale.  The keep rule is deterministic
+    greedy min-id: a row is dropped iff some SAME-CELL row with a
+    smaller id is within ``threshold`` cosine (6dp-rounded, so a SQL
+    mirror agrees bit-for-bit).
+
+    Scale design: cell assignment is a map-only pass against literal
+    centroids (``nearest_cells_expr``); the only shuffles are the
+    equi-join on ``cell`` and one distinct over dropped ids.  Per-cell
+    work is O(|cell|^2) pairs, so ``n_cells`` must grow with the corpus
+    (the paper uses ~50k clusters for LAION-scale; cells a few thousand
+    wide keep the quadratic term flat).  Centroid training itself is a
+    bounded driver-side sample (metadata-scale) — or pass ``centroids``
+    for a fixed, fully deterministic codebook.
+
+    Returns the SURVIVING rows: ``(id_col, cell)``.
+    """
+    import numpy as np
+
+    from sparkall_spark.operators.similarity import (
+        l2_norm,
+        nearest_cells_expr,
+        train_centroids,
+    )
+
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=float)
+    else:
+        sample = np.array(
+            [r["__v"] for r in v.select("__v").limit(sample_size).collect()]
+        )
+        cents = train_centroids(sample, n_cells, iters, seed)
+
+    cells = v.withColumn(
+        "cell", F.element_at(nearest_cells_expr(F.col("__v"), cents, 1), 1)
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    a = cells.select(
+        F.col("__id").alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("__id").alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "cell",
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.round(
+        F.when(
+            denom > 0,
+            F.aggregate(
+                F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / denom,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    dropped = (
+        a.join(b, ["cell"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("__idb").alias("__id"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped, "__id", "left_anti")
+        .select(F.col("__id").alias(id_col), "cell")
+    )

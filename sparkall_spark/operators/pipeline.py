@@ -8,6 +8,8 @@ into the standard pretraining data-prep flow.
       -> language identification (stopword heuristic)
       -> exact dedup (normalized fingerprint, keep min id)
       -> [optional] near-dedup (MinHash-LSH)
+      -> [optional] LM perplexity filter (CCNet-style unigram LM
+         trained on a trusted reference corpus)
       -> [optional] benchmark decontamination (n-gram overlap removal)
       -> [optional] PII redaction (email/phone/IPv4 masking)
       -> partitioned/bucketed write
@@ -42,6 +44,9 @@ def prepare_documents(
     decontam_min_hits: int = 1,
     decontam_text_col: str | None = None,
     boilerplate_min_docs: int | None = None,
+    lm_ref: DataFrame | None = None,
+    lm_max_perplexity: float = 1e4,
+    lm_text_col: str | None = None,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
@@ -93,6 +98,24 @@ def prepare_documents(
         deduped = minhash_dedup(
             deduped, id_col=id_col, text_col=text_col,
             threshold=near_dedup_threshold,
+        )
+    if lm_ref is not None:
+        # CCNet-style LM quality filter AFTER dedup (scoring duplicate
+        # copies is wasted work) — train a smoothed unigram LM on the
+        # trusted reference corpus, drop documents whose perplexity
+        # under it exceeds the cap.  Training runs one metadata-scale
+        # totals job; scoring adds one doc-keyed shuffle.
+        from sparkall_spark.operators.lm import (
+            lm_quality_filter,
+            train_unigram_lm,
+        )
+
+        model, unk = train_unigram_lm(
+            lm_ref, text_col=lm_text_col or text_col
+        )
+        deduped = lm_quality_filter(
+            deduped, model, unk, lm_max_perplexity,
+            id_col=id_col, text_col=text_col,
         )
     if decontam_bench is not None:
         # benchmark decontamination AFTER dedup (contamination is a

@@ -69,6 +69,56 @@ def _paired_cosine() -> Column:
     )
 
 
+def train_centroids(
+    sample: np.ndarray, n_cells: int, iters: int, seed: int
+) -> np.ndarray:
+    """Driver-side cosine k-means over a BOUNDED sample (metadata-scale:
+    O(sample * n_cells * iters), independent of corpus size).  Shared by
+    the IVF family and :func:`~sparkall_spark.operators.dedup.semdedup`."""
+    rng = np.random.default_rng(seed)
+    cents = sample[
+        rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    ].astype(float)
+    for _ in range(iters):
+        d = sample @ cents.T
+        norms = np.linalg.norm(sample, axis=1, keepdims=True) * np.linalg.norm(
+            cents, axis=1
+        )
+        assign = np.argmax(
+            np.divide(d, norms, out=np.zeros_like(d), where=norms > 0), axis=1
+        )
+        for j in range(len(cents)):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def nearest_cells_expr(vec: Column, cents: np.ndarray, top_n: int) -> Column:
+    """Array of the ``top_n`` nearest centroid ids (JVM-side Column
+    expression over literal centroids).  Cosines are rounded to 6dp —
+    coarse enough that a last-ulp difference between engines can't flip
+    the argmax in a SQL mirror; ties break toward the higher cell id
+    (the reverse(array_sort(structs)) order, mirrored by DuckDB's
+    list_reverse(list_sort(...)))."""
+    sims = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_similarity(
+                        vec, F.array(*[F.lit(float(x)) for x in cent])
+                    ),
+                    6,
+                ).alias("s"),
+                F.lit(j).alias("cell"),
+            )
+            for j, cent in enumerate(cents)
+        ]
+    )
+    ordered = F.reverse(F.array_sort(sims))
+    return F.transform(F.slice(ordered, 1, top_n), lambda x: x["cell"])
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -277,54 +327,17 @@ def ivf_topk(
                 for r in c.select("__cv").limit(sample_size).collect()
             ]
         )
-        rng = np.random.default_rng(seed)
-        cents = sample[
-            rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
-        ]
-        for _ in range(iters):
-            d = sample @ cents.T
-            norms = np.linalg.norm(sample, axis=1, keepdims=True) * np.linalg.norm(
-                cents, axis=1
-            )
-            assign = np.argmax(
-                np.divide(d, norms, out=np.zeros_like(d), where=norms > 0), axis=1
-            )
-            for j in range(len(cents)):
-                members = sample[assign == j]
-                if len(members):
-                    cents[j] = members.mean(axis=0)
-
-    def cell_expr(vec: Column, top_n: int) -> Column:
-        """Array of the top_n nearest centroid ids (JVM-side)."""
-        sims = F.array(
-            *[
-                F.struct(
-                    # 6dp (not 9): coarse enough that a last-ulp
-                    # difference between engines can't flip the argmax
-                    # in the SQL mirror; ties break by cell id anyway
-                    F.round(
-                        cosine_similarity(
-                            vec, F.array(*[F.lit(float(x)) for x in cent])
-                        ),
-                        6,
-                    ).alias("s"),
-                    F.lit(j).alias("cell"),
-                )
-                for j, cent in enumerate(cents)
-            ]
-        )
-        ordered = F.reverse(F.array_sort(sims))
-        return F.transform(F.slice(ordered, 1, top_n), lambda x: x["cell"])
+        cents = train_centroids(sample, n_cells, iters, seed)
 
     c_cells = c.withColumn(
-        "cell", F.element_at(cell_expr(F.col("__cv"), 1), 1)
+        "cell", F.element_at(nearest_cells_expr(F.col("__cv"), cents, 1), 1)
     ).withColumn("__cn", l2_norm(F.col("__cv")))
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("__qv"),
         )
-        .withColumn("cell", F.explode(cell_expr(F.col("__qv"), nprobe)))
+        .withColumn("cell", F.explode(nearest_cells_expr(F.col("__qv"), cents, nprobe)))
         .withColumn("__qn", l2_norm(F.col("__qv")))
     )
 

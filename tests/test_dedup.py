@@ -139,3 +139,105 @@ def test_embedding_neardup_vs_oracle(spark, duck, sf_dir):
         ).fetchall()
     }
     assert rows == expected
+
+
+def test_semdedup_constructed_clusters(spark):
+    """Two well-separated directions with planted near-dup copies and
+    fixed centroids: survivors are exactly the min-id member of each
+    near-dup group; the distant outlier in each cell survives."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(16)
+    b = rng.standard_normal(16)
+    b -= (a @ b) / (a @ a) * a  # orthogonalize -> two clean cells
+    rows = []
+    for i, base in ((0, a), (100, b)):
+        rows.append((i, [float(x) for x in base]))
+        rows.append((i + 1, [float(x) for x in base * 1.02 + 0.001]))
+        rows.append((i + 2, [float(x) for x in base * 0.97]))
+        # same cell but far from the dup group: negate half the dims
+        far = base.copy()
+        far[::2] *= -0.2
+        rows.append((i + 50, [float(x) for x in far]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = D.semdedup(df, threshold=0.99, centroids=np.stack([a, b]))
+    survivors = {r["vec_id"] for r in out.collect()}
+    assert survivors == {0, 50, 100, 150}
+
+
+def test_semdedup_vs_duckdb_oracle(spark, duck, sf_dir):
+    """Fixture embeddings + planted affine near-dups, fixed seeded
+    centroids: full survivor-set agreement with the SQL mirror (cell
+    argmax, within-cell pruning, greedy min-id keep)."""
+    import numpy as np
+
+    cents = np.random.default_rng(123).standard_normal((8, 64))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(1.01) + F.lit(0.002),
+        ).alias("embedding"),
+    )
+    aug = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    out = D.semdedup(aug, threshold=0.95, centroids=cents)
+
+    structs = ", ".join(
+        "{'s': round(list_cosine_similarity(e, ["
+        + ", ".join(repr(float(x)) for x in cent)
+        + f"]), 6), 'cell': {j}}}"
+        for j, cent in enumerate(cents)
+    )
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        out,
+        duck,
+        f"""
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[],
+                                         x -> x * 1.01 + 0.002)
+  FROM embeddings WHERE vec_id % 40 = 0),
+cellinfo AS (
+  SELECT vec_id, e,
+         list_reverse(list_sort([{structs}]))[1].cell AS cell
+  FROM aug),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cellinfo a JOIN cellinfo b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.95)
+SELECT vec_id, CAST(cell AS INT) AS cell FROM cellinfo
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+""",
+    )
+
+
+def test_semdedup_trained_centroids_and_plan(spark, sf_dir):
+    """Default path (driver-sample k-means): removes planted dups, and
+    the plan is hash-join-only (no cartesian/BNLJ all-pairs)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    aug = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    out = D.semdedup(aug, threshold=0.999, n_cells=8, seed=11)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    survivors = {r["vec_id"] for r in out.collect()}
+    n_emb = emb.count()
+    # every planted exact copy shares its source's cell -> dropped
+    assert survivors == {r["vec_id"] for r in emb.collect()} or len(
+        survivors
+    ) == n_emb
+    assert all(v < 100000 for v in survivors)

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "e15_window_rank",
     "e17_range_join",
     "q19_sparql_union",
+    "e24_semdedup",  # cluster-local embedding dedup (r4)
 ]
 
 

@@ -861,16 +861,25 @@ def semdedup(
     smaller id is within ``threshold`` cosine (6dp-rounded, so a SQL
     mirror agrees bit-for-bit).
 
-    Scale design: cell assignment is a map-only pass against literal
-    centroids (``nearest_cells_expr``); the only shuffles are the
-    equi-join on ``cell`` and one distinct over dropped ids.  Per-cell
-    work is O(|cell|^2) pairs, so ``n_cells`` must grow with the corpus
-    (the paper uses ~50k clusters for LAION-scale; cells a few thousand
-    wide keep the quadratic term flat).  Centroid training itself is a
+    Scale design: identical vectors collapse to their min-id
+    representative FIRST (one groupBy on the vector value) — this is
+    semantics-preserving (every non-min member has an identical
+    smaller-id same-cell neighbor at cosine 1.0 >= threshold, so it is
+    dropped by definition; a rep is dropped iff some smaller-id rep
+    qualifies, because members share their rep's vector exactly) and
+    makes exact-duplicate cliques linear instead of quadratic, the same
+    collapse the minhash pipeline does.  Cell assignment is a map-only
+    pass against literal centroids (``nearest_cells_expr``); the
+    remaining shuffles are the equi-join on ``cell`` and one distinct
+    over dropped ids.  Per-cell work on the collapsed set is
+    O(|cell|^2) pairs, so ``n_cells`` must grow with the corpus (the
+    paper uses ~50k clusters for LAION-scale; cells a few thousand wide
+    keep the quadratic term flat).  Centroid training itself is a
     bounded driver-side sample (metadata-scale) — or pass ``centroids``
     for a fixed, fully deterministic codebook.
 
-    Returns the SURVIVING rows: ``(id_col, cell)``.
+    Returns the SURVIVING rows: ``(id_col, cell)``.  Requires
+    ``threshold <= 1.0`` (identical copies must count as duplicates).
     """
     import numpy as np
 
@@ -880,10 +889,15 @@ def semdedup(
         train_centroids,
     )
 
+    if threshold > 1.0:
+        raise ValueError("semdedup threshold must be <= 1.0")
     v = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
+    # identical-vector collapse: exact-duplicate groups keep only their
+    # min id for the pair search (see docstring for the equivalence)
+    v = v.groupBy("__v").agg(F.min("__id").alias("__id"))
     if centroids is not None:
         cents = np.asarray(centroids, dtype=float)
     else:

@@ -360,3 +360,49 @@ def test_boilerplate_strip_scales_and_stays_exact(spark):
     assert bad1 == bad4 == 0
     assert n1 == 50_000 and n4 == 200_000
     assert t4 < t1 * 4, f"superlinear: {t1:.2f}s -> {t4:.2f}s"
+
+
+def test_semdedup_identical_clique_is_skew_proof(spark):
+    """A 20k-member identical-embedding clique: the identical-vector
+    collapse means the cell pair-join sees ONE representative, so
+    runtime is dominated by the linear groupBy — doubling the clique
+    must not blow up runtime (member pairs would be ~2e8; semdedup
+    never materializes them)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = [float(x) for x in rng.standard_normal(16)]
+    cents = rng.standard_normal((4, 16))
+
+    def corpus(n):
+        clique = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(x) for x in base]).alias("embedding"),
+        )
+        distinct = spark.range(1_000_000, 1_000_200).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (F.col("id") % (i + 3)).cast("double") + F.lit(0.1 * i)
+                    for i in range(16)
+                ]
+            ).alias("embedding"),
+        )
+        return clique.unionByName(distinct)
+
+    from sparkall_spark.operators import dedup as D
+
+    # warmup: JIT the codegen'd plan shape once
+    D.semdedup(corpus(500), threshold=0.95, centroids=cents).count()
+
+    times = {}
+    for n in (10_000, 20_000):
+        t0 = time.monotonic()
+        out = D.semdedup(corpus(n), threshold=0.95, centroids=cents)
+        survivors = out.count()
+        times[n] = time.monotonic() - t0
+        # exactly one clique survivor (vec_id 0) + the distinct tail's
+        # own survivors (independent of n)
+        assert survivors < 250
+        assert out.filter(F.col("vec_id").between(1, n - 1)).count() == 0
+    assert times[20_000] <= max(4 * times[10_000], times[10_000] + 5.0)

@@ -113,3 +113,116 @@ def ngram_decontaminate(
     return out.withColumn(
         "n_hits", F.coalesce(F.col("n_hits"), F.lit(0))
     ).withColumn("contaminated", F.col("n_hits") >= min_hits)
+
+
+def minhash_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    ngram: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    mode: str = "annotate",
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag/drop training documents
+    whose word-``ngram`` Jaccard similarity with ANY benchmark document
+    is >= ``threshold`` (near-duplicate contamination that exact n-gram
+    matching misses when the eval text was lightly edited).
+
+    Candidates come from MinHash-LSH banding BETWEEN the two sides only
+    (never corpus x corpus): the benchmark's band table is tiny and
+    broadcast, so the corpus side is a map-only signature pass feeding a
+    broadcast join — no full-corpus shuffle; only candidate pairs are
+    verified with exact Jaccard over the shingle arrays, so every
+    emitted ``max_jaccard`` is exact while recall is probabilistic — a
+    true-Jaccard-j pair is missed with probability
+    ``(1 - j^(num_hashes/bands))^bands`` (~4e-8 at j=0.9 with the
+    defaults; raise ``bands`` for lower thresholds).
+
+    annotate: ``docs`` + ``n_bench_matches`` + ``max_jaccard`` (6dp,
+    0.0 when unmatched) + ``contaminated``.  clean: the unmatched
+    subset, original columns (broadcast left-anti join).
+    """
+    if mode not in ("annotate", "clean"):
+        raise ValueError(f"mode must be 'annotate' or 'clean', got {mode!r}")
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    from sparkall_spark.operators.dedup import (
+        _sig_sql,
+        _with_shingles,
+        jaccard,
+    )
+
+    rows = num_hashes // bands
+    bcol = bench_text_col or text_col
+
+    def banded(d: DataFrame, idc: str, tc: str) -> DataFrame:
+        sh = _with_shingles(d, idc, tc, ngram)
+        sig = sh.withColumn(
+            "__sig",
+            F.expr(
+                _sig_sql("transform(__sh, t -> xxhash64(t))", num_hashes, seed)
+            ),
+        )
+        return sig.select(
+            "__id",
+            "__sh",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.hash(F.slice("__sig", i * rows + 1, rows))
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("__band", "__bh"),
+        )
+
+    # bench ids are internal only (outputs never depend on which row got
+    # which id), so a synthetic id is fine
+    b = bench.select(
+        F.monotonically_increasing_id().alias("__bid"),
+        F.col(bcol).alias("__btext"),
+    )
+    b_bands = banded(b, "__bid", "__btext").select(
+        F.col("__id").alias("__bid"),
+        F.col("__sh").alias("__bsh"),
+        "__band",
+        "__bh",
+    )
+    c_bands = banded(docs, id_col, text_col)
+
+    # candidate = first matching band only (dedup via distinct ids)
+    cand = (
+        c_bands.join(F.broadcast(b_bands), ["__band", "__bh"])
+        .select("__id", "__sh", "__bid", "__bsh")
+        .dropDuplicates(["__id", "__bid"])
+    )
+    hits = (
+        cand.withColumn("__j", F.round(jaccard(F.col("__sh"), F.col("__bsh")), 6))
+        .filter(F.col("__j") >= threshold)
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_matches"),
+            F.max("__j").alias("max_jaccard"),
+        )
+    )
+
+    if mode == "clean":
+        dirty = hits.select("__id")
+        return docs.join(
+            F.broadcast(dirty), docs[id_col] == dirty["__id"], "left_anti"
+        )
+    out = docs.join(
+        F.broadcast(hits), docs[id_col] == hits["__id"], "left"
+    ).drop("__id")
+    return (
+        out.withColumn(
+            "n_bench_matches", F.coalesce(F.col("n_bench_matches"), F.lit(0))
+        )
+        .withColumn("max_jaccard", F.coalesce(F.col("max_jaccard"), F.lit(0.0)))
+        .withColumn("contaminated", F.col("n_bench_matches") > 0)
+    )

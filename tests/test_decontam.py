@@ -132,3 +132,91 @@ def test_plan_no_corpus_shuffle_before_join(docs, bench):
         if "Exchange hashpartitioning" in ln
     ]
     assert len(shuffles) <= 2, shuffles  # partial+final agg pair max
+
+
+# ---- fuzzy (MinHash) decontamination ------------------------------------
+
+def test_minhash_decontam_planted_near_copies(spark):
+    """Lightly edited copies of benchmark docs (one token changed out of
+    ~30, trigram jaccard ~0.9) must be flagged; unrelated docs must not.
+    Exact n-gram decontam at n=8 misses these edits when the change
+    lands mid-document — the case this operator exists for."""
+    from sparkall_spark.operators.decontam import minhash_decontaminate
+
+    bench_text = " ".join(f"tok{i}" for i in range(30))
+    edited = " ".join(
+        f"tok{i}" if i != 15 else "CHANGED" for i in range(30)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, edited),
+            (2, "completely different words " + " ".join(f"z{i}" for i in range(26))),
+            (3, bench_text),  # verbatim copy
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(bench_text,)], ["text"])
+    out = minhash_decontaminate(docs, bench, threshold=0.6)
+    flags = {r["doc_id"]: (r["contaminated"], r["max_jaccard"])
+             for r in out.collect()}
+    assert flags[1][0] and flags[3][0] and not flags[2][0]
+    assert flags[3][1] == 1.0
+    assert 0.6 <= flags[1][1] < 1.0
+    # the mid-document edit kills every overlapping 8-gram around it but
+    # verbatim 8-gram runs remain on both flanks -> exact decontam also
+    # fires here; at a 14-token doc an edit leaves NO intact 8-gram:
+    short_b = " ".join(f"s{i}" for i in range(14))
+    short_e = " ".join(f"s{i}" if i != 7 else "X" for i in range(14))
+    sdocs = spark.createDataFrame([(1, short_e)], ["doc_id", "text"])
+    sbench = spark.createDataFrame([(short_b,)], ["text"])
+    exact = ngram_decontaminate(sdocs, sbench, n=8, mode="annotate")
+    assert not exact.first()["contaminated"]
+    fuzzy = minhash_decontaminate(sdocs, sbench, threshold=0.6)
+    assert fuzzy.first()["contaminated"]
+
+
+def test_minhash_decontam_matches_allpairs_oracle(spark, duck, docs, bench):
+    """Fixture corpus vs the doc_id%17 bench slice at threshold 0.8:
+    flagged set equals the exact all-pairs trigram-Jaccard oracle (at
+    j>=0.8 the per-pair LSH miss probability is ~2e-4 with 16x4 bands;
+    the fixture's matches are all j=1.0 self-pairs, miss ~0)."""
+    from sparkall_spark.operators.decontam import minhash_decontaminate
+
+    out = minhash_decontaminate(docs, bench, threshold=0.8, mode="annotate")
+    got = {r["doc_id"] for r in out.collect() if r["contaminated"]}
+    expected = {
+        r[0]
+        for r in duck.execute(
+            """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(tk[i:i+2], ' ')
+                                    FOR i IN generate_series(1, len(tk) - 2)]) grams
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                       x -> x <> '') tk
+                    FROM documents)
+              WHERE len(tk) >= 3)
+            SELECT DISTINCT c.doc_id
+            FROM g c JOIN g b ON b.doc_id % 17 = 0
+            WHERE len(list_intersect(c.grams, b.grams))::DOUBLE
+                  / len(list_distinct(list_concat(c.grams, b.grams))) >= 0.8
+            """
+        ).fetchall()
+    }
+    assert got == expected
+
+
+def test_minhash_decontam_clean_and_validation(spark, docs, bench):
+    from sparkall_spark.operators.decontam import minhash_decontaminate
+
+    ann = minhash_decontaminate(docs, bench, threshold=0.8)
+    dirty = {r["doc_id"] for r in ann.collect() if r["contaminated"]}
+    clean = minhash_decontaminate(docs, bench, threshold=0.8, mode="clean")
+    assert {r["doc_id"] for r in clean.collect()} == {
+        r["doc_id"] for r in docs.collect()
+    } - dirty
+    with pytest.raises(ValueError):
+        minhash_decontaminate(docs, bench, mode="bogus")
+    with pytest.raises(ValueError):
+        minhash_decontaminate(docs, bench, num_hashes=64, bands=7)

@@ -17,11 +17,14 @@ this is the LLM-data-pipeline extension of SURVEY.md §7.2 step 9):
 
 Scale design: every candidate-generation path is a shuffle on a compact
 key (band hash / fingerprint / bucket id), never an all-pairs product;
-verification only touches candidate pairs.  All expressions are
-JVM-side Column ops — zero Python UDFs — so the hot path stays inside
-whole-stage codegen.  Signatures use a splitmix-style integer mixer
-written as explicit arithmetic (portable + deterministic, no dependence
-on a specific engine hash).
+verification only touches candidate pairs.  Expressions are JVM-side
+Column ops inside whole-stage codegen, with one documented exception:
+dense-vector cell/bucket assignment (``semdedup``'s default, like
+``similarity.bucket_ids``) is an Arrow-batched numpy matmul, because an
+interpreted higher-order fold costs ~1 ms/row where the batch matmul
+costs ~1 µs/row.  Signatures use a splitmix-style integer mixer written
+as explicit arithmetic (portable + deterministic, no dependence on a
+specific engine hash).
 """
 
 from __future__ import annotations
@@ -848,6 +851,7 @@ def semdedup(
     sample_size: int = 2048,
     iters: int = 5,
     seed: int = 42,
+    assign: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     embeddings with k-means, then prune near-duplicates WITHIN each
@@ -884,6 +888,7 @@ def semdedup(
     import numpy as np
 
     from sparkall_spark.operators.similarity import (
+        assign_cells,
         l2_norm,
         nearest_cells_expr,
         train_centroids,
@@ -906,9 +911,22 @@ def semdedup(
         )
         cents = train_centroids(sample, n_cells, iters, seed)
 
-    cells = v.withColumn(
-        "cell", F.element_at(nearest_cells_expr(F.col("__v"), cents, 1), 1)
-    ).withColumn("__n", l2_norm(F.col("__v")))
+    # Cell assignment: Arrow-batched matmul by default (assign_cells —
+    # the interpreted higher-order fold of nearest_cells_expr costs
+    # ~1 ms/row; the batched matmul is ~1 µs/row with identical
+    # rounding/tie semantics); assign="column" keeps the pure-Column
+    # expression for UDF-free plans.  Persisted because the plan reads
+    # `cells` three times (both pair sides + the anti join); tracked in
+    # the shared cache registry (release_caches()).
+    if assign == "column":
+        cell_col = F.element_at(nearest_cells_expr(F.col("__v"), cents, 1), 1)
+    elif assign == "arrow":
+        cell_col = assign_cells(F.col("__v"), cents)
+    else:
+        raise ValueError(f"assign must be 'arrow' or 'column', got {assign!r}")
+    cells = _persist(
+        v.withColumn("cell", cell_col).withColumn("__n", l2_norm(F.col("__v")))
+    )
     a = cells.select(
         F.col("__id").alias("__ida"),
         F.col("__v").alias("__va"),

@@ -94,6 +94,41 @@ def train_centroids(
     return cents
 
 
+def assign_cells(vec: Column, cents: np.ndarray) -> Column:
+    """Arrow-batched nearest-centroid id (the scale path for top-1 cell
+    assignment): one ``batch x cells`` matrix multiply per Arrow batch
+    instead of an interpreted higher-order fold per row — the same
+    reasoning as :func:`bucket_ids` (the HOF evaluation costs ~1 ms/row
+    at dim=64/cells=8; the matmul is ~1 µs/row).
+
+    Semantics match :func:`nearest_cells_expr`'s top-1 element and its
+    SQL mirrors bit-for-bit up to the already-accepted last-ulp class:
+    cosines are rounded HALF-UP at 6dp (emulated with
+    sign*floor(|x|*1e6+0.5)) and ties break toward the HIGHER cell id;
+    zero-norm vectors score 0 against every centroid and land in the
+    highest cell, exactly like the reverse(array_sort) order."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(cents, dtype=np.float64)
+    cn = np.linalg.norm(c, axis=1)
+    n_cells = c.shape[0]
+
+    @pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        d = m @ c.T
+        denom = np.linalg.norm(m, axis=1)[:, None] * cn[None, :]
+        cos = np.divide(d, denom, out=np.zeros_like(d), where=denom > 0)
+        r = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+        # argmax over reversed cell order -> ties to the higher cell id
+        idx = np.argmax(r[:, ::-1], axis=1)
+        return pd.Series((n_cells - 1) - idx, dtype="int32")
+
+    return _assign(vec)
+
+
 def nearest_cells_expr(vec: Column, cents: np.ndarray, top_n: int) -> Column:
     """Array of the ``top_n`` nearest centroid ids (JVM-side Column
     expression over literal centroids).  Cosines are rounded to 6dp —

@@ -241,3 +241,28 @@ def test_semdedup_trained_centroids_and_plan(spark, sf_dir):
         survivors
     ) == n_emb
     assert all(v < 100000 for v in survivors)
+
+
+def test_semdedup_arrow_assignment_matches_column(spark, sf_dir):
+    """The Arrow-batched matmul cell assignment (scale path, default)
+    and the pure-Column expression agree on every fixture vector —
+    identical HALF-UP 6dp rounding and tie-to-higher-cell semantics."""
+    import numpy as np
+
+    cents = np.random.default_rng(123).standard_normal((8, 64))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {
+        (r["vec_id"], r["cell"])
+        for r in D.semdedup(emb, threshold=0.95, centroids=cents,
+                            assign="arrow").collect()
+    }
+    b = {
+        (r["vec_id"], r["cell"])
+        for r in D.semdedup(emb, threshold=0.95, centroids=cents,
+                            assign="column").collect()
+    }
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.semdedup(emb, centroids=cents, assign="bogus")

@@ -338,6 +338,7 @@ def ivf_topk(
     iters: int = 5,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    assign: str = "arrow",
 ) -> DataFrame:
     """IVF-style ANN: centroids from a driver-side k-means over a bounded
     sample (metadata-scale), then cell-blocked exact search.
@@ -348,6 +349,12 @@ def ivf_topk(
     dim) to skip the k-means and use a fixed, caller-chosen codebook —
     that makes the whole query deterministic and SQL-mirrorable (the
     driver's oracle check uses this).
+
+    ``assign`` picks the corpus-side cell assignment: ``"arrow"``
+    (default) is the batched-matmul scale path (:func:`assign_cells`,
+    same rounding/tie semantics); ``"column"`` keeps the pure-Column
+    fold (UDF-free plan).  Queries always use the Column expression —
+    they need the top-``nprobe`` cells and are small by assumption.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -364,9 +371,15 @@ def ivf_topk(
         )
         cents = train_centroids(sample, n_cells, iters, seed)
 
-    c_cells = c.withColumn(
-        "cell", F.element_at(nearest_cells_expr(F.col("__cv"), cents, 1), 1)
-    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    if assign == "arrow":
+        corpus_cell = assign_cells(F.col("__cv"), cents)
+    elif assign == "column":
+        corpus_cell = F.element_at(nearest_cells_expr(F.col("__cv"), cents, 1), 1)
+    else:
+        raise ValueError(f"assign must be 'arrow' or 'column', got {assign!r}")
+    c_cells = c.withColumn("cell", corpus_cell).withColumn(
+        "__cn", l2_norm(F.col("__cv"))
+    )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -502,6 +515,7 @@ def ivf_pq_topk(
     sample_size: int = 2048,
     iters: int = 5,
     seed: int = 42,
+    assign: str = "arrow",
 ) -> DataFrame:
     """IVF-PQ ANN with exact refinement: coarse IVF cells + product-
     quantized codes for the candidate scoring, then exact cosine over
@@ -528,56 +542,30 @@ def ivf_pq_topk(
     dim = sample.shape[1]
 
     # coarse quantizer: reuse the IVF centroid construction
-    rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)),
-                              replace=False)].astype(float)
-    for _ in range(iters):
-        dmat = sample @ cents.T
-        norms = np.linalg.norm(sample, axis=1, keepdims=True) * np.linalg.norm(
-            cents, axis=1
-        )
-        assign = np.argmax(
-            np.divide(dmat, norms, out=np.zeros_like(dmat), where=norms > 0),
-            axis=1,
-        )
-        for j in range(len(cents)):
-            members = sample[assign == j]
-            if len(members):
-                cents[j] = members.mean(axis=0)
+    cents = train_centroids(sample, n_cells, iters, seed)
 
     # PQ codebooks over RESIDUAL-free subvectors (plain PQ: simpler and
     # adequate at cosine similarity on normalized-ish data)
     books = train_pq_codebooks(sample, m=m, ks=ks, iters=iters, seed=seed + 1)
 
-    def cell_expr(vec: Column, top_n: int) -> Column:
-        sims = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        cosine_similarity(
-                            vec, F.array(*[F.lit(float(x)) for x in cent])
-                        ),
-                        6,
-                    ).alias("s"),
-                    F.lit(j).alias("cell"),
-                )
-                for j, cent in enumerate(cents)
-            ]
-        )
-        ordered = F.reverse(F.array_sort(sims))
-        return F.transform(F.slice(ordered, 1, top_n), lambda x: x["cell"])
-
-    # index: cell id + PQ code per corpus vector (map-side, one pass)
-    indexed = c.withColumn(
-        "cell", F.element_at(cell_expr(F.col("__cv"), 1), 1)
-    ).withColumn("__code", pq_encode(F.col("__cv"), books))
+    # index: cell id + PQ code per corpus vector (map-side, one pass;
+    # arrow = batched-matmul assignment, the scale path)
+    if assign == "arrow":
+        corpus_cell = assign_cells(F.col("__cv"), cents)
+    elif assign == "column":
+        corpus_cell = F.element_at(nearest_cells_expr(F.col("__cv"), cents, 1), 1)
+    else:
+        raise ValueError(f"assign must be 'arrow' or 'column', got {assign!r}")
+    indexed = c.withColumn("cell", corpus_cell).withColumn(
+        "__code", pq_encode(F.col("__cv"), books)
+    )
 
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("__qv"),
         )
-        .withColumn("cell", F.explode(cell_expr(F.col("__qv"), nprobe)))
+        .withColumn("cell", F.explode(nearest_cells_expr(F.col("__qv"), cents, nprobe)))
         .withColumn("__qn", l2_norm(F.col("__qv")))
     )
 

@@ -169,3 +169,27 @@ def test_pq_encode_shape_and_determinism(spark, sf_dir):
     assert all(len(v) == 8 and all(0 <= x < 16 for x in v) for v in c1.values())
     # a PQ row is 8 codes vs 64 doubles: the 64x memory claim
     assert sample.shape[1] == 64
+
+
+def test_ivf_assignment_paths_agree(spark, sf_dir):
+    """ivf_topk with assign='arrow' (batched matmul, default) and
+    assign='column' (pure-Column fold) return identical results on the
+    fixture; bad mode rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkall_spark.operators import similarity as S
+
+    cents = np.random.default_rng(123).standard_normal((16, 64))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 4")
+    a = sorted(map(tuple, S.ivf_topk(emb, q, k=5, centroids=cents).collect()))
+    b = sorted(
+        map(
+            tuple,
+            S.ivf_topk(emb, q, k=5, centroids=cents, assign="column").collect(),
+        )
+    )
+    assert a == b
+    with _pytest.raises(ValueError):
+        S.ivf_topk(emb, q, centroids=cents, assign="bogus")

@@ -137,3 +137,20 @@ def test_lm_plan_is_udf_free_broadcast(docs, spark):
     plan = L.lm_score(docs, model, unk)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lm_scores_invariant_under_partitioning(docs, spark):
+    """The micro-logp integer sums are claimed order- and partitioning-
+    independent — a float-sum implementation would fail this: the same
+    corpus scored through 1 partition and through 13 must agree
+    bit-for-bit on every row."""
+    model, unk = L.train_unigram_lm(docs.filter(F.col("doc_id") % 5 == 0))
+    one = {
+        r["doc_id"]: (r["n_lm_tokens"], r["sum_logp_micro"])
+        for r in L.lm_score(docs.repartition(1), model, unk).collect()
+    }
+    many = {
+        r["doc_id"]: (r["n_lm_tokens"], r["sum_logp_micro"])
+        for r in L.lm_score(docs.repartition(13), model, unk).collect()
+    }
+    assert one == many

@@ -376,3 +376,67 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "token", "tf", "score", "rank")
     )
+
+
+# --- HTML -> text extraction (r4) -----------------------------------------
+#
+# The step between WARC ingestion (sources/warc.py) and the document
+# pipeline.  Pure Column regexp chain — zero UDFs, whole-stage codegen —
+# restricted to the Java-regex/RE2-common subset so DuckDB oracles can
+# mirror every pattern with regexp_replace(..., 'g').  This is
+# readability-lite (main-content detection needs DOM analysis); the
+# contract is deterministic, boilerplate-safe markup removal.
+
+_HTML_STRIP = [
+    # script/style/head blocks and comments go first: their contents are
+    # not text.  (?is) = case-insensitive + dotall in both engines.
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?is)<head\b[^>]*>.*?</head>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level closers/breaks become newlines so words don't fuse
+    (r"(?i)<(?:br|hr)\s*/?>", "\n"),
+    (r"(?i)</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)>", "\n"),
+    # every remaining tag vanishes
+    (r"(?s)<[^>]*>", " "),
+]
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+]
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Markup-stripped text of an HTML column: scripts/styles/comments
+    removed, block boundaries become newlines, tags dropped, the common
+    named entities decoded, whitespace normalized (runs of spaces/tabs
+    collapse; >=3 newlines collapse to a paragraph break; trimmed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _HTML_STRIP:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    # trim() strips spaces only; newlines at the edges need the regex
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def html_to_text_sql(src: str) -> str:
+    """The identical chain as one DuckDB SQL expression (test oracles)."""
+    out = src
+    for pat, rep in _HTML_STRIP:
+        # DuckDB regular string literals pass backslashes through
+        # verbatim (no escape processing), so the Java-regex pattern
+        # text is reused as-is; only quotes need doubling.
+        p = pat.replace("'", "''")
+        r = rep.replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        r = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{r}')"
+    out = f"regexp_replace({out}, '[ \\t\\f]+', ' ', 'g')"
+    out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+    out = f"regexp_replace({out}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"regexp_replace({out}, '^\\s+|\\s+$', '', 'g')"

@@ -23,6 +23,7 @@ from sparkall_spark.sources.files import (
 from sparkall_spark.sources.jdbc import read_jdbc
 from sparkall_spark.sources.nosql import read_cassandra, read_elasticsearch, read_mongodb
 from sparkall_spark.sources.rdf import read_ntriples
+from sparkall_spark.sources.warc import read_warc_mapping
 
 ReaderFn = Callable[[SparkSession, EntityMapping], DataFrame]
 
@@ -37,6 +38,7 @@ READERS: dict[str, ReaderFn] = {
     "cassandra": read_cassandra,
     "elasticsearch": read_elasticsearch,
     "rdf": read_ntriples,
+    "warc": read_warc_mapping,
 }
 
 

@@ -1,0 +1,164 @@
+"""WARC ingestion (sources/warc.py) + HTML->text extraction
+(functions/text.py:html_to_text): the raw-crawl front end of the
+pipeline.  Synthetic WARC fixtures (plain and per-record-gzip), hostile
+input tolerance, and a DuckDB mirror for the HTML strip chain."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkall_spark.functions.text import html_to_text, html_to_text_sql
+from sparkall_spark.sources.warc import iter_warc_records, read_warc
+
+HTML_1 = (
+    b"<html><head><title>T</title><style>p{color:red}</style></head>"
+    b"<body><h1>Big News</h1><p>first&nbsp;para &amp; more</p>"
+    b"<script>var x = '<p>not text</p>';</script>"
+    b"<div>second para</div><!-- hidden --></body></html>"
+)
+HTML_2 = b"<p>Hello<br>world</p><ul><li>a</li><li>b</li></ul>"
+
+
+def _record(uri: str, body: bytes, status: int = 200) -> bytes:
+    http = (
+        b"HTTP/1.1 %d OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        % status
+        + body
+    )
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        b"\r\n"
+    )
+    return head + http + b"\r\n\r\n"
+
+
+def _warcinfo() -> bytes:
+    body = b"software: synthetic"
+    return (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n"
+        + body
+        + b"\r\n\r\n"
+    )
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    plain = _warcinfo() + _record("http://a.example/x", HTML_1) + _record(
+        "http://b.example/y", HTML_2, status=404
+    )
+    (d / "crawl-0.warc").write_bytes(plain)
+    # per-record gzip members concatenated — the Common Crawl layout
+    gz = b"".join(
+        gzip.compress(r)
+        for r in (_warcinfo(), _record("http://c.example/z", HTML_2))
+    )
+    (d / "crawl-1.warc.gz").write_bytes(gz)
+    return str(d)
+
+
+def test_record_iterator_offsets_and_tolerance():
+    data = _record("http://a/x", b"HTTP/1.1 200 OK\r\n\r\nhi")
+    recs = list(iter_warc_records(data))
+    assert len(recs) == 1 and recs[0][0] == 0
+    assert recs[0][1]["warc-target-uri"] == "http://a/x"
+    # truncated payload, garbled length, garbage prefix: no exceptions
+    assert list(iter_warc_records(data[: len(data) // 2]))[:1] == []
+    assert list(iter_warc_records(b"WARC/1.0\r\nContent-Length: zz\r\n\r\n")) == []
+    assert list(iter_warc_records(b"not a warc at all")) == []
+
+
+def test_read_warc_responses(spark, warc_dir):
+    rows = {
+        r["target_uri"]: r
+        for r in read_warc(spark, warc_dir).collect()
+    }
+    # warcinfo records filtered by default; 3 responses across 2 files
+    assert set(rows) == {
+        "http://a.example/x", "http://b.example/y", "http://c.example/z"
+    }
+    a = rows["http://a.example/x"]
+    assert a["http_status"] == 200
+    assert a["content_type"].startswith("text/html")
+    assert a["warc_type"] == "response"
+    assert "<h1>Big News</h1>" in a["body"]
+    assert rows["http://b.example/y"]["http_status"] == 404
+    assert rows["http://c.example/z"]["file"].endswith(".gz")
+
+
+def test_read_warc_all_record_types(spark, warc_dir):
+    out = read_warc(spark, warc_dir, record_types=())
+    types = [r["warc_type"] for r in out.collect()]
+    assert types.count("warcinfo") == 2 and types.count("response") == 3
+
+
+def test_html_to_text_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, HTML_1.decode()), (2, HTML_2.decode())], ["i", "html"]
+    )
+    got = {
+        r["i"]: r["txt"]
+        for r in df.select("i", html_to_text("html").alias("txt")).collect()
+    }
+    # head content (title included) is metadata, stripped with the block
+    assert got[1] == "Big News\nfirst para & more\nsecond para"
+    assert "not text" not in got[1] and "color:red" not in got[1]
+    assert got[2] == "Hello\nworld\na\nb"
+
+
+def test_html_to_text_matches_duckdb_mirror(spark, duck):
+    """Every pattern in the strip chain is in the Java-regex/RE2-common
+    subset: the DuckDB rendering must agree character-for-character on
+    messy inputs."""
+    samples = [
+        HTML_1.decode(),
+        HTML_2.decode(),
+        "plain text, no markup",
+        "<P>UPPER</P><BR/>tail",
+        "a &lt;b&gt; &quot;c&quot; &#39;d&#39; &amp;&amp; e",
+        "<div >spaces  in\ttags</div\n>",
+        "<script>unclosed",  # hostile: unterminated block stays (no DOM)
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["i", "h"])
+    got = {
+        r["i"]: r["txt"]
+        for r in df.select("i", html_to_text("h").alias("txt")).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE _html(i INT, h VARCHAR)")
+    duck.executemany(
+        "INSERT INTO _html VALUES (?, ?)", list(enumerate(samples))
+    )
+    want = dict(
+        duck.execute(
+            f"SELECT i, {html_to_text_sql('h')} FROM _html"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_warc_to_pipeline_composition(spark, warc_dir):
+    """The full front end composes: WARC -> html_to_text -> the document
+    pipeline's quality/lang columns — one lazy plan, no shuffle until
+    the dedup window."""
+    from sparkall_spark.operators.pipeline import prepare_documents
+
+    docs = (
+        read_warc(spark, warc_dir)
+        .filter(F.col("http_status") == 200)
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            html_to_text("body").alias("text"),
+        )
+    )
+    out = prepare_documents(docs, min_quality=0.0)
+    rows = out.collect()
+    assert len(rows) == 2  # the two 200-status pages
+    assert {"quality", "lang_pred"} <= set(out.columns)

@@ -162,3 +162,38 @@ def test_warc_to_pipeline_composition(spark, warc_dir):
     rows = out.collect()
     assert len(rows) == 2  # the two 200-status pages
     assert {"quality", "lang_pred"} <= set(out.columns)
+
+
+def test_sparql_over_warc_source(spark, warc_dir):
+    """The semantic layer composes with the crawl source: a WARC file
+    declared as an entity mapping (source type 'warc') answers SPARQL
+    through the standard engine path — projection, rename, FILTER
+    pushdown — like any other store."""
+    from sparkall_spark.engine import Engine
+    from sparkall_spark.mappings import EntityMapping, MappingIndex
+
+    ns = "http://sparkall.io/ns/"
+    idx = MappingIndex(
+        [
+            EntityMapping(
+                name="Page",
+                source=warc_dir,
+                source_type="warc",
+                id_attr="target_uri",
+                predicates={
+                    ns + "uri": "target_uri",
+                    ns + "status": "http_status",
+                    ns + "body": "body",
+                },
+                class_iri=ns + "Page",
+            )
+        ]
+    )
+    engine = Engine(spark, idx)
+    out = engine.sparql(
+        f"PREFIX sa: <{ns}>\n"
+        "SELECT ?u WHERE { ?p a sa:Page ; sa:uri ?u ; sa:status ?s .\n"
+        "  FILTER (?s = 200) }"
+    )
+    uris = sorted(r["u"] for r in out.collect())
+    assert uris == ["http://a.example/x", "http://c.example/z"]

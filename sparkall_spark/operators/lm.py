@@ -154,3 +154,110 @@ def lm_threshold_micro(max_perplexity: float) -> int:
     """The quantized ``round(ln(P) * 1e6)`` threshold — exposed so SQL
     mirrors can embed the identical integer literal."""
     return int(round(math.log(float(max_perplexity)) * MICRO))
+
+
+# --- interpolated bigram LM (r4) ------------------------------------------
+
+def _positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per token position: (id, prev, w); prev is NULL at the
+    first position.  Map-side only — consecutive pairs come from the
+    token array itself, no window or self-join."""
+    toks = tokens(F.lower(F.col(text_col)))
+    idx = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks))
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
+            F.element_at(toks, i).alias("w"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("__id"), F.explode(pairs).alias("p")
+    ).select("__id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+
+
+def train_bigram_lm(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, float]:
+    """Interpolated-bigram model pieces from a reference corpus:
+    ``(bigrams, unigrams, pu_unk)`` where ``bigrams`` is
+    ``(prev, w, pb)`` with MLE ``pb = c(prev,w)/c(prev·)`` (no
+    smoothing — interpolation with the unigram handles zeros),
+    ``unigrams`` is ``(w, pu)`` with add-one ``pu = (c+1)/(total+V+1)``,
+    and ``pu_unk`` the unseen-token unigram probability.  Probabilities
+    are exact integer ratios evaluated in double — identical on every
+    engine — so a SQL mirror reproduces scoring bit-for-bit (up to the
+    accepted last-ulp-of-ln class).  Both tables are vocabulary-scale;
+    the only driver-side data is the two-number totals row."""
+    pos = _positions(ref, ref.columns[0], text_col)
+    uni = pos.groupBy("w").agg(F.count("*").alias("c"))
+    total, vocab = uni.agg(
+        F.sum("c").cast("long"), F.count("*").cast("long")
+    ).first()
+    denom = float((total or 0) + (vocab or 0) + 1)
+    unigrams = uni.select(
+        "w", ((F.col("c") + F.lit(1)).cast("double") / F.lit(denom)).alias("pu")
+    )
+    pairs = pos.filter(F.col("prev").isNotNull())
+    big = pairs.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    ctx = pairs.groupBy("prev").agg(F.count("*").alias("c1"))
+    bigrams = big.join(ctx, "prev").select(
+        "prev", "w", (F.col("c2").cast("double") / F.col("c1")).alias("pb")
+    )
+    return bigrams, unigrams, 1.0 / denom
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    pu_unk: float,
+    lam: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Score documents under the interpolated bigram LM:
+    ``p(w_i) = lam * pb(w_i | w_{i-1}) + (1-lam) * pu(w_i)`` (first
+    token and unseen contexts fall back to the unigram term, which is
+    never zero).  Same exact-integer contract as :func:`lm_score`:
+    per-token micro-logps quantized once, summed as BIGINTs — output
+    ``(id_col, n_lm_tokens, sum_logp_micro, avg_logp, perplexity)``.
+
+    Prefer ``lam`` values exactly representable in binary (0.75, 0.5)
+    so the ``1-lam`` complement is exact too and SQL mirrors can embed
+    both as literals.  Scale: two broadcast joins (set
+    ``broadcast=False`` to shuffle on token keys instead) + one
+    doc-keyed shuffle; the position expansion is map-side.
+    """
+    uni = unigrams.select("w", "pu")
+    big = bigrams.select("prev", "w", "pb")
+    if broadcast:
+        uni, big = F.broadcast(uni), F.broadcast(big)
+    pos = _positions(docs, id_col, text_col)
+    j = pos.join(uni, "w", "left").join(big, ["prev", "w"], "left")
+    pu_eff = F.coalesce(F.col("pu"), F.lit(float(pu_unk)))
+    p = F.when(F.col("prev").isNull(), pu_eff).otherwise(
+        F.lit(float(lam)) * F.coalesce(F.col("pb"), F.lit(0.0))
+        + F.lit(float(1 - lam)) * pu_eff
+    )
+    per = j.groupBy("__id").agg(
+        F.count("*").alias("n_lm_tokens"),
+        F.sum(F.round(F.log(p) * MICRO).cast("long")).alias("sum_logp_micro"),
+    )
+    base = docs.select(F.col(id_col).alias("__id"))
+    out = base.join(per, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_lm_tokens"), F.lit(0)).alias("n_lm_tokens"),
+        F.coalesce(F.col("sum_logp_micro"), F.lit(0)).alias("sum_logp_micro"),
+    )
+    avg = F.when(
+        F.col("n_lm_tokens") > 0,
+        F.col("sum_logp_micro").cast("double")
+        / (F.col("n_lm_tokens") * F.lit(float(MICRO))),
+    )
+    return out.withColumn("avg_logp", avg).withColumn(
+        "perplexity", F.exp(-F.col("avg_logp"))
+    )

@@ -154,3 +154,94 @@ def test_lm_scores_invariant_under_partitioning(docs, spark):
         for r in L.lm_score(docs.repartition(13), model, unk).collect()
     }
     assert one == many
+
+
+# --- interpolated bigram LM ------------------------------------------------
+
+BIGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOK} AS tk FROM documents),
+pos AS (
+  SELECT doc_id, tk[i] AS w,
+         CASE WHEN i > 1 THEN tk[i-1] END AS prev
+  FROM t, unnest(generate_series(1, len(tk))) AS s(i)),
+uni AS (
+  SELECT w, count(*) AS c FROM pos WHERE doc_id % 5 = 0 GROUP BY w),
+tot AS (SELECT sum(c) AS total, count(*) AS v FROM uni),
+um AS (SELECT w, (c + 1.0) / (total + v + 1) AS pu FROM uni, tot),
+unk AS (SELECT 1.0 / (total + v + 1) AS pu_unk FROM tot),
+bp AS (
+  SELECT prev, w, count(*) AS c2 FROM pos
+  WHERE doc_id % 5 = 0 AND prev IS NOT NULL GROUP BY prev, w),
+ctx AS (
+  SELECT prev, count(*) AS c1 FROM pos
+  WHERE doc_id % 5 = 0 AND prev IS NOT NULL GROUP BY prev),
+bm AS (SELECT bp.prev, bp.w, bp.c2::DOUBLE / ctx.c1 AS pb
+       FROM bp JOIN ctx USING (prev)),
+per AS (
+  SELECT p.doc_id, count(*) AS n,
+         CAST(sum(CAST(round(ln(
+           CASE WHEN p.prev IS NULL THEN coalesce(um.pu, unk.pu_unk)
+                ELSE 0.75 * coalesce(bm.pb, 0.0)
+                     + 0.25 * coalesce(um.pu, unk.pu_unk) END
+         ) * 1000000) AS BIGINT)) AS BIGINT) AS s
+  FROM pos p
+  LEFT JOIN um ON um.w = p.w
+  LEFT JOIN bm ON bm.prev = p.prev AND bm.w = p.w
+  CROSS JOIN unk
+  GROUP BY p.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(per.n, 0) AS BIGINT) AS n_lm_tokens,
+       CAST(coalesce(per.s, 0) AS BIGINT) AS sum_logp_micro
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+def test_bigram_model_probabilities(spark):
+    ref = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    big, uni, pu_unk = L.train_bigram_lm(ref)
+    pb = {(r["prev"], r["w"]): r["pb"] for r in big.collect()}
+    pu = {r["w"]: r["pu"] for r in uni.collect()}
+    # bigram pairs: (a,b) x2, (b,a) x1, (a,c) x1 -> ctx a=3, b=1
+    assert pb[("a", "b")] == pytest.approx(2 / 3)
+    assert pb[("a", "c")] == pytest.approx(1 / 3)
+    assert pb[("b", "a")] == 1.0
+    # unigrams: a=3, b=2, c=1; total=6, V=3 -> denom=10
+    assert pu["a"] == pytest.approx(4 / 10) and pu_unk == pytest.approx(1 / 10)
+
+
+def test_bigram_score_favors_reference_order(spark):
+    """The bigram term distinguishes word ORDER that a unigram model
+    cannot: the reference phrase beats its shuffled permutation."""
+    import math as _m
+
+    ref = spark.createDataFrame(
+        [(i, "new york city hall") for i in range(3)], ["doc_id", "text"]
+    )
+    big, uni, pu_unk = L.train_bigram_lm(ref)
+    docs = spark.createDataFrame(
+        [(1, "new york city hall"), (2, "hall city york new")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["perplexity"]
+           for r in L.bigram_lm_score(docs, big, uni, pu_unk).collect()}
+    assert got[1] < got[2]
+    # unigram model sees identical bags -> identical scores
+    m, unk = L.train_unigram_lm(ref)
+    u = {r["doc_id"]: r["sum_logp_micro"]
+         for r in L.lm_score(docs, m, unk).collect()}
+    assert u[1] == u[2]
+
+
+def test_bigram_score_vs_duckdb_oracle(docs, duck):
+    big, uni, pu_unk = L.train_bigram_lm(
+        docs.filter(F.col("doc_id") % 5 == 0)
+    )
+    out = L.bigram_lm_score(docs, big, uni, pu_unk, lam=0.75).select(
+        "doc_id",
+        F.col("n_lm_tokens").cast("bigint").alias("n_lm_tokens"),
+        F.col("sum_logp_micro").cast("bigint").alias("sum_logp_micro"),
+    )
+    assert_matches_oracle(out, duck, BIGRAM_ORACLE)

@@ -47,6 +47,8 @@ def prepare_documents(
     lm_ref: DataFrame | None = None,
     lm_max_perplexity: float = 1e4,
     lm_text_col: str | None = None,
+    decontam_fuzzy: bool = False,
+    decontam_fuzzy_threshold: float = 0.8,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
@@ -134,9 +136,59 @@ def prepare_documents(
             min_hits=decontam_min_hits,
             mode="clean",
         )
+        if decontam_fuzzy:
+            # second pass for lightly-EDITED eval text the exact n-gram
+            # overlap misses (operators/decontam.py:minhash_decontaminate)
+            from sparkall_spark.operators.decontam import (
+                minhash_decontaminate,
+            )
+
+            deduped = minhash_decontaminate(
+                deduped,
+                decontam_bench,
+                id_col=id_col,
+                text_col=text_col,
+                bench_text_col=decontam_text_col,
+                threshold=decontam_fuzzy_threshold,
+                mode="clean",
+            )
     if redact_pii:
         # AFTER dedup on purpose: masking collapses distinct addresses
         # to one token, which would merge genuinely different documents
         # under the dedup fingerprint
         deduped = deduped.withColumn(text_col, X.redact_pii(text_col))
     return deduped
+
+
+def crawl_to_documents(
+    spark,
+    warc_path: str,
+    min_status: int = 200,
+    max_status: int = 299,
+    html_only: bool = True,
+) -> DataFrame:
+    """One-call crawl front end: WARC records -> successful HTML
+    responses -> markup-stripped text in the standard document schema
+    ``(doc_id, url, text)`` — ready for :func:`prepare_documents`.
+
+    ``doc_id`` is a deterministic 64-bit hash of (file, record offset),
+    stable across reruns and partitionings (unlike
+    monotonically_increasing_id); collision odds at 1e12 records are
+    ~3e-8 per pair and exact dedup keys on the text anyway.  The whole
+    thing stays one lazy map-only plan on top of the WARC reader.
+    """
+    from sparkall_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, warc_path).filter(
+        F.col("http_status").between(min_status, max_status)
+    )
+    if html_only:
+        recs = recs.filter(
+            F.col("content_type").isNull()
+            | F.lower(F.col("content_type")).contains("html")
+        )
+    return recs.select(
+        F.xxhash64(F.col("file"), F.col("record_offset")).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        X.html_to_text(F.col("body")).alias("text"),
+    )

@@ -197,3 +197,31 @@ def test_sparql_over_warc_source(spark, warc_dir):
     )
     uris = sorted(r["u"] for r in out.collect())
     assert uris == ["http://a.example/x", "http://c.example/z"]
+
+
+def test_crawl_to_documents_front_end(spark, warc_dir):
+    """crawl_to_documents: successful HTML responses only, deterministic
+    doc ids, standard schema; composes with the pipeline incl. the
+    fuzzy-decontam knob."""
+    from sparkall_spark.operators.pipeline import (
+        crawl_to_documents,
+        prepare_documents,
+    )
+
+    docs = crawl_to_documents(spark, warc_dir)
+    rows = docs.collect()
+    assert sorted(r["url"] for r in rows) == [
+        "http://a.example/x", "http://c.example/z"
+    ]  # the 404 page is excluded
+    assert docs.columns == ["doc_id", "url", "text"]
+    # deterministic ids: a second evaluation produces the same set
+    assert {r["doc_id"] for r in docs.collect()} == {
+        r["doc_id"] for r in rows
+    }
+    out = prepare_documents(
+        docs,
+        min_quality=0.0,
+        decontam_bench=docs.limit(0).select("text"),
+        decontam_fuzzy=True,
+    )
+    assert out.count() == 2  # empty bench: nothing removed by either pass

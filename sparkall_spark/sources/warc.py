@@ -32,6 +32,7 @@ hostile by default).
 from __future__ import annotations
 
 import gzip
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -119,9 +120,12 @@ def parse_warc_bytes(
     path: str, data: bytes, record_types: tuple[str, ...], max_body_bytes: int
 ) -> Iterator[tuple]:
     if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
+        # truncated/garbled members raise EOFError/zlib.error, not just
+        # BadGzipFile (OSError) — a cut-short crawl file must not kill
+        # the task (found by the hypothesis fuzz)
         try:
             data = gzip.decompress(data)  # handles multi-member streams
-        except OSError:
+        except (OSError, EOFError, zlib.error):
             return
     for offset, headers, payload in iter_warc_records(data, max_body_bytes):
         wtype = headers.get("warc-type", "")

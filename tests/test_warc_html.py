@@ -225,3 +225,26 @@ def test_crawl_to_documents_front_end(spark, warc_dir):
         decontam_fuzzy=True,
     )
     assert out.count() == 2  # empty bench: nothing removed by either pass
+
+
+def test_warc_parser_never_raises_on_garbage():
+    """Crawl bytes are hostile by default: any byte string — including
+    ones that start like WARC records — must parse to a (possibly
+    empty) record list, never raise."""
+    from hypothesis import given, settings, strategies as st
+
+    from sparkall_spark.sources.warc import parse_warc_bytes
+
+    prefixes = st.sampled_from(
+        [b"", b"WARC/1.0\r\n", b"WARC/1.0\r\nContent-Length: ",
+         b"\x1f\x8b", _record("http://x/y", b"HTTP/1.1 200 OK\r\n\r\nok")]
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(prefixes, st.binary(max_size=512))
+    def run(prefix, junk):
+        list(iter_warc_records(prefix + junk))
+        list(parse_warc_bytes("f.warc", prefix + junk, ("response",), 1024))
+        list(parse_warc_bytes("f.warc.gz", prefix + junk, (), 1024))
+
+    run()

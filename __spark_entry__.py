@@ -1559,7 +1559,8 @@ def _e23_oracle_sql() -> str:
                ) - n_chars AS start_offset
         FROM d
     )
-    SELECT doc_id, split, shard, start_offset,
+    SELECT doc_id, split, shard,
+           CAST(start_offset AS BIGINT) AS start_offset,
            CAST(floor(start_offset / 2048) AS BIGINT) AS seq_id
     FROM packed
     """

@@ -1,4 +1,5 @@
 import math
+import numbers
 import os
 
 import duckdb
@@ -107,10 +108,29 @@ def assert_matches_oracle(spark_df, duck_con, sql, check_order=False,
     assert not mismatches, f"value mismatch, first: {mismatches[0]}"
 
 
+def _is_float_kind(v):
+    # np.float64 subclasses float, so this covers pandas/duckdb floats.
+    return isinstance(v, float)
+
+
+def _is_int_kind(v):
+    # np.int64 is NOT a Python int but IS numbers.Integral; exclude bool.
+    return isinstance(v, numbers.Integral) and not isinstance(v, bool)
+
+
 def _rows_equal(a, b, approx_floats=False):
     if len(a) != len(b):
         return False
     for x, y in zip(a, b):
+        # The driver's value hash stringifies per-type, so 322 (BIGINT)
+        # vs 322.0 (DuckDB HUGEINT drifting to float64 via fetchdf) is a
+        # driver-visible mismatch even though Python's 322 == 322.0 is
+        # True.  r4's e23 red row slipped through exactly here — treat
+        # int-kind vs float-kind as a mismatch, always.
+        if (_is_float_kind(x) and _is_int_kind(y)) or (
+            _is_int_kind(x) and _is_float_kind(y)
+        ):
+            return False
         if isinstance(x, float) and isinstance(y, float):
             if approx_floats:
                 if not math.isclose(x, y, rel_tol=1e-6, abs_tol=1e-9):

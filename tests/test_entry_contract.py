@@ -87,3 +87,45 @@ def test_r3_q06_tie_prone_entry_now_fails_locally(spark, duck01):
     # ...and the old epsilon comparison masks it, which is exactly how
     # r3 shipped the bug:
     assert_matches_oracle(df, duck01, _Q06_2DP_ORACLE, approx_floats=True)
+
+
+# --- regression: the r4 e23 type drift -------------------------------------
+# The r4 e23 oracle's start_offset was sum(BIGINT) OVER (...), which
+# DuckDB types as HUGEINT; fetchdf() materializes HUGEINT as float64, so
+# the driver's per-type value hash saw 322.0 vs the entry's 322 and went
+# red — while Python's cross-type 322 == 322.0 let the local suite pass.
+# Pin both halves: the uncast oracle must now FAIL locally (int-kind vs
+# float-kind is a mismatch), and the CAST-repaired e23 oracle passes.
+
+def _e23_oracle_uncast():
+    """The exact r4 oracle shape: windowed sum without the outer CAST."""
+    fixed = E.oracle_sql()["e23_split_pack"]
+    assert "CAST(start_offset AS BIGINT)" in fixed, (
+        "e23 oracle lost its HUGEINT repair cast"
+    )
+    return fixed.replace(
+        "CAST(start_offset AS BIGINT) AS start_offset", "start_offset"
+    )
+
+
+def test_r4_e23_uncast_windowed_sum_now_fails_locally(spark, duck01):
+    df = E.queries()["e23_split_pack"](spark, SF_DIR)
+    with pytest.raises(AssertionError, match="value mismatch"):
+        assert_matches_oracle(df, duck01, _e23_oracle_uncast())
+
+
+def test_int_vs_float_kind_is_a_mismatch():
+    """Unit-pin the comparison itself, incl. the numpy dtypes fetchdf
+    actually produces (np.int64 is not a Python int; np.float64 IS a
+    Python float subclass)."""
+    import numpy as np
+
+    from tests.conftest import _rows_equal
+
+    assert not _rows_equal((322,), (322.0,))
+    assert not _rows_equal((np.int64(322),), (np.float64(322.0),))
+    assert not _rows_equal((322.0,), (np.int64(322),))
+    assert _rows_equal((np.int64(322),), (322,))
+    assert _rows_equal((np.float64(1.5),), (1.5,))
+    # bools must not be caught by the Integral check
+    assert _rows_equal((True,), (True,))

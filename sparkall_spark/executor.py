@@ -870,6 +870,29 @@ def _execute_solutions(
                         for k in q.order_keys
                     ]
                 )
+        elif q.distinct and q.order_keys:
+            # DISTINCT + ORDER BY on unprojected keys.  SPARQL algebra is
+            # OrderBy -> Project -> Distinct with Distinct preserving the
+            # order, so each distinct row takes the position of its FIRST
+            # occurrence in the ordered sequence.  A plain
+            # sort->project->distinct loses that: the distinct re-shuffle
+            # destroys the order a following LIMIT depends on.  Instead,
+            # pick each group's minimal element under the full comparator
+            # via a window hash-partitioned by the projected columns
+            # (parallel — no single-partition window), then ONE global
+            # sort; ordering groups by their minimal element reproduces
+            # first-occurrence order for any asc/desc mix.  Same cost
+            # class as the ORDER BY's own global sort.
+            from pyspark.sql.window import Window
+
+            group_cols = [q.column_for_var(v) for v in out_cols]
+            w = Window.partitionBy(*group_cols).orderBy(*sort_keys())
+            df = (
+                df.withColumn("__sq_rn", F.row_number().over(w))
+                .filter(F.col("__sq_rn") == 1)
+                .orderBy(*sort_keys())
+                .select(*rename)
+            )
         else:
             if q.order_keys:
                 df = df.orderBy(*sort_keys())

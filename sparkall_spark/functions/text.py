@@ -400,9 +400,13 @@ _HTML_STRIP = [
     # every remaining tag vanishes
     (r"(?s)<[^>]*>", " "),
 ]
+# &amp; decodes LAST (standard unescape order): decoding it first
+# double-decodes escaped entities — '&amp;lt;div&amp;gt;' renders as the
+# literal text '&lt;div&gt;' and must extract as that, not as '<div>'
+# (ADVICE r4).  The SQL mirror shares this list, so both engines agree.
 _HTML_ENTITIES = [
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
 ]
 
 

@@ -852,6 +852,8 @@ def semdedup(
     iters: int = 5,
     seed: int = 42,
     assign: str = "arrow",
+    max_cell_size: int | None = None,
+    oversize: str = "salt",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     embeddings with k-means, then prune near-duplicates WITHIN each
@@ -882,6 +884,21 @@ def semdedup(
     bounded driver-side sample (metadata-scale) — or pass ``centroids``
     for a fixed, fully deterministic codebook.
 
+    ``max_cell_size`` guards the quadratic term against a pathological
+    cell (a semantic cluster tighter than ``n_cells`` can split): cells
+    above the cap are sub-split by a deterministic id-hash salt into
+    ~``max_cell_size`` slices, deduped within each salt, then ONE
+    cross-salt pass runs over the within-salt SURVIVORS (whose pair
+    count collapses precisely when the cell is pathological — a tight
+    near-dup cluster keeps ~1 survivor per salt).  Within-salt work is
+    |cell|·max_cell_size instead of |cell|², i.e. near-linear on a
+    one-cluster corpus.  The two-phase rule is a documented superset of
+    the exact survivors: a drop is missed only when ALL its smaller-id
+    witnesses were themselves dropped in other salts — still
+    deterministic, and strictly more conservative (keeps more).
+    ``oversize="error"`` instead refuses to run when any cell exceeds
+    the cap (one metadata-scale aggregate).
+
     Returns the SURVIVING rows: ``(id_col, cell)``.  Requires
     ``threshold <= 1.0`` (identical copies must count as duplicates).
     """
@@ -896,19 +913,35 @@ def semdedup(
 
     if threshold > 1.0:
         raise ValueError("semdedup threshold must be <= 1.0")
+    if oversize not in ("salt", "error"):
+        raise ValueError(f"oversize must be 'salt' or 'error', got {oversize!r}")
     v = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ).withColumn("__n", l2_norm(F.col("__v")))
     # identical-vector collapse: exact-duplicate groups keep only their
-    # min id for the pair search (see docstring for the equivalence)
-    v = v.groupBy("__v").agg(F.min("__id").alias("__id"))
+    # min id for the pair search (see docstring for the equivalence).
+    # Zero-norm vectors are EXCLUDED from the collapse: the module's
+    # cosine definition scores them 0.0 against everything — including
+    # an identical zero vector — so the documented pair rule
+    # (cosine >= threshold) keeps duplicate zero embeddings; collapsing
+    # them would dedup rows the pair rule never would (ADVICE r4).
+    nz = v.filter(F.col("__n") > 0)
+    zz = v.filter(F.col("__n") <= 0)
+    nz = nz.groupBy("__v", "__n").agg(F.min("__id").alias("__id"))
+    v = nz.select("__id", "__v", "__n").unionByName(zz.select("__id", "__v", "__n"))
     if centroids is not None:
         cents = np.asarray(centroids, dtype=float)
     else:
         sample = np.array(
             [r["__v"] for r in v.select("__v").limit(sample_size).collect()]
         )
+        if sample.size == 0:
+            # empty input: train_centroids would crash on an empty
+            # sample (ADVICE r4) — nothing to dedup, return empty
+            return df.select(
+                F.col(id_col), F.lit(0).cast("int").alias("cell")
+            ).limit(0)
         cents = train_centroids(sample, n_cells, iters, seed)
 
     # Cell assignment: Arrow-batched matmul by default (assign_cells —
@@ -924,21 +957,8 @@ def semdedup(
         cell_col = assign_cells(F.col("__v"), cents)
     else:
         raise ValueError(f"assign must be 'arrow' or 'column', got {assign!r}")
-    cells = _persist(
-        v.withColumn("cell", cell_col).withColumn("__n", l2_norm(F.col("__v")))
-    )
-    a = cells.select(
-        F.col("__id").alias("__ida"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-        "cell",
-    )
-    b = cells.select(
-        F.col("__id").alias("__idb"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-        "cell",
-    )
+    cells = _persist(v.withColumn("cell", cell_col))
+
     denom = F.col("__na") * F.col("__nb")
     cos = F.round(
         F.when(
@@ -952,13 +972,67 @@ def semdedup(
         ).otherwise(F.lit(0.0)),
         6,
     )
-    dropped = (
-        a.join(b, ["cell"])
-        .filter(F.col("__ida") < F.col("__idb"))
-        .filter(cos >= F.lit(threshold))
-        .select(F.col("__idb").alias("__id"))
-        .distinct()
-    )
+
+    def _dropped_ids(src, join_keys, cross_salt=False):
+        """Ids dropped by the pairwise min-id rule among rows sharing
+        ``join_keys``; ``cross_salt`` restricts to pairs in DIFFERENT
+        salts (within-salt survivor pairs can never qualify — any
+        qualifying one would already have dropped its larger id)."""
+        extra_a = [F.col("__salt").alias("__sa")] if cross_salt else []
+        extra_b = [F.col("__salt").alias("__sb")] if cross_salt else []
+        aa = src.select(
+            F.col("__id").alias("__ida"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+            *join_keys,
+            *extra_a,
+        )
+        bb = src.select(
+            F.col("__id").alias("__idb"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+            *join_keys,
+            *extra_b,
+        )
+        pairs = aa.join(bb, list(join_keys)).filter(F.col("__ida") < F.col("__idb"))
+        if cross_salt:
+            pairs = pairs.filter(F.col("__sa") != F.col("__sb"))
+        return (
+            pairs.filter(cos >= F.lit(threshold))
+            .select(F.col("__idb").alias("__id"))
+            .distinct()
+        )
+
+    if max_cell_size is not None:
+        sizes = cells.groupBy("cell").agg(F.count("*").alias("__csz"))
+        if oversize == "error":
+            biggest = sizes.agg(F.max("__csz")).collect()[0][0] or 0
+            if biggest > max_cell_size:
+                raise ValueError(
+                    f"semdedup cell of {biggest} rows exceeds "
+                    f"max_cell_size={max_cell_size}; raise n_cells (the "
+                    "per-cell pair search is O(|cell|^2)) or use "
+                    "oversize='salt'"
+                )
+        else:
+            # sizes has n_cells rows — broadcast the join, then salt
+            # each oversized cell into ceil(size/cap) deterministic
+            # id-hash slices
+            n_salts = F.greatest(
+                F.lit(1),
+                F.ceil(F.col("__csz") / F.lit(max_cell_size)).cast("int"),
+            )
+            salted = cells.join(F.broadcast(sizes), "cell").withColumn(
+                "__salt", F.pmod(F.xxhash64(F.col("__id")), n_salts).cast("int")
+            )
+            d1 = _dropped_ids(salted, ["cell", "__salt"])
+            s1 = _persist(salted.join(d1, "__id", "left_anti"))
+            d2 = _dropped_ids(s1, ["cell"], cross_salt=True)
+            return s1.join(d2, "__id", "left_anti").select(
+                F.col("__id").alias(id_col), "cell"
+            )
+
+    dropped = _dropped_ids(cells, ["cell"])
     return (
         cells.join(dropped, "__id", "left_anti")
         .select(F.col("__id").alias(id_col), "cell")

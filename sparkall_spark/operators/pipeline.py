@@ -171,11 +171,17 @@ def crawl_to_documents(
     responses -> markup-stripped text in the standard document schema
     ``(doc_id, url, text)`` — ready for :func:`prepare_documents`.
 
-    ``doc_id`` is a deterministic 64-bit hash of (file, record offset),
-    stable across reruns and partitionings (unlike
-    monotonically_increasing_id); collision odds at 1e12 records are
-    ~3e-8 per pair and exact dedup keys on the text anyway.  The whole
-    thing stays one lazy map-only plan on top of the WARC reader.
+    ``doc_id`` is a deterministic 128-bit hex id (two independently
+    salted xxhash64 of (file, record offset)), stable across reruns and
+    partitionings (unlike monotonically_increasing_id).  Width matters:
+    a single 64-bit hash has a BIRTHDAY problem at crawl scale — at 1e12
+    records the expected number of colliding pairs is n²/2^65 ≈ 27,000,
+    and a collision silently merges two distinct documents in every
+    id-keyed stage (lm_score groupBy, decontam joins, exact_dedup's
+    min-id tie-break).  At 128 bits the same aggregate is ~1.5e-15 —
+    negligible.  Constant 32-char width keeps the shuffle key compact
+    (vs. carrying the full file path).  The whole thing stays one lazy
+    map-only plan on top of the WARC reader.
     """
     from sparkall_spark.sources.warc import read_warc
 
@@ -187,8 +193,12 @@ def crawl_to_documents(
             F.col("content_type").isNull()
             | F.lower(F.col("content_type")).contains("html")
         )
+    h1 = F.xxhash64(F.col("file"), F.col("record_offset"))
+    h2 = F.xxhash64(F.lit("sparkall.docid.2"), F.col("file"), F.col("record_offset"))
     return recs.select(
-        F.xxhash64(F.col("file"), F.col("record_offset")).alias("doc_id"),
+        F.lower(
+            F.concat(F.lpad(F.hex(h1), 16, "0"), F.lpad(F.hex(h2), 16, "0"))
+        ).alias("doc_id"),
         F.col("target_uri").alias("url"),
         X.html_to_text(F.col("body")).alias("text"),
     )

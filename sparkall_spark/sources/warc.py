@@ -24,14 +24,15 @@ WARC reader uses).  Record splitting and HTTP parsing run as an
 Arrow-batched ``mapInPandas`` stage — pure Python per file, no
 driver-side work, no shuffle at all: the output is a narrow map-only
 expansion feeding the Column-expression text pipeline.  Bodies are
-size-capped (``max_body_bytes``) so a pathological record cannot blow
-an executor; malformed records are skipped, never fatal (crawl data is
-hostile by default).
+size-capped (``max_body_bytes``) and gzip inflation is stream-bounded
+(``max_decompressed_bytes`` via ``bounded_gunzip``) so neither a
+pathological record nor a decompression bomb can blow an executor;
+malformed records are skipped, never fatal (crawl data is hostile by
+default).
 """
 
 from __future__ import annotations
 
-import gzip
 import zlib
 from collections.abc import Iterator
 
@@ -116,16 +117,55 @@ def _parse_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, headers.get("content-type"), payload[head_end + 4 :]
 
 
+def bounded_gunzip(data: bytes, max_decompressed_bytes: int) -> bytes:
+    """Stream-decompress a (possibly multi-member) gzip buffer with a
+    hard ceiling on decompressed size.  ``gzip.decompress`` inflates the
+    whole file before any limit can apply, so a decompression bomb (or
+    just a very high-ratio member — crawl data is hostile by default)
+    OOMs the executor before ``max_body_bytes`` is ever consulted.
+    Here output is produced in bounded chunks via ``zlib.decompressobj``
+    and the file is abandoned at the ceiling, returning the prefix
+    decompressed so far — ``iter_warc_records`` already tolerates a
+    truncated tail, so earlier records still parse (skip, never fail)."""
+    out: list[bytes] = []
+    total = 0
+    buf = data
+    while buf[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        tail = buf
+        try:
+            while True:
+                chunk = d.decompress(tail, 1 << 20)
+                if chunk:
+                    total += len(chunk)
+                    out.append(chunk)
+                    if total >= max_decompressed_bytes:
+                        return b"".join(out)[:max_decompressed_bytes]
+                if d.eof:
+                    break
+                tail = d.unconsumed_tail
+                if not tail:
+                    # input exhausted mid-member: truncated file
+                    return b"".join(out)
+        except zlib.error:
+            return b"".join(out)
+        buf = d.unused_data
+    return b"".join(out)
+
+
 def parse_warc_bytes(
-    path: str, data: bytes, record_types: tuple[str, ...], max_body_bytes: int
+    path: str,
+    data: bytes,
+    record_types: tuple[str, ...],
+    max_body_bytes: int,
+    max_decompressed_bytes: int = 1 << 30,
 ) -> Iterator[tuple]:
     if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
-        # truncated/garbled members raise EOFError/zlib.error, not just
-        # BadGzipFile (OSError) — a cut-short crawl file must not kill
-        # the task (found by the hypothesis fuzz)
-        try:
-            data = gzip.decompress(data)  # handles multi-member streams
-        except (OSError, EOFError, zlib.error):
+        # truncated/garbled members must not kill the task (hypothesis
+        # fuzz); bounded_gunzip returns the valid prefix instead of
+        # raising, and caps total inflation (decompression bombs).
+        data = bounded_gunzip(data, max_decompressed_bytes)
+        if not data:
             return
     for offset, headers, payload in iter_warc_records(data, max_body_bytes):
         wtype = headers.get("warc-type", "")
@@ -151,6 +191,7 @@ def read_warc(
     path: str,
     record_types: tuple[str, ...] = ("response",),
     max_body_bytes: int = 1 << 20,
+    max_decompressed_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Load WARC file(s) into one row per record (schema:
     ``file, record_offset, warc_type, target_uri, warc_date,
@@ -166,7 +207,13 @@ def read_warc(
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 rows.extend(
-                    parse_warc_bytes(p, bytes(content), record_types, max_body_bytes)
+                    parse_warc_bytes(
+                        p,
+                        bytes(content),
+                        record_types,
+                        max_body_bytes,
+                        max_decompressed_bytes,
+                    )
                 )
             yield pd.DataFrame(rows, columns=cols)
 
@@ -185,4 +232,5 @@ def read_warc_mapping(spark: SparkSession, mapping) -> DataFrame:
         mapping.source,
         record_types=rt,
         max_body_bytes=int(opts.get("max_body_bytes", 1 << 20)),
+        max_decompressed_bytes=int(opts.get("max_decompressed_bytes", 1 << 30)),
     )

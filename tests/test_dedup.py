@@ -266,3 +266,90 @@ def test_semdedup_arrow_assignment_matches_column(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         D.semdedup(emb, centroids=cents, assign="bogus")
+
+
+def test_semdedup_zero_norm_duplicates_survive(spark):
+    """Duplicate all-zero embeddings score cosine 0.0 under the module's
+    definition, so the documented pair rule (cosine >= threshold) keeps
+    them — the identical-vector collapse must not silently dedup them
+    (ADVICE r4)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = [float(x) for x in rng.standard_normal(8)]
+    cents = rng.standard_normal((2, 8))
+    rows = [
+        (1, [0.0] * 8),
+        (2, [0.0] * 8),          # exact zero duplicate: must survive
+        (10, base),
+        (11, base),              # exact nonzero duplicate: collapsed away
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = D.semdedup(df, threshold=0.95, centroids=cents)
+    survivors = {r["vec_id"] for r in out.collect()}
+    assert survivors == {1, 2, 10}
+
+
+def test_semdedup_empty_input(spark):
+    """Empty input returns an empty (id, cell) frame instead of crashing
+    centroid training on an empty sample (ADVICE r4)."""
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = D.semdedup(df, threshold=0.95, n_cells=4)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cell"]
+
+
+def test_semdedup_max_cell_size_guard(spark):
+    """The oversized-cell salt guard: on near-dup cliques the two-phase
+    (within-salt, then cross-salt over survivors) result equals the
+    plain single-pass result; oversize='error' refuses instead."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    rng = np.random.default_rng(13)
+    a = rng.standard_normal(16)
+    b = rng.standard_normal(16)
+    b -= (a @ b) / (a @ a) * a
+    cents = np.stack([a, b])
+    rows = []
+    # two near-dup cliques (distinct values -> collapse is a no-op) plus
+    # an isolated far row per cell
+    for start, base in ((0, a), (1000, b)):
+        for i in range(60):
+            v = base * (1.0 + 1e-4 * i)
+            v[0] += 1e-6 * i
+            rows.append((start + i, [float(x) for x in v]))
+        far = base.copy()
+        far[::2] *= -0.2
+        rows.append((start + 500, [float(x) for x in far]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    plain = {
+        r["vec_id"]
+        for r in D.semdedup(df, threshold=0.99, centroids=cents).collect()
+    }
+    salted = {
+        r["vec_id"]
+        for r in D.semdedup(
+            df, threshold=0.99, centroids=cents, max_cell_size=10
+        ).collect()
+    }
+    assert plain == salted == {0, 500, 1000, 1500}
+
+    with _pytest.raises(ValueError, match="max_cell_size"):
+        D.semdedup(
+            df, threshold=0.99, centroids=cents, max_cell_size=10,
+            oversize="error",
+        )
+    # a cap nothing exceeds: error mode passes through to the plain path
+    ok = {
+        r["vec_id"]
+        for r in D.semdedup(
+            df, threshold=0.99, centroids=cents, max_cell_size=100,
+            oversize="error",
+        ).collect()
+    }
+    assert ok == plain
+    with _pytest.raises(ValueError, match="oversize"):
+        D.semdedup(df, centroids=cents, max_cell_size=10, oversize="bogus")

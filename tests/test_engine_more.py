@@ -97,6 +97,62 @@ def test_order_by_unprojected_var(engine, duck):
     )
 
 
+def test_distinct_order_by_unprojected_limit(engine, duck):
+    """DISTINCT + ORDER BY on an unprojected key + LIMIT (VERDICT r4 #7).
+    SPARQL algebra: OrderBy -> Project -> Distinct (order-preserving), so
+    each distinct row ranks at its FIRST occurrence in the ordered
+    sequence — i.e. groups sort by their minimal key.  The old plan
+    distinct-ed after the sort and the re-shuffle destroyed the order the
+    LIMIT depends on."""
+    df = engine.sparql(
+        q(
+            """
+        SELECT DISTINCT ?mkt WHERE {
+            ?c a sa:Customer ; sa:mktsegment ?mkt ; sa:name ?cn .
+        }
+        ORDER BY ?cn
+        LIMIT 3
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT mkt FROM (
+            SELECT c_mktsegment AS mkt, min(c_name) AS k
+            FROM customer GROUP BY c_mktsegment
+        ) ORDER BY k LIMIT 3
+        """,
+    )
+
+
+def test_distinct_order_by_unprojected_desc(engine, duck):
+    """Descending variant: the group representative under a DESC
+    comparator is the group's MAX key."""
+    df = engine.sparql(
+        q(
+            """
+        SELECT DISTINCT ?mkt WHERE {
+            ?c a sa:Customer ; sa:mktsegment ?mkt ; sa:acctbal ?bal .
+        }
+        ORDER BY DESC(?bal)
+        LIMIT 2
+        """
+        )
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT mkt FROM (
+            SELECT c_mktsegment AS mkt, max(c_acctbal) AS k
+            FROM customer GROUP BY c_mktsegment
+        ) ORDER BY k DESC LIMIT 2
+        """,
+    )
+
+
 def test_run_facade_counts(engine, capsys):
     n = engine.run(
         q("SELECT ?name WHERE { ?r a sa:Region ; sa:name ?name . }"), n=3

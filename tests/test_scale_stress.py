@@ -406,3 +406,46 @@ def test_semdedup_identical_clique_is_skew_proof(spark):
         assert survivors < 250
         assert out.filter(F.col("vec_id").between(1, n - 1)).count() == 0
     assert times[20_000] <= max(4 * times[10_000], times[10_000] + 5.0)
+
+
+def test_semdedup_one_cluster_salt_guard_near_linear(spark):
+    """A single tight NEAR-dup cluster (distinct vectors, so the
+    identical-vector collapse cannot help) landing in one cell is the
+    pathological case for the O(|cell|^2) pair search.  With
+    max_cell_size, within-salt work is |cell|*cap and the cross-salt
+    pass runs over ~|cell|/cap survivors — near-linear.  4x the corpus
+    must cost ~4x, not ~16x."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal(16)
+    cents = np.stack([base, -base])
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    F.lit(float(x)) * (1.0 + F.col("id").cast("double") * 1e-7)
+                    + (F.lit(1e-9) * F.col("id") if i == 0 else F.lit(0.0))
+                    for i, x in enumerate(base)
+                ]
+            ).alias("embedding"),
+        )
+
+    from sparkall_spark.operators import dedup as D
+
+    def run(n):
+        t0 = time.monotonic()
+        out = D.semdedup(
+            corpus(n), threshold=0.95, centroids=cents, max_cell_size=200
+        )
+        survivors = out.count()
+        return time.monotonic() - t0, survivors
+
+    run(500)  # warmup: JIT the plan shape
+    t1, s1 = run(4_000)
+    t4, s4 = run(16_000)
+    # all pairwise cosines are ~1 >= 0.95: exactly one survivor (min id)
+    assert s1 == 1 and s4 == 1
+    assert t4 <= max(6 * t1, t1 + 5.0), f"superlinear: {t1:.2f}s -> {t4:.2f}s"

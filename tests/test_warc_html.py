@@ -93,6 +93,42 @@ def test_read_warc_responses(spark, warc_dir):
     assert rows["http://c.example/z"]["file"].endswith(".gz")
 
 
+def test_bounded_gunzip_caps_decompression_bomb():
+    """A high-ratio gzip member must stop inflating at the ceiling, not
+    materialize fully (ADVICE r4: gzip.decompress inflated the whole
+    file before max_body_bytes applied)."""
+    from sparkall_spark.sources.warc import bounded_gunzip, parse_warc_bytes
+
+    bomb = gzip.compress(b"\x00" * (64 << 20))  # 64 MiB of zeros, ~65 KiB gz
+    out = bounded_gunzip(bomb, max_decompressed_bytes=1 << 20)
+    assert len(out) == 1 << 20
+    # ...and through the record parser: records before the ceiling still
+    # parse (skip-not-fail), nothing raises
+    good = _record("http://a/x", b"HTTP/1.1 200 OK\r\n\r\nhi")
+    data = gzip.compress(good) + bomb
+    rows = list(
+        parse_warc_bytes(
+            "f.warc.gz", data, ("response",), 1 << 20,
+            max_decompressed_bytes=len(good) + 1024,
+        )
+    )
+    assert len(rows) == 1 and rows[0][3] == "http://a/x"
+
+
+def test_bounded_gunzip_multimember_and_truncation():
+    from sparkall_spark.sources.warc import bounded_gunzip
+
+    members = [b"alpha" * 100, b"beta" * 50]
+    gz = b"".join(gzip.compress(m) for m in members)
+    assert bounded_gunzip(gz, 1 << 20) == b"".join(members)
+    # truncated second member: first member's bytes survive
+    out = bounded_gunzip(gz[: len(gzip.compress(members[0])) + 10], 1 << 20)
+    assert out.startswith(members[0])
+    # garbage and empty input: empty result, no exception
+    assert bounded_gunzip(b"", 1 << 20) == b""
+    assert bounded_gunzip(b"\x1f\x8b garbage", 1 << 20) == b""
+
+
 def test_read_warc_all_record_types(spark, warc_dir):
     out = read_warc(spark, warc_dir, record_types=())
     types = [r["warc_type"] for r in out.collect()]
@@ -111,6 +147,26 @@ def test_html_to_text_semantics(spark):
     assert got[1] == "Big News\nfirst para & more\nsecond para"
     assert "not text" not in got[1] and "color:red" not in got[1]
     assert got[2] == "Hello\nworld\na\nb"
+
+
+def test_html_escaped_entities_do_not_double_decode(spark, duck):
+    """'&amp;lt;div&amp;gt;' renders in a browser as the literal text
+    '&lt;div&gt;' — pages displaying escaped HTML (docs, forums, code
+    samples) must extract it verbatim, not as '<div>' (which the old
+    decode order produced, then the tag-strip regex could even eat it).
+    &amp; decodes LAST, matching html.unescape's ordering."""
+    import html as html_mod
+
+    src = "see &amp;lt;div&amp;gt; &amp; &lt;b&gt;bold&lt;/b&gt;"
+    expect = html_mod.unescape(src)
+    assert expect == "see &lt;div&gt; & <b>bold</b>"
+    df = spark.createDataFrame([(src,)], ["h"])
+    got = df.select(html_to_text("h").alias("t")).collect()[0]["t"]
+    assert got == expect
+    want = duck.execute(
+        f"SELECT {html_to_text_sql('h')} FROM (SELECT ? AS h)", [src]
+    ).fetchone()[0]
+    assert want == expect
 
 
 def test_html_to_text_matches_duckdb_mirror(spark, duck):
@@ -214,10 +270,13 @@ def test_crawl_to_documents_front_end(spark, warc_dir):
         "http://a.example/x", "http://c.example/z"
     ]  # the 404 page is excluded
     assert docs.columns == ["doc_id", "url", "text"]
+    # 128-bit hex ids: constant 32-char width, all distinct (a 64-bit id
+    # has ~27k expected birthday collisions at 1e12 records — ADVICE r4)
+    ids = {r["doc_id"] for r in rows}
+    assert len(ids) == len(rows)
+    assert all(len(i) == 32 and set(i) <= set("0123456789abcdef") for i in ids)
     # deterministic ids: a second evaluation produces the same set
-    assert {r["doc_id"] for r in docs.collect()} == {
-        r["doc_id"] for r in rows
-    }
+    assert {r["doc_id"] for r in docs.collect()} == ids
     out = prepare_documents(
         docs,
         min_quality=0.0,

@@ -771,28 +771,52 @@ _FP_SQL = """list_reduce(
 
 
 def _e03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two near-dup families through the same MinHash+LSH machinery,
+    tagged and unioned (r5: absorbs the former e05 slot to free a
+    registry entry): word-token minhash pairs and word-BIGRAM n-gram
+    Jaccard pairs (16 bands x 4 rows: per-pair miss ~5e-8 at j=0.9),
+    both verified exactly and oracle-checked against all-pairs SQL."""
     docs = load_table(spark, sf_dir, "documents")
     # broadcast_reps pinned: the fixture's rep table is thousands of
     # rows (short docs), far under the broadcast limit — skipping the
     # auto-detect count() saves a blocking job before the wide stage
-    return D.minhash_dedup_pairs(
+    mh = D.minhash_dedup_pairs(
         docs, threshold=0.9, broadcast_reps=True
-    ).select("id_a", "id_b", "jaccard")
+    ).select(F.lit("word").alias("family"), "id_a", "id_b", "jaccard")
+    ng = D.ngram_jaccard_pairs(
+        docs, ngram=2, threshold=0.9, broadcast_reps=True
+    ).select(F.lit("bigram").alias("family"), "id_a", "id_b", "jaccard")
+    return mh.unionByName(ng)
 
 
 _E03_ORACLE = """
 WITH t AS (
   SELECT doc_id,
-         list_distinct(list_filter(
-           regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) toks
-  FROM documents)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') toks
+  FROM documents),
+td AS (SELECT doc_id, list_distinct(toks) AS toks FROM t),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+1], ' ')
+                        FOR i IN generate_series(1, len(toks) - 1)]) grams
+  FROM t
+  WHERE len(toks) >= 2)
+SELECT 'word' AS family, a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.toks, b.toks))::DOUBLE
              / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
-FROM t a, t b
+FROM td a, td b
 WHERE a.doc_id < b.doc_id
   AND round(len(list_intersect(a.toks, b.toks))::DOUBLE
             / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.9
+UNION ALL
+SELECT 'bigram' AS family, a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM g a, g b
+WHERE a.doc_id < b.doc_id
+  AND round(len(list_intersect(a.grams, b.grams))::DOUBLE
+            / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.9
 """
 
 
@@ -831,36 +855,6 @@ SELECT doc_id, ("""
     )
     + ")::BIGINT AS simhash FROM h"
 )
-
-
-def _e05_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # multi-band min-hash blocking (16 bands x 4 rows: per-pair miss
-    # probability ~5e-8 at j=0.9) + exact verification -> the output is
-    # the full all-pairs word-bigram Jaccard result, oracle-checked
-    docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, ngram=2, threshold=0.9, broadcast_reps=True)
-
-
-_E05_ORACLE = """
-WITH t AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     x -> x <> '') toks
-  FROM documents),
-g AS (
-  SELECT doc_id,
-         list_distinct([array_to_string(toks[i:i+1], ' ')
-                        FOR i IN generate_series(1, len(toks) - 1)]) grams
-  FROM t
-  WHERE len(toks) >= 2)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.grams, b.grams))::DOUBLE
-             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-FROM g a, g b
-WHERE a.doc_id < b.doc_id
-  AND round(len(list_intersect(a.grams, b.grams))::DOUBLE
-            / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.9
-"""
 
 
 def _e06_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,23 +926,12 @@ FROM scored QUALIFY rank <= 10
 """
 
 
-def _e08_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the hyperplanes are deterministic (seeded) -> the exact bucket
-    # assignment, candidate join and rescoring all mirror in SQL with
-    # the plane values as literals (oracle below); recall vs brute
-    # force stays asserted in tests/test_similarity.py
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    out = S.lsh_topk(emb, queries, k=10, bits=4, tables=16)
-    return out.select(
-        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
-    )
-
-
-def _e08_oracle_sql() -> str:
-    """Mirror of lsh_topk(bits=4, tables=16, seed=42): per-table sign
-    buckets against the same literal hyperplanes, candidate equi-join on
-    (tbl, bkt), exact rescoring, rank<=10."""
+def _lsh_oracle_parts() -> tuple[str, str]:
+    """LSH top-k as (CTE list, SELECT) SQL fragments for the merged e09
+    oracle: per-table sign buckets against the same literal hyperplanes
+    as lsh_topk(bits=4, tables=16, seed=42), candidate equi-join on
+    (tbl, bkt), exact rescoring, rank<=10.  Expects a CTE ``v`` with
+    (vec_id, e) in scope."""
     from sparkall_spark.operators.similarity import _hyperplanes
 
     tables, bits, dim, seed = 16, 4, 64, 42
@@ -962,25 +945,26 @@ def _e08_oracle_sql() -> str:
         )
         selects.append(f"SELECT vec_id, ({bucket})::BIGINT AS bkt, {t} AS tbl FROM v")
     union = "\n  UNION ALL\n  ".join(selects)
-    return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ctes = f"""
 bk AS (
   {union}),
-cand AS (
+lsh_cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bkt = c.bkt
   WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
-scored AS (
-  SELECT cand.query_id, cand.neighbor_id,
+lsh_scored AS (
+  SELECT lsh_cand.query_id, lsh_cand.neighbor_id,
          round(list_cosine_similarity(qv.e, cv.e), 6) AS cosine
-  FROM cand
-  JOIN v qv ON qv.vec_id = cand.query_id
-  JOIN v cv ON cv.vec_id = cand.neighbor_id)
-SELECT query_id, neighbor_id, cosine,
+  FROM lsh_cand
+  JOIN v qv ON qv.vec_id = lsh_cand.query_id
+  JOIN v cv ON cv.vec_id = lsh_cand.neighbor_id)"""
+    select = """
+SELECT 'lsh' AS method, query_id, neighbor_id, cosine,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, neighbor_id) AS rank
-FROM scored QUALIFY rank <= 10
+FROM lsh_scored QUALIFY rank <= 10
 """
+    return ctes, select
 
 
 # data-independent codebook (seeded): makes the IVF entry fully
@@ -990,28 +974,39 @@ _E09_CENTROIDS = __import__("numpy").random.default_rng(123).standard_normal((16
 
 
 def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF and hyperplane-LSH top-k, tagged and unioned (r5: absorbs the
+    former e08 slot).  Both are fully deterministic — fixed seeded
+    centroids / hyperplanes — and both mirror literally in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    out = S.ivf_topk(
+    ivf = S.ivf_topk(
         emb, queries, k=10, n_cells=16, nprobe=4, centroids=_E09_CENTROIDS
+    ).select(
+        F.lit("ivf").alias("method"),
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
     )
-    return out.select(
-        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    lsh = S.lsh_topk(emb, queries, k=10, bits=4, tables=16).select(
+        F.lit("lsh").alias("method"),
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
     )
+    return ivf.unionByName(lsh)
 
 
 def _e09_oracle_sql() -> str:
-    """Mirror of ivf_topk with the fixed codebook: per-vector cell =
-    argmax cosine over the 16 literal centroids (6dp rounded, ties to
+    """Mirror of ivf_topk with the fixed codebook (per-vector cell =
+    argmax cosine over the 16 literal centroids, 6dp rounded, ties to
     the higher cell id — the same reverse(array_sort(structs)) order the
-    Spark side uses), queries probe their 4 nearest cells, exact
-    rescoring, rank<=10."""
+    Spark side uses; queries probe their 4 nearest cells; exact
+    rescoring; rank<=10) UNIONed with the LSH mirror."""
     structs = ", ".join(
         "{'s': round(list_cosine_similarity(e, ["
         + ", ".join(repr(float(x)) for x in cent)
         + f"]), 6), 'cell': {j}}}"
         for j, cent in enumerate(_E09_CENTROIDS)
     )
+    lsh_ctes, lsh_select = _lsh_oracle_parts()
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 cellinfo AS (
@@ -1026,11 +1021,129 @@ scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(list_cosine_similarity(q.e, c.e), 6) AS cosine
   FROM q JOIN c ON q.cell = c.cell
-  WHERE c.vec_id <> q.vec_id)
-SELECT query_id, neighbor_id, cosine,
+  WHERE c.vec_id <> q.vec_id),
+{lsh_ctes.strip()}
+SELECT 'ivf' AS method, query_id, neighbor_id, cosine,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, neighbor_id) AS rank
 FROM scored QUALIFY rank <= 10
+UNION ALL
+{lsh_select.strip()}
+"""
+
+
+# --- e26: IVF-PQ with exact refinement (driver-gated r5) -------------------
+# Fixed seeded coarse centroids (8 cells) + per-subspace PQ codebooks
+# (m=8 subspaces x ks=16 codewords x d=8 dims): the encode argmin is
+# quantized at 1e-6 (pq_encode) and the approx score HALF-UP-rounded at
+# 6dp, so every stage — cell argmax, code assignment, ADC shortlist,
+# exact refine — mirrors literally in SQL.
+_E26_CENTROIDS = __import__("numpy").random.default_rng(77).standard_normal((8, 64))
+_E26_BOOKS = __import__("numpy").random.default_rng(78).standard_normal((8, 16, 8))
+
+
+def _e26_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py:ivf_pq_topk): coarse cells +
+    product-quantized asymmetric-distance shortlist (refine*k=30), then
+    exact cosine refine to rank<=10.  The searchable index per corpus
+    vector is one int cell + 8 codes instead of 64 doubles (the 100 TB
+    memory story); this entry pins the whole pipeline against a full
+    SQL mirror."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = S.ivf_pq_topk(
+        emb,
+        queries,
+        k=10,
+        n_cells=8,
+        nprobe=3,
+        m=8,
+        ks=16,
+        refine=3,
+        centroids=_E26_CENTROIDS,
+        codebooks=_E26_BOOKS,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _e26_oracle_sql() -> str:
+    """Mirror of ivf_pq_topk with the fixed index: cell = argmax 6dp
+    cosine (ties to higher cell); code_j = argmin over the 16 literal
+    codewords of floor(d2*1e6+0.5) (ties to LOWER code — np.argmin);
+    approx = HALF-UP 6dp of sum_j dot(q_sub_j, codeword); shortlist
+    row_number<=30 by (approx desc, neighbor_id); exact cosine refine,
+    rank<=10."""
+    m, ks, d = _E26_BOOKS.shape
+    structs = ", ".join(
+        "{'s': round(list_cosine_similarity(e, ["
+        + ", ".join(repr(float(x)) for x in cent)
+        + f"]), 6), 'cell': {j}}}"
+        for j, cent in enumerate(_E26_CENTROIDS)
+    )
+    codes = []
+    for j in range(m):
+        o = j * d
+        cands = ", ".join(
+            "{'d': floor(("
+            + " + ".join(
+                f"(e[{o + i + 1}] - {float(_E26_BOOKS[j, c, i])!r})"
+                f" * (e[{o + i + 1}] - {float(_E26_BOOKS[j, c, i])!r})"
+                for i in range(d)
+            )
+            + f") * 1e6 + 0.5), 'c': {c}}}"
+            for c in range(ks)
+        )
+        codes.append(f"list_sort([{cands}])[1].c")
+    code_arr = ",\n           ".join(codes)
+    terms = []
+    for j in range(m):
+        o = j * d
+        book = (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in _E26_BOOKS[j, c]) + "]"
+                for c in range(ks)
+            )
+            + "]"
+        )
+        terms.append(
+            f"list_dot_product(q.e[{o + 1}:{o + d}], ({book})[enc.code[{j + 1}] + 1])"
+        )
+    approx = "\n         + ".join(terms)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cellinfo AS (
+  SELECT vec_id, e,
+         list_reverse(list_sort([{structs}])) AS ordered
+  FROM v),
+c AS (SELECT vec_id, e, ordered[1].cell AS cell FROM cellinfo),
+enc AS (
+  SELECT vec_id, cell,
+          [{code_arr}] AS code
+  FROM c),
+q AS (SELECT vec_id, e,
+             unnest(list_transform(ordered[1:3], x -> x.cell)) AS cell
+      FROM cellinfo WHERE vec_id < 8),
+ap AS (
+  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id, q.e AS qe,
+         round({approx}, 6) AS approx
+  FROM q JOIN enc ON q.cell = enc.cell
+  WHERE enc.vec_id <> q.vec_id),
+short AS (
+  SELECT query_id, neighbor_id, qe,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx DESC, neighbor_id) AS pr
+  FROM ap QUALIFY pr <= 30),
+ref AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_cosine_similarity(s.qe, cv.e), 6) AS cosine
+  FROM short s JOIN v cv ON cv.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM ref QUALIFY rank <= 10
 """
 
 
@@ -1092,15 +1205,39 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+# chrome planted into every document for the e10 boilerplate leg: the
+# strip must remove exactly these two lines (they hit 100% document
+# frequency; no natural line reaches the 80% threshold)
+_E10_CHROME = "cookie consent required\nall rights reserved footer"
+
+
 def _e10_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One pass over documents computing the full text-analysis family:
     token/char stats, punctuation ratio, n-gram language ID, the
     composite quality score, and the rolling-hash document fingerprint
     (merged e10+e11+e12+e02 so every family member keeps a
     driver-checked row within the 50-entry correctness budget; all pure
-    Column expressions, zero UDFs)."""
+    Column expressions, zero UDFs).  r5 adds a driver-gated
+    cross-document boilerplate-removal leg (operators/boilerplate.py):
+    two chrome lines are planted into every document, stripped at 80%
+    document frequency through the bounded-collect InSet path, and the
+    cleaned length is emitted as ``clean_n_chars`` — the oracle rebuilds
+    the identical frequency count and strip in SQL."""
+    from sparkall_spark.operators.boilerplate import remove_boilerplate_lines
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    planted = docs.withColumn(
+        "__t2", F.concat(F.col("text"), F.lit("\n" + _E10_CHROME))
+    )
+    stripped = remove_boilerplate_lines(
+        planted,
+        id_col="doc_id",
+        text_col="__t2",
+        min_docs=2,
+        min_doc_frac=0.8,
+        out_col="__t2",
+    )
+    return stripped.select(
         "doc_id",
         X.fingerprint("text").alias("fp"),
         X.token_count("text").cast("bigint").alias("n_tokens"),
@@ -1112,6 +1249,7 @@ def _e10_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.quality_score("text").alias("quality"),
         F.round(X.duplicate_line_ratio("text"), 6).alias("dup_line_ratio"),
         F.round(X.duplicate_ngram_ratio("text", 2), 6).alias("dup_bigram_ratio"),
+        F.length("__t2").cast("bigint").alias("clean_n_chars"),
     )
 
 
@@ -1132,8 +1270,31 @@ def _langid_hits(lang: str) -> str:
     )
 
 
+_E10_CHROME_SQL = "chr(10) || 'cookie consent required' || chr(10) || 'all rights reserved footer'"
+
 _E10_ORACLE = f"""
-WITH t AS (
+WITH t2 AS (
+  SELECT doc_id, text || {_E10_CHROME_SQL} AS tt FROM documents),
+nthresh AS (
+  SELECT greatest(2, floor(0.8 * count(*))::BIGINT + 1) AS th
+  FROM documents),
+bl AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           list_transform(string_split(tt, chr(10)), x -> trim(lower(x))),
+           x -> length(x) >= 4))) AS line
+  FROM t2),
+freq AS (
+  SELECT line FROM bl GROUP BY line
+  HAVING count(*) >= (SELECT th FROM nthresh)),
+fl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS fls FROM freq),
+clean AS (
+  SELECT t2.doc_id,
+         array_to_string(list_filter(string_split(tt, chr(10)),
+           ln -> length(trim(lower(ln))) < 4
+                 OR NOT list_contains(fls, trim(lower(ln)))), chr(10)) AS ct
+  FROM t2, fl),
+t AS (
   SELECT doc_id, text,
          {_FP_SQL} AS fp,
          len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
@@ -1151,7 +1312,7 @@ WITH t AS (
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      x -> x <> '') AS lt
   FROM documents)
-SELECT doc_id,
+SELECT t.doc_id,
        fp,
        n_tok AS n_tokens,
        n_dist AS n_distinct,
@@ -1173,8 +1334,9 @@ SELECT doc_id,
              THEN 1.0 - len(list_distinct(list_transform(
                     range(1, len(lt)), i -> lt[i] || ' ' || lt[i + 1])))::DOUBLE
                   / (n_tok - 1)
-             ELSE 0.0 END, 6) AS dup_bigram_ratio
-FROM t
+             ELSE 0.0 END, 6) AS dup_bigram_ratio,
+       len(clean.ct)::BIGINT AS clean_n_chars
+FROM t JOIN clean ON t.doc_id = clean.doc_id
 """
 
 
@@ -1613,6 +1775,91 @@ FROM nation
 """
 
 
+def _e25_warc_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-crawl front end, end-to-end (sources/warc.py +
+    operators/pipeline.py:crawl_to_documents): build a deterministic
+    WARC fixture from the documents table (plain file + per-record-gzip
+    file, plus hostile records — warcinfo, 404, non-HTML content type,
+    a garbled Content-Length, a zero-inflation bomb member, a truncated
+    gzip member), then WARC -> HTTP parse -> html_to_text -> documents.
+    The oracle rebuilds the same HTML in SQL and applies the
+    html_to_text SQL mirror; hostile records must all be skipped
+    without error.  Fixture build is driver-side and bounded (<=40
+    rows), like e13's N-Triples round trip."""
+    import gzip
+    import os
+
+    from sparkall_spark.operators.pipeline import crawl_to_documents
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def esc(t: str) -> str:
+        return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    def record(uri: str, body: bytes, ctype: str = "text/html",
+               status: str = "200 OK") -> bytes:
+        http = (
+            f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\n\r\n"
+        ).encode() + body
+        head = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n"
+
+    out_dir = tempfile.mkdtemp(prefix="sparkall_warc_e25_")
+    plain, gz = [], []
+    for r in rows:
+        body = f"<html><body><p>{esc(r['text'])}</p></body></html>".encode()
+        rec = record(f"http://ex.com/{r['doc_id']}", body)
+        (plain if r["doc_id"] % 2 == 0 else gz).append(rec)
+    warcinfo = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n"
+        b"software:" + b"\r\n\r\n"
+    )
+    # excluded by status / content-type filters:
+    plain.append(record("http://ex.com/gone", b"nope", status="404 Not Found"))
+    plain.append(record("http://ex.com/txt", b"txt", ctype="text/plain"))
+    # garbled Content-Length ends this FILE's scan — placed last
+    plain.append(b"WARC/1.0\r\nContent-Length: zz\r\n\r\n")
+    with open(os.path.join(out_dir, "crawl-0.warc"), "wb") as f:
+        f.write(warcinfo + b"".join(plain))
+    members = [gzip.compress(warcinfo)] + [gzip.compress(r) for r in gz]
+    # a zero-inflation bomb member (scan stops at the zeros) and a
+    # truncated member (bounded_gunzip returns the prefix) — both after
+    # every valid record
+    members.append(gzip.compress(b"\x00" * (1 << 22)))
+    members.append(gzip.compress(record("http://ex.com/cut", b"cut"))[:20])
+    with open(os.path.join(out_dir, "crawl-1.warc.gz"), "wb") as f:
+        f.write(b"".join(members))
+
+    docs = crawl_to_documents(spark, out_dir)
+    # doc_id is a Spark-side xxhash64 pair (not SQL-computable); the
+    # oracle joins on url, which is unique by construction
+    return docs.select("url", "text")
+
+
+def _e25_oracle_sql() -> str:
+    html = (
+        "'<html><body><p>' || replace(replace(replace(text, '&', '&amp;'),"
+        " '<', '&lt;'), '>', '&gt;') || '</p></body></html>'"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, {html} AS html
+  FROM documents WHERE doc_id < 40)
+SELECT 'http://ex.com/' || doc_id AS url,
+       {X.html_to_text_sql('html')} AS text
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1665,10 +1912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e01_dedup_exact"] = _e01_dedup_exact
     out["e03_dedup_minhash"] = _e03_dedup_minhash
     out["e04_dedup_simhash"] = _e04_dedup_simhash
-    out["e05_dedup_ngram_jaccard"] = _e05_dedup_ngram
     out["e06_dedup_embedding"] = _e06_dedup_embedding
     out["e07_sim_topk_bruteforce"] = _e07_sim_bruteforce
-    out["e08_sim_topk_lsh"] = _e08_sim_lsh
     out["e09_sim_topk_ivf"] = _e09_sim_ivf
     out["e10_text_analysis"] = _e10_text_analysis
     out["e13_rdf_roundtrip"] = _e13_rdf_roundtrip
@@ -1682,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e22_dedup_clusters"] = _e22_dedup_clusters
     out["e23_split_pack"] = _e23_split_pack
     out["e24_semdedup"] = _e24_semdedup
+    out["e25_warc_crawl"] = _e25_warc_crawl
+    out["e26_sim_topk_ivfpq"] = _e26_sim_ivfpq
 
     # Entry teardown: the dedup/graph operators persist intermediates
     # that must outlive their call (the driver consumes results lazily).
@@ -1716,10 +1963,8 @@ def oracle_sql() -> dict[str, str]:
     out["e01_dedup_exact"] = _E01_ORACLE
     out["e03_dedup_minhash"] = _E03_ORACLE
     out["e04_dedup_simhash"] = _E04_ORACLE
-    out["e05_dedup_ngram_jaccard"] = _E05_ORACLE
     out["e06_dedup_embedding"] = _E06_ORACLE
     out["e07_sim_topk_bruteforce"] = _E07_ORACLE
-    out["e08_sim_topk_lsh"] = _e08_oracle_sql()
     out["e09_sim_topk_ivf"] = _e09_oracle_sql()
     out["e10_text_analysis"] = _E10_ORACLE
     out["e13_rdf_roundtrip"] = _E13_ORACLE
@@ -1733,4 +1978,6 @@ def oracle_sql() -> dict[str, str]:
     out["e22_dedup_clusters"] = _E22_ORACLE
     out["e23_split_pack"] = _e23_oracle_sql()
     out["e24_semdedup"] = _e24_oracle_sql()
+    out["e25_warc_crawl"] = _e25_oracle_sql()
+    out["e26_sim_topk_ivfpq"] = _e26_oracle_sql()
     return out

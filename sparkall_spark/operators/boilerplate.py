@@ -18,11 +18,22 @@ lines that stay.
    - **small** (<= ``collect_limit`` frequent lines — the normal case:
      boilerplate is by definition a small set of very common lines):
      64-bit hashes come back to the driver as ONE bounded collect
-     (8 B/line) and the strip is a pure map-side filter against a
-     literal array — zero further shuffles;
+     (8 B/line) and the strip is a pure map-side ``isin`` filter —
+     Catalyst rewrites a literal In-list past
+     ``inSetConversionThreshold`` to ``InSet``, a JVM hash set, so the
+     per-line probe is O(1) (NOT ``array_contains`` over a literal
+     array, which scans all N entries per line — measured at sf0.1:
+     0.26 s at 128 hashes but 0.86 s at 4k and ~linear beyond) — zero
+     further shuffles;
    - **large**: every document's lines posexplode into a broadcast-anti
      join against the frequent-hash table and the text is rebuilt with
      one groupBy(id) — fully distributed, no driver materialization.
+
+   Measured crossover at sf0.1 (5k docs, local[32]): isin 0.23–0.27 s
+   up to 4k hashes, 0.62 s at 16k, 2.1 s at 64k (plan-literal overhead
+   grows with the list); the join path is flat ~0.5–0.7 s at every
+   size.  Default ``collect_limit=8192`` sits safely below the ~16k
+   crossover; typical chrome sets are hundreds to low thousands.
 
 Normalization for matching is trim+lower (configurable); lines shorter
 than ``min_line_chars`` after trimming are never treated as boilerplate
@@ -76,7 +87,7 @@ def remove_boilerplate_lines(
     min_doc_frac: float | None = None,
     normalize: bool = True,
     min_line_chars: int = 4,
-    collect_limit: int = 100_000,
+    collect_limit: int = 8192,
     out_col: str | None = None,
 ) -> DataFrame:
     """Strip lines occurring in >= ``min_docs`` documents (or
@@ -108,15 +119,15 @@ def remove_boilerplate_lines(
 
     if n_frequent <= collect_limit:
         # bounded driver collect (8 bytes/line; boilerplate sets are
-        # small by construction) -> literal array -> map-side filter
+        # small by construction) -> InSet membership (O(1)/line; see
+        # module docstring for the measured array_contains comparison)
         hashes = [r["line_hash"] for r in frequent.collect()]
         if not hashes:
             return docs.withColumn(out_col, F.col(text_col))
-        hset = F.array(*[F.lit(h) for h in hashes])
         kept = F.filter(
             lines,
             lambda ln: _is_structural(ln)
-            | ~F.array_contains(hset, F.xxhash64(_norm(ln, normalize))),
+            | ~F.xxhash64(_norm(ln, normalize)).isin(hashes),
         )
         return docs.withColumn(out_col, F.concat_ws("\n", kept))
 

@@ -464,7 +464,12 @@ def pq_encode(vec: Column, books: np.ndarray) -> Column:
             for j in range(m):
                 sub = mat[:, j * d : (j + 1) * d]
                 d2 = ((sub[:, None, :] - bt[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
+                # quantize at 1e-6 before the argmin (same accepted
+                # rounding class as assign_cells): a last-ulp distance
+                # difference between engines cannot flip the chosen
+                # code, so a SQL mirror with literal codebooks agrees
+                # bit-for-bit; ties go to the LOWER code (np.argmin)
+                codes[:, j] = np.floor(d2 * 1e6 + 0.5).argmin(axis=1)
             for r, i in enumerate(good_idx):
                 res[i] = codes[r].tolist()
         return pd.Series(res)
@@ -495,7 +500,12 @@ def _pq_approx_dot(qv: Column, code: Column, books: np.ndarray) -> Column:
             for j in range(m):
                 sub = q[:, j * d : (j + 1) * d]
                 acc += np.einsum("nd,nd->n", sub, bt[j][c[:, j]])
-            out[good] = acc
+            # HALF-UP 6dp rounding (the assign_cells emulation, matching
+            # SQL round()): the approx score only RANKS the shortlist,
+            # and rounding makes that ranking engine-portable (ties
+            # break by neighbor_id downstream) — same contract as the
+            # exact-cosine 6dp rounding everywhere else
+            out[good] = np.sign(acc) * np.floor(np.abs(acc) * 1e6 + 0.5) / 1e6
         return pd.Series(out)
 
     return _score(qv, code)
@@ -516,10 +526,17 @@ def ivf_pq_topk(
     iters: int = 5,
     seed: int = 42,
     assign: str = "arrow",
+    centroids=None,
+    codebooks=None,
 ) -> DataFrame:
     """IVF-PQ ANN with exact refinement: coarse IVF cells + product-
     quantized codes for the candidate scoring, then exact cosine over
     the ``refine * k`` best PQ candidates per query.
+
+    Pass ``centroids`` ((n_cells, dim)) and ``codebooks`` ((m, ks,
+    dim//m)) together for a fixed, fully deterministic, SQL-mirrorable
+    index (no sampling/training jobs run); otherwise both train from a
+    bounded driver-side sample.
 
     The 100 TB memory story: a corpus vector is stored for search as
     ONE int cell id + ``m`` small codes (m bytes at ks<=256) instead of
@@ -537,16 +554,21 @@ def ivf_pq_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
-    rows = [r["__cv"] for r in c.select("__cv").limit(sample_size).collect()]
-    sample = np.asarray(rows, dtype=np.float64)
-    dim = sample.shape[1]
+    if centroids is not None and codebooks is not None:
+        cents = np.asarray(centroids, dtype=float)
+        books = np.asarray(codebooks, dtype=float)
+    elif centroids is not None or codebooks is not None:
+        raise ValueError("pass centroids and codebooks together, or neither")
+    else:
+        rows = [r["__cv"] for r in c.select("__cv").limit(sample_size).collect()]
+        sample = np.asarray(rows, dtype=np.float64)
 
-    # coarse quantizer: reuse the IVF centroid construction
-    cents = train_centroids(sample, n_cells, iters, seed)
+        # coarse quantizer: reuse the IVF centroid construction
+        cents = train_centroids(sample, n_cells, iters, seed)
 
-    # PQ codebooks over RESIDUAL-free subvectors (plain PQ: simpler and
-    # adequate at cosine similarity on normalized-ish data)
-    books = train_pq_codebooks(sample, m=m, ks=ks, iters=iters, seed=seed + 1)
+        # PQ codebooks over RESIDUAL-free subvectors (plain PQ: simpler
+        # and adequate at cosine similarity on normalized-ish data)
+        books = train_pq_codebooks(sample, m=m, ks=ks, iters=iters, seed=seed + 1)
 
     # index: cell id + PQ code per corpus vector (map-side, one pass;
     # arrow = batched-matmul assignment, the scale path)

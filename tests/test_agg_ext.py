@@ -270,7 +270,7 @@ def test_group_by_expression(engine, duck):
         """
     )
     oracle = """
-    SELECT floor(c_acctbal / 1000) AS bucket, count(*) AS n
+    SELECT floor(c_acctbal / 1000)::BIGINT AS bucket, count(*) AS n
     FROM customer GROUP BY 1 ORDER BY bucket
     """
     assert_matches_oracle(engine.sparql(q), duck, oracle, check_order=True)
@@ -291,7 +291,7 @@ def test_group_by_mixed_var_and_expression(engine, duck):
         """
     )
     oracle = """
-    SELECT l_returnflag AS flag, floor(l_quantity / 10) AS halfq,
+    SELECT l_returnflag AS flag, floor(l_quantity / 10)::BIGINT AS halfq,
            count(*) AS n
     FROM lineitem GROUP BY 1, 2 ORDER BY flag, halfq
     """

@@ -373,7 +373,7 @@ def test_numeric_string_functions_match_oracle(engine, duck):
         """
     )
     oracle = """
-    SELECT c_name AS name, floor(c_acctbal) AS f, ceil(c_acctbal) AS c,
+    SELECT c_name AS name, floor(c_acctbal)::BIGINT AS f, ceil(c_acctbal)::BIGINT AS c,
            replace(c_name, 'Customer#', '') AS r
     FROM customer WHERE c_acctbal > 9000
     """

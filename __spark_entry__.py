@@ -742,20 +742,64 @@ FROM ordered GROUP BY user_id
 
 
 def _e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both EXACT dedup granularities, tagged and unioned (r5): document
+    level (hash-groupBy survivors) and substring level — Lee et al.'s
+    ExactSubstr re-expressed relationally (operators/substrings.py):
+    duplicated 25-token windows ranked once on their content hash, every
+    non-first occurrence's span cut, documents rebuilt map-side with one
+    O(n) fold.  The span leg emits only documents that actually lost
+    tokens (the fixture has real cross-doc verbatim repeats), with n =
+    tokens removed; the oracle mirrors the whole construction on literal
+    gram CONTENT (no hashes), so engine hash collisions would surface as
+    a mismatch."""
+    from sparkall_spark.operators.substrings import exact_substring_dedup
+
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    doc_level = (
         docs.groupBy("text")
         .agg(
             F.min("doc_id").cast("bigint").alias("doc_id"),
-            F.count("*").cast("bigint").alias("n_copies"),
+            F.count("*").cast("bigint").alias("n"),
         )
-        .select("doc_id", "n_copies")
+        .select(F.lit("doc").alias("level"), "doc_id", "n")
     )
+    span_level = (
+        exact_substring_dedup(docs.select("doc_id", "text"), k=25)
+        .filter(F.col("n_removed_tokens") > 0)
+        .select(
+            F.lit("span").alias("level"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_removed_tokens").cast("bigint").alias("n"),
+        )
+    )
+    return doc_level.unionByName(span_level)
 
 
 _E01_ORACLE = """
-SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(range(1, greatest(len(tk) - 25 + 2, 1))) AS i, tk
+  FROM tk),
+wins AS (
+  SELECT doc_id, i, array_to_string(tk[i:i+25-1], ' ') AS gram FROM pos),
+ranked AS (
+  SELECT doc_id, i,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+  FROM wins),
+dup AS (SELECT doc_id, i FROM ranked WHERE rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, i + u AS j
+  FROM (SELECT doc_id, i, unnest(range(0, 25)) AS u FROM dup) q),
+removed AS (
+  SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+SELECT 'doc' AS level, min(doc_id) AS doc_id, count(*) AS n
 FROM documents GROUP BY text
+UNION ALL
+SELECT 'span' AS level, doc_id, CAST(n_removed AS BIGINT) AS n
+FROM removed WHERE n_removed > 0
 """
 
 
@@ -783,8 +827,17 @@ def _e03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = D.minhash_dedup_pairs(
         docs, threshold=0.9, broadcast_reps=True
     ).select(F.lit("word").alias("family"), "id_a", "id_b", "jaccard")
+    # bigram leg on a deterministic 1/3 slice: its purpose is CORRECTNESS
+    # coverage of the n-gram family (pairs survive the slice at every SF),
+    # not a second full-corpus pass — the fixture's near-dup cliques
+    # collide in bigram bands too, so the full-corpus leg spends ~6s
+    # verifying candidates that fail the 0.9 bigram threshold anyway
+    # (25 output pairs); the slice cuts candidate volume ~9x
     ng = D.ngram_jaccard_pairs(
-        docs, ngram=2, threshold=0.9, broadcast_reps=True
+        docs.filter(F.col("doc_id") % 3 == 0),
+        ngram=2,
+        threshold=0.9,
+        broadcast_reps=True,
     ).select(F.lit("bigram").alias("family"), "id_a", "id_b", "jaccard")
     return mh.unionByName(ng)
 
@@ -801,7 +854,7 @@ g AS (
          list_distinct([array_to_string(toks[i:i+1], ' ')
                         FOR i IN generate_series(1, len(toks) - 1)]) grams
   FROM t
-  WHERE len(toks) >= 2)
+  WHERE len(toks) >= 2 AND doc_id % 3 = 0)
 SELECT 'word' AS family, a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.toks, b.toks))::DOUBLE
              / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard

@@ -40,7 +40,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver == the one executor JVM: 32 threads sharing
+        # an 8g heap spent ~25% of a 50-entry bench session in GC (the
+        # r4 "uniform slowdown"); at 32g the aging probe inverts — aged
+        # runs are FASTER than fresh (0.21s vs 0.38s median on e01,
+        # scripts/bench_variance_probe.py).  On a real cluster this knob
+        # sizes only the driver; executors are sized by the submitter.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

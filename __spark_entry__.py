@@ -763,8 +763,13 @@ def _e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("doc").alias("level"), "doc_id", "n")
     )
+    # min_parallelism=32: the fixture arrives as ONE parquet split, which
+    # would serialize the O(n*k) window-hash expansion on one task; a
+    # real corpus has thousands of splits and needs no repartition
     span_level = (
-        exact_substring_dedup(docs.select("doc_id", "text"), k=25)
+        exact_substring_dedup(
+            docs.select("doc_id", "text"), k=25, min_parallelism=32
+        )
         .filter(F.col("n_removed_tokens") > 0)
         .select(
             F.lit("span").alias("level"),

@@ -121,6 +121,7 @@ def exact_substring_dedup(
     k: int = 50,
     mode: str = "annotate",
     out_col: str = "clean_text",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Remove every duplicated k-token substring, keeping the globally
     first occurrence (min (doc_id, pos)).
@@ -131,6 +132,13 @@ def exact_substring_dedup(
     ``k`` is the minimum duplicated-substring length in tokens (Lee et
     al. use 50; small k over-cuts natural language).  Windows match on
     exact token content — no lowercasing or normalization.
+
+    ``min_parallelism``: the O(n*k) window-hash expansion runs on the
+    SCAN partitioning — a corpus that arrives as few splits (one small
+    parquet file; a coalesced upstream stage) serializes it.  Set this
+    to repartition the doc side first (one extra shuffle of raw text).
+    Leave ``None`` at scale: a 100 TB corpus already has thousands of
+    splits, and the rank exchange re-balances everything after.
     """
     if mode not in ("annotate", "rewrite"):
         raise ValueError(f"mode must be 'annotate' or 'rewrite', got {mode!r}")
@@ -139,7 +147,10 @@ def exact_substring_dedup(
 
     toks = tokens(F.col(text_col))
 
-    wins = docs.select(
+    win_src = (
+        docs.repartition(min_parallelism) if min_parallelism else docs
+    )
+    wins = win_src.select(
         F.col(id_col).alias("__sid"),
         F.explode(_window_starts(toks, k)).alias("__pos"),
         toks.alias("__tk"),

@@ -158,6 +158,56 @@ def exact_dedup(
     return out.drop("__key") if key_cols is None else out
 
 
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: str = "fingerprint",
+    broadcast_seen: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an incoming BATCH against an already-ingested corpus — the
+    shape a 100 TB pipeline actually runs day to day (full re-dedup of
+    the historical corpus per ingest is a non-starter).
+
+    ``seen_fingerprints`` is the persisted fingerprint ledger: one
+    BIGINT ``fingerprint_col`` row per previously-kept document (write
+    it bucketed on the fingerprint via ``sinks.write_bucketed`` and the
+    anti-join below plans with zero Exchange on the ledger side).
+    ``None`` means a cold start.
+
+    Returns ``(kept, ledger_delta)``: ``kept`` is the batch minus
+    within-batch duplicates (min id per fingerprint, exactly
+    :func:`exact_dedup`) minus anything already in the ledger;
+    ``ledger_delta`` is the fingerprint set to APPEND to the ledger
+    (one row per kept doc).  Deterministic: re-running an ingest
+    yields the same kept set, and replaying an already-applied batch
+    yields an empty one (idempotent ingest).
+
+    Scale: one 8-byte-key window shuffle for the batch dedup + one
+    anti-join against the ledger — shuffle-on-key by default (ledger is
+    corpus-sized); ``broadcast_seen=True`` for small ledgers.
+    """
+    keyed = new_docs.withColumn("__fp", fingerprint(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    batch_kept = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if seen_fingerprints is not None:
+        ledger = seen_fingerprints.select(
+            F.col(fingerprint_col).alias("__seen_fp")
+        )
+        if broadcast_seen:
+            ledger = F.broadcast(ledger)
+        batch_kept = batch_kept.join(
+            ledger, batch_kept["__fp"] == ledger["__seen_fp"], "left_anti"
+        )
+    delta = batch_kept.select(F.col("__fp").alias(fingerprint_col))
+    return batch_kept.drop("__fp"), delta
+
+
 def _with_shingles(
     df: DataFrame, id_col: str, text_col: str, ngram: int
 ) -> DataFrame:

@@ -10,6 +10,8 @@ into the standard pretraining data-prep flow.
       -> [optional] near-dedup (MinHash-LSH)
       -> [optional] LM perplexity filter (CCNet-style unigram LM
          trained on a trusted reference corpus)
+      -> [optional] NB quality-classifier gate (supervised complement
+         of the LM cut, trained on labeled good/bad examples)
       -> [optional] benchmark decontamination (n-gram overlap removal)
       -> [optional] PII redaction (email/phone/IPv4 masking)
       -> partitioned/bucketed write
@@ -49,6 +51,10 @@ def prepare_documents(
     lm_text_col: str | None = None,
     decontam_fuzzy: bool = False,
     decontam_fuzzy_threshold: float = 0.8,
+    classifier_labeled: DataFrame | None = None,
+    classifier_label_col: str = "label",
+    classifier_min_prob: float = 0.5,
+    classifier_ngram: int = 1,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
@@ -118,6 +124,29 @@ def prepare_documents(
         deduped = lm_quality_filter(
             deduped, model, unk, lm_max_perplexity,
             id_col=id_col, text_col=text_col,
+        )
+    if classifier_labeled is not None:
+        # model-based quality gate AFTER dedup (scoring duplicates is
+        # wasted work), alongside the LM filter: the NB classifier is
+        # the supervised complement of the unsupervised perplexity cut
+        # (GPT-3-style "looks like the reference corpus" gating).
+        # Training is two count aggregations; the gate is an exact
+        # integer log-odds comparison (operators/classifier.py).
+        from sparkall_spark.operators.classifier import (
+            nb_quality_filter,
+            train_nb_classifier,
+        )
+
+        model, unk, prior = train_nb_classifier(
+            classifier_labeled,
+            classifier_label_col,
+            text_col=text_col,
+            ngram=classifier_ngram,
+        )
+        deduped = nb_quality_filter(
+            deduped, model, unk, prior,
+            min_prob=classifier_min_prob,
+            id_col=id_col, text_col=text_col, ngram=classifier_ngram,
         )
     if decontam_bench is not None:
         # benchmark decontamination AFTER dedup (contamination is a

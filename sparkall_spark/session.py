@@ -40,14 +40,33 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        # local-mode driver == the one executor JVM: 32 threads sharing
-        # an 8g heap spent ~25% of a 50-entry bench session in GC (the
-        # r4 "uniform slowdown"); at 32g the aging probe inverts — aged
-        # runs are FASTER than fresh (0.21s vs 0.38s median on e01,
-        # scripts/bench_variance_probe.py).  On a real cluster this knob
-        # sizes only the driver; executors are sized by the submitter.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # local-mode driver == the one executor JVM.  Heap sizing was
+        # MEASURED (scripts/bench_variance_probe.py + a 1M-pair minhash
+        # probe): 8g ages ~25% over a 50-entry session (GC pressure);
+        # >=31g swings the shuffle-heavy entries 5-46s run-to-run (lazy
+        # page commit + uncompressed-oops at 32g); 16g with AlwaysPreTouch
+        # is both aging-free and the fastest steady state (minhash 1.9s
+        # vs 3.0s at 8g).  On a real cluster this knob sizes only the
+        # driver; executors are sized by the submitter.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # pre-fault the heap at JVM start: kernel page-zeroing otherwise
+        # lands mid-query on first touch of fresh heap regions (measured
+        # multi-second jitter on this VM)
+        .config("spark.driver.extraJavaOptions", "-XX:+AlwaysPreTouch")
     )
+    # shuffle/spill files on tmpfs when available: on this VM the root
+    # disk is virtio with erratic latency, and shuffle-heavy entries
+    # (1M-pair minhash) swung 2.5-43s run-to-run purely on I/O; tmpfs
+    # removes the disk from the path (cluster equivalent: NVMe-backed
+    # local dirs / disaggregated shuffle service — a deployment choice,
+    # not an operator property)
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    if shm:
+        try:
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
+        except OSError:
+            pass
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -172,3 +172,35 @@ def test_plan_no_udf(spark, sf_dir):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_classifier_knob(spark, sf_dir):
+    from sparkall_spark.operators.pipeline import prepare_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    base = prepare_documents(docs, min_quality=0.0)
+    gated = prepare_documents(
+        docs,
+        min_quality=0.0,
+        classifier_labeled=labeled,
+        classifier_min_prob=0.6,
+    )
+    nb, ng = base.count(), gated.count()
+    assert 0 < ng < nb  # the gate filters non-vacuously both ways
+    # gated result == base filtered by the classifier on its own
+    from sparkall_spark.operators.classifier import (
+        nb_quality_filter,
+        train_nb_classifier,
+    )
+
+    model, unk, prior = train_nb_classifier(labeled, "label")
+    expect = {
+        r["doc_id"]
+        for r in nb_quality_filter(
+            base, model, unk, prior, min_prob=0.6
+        ).select("doc_id").collect()
+    }
+    assert {r["doc_id"] for r in gated.select("doc_id").collect()} == expect

@@ -353,3 +353,80 @@ def test_semdedup_max_cell_size_guard(spark):
     assert ok == plain
     with _pytest.raises(ValueError, match="oversize"):
         D.semdedup(df, centroids=cents, max_cell_size=10, oversize="bogus")
+
+
+# --- incremental exact dedup (r5) -----------------------------------------
+
+_FP_SQL_T = """list_reduce(
+  list_prepend(0::BIGINT,
+    [ascii(c) FOR c IN
+       list_filter(string_split(
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ''),
+         x -> x <> '')]),
+  (acc, c) -> (acc * 31 + c) % 1000000007)"""
+
+
+def test_incremental_dedup_cold_start_equals_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept, delta = D.exact_dedup_incremental(docs, None)
+    plain = D.exact_dedup(docs)
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == (
+        sorted(r["doc_id"] for r in plain.select("doc_id").collect())
+    )
+    assert delta.count() == kept.count()
+
+
+def test_incremental_dedup_is_idempotent_and_filters_seen(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    # batch 2: genuinely new docs + replays of batch-1 docs under NEW ids
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    replay = b1.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    b2 = new.unionByName(replay)
+
+    kept1, delta1 = D.exact_dedup_incremental(b1, None)
+    kept2, delta2 = D.exact_dedup_incremental(b2, delta1)
+    got = {r["doc_id"] for r in kept2.select("doc_id").collect()}
+    # replayed content is gone; only content not already in batch 1 stays
+    assert all(i < 1000000 for i in got)
+    expect_new = {
+        r["doc_id"]
+        for r in D.exact_dedup(new).select("doc_id").collect()
+    }
+    seen_fps = {r["fingerprint"] for r in delta1.collect()}
+    from sparkall_spark.operators.dedup import fingerprint as _fp
+    new_fps = {
+        r["doc_id"]: r["f"]
+        for r in new.select("doc_id", _fp("text").alias("f")).collect()
+    }
+    expect = {i for i in expect_new if new_fps[i] not in seen_fps}
+    assert got == expect
+    # replaying an already-applied batch is a no-op
+    ledger = delta1.unionByName(delta2)
+    kept_again, _ = D.exact_dedup_incremental(b2, ledger)
+    assert kept_again.count() == 0
+
+
+def test_incremental_dedup_matches_sql_mirror(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    _, delta1 = D.exact_dedup_incremental(b1, None)
+    kept2, _ = D.exact_dedup_incremental(
+        b2, delta1, broadcast_seen=True
+    )
+    sql = f"""
+WITH fp AS (SELECT doc_id, {_FP_SQL_T} AS f FROM documents),
+b1 AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+b2 AS (
+  SELECT doc_id, f, row_number() OVER (PARTITION BY f ORDER BY doc_id) rn
+  FROM fp WHERE doc_id % 2 = 1)
+SELECT doc_id FROM b2
+WHERE rn = 1 AND f NOT IN (SELECT f FROM b1)
+"""
+    assert_matches_oracle(kept2.select("doc_id"), duck, sql)

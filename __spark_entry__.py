@@ -1556,9 +1556,11 @@ def _e20_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pipeline: quality filter -> lang-id -> exact dedup ->
     CCNet-style LM perplexity filter (unigram LM trained on the
     doc_id%13 reference slice, exact integer micro-logp threshold, r4)
-    -> benchmark decontamination (8-gram overlap vs a deterministic
-    eval slice, r4) — one lazy plan end-to-end (operators/pipeline.py,
-    operators/lm.py, operators/decontam.py)."""
+    -> NB quality-classifier gate (trained on the doc_id%11 slice
+    labeled lang=='en', exact integer log-odds threshold, r5) ->
+    benchmark decontamination (8-gram overlap vs a deterministic eval
+    slice, r4) — one lazy plan end-to-end (operators/pipeline.py,
+    operators/lm.py, operators/classifier.py, operators/decontam.py)."""
     from pyspark.sql import functions as F
 
     from sparkall_spark.operators.pipeline import prepare_documents
@@ -1566,6 +1568,9 @@ def _e20_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
     lm_ref = docs.filter(F.col("doc_id") % 13 == 0)
+    labeled = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
     out = prepare_documents(
         docs,
         min_quality=0.5,
@@ -1573,6 +1578,8 @@ def _e20_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontam_n=8,
         lm_ref=lm_ref,
         lm_max_perplexity=_E20_MAX_PPL,
+        classifier_labeled=labeled,
+        classifier_min_prob=_E20_NB_MIN_PROB,
     )
     return out.select("doc_id", "lang_pred", "quality")
 
@@ -1587,6 +1594,18 @@ _E20_MAX_PPL = 31.0
 from sparkall_spark.operators.lm import lm_threshold_micro as _lm_t_micro
 
 _E20_T_MICRO = _lm_t_micro(_E20_MAX_PPL)
+
+# NB classifier gate (r5): P(en-like) >= 0.5, evaluated as an exact
+# integer log-odds comparison; scores are far from the boundary (the
+# fixture's class log-odds are O(10^7) micro units), so the cut is
+# stable at any SF
+_E20_NB_MIN_PROB = 0.5
+
+from sparkall_spark.operators.classifier import (  # noqa: E402
+    nb_threshold_micro as _nb_t_micro,
+)
+
+_E20_NB_T = _nb_t_micro(_E20_NB_MIN_PROB)
 
 _E20_LM_TOK = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
@@ -1672,9 +1691,51 @@ lmper AS (
   GROUP BY t.doc_id),
 lmkeep AS (
   SELECT doc_id FROM lmper
-  WHERE n > 0 AND s >= -({_E20_T_MICRO}) * n)
+  WHERE n > 0 AND s >= -({_E20_T_MICRO}) * n),
+-- NB quality-classifier gate (r5): binary multinomial NB trained on
+-- the doc_id%11 slice (lang='en' positive), add-one smoothing over the
+-- union vocabulary, per-feature micro log-odds as BIGINT, keep when
+-- prior + sum(w) >= the quantized logit threshold (operators/classifier.py)
+nbfeat AS (
+  SELECT lang = 'en' AS pos, unnest({_E20_LM_TOK}) AS feature
+  FROM documents WHERE doc_id % 11 = 0),
+nbcnt AS (
+  SELECT feature,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+         sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS c_neg
+  FROM nbfeat GROUP BY feature),
+nbtot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+                 count(*) AS v FROM nbcnt),
+nbnn AS (
+  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_pos,
+         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS n_neg
+  FROM documents WHERE doc_id % 11 = 0),
+nbmodel AS (
+  SELECT feature,
+         CAST(round((ln((c_pos + 1.0) / (t_pos + v + 1))
+                     - ln((c_neg + 1.0) / (t_neg + v + 1))) * 1000000)
+              AS BIGINT) AS w
+  FROM nbcnt, nbtot),
+nbunk AS (
+  SELECT CAST(round((ln(1.0 / (t_pos + v + 1))
+                     - ln(1.0 / (t_neg + v + 1))) * 1000000) AS BIGINT) AS u
+  FROM nbtot),
+nbprior AS (
+  SELECT CAST(round(ln(n_pos::DOUBLE / n_neg) * 1000000) AS BIGINT) AS p
+  FROM nbnn),
+nbfx AS (SELECT doc_id, unnest({_E20_LM_TOK}) AS feature FROM documents),
+nbper AS (
+  SELECT nbfx.doc_id, CAST(sum(coalesce(m.w, nbunk.u)) AS BIGINT) AS s
+  FROM nbfx LEFT JOIN nbmodel m USING (feature), nbunk
+  GROUP BY nbfx.doc_id),
+-- zero-token docs never reach the gate (quality >= 0.5 already
+-- requires tokens), so the per-doc inner join is exact here
+nbkeep AS (
+  SELECT nbper.doc_id FROM nbper, nbprior
+  WHERE nbper.s + nbprior.p >= {_E20_NB_T})
 SELECT * FROM surv
 WHERE doc_id IN (SELECT doc_id FROM lmkeep)
+  AND doc_id IN (SELECT doc_id FROM nbkeep)
   AND doc_id NOT IN (SELECT doc_id FROM dirty)
 """
 

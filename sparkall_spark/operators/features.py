@@ -1,0 +1,168 @@
+"""Hashed bag-of-words document vectors (the "hashing trick").
+
+Bridges text-only corpora into the embedding-space operators —
+distributed k-means (`operators/clustering.py`), SemDeDup
+(`operators/dedup.py:semdedup`), ANN top-k (`operators/similarity.py`)
+— without an external embedding model: each document becomes a dense
+``dim``-dimensional vector where component ``i`` accumulates the term
+frequencies of the tokens hashing to bucket ``i`` (optionally
+IDF-weighted), L2-normalized so cosine comparisons are meaningful.
+
+Exactness + scale:
+
+- token -> bucket is a pure hash expression; ``portable=True`` uses
+  the engine-portable rolling polynomial (same contract as
+  `simhash_fingerprints`) so the WHOLE vectorization mirrors in ANSI
+  SQL; ``portable=False`` uses JVM xxhash64 for production;
+- one groupBy (id, bucket) with map-side combine carries compact
+  (id, int, count) rows; the per-doc vector assembly is a second
+  id-keyed aggregation whose fold is O(dim * present-buckets) —
+  never a pivot, never a UDF;
+- optional ``idf`` weighting joins the (broadcast) document-frequency
+  table from `functions.text.vocabulary` before accumulation.
+
+At 100 TB: two compact shuffles (both map-side-combined), vectors are
+``dim`` doubles/doc — the same budget as any embedding column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sparkall_spark.functions.text import tokens
+
+# portable rolling-hash constants (functions.text.fingerprint contract)
+_P_MOD = 1_000_000_007
+
+
+def _portable_token_hash(tok: Column) -> Column:
+    """Rolling polynomial over the token's characters, mod 1e9+7 —
+    textually mirrorable in SQL (list_reduce over ascii codes)."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % _P_MOD,
+    )
+
+
+def hashed_token_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    idf: DataFrame | None = None,
+    normalize: bool = True,
+    portable: bool = True,
+) -> DataFrame:
+    """``(id_col, vector)`` with ``vector: array<double>`` of length
+    ``dim``.  Tokens are lowercased whitespace tokens; zero-token
+    documents get the zero vector (callers using cosine downstream
+    already handle zero norms — semdedup/assign_cells score them 0).
+
+    ``idf``: optional ``(token, doc_freq)`` DataFrame (e.g. from
+    `functions.text.vocabulary`); occurrences are then damped by
+    ``1 / ln(e + doc_freq)`` so corpus-ubiquitous tokens stop
+    dominating buckets (unseen tokens weigh 1).  Leave ``None`` for
+    raw TF — after L2 normalization most clustering uses are
+    insensitive to the global rescale.
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"),
+    )
+    h = (
+        _portable_token_hash(F.col("__tok"))
+        if portable
+        else F.xxhash64("__tok")
+    )
+    bucketed = tok.withColumn("__b", F.pmod(h, F.lit(dim)).cast("int"))
+    if idf is not None:
+        w = F.broadcast(
+            idf.select(
+                F.col(idf.columns[0]).alias("__tok"),
+                F.col(idf.columns[1]).cast("double").alias("__df"),
+            )
+        )
+        bucketed = bucketed.join(w, "__tok", "left").withColumn(
+            "__w", F.lit(1.0) / F.log(F.lit(2.718281828459045) + F.coalesce("__df", F.lit(0.0)))
+        )
+    else:
+        bucketed = bucketed.withColumn("__w", F.lit(1.0))
+    per_bucket = bucketed.groupBy("__id", "__b").agg(
+        F.sum("__w").alias("__v")
+    )
+    pairs = per_bucket.groupBy("__id").agg(
+        F.collect_list(F.struct("__b", "__v")).alias("__p")
+    )
+    vec = F.aggregate(
+        F.col("__p"),
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, p: F.transform(
+            acc,
+            lambda x, i: F.when(i == p["__b"], x + p["__v"]).otherwise(x),
+        ),
+    )
+    assembled = pairs.withColumn("__vec", vec)
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("__vec"), F.lit(0.0), lambda a, x: a + x * x
+            )
+        )
+        assembled = assembled.withColumn(
+            "__vec",
+            F.when(
+                norm > 0,
+                F.transform(F.col("__vec"), lambda x: x / norm),
+            ).otherwise(F.col("__vec")),
+        )
+    out = docs.select(F.col(id_col).alias("__id")).join(
+        assembled.select("__id", "__vec"), "__id", "left"
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("__vec"), F.array_repeat(F.lit(0.0), dim)).alias(
+            "vector"
+        ),
+    )
+
+
+def hashed_vector_sql(dim: int, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`hashed_token_vectors` (portable hash,
+    raw TF, L2-normalized) — the oracle contract for tests."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM {table}),
+hashed AS (
+  SELECT doc_id,
+         CAST(list_reduce(
+           list_prepend(0::BIGINT,
+             [ascii(c)::BIGINT FOR c IN
+                list_filter(string_split(tok, ''), x -> x <> '')]),
+           (acc, c) -> (acc * 31 + c) % {_P_MOD}) % {dim} AS INT) AS b
+  FROM tok),
+per AS (SELECT doc_id, b::BIGINT AS b, count(*)::DOUBLE AS v
+        FROM hashed GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_id, map_from_entries(list(row(b, v))) AS m
+  FROM per GROUP BY doc_id),
+assembled AS (
+  SELECT doc_id,
+         [coalesce(m[i][1], 0.0)::DOUBLE FOR i IN range(0, {dim})] AS vec
+  FROM pairs),
+normed AS (
+  SELECT doc_id,
+         CASE WHEN sqrt(list_dot_product(vec, vec)) > 0
+              THEN list_transform(vec,
+                     x -> x / sqrt(list_dot_product(vec, vec)))
+              ELSE vec END AS vector
+  FROM assembled)
+SELECT d.doc_id,
+       coalesce(n.vector, [0.0 FOR i IN range(0, {dim})]) AS vector
+FROM {table} d LEFT JOIN normed n USING (doc_id)
+"""

@@ -130,11 +130,19 @@ def stratified_sample(
     k: int,
     id_col: str,
     seed: int = 0,
+    order_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
-    """Exactly min(k, |stratum|) rows per stratum, chosen by
+    """Exactly min(k, |stratum|) rows per stratum.  Default pick is
     deterministic hash order (ties broken by id — total order, so the
-    pick is unique).  ONE shuffle on the stratum key; per-stratum state
-    is a running top-k, never a sort of the whole corpus.
+    pick is unique); ``order_col`` picks the top-k BY THAT COLUMN
+    instead (``descending=True`` keeps the largest — e.g. the k
+    highest-``quality`` documents per domain, the crawl-curation
+    per-domain cap), id still breaking ties.  ONE shuffle on the
+    stratum key; per-stratum state is a running top-k, never a sort of
+    the whole corpus (Spark inserts a WindowGroupLimit partial top-k
+    BEFORE the exchange, so a hot stratum ships at most
+    k x map-partitions rows, not its full population).
 
     At 100 TB: a hot stratum concentrates on one task only up to the
     window's partition; for pathological single-stratum corpora,
@@ -142,7 +150,13 @@ def stratified_sample(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    order = [_mix(F.col(id_col), seed).asc(), F.col(id_col).asc()]
+    if order_col is not None:
+        first = (
+            F.col(order_col).desc() if descending else F.col(order_col).asc()
+        )
+        order = [first, F.col(id_col).asc()]
+    else:
+        order = [_mix(F.col(id_col), seed).asc(), F.col(id_col).asc()]
     w = Window.partitionBy(stratum_col).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -60,19 +60,26 @@ def duck():
     con.close()
 
 
+def _normalize_value(v):
+    if isinstance(v, float):
+        return 0.0 if (not math.isfinite(v)) else round(v, 6)
+    # list-valued columns: DuckDB's fetchdf yields np.ndarray, Spark
+    # yields list — normalize both to tuples with rounded floats so the
+    # generic tuple comparison below works elementwise
+    if hasattr(v, "tolist") and not hasattr(v, "timestamp"):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(_normalize_value(e) for e in v)
+    return v
+
+
 def _normalize(rows, colnames):
     """Column-name-sorted, row-sorted, float-rounded tuples (mirrors the
     driver's order-insensitive value-hash comparison)."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = 0.0 if (not math.isfinite(v)) else round(v, 6)
-            vals.append(v)
-        out.append(tuple(vals))
+        out.append(tuple(_normalize_value(row[i]) for i in order))
     out.sort(key=lambda t: tuple(("" if v is None else str(v)) for v in t))
     return out
 

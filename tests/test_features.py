@@ -1,0 +1,101 @@
+"""Hashed bag-of-words vectors (operators/features.py): DuckDB mirror,
+composition with the embedding-space operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkall_spark.operators.features import (
+    hashed_token_vectors,
+    hashed_vector_sql,
+)
+from tests.conftest import assert_matches_oracle
+
+DIM = 16
+
+
+def test_vectors_match_oracle(spark, duck, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hashed_token_vectors(docs, dim=DIM).select(
+        "doc_id", F.transform("vector", lambda x: F.round(x, 6)).alias("vector")
+    )
+    sql = f"""
+WITH base AS ({hashed_vector_sql(DIM)})
+SELECT doc_id, list_transform(vector, x -> round(x, 6)) AS vector
+FROM base
+"""
+    assert_matches_oracle(out, duck, sql)
+
+
+def test_vector_shape_and_norm(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = hashed_token_vectors(docs, dim=DIM).collect()
+    assert all(len(r["vector"]) == DIM for r in rows)
+    for r in rows[:50]:
+        n2 = sum(x * x for x in r["vector"])
+        assert n2 == 0 or abs(n2 - 1.0) < 1e-9
+
+
+def test_zero_token_docs_get_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["vector"]
+            for r in hashed_token_vectors(df, dim=8).collect()}
+    assert rows[1] == [0.0] * 8 and rows[2] == [0.0] * 8
+    assert any(x != 0 for x in rows[3])
+
+
+def test_idf_damps_ubiquitous_tokens(spark):
+    # 'the' occurs in every doc; idf damping must shrink its bucket's
+    # relative weight vs the raw-TF vector
+    df = spark.createDataFrame(
+        [(i, "the unique%d" % i) for i in range(10)],
+        "doc_id long, text string",
+    )
+    from sparkall_spark.functions.text import vocabulary
+
+    vocab = vocabulary(df, text_col="text").select("token", "doc_freq")
+    raw = hashed_token_vectors(df, dim=8, normalize=False)
+    damped = hashed_token_vectors(df, dim=8, idf=vocab, normalize=False)
+    r = raw.filter(F.col("doc_id") == 0).collect()[0]["vector"]
+    d = damped.filter(F.col("doc_id") == 0).collect()[0]["vector"]
+    assert sum(d) < sum(r)  # every damped weight <= 1, 'the' well below
+
+
+def test_composes_with_distributed_kmeans(spark, sf_dir):
+    from sparkall_spark.operators.clustering import kmeans_fit_assign
+
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vecs = hashed_token_vectors(docs, dim=DIM)
+    # explicit init: the default seeds from a LIMIT sample, which is
+    # partitioning-dependent by design — fixed centroids make the whole
+    # chain deterministic
+    init = np.abs(np.random.default_rng(3).normal(size=(4, DIM)))
+    assigned, cents = kmeans_fit_assign(
+        vecs, vec_col="vector", n_cells=4, iters=1, init=init
+    )
+    counts = dict(
+        (r["cell"], r["count"])
+        for r in assigned.groupBy("cell").count().collect()
+    )
+    assert sum(counts.values()) == docs.count()
+    assert len(counts) > 1  # text clusters are non-degenerate
+    # determinism across partitioning
+    a2, _ = kmeans_fit_assign(
+        vecs.repartition(5), vec_col="vector", n_cells=4, iters=1, init=init
+    )
+    assert (
+        assigned.select("doc_id", "cell").orderBy("doc_id").collect()
+        == a2.select("doc_id", "cell").orderBy("doc_id").collect()
+    )
+
+
+def test_validation(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        hashed_token_vectors(docs, dim=1)

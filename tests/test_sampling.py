@@ -266,3 +266,32 @@ def test_pretrain_pipeline_v2_composition(spark):
     # rerun -> identical
     again = packed.collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+# --- order_col stratified top-k (r5): per-domain quality cap --------------
+
+def test_stratified_sample_order_col_topk(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = S.stratified_sample(
+        docs, "source", 5, "doc_id", order_col="n_chars", descending=True
+    ).select("doc_id", "source", "n_chars")
+    sql = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) q
+WHERE rn <= 5
+"""
+    assert_matches_oracle(out, duck, sql)
+
+
+def test_stratified_sample_order_col_plan_has_group_limit(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = S.stratified_sample(
+        docs, "source", 3, "doc_id", order_col="n_chars"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # partial top-k before the exchange

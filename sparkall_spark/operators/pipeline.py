@@ -189,6 +189,69 @@ def prepare_documents(
     return deduped
 
 
+def ingest_documents(
+    spark,
+    new_docs: DataFrame,
+    corpus_path: str,
+    ledger_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_seen: bool = False,
+) -> int:
+    """Incremental corpus ingest: dedup ``new_docs`` against the
+    fingerprint ledger at ``ledger_path``
+    (`operators.dedup.exact_dedup_incremental`), APPEND the survivors
+    to the parquet corpus at ``corpus_path``, then append their
+    fingerprints to the ledger.  Returns the number of rows ingested.
+
+    Consistency contract: the ledger is a DERIVED INDEX of the corpus,
+    not an independent source of truth.  Writes happen corpus-first, so
+    a failure between the two appends can leave corpus rows missing
+    from the ledger — a retried ingest would then re-append those rows
+    (duplicates in the corpus, never losses).  Repair is mechanical:
+    :func:`rebuild_ledger` recomputes the ledger from the corpus, and a
+    one-off `exact_dedup` pass removes any duplicate rows.  (Atomic
+    multi-file commits belong to a table format; this sink stays plain
+    parquet on purpose.)
+    """
+    from sparkall_spark.operators.dedup import exact_dedup_incremental
+
+    try:
+        seen = spark.read.parquet(ledger_path)
+    except Exception:  # cold start: no ledger yet
+        seen = None
+    kept, delta = exact_dedup_incremental(
+        new_docs, seen, id_col=id_col, text_col=text_col,
+        broadcast_seen=broadcast_seen,
+    )
+    kept = kept.persist()
+    try:
+        n = kept.count()
+        if n:
+            kept.write.mode("append").parquet(corpus_path)
+            delta.write.mode("append").parquet(ledger_path)
+        return n
+    finally:
+        kept.unpersist()
+
+
+def rebuild_ledger(
+    spark, corpus_path: str, ledger_path: str, text_col: str = "text"
+) -> None:
+    """Recompute the fingerprint ledger from the corpus (repair path
+    for a failed :func:`ingest_documents`; also the migration path for
+    a corpus that predates the ledger)."""
+    from sparkall_spark.operators.dedup import fingerprint
+
+    corpus = spark.read.parquet(corpus_path)
+    (
+        corpus.select(fingerprint(text_col).alias("fingerprint"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(ledger_path)
+    )
+
+
 def crawl_to_documents(
     spark,
     warc_path: str,

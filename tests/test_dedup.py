@@ -430,3 +430,33 @@ SELECT doc_id FROM b2
 WHERE rn = 1 AND f NOT IN (SELECT f FROM b1)
 """
     assert_matches_oracle(kept2.select("doc_id"), duck, sql)
+
+
+def test_ingest_documents_end_to_end(spark, sf_dir, tmp_path):
+    from sparkall_spark.operators.pipeline import (
+        ingest_documents,
+        rebuild_ledger,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs  # half replays b1's content under the same ids
+
+    n1 = ingest_documents(spark, b1, corpus, ledger)
+    assert n1 == D.exact_dedup(b1).count()
+    n2 = ingest_documents(spark, b2, corpus, ledger)
+    got = spark.read.parquet(corpus)
+    assert got.count() == n1 + n2
+    # corpus text content is globally unique
+    assert got.select("text").distinct().count() == n1 + n2
+    # replaying batch 2 is a no-op
+    assert ingest_documents(spark, b2, corpus, ledger) == 0
+    # ledger repair reproduces the same fingerprint set
+    before = {r["fingerprint"]
+              for r in spark.read.parquet(ledger).collect()}
+    rebuild_ledger(spark, corpus, ledger)
+    after = {r["fingerprint"]
+             for r in spark.read.parquet(ledger).collect()}
+    assert before == after

@@ -116,3 +116,52 @@ def test_pagerank_matches_iterative_oracle(spark):
     # keeps teleport mass only -> lowest
     order = sorted(got, key=got.get, reverse=True)
     assert order[0] == 3 and order[-1] == 4
+
+
+# --- directed reachability (r5) -------------------------------------------
+
+def test_reachable_from_matches_recursive_cte(spark, duck):
+    from sparkall_spark.operators.graph import reachable_from
+    from tests.conftest import assert_matches_oracle
+
+    edges = spark.range(97).selectExpr(
+        "id AS src", "CAST((id * 2) % 97 AS BIGINT) AS dst"
+    ).unionByName(
+        spark.range(97).selectExpr(
+            "id AS src", "CAST((id * 3 + 1) % 97 AS BIGINT) AS dst"
+        )
+    )
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    out = reachable_from(edges, seeds).selectExpr(
+        "node", "CAST(hops AS BIGINT) AS hops"
+    )
+    sql = """
+WITH RECURSIVE e AS (
+  SELECT i AS src, (i * 2) % 97 AS dst FROM range(0, 97) t(i)
+  UNION ALL
+  SELECT i, (i * 3 + 1) % 97 FROM range(0, 97) t(i)),
+r(node, hops) AS (
+  SELECT * FROM (VALUES (0, 0), (5, 0)) s(node, hops)
+  UNION ALL
+  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+  WHERE r.hops < 20)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(hops) AS BIGINT) AS hops
+FROM r GROUP BY node
+"""
+    assert_matches_oracle(out, duck, sql)
+
+
+def test_reachable_from_max_hops_and_unreachable(spark):
+    from sparkall_spark.operators.graph import reachable_from
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    full = {r["node"]: r["hops"] for r in reachable_from(edges, seeds).collect()}
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3}  # 10/11 unreachable
+    capped = {
+        r["node"]: r["hops"]
+        for r in reachable_from(edges, seeds, max_hops=2).collect()
+    }
+    assert capped == {1: 0, 2: 1, 3: 2}

@@ -444,3 +444,96 @@ def html_to_text_sql(src: str) -> str:
     out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
     out = f"regexp_replace({out}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
     return f"regexp_replace({out}, '^\\s+|\\s+$', '', 'g')"
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL column for URL-level dedup (r5):
+
+    - lowercase scheme + host; strip a single trailing ``.`` on host
+    - drop the fragment (``#...``)
+    - drop default ports (``:80`` for http, ``:443`` for https)
+    - drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+      ``ref``), keeping the rest of the query in original order
+    - collapse duplicate slashes in the path; strip one trailing ``/``
+      from a non-root path
+
+    Pure Column regexp chain (one codegen pass), mirrored in SQL by
+    :func:`canonical_url_sql` — keep both in lockstep.
+    """
+    raw = F.col(col) if isinstance(col, str) else col
+    # lowercase scheme://host[:port] prefix only (path/query keep case);
+    # inputs without a scheme://host shape pass through untouched
+    head = F.regexp_extract(raw, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    c = F.concat(
+        F.lower(head),
+        F.regexp_extract(raw, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1),
+    )
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    # RE2-compatible everywhere (the SQL mirror runs on DuckDB/RE2):
+    # no lookarounds — trailing context is captured and re-emitted
+    c = F.regexp_replace(c, r"^(http://[^/?#]*):80($|[/?].*)", "$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/?#]*):443($|[/?].*)", "$1$2")
+    c = F.regexp_replace(c, r"^([a-z]+://[^/?#]*?)\.($|[/?].*)", "$1$2")
+    # tracking params (leading or mid-query), then dangling separators
+    c = F.regexp_replace(
+        c, r"([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*", "$1"
+    )
+    c = F.regexp_replace(c, r"\?&+", "?")
+    c = F.regexp_replace(c, r"&&+", "&")
+    c = F.regexp_replace(c, r"[?&]$", "")
+    # path cleanup: duplicate slashes (never the scheme's, guarded by
+    # the preceding char), then one trailing slash before query/end
+    c = F.regexp_replace(c, r"([^:/])//+", "$1/")
+    c = F.regexp_replace(c, r"^([a-z]+:/[^?#]+?)/(\?.*)?$", "$1$2")
+    return F.when(head != "", c).otherwise(raw)
+
+
+def canonical_url_sql(src: str) -> str:
+    """DuckDB mirror of :func:`canonical_url` (same RE2-compatible
+    replacement chain — keep in lockstep)."""
+    head = f"regexp_extract({src}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+    c = (
+        f"concat(lower({head}),"
+        f" regexp_extract({src},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1))"
+    )
+    steps = [
+        (r"#.*$", ""),
+        (r"^(http://[^/?#]*):80($|[/?].*)", r"\1\2"),
+        (r"^(https://[^/?#]*):443($|[/?].*)", r"\1\2"),
+        (r"^([a-z]+://[^/?#]*?)\.($|[/?].*)", r"\1\2"),
+        (r"([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*", r"\1"),
+        (r"\?&+", "?"),
+        (r"&&+", "&"),
+        (r"[?&]$", ""),
+        (r"([^:/])//+", r"\1/"),
+        (r"^([a-z]+:/[^?#]+?)/(\?.*)?$", r"\1\2"),
+    ]
+    for pat, rep in steps:
+        p = pat.replace("'", "''")
+        c = f"regexp_replace({c}, '{p}', '{rep}', 'g')"
+    return f"CASE WHEN {head} <> '' THEN {c} ELSE {src} END"
+
+
+def dedup_paragraphs(col: Column | str, sep: str = "\n\n") -> Column:
+    """Remove repeated paragraphs WITHIN a document, keeping each
+    paragraph's first occurrence and original order (r5) — the
+    intra-document counterpart of cross-document boilerplate removal
+    (templated pages repeat nav blocks / disclaimers several times in
+    one page).  Matching is exact on the trimmed paragraph text.
+
+    Column-only: split -> fold carrying (seen-set, kept-list) ->
+    rejoin.  O(p²) comparisons per document in the worst case (p =
+    paragraph count — tens, not thousands); no shuffle, no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    paras = F.split(c, F.lit(sep).cast("string"))
+    kept = F.aggregate(
+        paras,
+        F.array().cast("array<string>"),
+        lambda acc, p: F.when(
+            F.array_contains(F.transform(acc, F.trim), F.trim(p)),
+            acc,
+        ).otherwise(F.concat(acc, F.array(p))),
+    )
+    return F.array_join(kept, sep)

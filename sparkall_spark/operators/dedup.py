@@ -1087,3 +1087,26 @@ def semdedup(
         cells.join(dropped, "__id", "left_anti")
         .select(F.col("__id").alias(id_col), "cell")
     )
+
+
+def url_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """URL-level dedup for crawl corpora (r5): keep the min-id document
+    per CANONICAL URL (`functions.text.canonical_url`: fragment/default
+    port/tracking-param/dup-slash normalization), so recrawls and
+    tracking-decorated links collapse before any content-level dedup
+    runs.  One 8-byte-key window shuffle (hash of the canonical form),
+    like :func:`exact_dedup`."""
+    from sparkall_spark.functions.text import canonical_url
+
+    w = Window.partitionBy(
+        F.xxhash64(canonical_url(url_col))
+    ).orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

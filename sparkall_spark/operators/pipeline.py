@@ -2,6 +2,10 @@
 into the standard pretraining data-prep flow.
 
     raw documents
+      -> [optional] URL-level dedup (canonical-URL key — recrawls and
+         tracking-decorated links collapse before any text is read)
+      -> [optional] intra-document paragraph dedup (templated blocks
+         repeated within one page)
       -> [optional] boilerplate line removal (cross-doc chrome first,
          CCNet order — it inflates every later signal)
       -> quality scoring (length / diversity / punctuation)
@@ -55,6 +59,8 @@ def prepare_documents(
     classifier_label_col: str = "label",
     classifier_min_prob: float = 0.5,
     classifier_ngram: int = 1,
+    url_dedup_col: str | None = None,
+    paragraph_dedup: bool = False,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
@@ -64,6 +70,16 @@ def prepare_documents(
     within-document repetition filters (duplicate line / word-bigram
     fractions) — still Column expressions in the same single pass.
     """
+    if url_dedup_col is not None:
+        # FIRST and cheapest: recrawls + tracking-decorated links
+        # collapse on the canonical-URL key before any text is touched
+        from sparkall_spark.operators.dedup import url_dedup
+
+        docs = url_dedup(docs, id_col=id_col, url_col=url_dedup_col)
+    if paragraph_dedup:
+        # intra-document repeated paragraphs (templated nav/disclaimer
+        # blocks) go before scoring for the same reason as boilerplate
+        docs = docs.withColumn(text_col, X.dedup_paragraphs(text_col))
     if boilerplate_min_docs is not None:
         # FIRST: cross-document chrome inflates every later signal
         # (quality ratios, dup-line ratios, dedup fingerprints) — CCNet

@@ -104,3 +104,101 @@ def test_pipeline_redact_knob(spark):
     # still zero UDFs: the whole stage is codegen-able expressions
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- URL canonicalization + intra-doc paragraph dedup (r5) ----------------
+
+_URLS = [
+    "http://Example.COM:80/a//b/?utm_source=x&q=1#frag",
+    "https://host:443/path/",
+    "https://host.example./x",
+    "http://a.b/p?utm_campaign=z",
+    "http://a.b/p?q=1&utm_medium=m&r=2",
+    "http://a.b/p?fbclid=abc",
+    "not a url at all",
+    "ftp://weird:21/x",
+    "http://dup//dup///x//",
+    "https://plain.org",
+]
+
+
+def test_canonical_url_cases_and_sql_mirror(spark, duck):
+    from sparkall_spark.functions.text import canonical_url, canonical_url_sql
+
+    df = spark.createDataFrame([(u,) for u in _URLS], "u string")
+    got = [r["c"] for r in
+           df.select(canonical_url("u").alias("c")).collect()]
+    expect = [
+        "http://example.com/a/b?q=1",
+        "https://host/path",
+        "https://host.example/x",
+        "http://a.b/p",
+        "http://a.b/p?q=1&r=2",
+        "http://a.b/p",
+        "not a url at all",
+        "ftp://weird:21/x",
+        "http://dup/dup/x",
+        "https://plain.org",
+    ]
+    assert got == expect
+    vals = ", ".join("('%s')" % u.replace("'", "''") for u in _URLS)
+    mirror = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {canonical_url_sql('u')} FROM (VALUES {vals}) t(u)"
+        ).fetchall()
+    ]
+    assert mirror == expect  # character-for-character engine agreement
+
+
+def test_url_dedup_collapses_recrawls(spark):
+    from sparkall_spark.operators.dedup import url_dedup
+
+    rows = [
+        (1, "http://Example.COM:80/a?utm_source=x"),
+        (2, "http://example.com/a"),          # same canonical as 1
+        (3, "http://example.com/a?q=1"),      # different
+        (4, "http://example.com/a#section"),  # same canonical as 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r["doc_id"] for r in url_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    from sparkall_spark.functions.text import dedup_paragraphs
+
+    text = "\n\n".join(["intro", "AD BLOCK", "body one", "AD BLOCK ",
+                        "body two", "intro"])
+    df = spark.createDataFrame([(text,)], "t string")
+    out = df.select(dedup_paragraphs("t").alias("c")).collect()[0]["c"]
+    # trimmed-exact matching: 'AD BLOCK ' duplicates 'AD BLOCK'
+    assert out == "\n\n".join(["intro", "AD BLOCK", "body one", "body two"])
+
+
+def test_dedup_paragraphs_noop_and_empty(spark):
+    from sparkall_spark.functions.text import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [("a\n\nb",), ("",), ("solo",)], "t string"
+    )
+    got = [r["c"] for r in df.select(dedup_paragraphs("t").alias("c")).collect()]
+    assert got == ["a\n\nb", "", "solo"]
+
+
+def test_pipeline_url_and_paragraph_knobs(spark):
+    from sparkall_spark.operators.pipeline import prepare_documents
+
+    body = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, "http://a.b/x?utm_source=s", "intro\n\n" + body),
+        (2, "http://a.b/x", "other\n\n" + body + " tail"),  # same canonical
+        (3, "http://a.b/y", "rep\n\nrep\n\n" + body),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = prepare_documents(
+        df, min_quality=0.0, url_dedup_col="url", paragraph_dedup=True
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1, 3}  # doc 2 collapsed onto doc 1's URL
+    assert got[3] == "rep\n\n" + body  # repeated paragraph removed

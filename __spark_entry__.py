@@ -961,27 +961,22 @@ WHERE a.vec_id % 50 = 0 AND a.vec_id < b.vec_id
 """
 
 
-def _e07_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    out = S.brute_force_topk(emb, queries, k=10)
-    return out.select(
-        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
-    )
-
-
-_E07_ORACLE = """
-WITH scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.embedding::DOUBLE[],
-                                      c.embedding::DOUBLE[]), 6) AS cosine
-  FROM embeddings q, embeddings c
-  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
-SELECT query_id, neighbor_id, cosine,
+# brute-force ANN SQL fragments, merged into the e09 family oracle (r5:
+# the former standalone e07 slot — the exact baseline travels with the
+# approximate methods it calibrates)
+_BRUTE_SELECT = """
+SELECT 'brute' AS method, query_id, neighbor_id, cosine,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, neighbor_id) AS rank
-FROM scored QUALIFY rank <= 10
+FROM brute_scored QUALIFY rank <= 10
 """
+
+_BRUTE_CTE = """
+brute_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+  FROM v q, v c
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)"""
 
 
 def _lsh_oracle_parts() -> tuple[str, str]:
@@ -1032,11 +1027,17 @@ _E09_CENTROIDS = __import__("numpy").random.default_rng(123).standard_normal((16
 
 
 def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF and hyperplane-LSH top-k, tagged and unioned (r5: absorbs the
-    former e08 slot).  Both are fully deterministic — fixed seeded
-    centroids / hyperplanes — and both mirror literally in SQL."""
+    """The whole batch-ANN family, tagged and unioned: exact brute-force
+    baseline (r5: absorbs the former e07 slot), hyperplane-LSH (r5:
+    absorbed e08), and IVF — all fully deterministic (fixed seeded
+    centroids / hyperplanes) and all mirrored literally in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
+    brute = S.brute_force_topk(emb, queries, k=10).select(
+        F.lit("brute").alias("method"),
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
     ivf = S.ivf_topk(
         emb, queries, k=10, n_cells=16, nprobe=4, centroids=_E09_CENTROIDS
     ).select(
@@ -1049,7 +1050,7 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
     )
-    return ivf.unionByName(lsh)
+    return brute.unionByName(ivf).unionByName(lsh)
 
 
 def _e09_oracle_sql() -> str:
@@ -1080,13 +1081,16 @@ scored AS (
          round(list_cosine_similarity(q.e, c.e), 6) AS cosine
   FROM q JOIN c ON q.cell = c.cell
   WHERE c.vec_id <> q.vec_id),
-{lsh_ctes.strip()}
+{lsh_ctes.strip()},
+{_BRUTE_CTE.strip()}
 SELECT 'ivf' AS method, query_id, neighbor_id, cosine,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, neighbor_id) AS rank
 FROM scored QUALIFY rank <= 10
 UNION ALL
 {lsh_select.strip()}
+UNION ALL
+{_BRUTE_SELECT.strip()}
 """
 
 
@@ -1203,6 +1207,43 @@ SELECT query_id, neighbor_id, cosine,
                           ORDER BY cosine DESC, neighbor_id) AS rank
 FROM ref QUALIFY rank <= 10
 """
+
+
+# --- e27: distributed k-means (driver-gated r5) ---------------------------
+# Fixed init (5 x 64): kmeans_fit runs TRUE distributed Lloyd rounds
+# (Arrow-matmul assignment map-side, per-cell elementwise means via one
+# partial-agg groupBy, k x dim metadata collect per round); the oracle
+# unrolls the identical rounds as a CTE chain and must agree on the
+# FINAL ASSIGNMENT of every vector exactly.
+_E27_INIT = __import__("numpy").random.default_rng(7).standard_normal((5, 64))
+_E27_ITERS = 2
+
+
+def _e27_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/clustering.py): fit 2 rounds
+    from a fixed init over the embeddings table, then assign every
+    vector — the iterative-algorithm analog of the PageRank oracle, but
+    hash-checked end to end (assign_cells' 6dp/tie semantics make every
+    round SQL-mirrorable)."""
+    from sparkall_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(emb, iters=_E27_ITERS, init=_E27_INIT)
+    return kmeans_assign(emb, cents).select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell")
+    )
+
+
+def _e27_oracle_sql() -> str:
+    from sparkall_spark.operators.clustering import kmeans_assign_oracle_sql
+
+    sql = kmeans_assign_oracle_sql(_E27_INIT, _E27_ITERS)
+    # the driver compares exact values: surface cell as BIGINT like the
+    # Spark side's cast
+    return sql.replace(
+        "SELECT vec_id, cell FROM selfin",
+        "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM selfin",
+    )
 
 
 # data-independent seeded codebook for the SemDeDup entry (same trick
@@ -2032,8 +2073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e03_dedup_minhash"] = _e03_dedup_minhash
     out["e04_dedup_simhash"] = _e04_dedup_simhash
     out["e06_dedup_embedding"] = _e06_dedup_embedding
-    out["e07_sim_topk_bruteforce"] = _e07_sim_bruteforce
     out["e09_sim_topk_ivf"] = _e09_sim_ivf
+    out["e27_kmeans_assign"] = _e27_kmeans_assign
     out["e10_text_analysis"] = _e10_text_analysis
     out["e13_rdf_roundtrip"] = _e13_rdf_roundtrip
     out["e14_asof_join"] = _e14_asof_join
@@ -2083,8 +2124,8 @@ def oracle_sql() -> dict[str, str]:
     out["e03_dedup_minhash"] = _E03_ORACLE
     out["e04_dedup_simhash"] = _E04_ORACLE
     out["e06_dedup_embedding"] = _E06_ORACLE
-    out["e07_sim_topk_bruteforce"] = _E07_ORACLE
     out["e09_sim_topk_ivf"] = _e09_oracle_sql()
+    out["e27_kmeans_assign"] = _e27_oracle_sql()
     out["e10_text_analysis"] = _E10_ORACLE
     out["e13_rdf_roundtrip"] = _E13_ORACLE
     out["e14_asof_join"] = _E14_ORACLE

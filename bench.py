@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "e01_dedup_exact",
     "e03_dedup_minhash",  # r5: absorbed e05's bigram family (see NOTES)
     "e06_dedup_embedding",  # LSH-bucketed embedding near-dup (scale path)
-    "e07_sim_topk_bruteforce",
+    "e09_sim_topk_ivf",  # r5: family union brute+lsh+ivf (absorbed e07/e08)
     "e10_text_analysis",  # merged stats+langid+quality single pass
     "e14_asof_join",
     "e15_window_rank",
@@ -84,6 +84,13 @@ NOTES = {
         "r5: entry gained a driver-gated boilerplate-removal leg "
         "(planted chrome, line-doc-frequency groupBy + InSet strip) — "
         "adds one compact shuffle vs r4's pure map-only pass"
+    ),
+    "e09_sim_topk_ivf": (
+        "r5: replaces the e07 bruteforce bench slot — the entry is now "
+        "the tagged union of ALL THREE batch-ANN methods (exact brute "
+        "baseline + hyperplane-LSH + IVF; absorbed e07/e08 registry "
+        "slots), so its time covers three searches where r4's e07 "
+        "covered one"
     ),
 }
 

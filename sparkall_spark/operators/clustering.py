@@ -113,6 +113,65 @@ def kmeans_fit(
     return cents, history
 
 
+def kmeans_assign_oracle_sql(
+    init: np.ndarray,
+    iters: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """ANSI-SQL mirror of ``kmeans_fit(init=...)`` + ``kmeans_assign``:
+    an unrolled Lloyd-round CTE chain ending in the final assignment
+    ``(id, cell)``.  Shared by the driver entry and the tests — the
+    oracle contract for the distributed k-means path."""
+    dim = int(np.asarray(init).shape[1])
+
+    def cos_cte(r: str, cents: str) -> str:
+        # assign_cells semantics: 6dp HALF-UP cosine as an integer
+        # score, ties to the higher cell id, zero-norm -> 0
+        return f"""
+a{r} AS (
+  SELECT {id_col}, cell,
+         CASE WHEN den > 0
+              THEN sign(d / den) * floor(abs(d / den) * 1000000 + 0.5)
+              ELSE 0 END AS s
+  FROM (SELECT e.{id_col}, c.cell,
+               list_dot_product(e.emb, c.cent) AS d,
+               sqrt(list_dot_product(e.emb, e.emb))
+                 * sqrt(list_dot_product(c.cent, c.cent)) AS den
+        FROM emb e CROSS JOIN {cents} c) q),
+sel{r} AS (
+  SELECT {id_col}, cell FROM (
+    SELECT {id_col}, cell,
+           row_number() OVER (PARTITION BY {id_col}
+                              ORDER BY s DESC, cell DESC) AS rn
+    FROM a{r}) q
+  WHERE rn = 1)"""
+
+    rows = ",\n".join(
+        "(%d, [%s])" % (j, ", ".join(repr(float(x)) for x in c))
+        for j, c in enumerate(np.asarray(init, dtype=float))
+    )
+    avgs = ", ".join(f"avg(e.emb[{i + 1}])" for i in range(dim))
+    parts = [
+        f"WITH emb AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS emb "
+        f"FROM {table}),",
+        f"c0(cell, cent) AS (VALUES {rows})",
+    ]
+    for r in range(iters):
+        parts.append("," + cos_cte(str(r), f"c{r}"))
+        parts.append(f""",
+cm{r} AS (
+  SELECT s.cell AS cell, [{avgs}] AS cent
+  FROM sel{r} s JOIN emb e USING ({id_col}) GROUP BY s.cell),
+c{r + 1} AS (
+  SELECT p.cell, coalesce(m.cent, p.cent) AS cent
+  FROM c{r} p LEFT JOIN cm{r} m USING (cell))""")
+    parts.append("," + cos_cte("fin", f"c{iters}"))
+    parts.append(f"\nSELECT {id_col}, cell FROM selfin")
+    return "".join(parts)
+
+
 def kmeans_fit_assign(
     df: DataFrame,
     vec_col: str = "embedding",

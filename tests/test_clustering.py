@@ -21,53 +21,9 @@ def _init() -> np.ndarray:
     return np.random.default_rng(7).normal(size=(K, DIM))
 
 
-def _cos_cte(r: str, cents: str) -> str:
-    """assignment CTEs for round tag ``r`` against centroid table
-    ``cents`` — assign_cells semantics: 6dp HALF-UP cosine as an
-    integer score, ties to the higher cell id, zero-norm -> 0."""
-    return f"""
-a{r} AS (
-  SELECT vec_id, cell,
-         CASE WHEN den > 0
-              THEN sign(d / den) * floor(abs(d / den) * 1000000 + 0.5)
-              ELSE 0 END AS s
-  FROM (SELECT e.vec_id, c.cell,
-               list_dot_product(e.emb, c.cent) AS d,
-               sqrt(list_dot_product(e.emb, e.emb))
-                 * sqrt(list_dot_product(c.cent, c.cent)) AS den
-        FROM emb e CROSS JOIN {cents} c) q),
-sel{r} AS (
-  SELECT vec_id, cell FROM (
-    SELECT vec_id, cell,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY s DESC, cell DESC) AS rn
-    FROM a{r}) q
-  WHERE rn = 1)"""
-
-
-def _oracle_sql(init: np.ndarray, iters: int) -> str:
-    rows = ",\n".join(
-        "(%d, [%s])" % (j, ", ".join(repr(float(x)) for x in c))
-        for j, c in enumerate(init)
-    )
-    avgs = ", ".join(f"avg(e.emb[{i + 1}])" for i in range(DIM))
-    parts = [
-        "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb "
-        "FROM embeddings),",
-        f"c0(cell, cent) AS (VALUES {rows})",
-    ]
-    for r in range(iters):
-        parts.append("," + _cos_cte(str(r), f"c{r}"))
-        parts.append(f""",
-cm{r} AS (
-  SELECT s.cell AS cell, [{avgs}] AS cent
-  FROM sel{r} s JOIN emb e USING (vec_id) GROUP BY s.cell),
-c{r + 1} AS (
-  SELECT p.cell, coalesce(m.cent, p.cent) AS cent
-  FROM c{r} p LEFT JOIN cm{r} m USING (cell))""")
-    parts.append("," + _cos_cte("fin", f"c{iters}"))
-    parts.append("\nSELECT vec_id, cell FROM selfin")
-    return "".join(parts)
+from sparkall_spark.operators.clustering import (  # noqa: E402
+    kmeans_assign_oracle_sql as _oracle_sql,
+)
 
 
 def test_distributed_lloyd_matches_unrolled_oracle(spark, duck, sf_dir):

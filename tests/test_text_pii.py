@@ -202,3 +202,37 @@ def test_pipeline_url_and_paragraph_knobs(spark):
     got = {r["doc_id"]: r["text"] for r in out.collect()}
     assert set(got) == {1, 3}  # doc 2 collapsed onto doc 1's URL
     assert got[3] == "rep\n\n" + body  # repeated paragraph removed
+
+
+def test_canonical_url_hypothesis_engine_agreement(spark, duck):
+    """Random URL-ish ASCII inputs: the Spark Column chain and the
+    DuckDB mirror must agree character for character (the regexes are
+    deliberately in the Java-regex/RE2 common subset)."""
+    from hypothesis import given, settings, strategies as st
+
+    from sparkall_spark.functions.text import canonical_url, canonical_url_sql
+
+    piece = st.sampled_from([
+        "http://", "https://", "HTTP://", "ftp://", "", "Example.COM",
+        "host", ":80", ":443", ":8080", "/", "//", "/a", "/a/b/", ".",
+        "?", "&", "q=1", "utm_source=x", "utm_=", "fbclid=z", "ref=r",
+        "#frag", "#", "x y", "%20", "..", "a.b.c", "?&&", "=",
+    ])
+    url = st.lists(piece, min_size=0, max_size=8).map("".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(url, min_size=1, max_size=8))
+    def check(urls):
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        got = [r["c"] for r in
+               df.select(canonical_url("u").alias("c")).collect()]
+        vals = ", ".join("('%s')" % u.replace("'", "''") for u in urls)
+        mirror = [
+            r[0]
+            for r in duck.execute(
+                f"SELECT {canonical_url_sql('u')} FROM (VALUES {vals}) t(u)"
+            ).fetchall()
+        ]
+        assert got == mirror
+
+    check()

@@ -307,3 +307,57 @@ def test_warc_parser_never_raises_on_garbage():
         list(parse_warc_bytes("f.warc.gz", prefix + junk, (), 1024))
 
     run()
+
+
+def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
+    """The whole north-star path in one test: WARC bytes -> documents
+    -> prepare (url dedup + paragraph dedup + quality) -> train/val
+    split -> sequence packing — every stage deterministic, so a second
+    run over the same crawl yields identical shard assignments."""
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.pipeline import (
+        crawl_to_documents,
+        prepare_documents,
+    )
+    from sparkall_spark.operators.sampling import hash_split, pack_sequences
+
+    def body(i: int) -> bytes:
+        words = " ".join(f"doc{i}w{j}" for j in range(60))
+        return f"<html><body>{words}</body></html>".encode()
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    recs = b"".join(
+        _record(f"http://s{i % 3}.example/p/{i}?utm_source=x", body(i))
+        for i in range(12)
+    ) + _record("http://s0.example/p/0", body(99))  # recrawl: same
+    # canonical URL as record 0, different content -> URL dedup keeps
+    # exactly one of the two
+    (d / "c.warc").write_bytes(recs)
+
+    def run():
+        docs = crawl_to_documents(spark, str(d))
+        prepped = prepare_documents(
+            docs, min_quality=0.0, url_dedup_col="url",
+            paragraph_dedup=True,
+        ).withColumn("n_tok", F.size(F.split("text", r"\s+")))
+        split = hash_split(
+            prepped.withColumn("num_id", F.xxhash64("doc_id")),
+            "num_id", {"train": 0.8, "val": 0.2}, seed=1,
+        )
+        packed = pack_sequences(
+            split, "num_id", "n_tok", ctx_len=64, n_shards=2, seed=1
+        )
+        return sorted(
+            (r["doc_id"], r["split"], r["shard"], r["start_offset"])
+            for r in packed.collect()
+        )
+
+    first = run()
+    # 13 responses -> 12 after the canonical-URL collapse; all bodies
+    # distinct so exact dedup drops nothing further
+    assert len(first) == 12
+    assert {s for _, s, _, _ in first} <= {"train", "val"}
+    assert {sh for _, _, sh, _ in first} <= {0, 1}
+    assert first == run()  # bit-stable end to end

@@ -1,8 +1,10 @@
 """Text-analysis column functions (LLM-data-pipeline extension).
 
-All JVM-side Column expressions — no Python UDFs anywhere — so they
-stay inside whole-stage codegen and scale to 100 TB document sets.
-Each function returns a Column usable in select/filter/groupBy.
+All JVM-side Column expressions — no Python UDFs anywhere (one
+documented exception: :func:`compression_ratio`, Arrow-batched because
+no JVM zlib Column function exists) — so they stay inside whole-stage
+codegen and scale to 100 TB document sets.  Each function returns a
+Column usable in select/filter/groupBy.
 
 Design note: everything here must be *mirrorable in ANSI SQL* (the
 DuckDB oracle), so hashes are explicit polynomial formulas rather than
@@ -537,3 +539,40 @@ def dedup_paragraphs(col: Column | str, sep: str = "\n\n") -> Column:
         ).otherwise(F.concat(acc, F.array(p))),
     )
     return F.array_join(kept, sep)
+
+
+def compression_ratio(col: Column | str, level: int = 6) -> Column:
+    """zlib-compressed size / raw UTF-8 size (r5) — the Gopher-style
+    repetitiveness signal: templated or looping text compresses far
+    below natural language (~0.3-0.6 for prose; near 0 for repeated
+    blocks).  Empty text scores 1.0 (nothing to judge).
+
+    This is the package's one deliberate Python text function: no JVM
+    Column zlib exists, so it runs as an Arrow-batched pandas_udf —
+    zlib itself is C, the batch amortizes the crossing, and zlib output
+    is deterministic for a fixed level, so results are stable across
+    engines/reruns (tests pin Spark output against direct ``zlib``
+    calls byte-for-byte).  Use it as a coarse filter, not in per-row
+    hot joins.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    def _ratio(texts):  # pd.Series -> pd.Series (hints omitted: the
+        # module uses `from __future__ import annotations`, and pyspark
+        # can't resolve stringified hints whose names are function-local)
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return texts.map(one)
+
+    return pandas_udf(_ratio, DoubleType())(c)

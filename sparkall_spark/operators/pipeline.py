@@ -61,6 +61,7 @@ def prepare_documents(
     classifier_ngram: int = 1,
     url_dedup_col: str | None = None,
     paragraph_dedup: bool = False,
+    min_compression_ratio: float | None = None,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
@@ -96,6 +97,13 @@ def prepare_documents(
         "lang_pred", X.lang_id(text_col)
     )
     filtered = scored.filter(F.col("quality") >= min_quality)
+    if min_compression_ratio is not None:
+        # Gopher-style repetitiveness gate: templated/looping text
+        # compresses far below prose (functions/text.compression_ratio
+        # — the package's one deliberate Arrow-batched Python text fn)
+        filtered = filtered.filter(
+            X.compression_ratio(text_col) >= min_compression_ratio
+        )
     if max_dup_line_ratio is not None:
         filtered = filtered.filter(
             X.duplicate_line_ratio(text_col) <= max_dup_line_ratio

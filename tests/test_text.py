@@ -336,3 +336,51 @@ def test_mix_corpus_deterministic_budget(spark):
         df, "source", "n_tokens", {"books": 1.0}, 10_000_000, "doc_id"
     )
     assert all_books.count() == 1000
+
+
+# --- compression-ratio repetitiveness signal (r5) -------------------------
+
+def test_compression_ratio_matches_zlib_exactly(spark, sf_dir):
+    import zlib
+
+    from sparkall_spark.functions import text as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    rows = docs.select(
+        "doc_id", "text", X.compression_ratio("text").alias("r")
+    ).collect()
+    for row in rows:
+        raw = row["text"].encode("utf-8")
+        expect = (
+            1.0 if not raw else len(zlib.compress(raw, 6)) / len(raw)
+        )
+        assert row["r"] == expect  # zlib is deterministic per level
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    from sparkall_spark.functions import text as X
+
+    prose = ("the quick brown fox jumps over the lazy dog while seven "
+             "wizards brew quince jam for the vexed zebra ") * 3
+    loop = "spam " * 120
+    df = spark.createDataFrame(
+        [(1, prose), (2, loop), (3, "")], "doc_id long, text string"
+    )
+    r = {x["doc_id"]: x["r"] for x in
+         df.select("doc_id", X.compression_ratio("text").alias("r")).collect()}
+    assert r[2] < r[1]  # looping text compresses far better
+    assert r[2] < 0.2
+    assert r[3] == 1.0
+
+
+def test_pipeline_compression_knob(spark):
+    from sparkall_spark.operators.pipeline import prepare_documents
+
+    prose = ("a genuinely varied sentence with many distinct words and "
+             "different tokens appearing once each time here now then")
+    loop = "buy now " * 60
+    df = spark.createDataFrame(
+        [(1, prose), (2, loop)], "doc_id long, text string"
+    )
+    out = prepare_documents(df, min_quality=0.0, min_compression_ratio=0.3)
+    assert [r["doc_id"] for r in out.collect()] == [1]

@@ -1,0 +1,350 @@
+"""Data selection for pretraining corpora: domain token caps,
+CCNet-style perplexity bucketing, and DSIR importance resampling
+(extension; no reference analog — the reference stops at SPARQL-shaped
+relational queries, `/root/reference/src/main/scala/org/squerall/`).
+
+Three published selection stages a 100 TB pipeline runs between dedup
+and packing:
+
+- :func:`stratum_token_cap` — greedy per-stratum (host / domain /
+  source) token budget, the "no single host dominates the corpus"
+  crawl-curation rule.  ONE shuffle on the stratum key.
+- :func:`perplexity_buckets` — CCNet (Wenzek et al. 2020) head /
+  middle / tail terciles over LM scores, the standard way to grade web
+  text by reference-corpus likelihood without a hard cutoff.
+- :func:`dsir_select` — Data Selection via Importance Resampling (Xie
+  et al. 2023): rank candidates by how much more likely a *target*
+  domain LM finds them than a *raw* corpus LM, and take a
+  Gumbel-top-k sample ∝ that importance weight.
+
+Exactness design (same discipline as ``operators/lm.py``): every
+selection predicate runs in exact integer arithmetic.  Importance
+weights are differences of BIGINT micro-logp sums; Gumbel noise is
+derived from the engine-portable LCG hash (``operators/sampling._mix``)
+and quantized to micro units the moment it is born, so the ranking key
+is a BIGINT and the selected set is bit-identical across partitionings,
+reruns, and engines (DuckDB mirrors in tests and the driver gate).
+The only floats that ever appear are single correctly-rounded IEEE
+divisions (exact cross-engine) or derived convenience columns.
+
+Scale design: caps and buckets shuffle a NARROW (id, score) projection
+once; DSIR's top-k is ``orderBy().limit()`` — Catalyst plans
+TakeOrderedAndProject (per-partition partial top-k, no global sort
+barrier).  Nothing here collects row-scale data to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from sparkall_spark.operators.sampling import _M, _mix, mix_sql
+
+MICRO = 1_000_000
+
+#: denominator turning the LCG hash into u ∈ (0,1): (mix+1)/2^31 —
+#: a power of two, so the division is exact in IEEE double.
+_U_DENOM = float(_M + 1)  # 2**31
+
+
+def stratum_token_cap(
+    df: DataFrame,
+    stratum_col: str,
+    n_tokens_col: str,
+    token_budget: int,
+    id_col: str,
+    order_col: str | None = None,
+    descending: bool = True,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep, per stratum, the greedy prefix of documents whose running
+    token total stays within ``token_budget``.
+
+    Documents are taken in deterministic order — ``order_col``
+    descending by default (e.g. quality score; best docs claim the
+    budget first), falling back to hash order when no ``order_col`` is
+    given; ``id_col`` always breaks ties, so the prefix is unique.  A
+    document is kept iff its OWN running sum (inclusive) fits the
+    budget; a later, smaller document is NOT pulled forward into the
+    gap (greedy prefix, not bin packing — membership stays a pure
+    function of the ordered prefix, which is what makes reruns and the
+    SQL mirror exact).  Oversized single documents (> budget) are
+    dropped even when the stratum is otherwise empty.
+
+    One shuffle, keyed by the stratum; per-stratum state is a running
+    BIGINT sum over the narrow (id, tokens, order) projection.  A
+    pathological hot stratum lands on one task — cap its input first
+    with :func:`sparkall_spark.operators.sampling.stratified_sample`
+    if a single stratum outgrows a task.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if order_col is not None:
+        first = (
+            F.col(order_col).desc() if descending else F.col(order_col).asc()
+        )
+        order = [first, F.col(id_col).asc()]
+    else:
+        order = [_mix(F.col(id_col), seed).asc(), F.col(id_col).asc()]
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(n_tokens_col).cast("bigint")).over(w)
+    return (
+        df.withColumn("__run", running)
+        .filter(F.col("__run") <= F.lit(int(token_budget)))
+        .drop("__run")
+    )
+
+
+def stratum_token_cap_sql(
+    table: str,
+    stratum_col: str,
+    n_tokens_col: str,
+    token_budget: int,
+    id_col: str,
+    order_col: str,
+    descending: bool = True,
+) -> str:
+    """DuckDB/ANSI mirror of :func:`stratum_token_cap` (explicit
+    ``order_col`` form) — the oracle/portability contract."""
+    direction = "DESC" if descending else "ASC"
+    return f"""
+SELECT * EXCLUDE (__run) FROM (
+  SELECT *, sum(CAST({n_tokens_col} AS BIGINT)) OVER (
+      PARTITION BY {stratum_col}
+      ORDER BY {order_col} {direction}, {id_col}
+      ROWS UNBOUNDED PRECEDING) AS __run
+  FROM {table})
+WHERE __run <= {int(token_budget)}
+"""
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    sum_col: str = "sum_logp_micro",
+    n_col: str = "n_lm_tokens",
+    thresholds: tuple[float, float] | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing over LM scores from
+    :func:`sparkall_spark.operators.lm.lm_score`.
+
+    The grading key is ``avg_micro = sum_logp_micro / n_lm_tokens`` —
+    ONE integer-by-integer IEEE division, which is correctly rounded
+    and therefore bit-identical on every engine (unlike a chain of
+    float ops).  Higher = more reference-like = better.
+
+    Default (``thresholds=None``): exact global terciles by rank —
+    ``bucket = floor(3 * (rank-1) / n)`` over (avg_micro DESC, id)
+    with non-empty docs only; zero-token documents go straight to
+    ``tail`` (no evidence ⇒ worst grade, CCNet's convention).  The
+    ranking sorts only the narrow (id, sum, n) projection; at true
+    corpus scale pass explicit ``thresholds=(head_min, middle_min)``
+    avg-micro cutoffs instead (computed once from a sample or a
+    previous epoch) — bucketing then becomes a map-only expression
+    with no global sort at all.
+    """
+    avg = F.col(sum_col).cast("double") / F.col(n_col).cast("double")
+    if thresholds is not None:
+        head_min, middle_min = thresholds
+        if not head_min >= middle_min:
+            raise ValueError("thresholds must be (head_min >= middle_min)")
+        bucket = (
+            F.when(F.col(n_col) <= 0, F.lit("tail"))
+            .when(avg >= F.lit(float(head_min)), F.lit("head"))
+            .when(avg >= F.lit(float(middle_min)), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        return scored.withColumn(out_col, bucket)
+    w = Window.orderBy(avg.desc(), F.col(id_col).asc())
+    nonempty = scored.filter(F.col(n_col) > 0)
+    n_total = F.count("*").over(
+        Window.partitionBy()
+    )  # window COUNT avoids a second aggregate job
+    ranked = nonempty.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n", n_total
+    )
+    tercile = F.floor(
+        (F.lit(3) * (F.col("__rk") - 1)) / F.col("__n")
+    ).cast("int")
+    named = (
+        F.when(tercile == 0, F.lit("head"))
+        .when(tercile == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    bucketed = ranked.withColumn(out_col, named).drop("__rk", "__n")
+    empties = scored.filter(F.col(n_col) <= 0).withColumn(
+        out_col, F.lit("tail")
+    )
+    return bucketed.unionByName(empties)
+
+
+def perplexity_buckets_sql(
+    scored_cte: str,
+    id_col: str = "doc_id",
+    sum_col: str = "sum_logp_micro",
+    n_col: str = "n_lm_tokens",
+) -> str:
+    """DuckDB mirror of the rank-tercile form of
+    :func:`perplexity_buckets` over a CTE/table named ``scored_cte``."""
+    avg = f"(CAST({sum_col} AS DOUBLE) / CAST({n_col} AS DOUBLE))"
+    return f"""
+SELECT {id_col}, {n_col}, {sum_col},
+       CASE CAST(floor(3.0 * (rk - 1) / n) AS INT)
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM (
+  SELECT {id_col}, {n_col}, {sum_col},
+         row_number() OVER (ORDER BY {avg} DESC, {id_col}) AS rk,
+         count(*) OVER () AS n
+  FROM {scored_cte} WHERE {n_col} > 0)
+UNION ALL
+SELECT {id_col}, {n_col}, {sum_col}, 'tail' AS bucket
+FROM {scored_cte} WHERE {n_col} <= 0
+"""
+
+
+def gumbel_micro(id_col: Column | str, seed: int = 0) -> Column:
+    """Quantized Gumbel(0,1) noise from the engine-portable id hash:
+    ``round(-ln(-ln((mix(id)+1) / 2^31)) * 1e6)`` as BIGINT.
+
+    ``u = (mix+1)/2^31`` is an exact dyadic rational in (0,1), so both
+    ``ln`` calls see bit-identical inputs everywhere; quantizing to
+    micro the moment the noise is born keeps every downstream
+    comparison in BIGINT (the same trick as lm.py's micro-logp — a
+    last-ulp ``ln`` discrepancy would have to land within 5e-13 of a
+    rounding boundary to change the integer, and the LM mirrors have
+    pinned this stack green since r4).
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    u = (_mix(c, seed) + F.lit(1)).cast("double") / F.lit(_U_DENOM)
+    return F.round(-F.log(-F.log(u)) * MICRO).cast("bigint")
+
+
+def gumbel_micro_sql(col_sql: str, seed: int = 0) -> str:
+    """ANSI/DuckDB rendering of :func:`gumbel_micro` — must stay
+    textually in lockstep."""
+    u = f"(CAST(({mix_sql(col_sql, seed)}) + 1 AS DOUBLE) / {int(_U_DENOM)})"
+    return f"CAST(round(-ln(-ln({u})) * {MICRO}) AS BIGINT)"
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_model: DataFrame,
+    target_unk_micro: int,
+    raw_model: DataFrame,
+    raw_unk_micro: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast: bool = True,
+    keep_empty: bool = True,
+) -> DataFrame:
+    """Per-document DSIR log importance weight:
+    ``logw_micro = logp_target_micro - logp_raw_micro`` (exact BIGINT;
+    both terms are the micro-logp document sums of
+    :func:`sparkall_spark.operators.lm.lm_score` under the target-domain
+    and raw-corpus unigram models).
+
+    Positive ⇒ the target LM finds the document more likely than the
+    raw LM ⇒ target-domain-like.  Only relative weights matter for
+    resampling, so the (intractable) normalizer cancels — the paper's
+    eq. (2) in log space.
+
+    One token explode; the two models are combined into ONE vocab-scale
+    (token, lp_target, lp_raw) table via full outer join, so scoring
+    costs a single broadcast join + one doc-keyed shuffle — scoring
+    twice would double the explode.  Output: (id, n_lm_tokens,
+    logw_micro) with zero-token docs at n=0 / logw NULL (no evidence —
+    filter or default them explicitly downstream).  ``keep_empty=False``
+    drops zero-token docs by OMISSION instead, skipping the
+    corpus-scale id join their retention costs (the select path never
+    wants those rows anyway).
+    """
+    from sparkall_spark.functions.text import tokens
+
+    combined = target_model.select(
+        "token", F.col("logp_micro").alias("__lp_t")
+    ).join(
+        raw_model.select("token", F.col("logp_micro").alias("__lp_r")),
+        "token",
+        "full_outer",
+    )
+    if broadcast:
+        combined = F.broadcast(combined)
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    per = (
+        tok.join(combined, "token", "left")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_lm_tokens"),
+            F.sum(
+                F.coalesce(F.col("__lp_t"), F.lit(int(target_unk_micro)))
+                - F.coalesce(F.col("__lp_r"), F.lit(int(raw_unk_micro)))
+            ).alias("logw_micro"),
+        )
+    )
+    if not keep_empty:
+        return per.select(
+            F.col("__id").alias(id_col), "n_lm_tokens", "logw_micro"
+        )
+    base = docs.select(F.col(id_col).alias("__id"))
+    return base.join(per, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_lm_tokens"), F.lit(0)).alias("n_lm_tokens"),
+        F.col("logw_micro"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_model: DataFrame,
+    target_unk_micro: int,
+    raw_model: DataFrame,
+    raw_unk_micro: int,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    broadcast: bool = True,
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k sample of ``k`` documents with
+    probability ∝ their importance weight (without replacement).
+
+    ``key_micro = logw_micro + gumbel_micro(id)`` — the Gumbel-max
+    trick makes ``argmax(log w + G_i)`` an exact weighted draw, and the
+    top-k of independent keys an exact weighted sample without
+    replacement (Vieira 2014); the shared normalizer shifts every key
+    equally so it cancels in the ranking.  Zero-token documents carry
+    no evidence and are excluded before ranking.
+
+    The ranking is ``orderBy(key DESC, id).limit(k)`` → Catalyst
+    TakeOrderedAndProject: each task keeps a k-row heap, the driver
+    merges heaps — no global sort, no skew sensitivity.  Output:
+    (id, n_lm_tokens, logw_micro, key_micro), deterministic for a
+    given seed.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    weighted = dsir_weights(
+        docs,
+        target_model,
+        target_unk_micro,
+        raw_model,
+        raw_unk_micro,
+        id_col=id_col,
+        text_col=text_col,
+        broadcast=broadcast,
+        keep_empty=False,  # zero-token docs carry no evidence; skipping
+        # them by omission avoids the corpus-scale retention join
+    ).filter(F.col("n_lm_tokens") > 0)
+    keyed = weighted.withColumn(
+        "key_micro", F.col("logw_micro") + gumbel_micro(id_col, seed)
+    )
+    return keyed.orderBy(
+        F.col("key_micro").desc(), F.col(id_col).asc()
+    ).limit(int(k))

@@ -1,0 +1,287 @@
+"""Data-selection operators (operators/selection.py): per-stratum token
+caps, CCNet perplexity buckets, DSIR importance resampling — each with
+a bit-for-bit DuckDB mirror plus semantic/plan contracts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkall_spark.operators import lm as L
+from sparkall_spark.operators import selection as S
+from tests.conftest import assert_matches_oracle
+
+TOK = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- stratum_token_cap ------------------------------------------------------
+
+
+def test_stratum_token_cap_oracle(docs, duck):
+    out = S.stratum_token_cap(
+        docs,
+        stratum_col="source",
+        n_tokens_col="n_chars",
+        token_budget=5_000,
+        id_col="doc_id",
+        order_col="n_chars",
+    ).select("doc_id", "source", "n_chars")
+    sql = S.stratum_token_cap_sql(
+        "(SELECT doc_id, source, n_chars FROM documents) t",
+        stratum_col="source",
+        n_tokens_col="n_chars",
+        token_budget=5_000,
+        id_col="doc_id",
+        order_col="n_chars",
+    )
+    assert_matches_oracle(out, duck, sql)
+    # the cap actually bit: something was dropped, something kept
+    kept = out.count()
+    assert 0 < kept < docs.count()
+
+
+def test_stratum_token_cap_greedy_prefix_semantics(spark):
+    # budget 10, sizes ordered desc: 6 (run=6 keep), 5 (11 drop),
+    # 3 (14 drop). Greedy PREFIX — the later 3 is NOT pulled into the
+    # gap even though 6+3 would fit (bin packing is not the contract).
+    df = spark.createDataFrame(
+        [(1, "s", 6), (2, "s", 5), (3, "s", 3)], ["doc_id", "st", "n"]
+    )
+    out = S.stratum_token_cap(
+        df, "st", "n", token_budget=10, id_col="doc_id", order_col="n"
+    )
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_stratum_token_cap_oversized_and_per_stratum(spark):
+    # a document larger than the whole budget is dropped even alone in
+    # its stratum; budgets are independent per stratum
+    df = spark.createDataFrame(
+        [(1, "a", 50), (2, "b", 4), (3, "b", 4)], ["doc_id", "st", "n"]
+    )
+    out = S.stratum_token_cap(
+        df, "st", "n", token_budget=8, id_col="doc_id", order_col="n"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+
+
+def test_stratum_token_cap_validation(spark):
+    df = spark.createDataFrame([(1, "s", 1)], ["doc_id", "st", "n"])
+    with pytest.raises(ValueError, match="token_budget"):
+        S.stratum_token_cap(df, "st", "n", token_budget=0, id_col="doc_id")
+
+
+# --- perplexity_buckets -----------------------------------------------------
+
+
+def _lm_scored(docs):
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    model, unk = L.train_unigram_lm(ref)
+    return L.lm_score(docs, model, unk).select(
+        "doc_id", "n_lm_tokens", "sum_logp_micro"
+    )
+
+
+SCORED_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest({TOK}) AS token FROM documents),
+ref AS (
+  SELECT token, count(*) AS c FROM tok WHERE doc_id % 5 = 0 GROUP BY token),
+tot AS (SELECT sum(c) AS total, count(*) AS v FROM ref),
+model AS (
+  SELECT token,
+         CAST(round(ln((c + 1.0) / (total + v + 1)) * 1000000) AS BIGINT)
+           AS lp
+  FROM ref, tot),
+unk AS (
+  SELECT CAST(round(ln(1.0 / (total + v + 1)) * 1000000) AS BIGINT) AS u
+  FROM tot),
+per AS (
+  SELECT t.doc_id, count(*) AS n_lm_tokens,
+         CAST(sum(coalesce(m.lp, unk.u)) AS BIGINT) AS sum_logp_micro
+  FROM tok t LEFT JOIN model m USING (token), unk
+  GROUP BY t.doc_id),
+scored AS (
+  SELECT d.doc_id,
+         CAST(coalesce(per.n_lm_tokens, 0) AS BIGINT) AS n_lm_tokens,
+         CAST(coalesce(per.sum_logp_micro, 0) AS BIGINT) AS sum_logp_micro
+  FROM documents d LEFT JOIN per USING (doc_id))
+"""
+
+
+def test_perplexity_buckets_oracle(docs, duck):
+    out = S.perplexity_buckets(_lm_scored(docs))
+    sql = "WITH " + SCORED_CTE + S.perplexity_buckets_sql("scored")
+    assert_matches_oracle(out, duck, sql)
+
+
+def test_perplexity_buckets_tercile_counts(docs):
+    out = S.perplexity_buckets(_lm_scored(docs))
+    counts = {
+        r["bucket"]: r["n"]
+        for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(counts.values())
+    # exact rank terciles: bucket sizes differ by at most 1 (plus any
+    # zero-token docs, which all land in tail)
+    assert set(counts) <= {"head", "middle", "tail"}
+    assert abs(counts["head"] - n / 3) <= counts.get("tail", 0) + 1
+
+
+def test_perplexity_buckets_thresholds_map_only(spark):
+    scored = spark.createDataFrame(
+        [(1, 10, -10_000_000), (2, 10, -30_000_000), (3, 0, 0)],
+        ["doc_id", "n_lm_tokens", "sum_logp_micro"],
+    )
+    # avg micro: doc1 = -1e6, doc2 = -3e6, doc3 no evidence
+    out = S.perplexity_buckets(
+        scored, thresholds=(-1_500_000.0, -2_500_000.0)
+    )
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert got == {1: "head", 2: "tail", 3: "tail"}
+    assert "Exchange" not in _plan(out)  # map-only at scale
+
+
+def test_perplexity_buckets_threshold_validation(spark):
+    scored = spark.createDataFrame(
+        [(1, 1, 0)], ["doc_id", "n_lm_tokens", "sum_logp_micro"]
+    )
+    with pytest.raises(ValueError, match="head_min"):
+        S.perplexity_buckets(scored, thresholds=(-2.0, -1.0))
+
+
+# --- gumbel / dsir ----------------------------------------------------------
+
+
+def test_gumbel_micro_matches_sql(docs, duck):
+    out = docs.select(
+        "doc_id", S.gumbel_micro("doc_id", seed=7).alias("g")
+    )
+    sql = (
+        f"SELECT doc_id, {S.gumbel_micro_sql('doc_id', seed=7)} AS g "
+        "FROM documents"
+    )
+    assert_matches_oracle(out, duck, sql)
+
+
+DSIR_MODELS_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest({TOK}) AS token FROM documents),
+tref AS (
+  SELECT token, count(*) AS c FROM tok
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY token),
+ttot AS (SELECT sum(c) AS total, count(*) AS v FROM tref),
+tmodel AS (
+  SELECT token,
+         CAST(round(ln((c + 1.0) / (total + v + 1)) * 1000000) AS BIGINT)
+           AS lp
+  FROM tref, ttot),
+tunk AS (
+  SELECT CAST(round(ln(1.0 / (total + v + 1)) * 1000000) AS BIGINT) AS u
+  FROM ttot),
+rref AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+rtot AS (SELECT sum(c) AS total, count(*) AS v FROM rref),
+rmodel AS (
+  SELECT token,
+         CAST(round(ln((c + 1.0) / (total + v + 1)) * 1000000) AS BIGINT)
+           AS lp
+  FROM rref, rtot),
+runk AS (
+  SELECT CAST(round(ln(1.0 / (total + v + 1)) * 1000000) AS BIGINT) AS u
+  FROM rtot),
+per AS (
+  SELECT t.doc_id, count(*) AS n_lm_tokens,
+         CAST(sum(coalesce(tm.lp, tunk.u) - coalesce(rm.lp, runk.u))
+              AS BIGINT) AS logw_micro
+  FROM tok t
+  LEFT JOIN tmodel tm USING (token)
+  LEFT JOIN rmodel rm USING (token), tunk, runk
+  GROUP BY t.doc_id),
+weights AS (
+  SELECT d.doc_id,
+         CAST(coalesce(per.n_lm_tokens, 0) AS BIGINT) AS n_lm_tokens,
+         per.logw_micro
+  FROM documents d LEFT JOIN per USING (doc_id))
+"""
+
+
+def _dsir_models(docs):
+    target, t_unk = L.train_unigram_lm(docs.filter(F.col("lang") == "en"))
+    raw, r_unk = L.train_unigram_lm(docs)
+    return target, t_unk, raw, r_unk
+
+
+def test_dsir_weights_oracle(docs, duck):
+    target, t_unk, raw, r_unk = _dsir_models(docs)
+    out = S.dsir_weights(docs, target, t_unk, raw, r_unk)
+    sql = "WITH " + DSIR_MODELS_CTE + "SELECT * FROM weights"
+    assert_matches_oracle(out, duck, sql)
+
+
+def test_dsir_select_full_oracle(docs, duck):
+    target, t_unk, raw, r_unk = _dsir_models(docs)
+    out = S.dsir_select(docs, target, t_unk, raw, r_unk, k=40, seed=11)
+    g = S.gumbel_micro_sql("doc_id", seed=11)
+    sql = (
+        "WITH " + DSIR_MODELS_CTE
+        + f"""
+SELECT doc_id, n_lm_tokens, logw_micro,
+       logw_micro + {g} AS key_micro
+FROM weights WHERE n_lm_tokens > 0
+ORDER BY key_micro DESC, doc_id LIMIT 40
+"""
+    )
+    assert_matches_oracle(out, duck, sql)
+
+
+def test_dsir_select_prefers_target_like(spark):
+    # long docs so |logw| >> the bounded Gumbel noise (G_micro spans
+    # roughly [-3e6, 2.2e7] for a 31-bit u): selection must be exactly
+    # the target-like half when k matches it
+    target_text = "spark sql shuffle join " * 40
+    junk_text = "zzz qqq xxx www " * 40
+    ref = spark.createDataFrame(
+        [(i, target_text) for i in range(5)], ["doc_id", "text"]
+    )
+    raw_corpus = spark.createDataFrame(
+        [(i, target_text if i % 2 == 0 else junk_text) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    target, t_unk = L.train_unigram_lm(ref)
+    raw, r_unk = L.train_unigram_lm(raw_corpus)
+    out = S.dsir_select(
+        raw_corpus, target, t_unk, raw, r_unk, k=10, seed=3
+    )
+    picked = sorted(r["doc_id"] for r in out.collect())
+    assert picked == [i for i in range(20) if i % 2 == 0]
+
+
+def test_dsir_select_partitioning_invariant(docs):
+    target, t_unk, raw, r_unk = _dsir_models(docs)
+    a = S.dsir_select(docs, target, t_unk, raw, r_unk, k=25, seed=5)
+    b = S.dsir_select(
+        docs.repartition(7), target, t_unk, raw, r_unk, k=25, seed=5
+    )
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_dsir_select_topk_plan(docs):
+    target, t_unk, raw, r_unk = _dsir_models(docs)
+    out = S.dsir_select(docs, target, t_unk, raw, r_unk, k=10)
+    assert "TakeOrderedAndProject" in _plan(out)  # heap top-k, no sort
+
+
+def test_dsir_select_validation(docs):
+    target, t_unk, raw, r_unk = _dsir_models(docs)
+    with pytest.raises(ValueError, match="k must be positive"):
+        S.dsir_select(docs, target, t_unk, raw, r_unk, k=0)

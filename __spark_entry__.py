@@ -1439,13 +1439,18 @@ FROM t JOIN clean ON t.doc_id = clean.doc_id
 """
 
 
-def _e14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each event matched to the user's latest prior event —
-    single-shuffle union+window implementation (operators/temporal.py)."""
-    from sparkall_spark.operators.temporal import asof_join
+def _e14_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal-join family, tagged and unioned (r5: absorbs the
+    former e17 range-join slot so a registry slot frees up for the
+    data-selection entry): 'asof' = each event matched to the user's
+    latest prior event (single-shuffle union+window,
+    operators/temporal.py); 'range' = events inside each user's
+    first-2-day window (bucketed equi-join, never a cartesian theta
+    join).  Unified schema (tag, event_id, other_id, val)."""
+    from sparkall_spark.operators.temporal import asof_join, range_join
 
     ev = load_table(spark, sf_dir, "events")
-    return asof_join(
+    asof = asof_join(
         ev,
         ev.select("user_id", "ts", "event_id", "value"),
         on=["user_id"],
@@ -1453,17 +1458,40 @@ def _e14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         strict=True,
         how="inner",
     ).select(
+        F.lit("asof").alias("tag"),
         "event_id",
-        F.col("asof_event_id").alias("prev_event_id"),
-        F.round("asof_value", 6).alias("prev_value"),
+        F.col("asof_event_id").alias("other_id"),
+        F.round("asof_value", 6).alias("val"),
     )
+    intervals = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 2 DAYS"))
+    )
+    rng = range_join(
+        ev, intervals, on=["user_id"], point="ts",
+        range_start="start_ts", range_end="end_ts",
+    ).select(
+        F.lit("range").alias("tag"),
+        "event_id",
+        F.col("user_id").alias("other_id"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return asof.unionByName(rng)
 
 
 _E14_ORACLE = """
-SELECT a.event_id AS event_id, b.event_id AS prev_event_id,
-       round(b.value, 6) AS prev_value
+SELECT 'asof' AS tag, a.event_id AS event_id, b.event_id AS other_id,
+       round(b.value, 6) AS val
 FROM events a ASOF JOIN events b
   ON a.user_id = b.user_id AND b.ts < a.ts
+UNION ALL
+SELECT 'range' AS tag, e.event_id, e.user_id AS other_id,
+       CAST(NULL AS DOUBLE) AS val
+FROM events e JOIN (
+  SELECT user_id, min(ts) AS start_ts, min(ts) + INTERVAL 2 DAY AS end_ts
+  FROM events GROUP BY user_id) iv ON e.user_id = iv.user_id
+WHERE iv.start_ts <= e.ts AND e.ts < iv.end_ts
 """
 
 
@@ -1513,31 +1541,143 @@ FROM events
 """
 
 
-def _e17_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed range join: events falling inside each user's first-2-day
-    window (operators/temporal.py — equi-join on time buckets, never a
-    cartesian theta join)."""
-    from sparkall_spark.operators.temporal import range_join
+def _e28_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-selection family (operators/selection.py), tagged and
+    unioned in the slot freed by merging the range join into e14:
+    'cap' = greedy per-source n_chars budget (stratum_token_cap);
+    'bucket:<head|middle|tail>' = CCNet perplexity terciles under the
+    doc_id%5 reference unigram LM; 'dsir' = Gumbel-top-k importance
+    resampling toward the lang='en' target domain (exact BIGINT
+    micro-logp weights + micro-quantized Gumbel keys).  Unified schema
+    (tag, doc_id, a, b)."""
+    from sparkall_spark.operators import lm as L
+    from sparkall_spark.operators import selection as SEL
 
-    ev = load_table(spark, sf_dir, "events")
-    intervals = (
-        ev.groupBy("user_id")
-        .agg(F.min("ts").alias("start_ts"))
-        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 2 DAYS"))
+    docs = load_table(spark, sf_dir, "documents")
+    cap = SEL.stratum_token_cap(
+        docs, "source", "n_chars", token_budget=50_000,
+        id_col="doc_id", order_col="n_chars",
+    ).select(
+        F.lit("cap").alias("tag"),
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
     )
-    return range_join(
-        ev, intervals, on=["user_id"], point="ts",
-        range_start="start_ts", range_end="end_ts",
-    ).select("event_id", "user_id")
+    ref_model, ref_unk = L.train_unigram_lm(
+        docs.filter(F.col("doc_id") % 5 == 0)
+    )
+    scored = L.lm_score(docs, ref_model, ref_unk).select(
+        "doc_id", "n_lm_tokens", "sum_logp_micro"
+    )
+    bucket = SEL.perplexity_buckets(scored).select(
+        F.concat(F.lit("bucket:"), F.col("bucket")).alias("tag"),
+        "doc_id",
+        F.col("sum_logp_micro").alias("a"),
+        F.col("n_lm_tokens").alias("b"),
+    )
+    target_model, target_unk = L.train_unigram_lm(
+        docs.filter(F.col("lang") == "en")
+    )
+    dsir = SEL.dsir_select(
+        docs, target_model, target_unk, ref_model, ref_unk,
+        k=100, seed=11,
+    ).select(
+        F.lit("dsir").alias("tag"),
+        "doc_id",
+        F.col("logw_micro").alias("a"),
+        F.col("key_micro").alias("b"),
+    )
+    return cap.unionByName(bucket).unionByName(dsir)
 
 
-_E17_ORACLE = """
-WITH iv AS (
-  SELECT user_id, min(ts) AS start_ts, min(ts) + INTERVAL 2 DAY AS end_ts
-  FROM events GROUP BY user_id)
-SELECT e.event_id, e.user_id
-FROM events e JOIN iv ON e.user_id = iv.user_id
-WHERE iv.start_ts <= e.ts AND e.ts < iv.end_ts
+def _e28_oracle_sql() -> str:
+    """Literal mirror: greedy running-sum cap, the LM-model CTEs (the
+    same micro-logp build the e20/lm mirrors pin), rank terciles, and
+    the DSIR weight + Gumbel-key top-k.  The DSIR raw model is the
+    doc_id%5 reference model (shared with the bucket leg) so the
+    mirror trains two models, not three."""
+    from sparkall_spark.operators.selection import gumbel_micro_sql
+
+    tok = (
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        " x -> x <> '')"
+    )
+    g = gumbel_micro_sql("doc_id", seed=11)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tok}) AS token FROM documents),
+ref AS (
+  SELECT token, count(*) AS c FROM tok WHERE doc_id % 5 = 0
+  GROUP BY token),
+tot AS (SELECT sum(c) AS total, count(*) AS v FROM ref),
+model AS (
+  SELECT token,
+         CAST(round(ln((c + 1.0) / (total + v + 1)) * 1000000) AS BIGINT)
+           AS lp
+  FROM ref, tot),
+unk AS (
+  SELECT CAST(round(ln(1.0 / (total + v + 1)) * 1000000) AS BIGINT) AS u
+  FROM tot),
+per AS (
+  SELECT t.doc_id, count(*) AS n_lm_tokens,
+         CAST(sum(coalesce(m.lp, unk.u)) AS BIGINT) AS sum_logp_micro
+  FROM tok t LEFT JOIN model m USING (token), unk
+  GROUP BY t.doc_id),
+scored AS (
+  SELECT d.doc_id,
+         CAST(coalesce(per.n_lm_tokens, 0) AS BIGINT) AS n_lm_tokens,
+         CAST(coalesce(per.sum_logp_micro, 0) AS BIGINT) AS sum_logp_micro
+  FROM documents d LEFT JOIN per USING (doc_id)),
+tref AS (
+  SELECT token, count(*) AS c FROM tok
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY token),
+ttot AS (SELECT sum(c) AS total, count(*) AS v FROM tref),
+tmodel AS (
+  SELECT token,
+         CAST(round(ln((c + 1.0) / (total + v + 1)) * 1000000) AS BIGINT)
+           AS lp
+  FROM tref, ttot),
+tunk AS (
+  SELECT CAST(round(ln(1.0 / (total + v + 1)) * 1000000) AS BIGINT) AS u
+  FROM ttot),
+dweights AS (
+  SELECT t.doc_id, count(*) AS n_lm_tokens,
+         CAST(sum(coalesce(tm.lp, tunk.u) - coalesce(m.lp, unk.u))
+              AS BIGINT) AS logw_micro
+  FROM tok t
+  LEFT JOIN tmodel tm USING (token)
+  LEFT JOIN model m USING (token), tunk, unk
+  GROUP BY t.doc_id)
+SELECT 'cap' AS tag, doc_id, CAST(n_chars AS BIGINT) AS a,
+       CAST(NULL AS BIGINT) AS b
+FROM (
+  SELECT doc_id, n_chars, sum(CAST(n_chars AS BIGINT)) OVER (
+      PARTITION BY source ORDER BY n_chars DESC, doc_id
+      ROWS UNBOUNDED PRECEDING) AS run
+  FROM documents)
+WHERE run <= 50000
+UNION ALL
+SELECT 'bucket:' || CASE CAST(floor(3.0 * (rk - 1) / n) AS INT)
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tag,
+       doc_id, sum_logp_micro AS a, n_lm_tokens AS b
+FROM (
+  SELECT doc_id, n_lm_tokens, sum_logp_micro,
+         row_number() OVER (
+           ORDER BY (CAST(sum_logp_micro AS DOUBLE)
+                     / CAST(n_lm_tokens AS DOUBLE)) DESC, doc_id) AS rk,
+         count(*) OVER () AS n
+  FROM scored WHERE n_lm_tokens > 0)
+UNION ALL
+SELECT 'bucket:tail' AS tag, doc_id, sum_logp_micro AS a,
+       n_lm_tokens AS b
+FROM scored WHERE n_lm_tokens <= 0
+UNION ALL
+SELECT * FROM (
+  SELECT 'dsir' AS tag, doc_id, logw_micro AS a,
+         logw_micro + {g} AS b
+  FROM dweights WHERE n_lm_tokens > 0
+  ORDER BY b DESC, doc_id LIMIT 100)
 """
 
 
@@ -2077,10 +2217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e27_kmeans_assign"] = _e27_kmeans_assign
     out["e10_text_analysis"] = _e10_text_analysis
     out["e13_rdf_roundtrip"] = _e13_rdf_roundtrip
-    out["e14_asof_join"] = _e14_asof_join
+    out["e14_temporal_join"] = _e14_temporal_join
     out["e15_window_rank"] = _e15_window_rank
     out["e16_json_extract"] = _e16_json_extract
-    out["e17_range_join"] = _e17_range_join
+    out["e28_data_selection"] = _e28_data_selection
     out["e18_cube_pivot"] = _e18_cube_pivot
     out["e20_pretrain_pipeline"] = _e20_pretrain_pipeline
     out["e21_stats_aggregates"] = _e21_stats_aggregates
@@ -2128,10 +2268,10 @@ def oracle_sql() -> dict[str, str]:
     out["e27_kmeans_assign"] = _e27_oracle_sql()
     out["e10_text_analysis"] = _E10_ORACLE
     out["e13_rdf_roundtrip"] = _E13_ORACLE
-    out["e14_asof_join"] = _E14_ORACLE
+    out["e14_temporal_join"] = _E14_ORACLE
     out["e15_window_rank"] = _E15_ORACLE
     out["e16_json_extract"] = _E16_ORACLE
-    out["e17_range_join"] = _E17_ORACLE
+    out["e28_data_selection"] = _e28_oracle_sql()
     out["e18_cube_pivot"] = _E18_ORACLE
     out["e20_pretrain_pipeline"] = _E20_ORACLE
     out["e21_stats_aggregates"] = _E21_ORACLE

@@ -34,11 +34,11 @@ BENCH_QUERIES = [
     "e06_dedup_embedding",  # LSH-bucketed embedding near-dup (scale path)
     "e09_sim_topk_ivf",  # r5: family union brute+lsh+ivf (absorbed e07/e08)
     "e10_text_analysis",  # merged stats+langid+quality single pass
-    "e14_asof_join",
+    "e14_temporal_join",  # r5: asof+range tagged union (absorbed e17)
     "e15_window_rank",
-    "e17_range_join",
     "q19_sparql_union",
     "e24_semdedup",  # cluster-local embedding dedup (r4)
+    "e28_data_selection",  # r5: domain cap + CCNet buckets + DSIR top-k
 ]
 
 # Cross-round comparability: entries whose WORK changed between rounds,
@@ -74,8 +74,8 @@ VARIANCE_NOTE = (
 UNCHANGED_SINCE_R4 = [
     "q01_filter_order_limit", "q26_bsbm_q2", "q04_join_five_stars",
     "q05_groupby_aggregates", "q08_topk_groups", "q14_events_window",
-    "q15_events_sessions", "e06_dedup_embedding", "e14_asof_join",
-    "e15_window_rank", "e17_range_join", "q19_sparql_union",
+    "q15_events_sessions", "e06_dedup_embedding",
+    "e15_window_rank", "q19_sparql_union",
     "e24_semdedup",
 ]
 
@@ -99,6 +99,19 @@ NOTES = {
         "r5: entry gained a driver-gated boilerplate-removal leg "
         "(planted chrome, line-doc-frequency groupBy + InSet strip) — "
         "adds one compact shuffle vs r4's pure map-only pass"
+    ),
+    "e14_temporal_join": (
+        "r5 (late): merged with the former e17 range-join slot (tagged "
+        "union) to free a registry slot for e28 — its time now covers "
+        "BOTH temporal joins (r4's e14+e17 best-case sum is the "
+        "comparable number)"
+    ),
+    "e28_data_selection": (
+        "new in r5: the data-selection family (operators/selection.py) "
+        "— greedy per-source token cap, CCNet perplexity terciles "
+        "under a unigram LM trained in-entry, and DSIR Gumbel-top-k "
+        "importance resampling (two LM trainings + one scoring pass "
+        "dominate the cost)"
     ),
     "e09_sim_topk_ivf": (
         "r5: replaces the e07 bruteforce bench slot — the entry is now "

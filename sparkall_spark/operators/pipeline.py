@@ -62,6 +62,8 @@ def prepare_documents(
     url_dedup_col: str | None = None,
     paragraph_dedup: bool = False,
     min_compression_ratio: float | None = None,
+    domain_cap_col: str | None = None,
+    domain_token_budget: int = 10_000_000,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
@@ -210,6 +212,22 @@ def prepare_documents(
         # to one token, which would merge genuinely different documents
         # under the dedup fingerprint
         deduped = deduped.withColumn(text_col, X.redact_pii(text_col))
+    if domain_cap_col is not None:
+        # LAST: the per-domain token budget applies to the corpus that
+        # actually survives (capping pre-filter volume would let junk
+        # claim budget that cleaning then deletes).  Ordered by the
+        # quality column this pass computed, so each domain keeps its
+        # best documents (operators/selection.py).
+        from sparkall_spark.operators.selection import stratum_token_cap
+
+        deduped = stratum_token_cap(
+            deduped.withColumn("__ntok", X.token_count(text_col)),
+            stratum_col=domain_cap_col,
+            n_tokens_col="__ntok",
+            token_budget=domain_token_budget,
+            id_col=id_col,
+            order_col="quality",
+        ).drop("__ntok")
     return deduped
 
 

@@ -285,3 +285,30 @@ def test_dsir_select_validation(docs):
     target, t_unk, raw, r_unk = _dsir_models(docs)
     with pytest.raises(ValueError, match="k must be positive"):
         S.dsir_select(docs, target, t_unk, raw, r_unk, k=0)
+
+
+# --- pipeline knob ----------------------------------------------------------
+
+
+def test_pipeline_domain_cap_knob(spark):
+    from sparkall_spark.operators.pipeline import prepare_documents
+
+    base = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    rows = [
+        # domain a: three EQUAL-quality 9-token docs (distinct suffix
+        # word keeps the exact-dedup fingerprint apart) -> quality ties
+        # break by id, so the greedy prefix under an 18-token budget is
+        # exactly ids {1, 2}. domain b: one doc, fits.
+        (1, base + " one", "a"),
+        (2, base + " two", "a"),
+        (3, base + " six", "a"),
+        (4, base + " ten", "b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "host"])
+    out = prepare_documents(
+        df, min_quality=0.0,
+        domain_cap_col="host", domain_token_budget=20,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1, 2, 4}
+    assert "__ntok" not in out.columns and "quality" in out.columns

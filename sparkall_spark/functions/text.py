@@ -151,6 +151,59 @@ def duplicate_ngram_ratio(col: Column | str, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _nonempty_lines(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+
+def bullet_line_ratio(col: Column | str) -> Column:
+    """Fraction of non-empty lines starting with a bullet marker
+    (``-``, ``*``, ``•`` or a ``1.``-style ordinal) — Gopher drops docs
+    where most lines are bullets (nav menus, scraped lists).  0.0 when
+    there are no non-empty lines."""
+    ls = _nonempty_lines(col)
+    bullets = F.size(
+        F.filter(ls, lambda x: x.rlike(r"^(?:[-*•]|\d{1,3}[.)])\s"))
+    )
+    return F.when(F.size(ls) > 0, bullets / F.size(ls)).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_ratio(col: Column | str) -> Column:
+    """Fraction of non-empty lines ending in an ellipsis (``...`` or
+    ``…``) — Gopher's truncated-snippet signal (search-result and
+    teaser pages).  0.0 when there are no non-empty lines."""
+    ls = _nonempty_lines(col)
+    trunc = F.size(
+        F.filter(ls, lambda x: x.rlike(r"(?:\.\.\.|…)$"))
+    )
+    return F.when(F.size(ls) > 0, trunc / F.size(ls)).otherwise(F.lit(0.0))
+
+
+def alpha_word_ratio(col: Column | str) -> Column:
+    """Fraction of whitespace tokens containing at least one ASCII
+    letter — Gopher requires ~80%+ (drops number/symbol soup like
+    tables and hex dumps).  0.0 for token-less documents."""
+    toks = tokens(col)
+    alpha = F.size(F.filter(toks, lambda x: x.rlike(r"[A-Za-z]")))
+    return F.when(
+        F.size(toks) > 0, alpha / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """Hash/ellipsis symbols per whitespace token (Gopher caps this at
+    ~0.1 — markdown artifacts, templating debris).  0.0 for token-less
+    documents."""
+    c = F.col(col) if isinstance(col, str) else col
+    # count '#' and '…' chars plus literal '...' runs as one symbol each
+    hashes = F.length(F.regexp_replace(c, r"[^#…]", ""))
+    dots = F.size(F.regexp_extract_all(c, F.lit(r"(\.\.\.)"), 1))
+    n = token_count(col)
+    return F.when(n > 0, (hashes + dots) / n).otherwise(F.lit(0.0))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic rolling polynomial hash of the *normalized* text
     (lowercased, whitespace collapsed): acc = (acc*31 + ascii(char)) % p.

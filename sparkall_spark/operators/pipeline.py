@@ -64,6 +64,10 @@ def prepare_documents(
     min_compression_ratio: float | None = None,
     domain_cap_col: str | None = None,
     domain_token_budget: int = 10_000_000,
+    max_bullet_ratio: float | None = None,
+    max_ellipsis_ratio: float | None = None,
+    min_alpha_word_ratio: float | None = None,
+    max_symbol_word_ratio: float | None = None,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
@@ -113,6 +117,24 @@ def prepare_documents(
     if max_dup_ngram_ratio is not None:
         filtered = filtered.filter(
             X.duplicate_ngram_ratio(text_col, 2) <= max_dup_ngram_ratio
+        )
+    # the remaining Gopher rule gates (r5) — all pure Column exprs in
+    # the same map-side pass as the ratio filters above
+    if max_bullet_ratio is not None:
+        filtered = filtered.filter(
+            X.bullet_line_ratio(text_col) <= max_bullet_ratio
+        )
+    if max_ellipsis_ratio is not None:
+        filtered = filtered.filter(
+            X.ellipsis_line_ratio(text_col) <= max_ellipsis_ratio
+        )
+    if min_alpha_word_ratio is not None:
+        filtered = filtered.filter(
+            X.alpha_word_ratio(text_col) >= min_alpha_word_ratio
+        )
+    if max_symbol_word_ratio is not None:
+        filtered = filtered.filter(
+            X.symbol_word_ratio(text_col) <= max_symbol_word_ratio
         )
     if keep_langs is not None:
         filtered = filtered.filter(F.col("lang_pred").isin(*keep_langs))

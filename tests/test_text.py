@@ -384,3 +384,95 @@ def test_pipeline_compression_knob(spark):
     )
     out = prepare_documents(df, min_quality=0.0, min_compression_ratio=0.3)
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_gopher_rule_signals(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            # 4 non-empty lines: 2 bullets ('- x', '2. y'), 1 ellipsis end
+            (1, "- item one\n2. item two\nplain line\nteaser text..."),
+            # number/symbol soup: 1 of 4 tokens has a letter; 2 hashes +
+            # one '...' run over 4 tokens
+            (2, "## 123 4,5 x9 ..."),
+            (3, ""),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: (r["b"], r["e"], r["a"], r["s"])
+        for r in df.select(
+            "id",
+            F.round(X.bullet_line_ratio("text"), 6).alias("b"),
+            F.round(X.ellipsis_line_ratio("text"), 6).alias("e"),
+            F.round(X.alpha_word_ratio("text"), 6).alias("a"),
+            F.round(X.symbol_word_ratio("text"), 6).alias("s"),
+        ).collect()
+    }
+    assert out[1][0] == pytest.approx(0.5)    # 2/4 bullet lines
+    assert out[1][1] == pytest.approx(0.25)   # 1/4 ellipsis lines
+    assert out[1][2] == pytest.approx(0.8)    # 8 of 10 tokens have a letter ("-", "2." do not)
+    assert out[2][2] == pytest.approx(0.2)    # 'x9' of '## 123 4,5 x9 ...'
+    assert out[2][3] == pytest.approx(0.6)    # (2 hashes + 1 '...') / 5
+    assert out[3] == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_gopher_rule_signals_duckdb_mirror(spark, duck, sf_dir):
+    """The four r5 rule signals agree with literal DuckDB renderings on
+    the real documents fixture (engine-portability contract, same as the
+    older ratio signals)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select(
+        "doc_id",
+        F.round(X.bullet_line_ratio("text"), 6).alias("b"),
+        F.round(X.ellipsis_line_ratio("text"), 6).alias("e"),
+        F.round(X.alpha_word_ratio("text"), 6).alias("a"),
+        F.round(X.symbol_word_ratio("text"), 6).alias("s"),
+    )
+    lines = (
+        "list_filter(list_transform(regexp_split_to_array(text, '\\n'),"
+        " x -> trim(x)), x -> x <> '')"
+    )
+    toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    sql = f"""
+    SELECT doc_id,
+      round(CASE WHEN len({lines}) > 0 THEN
+        len(list_filter({lines},
+            x -> regexp_matches(x, '^(?:[-*•]|\\d{{1,3}}[.)])\\s')))
+        / CAST(len({lines}) AS DOUBLE) ELSE 0.0 END, 6) AS b,
+      round(CASE WHEN len({lines}) > 0 THEN
+        len(list_filter({lines}, x -> regexp_matches(x, '(?:\\.\\.\\.|…)$')))
+        / CAST(len({lines}) AS DOUBLE) ELSE 0.0 END, 6) AS e,
+      round(CASE WHEN len({toks}) > 0 THEN
+        len(list_filter({toks}, x -> regexp_matches(x, '[A-Za-z]')))
+        / CAST(len({toks}) AS DOUBLE) ELSE 0.0 END, 6) AS a,
+      round(CASE WHEN len({toks}) > 0 THEN
+        (length(regexp_replace(text, '[^#…]', '', 'g'))
+         + len(regexp_extract_all(text, '(\\.\\.\\.)')))
+        / CAST(len({toks}) AS DOUBLE) ELSE 0.0 END, 6) AS s
+    FROM documents
+    """
+    assert_matches_oracle(out, duck, sql)
+
+
+def test_pipeline_gopher_rule_knobs(spark):
+    from sparkall_spark.operators.pipeline import prepare_documents
+
+    rows = [
+        (1, "a normal sentence about ordinary things and words"),
+        (2, "- one\n- two\n- three\n- four"),          # all bullets
+        (3, "read more...\nsee details...\nclick here..."),  # teasers
+        (4, "## 0x1f 0x2e 9.81 42 1,000,000 ###"),     # symbol soup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prepare_documents(
+        df, min_quality=0.0,
+        max_bullet_ratio=0.5,
+        max_ellipsis_ratio=0.5,
+        min_alpha_word_ratio=0.5,
+        max_symbol_word_ratio=0.1,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1}

@@ -358,3 +358,56 @@ def crawl_to_documents(
         F.col("target_uri").alias("url"),
         X.html_to_text(F.col("body")).alias("text"),
     )
+
+
+def corpus_report(
+    docs: DataFrame, text_col: str = "text", lang_col: str | None = None
+) -> DataFrame:
+    """One-row corpus health summary — the numbers an operator checks
+    before and after each pipeline stage: document/token/char volume,
+    exact-duplicate rate (distinct normalized fingerprints vs rows),
+    mean quality score, and zero-token count.
+
+    ONE aggregate job (count-distinct adds Spark's expand, still a
+    single job); nothing row-scale reaches the driver.  Per-language
+    volume is a separate ``groupBy(lang_col)`` — pass ``lang_col`` to
+    get (report row per language) instead of the global row.
+    """
+    from sparkall_spark.functions import text as X
+
+    aggs = [
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(X.token_count(text_col)), F.lit(0))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.coalesce(F.sum(X.char_count(text_col)), F.lit(0))
+        .cast("bigint")
+        .alias("total_chars"),
+        F.countDistinct(X.fingerprint(text_col))
+        .cast("bigint")
+        .alias("n_distinct"),
+        F.round(F.avg(X.quality_score(text_col)), 6).alias("mean_quality"),
+        F.coalesce(
+            F.sum(F.when(X.token_count(text_col) == 0, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_empty"),
+    ]
+    grouped = (
+        docs.groupBy(F.col(lang_col).alias("lang"))
+        if lang_col is not None
+        else docs.groupBy()
+    )
+    out = grouped.agg(*aggs)
+    return out.withColumn(
+        "dup_ratio",
+        F.when(
+            F.col("n_docs") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_docs"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )

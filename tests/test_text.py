@@ -476,3 +476,52 @@ def test_pipeline_gopher_rule_knobs(spark):
         max_symbol_word_ratio=0.1,
     )
     assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+_FP_SQL = """list_reduce(
+  list_prepend(0::BIGINT,
+    [ascii(c) FOR c IN
+       list_filter(string_split(
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ''),
+         x -> x <> '')]),
+  (acc, c) -> (acc * 31 + c) % 1000000007)"""
+
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+def test_corpus_report_global(spark, duck, sf_dir):
+    """corpus_report matches a literal DuckDB aggregate on the fixture
+    (all but mean_quality, whose Column formula is pinned separately in
+    test_quality_score)."""
+    from sparkall_spark.operators.pipeline import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus_report(docs).drop("mean_quality")
+    sql = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(len({_TOKS})), 0) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT {_FP_SQL}) AS BIGINT) AS n_distinct,
+           CAST(coalesce(sum(CASE WHEN len({_TOKS}) = 0 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_empty,
+           round(1.0 - count(DISTINCT {_FP_SQL})
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+    FROM documents
+    """
+    assert_matches_oracle(out, duck, sql)
+
+
+def test_corpus_report_per_lang_and_empty(spark):
+    from sparkall_spark.operators.pipeline import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "a b", "en"), (3, "", "de")],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {r["lang"]: r for r in corpus_report(df, lang_col="lang").collect()}
+    assert rows["en"]["n_docs"] == 2 and rows["en"]["dup_ratio"] == 0.5
+    assert rows["de"]["n_empty"] == 1 and rows["de"]["total_tokens"] == 0
+    # empty input: one row of zeros, no crash
+    empty = corpus_report(df.filter("doc_id < 0")).collect()
+    assert len(empty) == 1 and empty[0]["n_docs"] == 0
+    assert empty[0]["dup_ratio"] == 0.0

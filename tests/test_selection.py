@@ -312,3 +312,102 @@ def test_pipeline_domain_cap_knob(spark):
     kept = {r["doc_id"] for r in out.collect()}
     assert kept == {1, 2, 4}
     assert "__ntok" not in out.columns and "quality" in out.columns
+
+
+# --- property contracts -----------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_doc_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),      # doc id (dedup below)
+        st.sampled_from(["a", "b", "c"]),            # stratum
+        st.integers(min_value=0, max_value=40),      # n tokens
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_doc_st, budget=st.integers(min_value=1, max_value=120))
+def test_stratum_token_cap_properties(spark, rows, budget):
+    """Invariants for any corpus: (1) each stratum's kept total fits the
+    budget; (2) a larger budget keeps a superset (greedy prefix grows
+    monotonically); (3) membership survives repartitioning."""
+    uniq = {r[0]: r for r in rows}
+    data = [uniq[k] for k in sorted(uniq)]
+    if not data:
+        return
+    df = spark.createDataFrame(data, ["doc_id", "st", "n"])
+    kept = S.stratum_token_cap(
+        df, "st", "n", token_budget=budget, id_col="doc_id", order_col="n"
+    )
+    rows_kept = kept.groupBy("st").agg(F.sum("n").alias("t")).collect()
+    assert all(r["t"] <= budget for r in rows_kept)
+    small = {
+        r["doc_id"]
+        for r in kept.select("doc_id").collect()
+    }
+    bigger = {
+        r["doc_id"]
+        for r in S.stratum_token_cap(
+            df, "st", "n", token_budget=budget + 37, id_col="doc_id",
+            order_col="n",
+        ).select("doc_id").collect()
+    }
+    assert small <= bigger
+    reparted = {
+        r["doc_id"]
+        for r in S.stratum_token_cap(
+            df.repartition(5), "st", "n", token_budget=budget,
+            id_col="doc_id", order_col="n",
+        ).select("doc_id").collect()
+    }
+    assert reparted == small
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scores=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=80),
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=-9_000_000_000, max_value=0),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_perplexity_buckets_properties(spark, scores):
+    """Rank-tercile invariants: every input row lands in exactly one
+    bucket; non-empty-doc bucket sizes differ by at most one; zero-token
+    docs always grade tail."""
+    uniq = {r[0]: r for r in scores}
+    data = [uniq[k] for k in sorted(uniq)]
+    if not data:
+        return
+    df = spark.createDataFrame(
+        data, ["doc_id", "n_lm_tokens", "sum_logp_micro"]
+    )
+    out = S.perplexity_buckets(df).collect()
+    assert len(out) == len(data)
+    got = {r["doc_id"]: r["bucket"] for r in out}
+    empties = {i for i, n, _ in data if n == 0}
+    assert all(got[i] == "tail" for i in empties)
+    from collections import Counter
+
+    ranked = Counter(
+        r["bucket"] for r in out if r["doc_id"] not in empties
+    )
+    if ranked:
+        lo, hi = min(ranked.values()), max(ranked.values())
+        assert hi - lo <= 1 or len(ranked) < 3

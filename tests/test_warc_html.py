@@ -361,3 +361,69 @@ def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
     assert {s for _, s, _, _ in first} <= {"train", "val"}
     assert {sh for _, _, sh, _ in first} <= {0, 1}
     assert first == run()  # bit-stable end to end
+
+
+def test_crawl_select_pack_end_to_end(spark, tmp_path):
+    """Crawl -> prepare (domain cap) -> DSIR selection -> packing: the
+    r5 selection stage composed into the north-star path.  The per-host
+    token budget caps the dominant host, DSIR then keeps the docs most
+    like the target slice, and the surviving set is bit-stable."""
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators import lm as L
+    from sparkall_spark.operators import selection as SEL
+    from sparkall_spark.operators.pipeline import (
+        crawl_to_documents,
+        prepare_documents,
+    )
+    from sparkall_spark.operators.sampling import pack_sequences
+
+    def body(i: int, topic: str) -> bytes:
+        words = " ".join(f"{topic}{j} tail{i}x{j}" for j in range(40))
+        return f"<html><body>{words}</body></html>".encode()
+
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    # host h0 dominates (8 docs), h1 has 4; topics alternate
+    recs = b"".join(
+        _record(
+            f"http://h{0 if i < 8 else 1}.example/p/{i}",
+            body(i, "spark" if i % 2 == 0 else "zzz"),
+        )
+        for i in range(12)
+    )
+    (d / "c.warc").write_bytes(recs)
+
+    def run():
+        docs = crawl_to_documents(spark, str(d)).withColumn(
+            "host", F.regexp_extract("url", r"^https?://([^/]+)", 1)
+        )
+        prepped = prepare_documents(
+            docs, min_quality=0.0,
+            domain_cap_col="host", domain_token_budget=400,
+        )
+        target, t_unk = L.train_unigram_lm(
+            prepped.filter(F.col("url").rlike("/p/(0|2|4)$"))
+        )
+        raw, r_unk = L.train_unigram_lm(prepped)
+        sel = SEL.dsir_select(
+            prepped.withColumn("num_id", F.xxhash64("doc_id")),
+            target, t_unk, raw, r_unk, k=4, id_col="num_id", seed=2,
+        )
+        chosen = prepped.withColumn("num_id", F.xxhash64("doc_id")).join(
+            sel.select("num_id"), "num_id", "left_semi"
+        ).withColumn("n_tok", F.size(F.split("text", r"\s+")))
+        packed = pack_sequences(
+            chosen, "num_id", "n_tok", ctx_len=32, n_shards=1, seed=3
+        )
+        return sorted(
+            (r["url"], r["shard"], r["start_offset"], r["seq_id"])
+            for r in packed.collect()
+        )
+
+    first = run()
+    assert len(first) == 4
+    # DSIR prefers the 'spark'-topic docs the target slice was built on
+    even_urls = sum(1 for u, *_ in first if int(u.rsplit("/", 1)[1]) % 2 == 0)
+    assert even_urls >= 3
+    assert first == run()  # deterministic end to end

@@ -1406,7 +1406,7 @@ t AS (
          ELSE 0.0 END AS pr,
          {_langid_hits('en')} AS h_en, {_langid_hits('de')} AS h_de,
          {_langid_hits('fr')} AS h_fr, {_langid_hits('es')} AS h_es,
-         list_filter(list_transform(string_split(text, chr(10)),
+         list_filter(list_transform(regexp_split_to_array(text, '\\r?\\n'),
                                     x -> trim(x)), x -> x <> '') AS lf,
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      x -> x <> '') AS lt

@@ -130,10 +130,7 @@ def duplicate_line_ratio(col: Column | str) -> Column:
     """Fraction of non-empty (trimmed) lines that repeat an earlier line
     — the Gopher-style boilerplate/repetition signal.  0.0 for documents
     with no non-empty lines."""
-    c = F.col(col) if isinstance(col, str) else col
-    ls = F.filter(
-        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
-    )
+    ls = _nonempty_lines(col)
     return F.when(
         F.size(ls) > 0,
         F.lit(1.0) - F.size(F.array_distinct(ls)) / F.size(ls),
@@ -152,9 +149,13 @@ def duplicate_ngram_ratio(col: Column | str, n: int = 2) -> Column:
 
 
 def _nonempty_lines(col: Column | str) -> Column:
+    """Trimmed non-empty lines; splits on ``\\r?\\n`` so CRLF documents
+    don't carry a trailing ``\\r`` that defeats $-anchored matches
+    (trim strips spaces only, in Spark AND DuckDB)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(
-        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+        F.transform(F.split(c, r"\r?\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
     )
 
 

@@ -372,23 +372,29 @@ def corpus_report(
     single job); nothing row-scale reaches the driver.  Per-language
     volume is a separate ``groupBy(lang_col)`` — pass ``lang_col`` to
     get (report row per language) instead of the global row.
-    """
-    from sparkall_spark.functions import text as X
 
+    NULL text counts as an empty document (not a silent duplicate):
+    the text is coalesced to "" before fingerprint/token/char metrics,
+    so countDistinct doesn't drop the row and n_empty includes it.
+    """
+    t = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col,
+        F.lit(""),
+    )
     aggs = [
         F.count("*").cast("bigint").alias("n_docs"),
-        F.coalesce(F.sum(X.token_count(text_col)), F.lit(0))
+        F.coalesce(F.sum(X.token_count(t)), F.lit(0))
         .cast("bigint")
         .alias("total_tokens"),
-        F.coalesce(F.sum(X.char_count(text_col)), F.lit(0))
+        F.coalesce(F.sum(X.char_count(t)), F.lit(0))
         .cast("bigint")
         .alias("total_chars"),
-        F.countDistinct(X.fingerprint(text_col))
+        F.countDistinct(X.fingerprint(t))
         .cast("bigint")
         .alias("n_distinct"),
-        F.round(F.avg(X.quality_score(text_col)), 6).alias("mean_quality"),
+        F.round(F.avg(X.quality_score(t)), 6).alias("mean_quality"),
         F.coalesce(
-            F.sum(F.when(X.token_count(text_col) == 0, 1).otherwise(0)),
+            F.sum(F.when(X.token_count(t) == 0, 1).otherwise(0)),
             F.lit(0),
         )
         .cast("bigint")

@@ -151,8 +151,13 @@ def stratified_sample(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     if order_col is not None:
+        # NULLS LAST both ways (Spark asc defaults to NULLS FIRST,
+        # DuckDB to NULLS LAST): a NULL-ordered row must never outrank
+        # a real value, and mirrors must agree
         first = (
-            F.col(order_col).desc() if descending else F.col(order_col).asc()
+            F.col(order_col).desc_nulls_last()
+            if descending
+            else F.col(order_col).asc_nulls_last()
         )
         order = [first, F.col(id_col).asc()]
     else:

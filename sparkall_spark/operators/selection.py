@@ -45,6 +45,22 @@ MICRO = 1_000_000
 #: a power of two, so the division is exact in IEEE double.
 _U_DENOM = float(_M + 1)  # 2**31
 
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_numeric_id(df: DataFrame, id_col: str, what: str) -> None:
+    """The LCG hash is integer arithmetic over a BIGINT id; a string id
+    (e.g. crawl_to_documents' hex doc_id) would either fail the cast
+    under ANSI mode or silently null the hash out — fail loudly with
+    the fix instead."""
+    dtype = dict(df.dtypes).get(id_col)
+    if dtype not in _INT_TYPES:
+        raise ValueError(
+            f"{what} requires an integer id column for the portable "
+            f"hash; {id_col!r} is {dtype!r} — derive one first, e.g. "
+            f'df.withColumn("num_id", F.xxhash64("{id_col}"))'
+        )
+
 
 def stratum_token_cap(
     df: DataFrame,
@@ -79,11 +95,18 @@ def stratum_token_cap(
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
     if order_col is not None:
+        # NULLS LAST both directions: Spark's bare asc() is NULLS
+        # FIRST, DuckDB's is NULLS LAST — a nullable order column would
+        # silently hand NULL rows the budget first and break the
+        # cross-engine contract
         first = (
-            F.col(order_col).desc() if descending else F.col(order_col).asc()
+            F.col(order_col).desc_nulls_last()
+            if descending
+            else F.col(order_col).asc_nulls_last()
         )
         order = [first, F.col(id_col).asc()]
     else:
+        _require_numeric_id(df, id_col, "stratum_token_cap(order_col=None)")
         order = [_mix(F.col(id_col), seed).asc(), F.col(id_col).asc()]
     w = (
         Window.partitionBy(stratum_col)
@@ -114,7 +137,7 @@ def stratum_token_cap_sql(
 SELECT * EXCLUDE (__run) FROM (
   SELECT *, sum(CAST({n_tokens_col} AS BIGINT)) OVER (
       PARTITION BY {stratum_col}
-      ORDER BY {order_col} {direction}, {id_col}
+      ORDER BY {order_col} {direction} NULLS LAST, {id_col}
       ROWS UNBOUNDED PRECEDING) AS __run
   FROM {table})
 WHERE __run <= {int(token_budget)}
@@ -330,6 +353,7 @@ def dsir_select(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    _require_numeric_id(docs, id_col, "dsir_select")
     weighted = dsir_weights(
         docs,
         target_model,

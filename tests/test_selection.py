@@ -411,3 +411,43 @@ def test_perplexity_buckets_properties(spark, scores):
     if ranked:
         lo, hi = min(ranked.values()), max(ranked.values())
         assert hi - lo <= 1 or len(ranked) < 3
+
+
+def test_numeric_id_required_for_hash_paths(spark):
+    """String ids (e.g. crawl hex doc_ids) would break the portable
+    LCG hash under ANSI mode — both hash-dependent paths fail loudly
+    with the xxhash64 remedy in the message."""
+    df = spark.createDataFrame(
+        [("abc", "s", 1, "t")], ["doc_id", "st", "n", "text"]
+    )
+    with pytest.raises(ValueError, match="xxhash64"):
+        S.stratum_token_cap(df, "st", "n", token_budget=5, id_col="doc_id")
+    # an explicit order_col never touches the hash: string ids are fine
+    assert (
+        S.stratum_token_cap(
+            df, "st", "n", token_budget=5, id_col="doc_id", order_col="n"
+        ).count()
+        == 1
+    )
+    model = spark.createDataFrame([("t", -1000)], ["token", "logp_micro"])
+    with pytest.raises(ValueError, match="xxhash64"):
+        S.dsir_select(df, model, -2000, model, -2000, k=1)
+
+
+def test_stratum_token_cap_null_order_sorts_last(spark, duck):
+    """Nullable order column: NULL rows must claim the budget LAST in
+    both engines (Spark bare asc() would put them first)."""
+    df = spark.createDataFrame(
+        [(1, "s", 3, None), (2, "s", 3, 5), (3, "s", 3, 1)],
+        ["doc_id", "st", "n", "score"],
+    )
+    asc = S.stratum_token_cap(
+        df, "st", "n", token_budget=6, id_col="doc_id",
+        order_col="score", descending=False,
+    )
+    assert sorted(r["doc_id"] for r in asc.collect()) == [2, 3]
+    desc = S.stratum_token_cap(
+        df, "st", "n", token_budget=6, id_col="doc_id",
+        order_col="score", descending=True,
+    )
+    assert sorted(r["doc_id"] for r in desc.collect()) == [2, 3]

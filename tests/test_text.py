@@ -433,7 +433,7 @@ def test_gopher_rule_signals_duckdb_mirror(spark, duck, sf_dir):
         F.round(X.symbol_word_ratio("text"), 6).alias("s"),
     )
     lines = (
-        "list_filter(list_transform(regexp_split_to_array(text, '\\n'),"
+        "list_filter(list_transform(regexp_split_to_array(text, '\\r?\\n'),"
         " x -> trim(x)), x -> x <> '')"
     )
     toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
@@ -525,3 +525,40 @@ def test_corpus_report_per_lang_and_empty(spark):
     empty = corpus_report(df.filter("doc_id < 0")).collect()
     assert len(empty) == 1 and empty[0]["n_docs"] == 0
     assert empty[0]["dup_ratio"] == 0.0
+
+
+def test_line_signals_handle_crlf(spark):
+    """CRLF documents: trailing \r must not defeat the $-anchored
+    ellipsis match or make identical lines look distinct."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "read more...\r\nsee details...\r\n"), (2, "a\r\nb\r\na\r\n")],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: (r["e"], r["d"])
+        for r in df.select(
+            "id",
+            F.round(X.ellipsis_line_ratio("text"), 6).alias("e"),
+            F.round(X.duplicate_line_ratio("text"), 6).alias("d"),
+        ).collect()
+    }
+    assert out[1][0] == pytest.approx(1.0)
+    assert out[2][1] == pytest.approx(1 / 3)
+
+
+def test_corpus_report_null_text(spark):
+    """NULL text is an empty document, not a silently-dropped
+    fingerprint: dup_ratio stays honest and n_empty counts it."""
+    from sparkall_spark.operators.pipeline import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, None)], ["doc_id", "text"]
+    )
+    row = corpus_report(df).collect()[0]
+    # distinct fingerprints: {"a b", ""} -> 2; the two NULLs are dups
+    # of each other (both empty), nothing else is
+    assert row["n_docs"] == 3 and row["n_distinct"] == 2
+    assert row["n_empty"] == 2
+    assert row["dup_ratio"] == pytest.approx(round(1 - 2 / 3, 6))

@@ -1348,6 +1348,11 @@ def _e10_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.quality_score("text").alias("quality"),
         F.round(X.duplicate_line_ratio("text"), 6).alias("dup_line_ratio"),
         F.round(X.duplicate_ngram_ratio("text", 2), 6).alias("dup_bigram_ratio"),
+        # the r5 Gopher rule signals, driver-gated alongside the rest
+        F.round(X.bullet_line_ratio("text"), 6).alias("bullet_ratio"),
+        F.round(X.ellipsis_line_ratio("text"), 6).alias("ellipsis_ratio"),
+        F.round(X.alpha_word_ratio("text"), 6).alias("alpha_word_ratio"),
+        F.round(X.symbol_word_ratio("text"), 6).alias("symbol_word_ratio"),
         F.length("__t2").cast("bigint").alias("clean_n_chars"),
     )
 
@@ -1434,6 +1439,24 @@ SELECT t.doc_id,
                     range(1, len(lt)), i -> lt[i] || ' ' || lt[i + 1])))::DOUBLE
                   / (n_tok - 1)
              ELSE 0.0 END, 6) AS dup_bigram_ratio,
+       round(CASE WHEN len(lf) > 0
+             THEN len(list_filter(lf, x ->
+                    regexp_matches(x, '^(?:[-*•]|\\d{{1,3}}[.)])\\s')))::DOUBLE
+                  / len(lf)
+             ELSE 0.0 END, 6) AS bullet_ratio,
+       round(CASE WHEN len(lf) > 0
+             THEN len(list_filter(lf, x ->
+                    regexp_matches(x, '(?:\\.\\.\\.|…)$')))::DOUBLE / len(lf)
+             ELSE 0.0 END, 6) AS ellipsis_ratio,
+       round(CASE WHEN n_tok > 0
+             THEN len(list_filter(lt, x ->
+                    regexp_matches(x, '[A-Za-z]')))::DOUBLE / n_tok
+             ELSE 0.0 END, 6) AS alpha_word_ratio,
+       round(CASE WHEN n_tok > 0
+             THEN (length(regexp_replace(text, '[^#…]', '', 'g'))
+                   + len(regexp_extract_all(text, '(\\.\\.\\.)')))::DOUBLE
+                  / n_tok
+             ELSE 0.0 END, 6) AS symbol_word_ratio,
        len(clean.ct)::BIGINT AS clean_n_chars
 FROM t JOIN clean ON t.doc_id = clean.doc_id
 """
@@ -1548,7 +1571,9 @@ def _e28_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     'bucket:<head|middle|tail>' = CCNet perplexity terciles under the
     doc_id%5 reference unigram LM; 'dsir' = Gumbel-top-k importance
     resampling toward the lang='en' target domain (exact BIGINT
-    micro-logp weights + micro-quantized Gumbel keys).  Unified schema
+    micro-logp weights + micro-quantized Gumbel keys); 'report' = the
+    one-aggregate corpus health summary (n_docs/total_tokens/distinct
+    fingerprints encoded into the shared columns).  Unified schema
     (tag, doc_id, a, b)."""
     from sparkall_spark.operators import lm as L
     from sparkall_spark.operators import selection as SEL
@@ -1587,7 +1612,15 @@ def _e28_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("logw_micro").alias("a"),
         F.col("key_micro").alias("b"),
     )
-    return cap.unionByName(bucket).unionByName(dsir)
+    from sparkall_spark.operators.pipeline import corpus_report
+
+    report = corpus_report(docs).select(
+        F.lit("report").alias("tag"),
+        F.col("n_docs").alias("doc_id"),
+        F.col("total_tokens").alias("a"),
+        F.col("n_distinct").alias("b"),
+    )
+    return cap.unionByName(bucket).unionByName(dsir).unionByName(report)
 
 
 def _e28_oracle_sql() -> str:
@@ -1678,6 +1711,13 @@ SELECT * FROM (
          logw_micro + {g} AS b
   FROM dweights WHERE n_lm_tokens > 0
   ORDER BY b DESC, doc_id LIMIT 100)
+UNION ALL
+SELECT 'report' AS tag, CAST(count(*) AS BIGINT) AS doc_id,
+       CAST(coalesce(sum(len(list_filter(
+         regexp_split_to_array(coalesce(text, ''), '\\s+'),
+         x -> x <> ''))), 0) AS BIGINT) AS a,
+       CAST(count(DISTINCT {_FP_SQL}) AS BIGINT) AS b
+FROM documents
 """
 
 

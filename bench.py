@@ -98,7 +98,9 @@ NOTES = {
     "e10_text_analysis": (
         "r5: entry gained a driver-gated boilerplate-removal leg "
         "(planted chrome, line-doc-frequency groupBy + InSet strip) — "
-        "adds one compact shuffle vs r4's pure map-only pass"
+        "adds one compact shuffle vs r4's pure map-only pass; late r5 "
+        "also added the four Gopher rule-signal columns (same map-side "
+        "pass, negligible)"
     ),
     "e14_temporal_join": (
         "r5 (late): merged with the former e17 range-join slot (tagged "
@@ -111,7 +113,9 @@ NOTES = {
         "— greedy per-source token cap, CCNet perplexity terciles "
         "under a unigram LM trained in-entry, and DSIR Gumbel-top-k "
         "importance resampling (two LM trainings + one scoring pass "
-        "dominate the cost)"
+        "dominate the cost); late r5 added the corpus_report leg (one "
+        "count-distinct aggregate over the doc fingerprints, ~+0.2s "
+        "at sf0.1)"
     ),
     "e09_sim_topk_ivf": (
         "r5: replaces the e07 bruteforce bench slot — the entry is now "

@@ -372,3 +372,45 @@ def dsir_select(
     return keyed.orderBy(
         F.col("key_micro").desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+
+def dsir_select_threshold(
+    docs: DataFrame,
+    target_model: DataFrame,
+    target_unk_micro: int,
+    raw_model: DataFrame,
+    raw_unk_micro: int,
+    key_min_micro: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Map-only DSIR membership for very large selections: keep every
+    document whose Gumbel key reaches ``key_min_micro`` instead of
+    ranking for an exact top-k.
+
+    Same keys as :func:`dsir_select` (same seed → same keys), but the
+    decision is a per-row BIGINT comparison — no TakeOrdered heap
+    collecting k rows at the driver, so the selected set can be
+    billions of rows.  Calibrate the cutoff once (e.g. the k-th key of
+    a :func:`dsir_select` over a sample, or a quantile of key_micro)
+    and reuse it across the corpus; with the cutoff equal to the k-th
+    key, the result is exactly the top-k set.
+    """
+    _require_numeric_id(docs, id_col, "dsir_select_threshold")
+    weighted = dsir_weights(
+        docs,
+        target_model,
+        target_unk_micro,
+        raw_model,
+        raw_unk_micro,
+        id_col=id_col,
+        text_col=text_col,
+        broadcast=broadcast,
+        keep_empty=False,
+    ).filter(F.col("n_lm_tokens") > 0)
+    keyed = weighted.withColumn(
+        "key_micro", F.col("logw_micro") + gumbel_micro(id_col, seed)
+    )
+    return keyed.filter(F.col("key_micro") >= F.lit(int(key_min_micro)))

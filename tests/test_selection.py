@@ -451,3 +451,23 @@ def test_stratum_token_cap_null_order_sorts_last(spark, duck):
         order_col="score", descending=True,
     )
     assert sorted(r["doc_id"] for r in desc.collect()) == [2, 3]
+
+
+def test_dsir_threshold_equals_topk_at_kth_key(docs):
+    """With the cutoff set to the k-th selected key, the map-only
+    threshold form reproduces the exact top-k set."""
+    target, t_unk, raw, r_unk = _dsir_models(docs)
+    topk = S.dsir_select(docs, target, t_unk, raw, r_unk, k=30, seed=9)
+    rows = topk.collect()
+    kth = min(r["key_micro"] for r in rows)
+    thr = S.dsir_select_threshold(
+        docs, target, t_unk, raw, r_unk, key_min_micro=kth, seed=9
+    )
+    assert sorted(r["doc_id"] for r in thr.collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
+    # the decision itself is a plain filter on the BIGINT key — no
+    # ranking operator over the corpus (the only Sort in the plan is
+    # the vocab-scale model full-outer join)
+    plan = _plan(thr.select("doc_id", "key_micro"))
+    assert "key_micro" in plan and "Filter" in plan

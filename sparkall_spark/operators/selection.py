@@ -229,6 +229,32 @@ FROM {scored_cte} WHERE {n_col} <= 0
 """
 
 
+def bucket_thresholds(
+    scored: DataFrame,
+    sum_col: str = "sum_logp_micro",
+    n_col: str = "n_lm_tokens",
+) -> tuple[float, float]:
+    """Calibrate ``(head_min, middle_min)`` avg-micro cutoffs for the
+    map-only form of :func:`perplexity_buckets` from a scored sample:
+    the exact 2/3- and 1/3-quantiles of ``sum/n`` over non-empty docs
+    (higher avg = better, so the top third starts at the 2/3 mark).
+
+    Run this ONCE on a bounded sample (or yesterday's epoch), then
+    bucket the full corpus with ``thresholds=`` — no global sort ever
+    touches the corpus.  One aggregate job; two numbers to the driver.
+    """
+    avg = F.col(sum_col).cast("double") / F.col(n_col).cast("double")
+    row = (
+        scored.filter(F.col(n_col) > 0)
+        .agg(F.percentile(avg, F.lit([2.0 / 3.0, 1.0 / 3.0])).alias("q"))
+        .first()
+    )
+    if row is None or row["q"] is None:
+        raise ValueError("cannot calibrate thresholds from an empty sample")
+    head_min, middle_min = row["q"]
+    return float(head_min), float(middle_min)
+
+
 def gumbel_micro(id_col: Column | str, seed: int = 0) -> Column:
     """Quantized Gumbel(0,1) noise from the engine-portable id hash:
     ``round(-ln(-ln((mix(id)+1) / 2^31)) * 1e6)`` as BIGINT.

@@ -471,3 +471,28 @@ def test_dsir_threshold_equals_topk_at_kth_key(docs):
     # the vocab-scale model full-outer join)
     plan = _plan(thr.select("doc_id", "key_micro"))
     assert "key_micro" in plan and "Filter" in plan
+
+
+def test_bucket_thresholds_calibrate_map_only_form(docs):
+    """Thresholds calibrated on the full scored table make the map-only
+    form agree with the exact rank terciles up to quantile-boundary
+    docs (ties at the interpolated cutoffs)."""
+    scored = _lm_scored(docs)
+    head_min, middle_min = S.bucket_thresholds(scored)
+    assert head_min >= middle_min
+    by_rank = {
+        r["doc_id"]: r["bucket"]
+        for r in S.perplexity_buckets(scored).collect()
+    }
+    by_thr = {
+        r["doc_id"]: r["bucket"]
+        for r in S.perplexity_buckets(
+            scored, thresholds=(head_min, middle_min)
+        ).collect()
+    }
+    assert set(by_rank) == set(by_thr)
+    disagree = sum(1 for k in by_rank if by_rank[k] != by_thr[k])
+    assert disagree <= max(2, len(by_rank) // 100)
+    # empty sample fails loudly
+    with pytest.raises(ValueError, match="empty sample"):
+        S.bucket_thresholds(scored.filter("doc_id < 0"))

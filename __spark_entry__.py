@@ -1412,7 +1412,8 @@ t AS (
          {_langid_hits('en')} AS h_en, {_langid_hits('de')} AS h_de,
          {_langid_hits('fr')} AS h_fr, {_langid_hits('es')} AS h_es,
          list_filter(list_transform(regexp_split_to_array(text, '\\r?\\n'),
-                                    x -> trim(x)), x -> x <> '') AS lf,
+                                    x -> trim(regexp_replace(x, '\\r+$', ''))),
+                     x -> x <> '') AS lf,
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      x -> x <> '') AS lt
   FROM documents)
@@ -1714,10 +1715,10 @@ SELECT * FROM (
 UNION ALL
 SELECT 'report' AS tag, CAST(count(*) AS BIGINT) AS doc_id,
        CAST(coalesce(sum(len(list_filter(
-         regexp_split_to_array(coalesce(text, ''), '\\s+'),
+         regexp_split_to_array(text, '\\s+'),
          x -> x <> ''))), 0) AS BIGINT) AS a,
        CAST(count(DISTINCT {_FP_SQL}) AS BIGINT) AS b
-FROM documents
+FROM (SELECT coalesce(text, '') AS text FROM documents)
 """
 
 

@@ -149,12 +149,17 @@ def duplicate_ngram_ratio(col: Column | str, n: int = 2) -> Column:
 
 
 def _nonempty_lines(col: Column | str) -> Column:
-    """Trimmed non-empty lines; splits on ``\\r?\\n`` so CRLF documents
-    don't carry a trailing ``\\r`` that defeats $-anchored matches
-    (trim strips spaces only, in Spark AND DuckDB)."""
+    """Trimmed non-empty lines; splits on ``\\r?\\n`` AND strips any
+    remaining trailing ``\\r`` (e.g. ``...\\r\\r\\n``) so no line ever
+    carries a carriage return — trim strips spaces only in Spark and
+    DuckDB, and Java's ``$`` matches before a final ``\\r`` while RE2's
+    does not, so a surviving CR would split the engines."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(
-        F.transform(F.split(c, r"\r?\n"), lambda x: F.trim(x)),
+        F.transform(
+            F.split(c, r"\r?\n"),
+            lambda x: F.trim(F.regexp_replace(x, r"\r+$", "")),
+        ),
         lambda x: x != "",
     )
 

@@ -19,7 +19,7 @@ Scale split, by design:
 - **Encoding** is an Arrow-batched ``mapInPandas`` stage — one of the
   package's few deliberate Python data paths (a rank-greedy merge loop
   is not expressible as Column algebra).  The merge table broadcasts
-  via task closure; a per-batch word cache collapses the Zipf
+  via task closure; a capacity-capped per-partition cache collapses the Zipf
   distribution (the few thousand frequent words dominate every batch,
   so amortized cost per token is near a dict lookup).
 
@@ -160,14 +160,20 @@ def bpe_encode(
 
     Output: ``(id_col, n_bpe_tokens)`` (+ ``bpe_tokens`` array when
     ``emit_tokens=True`` — keep it off for corpus-scale counting; the
-    array column is ~4x the text).  Arrow-batched ``mapInPandas``; the
-    merge dict rides the task closure and a per-batch word cache makes
-    repeated words (Zipf's law: most of every batch) dict lookups.
-    Empty/NULL text encodes to 0 tokens.
+    array column is ~4x the text).  The id column keeps its ORIGINAL
+    type (string crawl ids work; no silent long cast).  Word
+    segmentation happens Spark-side with the SAME ``tokens(lower())``
+    expression training uses, so train and encode can never disagree
+    on what a word is (Java ``\\s``/lower vs Python semantics differ
+    on exotic Unicode).  Arrow-batched ``mapInPandas``; the merge dict
+    rides the task closure and a capacity-capped per-partition word
+    cache makes repeated words (Zipf's law: most of every batch) dict
+    lookups.  Empty/NULL text encodes to 0 tokens.
     """
     ranks = {pair: i for i, pair in enumerate(merges)}
+    id_type = docs.schema[id_col].dataType
     out_fields = [
-        StructField("__id_out", LongType()),
+        StructField("__id_out", id_type),
         StructField("n_bpe_tokens", LongType()),
     ]
     if emit_tokens:
@@ -182,15 +188,19 @@ def bpe_encode(
         def enc_word(w: str) -> list[str]:
             got = cache.get(w)
             if got is None:
+                if len(cache) >= 500_000:
+                    # cap per-partition memory on high-vocabulary
+                    # corpora; Zipf means the hot head repopulates in
+                    # one batch
+                    cache.clear()
                 got = cache[w] = _encode_word(w, ranks)
             return got
 
         for pdf in batches:
             ids, counts, toks = [], [], []
-            for did, text in zip(pdf["__id"], pdf["__text"]):
-                words = (text or "").lower().split()
+            for did, words in zip(pdf["__id"], pdf["__words"]):
                 doc_tokens: list[str] = []
-                for w in words:
+                for w in words if words is not None else ():
                     doc_tokens.extend(enc_word(w))
                 ids.append(did)
                 counts.append(len(doc_tokens))
@@ -202,8 +212,8 @@ def bpe_encode(
             yield pd.DataFrame(data)
 
     narrow = docs.select(
-        F.col(id_col).cast("long").alias("__id"),
-        F.col(text_col).alias("__text"),
+        F.col(id_col).alias("__id"),
+        tokens(F.lower(F.col(text_col))).alias("__words"),
     )
     encoded = narrow.mapInPandas(encode, schema=schema)
     return encoded.select(

@@ -379,7 +379,24 @@ def dsir_select(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    _require_numeric_id(docs, id_col, "dsir_select")
+    keyed = _dsir_keyed(
+        docs, target_model, target_unk_micro, raw_model, raw_unk_micro,
+        "dsir_select", id_col, text_col, seed, broadcast,
+    )
+    return keyed.orderBy(
+        F.col("key_micro").desc(), F.col(id_col).asc()
+    ).limit(int(k))
+
+
+def _dsir_keyed(
+    docs, target_model, target_unk_micro, raw_model, raw_unk_micro,
+    what, id_col, text_col, seed, broadcast,
+) -> DataFrame:
+    """Shared weights+key construction for both select forms — one
+    place for the weighting/keying semantics to live.  keep_empty=False
+    already omits zero-token docs (no evidence) AND skips the
+    corpus-scale retention join."""
+    _require_numeric_id(docs, id_col, what)
     weighted = dsir_weights(
         docs,
         target_model,
@@ -389,15 +406,11 @@ def dsir_select(
         id_col=id_col,
         text_col=text_col,
         broadcast=broadcast,
-        keep_empty=False,  # zero-token docs carry no evidence; skipping
-        # them by omission avoids the corpus-scale retention join
-    ).filter(F.col("n_lm_tokens") > 0)
-    keyed = weighted.withColumn(
+        keep_empty=False,
+    )
+    return weighted.withColumn(
         "key_micro", F.col("logw_micro") + gumbel_micro(id_col, seed)
     )
-    return keyed.orderBy(
-        F.col("key_micro").desc(), F.col(id_col).asc()
-    ).limit(int(k))
 
 
 def dsir_select_threshold(
@@ -421,22 +434,15 @@ def dsir_select_threshold(
     collecting k rows at the driver, so the selected set can be
     billions of rows.  Calibrate the cutoff once (e.g. the k-th key of
     a :func:`dsir_select` over a sample, or a quantile of key_micro)
-    and reuse it across the corpus; with the cutoff equal to the k-th
-    key, the result is exactly the top-k set.
+    and reuse it across the corpus.  Boundary semantics: EVERY row
+    whose key equals the cutoff is kept — with the cutoff set to the
+    k-th key this is the top-k set when keys are distinct there, and a
+    slight superset if keys tie at the boundary (ties are realistic at
+    billion-row scale; :func:`dsir_select` breaks them by id and
+    truncates — use it when exactly-k matters).
     """
-    _require_numeric_id(docs, id_col, "dsir_select_threshold")
-    weighted = dsir_weights(
-        docs,
-        target_model,
-        target_unk_micro,
-        raw_model,
-        raw_unk_micro,
-        id_col=id_col,
-        text_col=text_col,
-        broadcast=broadcast,
-        keep_empty=False,
-    ).filter(F.col("n_lm_tokens") > 0)
-    keyed = weighted.withColumn(
-        "key_micro", F.col("logw_micro") + gumbel_micro(id_col, seed)
+    keyed = _dsir_keyed(
+        docs, target_model, target_unk_micro, raw_model, raw_unk_micro,
+        "dsir_select_threshold", id_col, text_col, seed, broadcast,
     )
     return keyed.filter(F.col("key_micro") >= F.lit(int(key_min_micro)))

@@ -434,7 +434,7 @@ def test_gopher_rule_signals_duckdb_mirror(spark, duck, sf_dir):
     )
     lines = (
         "list_filter(list_transform(regexp_split_to_array(text, '\\r?\\n'),"
-        " x -> trim(x)), x -> x <> '')"
+        " x -> trim(regexp_replace(x, '\\r+$', ''))), x -> x <> '')"
     )
     toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
     sql = f"""
@@ -562,3 +562,37 @@ def test_corpus_report_null_text(spark):
     assert row["n_docs"] == 3 and row["n_distinct"] == 2
     assert row["n_empty"] == 2
     assert row["dup_ratio"] == pytest.approx(round(1 - 2 / 3, 6))
+
+
+def test_line_signals_strip_interior_trailing_cr(spark, duck):
+    """A line like '...\r\r\n' leaves a trailing CR after the \r?\n
+    split; Java's $ matches before a final \r while RE2's does not, so
+    the CR must be stripped before any anchored match — both engines
+    must agree on such input."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, "read more...\r\r\nplain"), (2, "a\r\r\na\r\nb")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: (r["e"], r["d"])
+        for r in df.select(
+            "id",
+            F.round(X.ellipsis_line_ratio("text"), 6).alias("e"),
+            F.round(X.duplicate_line_ratio("text"), 6).alias("d"),
+        ).collect()
+    }
+    assert out[1][0] == pytest.approx(0.5)
+    assert out[2][1] == pytest.approx(1 / 3)
+    duck.execute("CREATE OR REPLACE TABLE crlf(id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO crlf VALUES (?, ?)", rows)
+    lines = (
+        "list_filter(list_transform(regexp_split_to_array(text, '\\r?\\n'),"
+        " x -> trim(regexp_replace(x, '\\r+$', ''))), x -> x <> '')"
+    )
+    mirror = dict(duck.execute(f"""
+        SELECT id, round(len(list_filter({lines},
+                 x -> regexp_matches(x, '(?:\\.\\.\\.|…)$')))::DOUBLE
+               / len({lines}), 6) AS e
+        FROM crlf ORDER BY id
+    """).fetchall())
+    assert mirror[1] == out[1][0] and mirror[2] == out[2][0]

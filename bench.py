@@ -1,8 +1,17 @@
 #!/usr/bin/env python
 """Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line on stdout:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec}, "median_total": sec,
+     "unchanged_entries_total": sec, "sf": ...}
+
+The driver keeps only a ~2 KB tail of stdout, so the JSON line MUST stay
+small (round 5's numbers were lost to an oversized line) —
+`tests/test_entry_contract.py` pins it under 1,800 bytes with a
+driver-style tail-capture parse.  All methodology prose lives in
+BENCH_NOTES.md; per-pass timings and anomaly flags go to stderr.
 
 Covers the engine's join/aggregation path and the extension operators
 (dedup, similarity, text, windows) — the same entries the driver's
@@ -18,9 +27,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import __spark_entry__ as E  # noqa: E402
-from sparkall_spark.session import get_spark  # noqa: E402
-
 BENCH_QUERIES = [
     "q01_filter_order_limit",
     "q26_bsbm_q2",  # 2-star wide join (replaces the removed q02 entry)
@@ -29,8 +35,8 @@ BENCH_QUERIES = [
     "q08_topk_groups",
     "q14_events_window",
     "q15_events_sessions",
-    "e01_dedup_exact",
-    "e03_dedup_minhash",  # r5: absorbed e05's bigram family (see NOTES)
+    "e01_dedup_exact",  # r5: + substring span leg; r6: + sentence leg
+    "e03_dedup_minhash",  # r5: absorbed e05 bigram family; r6: full corpus
     "e06_dedup_embedding",  # LSH-bucketed embedding near-dup (scale path)
     "e09_sim_topk_ivf",  # r5: family union brute+lsh+ivf (absorbed e07/e08)
     "e10_text_analysis",  # merged stats+langid+quality single pass
@@ -41,36 +47,8 @@ BENCH_QUERIES = [
     "e28_data_selection",  # r5: domain cap + CCNet buckets + DSIR top-k
 ]
 
-# Cross-round comparability: entries whose WORK changed between rounds,
-# so their timing delta is attributable, not a regression.  Emitted in
-# the JSON so a judge reading BENCH_r{N} vs BENCH_r{N-1} sees the cause.
-# r5 variance investigation (VERDICT r4 item 3), all MEASURED via
-# scripts/bench_variance_probe.py + a repeated 1M-pair minhash probe:
-# 1. r4's uniform ~10-15% shared-entry drift was 8g-driver-heap GC
-#    pressure (local mode: driver JVM == the one executor; identical
-#    code aged +25% across one bench session, aged/fresh 1.25).
-# 2. Naively raising the heap to >=31g swung the shuffle-heavy entries
-#    5-46s run-to-run (lazy heap page commit faulting mid-query;
-#    uncompressed oops at exactly 32g).
-# 3. The fix is 16g + -XX:+AlwaysPreTouch + tmpfs spark.local.dir:
-#    aging gone (aged/fresh 0.70 — aged runs are the FASTER, fully-JIT
-#    steady state) and the minhash probe settles at 1.9s (was 3.0s at
-#    8g, up to 46s at 32g).
-VARIANCE_NOTE = (
-    "r4's +10-15% uniform drift was 8g-heap GC aging (probe: 1.25x); "
-    "fixed by 16g + AlwaysPreTouch + tmpfs local dir (aging probe 0.70 "
-    "= aged runs are the steady state; 1M-pair minhash settles 1.9s). "
-    "NB: >=31g heaps REGRESS 5-46s/run on this VM (lazy page commit, "
-    "oops cutoff) — see scripts/bench_variance_probe.py. Cross-round: "
-    "compare unchanged_entries_total, not value — the headline total "
-    "includes entries that absorbed other slots' work (r4->r5 "
-    "unchanged-subset: 8.26s -> 7.39s, every entry <= r4 except two "
-    "within noise)"
-)
-
-# entries whose WORK is identical to r4 — their min-of-3 sum is the
-# honest cross-round comparison number (the headline total includes
-# entries that absorbed other slots' work; see NOTES)
+# Entries whose WORK is identical to r4 — their min-of-3 sum is the honest
+# cross-round comparison number (see BENCH_NOTES.md for the full story).
 UNCHANGED_SINCE_R4 = [
     "q01_filter_order_limit", "q26_bsbm_q2", "q04_join_five_stars",
     "q05_groupby_aggregates", "q08_topk_groups", "q14_events_window",
@@ -79,55 +57,40 @@ UNCHANGED_SINCE_R4 = [
     "e24_semdedup",
 ]
 
-NOTES = {
-    "e01_dedup_exact": (
-        "r5: entry gained the exact-SUBSTRING span-dedup leg (Lee et "
-        "al. ExactSubstr, operators/substrings.py — ranks every "
-        "25-token window hash, cuts non-first occurrences, rebuilds "
-        "docs with one fold); r4 measured only the doc-level groupBy"
-    ),
-    "e03_dedup_minhash": (
-        "r5: entry merged with the former e05 (word-bigram n-gram "
-        "Jaccard family, tagged union) to free a registry slot — "
-        "timing now covers BOTH families (r4 measured only the "
-        "word-minhash half); the bigram leg runs on a deterministic "
-        "1/3 corpus slice (coverage, not volume — full-corpus bigram "
-        "banding spends ~6s failing clique candidates at the 0.9 "
-        "threshold for 25 pairs)"
-    ),
-    "e10_text_analysis": (
-        "r5: entry gained a driver-gated boilerplate-removal leg "
-        "(planted chrome, line-doc-frequency groupBy + InSet strip) — "
-        "adds one compact shuffle vs r4's pure map-only pass; late r5 "
-        "also added the four Gopher rule-signal columns (same map-side "
-        "pass, negligible)"
-    ),
-    "e14_temporal_join": (
-        "r5 (late): merged with the former e17 range-join slot (tagged "
-        "union) to free a registry slot for e28 — its time now covers "
-        "BOTH temporal joins (r4's e14+e17 best-case sum is the "
-        "comparable number)"
-    ),
-    "e28_data_selection": (
-        "new in r5: the data-selection family (operators/selection.py) "
-        "— greedy per-source token cap, CCNet perplexity terciles "
-        "under a unigram LM trained in-entry, and DSIR Gumbel-top-k "
-        "importance resampling (two LM trainings + one scoring pass "
-        "dominate the cost); late r5 added the corpus_report leg (one "
-        "count-distinct aggregate over the doc fingerprints, ~+0.2s "
-        "at sf0.1)"
-    ),
-    "e09_sim_topk_ivf": (
-        "r5: replaces the e07 bruteforce bench slot — the entry is now "
-        "the tagged union of ALL THREE batch-ANN methods (exact brute "
-        "baseline + hyperplane-LSH + IVF; absorbed e07/e08 registry "
-        "slots), so its time covers three searches where r4's e07 "
-        "covered one"
-    ),
-}
+
+def build_json_line(
+    timings: dict[str, float],
+    medians: dict[str, float],
+    sf: str,
+) -> str:
+    """The one stdout line, as a string.
+
+    Pure so tests can pin its size against the driver's ~2 KB stdout
+    tail capture without running Spark.  NO prose fields — notes live
+    in BENCH_NOTES.md (round 5's record was lost to embedded notes).
+    """
+    total = round(sum(timings.values()), 3)
+    sf_val: float | str = float(sf) if sf.replace(".", "").isdigit() else sf
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "median_total": round(sum(medians.values()), 3),
+            "unchanged_entries_total": round(
+                sum(timings[n] for n in UNCHANGED_SINCE_R4 if n in timings), 3
+            ),
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
 
 
 def main() -> None:
+    import __spark_entry__ as E
+    from sparkall_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -135,6 +98,7 @@ def main() -> None:
         "sparkall-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        local_dir="/dev/shm/spark-bench",  # tmpfs: opt-in here, not library-wide
     )
 
     queries = E.queries()
@@ -153,11 +117,9 @@ def main() -> None:
 
     # Three timed passes, report the per-query MIN: pass 1 at sf0.1 pays
     # first-touch costs the warmup can't reach (page-cache cold parquet,
-    # C2 JIT of the large-input code paths — the heavy dedup plans need
-    # several large invocations before compilation settles); the best
-    # pass is the steady state a long-lived cluster session actually
-    # runs at.  Sub-second entries otherwise measure mostly noise
-    # (observed +-0.4s run-to-run).
+    # C2 JIT of the large-input code paths); the best pass is the steady
+    # state a long-lived cluster session actually runs at.  The median is
+    # the honest statistic for sub-second entries (see BENCH_NOTES.md).
     all_times: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     counts: dict[str, int] = {}
     for rnd in range(3):
@@ -169,39 +131,26 @@ def main() -> None:
             all_times[name].append(dt)
             counts[name] = n
             print(f"# pass{rnd} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-    # `value`/`queries` stay min-of-3 for cross-round comparability;
-    # `median` (middle of 3) is the honest statistic for sub-second
-    # entries — future judges can separate real wins from methodology
     timings = {name: min(ts) for name, ts in all_times.items()}
     medians = {name: sorted(ts)[len(ts) // 2] for name, ts in all_times.items()}
-    total = 0.0
     for name, dt in timings.items():
-        total += dt
+        med = medians[name]
         print(
-            f"# best {name}: {dt:.3f}s (median {medians[name]:.3f}s, "
+            f"# best {name}: {dt:.3f}s (median {med:.3f}s, "
             f"{counts[name]} rows)",
             file=sys.stderr,
         )
+        # VERDICT r5 item 7: surface JIT first-touch outliers where
+        # min-of-3 papers over a big first-large-invocation cost.
+        if dt > 0 and med / dt > 3.0:
+            print(
+                f"# WARN {name}: median/min = {med / dt:.1f}x — first "
+                "large invocation pays C2-JIT/page-cache cost; min is the "
+                "long-lived-session steady state (see BENCH_NOTES.md)",
+                file=sys.stderr,
+            )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "median": medians,
-                "median_total": round(sum(medians.values()), 3),
-                "unchanged_entries_total": round(
-                    sum(timings[n] for n in UNCHANGED_SINCE_R4), 3
-                ),
-                "unchanged_entries": UNCHANGED_SINCE_R4,
-                "notes": NOTES,
-                "variance_note": VARIANCE_NOTE,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    print(build_json_line(timings, medians, sf))
     spark.stop()
 
 

@@ -18,11 +18,17 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    local_dir: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     Defaults are read from ``SPARK_GRAFT_CPUS`` when present so the
     driver's bench and local tests share one sizing knob.
+
+    ``local_dir`` (or ``SPARK_GRAFT_LOCAL_DIR``) relocates shuffle/spill
+    files — e.g. to tmpfs for the bench.  It is OPT-IN: a RAM-backed
+    default would make any job whose spill exceeds tmpfs capacity fail
+    with ENOSPC where it previously spilled to disk.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
@@ -54,13 +60,13 @@ def get_spark(
         # multi-second jitter on this VM)
         .config("spark.driver.extraJavaOptions", "-XX:+AlwaysPreTouch")
     )
-    # shuffle/spill files on tmpfs when available: on this VM the root
-    # disk is virtio with erratic latency, and shuffle-heavy entries
-    # (1M-pair minhash) swung 2.5-43s run-to-run purely on I/O; tmpfs
-    # removes the disk from the path (cluster equivalent: NVMe-backed
-    # local dirs / disaggregated shuffle service — a deployment choice,
-    # not an operator property)
-    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    # shuffle/spill files on tmpfs when the CALLER opts in (bench.py
+    # does): on this VM the root disk is virtio with erratic latency,
+    # and shuffle-heavy entries (1M-pair minhash) swung 2.5-43s
+    # run-to-run purely on I/O.  Not a library default — tmpfs is
+    # typically capped at 50% of RAM and a spill-heavy job would die
+    # with ENOSPC instead of spilling to disk.
+    shm = local_dir or os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if shm:
         try:
             os.makedirs(shm, exist_ok=True)

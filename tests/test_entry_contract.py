@@ -129,3 +129,53 @@ def test_int_vs_float_kind_is_a_mismatch():
     assert _rows_equal((np.float64(1.5),), (1.5,))
     # bools must not be caught by the Integral check
     assert _rows_equal((True,), (True,))
+
+
+# ---------------------------------------------------------------------------
+# Bench emission contract (r5 VERDICT item 1): the driver keeps only a
+# ~2 KB tail of bench.py's stdout and parses the JSON line out of it.
+# Round 5's record was lost because prose notes embedded in the JSON
+# line pushed its head past the capture window.  Pin the line size and
+# round-trip the driver's capture exactly.
+
+def _worst_case_bench_line() -> str:
+    import bench
+
+    # worst case: every entry takes a 4-digit-seconds time with full
+    # millisecond precision — longer values than any real run
+    timings = {name: 9999.999 for name in bench.BENCH_QUERIES}
+    medians = {name: 9999.999 for name in bench.BENCH_QUERIES}
+    return bench.build_json_line(timings, medians, "0.1")
+
+
+def test_bench_json_line_fits_driver_tail_capture():
+    line = _worst_case_bench_line()
+    assert len(line.encode()) < 1800, (
+        f"bench stdout JSON is {len(line)} bytes; the driver captures "
+        "only ~2 KB of stdout tail — move prose to BENCH_NOTES.md"
+    )
+
+
+def test_bench_json_line_parses_from_tail_capture():
+    import json
+
+    line = _worst_case_bench_line()
+    # simulate prior stderr-free stdout noise + the driver's tail slice
+    captured = ("# some earlier stdout line\n" + line + "\n")[-2048:]
+    parsed = None
+    for cand in captured.strip().splitlines():
+        try:
+            parsed = json.loads(cand)
+        except json.JSONDecodeError:
+            continue
+    assert parsed is not None, "driver-style tail parse failed"
+    assert parsed["metric"] == "headline_queries_total"
+    assert set(parsed) == {
+        "metric", "value", "unit", "queries", "median_total",
+        "unchanged_entries_total", "sf",
+    }
+    import bench
+
+    assert set(parsed["queries"]) == set(bench.BENCH_QUERIES)
+    # no prose fields may ever come back
+    assert "notes" not in parsed and "variance_note" not in parsed

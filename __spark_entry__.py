@@ -832,14 +832,13 @@ def _e03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = D.minhash_dedup_pairs(
         docs, threshold=0.9, broadcast_reps=True
     ).select(F.lit("word").alias("family"), "id_a", "id_b", "jaccard")
-    # bigram leg on a deterministic 1/3 slice: its purpose is CORRECTNESS
-    # coverage of the n-gram family (pairs survive the slice at every SF),
-    # not a second full-corpus pass — the fixture's near-dup cliques
-    # collide in bigram bands too, so the full-corpus leg spends ~6s
-    # verifying candidates that fail the 0.9 bigram threshold anyway
-    # (25 output pairs); the slice cuts candidate volume ~9x
+    # r6: bigram leg restored to the FULL corpus (r5 ran a deterministic
+    # 1/3 slice because failing clique candidates made verification
+    # ~6s) — the probe-side rebalance in _minhash_rep_graph fixed the
+    # under-parallelized verify stage, and the full-corpus leg now runs
+    # ~1s steady-state at sf0.1
     ng = D.ngram_jaccard_pairs(
-        docs.filter(F.col("doc_id") % 3 == 0),
+        docs,
         ngram=2,
         threshold=0.9,
         broadcast_reps=True,
@@ -859,7 +858,7 @@ g AS (
          list_distinct([array_to_string(toks[i:i+1], ' ')
                         FOR i IN generate_series(1, len(toks) - 1)]) grams
   FROM t
-  WHERE len(toks) >= 2 AND doc_id % 3 = 0)
+  WHERE len(toks) >= 2)
 SELECT 'word' AS family, a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.toks, b.toks))::DOUBLE
              / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard

@@ -358,6 +358,17 @@ def _minhash_rep_graph(
     )
 
     if broadcast_reps:
+        # Rebalance the probe side before the candidate join: it derives
+        # from a tiny cached aggregate (reps), so without an explicit
+        # round-robin the 48x-exploding verify stage inherits the
+        # aggregate's few/uneven partitions and runs on a fraction of
+        # the cores (measured 3.3s -> 1.4s steady-state at sf0.1; the
+        # shuffle itself is reps*bands slim rows — noise next to the
+        # join it feeds).  The shuffle path needs no rebalance: its
+        # join exchanges by key and AQE skew-split handles balance.
+        probe = probe.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
         # Two SMALL broadcast builds instead of one fat one (the build
         # side is collected to the driver and shipped to every executor,
         # so its bytes are first-run latency): (1) the slim banded table

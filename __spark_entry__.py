@@ -23,7 +23,7 @@ from __future__ import annotations
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from sparkall_spark.engine import Engine
 from sparkall_spark.fixtures import NS, PREFIX_BLOCK, load_table, tpch_mappings
@@ -1309,6 +1309,94 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 _E10_CHROME = "cookie consent required\nall rights reserved footer"
 
 
+# --- DuckDB mirrors of the Gopher char-fraction repetition signals ---
+# (functions/text.py; shared by the e10 oracle and tests/test_text.py)
+
+# lowercase whitespace tokens of a text expression
+def _lt_sql(text: str = "text") -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({text}), '\\s+'),"
+        " x -> x <> '')"
+    )
+
+
+def _grams_sql(lt: str, n: int) -> str:
+    """Every word n-gram of token-list expression ``lt`` (not distinct)."""
+    return (
+        f"[array_to_string({lt}[i:i+{n - 1}], ' ')"
+        f" FOR i IN generate_series(1, len({lt}) - {n} + 1)]"
+    )
+
+
+_TOKCHARS_SQL = "coalesce(list_sum(list_transform({lt}, x -> length(x))), 0)"
+
+
+def _top_ngram_char_fraction_sql(grams: str, lt: str, n: int) -> str:
+    """Mirror of text.top_ngram_char_fraction over precomputed ``grams``
+    and token-list ``lt`` column names (so the caller can CTE them)."""
+    denom = _TOKCHARS_SQL.format(lt=lt)
+    # lexicographic struct sort implements max-count/longest-tie, same
+    # as the Spark side (both engines order structs field-by-field)
+    top = (
+        f"list_sort([{{'c': len(list_filter({grams}, x -> x = d)),"
+        f" 'l': length(d) - {n - 1}}}"
+        f" FOR d IN list_distinct({grams})])[-1]"
+    )
+    return (
+        f"CASE WHEN len({grams}) > 0 AND {denom} > 0"
+        f" THEN (({top}).c * ({top}).l)::DOUBLE / {denom} ELSE 0.0 END"
+    )
+
+
+def _dup_ngram_char_fraction_sql(grams: str, lt: str, n: int) -> str:
+    """Mirror of text.duplicate_ngram_char_fraction: overlap-aware union
+    of token positions covered by any n-gram occurring more than once."""
+    denom = _TOKCHARS_SQL.format(lt=lt)
+    # distinct token positions covered by any gram occurring >1 times
+    # (gram i covers [i, i+n-1]) — the duplicate test runs once per
+    # start position, mirroring the Spark flatten shape
+    covered_idx = (
+        f"list_distinct(flatten([CASE WHEN"
+        f" len(list_filter({grams}, x -> x = {grams}[i])) > 1"
+        f" THEN generate_series(i, i + {n - 1})"
+        f" ELSE [] END FOR i IN generate_series(1, len({grams}))]))"
+    )
+    covered = (
+        f"coalesce(list_sum([length({lt}[j]) FOR j IN {covered_idx}]), 0)"
+    )
+    return (
+        f"CASE WHEN len({grams}) > 0 AND {denom} > 0"
+        f" THEN ({covered})::DOUBLE / {denom} ELSE 0.0 END"
+    )
+
+
+def _dup_char_fraction_sql(parts: str) -> str:
+    """Mirror of text._dup_char_fraction over a string-list expression."""
+    total = f"coalesce(list_sum(list_transform({parts}, x -> length(x))), 0)"
+    firsts = (
+        "coalesce(list_sum(list_transform("
+        f"list_distinct({parts}), x -> length(x))), 0)"
+    )
+    return (
+        f"CASE WHEN {total} > 0"
+        f" THEN ({total} - {firsts})::DOUBLE / {total} ELSE 0.0 END"
+    )
+
+
+def _paragraphs_sql(text: str = "text") -> str:
+    """Mirror of text._nonempty_paragraphs."""
+    return (
+        f"list_filter(list_transform(regexp_split_to_array({text},"
+        " '\\n\\s*\\n'), x -> trim(x)), x -> x <> '')"
+    )
+
+
+_LINES_SQL = (
+    "list_filter(list_transform(regexp_split_to_array({text}, '\\r?\\n'),"
+    " x -> trim(regexp_replace(x, '\\r+$', ''))), x -> x <> '')"
+)
+
+
 def _e10_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One pass over documents computing the full text-analysis family:
     token/char stats, punctuation ratio, n-gram language ID, the
@@ -1352,8 +1440,68 @@ def _e10_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(X.ellipsis_line_ratio("text"), 6).alias("ellipsis_ratio"),
         F.round(X.alpha_word_ratio("text"), 6).alias("alpha_word_ratio"),
         F.round(X.symbol_word_ratio("text"), 6).alias("symbol_word_ratio"),
+        # r6: the Gopher REPETITION char-fraction signals — computed in
+        # a SECOND select below over PRECOMPUTED token/gram array
+        # columns (the `_over` forms): higher-order lambdas re-evaluate
+        # referenced subtrees per element, so the inline convenience
+        # forms re-split the document once per distinct gram (measured
+        # ~10 CPU-minutes at sf0.01; the attribute forms run in
+        # milliseconds).  The fixture docs are single-line, so the
+        # line/paragraph legs run on a deterministic planted variant
+        # (text + its first-40-char segment twice); concat (not
+        # concat_ws) so NULL text propagates the same way as SQL ``||``.
         F.length("__t2").cast("bigint").alias("clean_n_chars"),
-    )
+        X.tokens(F.lower(F.col("text"))).alias("__lt"),
+        X._nonempty_lines(_e10_planted("\n")).alias("__lml"),
+        X._nonempty_paragraphs(_e10_planted("\n\n")).alias("__pmp"),
+    ).select(
+        "*",
+        X.all_word_ngrams(F.col("__lt"), 2).alias("__g2"),
+        X.all_word_ngrams(F.col("__lt"), 3).alias("__g3"),
+        X.all_word_ngrams(F.col("__lt"), 5).alias("__g5"),
+        X.all_word_ngrams(F.col("__lt"), 10).alias("__g10"),
+    ).select(
+        "*",
+        F.round(
+            X.top_ngram_char_fraction_over(F.col("__lt"), F.col("__g2"), 2), 6
+        ).alias("top2_char_frac"),
+        F.round(
+            X.top_ngram_char_fraction_over(F.col("__lt"), F.col("__g3"), 3), 6
+        ).alias("top3_char_frac"),
+        F.round(
+            X.duplicate_ngram_char_fraction_over(
+                F.col("__lt"), F.col("__g5"), 5
+            ), 6,
+        ).alias("dup5_char_frac"),
+        F.round(
+            X.duplicate_ngram_char_fraction_over(
+                F.col("__lt"), F.col("__g10"), 10
+            ), 6,
+        ).alias("dup10_char_frac"),
+        F.round(X._dup_char_fraction(F.col("__lml")), 6).alias(
+            "dup_line_char_frac"
+        ),
+        F.round(
+            F.when(
+                F.size("__pmp") > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct("__pmp")) / F.size("__pmp"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_para_ratio"),
+        F.round(X._dup_char_fraction(F.col("__pmp")), 6).alias(
+            "dup_para_char_frac"
+        ),
+    ).drop("__lt", "__lml", "__pmp", "__g2", "__g3", "__g5", "__g10")
+
+
+def _e10_planted(sep: str) -> Column:
+    """text + twice its trimmed first-40-char segment, ``sep``-joined —
+    the deterministic multi-line/-paragraph variant the line- and
+    paragraph-level repetition signals run on (fixture docs are
+    single-line)."""
+    seg = F.trim(F.substring("text", 1, 40))
+    return F.concat(F.col("text"), F.lit(sep), seg, F.lit(sep), seg)
 
 
 # the BPE segment count mirrored in DuckDB: identical RE2-compatible
@@ -1415,7 +1563,23 @@ t AS (
                      x -> x <> '') AS lf,
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      x -> x <> '') AS lt
-  FROM documents)
+  FROM documents),
+tp AS (
+  SELECT t.*,
+         text || chr(10) || trim(substr(text, 1, 40))
+              || chr(10) || trim(substr(text, 1, 40)) AS ml,
+         text || chr(10) || chr(10) || trim(substr(text, 1, 40))
+              || chr(10) || chr(10) || trim(substr(text, 1, 40)) AS mp
+  FROM t),
+tg AS (
+  SELECT tp.*,
+         {_grams_sql('lt', 2)} AS g2,
+         {_grams_sql('lt', 3)} AS g3,
+         {_grams_sql('lt', 5)} AS g5,
+         {_grams_sql('lt', 10)} AS g10,
+         {_LINES_SQL.format(text='ml')} AS lml,
+         {_paragraphs_sql('mp')} AS pmp
+  FROM tp)
 SELECT t.doc_id,
        fp,
        n_tok AS n_tokens,
@@ -1457,8 +1621,21 @@ SELECT t.doc_id,
                    + len(regexp_extract_all(text, '(\\.\\.\\.)')))::DOUBLE
                   / n_tok
              ELSE 0.0 END, 6) AS symbol_word_ratio,
+       round({_top_ngram_char_fraction_sql('g2', 'lt', 2)}, 6)
+         AS top2_char_frac,
+       round({_top_ngram_char_fraction_sql('g3', 'lt', 3)}, 6)
+         AS top3_char_frac,
+       round({_dup_ngram_char_fraction_sql('g5', 'lt', 5)}, 6)
+         AS dup5_char_frac,
+       round({_dup_ngram_char_fraction_sql('g10', 'lt', 10)}, 6)
+         AS dup10_char_frac,
+       round({_dup_char_fraction_sql('lml')}, 6) AS dup_line_char_frac,
+       round(CASE WHEN len(pmp) > 0
+             THEN 1.0 - len(list_distinct(pmp))::DOUBLE / len(pmp)
+             ELSE 0.0 END, 6) AS dup_para_ratio,
+       round({_dup_char_fraction_sql('pmp')}, 6) AS dup_para_char_frac,
        len(clean.ct)::BIGINT AS clean_n_chars
-FROM t JOIN clean ON t.doc_id = clean.doc_id
+FROM tg t JOIN clean ON t.doc_id = clean.doc_id
 """
 
 

@@ -210,6 +210,186 @@ def symbol_word_ratio(col: Column | str) -> Column:
     return F.when(n > 0, (hashes + dots) / n).otherwise(F.lit(0.0))
 
 
+def _nonempty_paragraphs(col: Column | str) -> Column:
+    """Trimmed non-empty paragraphs: blocks separated by a blank line
+    (``\\n`` + optional whitespace + ``\\n``).  Internal single newlines
+    stay inside their paragraph.  Both Java and RE2 resolve
+    ``\\n\\s*\\n`` greedily over runs of blank lines, so the split is
+    engine-identical."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, r"\n\s*\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def _dup_char_fraction(parts: Column) -> Column:
+    """Fraction of characters in repeated occurrences of the parts: each
+    distinct part's first occurrence is 'original', every further
+    occurrence contributes its full length to the numerator."""
+    total = F.aggregate(
+        parts, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    firsts = F.aggregate(
+        F.array_distinct(parts),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + F.length(x),
+    )
+    return F.when(total > 0, (total - firsts) / total).otherwise(F.lit(0.0))
+
+
+def duplicate_line_char_fraction(col: Column | str) -> Column:
+    """Gopher repetition signal: fraction of characters sitting in
+    duplicated (non-first occurrence) trimmed non-empty lines — the
+    CHAR-fraction companion of :func:`duplicate_line_ratio` (Gopher
+    threshold 0.20 vs 0.30 for the count fraction)."""
+    return _dup_char_fraction(_nonempty_lines(col))
+
+
+def duplicate_paragraph_ratio(col: Column | str) -> Column:
+    """Fraction of non-empty paragraphs that repeat an earlier paragraph
+    (Gopher threshold 0.30).  0.0 for documents with no paragraphs."""
+    ps = _nonempty_paragraphs(col)
+    return F.when(
+        F.size(ps) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(ps)) / F.size(ps),
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_paragraph_char_fraction(col: Column | str) -> Column:
+    """Fraction of characters in duplicated paragraphs (Gopher
+    threshold 0.20)."""
+    return _dup_char_fraction(_nonempty_paragraphs(col))
+
+
+def all_word_ngrams(toks: Column, n: int) -> Column:
+    """Every word n-gram in order (NOT distinct), space-joined; empty
+    array when there are fewer than ``n`` tokens."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def top_ngram_char_fraction(col: Column | str, n: int) -> Column:
+    """Gopher repetition signal: fraction of characters contained in the
+    most frequently-occurring word ``n``-gram (thresholds: 0.20 for
+    n=2, 0.18 for n=3, 0.16 for n=4).
+
+    Characters are counted over lowercase whitespace TOKENS only (the
+    gram's inter-token spaces and the document's whitespace are excluded
+    from numerator and denominator alike), which keeps the value
+    identical across engines regardless of whitespace normalization.
+    Ties on the occurrence count break toward the LONGEST tied gram
+    (the maximal-coverage reading of the paper's definition), so the
+    result is deterministic and SQL-mirrorable.  0.0 when the document
+    has fewer than ``n`` tokens.
+
+    Convenience form for small inputs/tests ONLY: it inlines the token
+    and gram subtrees, and Spark's higher-order lambdas re-evaluate
+    referenced SUBTREES once per element — the per-distinct-gram filter
+    re-splits the whole document O(d) times (measured: ~10 CPU-minutes
+    for 500 docs x 7 signals).  Corpus runs must precompute the arrays
+    as real columns and use :func:`top_ngram_char_fraction_over`, where
+    the lambda reads a bound attribute instead."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return top_ngram_char_fraction_over(toks, all_word_ngrams(toks, n), n)
+
+
+def top_ngram_char_fraction_over(toks: Column, grams: Column, n: int) -> Column:
+    """Attribute form of :func:`top_ngram_char_fraction`: ``toks`` =
+    lowercase whitespace tokens, ``grams`` = ``all_word_ngrams(toks,
+    n)`` — BOTH should be precomputed columns (``withColumn``), so each
+    lambda element scans a materialized array instead of re-evaluating
+    the construction subtree."""
+    dg = F.array_distinct(grams)
+    # (count, token-chars) per distinct gram; the winner is the LAST
+    # element under lexicographic struct ordering — both Spark and
+    # DuckDB sort arrays of structs field-by-field, which implements
+    # the max-count / longest-tie rule without re-evaluating a
+    # loop-invariant max inside a lambda (higher-order lambdas re-run
+    # referenced subtrees per element, an O(d^2 m) trap).
+    pairs = F.transform(
+        dg,
+        lambda d: F.struct(
+            F.size(F.filter(grams, lambda x: x == d)).alias("c"),
+            (F.length(d) - F.lit(n - 1)).alias("l"),
+        ),
+    )
+    top = F.element_at(F.array_sort(pairs), -1)
+    denom = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    return F.when(
+        (F.size(grams) > 0) & (denom > 0), top["c"] * top["l"] / denom
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_ngram_char_fraction(col: Column | str, n: int) -> Column:
+    """Gopher repetition signal: fraction of characters covered by word
+    ``n``-grams that occur more than once (thresholds 0.15..0.10 for
+    n=5..10).  Overlap-aware: a token position covered by several
+    duplicated grams is counted ONCE — the union-of-spans semantics of
+    the paper, not the sum-over-grams approximation.
+
+    Characters are counted over lowercase whitespace tokens only (same
+    convention as :func:`top_ngram_char_fraction`).  0.0 when the
+    document has fewer than ``n`` tokens.
+
+    Convenience form for small inputs/tests ONLY (see the subtree
+    re-evaluation warning on :func:`top_ngram_char_fraction`); corpus
+    runs use :func:`duplicate_ngram_char_fraction_over`."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return duplicate_ngram_char_fraction_over(
+        toks, all_word_ngrams(toks, n), n
+    )
+
+
+def duplicate_ngram_char_fraction_over(
+    toks: Column, grams: Column, n: int
+) -> Column:
+    """Attribute form of :func:`duplicate_ngram_char_fraction` over
+    precomputed token/gram columns."""
+    m = F.size(grams)
+    # token positions covered by duplicated grams, as a flattened
+    # distinct index set: gram i (occurring >1 times) covers tokens
+    # [i, i+n-1].  This shape evaluates the O(m^2) duplicate test ONCE
+    # per start position — a per-covered-token `dup` array lookup would
+    # re-evaluate the whole dup array per token (HOF lambdas re-run
+    # referenced subtrees per element: measured minutes-per-500-docs).
+    covered_idx = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                lambda i: F.when(
+                    (i <= m)
+                    & (
+                        F.size(
+                            F.filter(
+                                grams,
+                                lambda x: x == F.element_at(grams, i),
+                            )
+                        )
+                        > 1
+                    ),
+                    F.sequence(i, i + F.lit(n - 1)),
+                ).otherwise(F.array().cast("array<int>")),
+            )
+        )
+    )
+    covered_chars = F.aggregate(
+        covered_idx,
+        F.lit(0).cast("bigint"),
+        lambda a, j: a + F.length(F.element_at(toks, j)),
+    )
+    denom = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    return F.when(
+        (m > 0) & (denom > 0), covered_chars / denom
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic rolling polynomial hash of the *normalized* text
     (lowercased, whitespace collapsed): acc = (acc*31 + ascii(char)) % p.
@@ -635,3 +815,26 @@ def compression_ratio(col: Column | str, level: int = 6) -> Column:
         return texts.map(one)
 
     return pandas_udf(_ratio, DoubleType())(c)
+
+
+# Sentence splitting: RE2 (DuckDB) has no lookbehind, so instead of
+# splitting at `(?<=[.!?])\s+` we EXTRACT maximal runs of
+# non-terminators followed by their terminator run (or end-of-text for
+# a trailing fragment).  Greedy leftmost matching resolves identically
+# in Java regex and RE2, so the segmentation is engine-exact.
+_SENTENCE_RE = r"[^.!?]+(?:[.!?]+|$)"
+
+
+def sentences(col: Column | str) -> Column:
+    """Trimmed non-empty sentence segments of a document: maximal
+    ``[^.!?]+`` runs with their trailing terminator punctuation kept
+    attached.  Whitespace between sentences lands at the head of the
+    next segment and is trimmed away.  Empty text -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(c, F.lit(_SENTENCE_RE), F.lit(0)),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )

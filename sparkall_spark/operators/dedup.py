@@ -165,6 +165,7 @@ def exact_dedup_incremental(
     text_col: str = "text",
     fingerprint_col: str = "fingerprint",
     broadcast_seen: bool = False,
+    keep_fingerprint_col: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an incoming BATCH against an already-ingested corpus — the
     shape a 100 TB pipeline actually runs day to day (full re-dedup of
@@ -183,6 +184,15 @@ def exact_dedup_incremental(
     (one row per kept doc).  Deterministic: re-running an ingest
     yields the same kept set, and replaying an already-applied batch
     yields an empty one (idempotent ingest).
+
+    ``keep_fingerprint_col=True`` leaves the computed fingerprint on
+    ``kept`` (named ``fingerprint_col``) so a caller that must write
+    BOTH the documents and the ledger delta can persist ONE plan and
+    derive the two writes from it — deriving them from separate lazy
+    plans recomputes the dedup per write and, if the input is not a
+    stable snapshot, can record a fingerprint whose document was never
+    appended (a permanent false-duplicate).  ``delta`` is then a plain
+    projection of ``kept``.
 
     Scale: one 8-byte-key window shuffle for the batch dedup + one
     anti-join against the ledger — shuffle-on-key by default (ledger is
@@ -205,6 +215,14 @@ def exact_dedup_incremental(
             ledger, batch_kept["__fp"] == ledger["__seen_fp"], "left_anti"
         )
     delta = batch_kept.select(F.col("__fp").alias(fingerprint_col))
+    if keep_fingerprint_col:
+        if fingerprint_col in new_docs.columns:
+            raise ValueError(
+                f"keep_fingerprint_col=True would shadow existing column "
+                f"{fingerprint_col!r} on the batch"
+            )
+        kept = batch_kept.withColumnRenamed("__fp", fingerprint_col)
+        return kept, kept.select(fingerprint_col)
     return batch_kept.drop("__fp"), delta
 
 
@@ -1120,4 +1138,79 @@ def url_dedup(
         docs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def sentence_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide SENTENCE-level exact dedup (the C4/CCNet granularity
+    between document-level :func:`exact_dedup` and token-window
+    :func:`sparkall_spark.operators.substrings.exact_substring_dedup`):
+    every sentence keeps exactly its GLOBALLY FIRST occurrence — ordered
+    by (``id_col``, position) — and every later occurrence, in the same
+    document or any other, is deleted; each document's text is rebuilt
+    from its surviving sentences in original order.
+
+    Returns ``docs`` with ``text_col`` replaced by the rebuilt text
+    plus ``n_sentences`` / ``n_kept`` BIGINT counters (a document whose
+    every sentence first appeared elsewhere keeps an empty string).
+
+    Scale: sentence splitting is map-side; the first-occurrence winner
+    per sentence is ONE ``groupBy(sentence).agg(min(struct(id, pos)))``
+    — partial map-side combine makes hot sentences ("Thank you.")
+    skew-proof, unlike a rank window partitioned by sentence, which
+    would sort every occurrence of the hot key on one task.  Because
+    every KEPT occurrence *is* its group's winner, the rebuild reads the
+    winners table alone — no join back to the exploded corpus.  The
+    rebuild groupBy(id) and the stats join share the id key, so AQE
+    plans them on one exchange.  Shuffle keys carry the sentence string
+    itself: collision-free and oracle-exact; at 100 TB swap the key for
+    ``xxhash64(sentence)`` (see the 64-bit birthday-bound discussion in
+    ``pipeline.crawl_to_documents``) to cut shuffle bytes.
+    """
+    from sparkall_spark.functions.text import sentences
+
+    sent_arr = sentences(text_col)
+    exploded = docs.select(
+        F.col(id_col).alias("__id"), F.posexplode(sent_arr)
+    ).toDF("__id", "__pos", "__sent")
+    firsts = exploded.groupBy("__sent").agg(
+        F.min(F.struct("__id", "__pos")).alias("__f")
+    )
+    rebuilt = (
+        firsts.select(
+            F.col("__f.__id").alias("__id"),
+            F.col("__f.__pos").alias("__pos"),
+            "__sent",
+        )
+        .groupBy("__id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__pos", "__sent"))).alias(
+                "__ks"
+            )
+        )
+        .select(
+            "__id",
+            F.concat_ws(
+                " ", F.transform("__ks", lambda s: s["__sent"])
+            ).alias("__new_text"),
+            F.size("__ks").cast("bigint").alias("__n_kept"),
+        )
+    )
+    keyed = docs.withColumn("__ns", F.size(sent_arr).cast("bigint"))
+    out = keyed.join(
+        rebuilt, keyed[id_col] == rebuilt["__id"], "left"
+    )
+    return out.select(
+        *[
+            F.coalesce("__new_text", F.lit("")).alias(c)
+            if c == text_col
+            else F.col(c)
+            for c in docs.columns
+        ],
+        F.col("__ns").alias("n_sentences"),
+        F.coalesce("__n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
     )

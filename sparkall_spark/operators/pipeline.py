@@ -278,25 +278,47 @@ def ingest_documents(
     multi-file commits belong to a table format; this sink stays plain
     parquet on purpose.)
     """
+    from pyspark.errors import AnalysisException
+
     from sparkall_spark.operators.dedup import exact_dedup_incremental
 
     try:
         seen = spark.read.parquet(ledger_path)
-    except Exception:  # cold start: no ledger yet
+    except AnalysisException as e:
+        # ONLY a missing ledger is a cold start; a corrupt or unreadable
+        # ledger must propagate — swallowing it would silently disable
+        # cross-batch dedup for the ingest and append duplicates.
+        get_cond = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: None
+        )
+        cls = get_cond() or ""
+        if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
+            raise
         seen = None
-    kept, delta = exact_dedup_incremental(
+    # Persist ONE plan carrying BOTH the documents and their
+    # fingerprints, and derive the two appends from it: separate lazy
+    # plans would each recompute the dedup + anti-join, and if
+    # ``new_docs`` is not a stable snapshot the recomputations can
+    # diverge — a fingerprint recorded without its document permanently
+    # drops future genuine documents, inverting the "duplicates, never
+    # losses" contract documented above.
+    kept_fp, _ = exact_dedup_incremental(
         new_docs, seen, id_col=id_col, text_col=text_col,
-        broadcast_seen=broadcast_seen,
+        broadcast_seen=broadcast_seen, keep_fingerprint_col=True,
     )
-    kept = kept.persist()
+    kept_fp = kept_fp.persist()
     try:
-        n = kept.count()
+        n = kept_fp.count()
         if n:
-            kept.write.mode("append").parquet(corpus_path)
-            delta.write.mode("append").parquet(ledger_path)
+            kept_fp.drop("fingerprint").write.mode("append").parquet(
+                corpus_path
+            )
+            kept_fp.select("fingerprint").write.mode("append").parquet(
+                ledger_path
+            )
         return n
     finally:
-        kept.unpersist()
+        kept_fp.unpersist()
 
 
 def rebuild_ledger(

@@ -164,7 +164,8 @@ def perplexity_buckets(
     ``bucket = floor(3 * (rank-1) / n)`` over (avg_micro DESC, id)
     with non-empty docs only; zero-token documents go straight to
     ``tail`` (no evidence ⇒ worst grade, CCNet's convention).  The
-    ranking sorts only the narrow (id, sum, n) projection; at true
+    ranking sorts only the narrow (id, sum, n) projection and joins the
+    label back by ``id_col`` (which must therefore be unique); at true
     corpus scale pass explicit ``thresholds=(head_min, middle_min)``
     avg-micro cutoffs instead (computed once from a sample or a
     previous epoch) — bucketing then becomes a map-only expression
@@ -187,8 +188,15 @@ def perplexity_buckets(
     n_total = F.count("*").over(
         Window.partitionBy()
     )  # window COUNT avoids a second aggregate job
-    ranked = nonempty.withColumn("__rk", F.row_number().over(w)).withColumn(
-        "__n", n_total
+    # The unpartitioned rank window funnels its input through ONE task —
+    # so rank ONLY the narrow (id, sum, n) projection (a few dozen bytes
+    # per row regardless of how wide the caller's DataFrame is) and hash-
+    # join the bucket label back by id.  The join shuffles the wide rows
+    # across all partitions instead of collapsing them into the sort task.
+    ranked = (
+        nonempty.select(id_col, sum_col, n_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", n_total)
     )
     tercile = F.floor(
         (F.lit(3) * (F.col("__rk") - 1)) / F.col("__n")
@@ -198,7 +206,8 @@ def perplexity_buckets(
         .when(tercile == 1, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    bucketed = ranked.withColumn(out_col, named).drop("__rk", "__n")
+    labels = ranked.select(F.col(id_col), named.alias(out_col))
+    bucketed = nonempty.join(labels, on=id_col, how="inner")
     empties = scored.filter(F.col(n_col) <= 0).withColumn(
         out_col, F.lit("tail")
     )

@@ -596,3 +596,135 @@ def test_line_signals_strip_interior_trailing_cr(spark, duck):
         FROM crlf ORDER BY id
     """).fetchall())
     assert mirror[1] == out[1][0] and mirror[2] == out[2][0]
+
+
+def test_gopher_char_fraction_signals_handcomputed(spark):
+    """r6 Gopher repetition signals against hand-computed values."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            # tokens [a,b,a,b,c]; bigrams: 'a b','b a','a b','b c'
+            # top bigram 'a b' x2, chars 2 -> 2*2/5 = 0.8
+            # dup-bigram coverage: tokens 1..4 covered -> 4/5 = 0.8
+            (1, "a b a b c"),
+            # lines [x, x, yy]: char frac = (4-3)/4; para split: no blank
+            # lines -> one paragraph, no dup
+            (2, "x\nx\nyy"),
+            # paragraphs [p1 line, p2, p2] (blank line with spaces still
+            # separates): dup ratio 1/3, char frac 2/11
+            (3, "p1 line\n\np2\n \np2"),
+            (4, ""),
+            (5, "only four tokens here"),  # < 5 tokens -> dup5 = 0.0
+        ],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            F.round(X.top_ngram_char_fraction("text", 2), 6).alias("top2"),
+            F.round(X.duplicate_ngram_char_fraction("text", 2), 6).alias("dup2"),
+            F.round(X.duplicate_ngram_char_fraction("text", 5), 6).alias("dup5"),
+            F.round(X.duplicate_line_char_fraction("text"), 6).alias("dlc"),
+            F.round(X.duplicate_paragraph_ratio("text"), 6).alias("dpr"),
+            F.round(X.duplicate_paragraph_char_fraction("text"), 6).alias("dpc"),
+        ).collect()
+    }
+    assert rows[1]["top2"] == pytest.approx(0.8)
+    assert rows[1]["dup2"] == pytest.approx(0.8)
+    assert rows[2]["dlc"] == pytest.approx(0.25)
+    assert rows[2]["dpr"] == 0.0
+    assert rows[3]["dpr"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[3]["dpc"] == pytest.approx(2 / 11, abs=1e-6)
+    assert rows[4]["top2"] == 0.0 and rows[4]["dlc"] == 0.0
+    assert rows[5]["dup5"] == 0.0
+    # a 4-token doc still has a top-2-gram (count 1)
+    assert rows[5]["top2"] > 0.0
+
+
+def test_gopher_char_fraction_duckdb_mirror(spark, duck, sf_dir):
+    """Char-fraction signals agree with their SQL mirrors on the real
+    fixture, with planted multi-line/paragraph text for the line/para
+    legs (fixture docs are single-line)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ml = F.concat("text", F.expr("repeat(concat('\n', trim(substring(text, 1, 20))), cast(1 + doc_id % 3 as int))"))
+    mp = F.concat("text", F.expr("repeat(concat('\n\n', trim(substring(text, 1, 20))), cast(1 + doc_id % 3 as int))"))
+    # the `_over` attribute forms, exactly as a corpus run uses them —
+    # the inline convenience forms re-evaluate the gram-construction
+    # subtree per lambda element (measured CPU-minutes at this scale)
+    pre = docs.select(
+        "doc_id",
+        X.tokens(F.lower(F.col("text"))).alias("lt"),
+        X._nonempty_lines(ml).alias("lml"),
+        X._nonempty_paragraphs(mp).alias("pmp"),
+    ).select(
+        "*",
+        X.all_word_ngrams(F.col("lt"), 2).alias("g2"),
+        X.all_word_ngrams(F.col("lt"), 4).alias("g4"),
+        X.all_word_ngrams(F.col("lt"), 5).alias("g5"),
+        X.all_word_ngrams(F.col("lt"), 10).alias("g10"),
+    )
+    out = pre.select(
+        "doc_id",
+        F.round(
+            X.top_ngram_char_fraction_over(F.col("lt"), F.col("g2"), 2), 6
+        ).alias("top2"),
+        F.round(
+            X.top_ngram_char_fraction_over(F.col("lt"), F.col("g4"), 4), 6
+        ).alias("top4"),
+        F.round(
+            X.duplicate_ngram_char_fraction_over(F.col("lt"), F.col("g5"), 5),
+            6,
+        ).alias("dup5"),
+        F.round(
+            X.duplicate_ngram_char_fraction_over(
+                F.col("lt"), F.col("g10"), 10
+            ),
+            6,
+        ).alias("dup10"),
+        F.round(X._dup_char_fraction(F.col("lml")), 6).alias("dlc"),
+        F.round(
+            F.when(
+                F.size("pmp") > 0,
+                F.lit(1.0) - F.size(F.array_distinct("pmp")) / F.size("pmp"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dpr"),
+        F.round(X._dup_char_fraction(F.col("pmp")), 6).alias("dpc"),
+    )
+    lt = "lt"
+    lines = E._LINES_SQL.format(text="ml")
+    paras = E._paragraphs_sql("mp")
+    sql = f"""
+    WITH base AS (
+      SELECT doc_id, {E._lt_sql('text')} AS lt,
+             text || repeat(chr(10) || trim(substr(text, 1, 20)),
+                            (1 + doc_id % 3)::INT) AS ml,
+             text || repeat(chr(10) || chr(10) || trim(substr(text, 1, 20)),
+                            (1 + doc_id % 3)::INT) AS mp
+      FROM documents),
+    g AS (
+      SELECT doc_id, lt, ml, mp,
+             {E._grams_sql('lt', 2)} AS g2,
+             {E._grams_sql('lt', 4)} AS g4,
+             {E._grams_sql('lt', 5)} AS g5,
+             {E._grams_sql('lt', 10)} AS g10
+      FROM base)
+    SELECT doc_id,
+      round({E._top_ngram_char_fraction_sql('g2', lt, 2)}, 6) AS top2,
+      round({E._top_ngram_char_fraction_sql('g4', lt, 4)}, 6) AS top4,
+      round({E._dup_ngram_char_fraction_sql('g5', lt, 5)}, 6) AS dup5,
+      round({E._dup_ngram_char_fraction_sql('g10', lt, 10)}, 6) AS dup10,
+      round({E._dup_char_fraction_sql(lines)}, 6) AS dlc,
+      round(CASE WHEN len({paras}) > 0 THEN
+        1.0 - len(list_distinct({paras}))::DOUBLE / len({paras})
+        ELSE 0.0 END, 6) AS dpr,
+      round({E._dup_char_fraction_sql(paras)}, 6) AS dpc
+    FROM g
+    """
+    assert_matches_oracle(out, duck, sql)

@@ -751,7 +751,10 @@ def _e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens (the fixture has real cross-doc verbatim repeats), with n =
     tokens removed; the oracle mirrors the whole construction on literal
     gram CONTENT (no hashes), so engine hash collisions would surface as
-    a mismatch."""
+    a mismatch.  r6 adds the SENTENCE granularity (operators/dedup.py
+    sentence_dedup): global first-occurrence-wins over planted shared
+    boilerplate sentences, emitting per-doc removed-sentence counts."""
+    from sparkall_spark.operators.dedup import sentence_dedup
     from sparkall_spark.operators.substrings import exact_substring_dedup
 
     docs = load_table(spark, sf_dir, "documents")
@@ -777,7 +780,35 @@ def _e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_removed_tokens").cast("bigint").alias("n"),
         )
     )
-    return doc_level.unionByName(span_level)
+    # r6: sentence-level leg.  Fixture docs carry no punctuation (each
+    # doc is one terminator-less sentence, all distinct), so plant a
+    # terminator plus two SHARED boilerplate sentences on deterministic
+    # id slices — the dedup then removes every occurrence after the
+    # min-(id, pos) first one, and the leg emits per-doc removed counts.
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("."),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" All rights reserved.")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" Subscribe to our newsletter."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    sent_level = (
+        sentence_dedup(planted)
+        .filter(F.col("n_sentences") > F.col("n_kept"))
+        .select(
+            F.lit("sent").alias("level"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            (F.col("n_sentences") - F.col("n_kept")).alias("n"),
+        )
+    )
+    return doc_level.unionByName(span_level).unionByName(sent_level)
 
 
 _E01_ORACLE = """
@@ -799,12 +830,41 @@ cov AS (
   SELECT DISTINCT doc_id, i + u AS j
   FROM (SELECT doc_id, i, unnest(range(0, 25)) AS u FROM dup) q),
 removed AS (
-  SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+  SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+sp AS (
+  SELECT doc_id,
+         text || '.'
+           || CASE WHEN doc_id % 3 = 0 THEN ' All rights reserved.'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' Subscribe to our newsletter.'
+                   ELSE '' END AS pt
+  FROM documents),
+sarr AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(pt, '[^.!?]+(?:[.!?]+|$)'), x -> trim(x)),
+           x -> x <> '') AS sa
+  FROM sp),
+ss AS (
+  SELECT doc_id, i, sa[i] AS s
+  FROM (SELECT doc_id, unnest(range(1, len(sa) + 1)) AS i, sa FROM sarr) q),
+sk AS (
+  SELECT doc_id, count(*) AS kept
+  FROM (SELECT doc_id,
+               row_number() OVER (PARTITION BY s ORDER BY doc_id, i) AS rn
+        FROM ss) r
+  WHERE rn = 1 GROUP BY doc_id),
+sent AS (
+  SELECT sarr.doc_id, len(sa) - coalesce(kept, 0) AS n_rm
+  FROM sarr LEFT JOIN sk ON sarr.doc_id = sk.doc_id)
 SELECT 'doc' AS level, min(doc_id) AS doc_id, count(*) AS n
 FROM documents GROUP BY text
 UNION ALL
 SELECT 'span' AS level, doc_id, CAST(n_removed AS BIGINT) AS n
 FROM removed WHERE n_removed > 0
+UNION ALL
+SELECT 'sent' AS level, doc_id, CAST(n_rm AS BIGINT) AS n
+FROM sent WHERE n_rm > 0
 """
 
 

@@ -487,3 +487,67 @@ def test_incremental_dedup_bucketed_ledger_single_exchange(spark, sf_dir):
         assert n > 0
     finally:
         spark.sql("DROP TABLE fp_ledger")
+
+
+# --- sentence-level dedup (r6) ----------------------------------------------
+
+
+def test_sentences_segmentation(spark):
+    from sparkall_spark.functions.text import sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello there. How are you? Fine!"),
+            (2, "a...b"),
+            (3, ""),
+            (4, "no terminator"),
+            (5, "Multi.  space.   "),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["s"] for r in df.select("id", sentences("text").alias("s")).collect()}
+    assert got[1] == ["Hello there.", "How are you?", "Fine!"]
+    assert got[2] == ["a...", "b"]
+    assert got[3] == []
+    assert got[4] == ["no terminator"]
+    assert got[5] == ["Multi.", "space."]
+
+
+def test_sentence_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            # doc 1 defines both sentences; within-doc repeat of A removed
+            (1, "Sent A. Sent B. Sent A."),
+            # doc 2 repeats A (cross-doc) and adds its own
+            (2, "Sent A. Fresh C."),
+            # doc 3 entirely boilerplate -> empty rebuild
+            (3, "Sent B. Fresh C."),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.sentence_dedup(df).collect()}
+    assert out[1]["text"] == "Sent A. Sent B."
+    assert (out[1]["n_sentences"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["text"] == "Fresh C."
+    assert (out[2]["n_sentences"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["text"] == ""
+    assert (out[3]["n_sentences"], out[3]["n_kept"]) == (2, 0)
+    assert out[4]["text"] == ""
+    assert (out[4]["n_sentences"], out[4]["n_kept"]) == (0, 0)
+
+
+def test_sentence_dedup_preserves_order_and_extra_columns(spark):
+    df = spark.createDataFrame(
+        [
+            (10, "z last. a first. m mid.", "keep-me"),
+            (11, "a first. z last.", "extra"),
+        ],
+        ["doc_id", "text", "meta"],
+    )
+    out = {r["doc_id"]: r for r in D.sentence_dedup(df).collect()}
+    # original in-document order survives the rebuild (not sorted text)
+    assert out[10]["text"] == "z last. a first. m mid."
+    assert out[10]["meta"] == "keep-me"
+    assert out[11]["text"] == ""
+    assert out[11]["meta"] == "extra"

@@ -1283,26 +1283,52 @@ def _e27_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a fixed init over the embeddings table, then assign every
     vector — the iterative-algorithm analog of the PageRank oracle, but
     hash-checked end to end (assign_cells' 6dp/tie semantics make every
-    round SQL-mirrorable)."""
+    round SQL-mirrorable).  r6 adds the Achlioptas random-projection leg
+    (operators/projection.py): every vector's k=8 signed micro subset
+    sums, one row per coordinate — integer-exact, so the oracle checks
+    every projected coordinate bit-for-bit.  Uniform schema
+    (tag, vec_id, j, val)."""
     from sparkall_spark.operators.clustering import kmeans_assign, kmeans_fit
+    from sparkall_spark.operators.projection import random_project
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_fit(emb, iters=_E27_ITERS, init=_E27_INIT)
-    return kmeans_assign(emb, cents).select(
-        "vec_id", F.col("cell").cast("bigint").alias("cell")
+    km = kmeans_assign(emb, cents).select(
+        F.lit("kmeans").alias("tag"),
+        "vec_id",
+        F.lit(0).alias("j"),
+        F.col("cell").cast("bigint").alias("val"),
     )
+    rp = (
+        random_project(emb, "embedding", dim=64, k=8, seed=97)
+        .select("vec_id", F.posexplode("proj_micro"))
+        .toDF("vec_id", "j", "val")
+        .select(F.lit("rp").alias("tag"), "vec_id", "j", "val")
+    )
+    return km.unionByName(rp)
 
 
 def _e27_oracle_sql() -> str:
     from sparkall_spark.operators.clustering import kmeans_assign_oracle_sql
+    from sparkall_spark.operators.projection import project_micro_sql
 
     sql = kmeans_assign_oracle_sql(_E27_INIT, _E27_ITERS)
     # the driver compares exact values: surface cell as BIGINT like the
     # Spark side's cast
-    return sql.replace(
+    sql = sql.replace(
         "SELECT vec_id, cell FROM selfin",
         "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM selfin",
     )
+    proj = project_micro_sql("embedding", dim=64, k=8, seed=97)
+    return f"""
+SELECT 'kmeans' AS tag, vec_id, CAST(0 AS INT) AS j, cell AS val
+FROM ({sql}) km
+UNION ALL
+SELECT 'rp' AS tag, vec_id, CAST(j - 1 AS INT) AS j, pm[j] AS val
+FROM (
+  SELECT vec_id, unnest(range(1, len(pm) + 1)) AS j, pm
+  FROM (SELECT vec_id, {proj} AS pm FROM embeddings) p) q
+"""
 
 
 # data-independent seeded codebook for the SemDeDup entry (same trick

@@ -886,17 +886,24 @@ def _e03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard pairs (16 bands x 4 rows: per-pair miss ~5e-8 at j=0.9),
     both verified exactly and oracle-checked against all-pairs SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    # broadcast_reps pinned: the fixture's rep table is thousands of
-    # rows (short docs), far under the broadcast limit — skipping the
-    # auto-detect count() saves a blocking job before the wide stage
+    # word leg: shuffle CANDIDATE generation + broadcast rep attachment.
+    # The fixture is a dense near-clique (3,935 reps, 12.5% of ALL rep
+    # pairs at j>=0.9; one band bucket holds 1,701 reps) — the banded
+    # join emits 18.6M collision rows, and distinct-ing them down to
+    # 1.92M candidate pairs as bare 16-byte keys BEFORE any array work
+    # beats carrying signature arrays through the collision stream
+    # (measured 2.1s vs 3.5s steady-state, 5s vs 61s cold, sf0.1
+    # local[32]).  broadcast_reps=True pins the verify/expansion joins
+    # to broadcast (reps are thousands of rows) so AQE cannot re-decide
+    # them per run on the unknown-cardinality candidate stream.
     mh = D.minhash_dedup_pairs(
-        docs, threshold=0.9, broadcast_reps=True
+        docs, threshold=0.9, broadcast_reps=True, candidate_strategy="shuffle"
     ).select(F.lit("word").alias("family"), "id_a", "id_b", "jaccard")
     # r6: bigram leg restored to the FULL corpus (r5 ran a deterministic
     # 1/3 slice because failing clique candidates made verification
-    # ~6s) — the probe-side rebalance in _minhash_rep_graph fixed the
-    # under-parallelized verify stage, and the full-corpus leg now runs
-    # ~1s steady-state at sf0.1
+    # ~6s).  Bigram sets collide rarely (3.7K collision rows, 356
+    # candidate pairs at sf0.1), so the broadcast strategy — no shuffle
+    # at all past the banded self-join — is the right physical plan.
     ng = D.ngram_jaccard_pairs(
         docs,
         ngram=2,
@@ -2538,16 +2545,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Releasing the PREVIOUS entry's caches when the next entry starts
     # keeps cached-RDD count flat across the 50-entry run
     # (tests/test_dedup.py::test_no_cache_growth_across_entries).
-    def _with_teardown(fn):
+    #
+    # Per-entry session confs: every entry start RESETS the keys below
+    # to the library default, then applies its own overrides, so a pin
+    # never leaks into the next entry.  e03 pins AQE off: all its join
+    # strategies are already chosen at the operator level (broadcast
+    # attachment, shuffle candidate distinct), and in a long-lived
+    # single-JVM session AQE's per-stage replanning re-triggers codegen
+    # compilation nondeterministically — measured 3.6s stable with the
+    # pin vs 10s..100s swings without, same results.  AQE stays ON as
+    # the library/session default (skew-split and runtime coalescing
+    # are the right cluster posture; get_spark enables it).
+    _CONF_DEFAULTS = {"spark.sql.adaptive.enabled": "true"}
+    _ENTRY_CONFS: dict[str, dict[str, str]] = {
+        "e03_dedup_minhash": {"spark.sql.adaptive.enabled": "false"},
+    }
+
+    def _with_teardown(name, fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             from sparkall_spark.operators._cache import release_caches
 
             release_caches()
+            for k, v in _CONF_DEFAULTS.items():
+                spark.conf.set(k, v)
+            for k, v in _ENTRY_CONFS.get(name, {}).items():
+                spark.conf.set(k, v)
             return fn(spark, sf_dir)
 
         return run
 
-    return {name: _with_teardown(fn) for name, fn in out.items()}
+    return {name: _with_teardown(name, fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -25,6 +25,20 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda x: x != "")
 
 
+def let_bound(bound: Column, body) -> Column:
+    """Evaluate ``bound`` ONCE per row and pass it to ``body`` as a
+    lambda variable (a Catalyst "let" binding via a single-element
+    ``transform``).
+
+    Plain Column references are expression-tree SUBSTITUTION: every use
+    site re-evaluates the expression.  A composite like ``word_ngrams``
+    that references its token array per output element goes quadratic
+    in token count that way (measured ~7s serial for 5,000 short docs).
+    Lambda variables, by contrast, are bound values — evaluated once.
+    """
+    return F.transform(F.array(bound), body)[0]
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
@@ -449,13 +463,19 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     unguarded F.sequence(0, size-n) would produce [0, -1] and F.slice
     with start 0 raises INVALID_PARAMETER_VALUE.START at runtime.
     """
-    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    raw = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+
+    def body(toks: Column) -> Column:
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+
+    # let-bind the token array: referencing `raw` directly would
+    # re-split the text once per output n-gram (quadratic in tokens)
+    return let_bound(raw, body)
 
 
 def token_set(col: Column | str) -> Column:

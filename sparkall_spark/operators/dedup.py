@@ -229,6 +229,14 @@ def exact_dedup_incremental(
 def _with_shingles(
     df: DataFrame, id_col: str, text_col: str, ngram: int
 ) -> DataFrame:
+    # Shingling is the corpus-wide CPU-heavy map step; a small input
+    # (one parquet row group -> one scan partition) would run it
+    # serially.  Repartition ONLY when the scan is under-parallel —
+    # at real scale inputs carry thousands of partitions and this is
+    # a no-op, so no extra corpus shuffle is introduced.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        df = df.repartition(par)
     sh = word_ngrams(text_col, ngram) if ngram > 1 else token_set(text_col)
     return df.select(F.col(id_col).alias("__id"), sh.alias("__sh")).filter(
         F.size("__sh") > 0
@@ -253,6 +261,7 @@ def _minhash_rep_graph(
     est_prefilter: bool,
     broadcast_reps: bool | None,
     broadcast_rep_limit: int,
+    candidate_strategy: str | None = None,
 ) -> tuple[DataFrame, DataFrame, bool]:
     """Shared minhash-LSH core: returns (ids, rep_pairs, broadcast,
     broadcast_members) where ``ids``
@@ -260,21 +269,35 @@ def _minhash_rep_graph(
     holds qualifying (fp_a, fp_b, jaccard) representative pairs (exact
     jaccard, id-distinct shingle sets only, no intra-clique pairs).
 
-    Two physical strategies, chosen by representative count (an
-    AQE-style size-based decision at the operator level):
+    Two physical strategies for CANDIDATE GENERATION, chosen by
+    representative count (an AQE-style size-based decision at the
+    operator level), overridable via ``candidate_strategy``
+    ("broadcast" | "shuffle" | None=derive from the rep gate):
 
     - **broadcast** (reps <= broadcast_rep_limit): the per-band
       candidate join, set attachment and exact verification all run
       against broadcast rep tables in ONE stage — no shuffle of the
       multi-million-row raw candidate set at all; the only exchanges
       are the tiny banded self-join input and the verified output.
-      Duplicate band collisions are verified redundantly (bounded by
-      ``bands``) and deduped *after* the >= threshold filter, when the
-      row set is small.
-    - **shuffle** (large rep sets): distinct candidate pairs first
-      (one shuffle of compact key pairs), optional signature-estimate
-      prefilter, then shuffle joins attach the hashed shingle arrays
-      for verification.  The 100 TB path.
+      A colliding pair is emitted from its FIRST matching band only
+      (no distinct shuffle, no duplicate verification).  Right when
+      band buckets are small — the collision stream stays thin.
+    - **shuffle**: distinct candidate pairs first (one shuffle of
+      compact 16-byte key pairs, AQE skew-split applies), optional
+      signature-estimate prefilter, then joins attach the hashed
+      shingle arrays for verification.  The 100 TB path, and ALSO the
+      right plan for clique-heavy corpora at any scale: when a band
+      bucket holds B mutually-similar sets, the collision stream is
+      O(B^2) per band and the broadcast path pays array work
+      (first-match zip + intersect) on ALL of it, while this path
+      first collapses it to the O(B^2) DISTINCT pairs as bare keys —
+      measured 2.1s vs 3.5s steady-state (5s vs 61s cold) on a fixture
+      whose largest bucket holds 43% of all reps.
+
+    The rep-attachment joins (verification arrays, member expansion)
+    are gated SEPARATELY by the rep/member counts — a shuffle-generated
+    candidate stream still gets broadcast attachment when the rep
+    table is small.
     """
     rows = num_hashes // bands
     base = _with_shingles(df, id_col, text_col, ngram)
@@ -320,6 +343,11 @@ def _minhash_rep_graph(
         # point of pinning); clique-heavy corpora should pass None and
         # let the counted gate decide.
         broadcast_members = broadcast_reps
+    cand_broadcast = (
+        broadcast_reps
+        if candidate_strategy is None
+        else candidate_strategy == "broadcast"
+    )
 
     sig = _persist(
         reps.withColumn(
@@ -337,6 +365,33 @@ def _minhash_rep_graph(
         )
         .select("__fp", "__sig", "__bhs", "__n", "__shh")
     )
+    # Materialize the shared cache chain NOW (sig's lineage covers keyed
+    # and reps, so one small job fills all three).  The downstream plan
+    # consumes these subtrees from SEVERAL concurrent jobs — broadcast
+    # exchanges (rep attachment, member maps, banded build side) each
+    # run as their own driver-side job, and racing jobs recompute a
+    # lazily-cached subtree redundantly before its blocks land
+    # (observed: the two-leg e03 union spent ~7-10s/pass recomputing
+    # tokenize+hash+groupBy across 6+ broadcast jobs; one eager count
+    # makes every consumer a cache read).  The job is rep-table-sized:
+    # metadata relative to the corpus at any scale.
+    #
+    # AQE partition-coalescing is suspended for the materialization:
+    # it sizes partitions by SHUFFLE BYTES, and the rep table's bytes
+    # are tiny while the signature computation downstream of the
+    # exchange is the CPU-heavy part — coalescing cached the relation
+    # as ONE partition and serialized all 64xN minhash evaluations into
+    # a single task (measured 6-10s/pass at sf0.1; 32-way it is <0.5s).
+    # Toggling the conf costs nothing at scale (the exchange keeps its
+    # configured partition count; no extra shuffle is introduced).
+    sess = df.sparkSession
+    _coal = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = sess.conf.get(_coal, "true")
+    sess.conf.set(_coal, "false")
+    try:
+        sig.count()
+    finally:
+        sess.conf.set(_coal, prev)
     # length-filter bucket (set-similarity length filtering, as in
     # AllPairs/PPJoin): j >= t forces min(|A|,|B|)/max >= t, i.e.
     # |ln n_a - ln n_b| <= ln(1/t) — with buckets of that width,
@@ -375,7 +430,7 @@ def _minhash_rep_graph(
         F.col("__fp").alias("fp_b"), F.col("__shh").alias("sh_b"), F.col("__n").alias("n_b")
     )
 
-    if broadcast_reps:
+    if cand_broadcast:
         # Rebalance the probe side before the candidate join: it derives
         # from a tiny cached aggregate (reps), so without an explicit
         # round-robin the 48x-exploding verify stage inherits the
@@ -490,25 +545,31 @@ def _minhash_rep_graph(
             )
             / F.lit(num_hashes)
         )
+        sig_a = sig.select(
+            F.col("__fp").alias("fp_a"), F.col("__sig").alias("sig_a")
+        )
+        sig_b2 = sig.select(
+            F.col("__fp").alias("fp_b"), F.col("__sig").alias("sig_b")
+        )
+        # attachment gate is the REP count, independent of the candidate
+        # strategy: a huge rep table must not be broadcast here
+        if broadcast_reps:
+            sig_a, sig_b2 = F.broadcast(sig_a), F.broadcast(sig_b2)
         cand = (
-            cand.join(
-                F.broadcast(
-                    sig.select(F.col("__fp").alias("fp_a"), F.col("__sig").alias("sig_a"))
-                ),
-                "fp_a",
-            )
-            .join(
-                F.broadcast(
-                    sig.select(F.col("__fp").alias("fp_b"), F.col("__sig").alias("sig_b"))
-                ),
-                "fp_b",
-            )
+            cand.join(sig_a, "fp_a")
+            .join(sig_b2, "fp_b")
             .filter(est >= est_cutoff)
             .select("fp_a", "fp_b")
         )
 
     # |A∪B| = |A|+|B|-|A∩B|: sizes cached per rep, only the
-    # intersection runs per candidate pair
+    # intersection runs per candidate pair.  Broadcast the rep arrays
+    # when the rep table is small — pinning the plan keeps AQE from
+    # re-deciding the join strategy per run on the unknown-cardinality
+    # candidate stream (measured swings of 1.5s..52s on the SAME work
+    # when left to runtime stats).
+    if broadcast_reps:
+        rep_a, rep_b = F.broadcast(rep_a), F.broadcast(rep_b)
     rep_pairs = (
         cand.join(rep_a, "fp_a")
         .join(rep_b, "fp_b")
@@ -531,6 +592,7 @@ def minhash_dedup_pairs(
     est_prefilter: bool = False,
     broadcast_reps: bool | None = None,
     broadcast_rep_limit: int = 100_000,
+    candidate_strategy: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -552,6 +614,7 @@ def minhash_dedup_pairs(
     ids, rep_pairs, bcast, bcast_members = _minhash_rep_graph(
         df, id_col, text_col, ngram, num_hashes, bands, threshold, seed,
         est_prefilter, broadcast_reps, broadcast_rep_limit,
+        candidate_strategy,
     )
 
     # intra-cluster pairs: jaccard exactly 1.0, no verification needed
@@ -778,8 +841,10 @@ def ngram_jaccard_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    est_prefilter: bool = False,
     broadcast_reps: bool | None = None,
     broadcast_rep_limit: int = 100_000,
+    candidate_strategy: str | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs via multi-band min-hash blocking.
 
@@ -802,8 +867,10 @@ def ngram_jaccard_pairs(
         bands=bands,
         threshold=threshold,
         seed=seed,
+        est_prefilter=est_prefilter,
         broadcast_reps=broadcast_reps,
         broadcast_rep_limit=broadcast_rep_limit,
+        candidate_strategy=candidate_strategy,
     )
 
 

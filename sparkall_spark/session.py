@@ -59,6 +59,14 @@ def get_spark(
         # lands mid-query on first touch of fresh heap regions (measured
         # multi-second jitter on this VM)
         .config("spark.driver.extraJavaOptions", "-XX:+AlwaysPreTouch")
+        # Broadcast/torrent blocks are freed by ContextCleaner only
+        # after the DRIVER garbage-collects their references; with a
+        # large driver heap that can take the whole session, so blocks
+        # pile up in storage memory, shrink execution memory, and show
+        # up as intermittent JVM-wide GC storms in long multi-query
+        # sessions (observed: identical e03 passes swinging 10s -> 99s).
+        # The default periodic GC is 30min — far longer than a session.
+        .config("spark.cleaner.periodicGC.interval", "45s")
     )
     # shuffle/spill files on tmpfs when the CALLER opts in (bench.py
     # does): on this VM the root disk is virtio with erratic latency,

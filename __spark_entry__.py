@@ -2232,26 +2232,80 @@ WHERE doc_id IN (SELECT doc_id FROM lmkeep)
 
 
 def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates beyond the reference's five: exact
-    interpolated percentiles, correlation, covariance, stddev."""
+    """Corpus/table statistics as a tagged long-form union (r6: absorbs
+    the BPE trainer's distributed half so it is driver-gated):
+
+    - ``flagstats``: the r2 statistical aggregates beyond the
+      reference's five (exact interpolated percentiles, correlation,
+      covariance, stddev), unpivoted to (key, stat, value).
+    - ``wordfreq``: the exact top-500 word-frequency table from
+      operators/bpe.py:word_frequency_table — ONE map-side-combined
+      aggregate + TakeOrdered top-k, ties broken by word so the
+      truncation is stable cross-engine.  This is the corpus-wide pass
+      BPE training runs on; the merge loop itself is driver-side on
+      the bounded table and stays tests-only (rank-greedy merging is
+      not SQL-expressible — operators/bpe.py:1-35)."""
+    from sparkall_spark.operators import bpe as B
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+    flag = li.groupBy(F.col("l_returnflag").alias("key")).agg(
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
     )
+    stats = ["p50_qty", "p90_qty", "corr_qty_price", "cov_qty_disc", "std_price"]
+    flag_long = flag.select(
+        F.lit("flagstats").alias("family"),
+        "key",
+        F.expr(
+            "stack(5, "
+            + ", ".join(f"'{s}', {s}" for s in stats)
+            + ") as (stat, value)"
+        ),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    wf = B.word_frequency_table(docs, max_words=500).select(
+        F.lit("wordfreq").alias("family"),
+        F.col("word").alias("key"),
+        F.lit("freq").alias("stat"),
+        F.col("freq").cast("double").alias("value"),
+    )
+    return flag_long.unionByName(wf)
 
 
 _E21_ORACLE = """
-SELECT l_returnflag AS flag,
-       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
-       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
-       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
-       round(stddev_samp(l_extendedprice), 4) AS std_price
-FROM lineitem GROUP BY 1
+WITH flag AS (
+  SELECT l_returnflag AS key,
+         round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+         round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+         round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+         round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+         round(stddev_samp(l_extendedprice), 4) AS std_price
+  FROM lineitem GROUP BY 1),
+wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word
+  ORDER BY freq DESC, word ASC
+  LIMIT 500)
+SELECT 'flagstats' AS family, key, s.stat,
+       CASE s.stat
+         WHEN 'p50_qty' THEN p50_qty
+         WHEN 'p90_qty' THEN p90_qty
+         WHEN 'corr_qty_price' THEN corr_qty_price
+         WHEN 'cov_qty_disc' THEN cov_qty_disc
+         ELSE std_price
+       END AS value
+FROM flag, (VALUES ('p50_qty'), ('p90_qty'), ('corr_qty_price'),
+                   ('cov_qty_disc'), ('std_price')) AS s(stat)
+UNION ALL
+SELECT 'wordfreq' AS family, word AS key, 'freq' AS stat,
+       freq::DOUBLE AS value
+FROM wf
 """
 
 

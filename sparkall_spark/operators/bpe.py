@@ -54,16 +54,19 @@ from sparkall_spark.functions.text import tokens
 EOW = "</w>"
 
 
-def word_frequencies(
+def word_frequency_table(
     docs: DataFrame,
     text_col: str = "text",
     max_words: int = 100_000,
-) -> list[tuple[str, int]]:
-    """Exact (word, count) pairs for the ``max_words`` most frequent
-    lowercased words — ONE map-side-combined aggregate plus a
+) -> DataFrame:
+    """Exact ``(word, freq)`` DataFrame of the ``max_words`` most
+    frequent lowercased words — ONE map-side-combined aggregate plus a
     TakeOrdered top-k (ties break by word so truncation is stable).
-    This is the only corpus-wide pass training needs."""
-    rows = (
+    The distributed half of BPE training, exposed as a relation so it
+    can be consumed lazily (and SQL-mirrored: groupBy+count+order+limit
+    is plain ANSI); :func:`word_frequencies` collects it for the
+    driver-side merge loop."""
+    return (
         docs.select(
             F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
         )
@@ -71,8 +74,18 @@ def word_frequencies(
         .agg(F.count("*").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("word").asc())
         .limit(int(max_words))
-        .collect()
     )
+
+
+def word_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> list[tuple[str, int]]:
+    """Exact (word, count) pairs for the ``max_words`` most frequent
+    lowercased words (see :func:`word_frequency_table`).  This is the
+    only corpus-wide pass training needs."""
+    rows = word_frequency_table(docs, text_col, max_words).collect()
     return [(r["word"], r["freq"]) for r in rows]
 
 

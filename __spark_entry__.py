@@ -1544,6 +1544,27 @@ def _e10_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (text + its first-40-char segment twice); concat (not
         # concat_ws) so NULL text propagates the same way as SQL ``||``.
         F.length("__t2").cast("bigint").alias("clean_n_chars"),
+        # r6: the published filter predicates, driver-gated.  Gopher's
+        # quality keep runs on raw text with the Table A1 defaults
+        # unchanged (fixture word counts span 10..99, so the 50-word
+        # floor plus the two-stop-words rule discriminate: ~36% of
+        # sf0.01 docs pass).  C4's line rules run on a
+        # planted two-line variant (fixture docs are single-line,
+        # punctuation-free, so raw-text C4 would be constant-empty):
+        # line 1 = the text (dropped: no terminal punctuation), line 2 =
+        # its trimmed first-12-chars + '.' (kept iff >= 3 words — ~60%
+        # of fixture docs) — so both c4 columns vary per document.
+        # gopher_repetition_keep (added after the signal columns below)
+        # is constant-FALSE here BY CONSTRUCTION: the line/paragraph
+        # legs run on the planted segment-duplicated variant, which
+        # always exceeds the paper's duplicate-char thresholds — the
+        # thresholds stay the published Table A1 values rather than
+        # fixture-tuned ones.
+        X.gopher_quality_keep("text").alias("gopher_quality_keep"),
+        F.length(X.c4_clean_lines(_e10_c4_src())).cast("bigint").alias(
+            "c4_clean_n_chars"
+        ),
+        X.c4_keep(_e10_c4_src(), min_sentences=1).alias("c4_keep"),
         X.tokens(F.lower(F.col("text"))).alias("__lt"),
         X._nonempty_lines(_e10_planted("\n")).alias("__lml"),
         X._nonempty_paragraphs(_e10_planted("\n\n")).alias("__pmp"),
@@ -1585,7 +1606,34 @@ def _e10_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(X._dup_char_fraction(F.col("__pmp")), 6).alias(
             "dup_para_char_frac"
         ),
+    ).select(
+        # Gopher's REPETITION keep: the Table A1 thresholds ANDed over
+        # the signal columns computed above (the cheap way to finish the
+        # Gopher filter — recomputing the signals inside a predicate
+        # would double the heavy array passes).  Comparisons run on the
+        # ROUNDED columns, mirrored identically in the oracle.
+        "*",
+        (
+            (F.col("dup_line_ratio") <= 0.30)
+            & (F.col("dup_para_ratio") <= 0.30)
+            & (F.col("dup_line_char_frac") <= 0.20)
+            & (F.col("dup_para_char_frac") <= 0.20)
+            & (F.col("top2_char_frac") <= 0.20)
+            & (F.col("top3_char_frac") <= 0.18)
+            & (F.col("dup5_char_frac") <= 0.15)
+            & (F.col("dup10_char_frac") <= 0.10)
+        ).alias("gopher_repetition_keep"),
     ).drop("__lt", "__lml", "__pmp", "__g2", "__g3", "__g5", "__g10")
+
+
+def _e10_c4_src() -> Column:
+    """The planted two-line C4 input (see the e10 docstring note)."""
+    return F.concat(
+        F.col("text"),
+        F.lit("\n"),
+        F.trim(F.substring("text", 1, 12)),
+        F.lit("."),
+    )
 
 
 def _e10_planted(sep: str) -> Column:
@@ -1615,6 +1663,11 @@ def _langid_hits(lang: str) -> str:
 
 
 _E10_CHROME_SQL = "chr(10) || 'cookie consent required' || chr(10) || 'all rights reserved footer'"
+
+# the planted two-line C4 source and its cleaned form, as SQL (mirrors
+# _e10_c4_src + functions/text.py:c4_clean_lines)
+_E10_C4_SRC_SQL = "text || chr(10) || trim(substr(text, 1, 12)) || '.'"
+_E10_C4_CLEAN_SQL = X.c4_clean_lines_sql(_E10_C4_SRC_SQL)
 
 _E10_ORACLE = f"""
 WITH t2 AS (
@@ -1727,8 +1780,50 @@ SELECT t.doc_id,
              THEN 1.0 - len(list_distinct(pmp))::DOUBLE / len(pmp)
              ELSE 0.0 END, 6) AS dup_para_ratio,
        round({_dup_char_fraction_sql('pmp')}, 6) AS dup_para_char_frac,
-       len(clean.ct)::BIGINT AS clean_n_chars
+       len(clean.ct)::BIGINT AS clean_n_chars,
+       (n_tok >= 50 AND n_tok <= 100000
+        AND (CASE WHEN n_tok > 0 THEN
+               list_sum(list_transform(lt, x -> length(x)))::DOUBLE / n_tok
+             ELSE 0.0 END) >= 3.0
+        AND (CASE WHEN n_tok > 0 THEN
+               list_sum(list_transform(lt, x -> length(x)))::DOUBLE / n_tok
+             ELSE 0.0 END) <= 10.0
+        AND (CASE WHEN n_tok > 0
+             THEN (length(regexp_replace(text, '[^#…]', '', 'g'))
+                   + len(regexp_extract_all(text, '(\\.\\.\\.)')))::DOUBLE
+                  / n_tok
+             ELSE 0.0 END) <= 0.1
+        AND (CASE WHEN len(lf) > 0
+             THEN len(list_filter(lf, x ->
+                    regexp_matches(x, '^(?:[-*•]|\\d{{1,3}}[.)])\\s')))::DOUBLE
+                  / len(lf)
+             ELSE 0.0 END) <= 0.9
+        AND (CASE WHEN len(lf) > 0
+             THEN len(list_filter(lf, x ->
+                    regexp_matches(x, '(?:\\.\\.\\.|…)$')))::DOUBLE / len(lf)
+             ELSE 0.0 END) <= 0.3
+        AND (CASE WHEN n_tok > 0
+             THEN len(list_filter(lt, x ->
+                    regexp_matches(x, '[A-Za-z]')))::DOUBLE / n_tok
+             ELSE 0.0 END) >= 0.8
+        AND {X.gopher_stop_hits_sql('text')} >= 2) AS gopher_quality_keep,
+       len({_E10_C4_CLEAN_SQL})::BIGINT AS c4_clean_n_chars,
+       (len(regexp_extract_all({_E10_C4_CLEAN_SQL}, '[.!?]')) >= 1
+        AND NOT contains(lower({_E10_C4_SRC_SQL}), 'lorem ipsum')
+        AND NOT contains(lower({_E10_C4_SRC_SQL}), '{{')) AS c4_keep
 FROM tg t JOIN clean ON t.doc_id = clean.doc_id
+"""
+
+# Gopher's repetition keep compares the ROUNDED signal columns, so it
+# wraps the projection (SQL cannot reference sibling aliases in-place)
+_E10_ORACLE = f"""
+SELECT *,
+       (dup_line_ratio <= 0.30 AND dup_para_ratio <= 0.30
+        AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+        AND dup5_char_frac <= 0.15 AND dup10_char_frac <= 0.10)
+         AS gopher_repetition_keep
+FROM ({_E10_ORACLE}) inner_e10
 """
 
 

@@ -103,17 +103,20 @@ def main() -> None:
 
     queries = E.queries()
 
-    # warmup: run every query once at the smallest SF so JVM spin-up and
-    # whole-stage-codegen JIT compilation happen outside the timings
-    # (generated-code classes are cached by plan shape, so the sf0.1 run
-    # measures steady-state execution, not compiler latency)
+    # Warmup ladder: sf0.001 compiles the generated classes (codegen
+    # cache is keyed by source, so plan-shape compilation happens here),
+    # then sf0.01 runs enough ROWS through the hot loops to trigger C2
+    # tier-up — the tiny scale never crosses the JIT invocation
+    # thresholds, which is why r5's first sf0.1 pass of the heavy dedup
+    # entries still paid a 30-60s interpreted/C1 execution (the 8x
+    # median/min outliers in BENCH_NOTES.md).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    warm_dir = "/root/testdata/sf0.001"
-    for name in BENCH_QUERIES:
-        try:
-            queries[name](spark, warm_dir).count()
-        except Exception as exc:  # warmup must never sink the bench
-            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    for warm_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name in BENCH_QUERIES:
+            try:
+                queries[name](spark, warm_dir).count()
+            except Exception as exc:  # warmup must never sink the bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     # Three timed passes, report the per-query MIN: pass 1 at sf0.1 pays
     # first-touch costs the warmup can't reach (page-cache cold parquet,

@@ -224,6 +224,146 @@ def symbol_word_ratio(col: Column | str) -> Column:
     return F.when(n > 0, (hashes + dots) / n).otherwise(F.lit(0.0))
 
 
+# Gopher's stop-word must-contain list (Rae et al. 2021, Table A1:
+# "contains at least two of the following English words") — distinct
+# from the lang-id STOPWORDS lists, which are a different heuristic.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stop_hits(col: Column | str) -> Column:
+    """How many tokens are Gopher must-contain stop words."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def gopher_quality_keep(
+    col: Column | str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.90,
+    max_ellipsis_ratio: float = 0.30,
+    min_alpha_ratio: float = 0.80,
+    min_stop_hits: int = 2,
+) -> Column:
+    """Gopher's document QUALITY filter as one boolean Column (Rae et
+    al. 2021, Table A1 thresholds as defaults): word count bounds, mean
+    word length bounds, symbol-to-word cap, bullet/ellipsis line caps,
+    alphabetic-word floor, and the two-stop-words requirement.
+
+    The REPETITION half of the Gopher table (duplicate line/paragraph
+    ratios and char fractions, top/duplicate n-gram char fractions) is
+    deliberately separate: those signals are expensive array passes that
+    pipelines compute once as columns (see the e10 projection) and AND
+    together — re-deriving them inside this predicate would double the
+    work.  Full Gopher = ``gopher_quality_keep AND`` the repetition
+    thresholds over the signal columns."""
+    n = token_count(col)
+    ml = mean_token_length(col)
+    return (
+        (n >= F.lit(int(min_words)))
+        & (n <= F.lit(int(max_words)))
+        & (ml >= F.lit(float(min_mean_word_len)))
+        & (ml <= F.lit(float(max_mean_word_len)))
+        & (symbol_word_ratio(col) <= F.lit(float(max_symbol_ratio)))
+        & (bullet_line_ratio(col) <= F.lit(float(max_bullet_ratio)))
+        & (ellipsis_line_ratio(col) <= F.lit(float(max_ellipsis_ratio)))
+        & (alpha_word_ratio(col) >= F.lit(float(min_alpha_ratio)))
+        & (gopher_stop_hits(col) >= F.lit(int(min_stop_hits)))
+    )
+
+
+# C4 line-keep rules (Raffel et al. 2020, §2.2): a line survives iff it
+# ends in terminal punctuation (period / ! / ? / end-quote), has at
+# least three words, and does not contain the word "javascript".
+_C4_LINE_END_RE = "[.!?\"']$"
+
+
+def c4_kept_lines(col: Column | str) -> Column:
+    """The lines of a document that pass C4's line rules."""
+    ls = _nonempty_lines(col)
+    return F.filter(
+        ls,
+        lambda ln: ln.rlike(_C4_LINE_END_RE)
+        & (F.size(F.filter(F.split(ln, r"\s+"), lambda x: x != "")) >= 3)
+        & ~F.lower(ln).contains("javascript"),
+    )
+
+
+def c4_clean_lines(col: Column | str) -> Column:
+    """C4 line-level cleaning: the surviving lines re-joined with \\n
+    (empty string when nothing survives)."""
+    return F.array_join(c4_kept_lines(col), "\n")
+
+
+def c4_keep(
+    col: Column | str,
+    *,
+    min_sentences: int = 5,
+    banned: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> Column:
+    """C4's document filter: the line-cleaned text must contain at
+    least ``min_sentences`` sentence terminators ([.!?] occurrences —
+    every kept line ends in one, intra-line sentences also count), and
+    the RAW text must contain none of the ``banned`` substrings
+    (case-insensitive; paper defaults "lorem ipsum" and "{").  The
+    paper's bad-words list is a parameter, not shipped.  C4's
+    three-sentence-span dedup is the exact-substring operator's job
+    (operators/substrings.py), not this predicate's."""
+    c = F.col(col) if isinstance(col, str) else col
+    clean = c4_clean_lines(col)
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    keep = n_sent >= F.lit(int(min_sentences))
+    for b in banned:
+        keep = keep & ~F.lower(c).contains(b.lower())
+    return keep
+
+
+# --- DuckDB mirrors of the filter predicates (same pattern as
+# html_to_text_sql: the SQL builder lives next to the Column builder so
+# the two evolve together) ---------------------------------------------
+
+_LINES_FRAGMENT_SQL = (
+    "list_filter(list_transform(regexp_split_to_array({src}, '\\r?\\n'),"
+    " x -> trim(regexp_replace(x, '\\r+$', ''))), x -> x <> '')"
+)
+
+
+def c4_kept_lines_sql(src: str) -> str:
+    """DuckDB mirror of :func:`c4_kept_lines` over SQL expression
+    ``src``."""
+    lines = _LINES_FRAGMENT_SQL.format(src=src)
+    # tagged dollar-quote ($re$...$re$): the pattern contains both quote
+    # characters AND a trailing '$', which a bare $$...$$ would swallow
+    return (
+        f"list_filter({lines}, ln -> "
+        "regexp_matches(ln, $re$[.!?\"']$$re$) AND "
+        "len(list_filter(regexp_split_to_array(ln, '\\s+'), x -> x <> '')) >= 3 "
+        "AND NOT contains(lower(ln), 'javascript'))"
+    )
+
+
+def c4_clean_lines_sql(src: str) -> str:
+    # DuckDB's array_to_string([]) is NULL where Spark's array_join is
+    # ''; coalesce only under non-NULL input so NULL text still mirrors
+    return (
+        f"CASE WHEN {src} IS NULL THEN NULL "
+        f"ELSE coalesce(array_to_string({c4_kept_lines_sql(src)}, chr(10)), '') END"
+    )
+
+
+def gopher_stop_hits_sql(src: str) -> str:
+    words = ", ".join(f"'{w}'" for w in GOPHER_STOP_WORDS)
+    return (
+        f"len(list_filter(list_filter(regexp_split_to_array(lower({src}),"
+        f" '\\s+'), x -> x <> ''), x -> list_contains([{words}], x)))"
+    )
+
+
 def _nonempty_paragraphs(col: Column | str) -> Column:
     """Trimmed non-empty paragraphs: blocks separated by a blank line
     (``\\n`` + optional whitespace + ``\\n``).  Internal single newlines

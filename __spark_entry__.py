@@ -2145,8 +2145,13 @@ def _e20_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> NB quality-classifier gate (trained on the doc_id%11 slice
     labeled lang=='en', exact integer log-odds threshold, r5) ->
     benchmark decontamination (8-gram overlap vs a deterministic eval
-    slice, r4) — one lazy plan end-to-end (operators/pipeline.py,
-    operators/lm.py, operators/classifier.py, operators/decontam.py)."""
+    slice, r4; r6 runs it through the BLOOM-prefilter path — a
+    fixed-size bitmap prunes corpus grams map-side and the exact
+    confirm join removes bloom false positives, so the results and the
+    oracle are bit-identical to the exact path while the bench set no
+    longer broadcasts raw) — one lazy plan end-to-end
+    (operators/pipeline.py, operators/lm.py, operators/classifier.py,
+    operators/decontam.py)."""
     from pyspark.sql import functions as F
 
     from sparkall_spark.operators.pipeline import prepare_documents
@@ -2162,6 +2167,7 @@ def _e20_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=0.5,
         decontam_bench=bench,
         decontam_n=8,
+        decontam_prefilter="bloom",
         lm_ref=lm_ref,
         lm_max_perplexity=_E20_MAX_PPL,
         classifier_labeled=labeled,

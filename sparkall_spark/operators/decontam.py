@@ -64,6 +64,71 @@ def _gram_rows(
     return out
 
 
+def bloom_bitmap(
+    rows: DataFrame, col: str, m_bits: int, k: int
+) -> DataFrame:
+    """A Bloom filter over ``rows[col]`` as ONE row holding an
+    ``array<bigint>`` bitmap (``m_bits``/64 words, ``k`` hash functions
+    = xxhash64 salted with the function index).
+
+    Pure Column algebra — the same shape Spark's own runtime bloom
+    filters use (an aggregate building a compact bitmap that then
+    prunes the probe side), rebuilt from public primitives because
+    ``bloom_filter_agg``/``might_contain`` are not registered for SQL.
+    The bitmap is fixed-size regardless of input cardinality, so it
+    broadcasts in O(m_bits/8) bytes where the raw value set may be
+    gigabytes."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    n_words = m_bits // 64
+    pos = rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("__pos")
+    )
+    words = pos.select(
+        (F.col("__pos") / 64).cast("int").alias("__w"),
+        # shiftleft's Column API takes only a literal shift count; the
+        # SQL form accepts a column
+        F.expr("shiftleft(1L, cast(__pos % 64 as int))").alias("__bit"),
+    ).groupBy("__w").agg(F.bit_or("__bit").alias("__bits"))
+    # dense bitmap: a global aggregate always returns one row, and an
+    # empty input yields an all-zero filter (matches nothing)
+    return words.agg(
+        F.map_from_arrays(
+            F.collect_list("__w"), F.collect_list("__bits")
+        ).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.element_at("__m", i), F.lit(0).cast("bigint")),
+        ).alias("__bf")
+    )
+
+
+def bloom_might_contain(
+    col: str, bitmap_col: str, m_bits: int, k: int
+) -> Column:
+    """Boolean Column: all ``k`` bit positions of column ``col`` are set
+    in the ``array<bigint>`` bitmap column.  No false negatives by
+    construction; false-positive rate ~ (1 - e^(-k*n/m))^k.  The salt
+    literals must stay INT to hash identically to
+    :func:`bloom_bitmap`'s build side (xxhash64 is type-sensitive)."""
+    conds = []
+    for i in range(k):
+        p = f"pmod(xxhash64({col}, {i}), {m_bits})"
+        conds.append(
+            f"(element_at({bitmap_col}, cast({p} / 64 as int) + 1)"
+            f" & shiftleft(1L, cast({p} % 64 as int))) != 0"
+        )
+    return F.expr(" AND ".join(conds))
+
+
 def ngram_decontaminate(
     docs: DataFrame,
     bench: DataFrame,
@@ -75,6 +140,9 @@ def ngram_decontaminate(
     lowercase: bool = True,
     mode: str = "annotate",
     broadcast_bench: bool = True,
+    prefilter: str = "none",
+    bloom_bits: int = 1 << 20,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Flag (``mode='annotate'``) or drop (``mode='clean'``) documents
     sharing >= ``min_hits`` distinct word ``n``-grams with ``bench``.
@@ -84,18 +152,40 @@ def ngram_decontaminate(
     clean: the subset of ``docs`` with ``n_hits < min_hits``, original
     columns only (implemented as a broadcast left-anti join against the
     contaminated-id set).
-    """
+
+    ``prefilter='bloom'`` inserts a Bloom-bitmap pass before the exact
+    gram join: the bench gram set reduces to a fixed-size bitmap
+    (``bloom_bits`` bits, ``bloom_hashes`` hashes, see
+    :func:`bloom_bitmap`) that broadcasts as ONE row, and corpus grams
+    that miss it die map-side.  Results are IDENTICAL to the exact path
+    — bloom false positives are removed by the exact join — so this is
+    the configuration for bench sets too large to broadcast raw: at
+    1% fp rate the exact join's probe side shrinks to ~(hits + 1% of
+    corpus grams), and ``broadcast_bench=False`` lets the confirm join
+    shuffle only that remnant."""
     if mode not in ("annotate", "clean"):
         raise ValueError(f"mode must be 'annotate' or 'clean', got {mode!r}")
+    if prefilter not in ("none", "bloom"):
+        raise ValueError(f"prefilter must be 'none' or 'bloom', got {prefilter!r}")
     bcol = bench_text_col or text_col
     bench_grams = _gram_rows(bench, None, bcol, n, lowercase).distinct()
+    corpus_grams = _gram_rows(docs, id_col, text_col, n, lowercase)
+    if prefilter == "bloom":
+        bf = bloom_bitmap(bench_grams, "__gram", bloom_bits, bloom_hashes)
+        corpus_grams = (
+            corpus_grams.crossJoin(F.broadcast(bf))
+            .filter(
+                bloom_might_contain("__gram", "__bf", bloom_bits, bloom_hashes)
+            )
+            .drop("__bf")
+        )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
 
     # corpus grams are array_distinct per doc, so a plain count after the
     # inner join IS the distinct-hit count; only matched rows shuffle
     hits = (
-        _gram_rows(docs, id_col, text_col, n, lowercase)
+        corpus_grams
         .join(bench_grams, "__gram")
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("n_hits"))

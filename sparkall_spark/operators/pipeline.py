@@ -49,6 +49,7 @@ def prepare_documents(
     decontam_n: int = 8,
     decontam_min_hits: int = 1,
     decontam_text_col: str | None = None,
+    decontam_prefilter: str = "none",
     boilerplate_min_docs: int | None = None,
     lm_ref: DataFrame | None = None,
     lm_max_perplexity: float = 1e4,
@@ -212,6 +213,12 @@ def prepare_documents(
             n=decontam_n,
             min_hits=decontam_min_hits,
             mode="clean",
+            prefilter=decontam_prefilter,
+            # bloom prefilter keeps results EXACT (false positives die
+            # in the confirm join) while the bench gram set ships as a
+            # fixed-size bitmap — the path for eval suites too large to
+            # broadcast raw
+            broadcast_bench=(decontam_prefilter != "bloom"),
         )
         if decontam_fuzzy:
             # second pass for lightly-EDITED eval text the exact n-gram

@@ -220,3 +220,72 @@ def test_minhash_decontam_clean_and_validation(spark, docs, bench):
         minhash_decontaminate(docs, bench, mode="bogus")
     with pytest.raises(ValueError):
         minhash_decontaminate(docs, bench, num_hashes=64, bands=7)
+
+
+def test_bloom_prefilter_identical_to_exact(spark, docs, bench):
+    """The bloom path is a pure PREFILTER: annotate/clean outputs are
+    bit-identical to the exact path (false positives die in the confirm
+    join), including with the confirm join left unbroadcast — the
+    huge-bench configuration."""
+    from sparkall_spark.operators.decontam import ngram_decontaminate
+
+    exact = ngram_decontaminate(docs, bench, n=N).select(
+        "doc_id", "n_hits", "contaminated"
+    )
+    bloom = ngram_decontaminate(
+        docs, bench, n=N, prefilter="bloom", broadcast_bench=False
+    ).select("doc_id", "n_hits", "contaminated")
+    assert sorted(exact.collect()) == sorted(bloom.collect())
+
+
+def test_bloom_no_false_negatives_and_prunes(spark, docs, bench):
+    """Every bench gram passes its own bitmap (no false negatives by
+    construction), and the bitmap prunes the large non-matching corpus
+    majority before the exact join."""
+    from sparkall_spark.operators.decontam import (
+        _gram_rows,
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    bits, k = 1 << 20, 5
+    bg = _gram_rows(bench, None, "text", N, True).distinct()
+    bf = bloom_bitmap(bg, "__gram", bits, k)
+    might = bloom_might_contain("__gram", "__bf", bits, k)
+    n_bench = bg.count()
+    assert (
+        bg.crossJoin(F.broadcast(bf)).filter(might).count() == n_bench
+    )
+    cg = _gram_rows(docs, "doc_id", "text", N, True)
+    survivors = cg.crossJoin(F.broadcast(bf)).filter(might).count()
+    # bench is a 1/17 slice: the bitmap must kill most foreign grams
+    assert survivors < cg.count() * 0.5
+
+
+def test_bloom_bitmap_empty_bench_matches_nothing(spark):
+    from sparkall_spark.operators.decontam import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    empty = spark.createDataFrame([], "g string")
+    bf = bloom_bitmap(empty, "g", 1 << 10, 3)
+    probe = spark.createDataFrame([("a",), ("b",)], ["g"])
+    assert (
+        probe.crossJoin(F.broadcast(bf))
+        .filter(bloom_might_contain("g", "__bf", 1 << 10, 3))
+        .count()
+        == 0
+    )
+
+
+def test_bloom_validation(spark, docs, bench):
+    from sparkall_spark.operators.decontam import (
+        bloom_bitmap,
+        ngram_decontaminate,
+    )
+
+    with pytest.raises(ValueError):
+        ngram_decontaminate(docs, bench, prefilter="bogus")
+    with pytest.raises(ValueError):
+        bloom_bitmap(docs, "text", m_bits=100, k=3)  # not a multiple of 64

@@ -515,7 +515,13 @@ def _minhash_rep_graph(
     cand = (
         probe_slim.alias("x")
         .join(
-            build_slim.alias("y"),
+            # shuffle_hash pinned: makes the band join's PHYSICAL plan
+            # scale-invariant (statistics would flip it between
+            # broadcast and sort-merge across scales, defeating
+            # warmup-compiled codegen and nondeterminizing run times)
+            # and is the right shape anyway — narrow keys, hash
+            # buckets, no sort of the collision stream.
+            build_slim.alias("y").hint("shuffle_hash"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bh") == F.col("y.bh"))
             & (F.col("x.__pb") == F.col("y.__sb"))
@@ -617,11 +623,20 @@ def minhash_dedup_pairs(
         candidate_strategy,
     )
 
-    # intra-cluster pairs: jaccard exactly 1.0, no verification needed
+    # intra-cluster pairs: jaccard exactly 1.0, no verification needed.
+    # Build side pinned (broadcast under the member gate, shuffle_hash
+    # above it) so the physical plan does not flip with scale —
+    # statistics-chosen strategies defeat warmup-compiled codegen.
+    intra_build = ids.alias("y")
+    intra_build = (
+        F.broadcast(intra_build)
+        if bcast_members
+        else intra_build.hint("shuffle_hash")
+    )
     intra = (
         ids.alias("x")
         .join(
-            ids.alias("y"),
+            intra_build,
             (F.col("x.__fp") == F.col("y.__fp"))
             & (F.col("x.__id") < F.col("y.__id")),
         )

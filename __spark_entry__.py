@@ -2373,7 +2373,33 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("freq").alias("stat"),
         F.col("freq").cast("double").alias("value"),
     )
-    return flag_long.unionByName(wf)
+    # r6 leg 3: cross-corpus overlap diagnostics (train/val leakage
+    # measurement, operators/decontam.py:corpus_overlap) between two
+    # source slices; n=3 because the fixture's templated sentences
+    # share trigrams across sources (71 shared grams, 22/25 docs at
+    # sf0.01) while 5-grams are disjoint
+    from sparkall_spark.operators.decontam import corpus_overlap
+
+    ov = corpus_overlap(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+        n=3,
+    )
+    ov_long = ov.select(
+        F.lit("overlap").alias("family"),
+        F.lit("src0|src1").alias("key"),
+        F.expr(
+            "stack(6, "
+            "'n_grams_a', cast(n_grams_a as double), "
+            "'n_grams_b', cast(n_grams_b as double), "
+            "'n_shared', cast(n_shared as double), "
+            "'gram_jaccard', gram_jaccard, "
+            "'n_docs_a', cast(n_docs_a as double), "
+            "'n_docs_a_overlapping', cast(n_docs_a_overlapping as double)"
+            ") as (stat, value)"
+        ),
+    )
+    return flag_long.unionByName(wf).unionByName(ov_long)
 
 
 _E21_ORACLE = """
@@ -2407,7 +2433,49 @@ UNION ALL
 SELECT 'wordfreq' AS family, word AS key, 'freq' AS stat,
        freq::DOUBLE AS value
 FROM wf
+UNION ALL
+SELECT 'overlap' AS family, 'src0|src1' AS key, s.stat,
+       CASE s.stat
+         WHEN 'n_grams_a' THEN (SELECT count(*) FROM ovga)::DOUBLE
+         WHEN 'n_grams_b' THEN (SELECT count(*) FROM ovgb)::DOUBLE
+         WHEN 'n_shared' THEN (SELECT count(*) FROM ovsh)::DOUBLE
+         WHEN 'gram_jaccard' THEN (SELECT round(
+             CASE WHEN (SELECT count(*) FROM ovga) + (SELECT count(*) FROM ovgb)
+                       - (SELECT count(*) FROM ovsh) > 0
+             THEN (SELECT count(*) FROM ovsh)::DOUBLE
+                  / ((SELECT count(*) FROM ovga) + (SELECT count(*) FROM ovgb)
+                     - (SELECT count(*) FROM ovsh))
+             ELSE 0.0 END, 6))
+         WHEN 'n_docs_a' THEN (SELECT count(*)
+             FROM documents WHERE source = 'src0')::DOUBLE
+         ELSE (SELECT count(DISTINCT doc_id) FROM ovg
+               WHERE source = 'src0'
+                 AND gram IN (SELECT gram FROM ovsh))::DOUBLE
+       END AS value
+FROM (VALUES ('n_grams_a'), ('n_grams_b'), ('n_shared'), ('gram_jaccard'),
+             ('n_docs_a'), ('n_docs_a_overlapping')) AS s(stat)
 """
+
+# the overlap leg's gram CTEs, prepended to the e21 oracle (DuckDB
+# resolves CTE references lexically, so they must precede the SELECT)
+_E21_ORACLE = (
+    """
+WITH ovd AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') t
+  FROM documents WHERE source IN ('src0', 'src1')),
+ovg AS (
+  SELECT doc_id, source,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                 FOR i IN generate_series(1, len(t) - 2)])) AS gram
+  FROM ovd WHERE len(t) >= 3),
+ovga AS (SELECT DISTINCT gram FROM ovg WHERE source = 'src0'),
+ovgb AS (SELECT DISTINCT gram FROM ovg WHERE source = 'src1'),
+ovsh AS (SELECT gram FROM ovga INTERSECT SELECT gram FROM ovgb),
+"""
+    + _E21_ORACLE.strip().removeprefix("WITH")
+)
 
 
 def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

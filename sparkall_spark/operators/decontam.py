@@ -205,6 +205,58 @@ def ngram_decontaminate(
     ).withColumn("contaminated", F.col("n_hits") >= min_hits)
 
 
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Cross-corpus overlap diagnostics as ONE row: how much of corpus
+    ``a`` leaks into / from corpus ``b`` at the word-``n``-gram level —
+    the measurement behind train/validation leakage checks and
+    source-mixing decisions.
+
+    Columns: ``n_grams_a``/``n_grams_b`` (distinct gram counts),
+    ``n_shared`` (distinct grams present in both), ``gram_jaccard``
+    (6dp), ``n_docs_a``/``n_docs_a_overlapping`` (documents of ``a``
+    containing at least one shared gram).
+
+    Scale: each side reduces to DISTINCT grams first (per-doc
+    array_distinct happens map-side in the gram expansion); the only
+    joins are gram-keyed.  At very large scale swap the gram STRINGS
+    for 64-bit gram hashes before the joins (collision odds ~
+    |grams|^2/2^64) — strings are kept here so the DuckDB oracle can
+    mirror the values exactly."""
+    ga = _gram_rows(a, id_col, text_col, n, lowercase)
+    gb = _gram_rows(b, None, text_col, n, lowercase).distinct()
+    ga_d = ga.select("__gram").distinct()
+    shared = ga_d.join(gb, "__gram")  # distinct by construction
+    counts = (
+        ga_d.agg(F.count(F.lit(1)).alias("n_grams_a"))
+        .crossJoin(gb.agg(F.count(F.lit(1)).alias("n_grams_b")))
+        .crossJoin(shared.agg(F.count(F.lit(1)).alias("n_shared")))
+        .crossJoin(
+            a.agg(F.count(F.lit(1)).alias("n_docs_a"))
+        )
+        .crossJoin(
+            ga.join(gb, "__gram")
+            .agg(F.count_distinct("__id").alias("n_docs_a_overlapping"))
+        )
+    )
+    union = (
+        F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared")
+    ).cast("double")
+    return counts.withColumn(
+        "gram_jaccard",
+        F.round(
+            F.when(union > 0, F.col("n_shared") / union).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+
+
 def minhash_decontaminate(
     docs: DataFrame,
     bench: DataFrame,

@@ -289,3 +289,46 @@ def test_bloom_validation(spark, docs, bench):
         ngram_decontaminate(docs, bench, prefilter="bogus")
     with pytest.raises(ValueError):
         bloom_bitmap(docs, "text", m_bits=100, k=3)  # not a multiple of 64
+
+
+def test_corpus_overlap_matches_duckdb(spark, duck, docs):
+    """corpus_overlap's one-row diagnostics mirror a DuckDB computation
+    over two source slices of the fixture."""
+    from sparkall_spark.operators.decontam import corpus_overlap
+
+    a = docs.filter(F.col("source") == "src0")
+    b = docs.filter(F.col("source") == "src1")
+    got = corpus_overlap(a, b, n=3).collect()[0].asDict()
+    exp = duck.execute(
+        """
+        WITH d AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') t
+          FROM documents WHERE source IN ('src0', 'src1')),
+        g AS (
+          SELECT doc_id, source,
+                 unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                         FOR i IN generate_series(1, len(t) - 2)])) gram
+          FROM d WHERE len(t) >= 3),
+        ga AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        gb AS (SELECT DISTINCT gram FROM g WHERE source = 'src1'),
+        sh AS (SELECT gram FROM ga INTERSECT SELECT gram FROM gb)
+        SELECT (SELECT count(*) FROM ga) n_grams_a,
+               (SELECT count(*) FROM gb) n_grams_b,
+               (SELECT count(*) FROM sh) n_shared,
+               (SELECT count(*) FROM documents WHERE source='src0') n_docs_a,
+               (SELECT count(DISTINCT doc_id) FROM g
+                WHERE source='src0' AND gram IN (SELECT gram FROM sh))
+                 n_docs_a_overlapping
+        """
+    ).df().iloc[0].to_dict()
+    for k, v in exp.items():
+        assert got[k] == v, (k, got[k], v)
+    u = exp["n_grams_a"] + exp["n_grams_b"] - exp["n_shared"]
+    assert got["gram_jaccard"] == round(exp["n_shared"] / u, 6)
+    # disjoint corpora -> all-zero overlap, jaccard 0.0 (not NULL)
+    empty = corpus_overlap(
+        a, b.withColumn("text", F.lit("zz qq ww")), n=3
+    ).collect()[0]
+    assert empty["n_shared"] == 0 and empty["gram_jaccard"] == 0.0

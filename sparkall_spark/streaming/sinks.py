@@ -122,3 +122,62 @@ def foreach_batch_upsert(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_ingest_documents(
+    stream_docs: DataFrame,
+    corpus_path: str,
+    ledger_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_seen: bool = False,
+    trigger_once: bool = True,
+):
+    """Continuous corpus ingest: the streaming twin of
+    ``operators.pipeline.ingest_documents``.  Every micro-batch dedups
+    against the persisted fingerprint ledger (cross-batch AND
+    within-batch), appends the survivors to the parquet corpus, then
+    appends their fingerprints to the ledger — so a document seen in
+    ANY earlier batch (or earlier batch attempt) never lands twice.
+
+    Exactly-once story, honestly: ``foreachBatch`` is at-least-once on
+    retry, but the LEDGER makes the ingest idempotent at the CONTENT
+    level — a replayed batch anti-joins to empty against the
+    fingerprints its first attempt recorded.  The corpus-first write
+    order inside ``ingest_documents`` preserves the
+    duplicates-never-losses contract for a crash BETWEEN the two
+    appends (repair via ``rebuild_ledger`` + one ``exact_dedup`` pass).
+    This is stronger than checkpoint-manifest parquet dedup alone,
+    which only dedups by batch id, not by content.
+
+    State story at 100 TB/day: there is NO streaming state store —
+    the ledger is bucketed parquet on shared storage, so dedup horizon
+    is the corpus lifetime (vs the watermark-bounded
+    ``stream_exact_dedup``, which trades horizon for latency).
+
+    Returns the started StreamingQuery (``availableNow`` by default —
+    drain what exists, then stop; pass ``trigger_once=False`` for a
+    continuous query).
+    """
+    from sparkall_spark.operators.pipeline import ingest_documents
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        ingest_documents(
+            batch.sparkSession,
+            batch,
+            corpus_path,
+            ledger_path,
+            id_col=id_col,
+            text_col=text_col,
+            broadcast_seen=broadcast_seen,
+        )
+
+    w = (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

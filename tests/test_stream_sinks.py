@@ -125,3 +125,53 @@ def test_stream_parquet_append_exactly_once(spark, tmp_path):
     q2 = write_stream_parquet(stream2, out, ckpt)
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_stream_ingest_documents_ledger_dedup(spark, tmp_path):
+    """Streaming ingest with cross-batch CONTENT dedup: duplicates are
+    dropped across micro-batches via the fingerprint ledger, and a
+    full replay (fresh checkpoint, same files) appends nothing."""
+    from sparkall_spark.streaming.sinks import stream_ingest_documents
+
+    src = tmp_path / "ing_src"
+    src.mkdir()
+    corpus = str(tmp_path / "ing_corpus")
+    ledger = str(tmp_path / "ing_ledger")
+    schema = "doc_id bigint, text string"
+
+    def stream():
+        return spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+
+    # wave 1: one within-batch duplicate pair
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")], schema
+    ).write.parquet(str(src / "w1"))
+    q = stream_ingest_documents(
+        stream(), corpus, ledger, str(tmp_path / "ing_ck1")
+    )
+    q.awaitTermination(120)
+    got1 = {r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {"alpha beta", "gamma delta"}
+
+    # wave 2: a cross-batch duplicate + one genuinely new doc
+    spark.createDataFrame(
+        [(4, "gamma delta"), (5, "epsilon zeta")], schema
+    ).write.parquet(str(src / "w2"))
+    q = stream_ingest_documents(
+        stream(), corpus, ledger, str(tmp_path / "ing_ck1")
+    )
+    q.awaitTermination(120)
+    got2 = {r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {"alpha beta", "gamma delta", "epsilon zeta"}
+    assert spark.read.parquet(corpus).count() == 3
+
+    # full replay with a FRESH checkpoint: the ledger (content-level
+    # idempotence) keeps the corpus unchanged even though every file
+    # is reprocessed
+    q = stream_ingest_documents(
+        stream(), corpus, ledger, str(tmp_path / "ing_ck2")
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 3

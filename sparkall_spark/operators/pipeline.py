@@ -69,6 +69,8 @@ def prepare_documents(
     max_ellipsis_ratio: float | None = None,
     min_alpha_word_ratio: float | None = None,
     max_symbol_word_ratio: float | None = None,
+    gopher_quality: bool = False,
+    c4_rules: bool = False,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
@@ -77,6 +79,14 @@ def prepare_documents(
     is the minimum id.  The ``max_dup_*`` knobs add Gopher-style
     within-document repetition filters (duplicate line / word-bigram
     fractions) — still Column expressions in the same single pass.
+
+    ``gopher_quality=True`` applies the published Gopher Table A1
+    quality thresholds wholesale (functions.text.gopher_quality_keep);
+    ``c4_rules=True`` rewrites each document through C4's line rules
+    and drops docs failing the C4 document rules (c4_clean_lines /
+    c4_keep — the keep predicate is evaluated on the ORIGINAL text,
+    then the text column is replaced by the cleaned form, matching the
+    paper's order).  Both are map-side Column work in the same pass.
     """
     if url_dedup_col is not None:
         # FIRST and cheapest: recrawls + tracking-decorated links
@@ -100,10 +110,18 @@ def prepare_documents(
             docs, id_col=id_col, text_col=text_col,
             min_docs=boilerplate_min_docs,
         )
+    if c4_rules:
+        # C4 order: the doc-level rules see the original text; the
+        # surviving docs carry the line-cleaned rewrite forward
+        docs = docs.filter(X.c4_keep(text_col)).withColumn(
+            text_col, X.c4_clean_lines(text_col)
+        )
     scored = docs.withColumn("quality", X.quality_score(text_col)).withColumn(
         "lang_pred", X.lang_id(text_col)
     )
     filtered = scored.filter(F.col("quality") >= min_quality)
+    if gopher_quality:
+        filtered = filtered.filter(X.gopher_quality_keep(text_col))
     if min_compression_ratio is not None:
         # Gopher-style repetitiveness gate: templated/looping text
         # compresses far below prose (functions/text.compression_ratio

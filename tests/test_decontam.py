@@ -332,3 +332,55 @@ def test_corpus_overlap_matches_duckdb(spark, duck, docs):
         a, b.withColumn("text", F.lit("zz qq ww")), n=3
     ).collect()[0]
     assert empty["n_shared"] == 0 and empty["gram_jaccard"] == 0.0
+
+
+def test_bloom_property_no_false_negatives(spark):
+    """Hypothesis sweep: for random member sets and bloom parameters,
+    EVERY member passes its own bitmap — the invariant the exact
+    confirm join relies on."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from sparkall_spark.operators.decontam import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.text(min_size=0, max_size=40), min_size=1, max_size=60
+        ),
+        m_words=st.sampled_from([1, 4, 64]),
+        k=st.integers(min_value=1, max_value=6),
+    )
+    def check(vals, m_words, k):
+        df = spark.createDataFrame([(v,) for v in vals], ["g"])
+        bf = bloom_bitmap(df, "g", m_words * 64, k)
+        passed = (
+            df.crossJoin(F.broadcast(bf))
+            .filter(bloom_might_contain("g", "__bf", m_words * 64, k))
+            .count()
+        )
+        assert passed == df.count()
+
+    check()
+
+
+def test_pipeline_published_filter_knobs(spark, docs):
+    """prepare_documents' gopher_quality / c4_rules knobs match the
+    standalone predicates applied in the documented order."""
+    from sparkall_spark.functions import text as X
+    from sparkall_spark.operators.pipeline import prepare_documents
+
+    out = prepare_documents(docs, min_quality=0.0, gopher_quality=True)
+    expected = docs.filter(X.gopher_quality_keep("text"))
+    assert out.count() == expected.select("doc_id").distinct().count()
+
+    # c4: fixture docs have no terminal punctuation, so every doc fails
+    # the min-sentences rule and the corpus empties — the degenerate
+    # case should behave, not explode
+    assert prepare_documents(docs, min_quality=0.0, c4_rules=True).count() == 0

@@ -129,13 +129,49 @@ def assign_cells(vec: Column, cents: np.ndarray) -> Column:
     return _assign(vec)
 
 
+def nearest_cells_arrow(vec: Column, cents: np.ndarray, top_n: int) -> Column:
+    """Arrow-batched array of the ``top_n`` nearest centroid ids —
+    value-identical to :func:`nearest_cells_expr` (half-up 6dp rounding,
+    ties toward the higher cell id via a composite sort key) but
+    without its hidden cost: the Column form builds a
+    16-centroids x 64-literals expression tree whose ANALYSIS and
+    OPTIMIZATION alone take seconds of driver time per query
+    compilation (measured ~3s for an 8-row query side — planning, not
+    execution).  The matmul path is microseconds per row and a
+    constant-size task closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(cents, dtype=np.float64)
+    cn = np.linalg.norm(c, axis=1)
+    n_cells = c.shape[0]
+
+    @pandas_udf("array<int>")
+    def _cells(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        d = m @ c.T
+        denom = np.linalg.norm(m, axis=1)[:, None] * cn[None, :]
+        cos = np.divide(d, denom, out=np.zeros_like(d), where=denom > 0)
+        r = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+        # composite key: micro-rounded score primary, cell id secondary
+        # (higher cell wins ties) — r*n_cells+cell stays exact in f64
+        comp = r * n_cells + np.arange(n_cells)[None, :]
+        idx = np.argsort(-comp, axis=1, kind="stable")[:, :top_n]
+        return pd.Series(list(idx.astype("int32")))
+
+    return _cells(vec)
+
+
 def nearest_cells_expr(vec: Column, cents: np.ndarray, top_n: int) -> Column:
     """Array of the ``top_n`` nearest centroid ids (JVM-side Column
     expression over literal centroids).  Cosines are rounded to 6dp —
     coarse enough that a last-ulp difference between engines can't flip
     the argmax in a SQL mirror; ties break toward the higher cell id
     (the reverse(array_sort(structs)) order, mirrored by DuckDB's
-    list_reverse(list_sort(...)))."""
+    list_reverse(list_sort(...))).  NB: prefer :func:`nearest_cells_arrow`
+    on any hot path — this expression's driver-side planning cost is
+    seconds (see there)."""
     sims = F.array(
         *[
             F.struct(
@@ -385,7 +421,10 @@ def ivf_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("__qv"),
         )
-        .withColumn("cell", F.explode(nearest_cells_expr(F.col("__qv"), cents, nprobe)))
+        # arrow probe-cell computation: value-identical to the Column
+        # expression but without its seconds-of-driver-planning cost
+        # (see nearest_cells_arrow)
+        .withColumn("cell", F.explode(nearest_cells_arrow(F.col("__qv"), cents, nprobe)))
         .withColumn("__qn", l2_norm(F.col("__qv")))
     )
 
@@ -587,7 +626,9 @@ def ivf_pq_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("__qv"),
         )
-        .withColumn("cell", F.explode(nearest_cells_expr(F.col("__qv"), cents, nprobe)))
+        # arrow probe cells: same values, none of the Column form's
+        # driver-planning cost (see nearest_cells_arrow)
+        .withColumn("cell", F.explode(nearest_cells_arrow(F.col("__qv"), cents, nprobe)))
         .withColumn("__qn", l2_norm(F.col("__qv")))
     )
 

@@ -408,7 +408,11 @@ def crawl_to_documents(
 
 
 def corpus_report(
-    docs: DataFrame, text_col: str = "text", lang_col: str | None = None
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    approx_distinct: bool = False,
+    approx_rsd: float = 0.01,
 ) -> DataFrame:
     """One-row corpus health summary — the numbers an operator checks
     before and after each pipeline stage: document/token/char volume,
@@ -419,6 +423,15 @@ def corpus_report(
     single job); nothing row-scale reaches the driver.  Per-language
     volume is a separate ``groupBy(lang_col)`` — pass ``lang_col`` to
     get (report row per language) instead of the global row.
+
+    ``approx_distinct=True`` swaps the exact distinct-fingerprint count
+    for Spark's HyperLogLog++ sketch (``approx_count_distinct``,
+    relative error ``approx_rsd``): the exact form shuffles every
+    distinct 8-byte fingerprint once, which is corpus-scale at 100 TB,
+    while the sketch is a fixed-size map-side merge — the right default
+    for a monitoring dashboard (the exact form stays the default here
+    because the report feeds hash-checked oracles).  ``dup_ratio`` is
+    then approximate to the same rsd.
 
     NULL text counts as an empty document (not a silent duplicate):
     the text is coalesced to "" before fingerprint/token/char metrics,
@@ -436,7 +449,11 @@ def corpus_report(
         F.coalesce(F.sum(X.char_count(t)), F.lit(0))
         .cast("bigint")
         .alias("total_chars"),
-        F.countDistinct(X.fingerprint(t))
+        (
+            F.approx_count_distinct(X.fingerprint(t), rsd=approx_rsd)
+            if approx_distinct
+            else F.countDistinct(X.fingerprint(t))
+        )
         .cast("bigint")
         .alias("n_distinct"),
         F.round(F.avg(X.quality_score(t)), 6).alias("mean_quality"),
@@ -457,10 +474,17 @@ def corpus_report(
         "dup_ratio",
         F.when(
             F.col("n_docs") > 0,
-            F.round(
-                F.lit(1.0)
-                - F.col("n_distinct").cast("double") / F.col("n_docs"),
-                6,
+            # clamped at 0: the HLL++ sketch can OVERestimate distincts
+            # past n_docs (observed 501/500), which would otherwise
+            # print a negative duplicate rate; exact mode never trips
+            # the clamp
+            F.greatest(
+                F.lit(0.0),
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_distinct").cast("double") / F.col("n_docs"),
+                    6,
+                ),
             ),
         ).otherwise(F.lit(0.0)),
     )

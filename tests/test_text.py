@@ -728,3 +728,19 @@ def test_gopher_char_fraction_duckdb_mirror(spark, duck, sf_dir):
     FROM g
     """
     assert_matches_oracle(out, duck, sql)
+
+
+def test_corpus_report_approx_distinct_within_rsd(spark, sf_dir):
+    """The HLL++ report mode agrees with the exact mode within a few
+    rsd on the fixture, and all non-sketch columns are identical."""
+    from sparkall_spark.operators.pipeline import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = corpus_report(docs).collect()[0]
+    approx = corpus_report(docs, approx_distinct=True, approx_rsd=0.02).collect()[0]
+    for c in ("n_docs", "total_tokens", "total_chars", "n_empty"):
+        assert exact[c] == approx[c]
+    rel = abs(approx["n_distinct"] - exact["n_distinct"]) / max(
+        exact["n_distinct"], 1
+    )
+    assert rel < 0.1  # 5x the 2% rsd — deterministic sketch, no flake

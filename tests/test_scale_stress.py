@@ -449,3 +449,87 @@ def test_semdedup_one_cluster_salt_guard_near_linear(spark):
     # all pairwise cosines are ~1 >= 0.95: exactly one survivor (min id)
     assert s1 == 1 and s4 == 1
     assert t4 <= max(6 * t1, t1 + 5.0), f"superlinear: {t1:.2f}s -> {t4:.2f}s"
+
+
+def test_bloom_decontam_scales_and_stays_exact(spark):
+    """The bloom-prefilter path must stay exact while the corpus grows,
+    and its runtime must grow near-linearly (the bitmap is fixed-size,
+    the prune is map-side, the confirm join sees only survivors)."""
+    import time as _t
+
+    from sparkall_spark.operators.decontam import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+
+    def corpus(n):
+        clean = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("clean document body number "),
+                F.col("id").cast("string"),
+                F.lit(" with filler words here"),
+            ).alias("text"),
+        )
+        dirty = spark.range(2_000_000, 2_000_050).select(
+            F.col("id").alias("doc_id"),
+            F.lit(
+                "prefix alpha beta gamma delta epsilon zeta eta theta suffix"
+            ).alias("text"),
+        )
+        return clean.unionByName(dirty)
+
+    def run(n):
+        t0 = _t.perf_counter()
+        out = ngram_decontaminate(
+            corpus(n), bench, n=8, mode="annotate",
+            prefilter="bloom", broadcast_bench=False,
+        )
+        dirty_n = out.filter("contaminated").count()
+        return _t.perf_counter() - t0, dirty_n
+
+    run(10_000)  # warm
+    t1, d1 = run(50_000)
+    t4, d4 = run(200_000)
+    assert d1 == d4 == 50  # exact at every size, bloom or not
+    assert t4 < t1 * 4, f"superlinear: {t1:.2f}s -> {t4:.2f}s"
+
+
+def test_published_filters_are_map_side_linear(spark):
+    """gopher_quality_keep + c4_keep over a growing corpus: pure Column
+    predicates, no exchange in the plan, near-linear runtime."""
+    import time as _t
+
+    from sparkall_spark.functions.text import c4_keep, gopher_quality_keep
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("the quick brown fox jumps over that lazy dog "
+                      "and then have some more words here line "),
+                F.col("id").cast("string"),
+                F.lit("."),
+            ).alias("text"),
+        )
+
+    df = corpus(10).filter(
+        gopher_quality_keep("text", min_words=5) & c4_keep("text", min_sentences=1)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    def run(n):
+        t0 = _t.perf_counter()
+        corpus(n).filter(
+            gopher_quality_keep("text", min_words=5)
+            & c4_keep("text", min_sentences=1)
+        ).count()
+        return _t.perf_counter() - t0
+
+    run(20_000)  # warm
+    t1 = run(100_000)
+    t4 = run(400_000)
+    assert t4 < t1 * 6, f"superlinear: {t1:.2f}s -> {t4:.2f}s"

@@ -940,6 +940,14 @@ def dedup_paragraphs(col: Column | str, sep: str = "\n\n") -> Column:
     return F.array_join(kept, sep)
 
 
+def dedup_lines(col: Column | str) -> Column:
+    """Remove repeated LINES within a document, keeping first
+    occurrence and order — :func:`dedup_paragraphs` at line
+    granularity (the transform the Gopher `duplicate_line_*` signals
+    measure; this is the corresponding repair)."""
+    return dedup_paragraphs(col, "\n")
+
+
 def compression_ratio(col: Column | str, level: int = 6) -> Column:
     """zlib-compressed size / raw UTF-8 size (r5) — the Gopher-style
     repetitiveness signal: templated or looping text compresses far

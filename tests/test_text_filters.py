@@ -105,3 +105,18 @@ def test_gopher_quality_keep_paper_defaults_discriminate(spark, sf_dir):
     kept = d.filter("keep").count()
     assert 0 < kept < total
     assert d.filter(F.col("keep") & (F.col("n") < 50)).count() == 0
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    from sparkall_spark.functions.text import dedup_lines
+
+    rows = [
+        (1, "a line\nb line\na line\nc line\nb line"),
+        (2, "only one line"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"]).select(
+        "id", dedup_lines("t").alias("out")
+    )
+    got = {r["id"]: r["out"] for r in df.collect()}
+    assert got == {1: "a line\nb line\nc line", 2: "only one line", 3: ""}

@@ -62,29 +62,59 @@ def build_json_line(
     timings: dict[str, float],
     medians: dict[str, float],
     sf: str,
+    calib: float | None = None,
 ) -> str:
     """The one stdout line, as a string.
 
     Pure so tests can pin its size against the driver's ~2 KB stdout
     tail capture without running Spark.  NO prose fields — notes live
     in BENCH_NOTES.md (round 5's record was lost to embedded notes).
+
+    ``calib`` is the machine-calibration number (r6 VERDICT item 1): the
+    min-of-3 time of a fixed, data-independent JVM workload.  Identical
+    code measured 5.8-7.2 s on the unchanged-entry subset across
+    sessions on this shared VM, which swamps real ±10% regressions;
+    cross-round comparisons should grade ``unchanged_entries_total /
+    calib``, not raw seconds (normalization rule in BENCH_NOTES.md).
     """
     total = round(sum(timings.values()), 3)
     sf_val: float | str = float(sf) if sf.replace(".", "").isdigit() else sf
-    return json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "median_total": round(sum(medians.values()), 3),
-            "unchanged_entries_total": round(
-                sum(timings[n] for n in UNCHANGED_SINCE_R4 if n in timings), 3
-            ),
-            "sf": sf_val,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "median_total": round(sum(medians.values()), 3),
+        "unchanged_entries_total": round(
+            sum(timings[n] for n in UNCHANGED_SINCE_R4 if n in timings), 3
+        ),
+        "sf": sf_val,
+    }
+    if calib is not None:
+        payload["calib"] = round(calib, 3)
+    return json.dumps(payload, separators=(",", ":"))
+
+
+def measure_calibration(spark, passes: int = 3) -> float:
+    """Min-of-N time of a fixed, data-independent JVM workload.
+
+    ``range(4e9) -> bit_xor(xxhash64(id))`` exercises codegen, the hash
+    primitives, and partial aggregation across all local cores with
+    ZERO dependence on the benchmark data — so its runtime tracks only
+    the machine/JVM condition of the session.  (``bit_xor`` rather than
+    ``sum``: summing 4e9 64-bit hashes overflows long under ANSI mode.)
+    Dividing the unchanged-entry subset total by this number makes the
+    cross-round perf signal comparable between sessions (r6 VERDICT
+    item 1).
+    """
+    best = float("inf")
+    for i in range(passes):
+        t0 = time.perf_counter()
+        spark.range(4_000_000_000).selectExpr("bit_xor(xxhash64(id))").collect()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        print(f"# calib pass{i}: {dt:.3f}s", file=sys.stderr)
+    return best
 
 
 def main() -> None:
@@ -111,6 +141,7 @@ def main() -> None:
     # entries still paid a 30-60s interpreted/C1 execution (the 8x
     # median/min outliers in BENCH_NOTES.md).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    calib = measure_calibration(spark)
     for warm_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         for name in BENCH_QUERIES:
             try:
@@ -153,7 +184,7 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    print(build_json_line(timings, medians, sf))
+    print(build_json_line(timings, medians, sf, calib=calib))
     spark.stop()
 
 

@@ -112,21 +112,31 @@ def bloom_bitmap(
 
 
 def bloom_might_contain(
-    col: str, bitmap_col: str, m_bits: int, k: int
+    col: str | Column, bitmap_col: str | Column, m_bits: int, k: int
 ) -> Column:
     """Boolean Column: all ``k`` bit positions of column ``col`` are set
     in the ``array<bigint>`` bitmap column.  No false negatives by
     construction; false-positive rate ~ (1 - e^(-k*n/m))^k.  The salt
     literals must stay INT to hash identically to
-    :func:`bloom_bitmap`'s build side (xxhash64 is type-sensitive)."""
-    conds = []
+    :func:`bloom_bitmap`'s build side (xxhash64 is type-sensitive).
+
+    Built from Column objects (``F.call_function`` for the
+    shiftleft-by-column piece, which the Column API only exposes with a
+    literal shift count), so names needing backticks — dots, spaces,
+    reserved words — resolve like any other DataFrame column; either
+    names or Columns are accepted."""
+    c = F.col(col) if isinstance(col, str) else col
+    bm = F.col(bitmap_col) if isinstance(bitmap_col, str) else bitmap_col
+    cond = None
     for i in range(k):
-        p = f"pmod(xxhash64({col}, {i}), {m_bits})"
-        conds.append(
-            f"(element_at({bitmap_col}, cast({p} / 64 as int) + 1)"
-            f" & shiftleft(1L, cast({p} % 64 as int))) != 0"
+        p = F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(bm, (p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), F.pmod(p, F.lit(64)).cast("int")
         )
-    return F.expr(" AND ".join(conds))
+        hit = word.bitwiseAND(bit) != 0
+        cond = hit if cond is None else cond & hit
+    return cond
 
 
 def ngram_decontaminate(

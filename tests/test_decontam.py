@@ -279,6 +279,30 @@ def test_bloom_bitmap_empty_bench_matches_nothing(spark):
     )
 
 
+def test_bloom_might_contain_awkward_column_names(spark):
+    """ADVICE r6: the predicate must be built from Column objects so
+    names needing backticks (dots, spaces, reserved words) resolve as
+    DataFrame columns rather than breaking F.expr parsing."""
+    from sparkall_spark.operators.decontam import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    vals = spark.createDataFrame([("x",), ("y",)], ["v"])
+    bf = bloom_bitmap(vals, "v", 1 << 10, 3)
+    probe = (
+        spark.createDataFrame([("x",), ("z",)], ["v"])
+        .withColumnRenamed("v", "the gram.col")
+        .crossJoin(F.broadcast(bf.withColumnRenamed("__bf", "select")))
+    )
+    got = probe.filter(
+        bloom_might_contain(
+            F.col("`the gram.col`"), F.col("`select`"), 1 << 10, 3
+        )
+    ).collect()
+    assert [r["the gram.col"] for r in got] == ["x"]
+
+
 def test_bloom_validation(spark, docs, bench):
     from sparkall_spark.operators.decontam import (
         bloom_bitmap,

@@ -1789,7 +1789,11 @@ SELECT t.doc_id,
                list_sum(list_transform(lt, x -> length(x)))::DOUBLE / n_tok
              ELSE 0.0 END) <= 10.0
         AND (CASE WHEN n_tok > 0
-             THEN (length(regexp_replace(text, '[^#…]', '', 'g'))
+             THEN length(regexp_replace(text, '[^#]', '', 'g'))::DOUBLE
+                  / n_tok
+             ELSE 0.0 END) <= 0.1
+        AND (CASE WHEN n_tok > 0
+             THEN (length(regexp_replace(text, '[^…]', '', 'g'))
                    + len(regexp_extract_all(text, '(\\.\\.\\.)')))::DOUBLE
                   / n_tok
              ELSE 0.0 END) <= 0.1

@@ -224,6 +224,29 @@ def symbol_word_ratio(col: Column | str) -> Column:
     return F.when(n > 0, (hashes + dots) / n).otherwise(F.lit(0.0))
 
 
+def hash_word_ratio(col: Column | str) -> Column:
+    """'#' characters per whitespace token — one of Gopher Table A1's
+    two per-symbol ratios (each capped at 0.1 SEPARATELY; the combined
+    :func:`symbol_word_ratio` is a stricter variant kept as its own
+    signal column).  0.0 for token-less documents."""
+    c = F.col(col) if isinstance(col, str) else col
+    hashes = F.length(F.regexp_replace(c, r"[^#]", ""))
+    n = token_count(col)
+    return F.when(n > 0, hashes / n).otherwise(F.lit(0.0))
+
+
+def ellipsis_word_ratio(col: Column | str) -> Column:
+    """Ellipses ('…' chars plus literal '...' runs) per whitespace
+    token — the other Gopher Table A1 per-symbol ratio.  0.0 for
+    token-less documents."""
+    c = F.col(col) if isinstance(col, str) else col
+    ell = F.length(F.regexp_replace(c, r"[^…]", "")) + F.size(
+        F.regexp_extract_all(c, F.lit(r"(\.\.\.)"), 1)
+    )
+    n = token_count(col)
+    return F.when(n > 0, ell / n).otherwise(F.lit(0.0))
+
+
 # Gopher's stop-word must-contain list (Rae et al. 2021, Table A1:
 # "contains at least two of the following English words") — distinct
 # from the lang-id STOPWORDS lists, which are a different heuristic.
@@ -269,7 +292,12 @@ def gopher_quality_keep(
         & (n <= F.lit(int(max_words)))
         & (ml >= F.lit(float(min_mean_word_len)))
         & (ml <= F.lit(float(max_mean_word_len)))
-        & (symbol_word_ratio(col) <= F.lit(float(max_symbol_ratio)))
+        # Gopher caps the hash ratio and the ellipsis ratio at 0.1 EACH
+        # (Table A1: "symbol-to-word ratio greater than 0.1 for either
+        # the hash symbol or ellipsis") — not their sum, which would be
+        # stricter than the published filter (ADVICE r6).
+        & (hash_word_ratio(col) <= F.lit(float(max_symbol_ratio)))
+        & (ellipsis_word_ratio(col) <= F.lit(float(max_symbol_ratio)))
         & (bullet_line_ratio(col) <= F.lit(float(max_bullet_ratio)))
         & (ellipsis_line_ratio(col) <= F.lit(float(max_ellipsis_ratio)))
         & (alpha_word_ratio(col) >= F.lit(float(min_alpha_ratio)))

@@ -65,6 +65,32 @@ def test_gopher_quality_keep_clauses(spark):
     assert got == {1: True, 2: False, 3: False}
 
 
+def test_gopher_symbol_caps_are_per_symbol(spark):
+    """Gopher Table A1 caps the hash ratio and the ellipsis ratio at
+    0.1 EACH — a document whose two ratios are ~0.07 apiece (combined
+    ~0.14) must KEEP, while crossing either single cap must drop
+    (ADVICE r6: the old combined cap was stricter than the paper)."""
+    filler = (
+        "the quick brown fox jumps over that lazy dog and then have "
+        "some more words with good length " * 3
+    )  # 51 words, passes every other clause
+    both_under = filler + "# # # # ... ... ... ... end"  # ~4/63 each, sum ~0.13
+    hash_over = filler + "# " * 8               # hash ratio ~8/59 > 0.1
+    ell_over = filler + "... " * 8              # ellipsis ratio > 0.1
+    rows = [(1, both_under), (2, hash_over), (3, ell_over)]
+    df = spark.createDataFrame(rows, ["id", "t"]).select(
+        "id",
+        X.gopher_quality_keep("t").alias("keep"),
+        F.round(X.hash_word_ratio("t"), 6).alias("hr"),
+        F.round(X.ellipsis_word_ratio("t"), 6).alias("er"),
+    )
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["hr"] + got[1]["er"] > 0.1  # combined cap WOULD drop it
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["hr"] > 0.1
+    assert got[3]["keep"] is False and got[3]["er"] > 0.1
+
+
 def test_filter_sql_mirrors(spark, duck, sf_dir):
     """The SQL builders reproduce the Column semantics bit-for-bit on a
     planted multi-line corpus variant (fixture docs are single-line)."""

@@ -193,3 +193,45 @@ def test_ivf_assignment_paths_agree(spark, sf_dir):
     assert a == b
     with _pytest.raises(ValueError):
         S.ivf_topk(emb, q, centroids=cents, assign="bogus")
+
+
+def test_nearest_cells_arrow_bit_equals_expr(spark, sf_dir):
+    """ADVICE r6: pin nearest_cells_arrow == nearest_cells_expr
+    directly (not only via e09/e26 oracle hashes) over the FULL
+    embeddings fixture, a zero-norm vector, and adversarial tie /
+    half-up-boundary vectors — the numpy sign*floor(|x|*1e6+0.5)
+    emulation of Spark's HALF_UP round must agree element-for-element
+    with the Column form at every top_n position."""
+    import numpy as np
+
+    from sparkall_spark.operators import similarity as S
+
+    cents = np.random.default_rng(123).standard_normal((16, 64))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    extra = [
+        (100_000, [0.0] * dim),                  # zero-norm
+        (100_001, list(cents[3] / np.linalg.norm(cents[3]))),  # exact hit
+        (100_002, list(-cents[7])),              # exact anti-hit
+        (100_003, [1.0] + [0.0] * (dim - 1)),    # axis vector
+    ]
+    probe = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in extra],
+            "vec_id bigint, embedding array<double>",
+        )
+    )
+    for top_n in (1, 4):
+        got = (
+            probe.select(
+                "vec_id",
+                S.nearest_cells_arrow("embedding", cents, top_n).alias("a"),
+                S.nearest_cells_expr(
+                    F.col("embedding"), cents, top_n
+                ).alias("e"),
+            )
+            .collect()
+        )
+        assert len(got) == emb.count() + len(extra)
+        for r in got:
+            assert list(r["a"]) == list(r["e"]), (top_n, r["vec_id"])

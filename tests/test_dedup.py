@@ -513,6 +513,45 @@ def test_sentences_segmentation(spark):
     assert got[5] == ["Multi.", "space."]
 
 
+def test_minhash_shuffle_candidates_emitted_exactly_once(spark, sf_dir):
+    """r7: the shuffle path replaced the collision-stream distinct with
+    map-side first-matching-band emission — a pair colliding in k bands
+    must still appear exactly once, and the PPJoin prefix filter must
+    lose no qualifying pair (output identical to the broadcast path,
+    which uses an independent first-match mechanism)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = D.minhash_dedup_pairs(
+        docs, threshold=0.9, broadcast_reps=True, candidate_strategy="shuffle"
+    )
+    assert sh.groupBy("id_a", "id_b").count().filter("count > 1").count() == 0
+    bc = D.minhash_dedup_pairs(
+        docs, threshold=0.9, broadcast_reps=True,
+        candidate_strategy="broadcast",
+    )
+    a = sorted(map(tuple, sh.collect()))
+    b = sorted(map(tuple, bc.collect()))
+    assert a == b
+
+
+def test_prefix_len_matches_allpairs_bound(spark):
+    """_prefix_len must equal n - ceil(t*n) + 1 (the AllPairs/PPJoin
+    Jaccard prefix), never shorter — shorter would drop true pairs."""
+    import math
+
+    from sparkall_spark.operators.dedup import _prefix_len
+
+    rows = spark.createDataFrame([(n,) for n in range(1, 60)], ["n"])
+    for t in (0.5, 0.8, 0.9, 0.95):
+        got = {
+            r["n"]: r["p"]
+            for r in rows.select(
+                "n", _prefix_len(F.col("n"), t).alias("p")
+            ).collect()
+        }
+        for n in range(1, 60):
+            assert got[n] == n - math.ceil(t * n) + 1, (t, n)
+
+
 def test_sentence_dedup_first_occurrence_wins(spark):
     df = spark.createDataFrame(
         [

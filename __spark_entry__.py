@@ -1981,6 +1981,26 @@ def _e28_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("logw_micro").alias("a"),
         F.col("key_micro").alias("b"),
     )
+    # r7: the paper's actual feature space — hashed unigram+bigram
+    # occurrences in a fixed 10k-bucket domain (selection.py
+    # hashed-ngram family; models are <=n_buckets rows, always
+    # broadcast).  Same target/raw slices, independent seed.
+    th_model, th_unk = SEL.train_hashed_ngram_model(
+        docs.filter(F.col("lang") == "en"), n_buckets=10_000, max_n=2
+    )
+    rh_model, rh_unk = SEL.train_hashed_ngram_model(
+        docs.filter(F.col("doc_id") % 5 == 0), n_buckets=10_000, max_n=2
+    )
+    dsirh = SEL.dsir_select_hashed(
+        docs, th_model, th_unk, rh_model, rh_unk,
+        k=100, n_buckets=10_000, max_n=2, seed=13,
+    ).select(
+        F.lit("dsirh").alias("tag"),
+        "doc_id",
+        F.col("logw_micro").alias("a"),
+        F.col("key_micro").alias("b"),
+    )
+    dsir = dsir.unionByName(dsirh)
     from sparkall_spark.operators.pipeline import corpus_report
 
     report = corpus_report(docs).select(
@@ -1998,16 +2018,57 @@ def _e28_oracle_sql() -> str:
     the DSIR weight + Gumbel-key top-k.  The DSIR raw model is the
     doc_id%5 reference model (shared with the bucket leg) so the
     mirror trains two models, not three."""
-    from sparkall_spark.operators.selection import gumbel_micro_sql
+    from sparkall_spark.operators.selection import (
+        gumbel_micro_sql,
+        hashed_ngram_list_sql,
+    )
 
     tok = (
         "list_filter(regexp_split_to_array(lower(text), '\\s+'),"
         " x -> x <> '')"
     )
     g = gumbel_micro_sql("doc_id", seed=11)
+    gh = gumbel_micro_sql("doc_id", seed=13)
+    hng = hashed_ngram_list_sql("t", 10_000, 2)
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({tok}) AS token FROM documents),
+hfeat AS (
+  SELECT doc_id, unnest({hng}) AS bucket
+  FROM (SELECT doc_id, {tok} AS t FROM documents)),
+hraw AS (
+  SELECT bucket, count(*) AS c FROM hfeat
+  WHERE doc_id % 5 = 0 GROUP BY bucket),
+hrtot AS (SELECT coalesce(sum(c), 0) AS total FROM hraw),
+hrmodel AS (
+  SELECT bucket,
+         CAST(round(ln((c + 1.0) / (total + 10000)) * 1000000) AS BIGINT)
+           AS lp
+  FROM hraw, hrtot),
+hrunk AS (
+  SELECT CAST(round(ln(1.0 / (total + 10000)) * 1000000) AS BIGINT) AS u
+  FROM hrtot),
+htgt AS (
+  SELECT bucket, count(*) AS c FROM hfeat
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY bucket),
+httot AS (SELECT coalesce(sum(c), 0) AS total FROM htgt),
+htmodel AS (
+  SELECT bucket,
+         CAST(round(ln((c + 1.0) / (total + 10000)) * 1000000) AS BIGINT)
+           AS lp
+  FROM htgt, httot),
+htunk AS (
+  SELECT CAST(round(ln(1.0 / (total + 10000)) * 1000000) AS BIGINT) AS u
+  FROM httot),
+hweights AS (
+  SELECT f.doc_id, count(*) AS n_lm_tokens,
+         CAST(sum(coalesce(tm.lp, htunk.u) - coalesce(rm.lp, hrunk.u))
+              AS BIGINT) AS logw_micro
+  FROM hfeat f
+  LEFT JOIN htmodel tm USING (bucket)
+  LEFT JOIN hrmodel rm USING (bucket), htunk, hrunk
+  GROUP BY f.doc_id),
 ref AS (
   SELECT token, count(*) AS c FROM tok WHERE doc_id % 5 = 0
   GROUP BY token),
@@ -2079,6 +2140,12 @@ SELECT * FROM (
   SELECT 'dsir' AS tag, doc_id, logw_micro AS a,
          logw_micro + {g} AS b
   FROM dweights WHERE n_lm_tokens > 0
+  ORDER BY b DESC, doc_id LIMIT 100)
+UNION ALL
+SELECT * FROM (
+  SELECT 'dsirh' AS tag, doc_id, logw_micro AS a,
+         logw_micro + {gh} AS b
+  FROM hweights WHERE n_lm_tokens > 0
   ORDER BY b DESC, doc_id LIMIT 100)
 UNION ALL
 SELECT 'report' AS tag, CAST(count(*) AS BIGINT) AS doc_id,

@@ -455,3 +455,233 @@ def dsir_select_threshold(
         "dsir_select_threshold", id_col, text_col, seed, broadcast,
     )
     return keyed.filter(F.col("key_micro") >= F.lit(int(key_min_micro)))
+
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram DSIR features (Xie et al. 2023, §3.1) — the paper's
+# actual feature space.  The unigram forms above remain as the simpler
+# variant; these route the SAME weighting/keying machinery through
+# hashed unigram+bigram OCCURRENCES in a fixed bucket domain.
+
+
+def hashed_ngram_ids(
+    col: Column | str, n_buckets: int = 10_000, max_n: int = 2
+) -> Column:
+    """Array of hashed feature-bucket ids — one element per n-gram
+    OCCURRENCE for n = 1..``max_n`` (unigrams + bigrams by default,
+    the DSIR paper's feature map): each gram's engine-portable rolling
+    hash mod ``n_buckets``.
+
+    Occurrences, not distinct grams: the model is a bag-of-features
+    multinomial, so repeated grams must count repeatedly (unlike the
+    dedup shingle sets).  Pure Column expression — the token array is
+    let-bound so the split runs once per document, not once per gram.
+    """
+    from sparkall_spark.functions.text import let_bound, tokens
+    from sparkall_spark.operators.features import _portable_token_hash
+
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    raw = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+
+    def bucket(gram: Column) -> Column:
+        return F.pmod(_portable_token_hash(gram), F.lit(int(n_buckets))).cast(
+            "int"
+        )
+
+    def body(toks: Column) -> Column:
+        def gram_at(n: int):
+            # closure factory, NOT a default-arg lambda: F.transform
+            # inspects the callable's arity, and a second parameter
+            # (even a defaulted one) makes it pass the ELEMENT INDEX
+            # as that argument — `lambda i, _n=n:` silently binds _n
+            # to the index, shifting every n-gram (caught by the
+            # cross-engine mirror test).
+            return lambda i: bucket(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+        legs = [F.transform(toks, bucket)]
+        for n in range(2, max_n + 1):
+            idx = F.when(
+                F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+            ).otherwise(F.array().cast("array<int>"))
+            legs.append(F.transform(idx, gram_at(n)))
+        return F.concat(*legs) if len(legs) > 1 else legs[0]
+
+    return let_bound(raw, body)
+
+
+def hashed_ngram_list_sql(
+    t_ref: str = "t", n_buckets: int = 10_000, max_n: int = 2
+) -> str:
+    """DuckDB list-of-int expression mirroring :func:`hashed_ngram_ids`
+    over an ALREADY-TOKENIZED list column/expression ``t_ref`` — the
+    composable form for oracles that tokenize in their own CTE."""
+    from sparkall_spark.operators.features import _P_MOD
+
+    def h(gram: str) -> str:
+        return (
+            "CAST(list_reduce(list_prepend(0::BIGINT, "
+            f"[ascii(c)::BIGINT FOR c IN list_filter(string_split({gram},"
+            " ''), x -> x <> '')]),"
+            f" (acc, c) -> (acc * 31 + c) % {_P_MOD}) % {n_buckets} AS INT)"
+        )
+
+    legs = [f"list_transform({t_ref}, g -> {h('g')})"]
+    for n in range(2, max_n + 1):
+        gram = " || ' ' || ".join(f"{t_ref}[i+{j}]" for j in range(n))
+        legs.append(
+            f"CASE WHEN len({t_ref}) >= {n} THEN "
+            f"[{h('(' + gram + ')')} FOR i IN generate_series(1, "
+            f"len({t_ref}) - {n - 1})] ELSE [] END"
+        )
+    return " || ".join(legs)
+
+
+def hashed_ngram_ids_sql(
+    src: str, n_buckets: int = 10_000, max_n: int = 2
+) -> str:
+    """DuckDB mirror of :func:`hashed_ngram_ids` over the text
+    expression ``src`` — the oracle contract for tests and the driver
+    gate.  Returns a list-of-int expression."""
+    toks = (
+        f"list_filter(regexp_split_to_array(lower({src}), '\\s+'),"
+        " x -> x <> '')"
+    )
+    combined = hashed_ngram_list_sql("t", n_buckets, max_n)
+    return f"(SELECT {combined} FROM (SELECT {toks} AS t))"
+
+
+def train_hashed_ngram_model(
+    ref: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    max_n: int = 2,
+) -> tuple[DataFrame, int]:
+    """Add-one-smoothed multinomial over the FIXED hashed-feature
+    domain.  Returns ``(model, unk_logp_micro)``: the model has one
+    row per OBSERVED bucket with BIGINT ``logp_micro`` (same micro
+    quantization contract as ``lm.train_unigram_lm``); buckets never
+    seen in ``ref`` score ``unk = round(ln(1/(total+n_buckets))*1e6)``.
+
+    Because the feature domain is closed (exactly ``n_buckets``
+    outcomes), the smoothing denominator is ``total + n_buckets`` —
+    no vocabulary-size estimate, and the model is AT MOST
+    ``n_buckets`` rows, so it always broadcasts (a fixed-size
+    dictionary at any corpus scale, unlike a vocabulary model)."""
+    counts = (
+        ref.select(
+            F.explode(
+                hashed_ngram_ids(text_col, n_buckets, max_n)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("count"))
+    )
+    total = counts.agg(F.sum("count").cast("long")).first()[0] or 0
+    denom = float(total + n_buckets)
+    logp = F.log((F.col("count") + F.lit(1)).cast("double") / F.lit(denom))
+    model = counts.select(
+        "bucket",
+        F.round(logp * MICRO).cast("long").alias("logp_micro"),
+        logp.alias("logp"),
+    )
+    import math
+
+    unk = int(round(math.log(1.0 / denom) * MICRO))
+    return model, unk
+
+
+def dsir_weights_hashed(
+    docs: DataFrame,
+    target_model: DataFrame,
+    target_unk_micro: int,
+    raw_model: DataFrame,
+    raw_unk_micro: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    max_n: int = 2,
+    keep_empty: bool = True,
+) -> DataFrame:
+    """:func:`dsir_weights` over hashed n-gram features — the paper's
+    feature space.  ``target_model``/``raw_model`` come from
+    :func:`train_hashed_ngram_model` with the SAME ``n_buckets`` /
+    ``max_n`` (different values silently mis-bucket; the models are
+    bucket-keyed so there is nothing to cross-check at runtime).
+
+    Output schema matches :func:`dsir_weights`
+    (``id, n_lm_tokens, logw_micro`` — ``n_lm_tokens`` counts feature
+    occurrences here).  The combined model table is at most
+    ``n_buckets`` rows, so it is ALWAYS broadcast — the one join in
+    the plan is a fixed-size dictionary lookup regardless of corpus
+    size, which is the whole scale argument for hashing the features.
+    """
+    combined = F.broadcast(
+        target_model.select(
+            "bucket", F.col("logp_micro").alias("__lp_t")
+        ).join(
+            raw_model.select("bucket", F.col("logp_micro").alias("__lp_r")),
+            "bucket",
+            "full_outer",
+        )
+    )
+    feat = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            hashed_ngram_ids(text_col, n_buckets, max_n)
+        ).alias("bucket"),
+    )
+    per = (
+        feat.join(combined, "bucket", "left")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_lm_tokens"),
+            F.sum(
+                F.coalesce(F.col("__lp_t"), F.lit(int(target_unk_micro)))
+                - F.coalesce(F.col("__lp_r"), F.lit(int(raw_unk_micro)))
+            ).alias("logw_micro"),
+        )
+    )
+    if not keep_empty:
+        return per.select(
+            F.col("__id").alias(id_col), "n_lm_tokens", "logw_micro"
+        )
+    base = docs.select(F.col(id_col).alias("__id"))
+    return base.join(per, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_lm_tokens"), F.lit(0)).alias("n_lm_tokens"),
+        F.col("logw_micro"),
+    )
+
+
+def dsir_select_hashed(
+    docs: DataFrame,
+    target_model: DataFrame,
+    target_unk_micro: int,
+    raw_model: DataFrame,
+    raw_unk_micro: int,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    max_n: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """:func:`dsir_select` with hashed n-gram features: identical
+    Gumbel-top-k keying discipline (exact BIGINT keys, deterministic
+    per seed, TakeOrderedAndProject ranking), weights from
+    :func:`dsir_weights_hashed`."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    _require_numeric_id(docs, id_col, "dsir_select_hashed")
+    weighted = dsir_weights_hashed(
+        docs, target_model, target_unk_micro, raw_model, raw_unk_micro,
+        id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+        max_n=max_n, keep_empty=False,
+    )
+    keyed = weighted.withColumn(
+        "key_micro", F.col("logw_micro") + gumbel_micro(id_col, seed)
+    )
+    return keyed.orderBy(
+        F.col("key_micro").desc(), F.col(id_col).asc()
+    ).limit(int(k))

@@ -496,3 +496,168 @@ def test_bucket_thresholds_calibrate_map_only_form(docs):
     # empty sample fails loudly
     with pytest.raises(ValueError, match="empty sample"):
         S.bucket_thresholds(scored.filter("doc_id < 0"))
+
+
+# --- hashed n-gram DSIR (r7, Xie et al. 2023 feature space) ----------------
+
+HB = 10_000
+
+
+def _hashed_models_cte() -> str:
+    hng = S.hashed_ngram_list_sql("t", HB, 2)
+    return f"""
+hfeat AS (
+  SELECT doc_id, unnest({hng}) AS bucket
+  FROM (SELECT doc_id, {TOK} AS t FROM documents)),
+htgt AS (
+  SELECT bucket, count(*) AS c FROM hfeat
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY bucket),
+httot AS (SELECT coalesce(sum(c), 0) AS total FROM htgt),
+htmodel AS (
+  SELECT bucket,
+         CAST(round(ln((c + 1.0) / (total + {HB})) * 1000000) AS BIGINT)
+           AS lp
+  FROM htgt, httot),
+htunk AS (
+  SELECT CAST(round(ln(1.0 / (total + {HB})) * 1000000) AS BIGINT) AS u
+  FROM httot),
+hraw AS (SELECT bucket, count(*) AS c FROM hfeat GROUP BY bucket),
+hrtot AS (SELECT coalesce(sum(c), 0) AS total FROM hraw),
+hrmodel AS (
+  SELECT bucket,
+         CAST(round(ln((c + 1.0) / (total + {HB})) * 1000000) AS BIGINT)
+           AS lp
+  FROM hraw, hrtot),
+hrunk AS (
+  SELECT CAST(round(ln(1.0 / (total + {HB})) * 1000000) AS BIGINT) AS u
+  FROM hrtot),
+hper AS (
+  SELECT f.doc_id, count(*) AS n_lm_tokens,
+         CAST(sum(coalesce(tm.lp, htunk.u) - coalesce(rm.lp, hrunk.u))
+              AS BIGINT) AS logw_micro
+  FROM hfeat f
+  LEFT JOIN htmodel tm USING (bucket)
+  LEFT JOIN hrmodel rm USING (bucket), htunk, hrunk
+  GROUP BY f.doc_id),
+hweights AS (
+  SELECT d.doc_id,
+         CAST(coalesce(hper.n_lm_tokens, 0) AS BIGINT) AS n_lm_tokens,
+         hper.logw_micro
+  FROM documents d LEFT JOIN hper USING (doc_id))
+"""
+
+
+def _hashed_models(docs):
+    target, t_unk = S.train_hashed_ngram_model(
+        docs.filter(F.col("lang") == "en"), n_buckets=HB, max_n=2
+    )
+    raw, r_unk = S.train_hashed_ngram_model(docs, n_buckets=HB, max_n=2)
+    return target, t_unk, raw, r_unk
+
+
+def test_hashed_ngram_ids_matches_sql(docs, duck):
+    out = docs.select(
+        "doc_id", S.hashed_ngram_ids("text", HB, 2).alias("ids")
+    )
+    sql = f"SELECT doc_id, {S.hashed_ngram_ids_sql('text', HB, 2)} AS ids FROM documents"
+    assert_matches_oracle(out, duck, sql)
+
+
+def test_hashed_ngram_ids_counts_occurrences(spark):
+    """Occurrences, not distinct grams: 'a a a' has 3 unigram + 2
+    bigram features, and both bigrams hash identically."""
+    df = spark.createDataFrame([(1, "a a a")], ["doc_id", "text"])
+    ids = df.select(S.hashed_ngram_ids("text", HB, 2).alias("x")).first()["x"]
+    assert len(ids) == 5
+    assert len(set(ids[:3])) == 1 and len(set(ids[3:])) == 1
+    only_uni = df.select(
+        S.hashed_ngram_ids("text", HB, 1).alias("x")
+    ).first()["x"]
+    assert len(only_uni) == 3
+    with pytest.raises(ValueError, match="max_n"):
+        S.hashed_ngram_ids("text", HB, 0)
+
+
+def test_hashed_model_oracle(docs, duck):
+    raw, r_unk = S.train_hashed_ngram_model(docs, n_buckets=HB, max_n=2)
+    sql = (
+        "WITH " + _hashed_models_cte()
+        + "SELECT bucket, lp AS logp_micro FROM hrmodel"
+    )
+    assert_matches_oracle(
+        raw.select("bucket", "logp_micro"), duck, sql
+    )
+    # unk mirrors the closed-domain denominator
+    exp_unk = duck.execute(
+        "WITH " + _hashed_models_cte() + "SELECT u FROM hrunk"
+    ).fetchone()[0]
+    assert r_unk == exp_unk
+
+
+def test_dsir_weights_hashed_oracle(docs, duck):
+    target, t_unk, raw, r_unk = _hashed_models(docs)
+    out = S.dsir_weights_hashed(
+        docs, target, t_unk, raw, r_unk, n_buckets=HB, max_n=2
+    )
+    sql = "WITH " + _hashed_models_cte() + "SELECT * FROM hweights"
+    assert_matches_oracle(out, duck, sql)
+
+
+def test_dsir_select_hashed_oracle(docs, duck):
+    target, t_unk, raw, r_unk = _hashed_models(docs)
+    out = S.dsir_select_hashed(
+        docs, target, t_unk, raw, r_unk, k=40, n_buckets=HB, max_n=2,
+        seed=13,
+    )
+    g = S.gumbel_micro_sql("doc_id", seed=13)
+    sql = (
+        "WITH " + _hashed_models_cte()
+        + f"""
+SELECT doc_id, n_lm_tokens, logw_micro,
+       logw_micro + {g} AS key_micro
+FROM hweights WHERE n_lm_tokens > 0
+ORDER BY key_micro DESC, doc_id LIMIT 40
+"""
+    )
+    assert_matches_oracle(out, duck, sql)
+
+
+def test_dsir_hashed_prefers_target_like(spark):
+    """Bigram features separate word-ORDER domains that unigram DSIR
+    cannot: every document uses the same unigrams, only the target
+    half shares the target's bigrams."""
+    target_text = "alpha beta gamma delta " * 30
+    shuffled = "beta alpha delta gamma " * 30  # same unigrams, new bigrams
+    ref = spark.createDataFrame(
+        [(i, target_text) for i in range(5)], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(i, target_text if i % 2 == 0 else shuffled) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    target, t_unk = S.train_hashed_ngram_model(ref, n_buckets=HB, max_n=2)
+    raw, r_unk = S.train_hashed_ngram_model(corpus, n_buckets=HB, max_n=2)
+    out = S.dsir_select_hashed(
+        corpus, target, t_unk, raw, r_unk, k=10, n_buckets=HB, max_n=2,
+        seed=3,
+    )
+    picked = sorted(r["doc_id"] for r in out.collect())
+    assert picked == [i for i in range(20) if i % 2 == 0]
+    # the unigram models are blind to this corpus by construction
+    ut, ut_unk = L.train_unigram_lm(ref)
+    ur, ur_unk = L.train_unigram_lm(corpus)
+    uw = S.dsir_weights(corpus, ut, ut_unk, ur, ur_unk, keep_empty=False)
+    assert uw.select("logw_micro").distinct().count() == 1
+
+
+def test_dsir_hashed_model_broadcasts(docs):
+    target, t_unk, raw, r_unk = _hashed_models(docs)
+    out = S.dsir_weights_hashed(
+        docs, target, t_unk, raw, r_unk, n_buckets=HB, max_n=2
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan  # fixed-size dictionary lookup
+    assert "TakeOrderedAndProject" in _plan(
+        S.dsir_select_hashed(docs, target, t_unk, raw, r_unk, k=5)
+    )

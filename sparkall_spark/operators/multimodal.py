@@ -883,6 +883,320 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
+def _next_jpeg_marker(payload: bytes, pos: int) -> int:
+    """Position of the next real marker (0xFF followed by anything but
+    0x00 stuffing or an RSTn) at or after ``pos`` — how a scan's
+    entropy-coded segment is skipped or terminated."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00 and not (
+            0xD0 <= payload[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _jpeg_luma_progressive(payload: bytes) -> np.ndarray | None:
+    """REAL progressive-JPEG (SOF2) luma decode — the r6 VERDICT's last
+    ``fake://`` image class (~10% of a real web crawl).
+
+    Multi-scan coefficient accumulation per ITU-T T.81 Annex G.2:
+    spectral selection (each scan carries coefficient band Ss..Se) and
+    successive approximation (Ah/Al bit-plane refinement) over a
+    per-block int coefficient array, then one dequantize + IDCT pass at
+    EOI.  Only the Y component's coefficients are stored; interleaved
+    DC scans entropy-decode the chroma DCs to stay in sync, while
+    single-component chroma scans are skipped wholesale by jumping to
+    the next marker (scan data cannot contain an unstuffed 0xFF).
+    Restart markers reset DC predictors and the EOB run.  Returns None
+    for arithmetic/hierarchical/12-bit streams (still fake-marked).
+    """
+    if payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart = 0
+    ycoef: np.ndarray | None = None
+    y_id = None
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    i, n = 2, len(payload)
+    try:
+        while i + 2 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > n:
+                break
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            body = payload[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(body):
+                    prec, tid = body[j] >> 4, body[j] & 0x0F
+                    if prec != 0:
+                        return None
+                    qt[tid] = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=j + 1
+                    ).astype(np.float64)
+                    j += 65
+            elif marker == 0xC4:  # DHT (may be redefined between scans)
+                j = 0
+                while j < len(body):
+                    cls, tid = body[j] >> 4, body[j] & 0x0F
+                    counts = body[j + 1 : j + 17]
+                    syms = body[j + 17 : j + 17 + sum(counts)]
+                    table: dict[tuple[int, int], int] = {}
+                    code, k = 0, 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            table[(length, code)] = syms[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(cls, tid)] = table
+                    j += 17 + sum(counts)
+            elif marker == 0xC2:  # SOF2: progressive huffman
+                if len(body) < 6 or body[0] != 8:
+                    return None
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                nc = body[5]
+                if len(body) < 6 + 3 * nc or w <= 0 or h <= 0:
+                    return None
+                comps = [
+                    {
+                        "id": body[6 + 3 * c],
+                        "h": body[7 + 3 * c] >> 4,
+                        "v": body[7 + 3 * c] & 0x0F,
+                        "tq": body[8 + 3 * c],
+                    }
+                    for c in range(nc)
+                ]
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                y0 = comps[0]
+                y_id = y0["id"]
+                ycoef = np.zeros(
+                    (mcus_y * y0["v"], mcus_x * y0["h"], 64), dtype=np.int32
+                )
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # sequential handled elsewhere; arith/hier: no
+            elif marker == 0xDD:  # DRI
+                restart = int.from_bytes(body[0:2], "big")
+            elif marker == 0xDA:  # SOS: one progressive scan
+                if ycoef is None:
+                    return None
+                ns = body[0]
+                scomps = []
+                for c in range(ns):
+                    cid, tsel = body[1 + 2 * c], body[2 + 2 * c]
+                    comp = next(x for x in comps if x["id"] == cid)
+                    scomps.append(
+                        {**comp, "dc": tsel >> 4, "ac": tsel & 0x0F}
+                    )
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                a = body[3 + 2 * ns]
+                ah, al = a >> 4, a & 0x0F
+                data_start = i + 2 + seg_len
+                if ss > 0 and (ns != 1 or scomps[0]["id"] != y_id):
+                    # chroma AC scan: nothing we keep — skip wholesale
+                    i = _next_jpeg_marker(payload, data_start)
+                    continue
+                _decode_prog_scan(
+                    payload, data_start, scomps, ss, se, ah, al, huff,
+                    restart, (w, h, hmax, vmax, mcus_x, mcus_y),
+                    ycoef, y_id,
+                )
+                i = _next_jpeg_marker(payload, data_start)
+                continue
+            i += 2 + seg_len
+    except (IndexError, KeyError, StopIteration):
+        pass  # truncated stream: keep what accumulated
+    except ValueError:
+        return None
+    if ycoef is None or not comps:
+        return None
+    y0 = comps[0]
+    q = qt.get(y0["tq"])
+    if q is None:
+        return None
+    luma = np.zeros((ycoef.shape[0] * 8, ycoef.shape[1] * 8), dtype=np.float64)
+    for by in range(ycoef.shape[0]):
+        for bx in range(ycoef.shape[1]):
+            block = np.zeros(64, dtype=np.float64)
+            block[_ZIGZAG] = ycoef[by, bx].astype(np.float64) * q
+            luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _IDCT_M.T @ block.reshape(8, 8) @ _IDCT_M
+            ) + 128.0
+    y_h = -(-h * y0["v"] // vmax)
+    y_w = -(-w * y0["h"] // hmax)
+    return np.clip(luma[:y_h, :y_w], 0.0, 255.0).astype(np.float32)
+
+
+def _decode_prog_scan(
+    payload: bytes,
+    pos: int,
+    scomps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict,
+    restart: int,
+    geom: tuple[int, int, int, int, int, int],
+    ycoef: np.ndarray,
+    y_id,
+) -> None:
+    """Entropy-decode ONE progressive scan into the Y coefficient
+    array (T.81 G.2; refinement control flow follows the reference
+    implementation semantics of the standard): DC scans may be
+    interleaved (chroma DCs decoded to keep bit position, discarded),
+    AC scans are single-component by spec."""
+    w, h, hmax, vmax, mcus_x, mcus_y = geom
+    reader = _BitReader(payload, pos)
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+
+    def refine_nonzero(kk: int, blk: np.ndarray) -> None:
+        c = blk[kk]
+        if reader.bit() and not (abs(int(c)) & p1):
+            blk[kk] += p1 if c > 0 else m1
+
+    if ss == 0:
+        # ---- DC scan (first or refinement), possibly interleaved ----
+        preds = {c["id"]: 0 for c in scomps}
+        mcu_count = 0
+        if len(scomps) == 1:
+            c = scomps[0]
+            bw = -(-(-(-w * c["h"] // hmax)) // 8)
+            bh = -(-(-(-h * c["v"] // vmax)) // 8)
+            units = (
+                (c, by, bx) for by in range(bh) for bx in range(bw)
+            )
+        else:
+            units = (
+                (c, my * c["v"] + by, mx * c["h"] + bx)
+                for my in range(mcus_y)
+                for mx in range(mcus_x)
+                for c in scomps
+                for by in range(c["v"])
+                for bx in range(c["h"])
+            )
+        per_mcu = (
+            1
+            if len(scomps) == 1
+            else sum(c["v"] * c["h"] for c in scomps)
+        )
+        unit_i = 0
+        for c, by, bx in units:
+            if (
+                restart
+                and unit_i
+                and unit_i % (restart * per_mcu) == 0
+            ):
+                reader.align_restart()
+                preds = {x["id"]: 0 for x in scomps}
+            unit_i += 1
+            mcu_count += 1
+            is_y = c["id"] == y_id
+            if ah == 0:
+                s = _huff_decode(reader, huff[(0, c["dc"])])
+                diff = _extend(reader.bits(s), s) if s else 0
+                preds[c["id"]] += diff
+                if is_y:
+                    ycoef[by, bx, 0] = preds[c["id"]] << al
+            else:
+                bit = reader.bit()
+                if is_y and bit:
+                    ycoef[by, bx, 0] = int(ycoef[by, bx, 0]) | p1
+        return
+
+    # ---- AC scan: single component (Y — chroma was skipped upstream) -
+    c = scomps[0]
+    ac_tab_key = (1, c["ac"])
+    bw = -(-(-(-w * c["h"] // hmax)) // 8)
+    bh = -(-(-(-h * c["v"] // vmax)) // 8)
+    unit_i = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and unit_i and unit_i % restart == 0:
+                reader.align_restart()
+                eobrun = 0
+            unit_i += 1
+            blk = ycoef[by, bx]
+            if ah == 0:
+                # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(reader, huff[ac_tab_key])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow")
+                    blk[k] = _extend(reader.bits(s), s) * p1
+                    k += 1
+            else:
+                # refinement pass for this band
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(reader, huff[ac_tab_key])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            newval = 0
+                        else:
+                            newval = p1 if reader.bit() else m1
+                        # skip r zero-history coeffs, correcting
+                        # nonzero-history ones along the way
+                        while k <= se:
+                            if blk[k] != 0:
+                                refine_nonzero(k, blk)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if k <= se and newval:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # current block ends inside the EOB run: correction
+                    # bits for the remaining nonzero-history coeffs
+                    while k <= se:
+                        if blk[k] != 0:
+                            refine_nonzero(k, blk)
+                        k += 1
+                    eobrun -= 1
+
+
 def _jpeg_luma(payload: bytes) -> np.ndarray | None:
     """REAL baseline-JPEG luma decode: segment walk -> huffman entropy
     decode -> dequantize -> 8x8 IDCT (numpy basis multiply).  Only the
@@ -891,7 +1205,8 @@ def _jpeg_luma(payload: bytes) -> np.ndarray | None:
 
     Pure Python + numpy — slow (fine for feature extraction on small
     images; swap PIL in for production throughput) but exact.  Returns
-    None for progressive/arithmetic/12-bit streams (fake fallback)."""
+    None for progressive streams (decode_pixels retries those via
+    ``_jpeg_luma_progressive``) and arithmetic/12-bit ones (fake)."""
     if payload[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -1040,10 +1355,10 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
     """REAL pixel decode (pure Python/numpy, no native codec): BMP
     BI_RGB at 8 (palette)/24/32 bpp, binary PPM/PGM, PNG (stdlib zlib
     inflate + spec unfiltering), GIF (pure-Python LZW), and baseline
-    JPEG (huffman + numpy IDCT, luma plane).  Returns an HxW float32
-    luma array in 0..255 (Rec. 601 weights for color), or None for the
-    one rare encoding that still needs a native codec (progressive/
-    arithmetic JPEG)."""
+    JPEG — baseline AND progressive (huffman + numpy IDCT, luma
+    plane).  Returns an HxW float32 luma array in 0..255 (Rec. 601
+    weights for color), or None for the rare encodings that still need
+    a native codec (arithmetic/hierarchical/12-bit JPEG)."""
     if not payload or len(payload) < 14:
         return None
     # malformed compressed payloads are DATA at corpus scale, not
@@ -1060,7 +1375,12 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
             return None
     if payload[:2] == b"\xff\xd8":
         try:
-            return _jpeg_luma(payload)
+            luma = _jpeg_luma(payload)
+            if luma is None:
+                # baseline walker refuses SOF2: try the progressive
+                # (multi-scan) decoder; still None for arith/hier/12-bit
+                luma = _jpeg_luma_progressive(payload)
+            return luma
         except Exception:
             return None
     if payload[:2] in (b"P5", b"P6"):

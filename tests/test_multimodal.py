@@ -822,9 +822,301 @@ def test_jpeg_real_luma_decode_color_420_with_restarts():
     assert np.abs(luma - y).max() <= 4.0
 
 
-def test_jpeg_progressive_falls_back():
-    """A progressive SOF2 stream returns None from decode_pixels and
-    routes to the marked deterministic fake (header still real)."""
+def _jpeg_encode_progressive(y, cb=None, cr=None) -> bytes:
+    """Spec-straight PROGRESSIVE JPEG encoder (test-only, independent
+    of the decoder): canonical 8-bit huffman codes, all-ones quant.
+    Scan script exercises every decoder path — interleaved DC first
+    scan at Al=1, DC refinement, per-component spectral-selection AC
+    bands (1-5, 6-63) at Al=1, then AC refinement scans at Al=0 (the
+    correction-bit/EOBRUN machinery of T.81 G.1.2.3)."""
+    import struct
+
+    import numpy as np
+
+    Mx = np.zeros((8, 8))
+    k = np.arange(8)
+    Mx[:] = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    Mx[0, :] = 1.0
+    Mx *= np.sqrt(np.where(k == 0, 1.0, 2.0))[:, None] / np.sqrt(8.0)
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    dc_syms = list(range(12))
+    ac_syms = (
+        [r << 4 for r in range(15)]          # EOB / EOBRUN symbols
+        + [0xF0]                              # ZRL
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    dc_code = {s: (i, 8) for i, s in enumerate(dc_syms)}
+    ac_code = {s: (i, 8) for i, s in enumerate(ac_syms)}
+
+    def table_bytes(syms):
+        counts = [0] * 16
+        counts[7] = len(syms)
+        return bytes(counts) + bytes(syms)
+
+    color = cb is not None
+    planes = [y] + ([cb, cr] if color else [])
+    facs = [(2, 2), (1, 1), (1, 1)] if color else [(1, 1)]
+    h, w = y.shape
+    hmax = max(f[0] for f in facs)
+    vmax = max(f[1] for f in facs)
+    mcus_y, mcus_x = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+
+    # coefficient blocks per component, zigzag ints, padded to MCU grid
+    comp_blocks = []
+    for ci, plane in enumerate(planes):
+        fh, fv = facs[ci]
+        bh, bw = mcus_y * fv, mcus_x * fh
+        blocks = np.zeros((bh, bw, 64), dtype=np.int64)
+        ph, pw = plane.shape
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros((8, 8))
+                for yy in range(8):
+                    for xx in range(8):
+                        blk[yy, xx] = plane[
+                            min(by * 8 + yy, ph - 1), min(bx * 8 + xx, pw - 1)
+                        ]
+                coeff = Mx @ (blk - 128.0) @ Mx.T
+                blocks[by, bx] = np.round(coeff.ravel()[ZZ]).astype(np.int64)
+        comp_blocks.append(blocks)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (facs[ci][0] << 4) | facs[ci][1], 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, syms in ((0, dc_syms), (1, ac_syms)):
+        tb = table_bytes(syms)
+        out += (
+            b"\xff\xc4" + struct.pack(">H", 3 + len(tb)) + bytes([cls << 4]) + tb
+        )
+
+    bitbuf = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def flush_bits():
+        while len(bitbuf) % 8:
+            bitbuf.append(1)
+        for i in range(0, len(bitbuf), 8):
+            b = 0
+            for bit in bitbuf[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        bitbuf.clear()
+
+    def mag(v):
+        s = 0 if v == 0 else (v if v > 0 else -v).bit_length()
+        bits = v if v >= 0 else v + (1 << s) - 1
+        return s, bits
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body)
+
+    # --- scan 1: DC, all components interleaved, Al=1 ----------------
+    sos(list(range(1, nc + 1)), 0, 0, 0, 1)
+    preds = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                fh, fv = facs[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        v = int(comp_blocks[ci][my * fv + by, mx * fh + bx, 0]) >> 1
+                        s, bits = mag(v - preds[ci])
+                        preds[ci] = v
+                        put(*dc_code[s])
+                        if s:
+                            put(bits, s)
+    flush_bits()
+
+    # --- scan 2: DC refinement, Ah=1, Al=0 ----------------------------
+    sos(list(range(1, nc + 1)), 0, 0, 1, 0)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                fh, fv = facs[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        put(int(comp_blocks[ci][my * fv + by, mx * fh + bx, 0]) & 1, 1)
+    flush_bits()
+
+    def comp_units(ci):
+        fh, fv = facs[ci]
+        ph, pw = planes[ci].shape
+        bw = -(-pw // 8)
+        bh = -(-ph // 8)
+        return [(by, bx) for by in range(bh) for bx in range(bw)]
+
+    # --- AC first scans per component, two spectral bands, Al=1 ------
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            sos([ci + 1], ss, se, 0, 1)
+            eobrun = 0
+
+            def emit_eobrun():
+                nonlocal eobrun
+                if eobrun > 0:
+                    nbits = eobrun.bit_length() - 1
+                    put(*ac_code[nbits << 4])
+                    if nbits:
+                        put(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+
+            for by, bx in comp_units(ci):
+                blk = comp_blocks[ci][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    v = -((-v) >> 1) if v < 0 else v >> 1  # trunc toward 0
+                    if v == 0:
+                        r += 1
+                        continue
+                    emit_eobrun()
+                    while r > 15:
+                        put(*ac_code[0xF0])
+                        r -= 16
+                    s, bits = mag(v)
+                    put(*ac_code[(r << 4) | s])
+                    put(bits, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+            emit_eobrun()
+            flush_bits()
+
+    # --- AC refinement scans per component, Al=0 ---------------------
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            sos([ci + 1], ss, se, 1, 0)
+            eobrun = 0
+            pending: list[int] = []
+
+            def emit_pending():
+                for b in pending:
+                    put(b, 1)
+                pending.clear()
+
+            def emit_eobrun2():
+                nonlocal eobrun
+                if eobrun > 0:
+                    nbits = eobrun.bit_length() - 1
+                    put(*ac_code[nbits << 4])
+                    if nbits:
+                        put(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+                    emit_pending()
+
+            for by, bx in comp_units(ci):
+                blk = comp_blocks[ci][by, bx]
+                absv = [abs(int(blk[k])) for k in range(ss, se + 1)]
+                eob = 0  # 1-based offset of last newly-nonzero coeff
+                for j, a in enumerate(absv):
+                    if a == 1:
+                        eob = j + 1
+                r = 0
+                br: list[int] = []
+                for j, a in enumerate(absv):
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and j + 1 <= eob:
+                        emit_eobrun2()
+                        put(*ac_code[0xF0])
+                        r -= 16
+                        for b in br:
+                            put(b, 1)
+                        br.clear()
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    emit_eobrun2()
+                    put(*ac_code[(r << 4) | 1])
+                    put(1 if blk[ss + j] > 0 else 0, 1)
+                    for b in br:
+                        put(b, 1)
+                    br.clear()
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pending.extend(br)
+                    if eobrun == 0x7FFF:
+                        emit_eobrun2()
+            emit_eobrun2()
+            flush_bits()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_real_decode_grayscale():
+    """r7: progressive SOF2 decodes for REAL and matches the baseline
+    decode of the same image bit-for-bit (same coefficients, same
+    IDCT pipeline) — DC successive approximation + spectral-selection
+    bands + AC refinement + EOBRUN all exercised."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(13, 21)).astype(np.float64)
+    base = M.decode_pixels(_jpeg_encode(img))
+    prog = M.decode_pixels(_jpeg_encode_progressive(img))
+    assert prog is not None and prog.shape == (13, 21)
+    assert np.array_equal(base, prog)
+    assert np.abs(prog - img).max() <= 4.0
+    feats = M._decode_one(_jpeg_encode_progressive(img))
+    assert (feats["width"], feats["height"]) == (21, 13)
+    assert not str(feats.get("pixels_ref", "")).startswith("fake://")
+
+
+def test_jpeg_progressive_color_420_skips_chroma_scans():
+    """Color 4:2:0 progressive: chroma AC scans are skipped wholesale
+    (marker search), interleaved DC keeps stream sync — Y plane equals
+    the baseline decode exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    y = rng.integers(0, 256, size=(12, 20)).astype(np.float64)
+    cb = rng.integers(0, 256, size=(6, 10)).astype(np.float64)
+    cr = rng.integers(0, 256, size=(6, 10)).astype(np.float64)
+    base = M.decode_pixels(_jpeg_encode(y, cb, cr))
+    prog = M.decode_pixels(_jpeg_encode_progressive(y, cb, cr))
+    assert prog is not None and prog.shape == (12, 20)
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_flat_image_eobrun_path():
+    """A flat image makes EVERY AC band an EOB run spanning all blocks
+    (the EOBRUN accumulation path), and DC refinement still lands."""
+    import numpy as np
+
+    img = np.full((24, 24), 77, dtype=np.float64)
+    prog = M.decode_pixels(_jpeg_encode_progressive(img))
+    assert prog is not None
+    assert np.abs(prog - 77.0).max() <= 2.0
+
+
+def test_jpeg_headerless_progressive_still_falls_back():
+    """A SOF2 stream with no scan data / no quant tables still returns
+    None and routes to the marked deterministic fake (header real);
+    arithmetic coding (SOF10) keeps falling back too."""
     import struct
 
     sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 6, 10, 3)
@@ -832,6 +1124,8 @@ def test_jpeg_progressive_falls_back():
     assert M.decode_pixels(jpg) is None
     feats = M._decode_one(jpg)
     assert (feats["width"], feats["height"]) == (10, 6)  # header real
+    sof10 = b"\xff\xca" + struct.pack(">HBHHB", 11, 8, 6, 10, 3)
+    assert M.decode_pixels(b"\xff\xd8" + sof10 + b"\xff\xd9") is None
 
 
 # --- r4: REAL PCM WAV waveform decode -------------------------------------

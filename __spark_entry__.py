@@ -896,20 +896,35 @@ def _e03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local[32]).  broadcast_reps=True pins the verify/expansion joins
     # to broadcast (reps are thousands of rows) so AQE cannot re-decide
     # them per run on the unknown-cardinality candidate stream.
-    mh = D.minhash_dedup_pairs(
-        docs, threshold=0.9, broadcast_reps=True, candidate_strategy="shuffle"
-    ).select(F.lit("word").alias("family"), "id_a", "id_b", "jaccard")
-    # r6: bigram leg restored to the FULL corpus (r5 ran a deterministic
-    # 1/3 slice because failing clique candidates made verification
-    # ~6s).  Bigram sets collide rarely (3.7K collision rows, 356
-    # candidate pairs at sf0.1), so the broadcast strategy — no shuffle
-    # at all past the banded self-join — is the right physical plan.
-    ng = D.ngram_jaccard_pairs(
-        docs,
-        ngram=2,
-        threshold=0.9,
-        broadcast_reps=True,
-    ).select(F.lit("bigram").alias("family"), "id_a", "id_b", "jaccard")
+    # r7: the two legs are CONSTRUCTED on two threads — each
+    # construction runs an eager rep-table materialization job
+    # (coalescing toggle is lock-serialized in dedup.py, the jobs
+    # themselves overlap), and the word leg's ~1s sig pass previously
+    # sat on the critical path in front of the bigram leg's ~3s
+    # shingle+sig pass.  Spark job submission is thread-safe; the
+    # union's own stages already overlap inside one job.
+    import concurrent.futures as _fut
+
+    def _word():
+        return D.minhash_dedup_pairs(
+            docs, threshold=0.9, broadcast_reps=True,
+            candidate_strategy="shuffle",
+        ).select(F.lit("word").alias("family"), "id_a", "id_b", "jaccard")
+
+    def _bigram():
+        # r6: bigram leg restored to the FULL corpus (r5 ran a
+        # deterministic 1/3 slice because failing clique candidates made
+        # verification ~6s).  Bigram sets collide rarely (3.7K collision
+        # rows, 356 candidate pairs at sf0.1), so the broadcast strategy
+        # — no shuffle at all past the banded self-join — is the right
+        # physical plan.
+        return D.ngram_jaccard_pairs(
+            docs, ngram=2, threshold=0.9, broadcast_reps=True,
+        ).select(F.lit("bigram").alias("family"), "id_a", "id_b", "jaccard")
+
+    with _fut.ThreadPoolExecutor(max_workers=2) as pool:
+        f_mh, f_ng = pool.submit(_word), pool.submit(_bigram)
+        mh, ng = f_mh.result(), f_ng.result()
     return mh.unionByName(ng)
 
 

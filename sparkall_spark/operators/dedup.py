@@ -29,6 +29,8 @@ specific engine hash).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from sparkall_spark.functions.text import fingerprint, token_set, word_ngrams
@@ -38,6 +40,10 @@ from sparkall_spark.functions.text import fingerprint, token_set, word_ngrams
 # transform a*h+b stays under 2^63 (Spark 4 runs ANSI mode: silent
 # overflow is an error).  Coefficients from a fixed LCG seed.
 _P = (1 << 31) - 1
+
+# serializes the session-conf toggle around eager cache materialization
+# (see _minhash_rep_graph) against concurrent graph construction
+_COAL_LOCK = threading.Lock()
 
 
 def _coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -454,14 +460,19 @@ def _minhash_rep_graph(
     # a single task (measured 6-10s/pass at sf0.1; 32-way it is <0.5s).
     # Toggling the conf costs nothing at scale (the exchange keeps its
     # configured partition count; no extra shuffle is introduced).
+    # The toggle is guarded by a module lock so two graphs materializing
+    # CONCURRENTLY (e.g. a caller building the word and bigram legs on
+    # two threads) cannot interleave set/restore and leave the session
+    # with coalescing permanently off.
     sess = df.sparkSession
     _coal = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev = sess.conf.get(_coal, "true")
-    sess.conf.set(_coal, "false")
-    try:
-        sig.count()
-    finally:
-        sess.conf.set(_coal, prev)
+    with _COAL_LOCK:
+        prev = sess.conf.get(_coal, "true")
+        sess.conf.set(_coal, "false")
+        try:
+            sig.count()
+        finally:
+            sess.conf.set(_coal, prev)
     # length-filter bucket (set-similarity length filtering, as in
     # AllPairs/PPJoin): j >= t forces min(|A|,|B|)/max >= t, i.e.
     # |ln n_a - ln n_b| <= ln(1/t) — with buckets of that width,
@@ -502,17 +513,15 @@ def _minhash_rep_graph(
     )
 
     if cand_broadcast:
-        # Rebalance the probe side before the candidate join: it derives
-        # from a tiny cached aggregate (reps), so without an explicit
-        # round-robin the 48x-exploding verify stage inherits the
-        # aggregate's few/uneven partitions and runs on a fraction of
-        # the cores (measured 3.3s -> 1.4s steady-state at sf0.1; the
-        # shuffle itself is reps*bands slim rows — noise next to the
-        # join it feeds).  The shuffle path needs no rebalance: its
-        # join exchanges by key and AQE skew-split handles balance.
-        probe = probe.repartition(
-            df.sparkSession.sparkContext.defaultParallelism
-        )
+        # NO probe rebalance (r7): the r6 repartition here predated the
+        # coalescing-suspended eager materialization above — with it,
+        # the cached `sig` keeps the full `spark.sql.shuffle.partitions`
+        # fan-out of the reps groupBy (hash-spread on __fp, so balanced),
+        # and posexplode preserves partitioning.  The repartition was
+        # re-shuffling the 48x-exploded probe WITH its signature/shingle
+        # arrays — 76 MB write+read on the sf0.1 bigram leg, ~0.6 s of
+        # pure overhead (measured WITH 2.4-2.8 s vs WITHOUT 2.0 s).
+        #
         # Two SMALL broadcast builds instead of one fat one (the build
         # side is collected to the driver and shipped to every executor,
         # so its bytes are first-run latency): (1) the slim banded table
@@ -618,13 +627,19 @@ def _minhash_rep_graph(
             & (F.col("x.__pb") == F.col("y.__sb"))
             & (F.col("x.__fp") < F.col("y.__fp"))
             & size_ok
+            # exactly-once emission: keep the collision only in the
+            # first band whose hashes agree (replaces .distinct()).
+            # Ordered BEFORE the prefix filter: this is a bounded
+            # scalar when-chain that kills ~(bands-1)/bands of the
+            # collision stream, while arrays_overlap builds a hash set
+            # per evaluation (jstack'd as the Long-boxing/OpenHashSet
+            # hot frames when it ran first) — And short-circuits, so
+            # the allocating conjunct must see the deduped stream.
+            & (_first_match_band(bands) == F.col("x.band") + 1)
             # PPJoin prefix filter (see _prefix_len): a pair whose
             # hash-order prefixes share no token cannot reach the
             # threshold — dead before the candidate even exists.
-            & F.arrays_overlap(F.col("x.__pfx"), F.col("y.__pfx"))
-            # exactly-once emission: keep the collision only in the
-            # first band whose hashes agree (replaces .distinct()).
-            & (_first_match_band(bands) == F.col("x.band") + 1),
+            & F.arrays_overlap(F.col("x.__pfx"), F.col("y.__pfx")),
         )
         .select(F.col("x.__fp").alias("fp_a"), F.col("y.__fp").alias("fp_b"))
     )
@@ -639,6 +654,12 @@ def _minhash_rep_graph(
         # exact intersection.
         sigma = (threshold * (1 - threshold) / num_hashes) ** 0.5
         est_cutoff = max(0.0, threshold - 6 * sigma)
+        # zip_with + filter, NOT an unrolled element_at sum: unrolling
+        # k=64 comparisons into one Add tree was measured 10x SLOWER
+        # (41s vs 4s word-leg at sf0.1) — the expression blows the
+        # whole-stage-codegen method budget and the entire stage falls
+        # back to interpreted eval, costing far more than the two
+        # array allocations zip_with pays per candidate.
         est = (
             F.size(
                 F.filter(
@@ -714,8 +735,10 @@ def minhash_dedup_pairs(
        CPU-heavy part, and coalescing serialized it into one task).
        The toggle is session-global: queries planned CONCURRENTLY on
        the same SparkSession during that window are planned with
-       coalescing off.  Applies to all ``minhash_dedup_*`` /
-       ``ngram_jaccard_*`` entry points.
+       coalescing off.  Concurrent ``minhash_dedup_*`` /
+       ``ngram_jaccard_*`` constructions themselves are safe (a module
+       lock serializes the set/restore), but unrelated threads planning
+       other queries can still observe the off state.
     """
     assert num_hashes % bands == 0
     base = _with_shingles(df, id_col, text_col, ngram)

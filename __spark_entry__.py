@@ -1972,9 +1972,34 @@ def _e28_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("a"),
         F.lit(None).cast("bigint").alias("b"),
     )
-    ref_model, ref_unk = L.train_unigram_lm(
-        docs.filter(F.col("doc_id") % 5 == 0)
-    )
+    # r7: the four model trainings each run ONE eager totals job over a
+    # persisted counts table (lm.py/selection.py now cache the counts,
+    # so training touches its corpus slice once) — and the four jobs
+    # are independent, so they run on a thread pool instead of
+    # serializing ~4 sequential driver jobs at construction time.
+    import concurrent.futures as _fut
+
+    with _fut.ThreadPoolExecutor(max_workers=4) as pool:
+        f_ref = pool.submit(
+            L.train_unigram_lm, docs.filter(F.col("doc_id") % 5 == 0)
+        )
+        f_tgt = pool.submit(
+            L.train_unigram_lm, docs.filter(F.col("lang") == "en")
+        )
+        f_th = pool.submit(
+            SEL.train_hashed_ngram_model,
+            docs.filter(F.col("lang") == "en"),
+            n_buckets=10_000, max_n=2,
+        )
+        f_rh = pool.submit(
+            SEL.train_hashed_ngram_model,
+            docs.filter(F.col("doc_id") % 5 == 0),
+            n_buckets=10_000, max_n=2,
+        )
+        ref_model, ref_unk = f_ref.result()
+        target_model, target_unk = f_tgt.result()
+        th_model, th_unk = f_th.result()
+        rh_model, rh_unk = f_rh.result()
     scored = L.lm_score(docs, ref_model, ref_unk).select(
         "doc_id", "n_lm_tokens", "sum_logp_micro"
     )
@@ -1983,9 +2008,6 @@ def _e28_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("sum_logp_micro").alias("a"),
         F.col("n_lm_tokens").alias("b"),
-    )
-    target_model, target_unk = L.train_unigram_lm(
-        docs.filter(F.col("lang") == "en")
     )
     dsir = SEL.dsir_select(
         docs, target_model, target_unk, ref_model, ref_unk,
@@ -1999,13 +2021,8 @@ def _e28_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r7: the paper's actual feature space — hashed unigram+bigram
     # occurrences in a fixed 10k-bucket domain (selection.py
     # hashed-ngram family; models are <=n_buckets rows, always
-    # broadcast).  Same target/raw slices, independent seed.
-    th_model, th_unk = SEL.train_hashed_ngram_model(
-        docs.filter(F.col("lang") == "en"), n_buckets=10_000, max_n=2
-    )
-    rh_model, rh_unk = SEL.train_hashed_ngram_model(
-        docs.filter(F.col("doc_id") % 5 == 0), n_buckets=10_000, max_n=2
-    )
+    # broadcast).  Same target/raw slices, independent seed; the models
+    # were trained on the pool above.
     dsirh = SEL.dsir_select_hashed(
         docs, th_model, th_unk, rh_model, rh_unk,
         k=100, n_buckets=10_000, max_n=2, seed=13,

@@ -31,6 +31,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from sparkall_spark.functions.text import tokens
+from sparkall_spark.operators._cache import persist_tracked
 
 MICRO = 1_000_000
 
@@ -47,8 +48,16 @@ def train_unigram_lm(
 
     The only driver-side data is the two-number totals row; token
     counting is a distributed map-side-combined aggregation.
+
+    The counts table is persisted (released via
+    ``operators._cache.release_caches``): the totals pass below
+    materializes it, so the model's later broadcast/shuffle build reads
+    the cache instead of re-tokenizing the reference corpus — training
+    touches the corpus ONCE, which at real scale halves the cost of
+    every ``train_*`` call (the model is vocabulary-sized, far smaller
+    than the corpus it summarizes).
     """
-    counts = (
+    counts = persist_tracked(
         ref.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("count"))
@@ -190,9 +199,15 @@ def train_bigram_lm(
     are exact integer ratios evaluated in double — identical on every
     engine — so a SQL mirror reproduces scoring bit-for-bit (up to the
     accepted last-ulp-of-ln class).  Both tables are vocabulary-scale;
-    the only driver-side data is the two-number totals row."""
-    pos = _positions(ref, ref.columns[0], text_col)
-    uni = pos.groupBy("w").agg(F.count("*").alias("c"))
+    the only driver-side data is the two-number totals row.
+
+    ``pos`` (the exploded corpus positions) feeds THREE aggregations
+    (unigram counts, bigram counts, context counts) and ``uni`` feeds
+    two (totals + the model) — both are persisted so the reference
+    corpus is tokenized exactly once per training call (released via
+    ``operators._cache.release_caches``)."""
+    pos = persist_tracked(_positions(ref, ref.columns[0], text_col))
+    uni = persist_tracked(pos.groupBy("w").agg(F.count("*").alias("c")))
     total, vocab = uni.agg(
         F.sum("c").cast("long"), F.count("*").cast("long")
     ).first()

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from sparkall_spark.operators._cache import persist_tracked
 from sparkall_spark.operators.sampling import _M, _mix, mix_sql
 
 MICRO = 1_000_000
@@ -567,8 +568,13 @@ def train_hashed_ngram_model(
     outcomes), the smoothing denominator is ``total + n_buckets`` —
     no vocabulary-size estimate, and the model is AT MOST
     ``n_buckets`` rows, so it always broadcasts (a fixed-size
-    dictionary at any corpus scale, unlike a vocabulary model)."""
-    counts = (
+    dictionary at any corpus scale, unlike a vocabulary model).
+
+    ``counts`` is persisted (released via
+    ``operators._cache.release_caches``) so the eager totals pass and
+    the model's broadcast build share one featurize pass over ``ref``
+    — same single-corpus-pass contract as ``lm.train_unigram_lm``."""
+    counts = persist_tracked(
         ref.select(
             F.explode(
                 hashed_ngram_ids(text_col, n_buckets, max_n)

@@ -2595,15 +2595,46 @@ ovsh AS (SELECT gram FROM ovga INTERSECT SELECT gram FROM ovgb),
 
 
 def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clusters: iterative connected components over
-    the *representative* minhash graph (operators/dedup.py:
-    minhash_dedup_clusters — intra-clique member pairs are never
-    materialized).  Oracle: recursive-CTE closure over the exact-jaccard
-    pair set."""
+    """Two near-dup dedup MODES over the same machinery, tagged and
+    unioned (the family pattern of e09/e14/e21/e28):
+
+    - 'cluster': transitive near-dup clusters — iterative connected
+      components over the *representative* minhash graph
+      (operators/dedup.py: minhash_dedup_clusters — intra-clique member
+      pairs are never materialized); val = cluster_rep.  Oracle:
+      recursive-CTE closure over the exact-jaccard pair set.
+    - 'mhinc' (r7): the INCREMENTAL mode (minhash_ledger_table +
+      minhash_dedup_incremental) — doc_id % 4 == 1 is the
+      already-ingested corpus whose ledger is persisted, doc_id % 8 == 0
+      the arriving batch; emits the batch docs that survive (no
+      verified >=0.9-jaccard neighbor in the corpus ledger, no
+      smaller-id dominating batch survivor); val = distinct-token-set
+      size.  At t=0.9 the fixture's qualifying pairs are identical
+      token sets, so LSH recall is exact and the all-pairs mirror
+      matches bit-for-bit.  broadcast knobs pinned (ingest batches are
+      bounded by contract)."""
+    from sparkall_spark.functions.text import token_set
+
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_dedup_clusters(
+    clusters = D.minhash_dedup_clusters(
         docs, threshold=0.9, broadcast_reps=True
-    ).select("doc_id", "cluster_rep")
+    ).select(
+        F.lit("cluster").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_rep").cast("bigint").alias("val"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 4 == 1)
+    batch = docs.filter(F.col("doc_id") % 8 == 0)
+    ledger = D.minhash_ledger_table(corpus)
+    kept, _delta = D.minhash_dedup_incremental(
+        batch, ledger, broadcast_reps=True, candidate_strategy="broadcast"
+    )
+    mhinc = kept.select(
+        F.lit("mhinc").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(token_set("text")).cast("bigint").alias("val"),
+    )
+    return clusters.unionByName(mhinc)
 
 
 _E22_ORACLE = """
@@ -2620,8 +2651,29 @@ edges AS (SELECT ia u, ib v FROM pairs UNION ALL SELECT ib, ia FROM pairs),
 reach(node, r) AS (
   SELECT doc_id, doc_id FROM t
   UNION
-  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node)
-SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node),
+mcorpus AS (SELECT * FROM t WHERE doc_id % 4 = 1 AND len(toks) > 0),
+mbatch  AS (SELECT * FROM t WHERE doc_id % 8 = 0),
+mdrop AS (
+  SELECT DISTINCT b.doc_id
+  FROM mbatch b JOIN mcorpus c
+    ON len(b.toks) > 0
+   AND len(list_intersect(b.toks, c.toks))::DOUBLE
+       / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9),
+msurv AS (
+  SELECT * FROM mbatch
+  WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)),
+mdom AS (
+  SELECT DISTINCT b.doc_id
+  FROM msurv b JOIN msurv a
+    ON a.doc_id < b.doc_id AND len(a.toks) > 0 AND len(b.toks) > 0
+   AND len(list_intersect(a.toks, b.toks))::DOUBLE
+       / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)
+SELECT 'cluster' AS family, node AS doc_id, min(r) AS val
+FROM reach GROUP BY node
+UNION ALL
+SELECT 'mhinc' AS family, doc_id, CAST(len(toks) AS BIGINT) AS val
+FROM msurv WHERE doc_id NOT IN (SELECT doc_id FROM mdom)
 """
 
 

@@ -281,20 +281,20 @@ def _prefix_len(n: Column, threshold: float) -> Column:
     return (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
 
 
-def _first_match_band(bands: int) -> Column:
-    """1-based index of the first band where the x and y signature
-    band-hash arrays agree, as an UNROLLED when-chain of scalar
-    comparisons — pure whole-stage-codegen, no per-row array
-    allocation (the zip_with+array_position form allocates two arrays
-    per collision, the dominant cost of the broadcast path on dense
-    collision streams).  Pairs colliding in k bands are emitted from
-    exactly one (`this == band+1`), replacing a distinct shuffle of
-    the entire collision stream."""
+def _first_match_band(
+    bands: int, a: str = "x.__bhs", b: str = "y.__bhs"
+) -> Column:
+    """1-based index of the first band where the two band-hash arrays
+    agree, as an UNROLLED when-chain of scalar comparisons — pure
+    whole-stage-codegen, no per-row array allocation (the
+    zip_with+array_position form allocates two arrays per collision,
+    the dominant cost of the broadcast path on dense collision
+    streams).  Pairs colliding in k bands are emitted from exactly one
+    (`this == band+1`), replacing a distinct shuffle of the entire
+    collision stream."""
     out = None
     for i in range(1, bands + 1):
-        hit = F.element_at(F.col("x.__bhs"), i) == F.element_at(
-            F.col("y.__bhs"), i
-        )
+        hit = F.element_at(F.col(a), i) == F.element_at(F.col(b), i)
         out = F.when(hit, i) if out is None else out.when(hit, i)
     return out.otherwise(bands + 1)
 
@@ -873,6 +873,220 @@ def minhash_dedup(
     pairs = minhash_dedup_pairs(df, id_col, text_col, **kwargs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def minhash_ledger_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """The NEAR-DUP ledger row for every document: what an incremental
+    ingest pipeline persists per kept document so later batches can be
+    near-dup-checked against the corpus WITHOUT recomputing it (the
+    minhash analog of :func:`exact_dedup_incremental`'s fingerprint
+    ledger).
+
+    One row per input document (empty documents — no shingles — are
+    skipped: they cannot near-dup match anything):
+
+    - ``id_col``: the document id, passed through;
+    - ``n_shingles`` INT: distinct-shingle count (size filtering);
+    - ``shingle_hashes`` ARRAY<BIGINT>: the sorted 64-bit hashes of the
+      distinct shingle set (exact-Jaccard verification);
+    - ``band_hashes`` ARRAY<INT>: per-band LSH hashes (candidate
+      generation).
+
+    Map-side only — no shuffle, no join; write it partitioned however
+    the corpus is partitioned.  The hash columns are engine-internal
+    (JVM xxhash64), so a ledger must be produced and consumed by the
+    SAME parameters: ``ngram`` / ``num_hashes`` / ``bands`` / ``seed``
+    mismatches between the ledger build and
+    :func:`minhash_dedup_incremental` silently break candidate
+    generation — store the parameters next to the ledger.
+
+    Scale: the ledger is corpus-sized but hash-only — ~8 bytes per
+    distinct shingle plus ~4 per band, orders of magnitude smaller than
+    the text it summarizes.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    base = _with_shingles(docs, id_col, text_col, ngram)
+    return (
+        base.withColumn("__shh", F.array_sort(F.transform("__sh", _token_hash)))
+        .withColumn("__sig", F.expr(_sig_sql("__shh", num_hashes, seed)))
+        .select(
+            F.col("__id").alias(id_col),
+            F.size("__shh").cast("int").alias("n_shingles"),
+            F.col("__shh").alias("shingle_hashes"),
+            F.expr(_band_hashes_sql("__sig", bands, rows)).alias("band_hashes"),
+        )
+    )
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    ledger: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+    broadcast_reps: bool | None = None,
+    candidate_strategy: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """NEAR-duplicate-dedup an incoming batch against an already-
+    ingested corpus — the day-to-day shape of a continuous-crawl
+    pipeline, where re-running pairwise dedup over the historical 100 TB
+    per ingest is a non-starter.  Completes the incremental family:
+    :func:`exact_dedup_incremental` catches byte-identical reingests,
+    this catches boilerplate-shifted / lightly-edited ones.
+
+    ``ledger`` is the persisted :func:`minhash_ledger_table` of every
+    previously KEPT document (``None`` = cold start, within-batch dedup
+    only).  Returns ``(kept, ledger_delta)``:
+
+    - ``kept``: the batch rows that survive BOTH checks below, all
+      input columns preserved;
+    - ``ledger_delta``: the :func:`minhash_ledger_table` rows of the
+      kept documents, to APPEND to the ledger — a projection of the
+      same plan, not a recompute.
+
+    A batch document is dropped when
+
+    1. it has a verified near-duplicate in the ledger
+       (``exact jaccard >= threshold`` against the ledger's shingle
+       hashes — LSH banding only *proposes*, the exact verify decides;
+       per-true-pair miss odds ``(1-t^r)^b``, ~4e-8 at the defaults), or
+    2. a SMALLER-ID corpus-surviving batch document near-duplicates it
+       (the dominated rule — deliberately non-recursive, like
+       :func:`semdedup`'s greedy min-id keep, so the kept set is a pure
+       function of the batch + ledger and a SQL mirror needs no
+       recursion; a greedy *sequential* sweep would additionally keep
+       documents whose only competitor was itself dropped).
+
+    Idempotent: replaying an already-applied batch finds every document
+    at jaccard 1.0 against its own ledger row and keeps nothing —
+    except EMPTY documents (no shingles), which carry no ledger row and
+    pass through every time; run :func:`exact_dedup_incremental` ahead
+    of this (as a real ingest does anyway) to pin those byte-exactly.
+
+    Scale: the ledger is read in ONE pass with ZERO corpus-side
+    shuffle — the batch's band table and per-doc signature table are
+    both broadcast, candidates are generated and exact-verified inside
+    the scan (first-matching-band + size filters prune map-side), and
+    only the dropped-id set (bounded by the batch size) shuffles.  The
+    batch must therefore be BROADCASTABLE (bands table: ~24 B x bands
+    per doc; signature table: ~8 B per distinct shingle per doc) —
+    size ingest ticks accordingly (1e4..1e6 documents), or fall back to
+    ``minhash_dedup_pairs`` over ``corpus UNION batch`` for a one-shot
+    backfill.  The within-batch check reuses the pair machinery at
+    batch scale.  ``broadcast_reps`` / ``candidate_strategy`` forward
+    to that within-batch pair machinery — ingest batches are bounded,
+    so pinning ``broadcast_reps=True`` skips its counted strategy gate
+    (one Spark job per ingest tick).
+
+    Eager-materialization + session-conf note: see
+    :func:`minhash_dedup_pairs`.
+    """
+    assert num_hashes % bands == 0
+    sigs = _persist(
+        minhash_ledger_table(
+            new_docs, id_col, text_col, ngram, num_hashes, bands, seed
+        )
+    )
+
+    survivors = new_docs
+    if ledger is not None:
+        # persisted: the dropped-id set (bounded by the batch) anchors
+        # BOTH the within-batch machinery's eager materialization job
+        # and the final kept/delta plans — without the cache the
+        # one-pass ledger probe would run once per consumer
+        vs_ledger = _persist(
+            _ledger_dropped_ids(sigs, ledger, id_col, bands, threshold)
+        )
+        survivors = survivors.join(vs_ledger, id_col, "left_anti")
+    # within-batch: dominated rule over the corpus survivors — any doc
+    # with a smaller-id verified near-dup goes (pair machinery handles
+    # exact-dup cliques via its rep collapse; batch-sized throughout)
+    pairs = minhash_dedup_pairs(
+        survivors, id_col, text_col, ngram, num_hashes, bands, threshold,
+        seed, broadcast_reps=broadcast_reps,
+        candidate_strategy=candidate_strategy,
+    )
+    dominated = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = survivors.join(dominated, id_col, "left_anti")
+    delta = sigs.join(
+        kept.select(id_col), id_col, "left_semi"
+    )
+    return kept, delta
+
+
+def _ledger_dropped_ids(
+    sigs: DataFrame,
+    ledger: DataFrame,
+    id_col: str,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Batch ids with a verified near-dup in the ledger — ONE pass over
+    the ledger, zero corpus-side shuffle.
+
+    The batch's slim band probe and its per-doc signature table are
+    both broadcast; the ledger scan generates candidates (band-hash
+    equality + size filter), dedups them (first matching band), and
+    exact-verifies jaccard, all map-side.  Only the bounded dropped-id
+    set shuffles (the final distinct).
+    """
+    batch_bands = sigs.select(
+        F.col(id_col).alias("__bid"),
+        F.col("n_shingles").alias("__bn"),
+        F.posexplode("band_hashes").alias("__bband", "__bh"),
+    )
+    batch_sets = sigs.select(
+        F.col(id_col).alias("__bid"),
+        F.col("shingle_hashes").alias("__bshh"),
+        F.col("band_hashes").alias("__bbhs"),
+    )
+    led = ledger.select(
+        F.col("n_shingles").alias("__ln"),
+        F.col("shingle_hashes").alias("__lshh"),
+        F.col("band_hashes").alias("__lbhs"),
+        F.posexplode("band_hashes").alias("__band", "__lbh"),
+    )
+    size_ok = (
+        F.col("__bn") * F.lit(1.0) >= F.lit(threshold) * F.col("__ln")
+    ) & (F.col("__ln") * F.lit(1.0) >= F.lit(threshold) * F.col("__bn"))
+    inter = F.size(
+        F.array_intersect(F.col("__lshh"), F.col("__bshh"))
+    ).cast("double")
+    union = F.col("__bn") + F.col("__ln") - inter
+    return (
+        led.join(
+            F.broadcast(batch_bands),
+            (F.col("__band") == F.col("__bband"))
+            & (F.col("__lbh") == F.col("__bh"))
+            & size_ok,
+        )
+        .join(F.broadcast(batch_sets), "__bid")
+        # exactly-once per (ledger doc, batch doc): first matching
+        # band only — later-band duplicates die before the verify
+        .filter(
+            _first_match_band(bands, "__lbhs", "__bbhs")
+            == F.col("__band") + 1
+        )
+        .filter(
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+            >= threshold
+        )
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
 
 
 def simhash(hash_array: Column, bits: int = 64) -> Column:

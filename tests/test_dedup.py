@@ -621,3 +621,150 @@ def test_sentence_dedup_preserves_order_and_extra_columns(spark):
     assert out[10]["meta"] == "keep-me"
     assert out[11]["text"] == ""
     assert out[11]["meta"] == "extra"
+
+
+# --- r7: incremental NEAR-dup dedup against a minhash ledger ---------------
+
+
+def test_minhash_incremental_constructed_semantics(spark):
+    """Constructed corpus/batch: ledger near-dups die, within-batch
+    dominated docs die, unique docs survive, empty docs pass through
+    (documented) and never enter the delta."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # identical to corpus doc 1 -> dropped via ledger
+            (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # unique -> kept
+            (101, "completely fresh material nothing shared anywhere"),
+            # identical within-batch pair, no corpus match:
+            # 102 kept (min id), 103 dominated
+            (102, "red orange yellow green blue indigo violet pink brown black"),
+            (103, "red orange yellow green blue indigo violet pink brown black"),
+            # empty -> kept (documented pass-through), absent from delta
+            (104, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    ledger = D.minhash_ledger_table(corpus)
+    kept, delta = D.minhash_dedup_incremental(batch, ledger)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [101, 102, 104]
+    assert sorted(r["doc_id"] for r in delta.collect()) == [101, 102]
+    assert delta.columns == [
+        "doc_id", "n_shingles", "shingle_hashes", "band_hashes",
+    ]
+
+
+def test_minhash_incremental_idempotent_replay(spark):
+    """Appending the delta and replaying the same batch keeps nothing
+    (every doc is jaccard 1.0 against its own ledger row)."""
+    corpus = spark.createDataFrame(
+        [(1, "base corpus document with some tokens inside it")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "a brand new document about ships and harbors"),
+            (11, "another new document about trains and stations"),
+        ],
+        ["doc_id", "text"],
+    )
+    ledger = D.minhash_ledger_table(corpus)
+    kept, delta = D.minhash_dedup_incremental(batch, ledger)
+    assert kept.count() == 2
+    ledger2 = ledger.unionByName(delta)
+    kept2, delta2 = D.minhash_dedup_incremental(batch, ledger2)
+    assert kept2.count() == 0
+    assert delta2.count() == 0
+
+
+def test_minhash_incremental_cold_start_equals_dominated_dedup(spark, sf_dir):
+    """ledger=None reduces to the within-batch dominated rule — exactly
+    minhash_dedup (drop every id that appears as a pair's id_b)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept, delta = D.minhash_dedup_incremental(docs, None)
+    expected = {r["doc_id"] for r in D.minhash_dedup(docs).collect()}
+    got = {r["doc_id"] for r in kept.collect()}
+    assert got == expected
+    # delta covers every kept doc that has shingles
+    n_nonempty = docs.filter(
+        F.size(F.split(F.trim("text"), r"\s+")) > 0
+    ).count()
+    assert delta.count() <= kept.count()
+
+
+def test_minhash_incremental_matches_sql_mirror(spark, duck, sf_dir):
+    """Fixture split 3:1 into corpus/batch; kept set equals the
+    non-recursive mirror (no ledger near-dup, no smaller-id dominating
+    survivor) computed via all-pairs exact jaccard in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    ledger = D.minhash_ledger_table(corpus)
+    kept, _delta = D.minhash_dedup_incremental(batch, ledger)
+    got = sorted(r["doc_id"] for r in kept.collect())
+    expected = [
+        r[0]
+        for r in duck.execute(
+            """
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) toks
+          FROM documents),
+        corpus AS (SELECT * FROM t WHERE doc_id % 4 != 0 AND len(toks) > 0),
+        batch  AS (SELECT * FROM t WHERE doc_id % 4 = 0),
+        dropped_l AS (
+          SELECT DISTINCT b.doc_id
+          FROM batch b JOIN corpus c
+            ON len(b.toks) > 0
+           AND len(list_intersect(b.toks, c.toks))::DOUBLE
+               / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9),
+        surv AS (
+          SELECT * FROM batch
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropped_l)),
+        dom AS (
+          SELECT DISTINCT b.doc_id
+          FROM surv b JOIN surv a
+            ON a.doc_id < b.doc_id AND len(a.toks) > 0 AND len(b.toks) > 0
+           AND len(list_intersect(a.toks, b.toks))::DOUBLE
+               / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)
+        SELECT doc_id FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM dom)
+        ORDER BY doc_id
+        """
+        ).fetchall()
+    ]
+    assert got == expected
+    assert len(expected) > 0
+
+
+def test_minhash_incremental_ledger_scan_is_broadcast_joined(spark):
+    """The vs-ledger check must read the ledger with broadcast joins
+    only — no shuffle of the corpus side (the 100 TB contract)."""
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i} with shared filler tokens")
+         for i in range(1, 40)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100, "corpus doc number 7 with shared filler tokens")],
+        ["doc_id", "text"],
+    )
+    ledger = D.minhash_ledger_table(corpus)
+    sigs = D.minhash_ledger_table(batch)
+    dropped = D._ledger_dropped_ids(sigs, ledger, "doc_id", 16, 0.9)
+    plan = dropped._jdf.queryExecution().executedPlan().toString()
+    # both batch attachments broadcast; the ledger side is never
+    # sort-merge-exchanged — its only Exchange is the final bounded
+    # dropped-id distinct
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert [r["doc_id"] for r in dropped.collect()] == [100]

@@ -278,6 +278,25 @@ def prepare_documents(
     return deduped
 
 
+def _read_ledger(spark, path: str) -> DataFrame | None:
+    """Read a parquet ledger, treating ONLY a missing path as a cold
+    start; a corrupt or unreadable ledger must propagate — swallowing
+    it would silently disable cross-batch dedup for the ingest and
+    append duplicates."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        get_cond = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: None
+        )
+        cls = get_cond() or ""
+        if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
+            raise
+        return None
+
+
 def ingest_documents(
     spark,
     new_docs: DataFrame,
@@ -286,6 +305,8 @@ def ingest_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_seen: bool = False,
+    near_ledger_path: str | None = None,
+    near_threshold: float = 0.9,
 ) -> int:
     """Incremental corpus ingest: dedup ``new_docs`` against the
     fingerprint ledger at ``ledger_path``
@@ -293,35 +314,34 @@ def ingest_documents(
     to the parquet corpus at ``corpus_path``, then append their
     fingerprints to the ledger.  Returns the number of rows ingested.
 
-    Consistency contract: the ledger is a DERIVED INDEX of the corpus,
-    not an independent source of truth.  Writes happen corpus-first, so
-    a failure between the two appends can leave corpus rows missing
-    from the ledger — a retried ingest would then re-append those rows
-    (duplicates in the corpus, never losses).  Repair is mechanical:
-    :func:`rebuild_ledger` recomputes the ledger from the corpus, and a
-    one-off `exact_dedup` pass removes any duplicate rows.  (Atomic
-    multi-file commits belong to a table format; this sink stays plain
-    parquet on purpose.)
+    ``near_ledger_path`` additionally enables NEAR-dup ingest dedup
+    (`operators.dedup.minhash_dedup_incremental`): after the exact
+    gate, batch documents with a verified ``>= near_threshold``-jaccard
+    neighbor in the minhash ledger (or a smaller-id surviving batch
+    neighbor) are dropped, and the kept documents' ledger rows are
+    appended there.  The exact gate stays FIRST — it is cheaper and
+    pins empty documents, which the near gate passes through by
+    design.
+
+    Consistency contract: the ledgers are DERIVED INDEXES of the
+    corpus, not independent sources of truth.  Writes happen
+    corpus-first, so a failure between the appends can leave corpus
+    rows missing from a ledger — a retried ingest would then re-append
+    those rows (duplicates in the corpus, never losses; for the near
+    ledger, missed future near-dups, never losses).  Repair is
+    mechanical: :func:`rebuild_ledger` / :func:`rebuild_near_ledger`
+    recompute a ledger from the corpus, and a one-off ``exact_dedup``
+    pass removes any duplicate rows.  (Atomic multi-file commits belong
+    to a table format; this sink stays plain parquet on purpose.)
     """
-    from pyspark.errors import AnalysisException
+    from sparkall_spark.operators.dedup import (
+        exact_dedup_incremental,
+        minhash_dedup_incremental,
+    )
 
-    from sparkall_spark.operators.dedup import exact_dedup_incremental
-
-    try:
-        seen = spark.read.parquet(ledger_path)
-    except AnalysisException as e:
-        # ONLY a missing ledger is a cold start; a corrupt or unreadable
-        # ledger must propagate — swallowing it would silently disable
-        # cross-batch dedup for the ingest and append duplicates.
-        get_cond = getattr(e, "getCondition", None) or getattr(
-            e, "getErrorClass", lambda: None
-        )
-        cls = get_cond() or ""
-        if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
-            raise
-        seen = None
+    seen = _read_ledger(spark, ledger_path)
     # Persist ONE plan carrying BOTH the documents and their
-    # fingerprints, and derive the two appends from it: separate lazy
+    # fingerprints, and derive the appends from it: separate lazy
     # plans would each recompute the dedup + anti-join, and if
     # ``new_docs`` is not a stable snapshot the recomputations can
     # diverge — a fingerprint recorded without its document permanently
@@ -331,19 +351,56 @@ def ingest_documents(
         new_docs, seen, id_col=id_col, text_col=text_col,
         broadcast_seen=broadcast_seen, keep_fingerprint_col=True,
     )
-    kept_fp = kept_fp.persist()
+    pinned = [kept_fp.persist()]
+    kept_fp = pinned[0]
+    mh_delta = None
     try:
+        kept_fp.count()
+        if near_ledger_path is not None:
+            near_seen = _read_ledger(spark, near_ledger_path)
+            # the minhash signature table inside is persisted (operator
+            # cache registry — released by the caller's unit-of-work
+            # boundary, e.g. per micro-batch in stream_ingest_documents),
+            # so the delta append below derives from the same cached
+            # plan as the kept rows — no divergent recompute
+            kept_fp, mh_delta = minhash_dedup_incremental(
+                kept_fp, near_seen, id_col=id_col, text_col=text_col,
+                threshold=near_threshold,
+            )
+            pinned.append(kept_fp.persist())
+            # LINEAGE-TRUNCATED, not merely cached: appending to a
+            # parquet path INVALIDATES (uncaches) every plan that
+            # transitively reads it, and the delta's lineage reads BOTH
+            # ledger paths — a persisted-but-lineage-bearing delta
+            # consumed after the exact-ledger append recomputes against
+            # the just-updated ledger and silently comes back EMPTY
+            # (observed: near-ledger rows never recorded, breaking
+            # cross-batch near-dedup).  The delta is ledger-rows-of-the-
+            # kept-batch small, so the eager local checkpoint is cheap.
+            mh_delta = mh_delta.localCheckpoint(eager=True)
         n = kept_fp.count()
         if n:
+            # write order: every consumer runs BEFORE the append that
+            # would invalidate its lineage — corpus (invalidates no
+            # ledger read), exact ledger (kept_fp is never consumed
+            # again), near ledger last (the delta is checkpoint-backed,
+            # immune).  A crash between the ledger appends leaves the
+            # near ledger missing this batch's rows: a replay is still
+            # dropped by the EXACT ledger (no duplicates), and future
+            # near-dups of these docs slip through until
+            # rebuild_near_ledger — missed dedup, never losses.
             kept_fp.drop("fingerprint").write.mode("append").parquet(
                 corpus_path
             )
             kept_fp.select("fingerprint").write.mode("append").parquet(
                 ledger_path
             )
+            if mh_delta is not None:
+                mh_delta.write.mode("append").parquet(near_ledger_path)
         return n
     finally:
-        kept_fp.unpersist()
+        for df in pinned:
+            df.unpersist()
 
 
 def rebuild_ledger(
@@ -360,6 +417,31 @@ def rebuild_ledger(
         .distinct()
         .write.mode("overwrite")
         .parquet(ledger_path)
+    )
+
+
+def rebuild_near_ledger(
+    spark,
+    corpus_path: str,
+    near_ledger_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_params,
+) -> None:
+    """Recompute the minhash near-dup ledger from the corpus (repair
+    path for a failed near-dup :func:`ingest_documents`; also the
+    migration path for a corpus that predates near-dup ingest).  Pass
+    the SAME ``ngram``/``num_hashes``/``bands``/``seed`` the ingest
+    uses — see ``minhash_ledger_table``'s parameter-pinning warning."""
+    from sparkall_spark.operators.dedup import minhash_ledger_table
+
+    corpus = spark.read.parquet(corpus_path)
+    (
+        minhash_ledger_table(
+            corpus, id_col=id_col, text_col=text_col, **minhash_params
+        )
+        .write.mode("overwrite")
+        .parquet(near_ledger_path)
     )
 
 

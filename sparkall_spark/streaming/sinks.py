@@ -133,6 +133,8 @@ def stream_ingest_documents(
     text_col: str = "text",
     broadcast_seen: bool = False,
     trigger_once: bool = True,
+    near_ledger_path: str | None = None,
+    near_threshold: float = 0.9,
 ):
     """Continuous corpus ingest: the streaming twin of
     ``operators.pipeline.ingest_documents``.  Every micro-batch dedups
@@ -156,6 +158,13 @@ def stream_ingest_documents(
     is the corpus lifetime (vs the watermark-bounded
     ``stream_exact_dedup``, which trades horizon for latency).
 
+    ``near_ledger_path`` (r7) additionally drops NEAR-duplicates of any
+    earlier-ingested document: each micro-batch runs the one-ledger-pass
+    minhash check (``operators.dedup.minhash_dedup_incremental``) after
+    the exact gate and appends the kept documents' signature rows.
+    Same content-level idempotence: a replayed batch finds itself at
+    jaccard 1.0 and keeps nothing; repair via ``rebuild_near_ledger``.
+
     Returns the started StreamingQuery (``availableNow`` by default —
     drain what exists, then stop; pass ``trigger_once=False`` for a
     continuous query).
@@ -163,15 +172,26 @@ def stream_ingest_documents(
     from sparkall_spark.operators.pipeline import ingest_documents
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
-        ingest_documents(
-            batch.sparkSession,
-            batch,
-            corpus_path,
-            ledger_path,
-            id_col=id_col,
-            text_col=text_col,
-            broadcast_seen=broadcast_seen,
-        )
+        from sparkall_spark.operators._cache import release_caches
+
+        try:
+            ingest_documents(
+                batch.sparkSession,
+                batch,
+                corpus_path,
+                ledger_path,
+                id_col=id_col,
+                text_col=text_col,
+                broadcast_seen=broadcast_seen,
+                near_ledger_path=near_ledger_path,
+                near_threshold=near_threshold,
+            )
+        finally:
+            # each micro-batch is a unit of work: drop the operator
+            # caches the near-dup machinery registered, or a
+            # long-running query accumulates stale blocks batch by
+            # batch (the r6 storage-pressure lesson)
+            release_caches()
 
     w = (
         stream_docs.writeStream.foreachBatch(_apply)

@@ -175,3 +175,61 @@ def test_stream_ingest_documents_ledger_dedup(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_stream_ingest_documents_near_dup_ledger(spark, tmp_path):
+    """r7: near-dup streaming ingest — a REORDERED near-copy (same
+    token set, different byte content, so the exact fingerprint gate
+    passes it) is dropped via the minhash ledger, within-batch and
+    cross-batch; fresh-checkpoint replay appends nothing."""
+    from sparkall_spark.streaming.sinks import stream_ingest_documents
+
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    corpus = str(tmp_path / "nd_corpus")
+    ledger = str(tmp_path / "nd_ledger")
+    near = str(tmp_path / "nd_near")
+    schema = "doc_id bigint, text string"
+
+    def stream():
+        return spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+
+    def run(ck):
+        q = stream_ingest_documents(
+            stream(), corpus, ledger, str(tmp_path / ck),
+            near_ledger_path=near,
+        )
+        q.awaitTermination(120)
+
+    # wave 1: doc 3 is a token-reorder of doc 1 (jaccard 1.0, different
+    # fingerprint) -> dominated within-batch; docs 1 and 2 land
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "one two three four"),
+            (3, "delta gamma beta alpha"),
+        ],
+        schema,
+    ).write.parquet(str(src / "w1"))
+    run("nd_ck1")
+    got1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 2}
+    assert spark.read.parquet(near).count() == 2
+
+    # wave 2: doc 4 reorders doc 2 (cross-batch near-dup -> dropped via
+    # the near ledger), doc 5 is new
+    spark.createDataFrame(
+        [(4, "four three two one"), (5, "fresh words entirely here")],
+        schema,
+    ).write.parquet(str(src / "w2"))
+    run("nd_ck1")
+    got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {1, 2, 5}
+    assert spark.read.parquet(near).count() == 3
+
+    # fresh-checkpoint full replay: both ledgers make it a no-op
+    run("nd_ck2")
+    assert spark.read.parquet(corpus).count() == 3
+    assert spark.read.parquet(near).count() == 3

@@ -205,12 +205,16 @@ def main() -> None:
     for rnd in range(3):
         for name in BENCH_QUERIES:
             fn = queries[name]
-            # storm watchdog: if this pass exceeds 4x the entry's best
-            # known time (min 20s), snapshot executor stacks once —
-            # turning the irreproducible long-session variance storms
-            # into attributable stderr evidence.
+            # storm watchdog: if this pass exceeds 2.5x the entry's
+            # best known time (floor 4s), snapshot executor stacks once
+            # — turning the irreproducible long-session variance storms
+            # into attributable stderr evidence.  The floor was 20s in
+            # the first r7 cut, which could never catch the e24
+            # pass-aging the r6 driver recorded (1.8 -> 6.7s): sub-10s
+            # entries age in single-digit seconds.  Budget stays 2
+            # captures/run, so a spurious trip costs one stderr block.
             prior = [t for t in all_times[name] if t > 0]
-            threshold = max(20.0, 4.0 * min(prior)) if prior else 60.0
+            threshold = max(4.0, 2.5 * min(prior)) if prior else 60.0
             t0 = time.perf_counter()
             fired = threading.Timer(
                 threshold,

@@ -1327,7 +1327,32 @@ def _e27_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("vec_id", "j", "val")
         .select(F.lit("rp").alias("tag"), "vec_id", "j", "val")
     )
-    return km.unionByName(rp)
+    # r7: logistic-regression quality classifier (operators/logreg.py)
+    # — full-batch GD over portable-hashed token counts with exact
+    # integer micro-gradient sums, so the LEARNED WEIGHTS (tag 'lr',
+    # vec_id = bucket, bias at -1) and the per-doc decision margins
+    # (tag 'lrscore', every 17th doc) hash-match the unrolled-CTE
+    # mirror bit-for-bit.  Label: lang == 'en'.
+    from sparkall_spark.operators.logreg import logreg_score, train_logreg
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn("__y", (F.col("lang") == "en").cast("int"))
+    wts, bias = train_logreg(labeled, "__y", n_buckets=64, iters=3)
+    lr_rows = spark.createDataFrame(
+        [(j, int(w)) for j, w in enumerate(wts)] + [(-1, int(bias))],
+        "vec_id bigint, val bigint",
+    ).select(F.lit("lr").alias("tag"), "vec_id", F.lit(0).alias("j"), "val")
+    lrscore = (
+        logreg_score(docs, wts, bias)
+        .filter(F.col("doc_id") % 17 == 0)
+        .select(
+            F.lit("lrscore").alias("tag"),
+            F.col("doc_id").alias("vec_id"),
+            F.lit(0).alias("j"),
+            F.col("margin_micro").alias("val"),
+        )
+    )
+    return km.unionByName(rp).unionByName(lr_rows).unionByName(lrscore)
 
 
 def _e27_oracle_sql() -> str:
@@ -1342,6 +1367,13 @@ def _e27_oracle_sql() -> str:
         "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM selfin",
     )
     proj = project_micro_sql("embedding", dim=64, k=8, seed=97)
+    from sparkall_spark.operators.logreg import (
+        logreg_oracle_sql,
+        logreg_scores_oracle_sql,
+    )
+
+    lr = logreg_oracle_sql("lang = 'en'", n_buckets=64, iters=3)
+    lrs = logreg_scores_oracle_sql("lang = 'en'", n_buckets=64, iters=3)
     return f"""
 SELECT 'kmeans' AS tag, vec_id, CAST(0 AS INT) AS j, cell AS val
 FROM ({sql}) km
@@ -1350,6 +1382,13 @@ SELECT 'rp' AS tag, vec_id, CAST(j - 1 AS INT) AS j, pm[j] AS val
 FROM (
   SELECT vec_id, unnest(range(1, len(pm) + 1)) AS j, pm
   FROM (SELECT vec_id, {proj} AS pm FROM embeddings) p) q
+UNION ALL
+SELECT 'lr' AS tag, b AS vec_id, CAST(0 AS INT) AS j, w AS val
+FROM ({lr}) lw
+UNION ALL
+SELECT 'lrscore' AS tag, doc_id AS vec_id, CAST(0 AS INT) AS j,
+       margin_micro AS val
+FROM ({lrs}) ls WHERE doc_id % 17 = 0
 """
 
 

@@ -125,6 +125,8 @@ def bloom_might_contain(
     literal shift count), so names needing backticks — dots, spaces,
     reserved words — resolve like any other DataFrame column; either
     names or Columns are accepted."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     c = F.col(col) if isinstance(col, str) else col
     bm = F.col(bitmap_col) if isinstance(bitmap_col, str) else bitmap_col
     cond = None

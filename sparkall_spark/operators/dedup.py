@@ -41,9 +41,42 @@ from sparkall_spark.functions.text import fingerprint, token_set, word_ngrams
 # overflow is an error).  Coefficients from a fixed LCG seed.
 _P = (1 << 31) - 1
 
-# serializes the session-conf toggle around eager cache materialization
-# (see _minhash_rep_graph) against concurrent graph construction
+# Refcounted session-conf toggle around eager cache materialization
+# (see _minhash_rep_graph): the LOCK guards only the set/restore
+# bookkeeping — the materialization jobs themselves run OUTSIDE it, so
+# concurrent graph constructions (e.g. word + bigram legs on two
+# threads) genuinely overlap; the conf is restored when the LAST
+# holder exits.
 _COAL_LOCK = threading.Lock()
+_COAL_DEPTH = 0
+_COAL_PREV = "true"
+
+
+class _coalescing_suspended:
+    """Context manager: spark.sql.adaptive.coalescePartitions.enabled
+    = false for the dynamic extent, concurrency-safe via refcount."""
+
+    _KEY = "spark.sql.adaptive.coalescePartitions.enabled"
+
+    def __init__(self, spark):
+        self._spark = spark
+
+    def __enter__(self):
+        global _COAL_DEPTH, _COAL_PREV
+        with _COAL_LOCK:
+            if _COAL_DEPTH == 0:
+                _COAL_PREV = self._spark.conf.get(self._KEY, "true")
+                self._spark.conf.set(self._KEY, "false")
+            _COAL_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _COAL_DEPTH
+        with _COAL_LOCK:
+            _COAL_DEPTH -= 1
+            if _COAL_DEPTH == 0:
+                self._spark.conf.set(self._KEY, _COAL_PREV)
+        return False
 
 
 def _coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -241,23 +274,52 @@ def _with_shingles(
     # The under-parallelism check is `df.inputFiles()` — logical-plan
     # file listing only, NO physical planning (`.rdd.getNumPartitions()`
     # would force planning of the whole upstream plan per operator call,
-    # r6 VERDICT "What's wrong" #3).  File count lower-bounds scan
-    # partitions; at real scale inputs carry thousands of files and this
-    # is a no-op, so no extra corpus shuffle is introduced.  Non-file
-    # inputs (joins over views, in-memory relations) report no files and
-    # are left untouched — callers with an under-parallel complex
+    # r6 VERDICT "What's wrong" #3).  File COUNT alone over-fires on
+    # few-large-file layouts (8 x 5 GB parquet splits into hundreds of
+    # scan partitions by maxPartitionBytes — forcing a full corpus
+    # shuffle there would be the expensive mistake), so when the count
+    # is small enough to matter, the estimate is refined with the
+    # actual file SIZES (a handful of driver FS stats).  At real scale
+    # inputs carry thousands of files and this is a no-op.  Non-file
+    # inputs (joins over views, in-memory relations) report no files
+    # and are left untouched — callers with an under-parallel complex
     # upstream should `.repartition()` before calling.
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_files = 0
-    if 0 < n_files < max(2, par // 2):
-        df = df.repartition(par)
+        files = []
+    threshold = max(2, par // 2)
+    if 0 < len(files) < threshold:
+        est = _estimated_scan_splits(df.sparkSession, files)
+        if est < threshold:
+            df = df.repartition(par)
     sh = word_ngrams(text_col, ngram) if ngram > 1 else token_set(text_col)
     return df.select(F.col(id_col).alias("__id"), sh.alias("__sh")).filter(
         F.size("__sh") > 0
     )
+
+
+def _estimated_scan_splits(spark, files: list[str]) -> int:
+    """Splits the scan will produce for these files, from sizes and
+    ``spark.sql.files.maxPartitionBytes`` (splittable formats get
+    ``ceil(size/maxPartitionBytes)`` each).  Driver-side FS stats only
+    — called when the file COUNT is already small, so this is a
+    handful of metadata calls.  On any failure, returns the file count
+    (the conservative pre-r7 behavior: small count -> repartition)."""
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        mpb = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            total += max(1, -(-int(size) // mpb))
+        return total
+    except Exception:
+        return len(files)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -460,19 +522,11 @@ def _minhash_rep_graph(
     # a single task (measured 6-10s/pass at sf0.1; 32-way it is <0.5s).
     # Toggling the conf costs nothing at scale (the exchange keeps its
     # configured partition count; no extra shuffle is introduced).
-    # The toggle is guarded by a module lock so two graphs materializing
-    # CONCURRENTLY (e.g. a caller building the word and bigram legs on
-    # two threads) cannot interleave set/restore and leave the session
-    # with coalescing permanently off.
-    sess = df.sparkSession
-    _coal = "spark.sql.adaptive.coalescePartitions.enabled"
-    with _COAL_LOCK:
-        prev = sess.conf.get(_coal, "true")
-        sess.conf.set(_coal, "false")
-        try:
-            sig.count()
-        finally:
-            sess.conf.set(_coal, prev)
+    # Refcounted toggle (set/restore under a lock, the JOB outside it):
+    # two graphs materializing concurrently overlap their counts and
+    # cannot interleave set/restore into a stuck session conf.
+    with _coalescing_suspended(df.sparkSession):
+        sig.count()
     # length-filter bucket (set-similarity length filtering, as in
     # AllPairs/PPJoin): j >= t forces min(|A|,|B|)/max >= t, i.e.
     # |ln n_a - ln n_b| <= ln(1/t) — with buckets of that width,

@@ -119,9 +119,23 @@ def train_logreg(
             F.col(label_col).cast("int").alias("__y"),
         )
     )
-    n_docs = lbl.count()
+    # one aggregate validates the label contract AND materializes the
+    # cache: a NULL label would otherwise surface as a NULL gradient
+    # sum -> TypeError deep in the update fold, far from the cause
+    n_docs, n_lbl, lo, hi = lbl.agg(
+        F.count(F.lit(1)), F.count("__y"), F.min("__y"), F.max("__y")
+    ).first()
     if n_docs == 0:
         raise ValueError("cannot train on an empty corpus")
+    if n_lbl != n_docs:
+        raise ValueError(
+            f"label_col {label_col!r} has {n_docs - n_lbl} NULLs — labels "
+            "must be 0/1 for every row (filter or fill first)"
+        )
+    if lo < 0 or hi > 1:
+        raise ValueError(
+            f"labels must be 0/1, got range [{lo}, {hi}] in {label_col!r}"
+        )
     den = lr_den * n_docs
 
     w = [0] * n_buckets

@@ -1022,9 +1022,13 @@ def _jpeg_luma_progressive(payload: bytes) -> np.ndarray | None:
                 i = _next_jpeg_marker(payload, data_start)
                 continue
             i += 2 + seg_len
-    except (IndexError, KeyError, StopIteration):
-        pass  # truncated stream: keep what accumulated
-    except ValueError:
+    except (IndexError, KeyError, StopIteration, ValueError):
+        # Truncated/corrupt stream: DON'T keep what accumulated — a
+        # half-decoded frame marked REAL would violate the
+        # malformed-payload-degrades-to-marked-fake contract that the
+        # baseline path honors (progressive scans are individually
+        # usable only when each present scan is COMPLETE, and a
+        # mid-scan cut is indistinguishable from garbage here).
         return None
     if ycoef is None or not comps:
         return None

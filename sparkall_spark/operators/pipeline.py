@@ -363,9 +363,14 @@ def ingest_documents(
             # boundary, e.g. per micro-batch in stream_ingest_documents),
             # so the delta append below derives from the same cached
             # plan as the kept rows — no divergent recompute
+            # ingest batches are bounded by contract (see
+            # minhash_dedup_incremental's broadcast sizing note), so
+            # the within-batch pair machinery's strategy gates are
+            # pinned — skipping its counted-gate job per ingest tick
             kept_fp, mh_delta = minhash_dedup_incremental(
                 kept_fp, near_seen, id_col=id_col, text_col=text_col,
-                threshold=near_threshold,
+                threshold=near_threshold, broadcast_reps=True,
+                candidate_strategy="broadcast",
             )
             pinned.append(kept_fp.persist())
             # LINEAGE-TRUNCATED, not merely cached: appending to a

@@ -165,6 +165,17 @@ def stream_ingest_documents(
     Same content-level idempotence: a replayed batch finds itself at
     jaccard 1.0 and keeps nothing; repair via ``rebuild_near_ledger``.
 
+    Cache-registry contract: each micro-batch ends with the
+    session-global ``operators._cache.release_caches()`` (the near-dup
+    machinery registers per-batch persists that would otherwise
+    accumulate for the query's lifetime).  Do NOT run other
+    cache-registering operators (``minhash_*``, ``train_*``, graph
+    ops) concurrently on the SAME SparkSession while this query is
+    active — the per-batch release would unpersist their still-in-use
+    intermediates mid-flight (they recompute correctly from a stable
+    input, but a non-snapshot input can diverge).  One ingest stream
+    per session, or give concurrent work its own session.
+
     Returns the started StreamingQuery (``availableNow`` by default —
     drain what exists, then stop; pass ``trigger_once=False`` for a
     continuous query).

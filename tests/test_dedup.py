@@ -692,11 +692,13 @@ def test_minhash_incremental_cold_start_equals_dominated_dedup(spark, sf_dir):
     expected = {r["doc_id"] for r in D.minhash_dedup(docs).collect()}
     got = {r["doc_id"] for r in kept.collect()}
     assert got == expected
-    # delta covers every kept doc that has shingles
-    n_nonempty = docs.filter(
-        F.size(F.split(F.trim("text"), r"\s+")) > 0
-    ).count()
-    assert delta.count() <= kept.count()
+    # the delta is EXACTLY the kept docs that have shingles — a delta
+    # that silently dropped kept rows would break cross-batch
+    # near-dedup on the next ingest
+    with_shingles = {
+        r["doc_id"] for r in D.minhash_ledger_table(docs).collect()
+    }
+    assert {r["doc_id"] for r in delta.collect()} == got & with_shingles
 
 
 def test_minhash_incremental_matches_sql_mirror(spark, duck, sf_dir):

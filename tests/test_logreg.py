@@ -119,3 +119,18 @@ def test_parameter_validation(spark):
         train_logreg(docs, "y", n_buckets=1)
     with pytest.raises(ValueError):
         train_logreg(docs.filter("doc_id < 0"), "y")
+
+
+def test_null_and_out_of_range_labels_rejected(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y", 1), (2, "z", None)], "doc_id bigint, text string, y int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        train_logreg(docs, "y", n_buckets=8, iters=1)
+    release_caches()
+    bad = spark.createDataFrame(
+        [(1, "x y", 2), (2, "z", 0)], "doc_id bigint, text string, y int"
+    )
+    with pytest.raises(ValueError, match="0/1"):
+        train_logreg(bad, "y", n_buckets=8, iters=1)
+    release_caches()

@@ -1336,3 +1336,17 @@ def test_png_adam7_interlaced_decodes(  ):
     png1 = _png_encode(bits, color_type=0, depth=1, interlace=1)
     want = np.array(bits, dtype=np.float32) * 255.0
     assert np.allclose(M.decode_pixels(png1), want)
+
+
+def test_jpeg_progressive_truncation_falls_back_to_fake():
+    """A progressive stream cut mid-scan returns None (marked-fake
+    route) — never a half-decoded frame marked real."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+    full = _jpeg_encode_progressive(img)
+    assert M.decode_pixels(full) is not None
+    for frac in (0.4, 0.6, 0.8):
+        cut = full[: int(len(full) * frac)]
+        assert M.decode_pixels(cut) is None, f"truncated at {frac} decoded"

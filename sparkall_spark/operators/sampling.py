@@ -262,3 +262,58 @@ def mix_corpus(
             F.col(source_col) == s, F.lit(threshold)
         )
     return df.filter(bucket < frac_col.otherwise(F.lit(0)))
+
+
+def temperature_weights(
+    source_tokens: dict[str, int], alpha: float
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights from per-source token counts:
+    ``w_s ∝ tokens_s ** alpha``, normalized to sum 1 — the alpha-
+    sampling rule of the multilingual-pretraining literature (mT5 /
+    XLM-R style).  ``alpha=1`` reproduces the natural distribution;
+    ``alpha -> 0`` approaches uniform-over-sources (up-weighting small
+    sources); values in between trade coverage against duplication of
+    the small sources.
+
+    Pure driver-side arithmetic over the per-source totals (metadata,
+    bounded by the number of sources) — feed the result straight into
+    :func:`mix_corpus`.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    pos = {s: t for s, t in source_tokens.items() if t > 0}
+    if not pos:
+        raise ValueError("no source has a positive token count")
+    raw = {s: float(t) ** alpha for s, t in pos.items()}
+    z = sum(raw.values())
+    return {s: v / z for s, v in raw.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    n_tokens_col: str,
+    alpha: float,
+    token_budget: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """:func:`mix_corpus` with the mixture weights DERIVED from the
+    corpus itself by temperature scaling (``tokens_s ** alpha``) —
+    one extra per-source aggregate (metadata-scale), then the same
+    deterministic id-hash membership: reruns keep identical rows, and
+    under-filled sources are not rebalanced (same contract as
+    ``mix_corpus``).
+    """
+    stats = {
+        r["s"]: r["toks"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(n_tokens_col).alias("toks"))
+        .collect()  # bounded by #sources
+    }
+    weights = temperature_weights(
+        {s: int(t) for s, t in stats.items() if t is not None}, alpha
+    )
+    return mix_corpus(
+        df, source_col, n_tokens_col, weights, token_budget, id_col, seed
+    )

@@ -295,3 +295,102 @@ def test_stratified_sample_order_col_plan_has_group_limit(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # partial top-k before the exchange
+
+
+# --- r7: temperature-scaled source mixing ----------------------------------
+
+
+def test_temperature_weights_limits():
+    from sparkall_spark.operators.sampling import temperature_weights
+
+    counts = {"big": 900_000, "small": 100_000}
+    natural = temperature_weights(counts, 1.0)
+    assert abs(natural["big"] - 0.9) < 1e-12
+    near_uniform = temperature_weights(counts, 0.01)
+    assert abs(near_uniform["big"] - near_uniform["small"]) < 0.02
+    # monotone: lowering alpha always shifts weight toward the small one
+    prev = 0.0
+    for a in (1.0, 0.7, 0.5, 0.3):
+        w = temperature_weights(counts, a)["small"]
+        assert w > prev
+        prev = w
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_weights(counts, 0.0)
+    with _pytest.raises(ValueError):
+        temperature_weights({"a": 0}, 0.5)
+
+
+def test_temperature_mix_is_deterministic_and_shifts_shares(spark, sf_dir):
+    from sparkall_spark.operators.sampling import temperature_mix
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("n_tok", F.size(F.split(F.trim("text"), r"\s+")))
+    )
+    m1 = temperature_mix(docs, "source", "n_tok", 0.3, 20_000, "doc_id")
+    m2 = temperature_mix(docs, "source", "n_tok", 0.3, 20_000, "doc_id")
+    ids1 = {r["doc_id"] for r in m1.collect()}
+    assert ids1 == {r["doc_id"] for r in m2.collect()}  # rerun-stable
+    assert 0 < len(ids1) < docs.count()
+    # lower temperature keeps a LARGER share of the smallest source
+    stats = {
+        r["source"]: r["c"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    smallest = min(stats, key=stats.get)
+    def share(alpha):
+        m = temperature_mix(docs, "source", "n_tok", alpha, 20_000, "doc_id")
+        kept = m.filter(F.col("source") == smallest).count()
+        return kept / stats[smallest]
+    assert share(0.3) >= share(1.0)
+
+
+def test_temperature_mix_membership_matches_sql_mirror(spark, duck, sf_dir):
+    """Membership is the mix_corpus id-hash rule with thresholds from
+    the Python-computed weights — the mirror uses the SAME integer
+    thresholds, so row sets agree exactly."""
+    from sparkall_spark.operators.sampling import (
+        N_BUCKETS,
+        mix_sql,
+        temperature_mix,
+        temperature_weights,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("n_tok", F.size(F.split(F.trim("text"), r"\s+")))
+    )
+    got = {
+        r["doc_id"]
+        for r in temperature_mix(
+            docs, "source", "n_tok", 0.5, 30_000, "doc_id"
+        ).collect()
+    }
+    stats = {
+        r["s"]: r["toks"]
+        for r in docs.groupBy(F.col("source").alias("s"))
+        .agg(F.sum("n_tok").alias("toks"))
+        .collect()
+    }
+    weights = temperature_weights(stats, 0.5)
+    total = sum(weights.values())
+    thresholds = {
+        s: int(round(min(1.0, 30_000 * (w / total) / stats[s]) * N_BUCKETS))
+        for s, w in weights.items()
+    }
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {t}" for s, t in thresholds.items()
+    )
+    expected = {
+        r[0]
+        for r in duck.execute(
+            f"""
+        SELECT doc_id FROM documents
+        WHERE ({mix_sql("doc_id", 0)}) % {N_BUCKETS}
+              < (CASE {cases} ELSE 0 END)
+        """
+        ).fetchall()
+    }
+    assert got == expected

@@ -60,6 +60,9 @@ def prepare_documents(
     classifier_label_col: str = "label",
     classifier_min_prob: float = 0.5,
     classifier_ngram: int = 1,
+    classifier_kind: str = "nb",
+    classifier_lr_buckets: int = 4096,
+    classifier_lr_iters: int = 3,
     url_dedup_col: str | None = None,
     paragraph_dedup: bool = False,
     min_compression_ratio: float | None = None,
@@ -194,27 +197,64 @@ def prepare_documents(
         )
     if classifier_labeled is not None:
         # model-based quality gate AFTER dedup (scoring duplicates is
-        # wasted work), alongside the LM filter: the NB classifier is
-        # the supervised complement of the unsupervised perplexity cut
-        # (GPT-3-style "looks like the reference corpus" gating).
-        # Training is two count aggregations; the gate is an exact
-        # integer log-odds comparison (operators/classifier.py).
-        from sparkall_spark.operators.classifier import (
-            nb_quality_filter,
-            train_nb_classifier,
-        )
+        # wasted work), alongside the LM filter — the supervised
+        # complement of the unsupervised perplexity cut (GPT-3-style
+        # "looks like the reference corpus" gating).  Two kinds:
+        # "nb" trains in two count aggregations with an exact integer
+        # log-odds gate (operators/classifier.py); "lr" trains the
+        # logistic-regression classifier (operators/logreg.py — one
+        # aggregation per iteration, shuffle-order-invariant weights)
+        # and gates on the integer margin >= ln(p/(1-p)) micros, the
+        # same threshold-as-integer discipline.
+        if classifier_kind == "nb":
+            from sparkall_spark.operators.classifier import (
+                nb_quality_filter,
+                train_nb_classifier,
+            )
 
-        model, unk, prior = train_nb_classifier(
-            classifier_labeled,
-            classifier_label_col,
-            text_col=text_col,
-            ngram=classifier_ngram,
-        )
-        deduped = nb_quality_filter(
-            deduped, model, unk, prior,
-            min_prob=classifier_min_prob,
-            id_col=id_col, text_col=text_col, ngram=classifier_ngram,
-        )
+            model, unk, prior = train_nb_classifier(
+                classifier_labeled,
+                classifier_label_col,
+                text_col=text_col,
+                ngram=classifier_ngram,
+            )
+            deduped = nb_quality_filter(
+                deduped, model, unk, prior,
+                min_prob=classifier_min_prob,
+                id_col=id_col, text_col=text_col, ngram=classifier_ngram,
+            )
+        elif classifier_kind == "lr":
+            import math as _math
+
+            from sparkall_spark.operators.logreg import (
+                logreg_score,
+                train_logreg,
+            )
+
+            if classifier_ngram != 1:
+                raise ValueError(
+                    "classifier_kind='lr' hashes unigram tokens; "
+                    "classifier_ngram must be 1"
+                )
+            wts, bias = train_logreg(
+                classifier_labeled, classifier_label_col,
+                id_col=id_col, text_col=text_col,
+                n_buckets=classifier_lr_buckets,
+                iters=classifier_lr_iters,
+            )
+            p = min(max(classifier_min_prob, 1e-9), 1 - 1e-9)
+            cut = int(round(_math.log(p / (1.0 - p)) * 1_000_000))
+            passing = logreg_score(
+                deduped, wts, bias, id_col=id_col, text_col=text_col
+            ).filter(F.col("margin_micro") >= cut)
+            deduped = deduped.join(
+                passing.select(F.col(id_col)), id_col, "left_semi"
+            )
+        else:
+            raise ValueError(
+                f"classifier_kind must be 'nb' or 'lr', got "
+                f"{classifier_kind!r}"
+            )
     if decontam_bench is not None:
         # benchmark decontamination AFTER dedup (contamination is a
         # property of the text, so removing dup copies first shrinks the

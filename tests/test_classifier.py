@@ -204,3 +204,53 @@ def test_pipeline_classifier_knob(spark, sf_dir):
         ).select("doc_id").collect()
     }
     assert {r["doc_id"] for r in gated.select("doc_id").collect()} == expect
+
+
+def test_pipeline_lr_classifier_knob(spark, sf_dir):
+    """classifier_kind='lr' gates on the integer LR margin; equals
+    training + scoring the same model by hand."""
+    import math
+
+    from sparkall_spark.operators._cache import release_caches
+    from sparkall_spark.operators.logreg import logreg_score, train_logreg
+    from sparkall_spark.operators.pipeline import prepare_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    base = prepare_documents(docs, min_quality=0.0)
+    gated = prepare_documents(
+        docs,
+        min_quality=0.0,
+        classifier_labeled=labeled,
+        classifier_min_prob=0.55,
+        classifier_kind="lr",
+        classifier_lr_buckets=64,
+        classifier_lr_iters=3,
+    )
+    got = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    release_caches()
+    w, b = train_logreg(labeled, "label", n_buckets=64, iters=3)
+    cut = int(round(math.log(0.55 / 0.45) * 1_000_000))
+    expect = {
+        r["doc_id"]
+        for r in logreg_score(base, w, b)
+        .filter(F.col("margin_micro") >= cut)
+        .collect()
+    }
+    release_caches()
+    assert got == expect
+    assert len(got) < base.count()  # non-vacuous gate
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="'nb' or 'lr'"):
+        prepare_documents(
+            docs, classifier_labeled=labeled, classifier_kind="svm"
+        )
+    with _pytest.raises(ValueError, match="ngram"):
+        prepare_documents(
+            docs, classifier_labeled=labeled, classifier_kind="lr",
+            classifier_ngram=2,
+        )

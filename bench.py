@@ -141,27 +141,45 @@ def _storm_summary(spark, entry: str, elapsed_s: float) -> None:
         return
     _STORM_CAPTURES[0] -= 1
     try:
-        import subprocess
         from collections import Counter
 
-        pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
-        out = subprocess.run(
-            ["jstack", str(pid)], capture_output=True, text=True, timeout=30
-        ).stdout
+        # In-process ThreadMXBean, NOT a jstack subprocess: jstack's
+        # dynamic-attach handshake SIGQUITs the target JVM, and when
+        # the attach listener can't start (mid-GC-storm safepoint
+        # pressure — exactly when this fires) the signal falls through
+        # to the default handler, which prints a FULL THREAD DUMP to
+        # the JVM's stdout.  One r8 bench run leaked 2.4 MB of dumps
+        # into stdout that way; the driver's 2 KB tail capture survives
+        # only because the JSON line prints last.  The MXBean read also
+        # reports GC time, attributing the storm in the same breath.
+        jvm = spark.sparkContext._jvm
+        mf = jvm.java.lang.management.ManagementFactory
+        gc_s = 0
+        it = mf.getGarbageCollectorMXBeans().iterator()
+        while it.hasNext():
+            gc_s += it.next().getCollectionTime()
+        # One toString round-trip per thread (~500) — a couple of
+        # seconds from the async watchdog thread, bounded to 2
+        # captures/run.  ThreadInfo.toString carries the top frames.
+        import re
+
+        infos = mf.getThreadMXBean().dumpAllThreads(False, False)
         sigs: Counter[str] = Counter()
-        cur_task, frames = False, []
-        for line in out.splitlines():
-            if line.startswith('"'):
-                if cur_task and frames:
-                    sigs["|".join(frames[:3])] += 1
-                cur_task = "Executor task launch" in line
-                frames = []
-            elif cur_task and line.strip().startswith("at "):
-                frames.append(line.strip()[3:].split("(")[0])
-        if cur_task and frames:
-            sigs["|".join(frames[:3])] += 1
+        for ti in infos:
+            if ti is None:
+                continue
+            block = str(ti)
+            if not block.startswith('"Executor task launch'):
+                continue
+            frames = re.findall(r"\tat ([\w.$/@]+)\(", block)[:3]
+            sigs[
+                "|".join(f.split("/")[-1] for f in frames)
+                if frames
+                else "<no frames>"
+            ] += 1
         print(
-            f"# STORM {entry} at {elapsed_s:.0f}s — executor stacks:",
+            f"# STORM {entry} at {elapsed_s:.0f}s — executor stacks "
+            f"(jvm gc total {gc_s / 1000:.1f}s):",
             file=sys.stderr,
         )
         for sig, cnt in sigs.most_common(5):

@@ -2506,7 +2506,11 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``overlap`` (r6): cross-corpus n-gram overlap diagnostics.
     - ``fuzzydecon`` (r8): NEAR-duplicate benchmark decontamination
       (minhash_decontaminate) — per contaminated doc, the bench-match
-      count and exact max jaccard, mirrored by an all-pairs oracle."""
+      count and exact max jaccard, mirrored by an all-pairs oracle.
+    - ``kmv`` (r8): deterministic KMV distinct-cardinality sketches
+      (operators/sketches.py) — per-source vocabulary estimates and
+      the src0/src1 vocabulary overlap estimate, value-hash-exact
+      against the same k-min construction in SQL."""
     from sparkall_spark.operators import bpe as B
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2592,8 +2596,47 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") as (stat, value)"
         ),
     )
+    # r8 leg 5: KMV distinct-cardinality sketches
+    # (operators/sketches.py) — per-source vocabulary-size estimates
+    # plus the src0-vs-src1 vocabulary overlap estimate, all
+    # DETERMINISTIC (portable poly hash -> LCG mix -> k-min order
+    # statistic), so the driver's value-hash gate covers the sketch
+    # numbers themselves.  The 100 TB story: vocab size and
+    # crawl-vs-crawl overlap from k-row sketches instead of full
+    # COUNT(DISTINCT) shuffles.
+    from sparkall_spark.operators import sketches as K
+
+    words = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("word"),
+    )
+    vsk = K.kmv_sketch(words, "word", k=64, group_cols=["source"])
+    kmv_card = vsk.select(
+        F.lit("kmv").alias("family"),
+        F.col("source").alias("key"),
+        F.lit("est_distinct").alias("stat"),
+        F.col("est_distinct").alias("value"),
+    )
+    ov_est = K.kmv_overlap_estimate(
+        vsk.filter(F.col("source") == "src0").drop("source"),
+        vsk.filter(F.col("source") == "src1").drop("source"),
+    )
+    kmv_ov = ov_est.select(
+        F.lit("kmv").alias("family"),
+        F.lit("src0|src1").alias("key"),
+        F.expr(
+            "stack(3, 'est_union', est_union, 'jaccard_est', jaccard_est, "
+            "'est_intersection', est_intersection) as (stat, value)"
+        ),
+    )
     return (
-        flag_long.unionByName(wf).unionByName(ov_long).unionByName(fuzzy_long)
+        flag_long.unionByName(wf)
+        .unionByName(ov_long)
+        .unionByName(fuzzy_long)
+        .unionByName(kmv_card)
+        .unionByName(kmv_ov)
     )
 
 
@@ -2674,6 +2717,24 @@ FROM (
   WHERE jac >= 0.9
   GROUP BY doc_id) fdh,
   (VALUES ('n_bench_matches'), ('max_jaccard')) AS s(stat)
+UNION ALL
+SELECT 'kmv' AS family, source AS key, 'est_distinct' AS stat,
+       round(CASE WHEN len(hs) < 64 THEN len(hs)::DOUBLE
+             ELSE 63.0 * 2147483647 / hs[64] END, 4) AS value
+FROM kmvs
+UNION ALL
+SELECT 'kmv' AS family, 'src0|src1' AS key, s.stat,
+       CASE s.stat
+         WHEN 'est_union' THEN eu
+         WHEN 'jaccard_est' THEN je
+         ELSE round(je * eu, 4)
+       END AS value
+FROM (SELECT round(CASE WHEN len(uk) < 64 THEN len(uk)::DOUBLE
+                   ELSE 63.0 * 2147483647 / uk[64] END, 4) AS eu,
+             round(len(list_intersect(list_intersect(uk, ha), hb))::DOUBLE
+                   / len(uk), 6) AS je
+      FROM kmvu),
+     (VALUES ('est_union'), ('jaccard_est'), ('est_intersection')) AS s(stat)
 """
 
 # the overlap leg's gram CTEs, prepended to the e21 oracle (DuckDB
@@ -2699,6 +2760,24 @@ fdt AS (
   FROM documents),
 fdc AS (SELECT * FROM fdt WHERE doc_id % 10 <> 7 AND len(toks) > 0),
 fdb AS (SELECT * FROM fdt WHERE doc_id % 10 = 7 AND len(toks) > 0),
+kmvh AS (
+  SELECT source,
+         ((((abs(CAST(list_reduce(list_prepend(0::BIGINT,
+              [ascii(c)::BIGINT FOR c IN
+                 list_filter(string_split(w, ''), x -> x <> '')]),
+              (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT)) + 0)
+            % 2147483647) * 1103515245 + 12345) % 2147483647 * 48271)
+           % 2147483647 AS h
+  FROM (SELECT source, unnest(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+        FROM documents)),
+kmvs AS (
+  SELECT source, list_sort(list(DISTINCT h))[1:64] AS hs
+  FROM kmvh GROUP BY source),
+kmvu AS (
+  SELECT list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:64] AS uk,
+         a.hs AS ha, b.hs AS hb
+  FROM kmvs a, kmvs b WHERE a.source = 'src0' AND b.source = 'src1'),
 """
     + _E21_ORACLE.strip().removeprefix("WITH")
 )

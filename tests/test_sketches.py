@@ -1,0 +1,110 @@
+"""KMV distinct-cardinality sketches (operators/sketches.py):
+deterministic cross-engine equality, mergeability, exactness below k,
+and estimator accuracy."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkall_spark.operators.sketches import (
+    kmv_merge,
+    kmv_overlap_estimate,
+    kmv_sketch,
+    kmv_sketch_sql,
+)
+
+
+def _words(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("word"),
+    )
+
+
+def test_sketch_matches_duckdb_mirror(spark, duck, sf_dir):
+    """Hashes, kept count, AND the estimate are value-identical to the
+    SQL mirror — the property that lets the driver's hash gate cover
+    the sketch itself."""
+    w = _words(spark, sf_dir)
+    got = {
+        r["source"]: (list(r["kmv_hashes"]), r["n_kept"], r["est_distinct"])
+        for r in kmv_sketch(w, "word", k=64, group_cols=["source"]).collect()
+    }
+    sql = kmv_sketch_sql(
+        """(SELECT source, unnest(list_filter(
+              regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS word
+            FROM documents)""",
+        "word",
+        k=64,
+        group_sql="source",
+    )
+    want = {
+        r[0]: (list(r[1]), r[3], r[4])
+        for r in duck.execute(sql).fetchall()
+    }
+    assert set(got) == set(want)
+    for src in want:
+        assert got[src] == want[src], src
+
+
+def test_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "a", "b"]], ["v"]
+    )
+    row = kmv_sketch(df, "v", k=16).first()
+    assert row["n_kept"] == 3
+    assert row["est_distinct"] == 3.0
+
+
+def test_merge_equals_sketch_of_union(spark):
+    """KMV closure: merging two sketches gives EXACTLY the sketch of
+    the unioned relation (hashes and estimate)."""
+    a = spark.range(0, 4000).select(F.concat(F.lit("v"), "id").alias("v"))
+    b = spark.range(2000, 6000).select(F.concat(F.lit("v"), "id").alias("v"))
+    sk = kmv_merge(kmv_sketch(a, "v", k=128), kmv_sketch(b, "v", k=128))
+    direct = kmv_sketch(a.unionAll(b), "v", k=128)
+    r_m, r_d = sk.first(), direct.first()
+    assert list(r_m["kmv_hashes"]) == list(r_d["kmv_hashes"])
+    assert r_m["est_distinct"] == r_d["est_distinct"]
+
+
+def test_merge_rejects_mismatched_k(spark):
+    a = spark.createDataFrame([("x",)], ["v"])
+    with pytest.raises(ValueError, match="k=16 and k=32"):
+        kmv_merge(kmv_sketch(a, "v", k=16), kmv_sketch(a, "v", k=32))
+
+
+def test_estimator_accuracy(spark):
+    """6,000 distinct values, k=512: the estimate must land within
+    ~5 standard errors (~22%) of truth — a deterministic check because
+    the hash (and thus the estimate) is fixed."""
+    df = spark.range(6000).select(F.concat(F.lit("item"), "id").alias("v"))
+    est = kmv_sketch(df, "v", k=512).first()["est_distinct"]
+    assert abs(est - 6000) / 6000 < 0.25, est
+
+
+def test_overlap_estimate_tracks_true_jaccard(spark):
+    """Two 4,000-member sets sharing 2,000 (true J = 1/3): the Beyer
+    set-operation estimator must land near it, deterministically."""
+    a = spark.range(0, 4000).select(F.concat(F.lit("v"), "id").alias("v"))
+    b = spark.range(2000, 6000).select(F.concat(F.lit("v"), "id").alias("v"))
+    row = kmv_overlap_estimate(
+        kmv_sketch(a, "v", k=256), kmv_sketch(b, "v", k=256)
+    ).first()
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.12, row
+    assert abs(row["est_union"] - 6000) / 6000 < 0.25
+    assert abs(row["est_intersection"] - 2000) / 2000 < 0.45
+
+
+def test_groupwise_sketch_shapes(spark):
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", None)], ["g", "v"]
+    )
+    rows = {
+        r["g"]: r for r in kmv_sketch(df, "v", k=8, group_cols=["g"]).collect()
+    }
+    assert rows["g1"]["n_kept"] == 2 and rows["g1"]["est_distinct"] == 2.0
+    # NULLs are not distinct values
+    assert rows["g2"]["n_kept"] == 1 and rows["g2"]["est_distinct"] == 1.0

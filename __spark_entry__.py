@@ -2510,7 +2510,10 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``kmv`` (r8): deterministic KMV distinct-cardinality sketches
       (operators/sketches.py) — per-source vocabulary estimates and
       the src0/src1 vocabulary overlap estimate, value-hash-exact
-      against the same k-min construction in SQL."""
+      against the same k-min construction in SQL.
+    - ``embdecon`` (r8): SEMANTIC decontamination — embedding-cosine
+      contamination against a planted eval set (the affine-copy trick
+      from e06), exact cosines, all-pairs mirror."""
     from sparkall_spark.operators import bpe as B
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2631,12 +2634,45 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'est_intersection', est_intersection) as (stat, value)"
         ),
     )
+    # r8 leg 6: SEMANTIC (embedding-cosine) decontamination — the
+    # third decontamination rung (exact n-grams -> MinHash -> embedding
+    # cosine), catching paraphrased eval leakage.  The fixture has no
+    # natural >=0.95 pairs (max pairwise cosine ~0.51), so — exactly as
+    # e06 does — the "eval set" is planted in-query: an elementwise
+    # affine copy (x*1.01 + 0.002, cosine ~0.99998 to its source) of
+    # every 25th vector, mirrored in the oracle; precisely those
+    # sources must come back contaminated.  Broadcast nested-loop
+    # cosine scan, exact values, no corpus shuffle
+    # (operators/decontam.py:embedding_decontaminate).
+    from sparkall_spark.operators.decontam import embedding_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted_bench = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(1.01) + F.lit(0.002),
+        ).alias("embedding")
+    )
+    sem = embedding_decontaminate(
+        emb, planted_bench, threshold=0.95, mode="annotate"
+    )
+    sem_long = sem.filter(F.col("contaminated")).select(
+        F.lit("embdecon").alias("family"),
+        F.col("vec_id").cast("string").alias("key"),
+        F.expr(
+            "stack(2, "
+            "'n_bench_matches', cast(n_bench_matches as double), "
+            "'max_cosine', max_cosine"
+            ") as (stat, value)"
+        ),
+    )
     return (
         flag_long.unionByName(wf)
         .unionByName(ov_long)
         .unionByName(fuzzy_long)
         .unionByName(kmv_card)
         .unionByName(kmv_ov)
+        .unionByName(sem_long)
     )
 
 
@@ -2735,6 +2771,22 @@ FROM (SELECT round(CASE WHEN len(uk) < 64 THEN len(uk)::DOUBLE
                    / len(uk), 6) AS je
       FROM kmvu),
      (VALUES ('est_union'), ('jaccard_est'), ('est_intersection')) AS s(stat)
+UNION ALL
+SELECT 'embdecon' AS family, CAST(sd.vec_id AS VARCHAR) AS key, s.stat,
+       CASE s.stat WHEN 'n_bench_matches' THEN sd.n_matches::DOUBLE
+            ELSE sd.max_cos END AS value
+FROM (
+  SELECT vec_id, count(*) AS n_matches, max(cos) AS max_cos
+  FROM (SELECT c.vec_id,
+               round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                            b.be), 6) AS cos
+        FROM embeddings c,
+             (SELECT list_transform(embedding::DOUBLE[],
+                                    x -> x * 1.01 + 0.002) AS be
+              FROM embeddings WHERE vec_id % 25 = 0) b)
+  WHERE cos >= 0.95
+  GROUP BY vec_id) sd,
+  (VALUES ('n_bench_matches'), ('max_cosine')) AS s(stat)
 """
 
 # the overlap leg's gram CTEs, prepended to the e21 oracle (DuckDB

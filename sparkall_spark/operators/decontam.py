@@ -397,3 +397,80 @@ def minhash_decontaminate(
         .withColumn("max_jaccard", F.coalesce(F.col("max_jaccard"), F.lit(0.0)))
         .withColumn("contaminated", F.col("n_bench_matches") > 0)
     )
+
+
+def embedding_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str | None = None,
+    threshold: float = 0.95,
+    mode: str = "annotate",
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag/drop training items
+    whose embedding cosine with ANY benchmark item is >= ``threshold``
+    — the third rung of the decontamination ladder (exact n-grams ->
+    MinHash near-dup -> embedding similarity), catching paraphrased or
+    translated eval leakage that token-level overlap misses entirely.
+
+    annotate: ``docs`` + ``n_bench_matches`` (count of bench items at
+    or above threshold) + ``max_cosine`` (6dp, 0.0 when unmatched) +
+    ``contaminated``.  clean: the unmatched subset, original columns.
+
+    100 TB shape: the benchmark side (eval sets are tiny relative to
+    the corpus) is broadcast ONCE with precomputed norms; the corpus
+    streams through a broadcast nested-loop join computing O(C x B)
+    exact cosines with per-side norms cached (never recomputed per
+    pair), and the per-item aggregation is map-side-combined on the
+    corpus id, so only MATCHED partials reach the single shuffle.  The
+    final annotate/clean join brings the small hit table back as a
+    broadcast (left / left_anti) join — corpus data never shuffles.
+    For bench sets too large to broadcast, pre-bucket both sides with
+    ``similarity.ivf_topk``'s cells instead; exact-over-broadcast is
+    the right plan for every published eval suite.
+    """
+    if mode not in ("annotate", "clean"):
+        raise ValueError(f"mode must be 'annotate' or 'clean', got {mode!r}")
+    from sparkall_spark.operators.similarity import dot, l2_norm
+
+    bcol = bench_vec_col or vec_col
+    corp = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    b = bench.select(
+        F.col(bcol).cast("array<double>").alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    denom = F.col("__cn") * F.col("__qn")
+    cos = F.round(
+        F.when(
+            denom > 0, dot(F.col("__cv"), F.col("__qv")) / denom
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    hits = (
+        corp.crossJoin(F.broadcast(b))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_matches"),
+            F.max("__cos").alias("max_cosine"),
+        )
+    )
+    if mode == "clean":
+        dirty = hits.select("__id")
+        return docs.join(
+            F.broadcast(dirty), docs[id_col] == dirty["__id"], "left_anti"
+        )
+    out = docs.join(
+        F.broadcast(hits), docs[id_col] == hits["__id"], "left"
+    ).drop("__id")
+    return (
+        out.withColumn(
+            "n_bench_matches", F.coalesce(F.col("n_bench_matches"), F.lit(0))
+        )
+        .withColumn("max_cosine", F.coalesce(F.col("max_cosine"), F.lit(0.0)))
+        .withColumn("contaminated", F.col("n_bench_matches") > 0)
+    )

@@ -417,3 +417,64 @@ def test_pipeline_published_filter_knobs(spark, docs):
     # the min-sentences rule and the corpus empties — the degenerate
     # case should behave, not explode
     assert prepare_documents(docs, min_quality=0.0, c4_rules=True).count() == 0
+
+
+def _emb_fixture(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        a = 2 * math.pi * i / 40
+        rows.append((i, [math.cos(a), math.sin(a), 0.5]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_decontaminate_annotate_and_clean(spark):
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.decontam import embedding_decontaminate
+
+    docs = _emb_fixture(spark)
+    # bench = scaled copies of vectors 0 and 10 (cosine exactly 1.0;
+    # neighboring fixture vectors are 9 degrees apart, cosine ~0.990)
+    bench = docs.filter(F.col("vec_id").isin(0, 10)).select(
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding")
+    )
+    ann = embedding_decontaminate(docs, bench, threshold=0.9999)
+    hit = {r["vec_id"]: r for r in ann.filter("contaminated").collect()}
+    assert set(hit) == {0, 10}
+    assert all(r["n_bench_matches"] == 1 for r in hit.values())
+    assert all(r["max_cosine"] == 1.0 for r in hit.values())
+    clean = embedding_decontaminate(
+        docs, bench, threshold=0.9999, mode="clean"
+    )
+    assert clean.count() == 38
+    assert clean.columns == docs.columns
+
+    # the bench side must enter the plan as a broadcast: corpus data
+    # never shuffles for the scan
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_embedding_decontaminate_zero_vectors_never_match(spark):
+    from sparkall_spark.operators.decontam import embedding_decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [([0.0, 0.0],), ([1.0, 0.0],)], "embedding array<double>"
+    )
+    ann = embedding_decontaminate(docs, bench, threshold=0.5)
+    rows = {r["vec_id"]: r["contaminated"] for r in ann.collect()}
+    assert rows == {1: False, 2: True}
+
+
+def test_embedding_decontaminate_validates_mode(spark):
+    from sparkall_spark.operators.decontam import embedding_decontaminate
+
+    docs = _emb_fixture(spark)
+    with pytest.raises(ValueError, match="annotate"):
+        embedding_decontaminate(docs, docs, mode="nope")

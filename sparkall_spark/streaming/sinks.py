@@ -165,16 +165,14 @@ def stream_ingest_documents(
     Same content-level idempotence: a replayed batch finds itself at
     jaccard 1.0 and keeps nothing; repair via ``rebuild_near_ledger``.
 
-    Cache-registry contract: each micro-batch ends with the
-    session-global ``operators._cache.release_caches()`` (the near-dup
-    machinery registers per-batch persists that would otherwise
-    accumulate for the query's lifetime).  Do NOT run other
-    cache-registering operators (``minhash_*``, ``train_*``, graph
-    ops) concurrently on the SAME SparkSession while this query is
-    active — the per-batch release would unpersist their still-in-use
-    intermediates mid-flight (they recompute correctly from a stable
-    input, but a non-snapshot input can diverge).  One ingest stream
-    per session, or give concurrent work its own session.
+    Cache-registry contract (r8, ADVICE item 3): each micro-batch runs
+    inside ``operators._cache.cache_scope()``, so the per-batch release
+    unpersists exactly the persists THIS batch's operators registered —
+    cache-registering operators running concurrently on the same
+    SparkSession (other threads) keep their intermediates.  The scope
+    is thread-attributed: the ``foreachBatch`` callback and the
+    operators it calls run synchronously on one thread, which is what
+    makes the capture precise.
 
     Returns the started StreamingQuery (``availableNow`` by default —
     drain what exists, then stop; pass ``trigger_once=False`` for a
@@ -183,9 +181,14 @@ def stream_ingest_documents(
     from sparkall_spark.operators.pipeline import ingest_documents
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
-        from sparkall_spark.operators._cache import release_caches
+        from sparkall_spark.operators._cache import cache_scope
 
-        try:
+        # each micro-batch is a unit of work: the scope drops exactly
+        # the operator caches THIS batch registered at exit (or a
+        # long-running query accumulates stale blocks batch by batch —
+        # the r6 storage-pressure lesson) without touching concurrent
+        # actors' caches on the same session.
+        with cache_scope():
             ingest_documents(
                 batch.sparkSession,
                 batch,
@@ -197,12 +200,6 @@ def stream_ingest_documents(
                 near_ledger_path=near_ledger_path,
                 near_threshold=near_threshold,
             )
-        finally:
-            # each micro-batch is a unit of work: drop the operator
-            # caches the near-dup machinery registered, or a
-            # long-running query accumulates stale blocks batch by
-            # batch (the r6 storage-pressure lesson)
-            release_caches()
 
     w = (
         stream_docs.writeStream.foreachBatch(_apply)

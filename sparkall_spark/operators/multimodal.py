@@ -15,9 +15,10 @@ corpora on Spark:
   codec needed; pixel-level features (mean luma, dHash) are ALSO REAL
   for every common format — BMP BI_RGB 8/24/32bpp, binary PPM/PGM,
   PNG (stdlib zlib + spec unfiltering), GIF (pure-Python LZW), and
-  baseline JPEG (huffman entropy decode + numpy IDCT, luma plane) —
+  baseline/extended-sequential JPEG at 8 AND 12 bits plus
+  progressive JPEG (huffman entropy decode + numpy IDCT, luma plane) —
   ``decode_pixels``, including Adam7-interlaced PNG; only
-  progressive/arithmetic JPEG falls back to a clearly-marked
+  arithmetic/hierarchical JPEG falls back to a clearly-marked
   deterministic fake.  ``resize_images`` is REAL too: decode ->
   vectorized bilinear -> valid PGM re-encode (null rows for
   undecodable payloads).  The
@@ -910,7 +911,8 @@ def _jpeg_luma_progressive(payload: bytes) -> np.ndarray | None:
     single-component chroma scans are skipped wholesale by jumping to
     the next marker (scan data cannot contain an unstuffed 0xFF).
     Restart markers reset DC predictors and the EOB run.  Returns None
-    for arithmetic/hierarchical/12-bit streams (still fake-marked).
+    for arithmetic/hierarchical streams (still fake-marked; 12-bit
+    extended sequential decodes for real as of r8).
     """
     if payload[:2] != b"\xff\xd8":
         return None
@@ -1208,15 +1210,19 @@ def _jpeg_luma(payload: bytes) -> np.ndarray | None:
     blocks are still entropy-decoded to advance the bit stream.
 
     Pure Python + numpy — slow (fine for feature extraction on small
-    images; swap PIL in for production throughput) but exact.  Returns
-    None for progressive streams (decode_pixels retries those via
-    ``_jpeg_luma_progressive``) and arithmetic/12-bit ones (fake)."""
+    images; swap PIL in for production throughput) but exact.  Handles
+    8-bit baseline/extended AND 12-bit extended sequential (r8: 16-bit
+    DQT entries, 2^(P-1) level shift, /16 output scale into the 8-bit
+    feature range).  Returns None for progressive streams
+    (decode_pixels retries those via ``_jpeg_luma_progressive``) and
+    arithmetic ones (fake)."""
     if payload[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     comps: list[dict] = []  # SOF components: id, h, v, tq
     w = h = 0
+    prec_bits = 8
     restart = 0
     i, n = 2, len(payload)
     sos_pos = None
@@ -1234,12 +1240,16 @@ def _jpeg_luma(payload: bytes) -> np.ndarray | None:
             j = 0
             while j < len(body):
                 prec, tid = body[j] >> 4, body[j] & 0x0F
-                if prec != 0:
-                    return None  # 16-bit tables: rare, not supported
-                qt[tid] = np.frombuffer(
-                    body, dtype=np.uint8, count=64, offset=j + 1
-                ).astype(np.float64)
-                j += 65
+                if prec == 0:
+                    qt[tid] = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=j + 1
+                    ).astype(np.float64)
+                    j += 65
+                else:  # 16-bit table entries (12-bit sample streams)
+                    qt[tid] = np.frombuffer(
+                        body, dtype=">u2", count=64, offset=j + 1
+                    ).astype(np.float64)
+                    j += 129
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(body):
@@ -1257,8 +1267,13 @@ def _jpeg_luma(payload: bytes) -> np.ndarray | None:
                 huff[(cls, tid)] = table
                 j += 17 + sum(counts)
         elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended seq.
-            if len(body) < 6 or body[0] != 8:
-                return None  # truncated, or 12-bit samples
+            # 8-bit baseline AND 12-bit extended sequential (r8): the
+            # entropy pipeline is identical, only the level shift
+            # (2^(P-1)) and the output scale (12-bit -> 8-bit range,
+            # /16) depend on precision.
+            if len(body) < 6 or body[0] not in (8, 12):
+                return None  # truncated, or an undeclared precision
+            prec_bits = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -1339,9 +1354,12 @@ def _jpeg_luma(payload: bytes) -> np.ndarray | None:
                             if ci == 0:  # luma: dequant + IDCT + place
                                 block = np.zeros(64, dtype=np.float64)
                                 block[_ZIGZAG] = coeff * q
+                                # level shift 2^(P-1); 12-bit samples
+                                # scale /16 into the 8-bit feature range
                                 spatial = (
-                                    _IDCT_M.T @ block.reshape(8, 8) @ _IDCT_M
-                                ) + 128.0
+                                    (_IDCT_M.T @ block.reshape(8, 8) @ _IDCT_M)
+                                    + float(1 << (prec_bits - 1))
+                                ) / float(1 << (prec_bits - 8))
                                 y0 = (my * yv + by) * 8
                                 x0 = (mx * yw + bx) * 8
                                 luma[y0 : y0 + 8, x0 : x0 + 8] = spatial
@@ -1362,7 +1380,7 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
     JPEG — baseline AND progressive (huffman + numpy IDCT, luma
     plane).  Returns an HxW float32 luma array in 0..255 (Rec. 601
     weights for color), or None for the rare encodings that still need
-    a native codec (arithmetic/hierarchical/12-bit JPEG)."""
+    a native codec (arithmetic/hierarchical JPEG)."""
     if not payload or len(payload) < 14:
         return None
     # malformed compressed payloads are DATA at corpus scale, not
@@ -1468,9 +1486,10 @@ def _decode_one(payload: bytes) -> dict:
     PNG/GIF/BMP/JPEG/PPM/PGM (parse_image_header); mean_luma and phash
     (dHash) are REAL for every common format (decode_pixels: BMP
     BI_RGB, binary PPM/PGM, PNG via stdlib zlib + spec unfiltering,
-    GIF via pure-Python LZW, baseline JPEG via pure-Python huffman +
-    numpy IDCT, incl. Adam7-interlaced PNG).  Only progressive/
-    arithmetic JPEG falls back to a clearly-marked deterministic fake
+    GIF via pure-Python LZW, baseline/extended/progressive JPEG at 8
+    and 12 bits via pure-Python huffman + numpy IDCT, incl.
+    Adam7-interlaced PNG).  Only arithmetic/hierarchical
+    JPEG falls back to a clearly-marked deterministic fake
     keyed on the payload hash — swapping in PIL changes only this fallback.
     Raises for None payloads like a real decoder.
     """

@@ -822,6 +822,137 @@ def test_jpeg_real_luma_decode_color_420_with_restarts():
     assert np.abs(luma - y).max() <= 4.0
 
 
+def _jpeg_encode_12bit(y12) -> bytes:
+    """Spec-straight 12-bit extended-sequential (SOF1) grayscale
+    encoder, independent of the decoder: 16-bit all-ones quant table
+    (Pq=1), canonical 8-bit huffman codes over the WIDER 12-bit
+    magnitude categories (DC 0..15, AC sizes 1..14), level shift 2048.
+    ``y12`` holds samples in [0, 4095]."""
+    import struct
+
+    import numpy as np
+
+    M8 = np.zeros((8, 8))
+    k = np.arange(8)
+    M8[:] = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    M8[0, :] = 1.0
+    M8 *= np.sqrt(np.where(k == 0, 1.0, 2.0))[:, None] / np.sqrt(8.0)
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    dc_syms = list(range(16))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 15)
+    ]
+    dc_code = {s: (i, 8) for i, s in enumerate(dc_syms)}
+    ac_code = {s: (i, 8) for i, s in enumerate(ac_syms)}
+
+    out = bytearray()
+    bitbuf = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def flush_bits():
+        while len(bitbuf) % 8:
+            bitbuf.append(1)
+        for i in range(0, len(bitbuf), 8):
+            b = 0
+            for bit in bitbuf[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        bitbuf.clear()
+
+    def mag(v):
+        s = (
+            0
+            if v == 0
+            else int(v).bit_length() if v > 0 else int(-v).bit_length()
+        )
+        bits = v if v >= 0 else v + (1 << s) - 1
+        return s, bits
+
+    h, w = y12.shape
+    out += b"\xff\xd8"
+    # Pq=1: 16-bit table entries, all ones
+    out += (
+        b"\xff\xdb"
+        + struct.pack(">H", 131)
+        + b"\x10"
+        + b"\x00\x01" * 64
+    )
+    sof = struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc1" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, syms in ((0, dc_syms), (1, ac_syms)):
+        counts = [0] * 16
+        counts[7] = len(syms)
+        tb = bytes(counts) + bytes(syms)
+        out += (
+            b"\xff\xc4" + struct.pack(">H", 3 + len(tb)) + bytes([cls << 4]) + tb
+        )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    pred = 0
+    for my in range(-(-h // 8)):
+        for mx in range(-(-w // 8)):
+            blk = np.zeros((8, 8))
+            for yy in range(8):
+                for xx in range(8):
+                    blk[yy, xx] = y12[
+                        min(my * 8 + yy, h - 1), min(mx * 8 + xx, w - 1)
+                    ]
+            coeff = M8 @ (blk - 2048.0) @ M8.T
+            zz = np.round(coeff.ravel()[ZZ]).astype(int)
+            s, bits = mag(int(zz[0]) - pred)
+            put(*dc_code[s])
+            if s:
+                put(bits, s)
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    put(*ac_code[0xF0])
+                    run -= 16
+                s, bits = mag(int(v))
+                put(*ac_code[(run << 4) | s])
+                put(bits, s)
+                run = 0
+            if run:
+                put(*ac_code[0x00])
+            pred = int(zz[0])
+    flush_bits()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_12bit_extended_sequential_real_decode():
+    """r8: 12-bit extended sequential (SOF1, 16-bit DQT) decodes for
+    REAL — samples level-shifted at 2048 and scaled into the 8-bit
+    feature range; the decode must match the source image / 16."""
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    img12 = rng.integers(0, 4096, size=(10, 14)).astype(np.float64)
+    jpg = _jpeg_encode_12bit(img12)
+    luma = M.decode_pixels(jpg)
+    assert luma is not None and luma.shape == (10, 14)
+    # all-ones quant: only coefficient rounding error, /16 scaled
+    assert np.abs(luma - img12 / 16.0).max() <= 1.0
+    feats = M._decode_one(jpg)
+    assert (feats["width"], feats["height"]) == (14, 10)
+    # REAL decode, not the hash fake: mean_luma tracks the image
+    assert abs(feats["mean_luma"] - float(img12.mean()) / 16.0 / 255.0) < 0.01
+
+
 def _jpeg_encode_progressive(y, cb=None, cr=None) -> bytes:
     """Spec-straight PROGRESSIVE JPEG encoder (test-only, independent
     of the decoder): canonical 8-bit huffman codes, all-ones quant.

@@ -1,0 +1,106 @@
+"""Positional inverted index + phrase search (operators/postings.py):
+DuckDB mirror equality on the fixture corpus, positional-adjacency
+semantics, overlapping matches, and the decontamination composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkall_spark.operators.postings import (
+    build_postings,
+    phrase_decontaminate,
+    phrase_search,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick brown FOX"),
+        (3, "quick quick quick"),
+        (4, "brown the quick"),
+        (5, ""),
+        (6, "aa aa aa aa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_postings_match_duckdb_mirror(spark, duck, sf_dir):
+    got = {
+        (r["token"], r["doc_id"]): (list(r["positions"]), r["tf"])
+        for r in build_postings(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+        .filter(F.col("token").startswith("a"))
+        .collect()
+    }
+    want = {
+        (r[0], r[1]): (list(r[2]), r[3])
+        for r in duck.execute(
+            """
+            WITH d AS (
+              SELECT doc_id, list_filter(
+                  regexp_split_to_array(lower(text), '\\s+'),
+                  x -> x <> '') AS ts
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(ts) AS token,
+                     unnest(range(len(ts))) AS pos
+              FROM d)
+            SELECT token, doc_id,
+                   list_sort(list(pos)) AS positions,
+                   count(*)::BIGINT AS tf
+            FROM tok WHERE token LIKE 'a%'
+            GROUP BY token, doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_phrase_search_positions(spark):
+    post = build_postings(_docs(spark))
+    hits = {
+        r["doc_id"]: (list(r["match_positions"]), r["n_matches"])
+        for r in phrase_search(post, "the quick brown").collect()
+    }
+    assert hits == {1: ([0], 1), 2: ([0], 1)}  # case-folded; doc 4 is
+    # 'brown the quick' — same tokens, wrong order: must NOT match
+
+
+def test_phrase_search_overlapping_and_single(spark):
+    post = build_postings(_docs(spark))
+    hits = {
+        r["doc_id"]: list(r["match_positions"])
+        for r in phrase_search(post, "aa aa").collect()
+    }
+    assert hits == {6: [0, 1, 2]}  # overlapping starts all reported
+    single = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(post, "quick").collect()
+    }
+    assert single == {1: 1, 2: 1, 3: 3, 4: 1}
+    with pytest.raises(ValueError, match="at least one token"):
+        phrase_search(post, "   ")
+
+
+def test_phrase_decontaminate_modes(spark):
+    docs = _docs(spark)
+    ann = phrase_decontaminate(docs, ["the quick brown", "aa aa"])
+    got = {r["doc_id"]: r["n_phrase_hits"] for r in ann.collect()}
+    assert got == {1: 1, 2: 1, 3: 0, 4: 0, 5: 0, 6: 3}
+    clean = phrase_decontaminate(
+        docs, ["the quick brown", "aa aa"], mode="clean"
+    )
+    assert sorted(r["doc_id"] for r in clean.collect()) == [3, 4, 5]
+    with pytest.raises(ValueError, match="non-empty"):
+        phrase_decontaminate(docs, [])
+
+
+def test_postings_plan_is_udf_free(spark):
+    plan = (
+        build_postings(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

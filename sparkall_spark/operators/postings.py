@@ -155,3 +155,80 @@ def phrase_decontaminate(
     return out.withColumn(
         "n_phrase_hits", F.coalesce(F.col("n_phrase_hits"), F.lit(0))
     ).withColumn("contaminated", F.col("n_phrase_hits") > 0)
+
+
+def bm25_scores(
+    postings: DataFrame,
+    query: str,
+    n_docs: int | None = None,
+    avg_len: float | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents against a token ``query`` over a
+    postings table (Robertson & Zaragoza, FnTIR'09) — the standard
+    exact-retrieval scorer, useful in a data pipeline for
+    similar-to-eval retrieval audits and hard-negative mining.
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*len/avglen))
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Output: ``doc_id, bm25`` (double, 6dp), matched documents only,
+    every value deterministic — corpus stats (N, avg doc length) are
+    computed from the postings unless passed in (pass them when the
+    index is a saved table and the stats are known — two aggregate
+    jobs saved).
+
+    Scale shape: only the QUERY tokens' postings rows participate
+    (partition-pruned on a token-partitioned index); df per token is a
+    tiny aggregate of those same rows; doc lengths come from one
+    reusable groupBy over the postings (persist it alongside a saved
+    index).  The final score is one map-side-combined per-doc sum.
+    """
+    terms = sorted(
+        {t for t in (query.lower() if lowercase else query).split() if t}
+    )
+    if not terms:
+        raise ValueError("query must contain at least one token")
+    doclen = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("double").alias("__len")
+    )
+    if n_docs is None or avg_len is None:
+        stats = doclen.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("__len").alias("al")
+        ).first()
+        n_docs = n_docs if n_docs is not None else stats["n"]
+        avg_len = avg_len if avg_len is not None else float(stats["al"])
+    qp = postings.filter(F.col("token").isin(terms)).select(
+        "token", "doc_id", F.col("tf").cast("double").alias("__tf")
+    )
+    df_t = qp.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    contrib = (
+        qp.join(F.broadcast(df_t), "token")
+        .join(doclen, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * F.col("__tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("__tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("__len") / F.lit(float(avg_len))
+                    )
+                )
+            ).alias("__s"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.round(F.sum("__s"), 6).alias("bm25")
+    )

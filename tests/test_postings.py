@@ -104,3 +104,56 @@ def test_postings_plan_is_udf_free(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_matches_reference_computation(spark):
+    import math
+
+    from sparkall_spark.operators.postings import bm25_scores
+
+    docs = _docs(spark)
+    post = build_postings(docs)
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(post, "quick dog").collect()
+    }
+    # reference BM25 computed straight from the formula
+    corpus = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox",
+        3: "quick quick quick",
+        4: "brown the quick",
+        6: "aa aa aa aa",
+    }
+    toks = {d: t.lower().split() for d, t in corpus.items()}
+    n = len(toks)
+    avg = sum(len(t) for t in toks.values()) / n
+    want = {}
+    for term in ("quick", "dog"):
+        df = sum(term in t for t in toks.values())
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, t in toks.items():
+            tf = t.count(term)
+            if not tf:
+                continue
+            s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(t) / avg))
+            want[d] = want.get(d, 0.0) + s
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-6, d
+    # ranking sanity: doc 1 (quick AND rare 'dog') outranks pure-quick
+    assert got[1] == max(got.values())
+
+
+def test_bm25_accepts_precomputed_stats_and_validates(spark):
+    from sparkall_spark.operators.postings import bm25_scores
+
+    post = build_postings(_docs(spark))
+    a = {r["doc_id"]: r["bm25"] for r in bm25_scores(post, "brown").collect()}
+    b = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(post, "brown", n_docs=5, avg_len=4.6).collect()
+    }
+    assert a == b  # the fixture's true stats, passed explicitly
+    with pytest.raises(ValueError, match="at least one token"):
+        bm25_scores(post, "")

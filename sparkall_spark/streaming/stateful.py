@@ -118,3 +118,73 @@ def detect_anomalies_batch(events: DataFrame, z_threshold: float = 3.0) -> DataF
         .groupBy("user_id")
         .applyInPandas(fn, schema=ANOMALY_SCHEMA)
     )
+
+
+KMV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType(), False),
+        T.StructField("n_kept", T.LongType(), False),
+        T.StructField("est_distinct", T.DoubleType(), False),
+    ]
+)
+
+KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("mins", T.ArrayType(T.LongType()), False)]
+)
+
+
+def kmv_distinct_stream(
+    events: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Streaming distinct-cardinality per group with BOUNDED state: the
+    KMV sketch (operators/sketches.py) as an ``applyInPandasWithState``
+    operator.  State per key is the k smallest value hashes — k longs,
+    whatever the stream's distinct cardinality — and each micro-batch
+    emits the group's updated ``est_distinct`` (update semantics).
+
+    Exact-below-k / (k-1)*M/h_(k) above, with THE SAME portable hash
+    and estimator arithmetic as the batch sketch, so a streaming
+    estimate equals ``kmv_sketch`` over the union of everything the
+    stream has seen (asserted in tests) — the mergeability of KMV is
+    what makes the incremental form exact, not approximate-on-top-of-
+    approximate.
+
+    100 TB story: COUNT(DISTINCT) over an unbounded stream needs
+    unbounded state (every seen value); dropDuplicates+count needs a
+    watermark to bound it and then forgets.  This keeps k longs per
+    group forever and still answers within ~1/sqrt(k-2).
+    """
+    from sparkall_spark.operators.sketches import _M, _kmv_hash
+
+    hashed = events.select(
+        F.col(group_col).cast("string").alias("group"),
+        _kmv_hash(F.col(value_col).cast("string")).alias("__h"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (mins,) = state.get if state.exists else ([],)
+        seen = set(mins)
+        for pdf in pdfs:
+            seen.update(int(h) for h in pdf["__h"])
+        mins = sorted(seen)[:k]
+        state.update((mins,))
+        if len(mins) < k:
+            est = float(len(mins))
+        else:
+            est = round((k - 1) * float(_M) / float(mins[k - 1]), 4)
+        yield pd.DataFrame(
+            [{"group": key[0], "n_kept": len(mins), "est_distinct": est}]
+        )
+
+    return hashed.groupBy("group").applyInPandasWithState(
+        fn,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

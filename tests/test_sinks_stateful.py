@@ -104,3 +104,58 @@ def test_anomaly_stream_end_to_end(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert len(expected) > 0
+
+
+def test_kmv_distinct_stream_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Streaming KMV over two micro-batches must equal the BATCH sketch
+    of everything the stream has seen (KMV mergeability makes the
+    incremental form exact, not approximate-on-approximate)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.sketches import kmv_sketch
+    from sparkall_spark.streaming.stateful import kmv_distinct_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("doc_id").cast("string").alias("val")
+    )
+    stage = tmp_path / "kmv"
+    stage.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(stage / "b0")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(stage / "b1")
+    )
+    stream = (
+        spark.readStream.schema("source string, val string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage / "b*"))
+    )
+    out = kmv_distinct_stream(stream, "val", "source", k=16)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_kmv")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_kmv").collect()
+    finally:
+        q.stop()
+    # update mode appends one row per (batch, group); the final state
+    # is the row with the highest n_kept (monotone under merging)
+    got = {}
+    for r in rows:
+        cur = got.get(r["group"])
+        if cur is None or r["n_kept"] >= cur[0]:
+            got[r["group"]] = (r["n_kept"], r["est_distinct"])
+    want = {
+        r["source"]: (r["n_kept"], r["est_distinct"])
+        for r in kmv_sketch(docs, "val", k=16, group_cols=["source"]).collect()
+    }
+    assert got == want
+    # fixture sources hold 25 distinct ids each > k: estimator path hit
+    assert all(n == 16 for n, _ in want.values())

@@ -166,3 +166,58 @@ SELECT d.doc_id,
        coalesce(n.vector, [0.0 FOR i IN range(0, {dim})]) AS vector
 FROM {table} d LEFT JOIN normed n USING (doc_id)
 """
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document DEFLATE compression ratio — the classic cheap
+    gibberish/repetition signal web-corpus pipelines filter on (highly
+    repetitive text compresses far below ~0.3; random/encrypted blobs
+    sit near 1.0; natural prose lands ~0.3-0.7).  Complements the
+    Gopher repetition rules (functions/text.py): those count explicit
+    n-gram repeats, this catches ANY low-entropy structure.
+
+    Output: ``df`` + ``compressed_len`` (bigint) + ``compression_ratio``
+    (double, 6dp; empty/NULL text -> 1.0).  DEFLATE at a fixed
+    ``level`` is fully deterministic (stdlib zlib), so values are
+    stable across partitionings, sessions, and machines.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass — map-only, no
+    shuffle, no driver data; zlib is C-speed so the per-byte cost is
+    far below the tokenizing filters this usually rides alongside.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    fields = df.schema.fields + [
+        T.StructField("compressed_len", T.LongType(), False),
+        T.StructField("compression_ratio", T.DoubleType(), False),
+    ]
+    schema = T.StructType(fields)
+
+    def _batches(it):
+        import zlib
+
+        for pdf in it:
+            texts = pdf[text_col]
+            clens, ratios = [], []
+            for t in texts:
+                if t is None or t == "":
+                    clens.append(0)
+                    ratios.append(1.0)
+                    continue
+                raw = t.encode("utf-8", errors="replace")
+                c = len(zlib.compress(raw, level))
+                clens.append(c)
+                ratios.append(round(c / len(raw), 6))
+            out = pdf.copy()
+            out["compressed_len"] = pd.Series(clens, index=pdf.index, dtype="int64")
+            out["compression_ratio"] = pd.Series(ratios, index=pdf.index)
+            yield out
+
+    return df.mapInPandas(_batches, schema=schema)

@@ -126,3 +126,35 @@ def test_composes_with_semdedup_text_only(spark):
     # alpha-family keeps at most one per distinct tail
     assert 10 in ids and 11 not in ids and 12 not in ids
     assert len([i for i in ids if i < 10]) <= 2
+
+
+def test_compression_ratio_orders_text_classes(spark):
+    """Repetitive text compresses hard, prose lands mid-range, random
+    bytes barely compress — and values are deterministic."""
+    import random
+    import string
+
+    from sparkall_spark.operators.features import compression_ratio
+
+    rng = random.Random(7)
+    noise = "".join(rng.choice(string.ascii_letters + string.digits) for _ in range(2000))
+    rows = [
+        (1, "spam " * 400),
+        (2, "The quick brown fox jumps over the lazy dog. " * 40),
+        (3, noise),
+        (4, ""),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert got[1]["compression_ratio"] < 0.05          # pure repetition
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"] < 0.25
+    assert got[3]["compression_ratio"] > 0.6           # high entropy
+    assert got[4]["compression_ratio"] == 1.0 and got[4]["compressed_len"] == 0
+    assert got[5]["compression_ratio"] == 1.0
+    # deterministic across runs/partitionings
+    again = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(docs.repartition(4)).collect()
+    }
+    assert again == {d: r["compression_ratio"] for d, r in got.items()}

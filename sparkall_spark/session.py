@@ -55,10 +55,24 @@ def get_spark(
         # vs 3.0s at 8g).  On a real cluster this knob sizes only the
         # driver; executors are sized by the submitter.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # pre-fault the heap at JVM start: kernel page-zeroing otherwise
-        # lands mid-query on first touch of fresh heap regions (measured
-        # multi-second jitter on this VM)
-        .config("spark.driver.extraJavaOptions", "-XX:+AlwaysPreTouch")
+        # -XX:+AlwaysPreTouch: pre-fault the heap at JVM start — kernel
+        # page-zeroing otherwise lands mid-query on first touch of
+        # fresh heap regions (measured multi-second jitter on this VM).
+        # G1NewSizePercent=35 (r8): a YOUNG-GEN FLOOR against the GC
+        # death spiral on shared-CPU hosts.  Under host CPU steal,
+        # stop-the-world young pauses stretch ~20ms -> ~1.7s; G1 reacts
+        # by SHRINKING young gen to chase its 200ms pause target, which
+        # multiplies the GC count (measured: ~6 GCs/pass -> 30-56) while
+        # each GC still pays the host-stall floor — identical e03 passes
+        # blew 3.5s -> 59-88s with 50-84s of GC.  Pinning a large young
+        # floor keeps the count at the allocation-volume minimum, so a
+        # hot window costs ~n_GCs x stall instead of the spiral.
+        # Measured healthy-window neutral-to-better (e03 2.9-4.2s).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+AlwaysPreTouch -XX:+UnlockExperimentalVMOptions"
+            " -XX:G1NewSizePercent=35",
+        )
         # Broadcast/torrent blocks are freed by ContextCleaner only
         # after the DRIVER garbage-collects their references; with a
         # large driver heap that can take the whole session, so blocks

@@ -2513,7 +2513,11 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
       against the same k-min construction in SQL.
     - ``embdecon`` (r8): SEMANTIC decontamination — embedding-cosine
       contamination against a planted eval set (the affine-copy trick
-      from e06), exact cosines, all-pairs mirror."""
+      from e06), exact cosines, all-pairs mirror.
+    - ``phrase`` (r8): positional-inverted-index exact phrase search
+      (operators/postings.py) — every doc containing "hash table"
+      verbatim with its first 0-based position, positional-scan
+      mirror."""
     from sparkall_spark.operators import bpe as B
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2666,6 +2670,27 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") as (stat, value)"
         ),
     )
+    # r8 leg 7: positional-index exact phrase search
+    # (operators/postings.py) — build the inverted index over the
+    # corpus and find every document containing "hash table" verbatim,
+    # with 0-based first match position; mirrored by a positional scan
+    # in SQL.  The index-lookup form of exact decontamination/audit.
+    from sparkall_spark.operators.postings import (
+        build_postings,
+        phrase_search,
+    )
+
+    ph = phrase_search(build_postings(docs), "hash table")
+    ph_long = ph.select(
+        F.lit("phrase").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.expr(
+            "stack(2, "
+            "'n_matches', cast(n_matches as double), "
+            "'first_pos', cast(element_at(match_positions, 1) as double)"
+            ") as (stat, value)"
+        ),
+    )
     return (
         flag_long.unionByName(wf)
         .unionByName(ov_long)
@@ -2673,6 +2698,7 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kmv_card)
         .unionByName(kmv_ov)
         .unionByName(sem_long)
+        .unionByName(ph_long)
     )
 
 
@@ -2772,6 +2798,12 @@ FROM (SELECT round(CASE WHEN len(uk) < 64 THEN len(uk)::DOUBLE
       FROM kmvu),
      (VALUES ('est_union'), ('jaccard_est'), ('est_intersection')) AS s(stat)
 UNION ALL
+SELECT 'phrase' AS family, CAST(doc_id AS VARCHAR) AS key, s.stat,
+       CASE s.stat WHEN 'n_matches' THEN len(hits)::DOUBLE
+            ELSE (hits[1] - 1)::DOUBLE END AS value
+FROM phh, (VALUES ('n_matches'), ('first_pos')) AS s(stat)
+WHERE len(hits) > 0
+UNION ALL
 SELECT 'embdecon' AS family, CAST(sd.vec_id AS VARCHAR) AS key, s.stat,
        CASE s.stat WHEN 'n_bench_matches' THEN sd.n_matches::DOUBLE
             ELSE sd.max_cos END AS value
@@ -2830,6 +2862,12 @@ kmvu AS (
   SELECT list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:64] AS uk,
          a.hs AS ha, b.hs AS hb
   FROM kmvs a, kmvs b WHERE a.source = 'src0' AND b.source = 'src1'),
+phh AS (
+  SELECT doc_id, list_filter([i FOR i IN generate_series(1, len(toks) - 1)],
+             i -> toks[i] = 'hash' AND toks[i+1] = 'table') AS hits
+  FROM (SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') toks
+        FROM documents)),
 """
     + _E21_ORACLE.strip().removeprefix("WITH")
 )

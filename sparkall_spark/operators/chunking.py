@@ -75,3 +75,132 @@ def chunk_documents(
         )
     )
     return out
+
+
+def _gear_table(seed: int) -> "list[int]":
+    """256 deterministic 64-bit gear values from the repo's portable
+    LCG (no RNG imports, reproducible everywhere)."""
+    vals, h = [], seed or 1
+    for _ in range(256):
+        # two xorshift64* style mixes, kept in python ints
+        h = (h * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        vals.append(h)
+    return vals
+
+
+def cdc_chunk_payloads(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    avg_size: int = 4096,
+    min_size: int | None = None,
+    max_size: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Content-defined chunking of BINARY payloads (Gear/FastCDC-style
+    rolling hash; Xia et al., USENIX ATC'16): cut where the rolling
+    gear hash has ``log2(avg_size)`` low zero bits, yielding chunk
+    boundaries that survive insertions/deletions — the property that
+    makes byte-level dedup of multimodal blobs work where fixed-size
+    blocks would re-shift every boundary downstream of an edit.
+
+    Output: one row per chunk — ``id_col, chunk_idx, offset, length,
+    chunk_hash`` (signed 64-bit BLAKE2b of the chunk bytes, computed in
+    the same pass, so downstream exact dedup is a plain groupBy on
+    ``chunk_hash``).
+
+    Scale shape: ONE Arrow-batched ``mapInPandas`` pass — map-only, no
+    shuffle, no join.  The gear scan is vectorized in numpy: h_i
+    depends on only the last 64 bytes, so the rolling hash is a sum of
+    64 shifted table lookups over the whole buffer (no per-byte
+    Python).  Boundaries are deterministic functions of content alone,
+    so an insertion re-shifts only the chunks it touches — the CDC
+    property fixed-size blocking lacks.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if avg_size < 64:
+        raise ValueError("avg_size must be >= 64")
+    min_size = max(1, avg_size // 4) if min_size is None else min_size
+    max_size = avg_size * 4 if max_size is None else max_size
+    if not (0 < min_size <= avg_size <= max_size):
+        raise ValueError("need 0 < min_size <= avg_size <= max_size")
+    mask = (1 << max(1, (avg_size).bit_length() - 1)) - 1
+    gear = np.array(_gear_table(seed), dtype=np.uint64)
+
+    def _cuts(buf: bytes) -> list[int]:
+        n = len(buf)
+        b = np.frombuffer(buf, dtype=np.uint8)
+        g = gear[b]
+        # rolling gear hash h_i = sum_{j<64} gear[b_{i-j}] << j : old
+        # bytes shift out of the 64-bit window automatically.  Vector
+        # form: 64 shifted adds over the whole array, no python loop.
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(min(64, n)):
+            h[j:] += g[: n - j] << np.uint64(j)
+        content_cuts = [
+            int(i) + 1 for i in np.flatnonzero((h & np.uint64(mask)) == 0)
+        ]
+        out, prev = [0], 0
+        for c in content_cuts:
+            if c - prev < min_size:
+                continue  # too-small chunk: skip this cut point
+            while c - prev > max_size:  # fixed fallback cuts
+                prev += max_size
+                out.append(prev)
+            if c < n:
+                out.append(c)
+                prev = c
+        while n - prev > max_size:
+            prev += max_size
+            out.append(prev)
+        return out
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("chunk_idx", T.IntegerType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("length", T.LongType(), False),
+            T.StructField("chunk_hash", T.LongType(), False),
+        ]
+    )
+
+    def _batches(it):
+        cols = [id_col, "chunk_idx", "offset", "length", "chunk_hash"]
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf["__cid"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                buf = bytes(payload)
+                if not buf:
+                    continue
+                bounds = _cuts(buf) + [len(buf)]
+                for k in range(len(bounds) - 1):
+                    o, e = bounds[k], bounds[k + 1]
+                    if e <= o:
+                        continue
+                    dig = hashlib.blake2b(buf[o:e], digest_size=8).digest()
+                    rows.append(
+                        {
+                            id_col: int(rid),
+                            "chunk_idx": k,
+                            "offset": o,
+                            "length": e - o,
+                            "chunk_hash": int.from_bytes(
+                                dig, "big", signed=True
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("__cid"), F.col(payload_col)
+    )
+    return src.mapInPandas(_batches, schema)

@@ -91,3 +91,58 @@ def test_chunk_validation():
         chunk_documents(None, chunk_tokens=10, stride=11)
     with pytest.raises(ValueError, match="positive"):
         chunk_documents(None, chunk_tokens=0)
+
+
+def test_cdc_chunks_cover_payload_and_are_content_defined(spark):
+    """Chunks tile each payload exactly; identical content yields
+    identical chunk hashes wherever it appears; an INSERTION re-shifts
+    only chunks at/after the edit (the CDC property)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.chunking import cdc_chunk_payloads
+
+    rng = random.Random(3)
+    base = bytes(rng.randrange(256) for _ in range(40_000))
+    edited = base[:9_000] + b"INSERTED-BYTES" + base[9_000:]
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(edited)), (3, None),
+         (4, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    out = cdc_chunk_payloads(df, avg_size=1024).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {1, 2}  # null/empty payloads emit nothing
+    for mid, size in ((1, len(base)), (2, len(edited))):
+        rows = sorted(by_id[mid], key=lambda r: r["chunk_idx"])
+        assert rows[0]["offset"] == 0
+        assert sum(r["length"] for r in rows) == size
+        for a, b in zip(rows, rows[1:]):
+            assert b["offset"] == a["offset"] + a["length"]  # exact tiling
+        assert all(r["length"] <= 4096 for r in rows)  # max_size cap
+
+    h1 = [r["chunk_hash"] for r in sorted(by_id[1], key=lambda r: r["chunk_idx"])]
+    h2 = [r["chunk_hash"] for r in sorted(by_id[2], key=lambda r: r["chunk_idx"])]
+    shared = set(h1) & set(h2)
+    # most chunks survive the insertion byte-identically
+    assert len(shared) >= len(h1) - 3
+    # deterministic across partitionings
+    again = cdc_chunk_payloads(df.repartition(4), avg_size=1024).collect()
+    assert sorted((r["media_id"], r["chunk_idx"], r["chunk_hash"]) for r in again) \
+        == sorted((r["media_id"], r["chunk_idx"], r["chunk_hash"]) for r in out)
+
+
+def test_cdc_chunk_validation(spark):
+    import pytest as _pytest
+
+    from sparkall_spark.operators.chunking import cdc_chunk_payloads
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))],
+                               "media_id long, payload binary")
+    with _pytest.raises(ValueError, match="avg_size"):
+        cdc_chunk_payloads(df, avg_size=16)
+    with _pytest.raises(ValueError, match="min_size"):
+        cdc_chunk_payloads(df, avg_size=1024, min_size=2048)

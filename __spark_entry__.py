@@ -2517,7 +2517,11 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``phrase`` (r8): positional-inverted-index exact phrase search
       (operators/postings.py) — every doc containing "hash table"
       verbatim with its first 0-based position, positional-scan
-      mirror."""
+      mirror.
+    - ``bm25`` (r8): BM25 retrieval scores over the same index in the
+      exact-micro form (per-term contributions rounded to BIGINT
+      micros before the per-doc sum — bit-stable under any aggregation
+      order), formula-identical SQL mirror."""
     from sparkall_spark.operators import bpe as B
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2675,12 +2679,20 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus and find every document containing "hash table" verbatim,
     # with 0-based first match position; mirrored by a positional scan
     # in SQL.  The index-lookup form of exact decontamination/audit.
+    from sparkall_spark.operators._cache import persist_tracked
     from sparkall_spark.operators.postings import (
+        bm25_scores,
         build_postings,
         phrase_search,
     )
 
-    ph = phrase_search(build_postings(docs), "hash table")
+    # persisted: the index feeds phrase_search's positional joins AND
+    # bm25's three consumers (doc lengths, stats, query postings) —
+    # uncached, each re-runs the corpus tokenize+groupBy (measured 35s
+    # -> ~8s for the entry at sf0.01).  Released by the next entry's
+    # wrapper like every operator cache.
+    post = persist_tracked(build_postings(docs))
+    ph = phrase_search(post, "hash table")
     ph_long = ph.select(
         F.lit("phrase").alias("family"),
         F.col("doc_id").cast("string").alias("key"),
@@ -2691,6 +2703,18 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") as (stat, value)"
         ),
     )
+    # r8 leg 8: BM25 retrieval scores over the same index, in the
+    # exact-micro form (per-term contributions HALF-UP rounded to
+    # BIGINT micros BEFORE the per-doc sum — bit-stable under any
+    # aggregation order, so the value-hash gate covers retrieval
+    # scoring too).
+    bm = bm25_scores(post, "hash table scan", exact_micro=True)
+    bm_long = bm.select(
+        F.lit("bm25").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("bm25_micro").alias("stat"),
+        F.col("bm25_micro").cast("double").alias("value"),
+    )
     return (
         flag_long.unionByName(wf)
         .unionByName(ov_long)
@@ -2699,6 +2723,7 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kmv_ov)
         .unionByName(sem_long)
         .unionByName(ph_long)
+        .unionByName(bm_long)
     )
 
 
@@ -2804,6 +2829,17 @@ SELECT 'phrase' AS family, CAST(doc_id AS VARCHAR) AS key, s.stat,
 FROM phh, (VALUES ('n_matches'), ('first_pos')) AS s(stat)
 WHERE len(hits) > 0
 UNION ALL
+SELECT 'bm25' AS family, CAST(p.doc_id AS VARCHAR) AS key,
+       'bm25_micro' AS stat,
+       CAST(sum(CAST(round(
+           ln(1 + (bmn.n - bmd.df + 0.5) / (bmd.df + 0.5))
+           * p.tf * 2.2
+           / (p.tf + 1.2 * (0.25 + 0.75 * l.len / bmn.al))
+           * 1000000.0) AS BIGINT)) AS DOUBLE) AS value
+FROM bmp p, bmd, bmn, bml l
+WHERE p.token = bmd.token AND l.doc_id = p.doc_id
+GROUP BY p.doc_id
+UNION ALL
 SELECT 'embdecon' AS family, CAST(sd.vec_id AS VARCHAR) AS key, s.stat,
        CASE s.stat WHEN 'n_bench_matches' THEN sd.n_matches::DOUBLE
             ELSE sd.max_cos END AS value
@@ -2868,6 +2904,16 @@ phh AS (
   FROM (SELECT doc_id, list_filter(
           regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') toks
         FROM documents)),
+bmp AS (
+  SELECT token, doc_id, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+        FROM documents)
+  GROUP BY 1, 2),
+bml AS (SELECT doc_id, sum(tf) AS len FROM bmp GROUP BY 1),
+bmn AS (SELECT count(*)::BIGINT AS n, avg(len) AS al FROM bml),
+bmd AS (SELECT token, count(*) AS df FROM bmp
+        WHERE token IN ('hash', 'scan', 'table') GROUP BY 1),
 """
     + _E21_ORACLE.strip().removeprefix("WITH")
 )

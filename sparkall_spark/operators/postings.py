@@ -165,6 +165,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     lowercase: bool = True,
+    exact_micro: bool = False,
 ) -> DataFrame:
     """Okapi BM25 ranking of documents against a token ``query`` over a
     postings table (Robertson & Zaragoza, FnTIR'09) — the standard
@@ -179,6 +180,14 @@ def bm25_scores(
     computed from the postings unless passed in (pass them when the
     index is a saved table and the stats are known — two aggregate
     jobs saved).
+
+    ``exact_micro=True`` instead emits ``doc_id, bm25_micro`` (BIGINT):
+    each per-term contribution is HALF-UP rounded to micros BEFORE the
+    per-doc sum, making the reduction exact integer addition — the
+    repo's micro discipline — so the result is bit-stable under ANY
+    aggregation order and safe for cross-engine hash gates (a float
+    sum of 2-3 doubles varies in the last ulp with accumulation
+    order).
 
     Scale shape: only the QUERY tokens' postings rows participate
     (partition-pruned on a token-partitioned index); df per token is a
@@ -209,26 +218,29 @@ def bm25_scores(
         + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
         / (F.col("__df") + F.lit(0.5))
     )
+    score = (
+        idf
+        * F.col("__tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("__len") / F.lit(float(avg_len))
+            )
+        )
+    )
     contrib = (
         qp.join(F.broadcast(df_t), "token")
         .join(doclen, "doc_id")
-        .select(
-            "doc_id",
-            (
-                idf
-                * F.col("__tf")
-                * F.lit(k1 + 1.0)
-                / (
-                    F.col("__tf")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b) * F.col("__len") / F.lit(float(avg_len))
-                    )
-                )
-            ).alias("__s"),
-        )
+        .select("doc_id", score.alias("__s"))
     )
+    if exact_micro:
+        return contrib.groupBy("doc_id").agg(
+            F.sum(F.round(F.col("__s") * F.lit(1_000_000.0)).cast("bigint"))
+            .alias("bm25_micro")
+        )
     return contrib.groupBy("doc_id").agg(
         F.round(F.sum("__s"), 6).alias("bm25")
     )

@@ -2633,6 +2633,7 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ov_est = K.kmv_overlap_estimate(
         vsk.filter(F.col("source") == "src0").drop("source"),
         vsk.filter(F.col("source") == "src1").drop("source"),
+        k=64,  # explicit: skips two eager .first() reads of kmv_k
     )
     kmv_ov = ov_est.select(
         F.lit("kmv").alias("family"),
@@ -2726,6 +2727,21 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bm_long)
     )
 
+
+# canonical SQL renderings of the KMV hash chain (poly token hash ->
+# two-round LCG mix) — built from the SAME lockstep mirrors the Spark
+# side uses (sampling.mix_sql; features._P_MOD poly fold), so a change
+# to either hash desynchronizes loudly instead of silently drifting
+# from a hand-copied constant block.
+from sparkall_spark.operators.sampling import mix_sql as _mix_sql_render
+
+_KMV_POLY_SQL = (
+    "list_reduce(list_prepend(0::BIGINT,"
+    " [ascii(c)::BIGINT FOR c IN"
+    " list_filter(string_split(w, ''), x -> x <> '')]),"
+    " (acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+_KMV_MIX_SQL = _mix_sql_render(_KMV_POLY_SQL, seed=0)
 
 _E21_ORACLE = """
 WITH flag AS (
@@ -2881,13 +2897,7 @@ fdt AS (
 fdc AS (SELECT * FROM fdt WHERE doc_id % 10 <> 7 AND len(toks) > 0),
 fdb AS (SELECT * FROM fdt WHERE doc_id % 10 = 7 AND len(toks) > 0),
 kmvh AS (
-  SELECT source,
-         ((((abs(CAST(list_reduce(list_prepend(0::BIGINT,
-              [ascii(c)::BIGINT FOR c IN
-                 list_filter(string_split(w, ''), x -> x <> '')]),
-              (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT)) + 0)
-            % 2147483647) * 1103515245 + 12345) % 2147483647 * 48271)
-           % 2147483647 AS h
+  SELECT source, {_KMV_MIX_SQL} AS h
   FROM (SELECT source, unnest(list_filter(
           regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
         FROM documents)),
@@ -2916,7 +2926,7 @@ bmd AS (SELECT token, count(*) AS df FROM bmp
         WHERE token IN ('hash', 'scan', 'table') GROUP BY 1),
 """
     + _E21_ORACLE.strip().removeprefix("WITH")
-)
+).replace("{_KMV_MIX_SQL}", _KMV_MIX_SQL)
 
 
 def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

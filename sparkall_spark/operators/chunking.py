@@ -153,7 +153,9 @@ def cdc_chunk_payloads(
             while c - prev > max_size:  # fixed fallback cuts
                 prev += max_size
                 out.append(prev)
-            if c < n:
+            # re-check AFTER forced cuts: a content cut just past a
+            # max_size boundary would otherwise emit a sub-min fragment
+            if min_size <= c - prev and c < n:
                 out.append(c)
                 prev = c
         while n - prev > max_size:

@@ -15,11 +15,12 @@ corpora on Spark:
   codec needed; pixel-level features (mean luma, dHash) are ALSO REAL
   for every common format — BMP BI_RGB 8/24/32bpp, binary PPM/PGM,
   PNG (stdlib zlib + spec unfiltering), GIF (pure-Python LZW), and
-  baseline/extended-sequential JPEG at 8 AND 12 bits plus
+  baseline/extended-sequential JPEG at 8 AND 12 bits plus 8-bit
   progressive JPEG (huffman entropy decode + numpy IDCT, luma plane) —
   ``decode_pixels``, including Adam7-interlaced PNG; only
-  arithmetic/hierarchical JPEG falls back to a clearly-marked
-  deterministic fake.  ``resize_images`` is REAL too: decode ->
+  arithmetic/hierarchical (and the vanishingly rare 12-bit
+  progressive) JPEG falls back to a clearly-marked deterministic
+  fake.  ``resize_images`` is REAL too: decode ->
   vectorized bilinear -> valid PGM re-encode (null rows for
   undecodable payloads).  The
   Spark-side plumbing — schema, partitioning, batch iteration, UDF
@@ -1486,10 +1487,10 @@ def _decode_one(payload: bytes) -> dict:
     PNG/GIF/BMP/JPEG/PPM/PGM (parse_image_header); mean_luma and phash
     (dHash) are REAL for every common format (decode_pixels: BMP
     BI_RGB, binary PPM/PGM, PNG via stdlib zlib + spec unfiltering,
-    GIF via pure-Python LZW, baseline/extended/progressive JPEG at 8
-    and 12 bits via pure-Python huffman + numpy IDCT, incl.
-    Adam7-interlaced PNG).  Only arithmetic/hierarchical
-    JPEG falls back to a clearly-marked deterministic fake
+    GIF via pure-Python LZW, baseline/extended JPEG at 8 and 12 bits
+    plus 8-bit progressive JPEG via pure-Python huffman + numpy IDCT,
+    incl. Adam7-interlaced PNG).  Only arithmetic/hierarchical/12-bit-
+    progressive JPEG falls back to a clearly-marked deterministic fake
     keyed on the payload hash — swapping in PIL changes only this fallback.
     Raises for None payloads like a real decoder.
     """

@@ -46,7 +46,7 @@ extends the beyond-reference training-data telemetry surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from sparkall_spark.operators.features import _P_MOD, _portable_token_hash
 from sparkall_spark.operators.sampling import _mix, mix_sql
@@ -88,24 +88,33 @@ def kmv_sketch(
     at most k), ``kmv_k`` (k), ``n_kept`` (|hashes|), ``est_distinct``
     (double, exact when fewer than k distinct hashes exist).
 
-    One map-side-combined distinct aggregation + one k-bounded window;
-    nothing downstream ever touches more than k rows per group.
+    One map-side-combined distinct aggregation + a TWO-PHASE k-min
+    (per-shuffle-partition k smallest, then k smallest of those
+    k-sized partials — the same closure property kmv_merge relies on):
+    no single task ever sorts a group's full distinct set, which a
+    row_number window partitioned only by group would force (all
+    distinct hashes of a group — or of the WHOLE input when ungrouped
+    — onto one task: the exact COUNT(DISTINCT) bottleneck this sketch
+    exists to avoid).
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     groups = group_cols or []
     h = _kmv_hash(F.col(value_col).cast("string"))
-    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy("__h")
-    kept = (
+    distinct = (
         df.select(*groups, h.alias("__h"))
         .filter(F.col(value_col).isNotNull())
         .groupBy(*groups, "__h")
         .agg(F.lit(1))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= k)
     )
-    agg = kept.groupBy(*groups).agg(
-        F.array_sort(F.collect_list("__h")).alias("kmv_hashes")
+    partials = (
+        distinct.withColumn("__p", F.spark_partition_id())
+        .groupBy(*groups, "__p")
+        .agg(F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("__hs"))
+        .select(*groups, F.explode("__hs").alias("__h"))
+    )
+    agg = partials.groupBy(*groups).agg(
+        F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("kmv_hashes")
     )
     n = F.size("kmv_hashes")
     return agg.select(
@@ -117,19 +126,32 @@ def kmv_sketch(
     )
 
 
+def _resolve_k(a: DataFrame, b: DataFrame, k: int | None) -> int:
+    """The shared k of two sketch tables.  Pass ``k`` explicitly to
+    avoid two eager ``.first()`` driver actions that would re-execute
+    the (possibly uncached) upstream sketch plans just to read a
+    constant the caller usually knows."""
+    if k is not None:
+        return k
+    k_a = a.select("kmv_k").first()["kmv_k"]
+    k_b = b.select("kmv_k").first()["kmv_k"]
+    if k_a != k_b:
+        raise ValueError(f"cannot merge sketches with k={k_a} and k={k_b}")
+    return k_a
+
+
 def kmv_merge(
-    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Union two sketch tables (same k) into the sketch of the UNION of
     the underlying sets — KMV's closure property: the k smallest of
     (k-min(A) ∪ k-min(B)) equal the k smallest of A ∪ B.  Groups
     present on one side only pass through unchanged (full outer)."""
     groups = group_cols or []
-    k_a = a.select("kmv_k").first()["kmv_k"]
-    k_b = b.select("kmv_k").first()["kmv_k"]
-    if k_a != k_b:
-        raise ValueError(f"cannot merge sketches with k={k_a} and k={k_b}")
-    k = k_a
+    k = _resolve_k(a, b, k)
     sa = a.select(*groups, F.col("kmv_hashes").alias("__ha"))
     sb = b.select(*groups, F.col("kmv_hashes").alias("__hb"))
     empty = F.array().cast("array<bigint>")
@@ -159,7 +181,10 @@ def kmv_merge(
 
 
 def kmv_overlap_estimate(
-    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Jaccard / intersection / union estimates between two sketched
     sets, per group (Beyer et al. SIGMOD'07 §4): rank the merged
@@ -172,11 +197,7 @@ def kmv_overlap_estimate(
     on either side estimate zero overlap.
     """
     groups = group_cols or []
-    k_a = a.select("kmv_k").first()["kmv_k"]
-    k_b = b.select("kmv_k").first()["kmv_k"]
-    if k_a != k_b:
-        raise ValueError(f"cannot compare sketches with k={k_a} and k={k_b}")
-    k = k_a
+    k = _resolve_k(a, b, k)
     sa = a.select(*groups, F.col("kmv_hashes").alias("__ha"))
     sb = b.select(*groups, F.col("kmv_hashes").alias("__hb"))
     merged = (

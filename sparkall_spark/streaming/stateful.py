@@ -159,7 +159,13 @@ def kmv_distinct_stream(
     """
     from sparkall_spark.operators.sketches import _M, _kmv_hash
 
-    hashed = events.select(
+    # NULL values/groups are dropped BEFORE grouping — matching the
+    # batch sketch's isNotNull filter; a NULL hash would otherwise
+    # reach pandas as NaN in a float64 column and int(NaN) would sink
+    # the whole streaming query on the first dirty row.
+    hashed = events.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
         F.col(group_col).cast("string").alias("group"),
         _kmv_hash(F.col(value_col).cast("string")).alias("__h"),
     )
@@ -176,7 +182,19 @@ def kmv_distinct_stream(
         if len(mins) < k:
             est = float(len(mins))
         else:
-            est = round((k - 1) * float(_M) / float(mins[k - 1]), 4)
+            # HALF-UP on the shortest decimal repr — the same rule as
+            # Spark's F.round (BigDecimal.valueOf), NOT python round()
+            # (banker's half-even on the raw binary double); the
+            # batch-equality contract is bit-level.
+            import decimal
+
+            est = float(
+                decimal.Decimal(
+                    repr((k - 1) * float(_M) / float(mins[k - 1]))
+                ).quantize(
+                    decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+                )
+            )
         yield pd.DataFrame(
             [{"group": key[0], "n_kept": len(mins), "est_distinct": est}]
         )

@@ -146,3 +146,23 @@ def test_cdc_chunk_validation(spark):
         cdc_chunk_payloads(df, avg_size=16)
     with _pytest.raises(ValueError, match="min_size"):
         cdc_chunk_payloads(df, avg_size=1024, min_size=2048)
+
+
+def test_cdc_min_size_holds_after_forced_cuts(spark):
+    """r8 review: a content cut landing just past a forced max_size
+    boundary must not emit a sub-min fragment."""
+    from sparkall_spark.operators.chunking import cdc_chunk_payloads
+
+    # constant bytes: gear hash of a constant buffer either cuts
+    # everywhere or nowhere; either way every emitted chunk must
+    # respect min_size except the final remainder
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x42" * 20_000))], "media_id long, payload binary"
+    )
+    rows = sorted(
+        cdc_chunk_payloads(df, avg_size=1024).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert sum(r["length"] for r in rows) == 20_000
+    assert all(r["length"] >= 256 for r in rows[:-1])  # min_size=avg/4
+    assert all(r["length"] <= 4096 for r in rows)

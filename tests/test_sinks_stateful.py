@@ -159,3 +159,36 @@ def test_kmv_distinct_stream_equals_batch_sketch(spark, sf_dir, tmp_path):
     assert got == want
     # fixture sources hold 25 distinct ids each > k: estimator path hit
     assert all(n == 16 for n, _ in want.values())
+
+
+def test_kmv_stream_survives_null_values(spark, tmp_path):
+    """r8 review: NULL values/groups must be dropped like the batch
+    sketch drops them — not sink the streaming query as int(NaN)."""
+    from sparkall_spark.streaming.stateful import kmv_distinct_stream
+
+    stage = tmp_path / "kmvnull"
+    stage.mkdir()
+    spark.createDataFrame(
+        [("g1", "a"), ("g1", None), (None, "b"), ("g1", "c")],
+        "source string, val string",
+    ).coalesce(1).write.parquet(str(stage / "b0"))
+    stream = (
+        spark.readStream.schema("source string, val string")
+        .parquet(str(stage / "b*"))
+    )
+    q = (
+        kmv_distinct_stream(stream, "val", "source", k=8)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_kmv_null")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            r["group"]: r["n_kept"]
+            for r in spark.sql("SELECT * FROM t_kmv_null").collect()
+        }
+    finally:
+        q.stop()
+    assert rows == {"g1": 2}  # nulls dropped, query alive

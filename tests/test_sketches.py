@@ -108,3 +108,27 @@ def test_groupwise_sketch_shapes(spark):
     assert rows["g1"]["n_kept"] == 2 and rows["g1"]["est_distinct"] == 2.0
     # NULLs are not distinct values
     assert rows["g2"]["n_kept"] == 1 and rows["g2"]["est_distinct"] == 1.0
+
+
+def test_sketch_plan_has_no_global_window(spark):
+    """Two-phase k-min (r8 review): an ungrouped sketch must not plan a
+    row_number window with an empty partition spec — that moves EVERY
+    distinct hash onto one task, the COUNT(DISTINCT) bottleneck the
+    sketch exists to avoid."""
+    df = spark.range(1000).select(F.concat(F.lit("v"), "id").alias("v"))
+    plan = (
+        kmv_sketch(df, "v", k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
+def test_overlap_estimate_accepts_explicit_k(spark):
+    a = spark.range(0, 500).select(F.concat(F.lit("v"), "id").alias("v"))
+    b = spark.range(250, 750).select(F.concat(F.lit("v"), "id").alias("v"))
+    sa, sb = kmv_sketch(a, "v", k=64), kmv_sketch(b, "v", k=64)
+    implicit = kmv_overlap_estimate(sa, sb).first()
+    explicit = kmv_overlap_estimate(sa, sb, k=64).first()
+    assert implicit == explicit

@@ -82,7 +82,7 @@ def _gear_table(seed: int) -> "list[int]":
     LCG (no RNG imports, reproducible everywhere)."""
     vals, h = [], seed or 1
     for _ in range(256):
-        # two xorshift64* style mixes, kept in python ints
+        # one 64-bit LCG step (Knuth MMIX constants), kept in python ints
         h = (h * 6364136223846793005 + 1442695040888963407) % (1 << 64)
         vals.append(h)
     return vals

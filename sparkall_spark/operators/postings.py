@@ -185,9 +185,15 @@ def bm25_scores(
     each per-term contribution is HALF-UP rounded to micros BEFORE the
     per-doc sum, making the reduction exact integer addition — the
     repo's micro discipline — so the result is bit-stable under ANY
-    aggregation order and safe for cross-engine hash gates (a float
-    sum of 2-3 doubles varies in the last ulp with accumulation
-    order).
+    aggregation order (a float sum of 2-3 doubles varies in the last
+    ulp with accumulation order).  Cross-engine caveat: the per-term
+    contribution still contains one ``ln`` (JVM ``Math.log`` vs the
+    oracle engine's libm) and one decimal-repr HALF-UP rounding, so a
+    contribution landing within an ulp of a .5-micro boundary could in
+    principle round apart across engines — unobserved so far, but if a
+    hash gate ever flakes here, compute idf from integer inputs via a
+    shared rational approximation instead of trusting last-ulp ``ln``
+    agreement.
 
     Scale shape: only the QUERY tokens' postings rows participate
     (partition-pruned on a token-partitioned index); df per token is a
@@ -207,6 +213,11 @@ def bm25_scores(
         stats = doclen.agg(
             F.count(F.lit(1)).alias("n"), F.avg("__len").alias("al")
         ).first()
+        if stats["al"] is None:  # empty postings: avg over zero rows is NULL
+            raise ValueError(
+                "bm25_scores over empty postings: pass n_docs/avg_len "
+                "explicitly or supply a non-empty index"
+            )
         n_docs = n_docs if n_docs is not None else stats["n"]
         avg_len = avg_len if avg_len is not None else float(stats["al"])
     qp = postings.filter(F.col("token").isin(terms)).select(

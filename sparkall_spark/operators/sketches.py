@@ -155,8 +155,9 @@ def kmv_merge(
     sa = a.select(*groups, F.col("kmv_hashes").alias("__ha"))
     sb = b.select(*groups, F.col("kmv_hashes").alias("__hb"))
     empty = F.array().cast("array<bigint>")
-    # ungrouped sketches are single rows; both inputs must be nonempty
-    # (kmv_sketch of an empty relation yields no row to merge)
+    # ungrouped sketches are single rows — including over an EMPTY
+    # relation (a global agg emits one row with kmv_hashes=[] and
+    # est_distinct=0.0), so the crossJoin below always sees 1×1 rows
     merged = sa.join(sb, groups, "full_outer") if groups else sa.crossJoin(sb)
     union_sorted = F.slice(
         F.array_sort(

@@ -43,10 +43,24 @@ STATE_SCHEMA = T.StructType(
 def _welford_scan(
     pdf: pd.DataFrame, n: int, mean: float, m2: float, z_threshold: float
 ) -> tuple[list[dict], int, float, float]:
+    """Sequential Welford update + score over one (sorted) pandas frame.
+
+    The state recurrence is inherently order-dependent (each row is
+    scored against the running mean/M2 of everything BEFORE it), so
+    this stays a per-row loop — but over plain ``zip`` of the column
+    arrays, not ``iterrows`` (which materializes a boxed Series per
+    row and is the slowest iteration pandas offers).  The float
+    arithmetic is operation-for-operation identical to the original
+    scan: Python-float adds/divides in the same order, so emissions
+    and rounding are bit-identical.
+    """
     out = []
-    for _, row in pdf.iterrows():
-        v = row["value"]
-        if v is None or (isinstance(v, float) and math.isnan(v)):
+    users = pdf["user_id"].to_numpy()
+    events = pdf["event_id"].to_numpy()
+    values = pdf["value"].to_numpy()
+    for uid, eid, v in zip(users, events, values):
+        v = None if v is None else float(v)
+        if v is None or math.isnan(v):
             continue
         if n >= 5:  # enough history to score
             std = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
@@ -54,10 +68,10 @@ def _welford_scan(
             if abs(z) >= z_threshold:
                 out.append(
                     {
-                        "user_id": int(row["user_id"]),
-                        "event_id": int(row["event_id"]),
-                        "value": float(v),
-                        "zscore": round(float(z), 6),
+                        "user_id": int(uid),
+                        "event_id": int(eid),
+                        "value": v,
+                        "zscore": round(z, 6),
                     }
                 )
         n += 1

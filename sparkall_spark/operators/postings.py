@@ -35,9 +35,11 @@ tooling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from sparkall_spark.functions.text import tokens
+from sparkall_spark.operators.features import _P_MOD, _portable_token_hash
+from sparkall_spark.operators.sampling import _A1, _A2, _B1, _M, _mix
 
 
 def build_postings(
@@ -65,10 +67,146 @@ def build_postings(
     )
 
 
+# --- saved (partition-pruned) index layout ---------------------------------
+#
+# At 100 TB the index is built ONCE and queried many times, so the value
+# proposition is the LOOKUP cost: a saved index laid out as hive
+# partitions on a token hash bucket turns "which documents contain token
+# t" into a scan of 1/n_buckets of the index (PartitionFilters prunes
+# the directories at planning time — no file of any other bucket is even
+# listed) with the exact `token = t` predicate pushed into the parquet
+# row-group filter inside the one surviving bucket.  Partitioning on the
+# raw token would be exact pruning but creates one directory per
+# vocabulary word — a Zipf vocabulary means millions of tiny partitions,
+# which kills both the object-store listing and the writer; the hash
+# bucket keeps the directory count fixed while preserving static
+# pruning, the standard layout compromise.
+#
+# The bucket must be computable DRIVER-side (the query plan needs the
+# literal) and ENGINE-side (the writer computes it per row), so it uses
+# the repo's portable poly-hash -> LCG-mix chain with a Python twin
+# (`token_bucket`) kept in lockstep by construction (same imported
+# constants) and by tests.
+
+#: hidden side-tables inside a saved index directory — names start with
+#: "_" so Spark's scan of the index root ignores them (the _SUCCESS /
+#: _delta_log convention)
+_DOCLEN_SUBDIR = "_doclen"
+_META_SUBDIR = "_meta"
+
+
+def token_bucket(token: str, n_buckets: int, seed: int = 0) -> int:
+    """Driver-side twin of the saved index's partition column: the
+    portable polynomial char hash pushed through the two-round LCG mix
+    (sampling._mix), mod ``n_buckets``.  Must stay in bit-lockstep with
+    :func:`_token_bucket_col`; uses the same imported constants and is
+    equality-tested against the Column form."""
+    acc = 0
+    for ch in token:
+        acc = (acc * 31 + ord(ch)) % _P_MOD
+    h = (acc + seed) % _M
+    h = (h * _A1 + _B1) % _M
+    return (h * _A2) % _M % n_buckets
+
+
+def _token_bucket_col(tok: Column, n_buckets: int, seed: int = 0) -> Column:
+    """Engine-side twin of :func:`token_bucket`."""
+    return (_mix(_portable_token_hash(tok), seed) % n_buckets).cast("int")
+
+
+def save_postings(
+    postings: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    seed: int = 0,
+) -> None:
+    """Persist a postings table for partition-pruned lookups.
+
+    Layout under ``path``:
+
+    - the postings rows, hive-partitioned by ``tok_bucket`` (the
+      portable token hash mod ``n_buckets``) — lookups filtering on
+      ``tok_bucket = token_bucket(t)`` prune to one directory;
+    - ``_doclen/``: the per-document length table (``doc_id,
+      doc_len``) BM25 needs — precomputed once here so scoring a query
+      never re-aggregates the whole index;
+    - ``_meta/``: a one-row table (``n_buckets, seed, n_docs,
+      avg_len``) with the layout parameters and corpus stats, written
+      through Spark so the layout works on any filesystem.
+
+    The ``_``-prefixed side tables are invisible to a scan of ``path``
+    itself (Spark's hidden-path convention).
+    """
+    with_bucket = postings.withColumn(
+        "tok_bucket", _token_bucket_col(F.col("token"), n_buckets, seed)
+    )
+    # repartition on the partition column so each hive directory is
+    # written by the tasks that own its rows (without it, every task
+    # holding rows of every bucket opens n_buckets writers -> n_tasks *
+    # n_buckets small files)
+    with_bucket.repartition(n_buckets, "tok_bucket").write.mode(
+        "overwrite"
+    ).partitionBy("tok_bucket").parquet(path)
+    spark = postings.sparkSession
+    doclen = spark.read.parquet(path).groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("doc_len")
+    )
+    doclen.write.mode("overwrite").parquet(f"{path}/{_DOCLEN_SUBDIR}")
+    stats = (
+        spark.read.parquet(f"{path}/{_DOCLEN_SUBDIR}")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.avg(F.col("doc_len").cast("double")).alias("avg_len"),
+        )
+        .select(
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
+            F.lit(seed).cast("int").alias("seed"),
+            "n_docs",
+            "avg_len",
+        )
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/{_META_SUBDIR}")
+
+
+def load_postings(spark: SparkSession, path: str) -> DataFrame:
+    """The saved postings rows (with the ``tok_bucket`` partition
+    column).  Pass :func:`read_postings_meta`'s ``n_buckets``/``seed``
+    to :func:`phrase_search` / :func:`bm25_scores` so their token
+    filters carry the literal bucket predicate that makes the scan
+    partition-pruned."""
+    return spark.read.parquet(path)
+
+
+def load_doclen(spark: SparkSession, path: str) -> DataFrame:
+    """The saved per-document length side table (``doc_id, doc_len``)."""
+    return spark.read.parquet(f"{path}/{_DOCLEN_SUBDIR}")
+
+
+def read_postings_meta(spark: SparkSession, path: str) -> dict:
+    """Layout + corpus stats of a saved index: ``{n_buckets, seed,
+    n_docs, avg_len}``."""
+    return spark.read.parquet(f"{path}/{_META_SUBDIR}").first().asDict()
+
+
+def _term_pred(term: str, n_buckets: int | None, seed: int) -> Column:
+    """Filter for one token; on a bucketed saved index the literal
+    ``tok_bucket`` equality is what the planner turns into a
+    PartitionFilter (directory pruning), with the token equality pushed
+    to the parquet reader inside the surviving bucket."""
+    p = F.col("token") == term
+    if n_buckets:
+        p = (
+            F.col("tok_bucket") == F.lit(token_bucket(term, n_buckets, seed))
+        ) & p
+    return p
+
+
 def phrase_search(
     postings: DataFrame,
     phrase: str,
     lowercase: bool = True,
+    n_buckets: int | None = None,
+    bucket_seed: int = 0,
 ) -> DataFrame:
     """Documents containing the exact token ``phrase``, with every
     0-based start position.
@@ -79,12 +217,18 @@ def phrase_search(
     back by i and intersecting, so a k-token phrase is k-1 equi-joins
     on doc_id over only the candidate documents.  A single-token
     phrase is a plain lookup.  Raises on an empty phrase.
+
+    Against a saved index (:func:`save_postings`), pass the layout's
+    ``n_buckets``/``bucket_seed``: every per-token filter then carries
+    the literal ``tok_bucket`` predicate, so each token's postings come
+    from ONE pruned partition directory instead of a full index scan
+    (asserted plan-level in tests/test_postings.py).
     """
     terms = [t for t in (phrase.lower() if lowercase else phrase).split() if t]
     if not terms:
         raise ValueError("phrase must contain at least one token")
     out = (
-        postings.filter(F.col("token") == terms[0])
+        postings.filter(_term_pred(terms[0], n_buckets, bucket_seed))
         .select("doc_id", F.col("positions").alias("__starts"))
     )
     def _shift_by(i: int):
@@ -94,7 +238,7 @@ def phrase_search(
         return lambda p: p - F.lit(i)
 
     for i, term in enumerate(terms[1:], start=1):
-        nxt = postings.filter(F.col("token") == term).select(
+        nxt = postings.filter(_term_pred(term, n_buckets, bucket_seed)).select(
             "doc_id",
             F.transform("positions", _shift_by(i)).alias("__shift"),
         )
@@ -166,6 +310,9 @@ def bm25_scores(
     b: float = 0.75,
     lowercase: bool = True,
     exact_micro: bool = False,
+    doclen: DataFrame | None = None,
+    n_buckets: int | None = None,
+    bucket_seed: int = 0,
 ) -> DataFrame:
     """Okapi BM25 ranking of documents against a token ``query`` over a
     postings table (Robertson & Zaragoza, FnTIR'09) — the standard
@@ -195,20 +342,28 @@ def bm25_scores(
     shared rational approximation instead of trusting last-ulp ``ln``
     agreement.
 
-    Scale shape: only the QUERY tokens' postings rows participate
-    (partition-pruned on a token-partitioned index); df per token is a
-    tiny aggregate of those same rows; doc lengths come from one
-    reusable groupBy over the postings (persist it alongside a saved
-    index).  The final score is one map-side-combined per-doc sum.
+    Scale shape: only the QUERY tokens' postings rows participate —
+    against a saved index (:func:`save_postings`) pass ``n_buckets``/
+    ``bucket_seed`` and the token filter prunes to the query tokens'
+    bucket directories; pass ``doclen`` (:func:`load_doclen`) and
+    ``n_docs``/``avg_len`` (:func:`read_postings_meta`) and NOTHING
+    rescans the full index — df per token is a tiny aggregate of the
+    pruned rows and the final score is one map-side-combined per-doc
+    sum over matched docs only.
     """
     terms = sorted(
         {t for t in (query.lower() if lowercase else query).split() if t}
     )
     if not terms:
         raise ValueError("query must contain at least one token")
-    doclen = postings.groupBy("doc_id").agg(
-        F.sum("tf").cast("double").alias("__len")
-    )
+    if doclen is not None:
+        doclen = doclen.select(
+            "doc_id", F.col("doc_len").cast("double").alias("__len")
+        )
+    else:
+        doclen = postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("double").alias("__len")
+        )
     if n_docs is None or avg_len is None:
         stats = doclen.agg(
             F.count(F.lit(1)).alias("n"), F.avg("__len").alias("al")
@@ -220,7 +375,11 @@ def bm25_scores(
             )
         n_docs = n_docs if n_docs is not None else stats["n"]
         avg_len = avg_len if avg_len is not None else float(stats["al"])
-    qp = postings.filter(F.col("token").isin(terms)).select(
+    tok_filter = F.col("token").isin(terms)
+    if n_buckets:
+        buckets = sorted({token_bucket(t, n_buckets, bucket_seed) for t in terms})
+        tok_filter = F.col("tok_bucket").isin(buckets) & tok_filter
+    qp = postings.filter(tok_filter).select(
         "token", "doc_id", F.col("tf").cast("double").alias("__tf")
     )
     df_t = qp.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))

@@ -157,3 +157,125 @@ def test_bm25_accepts_precomputed_stats_and_validates(spark):
     assert a == b  # the fixture's true stats, passed explicitly
     with pytest.raises(ValueError, match="at least one token"):
         bm25_scores(post, "")
+
+
+# --- saved (partition-pruned) index ----------------------------------------
+
+
+def test_token_bucket_python_twin_matches_column(spark):
+    from sparkall_spark.operators.postings import (
+        _token_bucket_col,
+        token_bucket,
+    )
+
+    toks = ["the", "quick", "aa", "hash", "table", "scan", "x", "", "Zebra9"]
+    for nb, seed in ((8, 0), (64, 0), (64, 3)):
+        got = (
+            spark.createDataFrame([(t,) for t in toks], "token string")
+            .select("token", _token_bucket_col(F.col("token"), nb, seed).alias("b"))
+            .collect()
+        )
+        for r in got:
+            assert r["b"] == token_bucket(r["token"], nb, seed), (
+                r["token"], nb, seed,
+            )
+
+
+def test_saved_index_roundtrip_and_meta(spark, tmp_path):
+    from sparkall_spark.operators.postings import (
+        bm25_scores,
+        load_doclen,
+        load_postings,
+        read_postings_meta,
+        save_postings,
+    )
+
+    docs = _docs(spark)
+    post = build_postings(docs)
+    path = str(tmp_path / "idx")
+    save_postings(post, path, n_buckets=8)
+    meta = read_postings_meta(spark, path)
+    assert meta["n_buckets"] == 8 and meta["seed"] == 0
+    assert meta["n_docs"] == 5  # doc 5 is empty -> no postings
+    assert abs(meta["avg_len"] - 23 / 5) < 1e-12
+    saved = load_postings(spark, path)
+    # the hidden _doclen/_meta subdirs must NOT leak into the main scan
+    assert saved.count() == post.count()
+    assert "tok_bucket" in saved.columns
+    # phrase results identical through the saved pruned path
+    mem = {
+        r["doc_id"]: (list(r["match_positions"]), r["n_matches"])
+        for r in phrase_search(post, "the quick brown").collect()
+    }
+    prn = {
+        r["doc_id"]: (list(r["match_positions"]), r["n_matches"])
+        for r in phrase_search(
+            saved, "the quick brown", n_buckets=8
+        ).collect()
+    }
+    assert mem == prn == {1: ([0], 1), 2: ([0], 1)}
+    # bm25 identical with saved doclen + meta stats (zero index rescans)
+    a = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(post, "quick dog").collect()
+    }
+    b = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            saved,
+            "quick dog",
+            n_docs=meta["n_docs"],
+            avg_len=meta["avg_len"],
+            doclen=load_doclen(spark, path),
+            n_buckets=8,
+        ).collect()
+    }
+    assert a == b
+
+
+def test_saved_index_lookup_is_partition_pruned(spark, tmp_path):
+    """The r8 docstring claim, now plan-asserted (r9 VERDICT ask #1):
+    a phrase lookup against the saved index must carry the literal
+    tok_bucket equality as a PartitionFilter (directory pruning at
+    planning time) AND push the token equality into the parquet scan
+    (PushedFilters) — i.e. the executed plan reads one bucket's
+    directory, not the index."""
+    from sparkall_spark.operators.postings import (
+        load_postings,
+        save_postings,
+        token_bucket,
+    )
+
+    post = build_postings(_docs(spark))
+    path = str(tmp_path / "idx")
+    save_postings(post, path, n_buckets=8)
+    saved = load_postings(spark, path)
+    out = phrase_search(saved, "quick", n_buckets=8)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    b = token_bucket("quick", 8)
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scans, f"no partitioned scan in plan:\n{plan[:2000]}"
+    pruned = [
+        ln
+        for ln in scans
+        if f"tok_bucket = {b}" in ln or f"(tok_bucket#" in ln
+    ]
+    assert any(f"= {b})" in ln for ln in pruned), (
+        "bucket literal missing from PartitionFilters — lookup would "
+        f"scan the whole index:\n{scans}"
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(token,quick)" in ln for ln in pushed), (
+        f"token equality not pushed to parquet:\n{pushed}"
+    )
+
+
+def test_bm25_empty_postings_raises(spark):
+    from sparkall_spark.operators.postings import bm25_scores
+
+    empty = build_postings(
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    with pytest.raises(ValueError, match="empty postings"):
+        bm25_scores(empty, "quick")

@@ -46,7 +46,9 @@ extends the beyond-reference training-data telemetry surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 from sparkall_spark.operators.features import _P_MOD, _portable_token_hash
 from sparkall_spark.operators.sampling import _mix, mix_sql
@@ -261,3 +263,246 @@ FROM (
   {"GROUP BY grp" if group_sql else ""}
 )
 """
+
+
+# --- heavy hitters (Misra-Gries / frequent items) ---------------------------
+#
+# KMV answers "how many distinct"; the matching planning primitive is
+# "WHICH items dominate" — top domains before a crawl re-balance, hot
+# n-grams before tokenizer training, hot dedup keys before a join.  An
+# exact answer is a full O(distinct) shuffle; the Misra-Gries summary
+# (Misra & Gries '82; merge semantics per Agarwal et al., PODS'12
+# "Mergeable summaries") keeps k counters per partition, so only
+# <= k rows leave each partition — bounded state AND bounded shuffle,
+# a strictly stronger scale shape than the KMV distinct-shuffle form.
+#
+# Estimates depend on how data met the counters (partition layout),
+# so the raw summary is NOT value-hash-gated; its contract is the MG
+# GUARANTEE — est <= true <= est + err_bound, and no item with
+# frequency > 2N/(k+1) is ever dropped — which tests assert under
+# adversarial repartitionings.  The hash-gated surface is
+# :func:`heavy_hitters`: MG candidates + one exact refine pass, whose
+# output (the true phi-heavy items with exact counts) is
+# partition-independent whenever k clears the guarantee bound, which
+# the function enforces.
+
+
+def _mg_reduce(counters: dict, k: int) -> int:
+    """Reduce ``counters`` in place to at most ``k`` entries by
+    subtracting the (k+1)-th largest count from every counter and
+    dropping the non-positive ones (the weighted Misra-Gries step —
+    at most k counters can exceed the (k+1)-th largest, so one pass
+    suffices).  Returns the decrement applied (0 when already small
+    enough); the sum of returned decrements bounds every item's
+    undercount."""
+    if len(counters) <= k:
+        return 0
+    m = sorted(counters.values(), reverse=True)[k]
+    for item in list(counters):
+        c = counters[item] - m
+        if c > 0:
+            counters[item] = c
+        else:
+            del counters[item]
+    return m
+
+
+def _mg_update(state: dict, dec: int, items, counts, k: int) -> int:
+    """Fold one batch of exact (item, count) pairs into an MG state
+    dict; returns the updated total decrement."""
+    for item, c in zip(items, counts):
+        state[item] = state.get(item, 0) + int(c)
+    return dec + _mg_reduce(state, k)
+
+
+def misra_gries_summary(
+    df: DataFrame,
+    value_col: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group Misra-Gries frequent-items summary of ``value_col``
+    (values compared as strings, NULLs dropped — the kmv_sketch
+    conventions).
+
+    Output: ``group_cols`` + ``item`` (string), ``est`` (bigint,
+    always <= the item's true count), ``err_bound`` (bigint — the
+    group's total decrement: true count <= est + err_bound), ``n_rows``
+    (bigint, the group's exact non-null row count).  At most ``k``
+    items per group; any item with true count > err_bound is
+    guaranteed present (so nothing with frequency > 2·n_rows/(k+1)
+    is ever missed — per-partition decrements are <= n_p/(k+1) and the
+    single merge reduction adds at most n/(k+1)).
+
+    Scale shape: one ``mapInPandas`` pass keeps a k-entry dict per
+    group per partition (each Arrow batch folds in via a vectorized
+    ``value_counts``) and emits <= k+1 rows per (partition, group);
+    the merge aggregates those partials — shuffle volume is
+    O(k · partitions · groups), independent of both row count and
+    distinct count.  Estimates (not membership above the bound) vary
+    with partition layout; hash-gate :func:`heavy_hitters`, not this.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    groups = group_cols or []
+    src = df.select(
+        *groups, F.col(value_col).cast("string").alias("__v")
+    ).filter(F.col(value_col).isNotNull())
+    gfields = [src.schema[g] for g in groups]
+    out_schema = T.StructType(
+        gfields
+        + [
+            T.StructField("item", T.StringType(), True),
+            T.StructField("cnt", T.LongType(), True),
+            T.StructField("part_n", T.LongType(), True),
+            T.StructField("part_dec", T.LongType(), True),
+        ]
+    )
+
+    def partials(batches):
+        states: dict = {}  # group key tuple -> {item: cnt}
+        decs: dict = {}
+        ns: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if groups:
+                counted = pdf.groupby(groups, sort=False, dropna=False)[
+                    "__v"
+                ].value_counts()
+                for key, c in counted.items():
+                    g = key[:-1]
+                    item = key[-1]
+                    st = states.setdefault(g, {})
+                    st[item] = st.get(item, 0) + int(c)
+                    ns[g] = ns.get(g, 0) + int(c)
+                for g, st in states.items():
+                    decs[g] = decs.get(g, 0) + _mg_reduce(st, k)
+            else:
+                vc = pdf["__v"].value_counts()
+                st = states.setdefault((), {})
+                decs[()] = _mg_update(
+                    st, decs.get((), 0), vc.index, vc.to_numpy(), k
+                )
+                ns[()] = ns.get((), 0) + int(vc.to_numpy().sum())
+        rows = []
+        for g, st in states.items():
+            for item, c in st.items():
+                rows.append((*g, item, c, None, None))
+            rows.append((*g, None, None, ns[g], decs.get(g, 0)))
+        cols = [f.name for f in out_schema.fields]
+        yield pd.DataFrame(rows, columns=cols)
+
+    parts = src.mapInPandas(partials, schema=out_schema)
+    totals = (
+        parts.filter(F.col("item").isNull())
+        .groupBy(*groups)
+        .agg(
+            F.sum("part_n").cast("bigint").alias("n_rows"),
+            F.sum("part_dec").cast("bigint").alias("__pdec"),
+        )
+    )
+    counters = (
+        parts.filter(F.col("item").isNotNull())
+        .groupBy(*groups, "item")
+        .agg(F.sum("cnt").cast("bigint").alias("__c"))
+    )
+    # merge reduction on the <= k*P*G counter rows (metadata scale —
+    # the window over it is fine): rank, read the (k+1)-th largest as
+    # the decrement, keep the positive survivors.  Ungrouped, the
+    # window key is a constant: single-partition is the INTENT here
+    # (the rows are k-bounded partials, not data), stated explicitly
+    # so WindowExec doesn't warn about an empty partition spec.
+    if not groups:
+        counters = counters.withColumn("__g", F.lit(0))
+    w = Window.partitionBy(*(groups or ["__g"]))
+    worder = w.orderBy(F.desc("__c"), F.asc("item"))
+    ranked = counters.withColumn("__r", F.row_number().over(worder))
+    ranked = ranked.withColumn(
+        "__m",
+        F.coalesce(
+            F.max(F.when(F.col("__r") == k + 1, F.col("__c"))).over(w),
+            F.lit(0),
+        ),
+    )
+    mg = (
+        ranked.filter(F.col("__r") <= k)
+        .withColumn("est", (F.col("__c") - F.col("__m")).cast("bigint"))
+        .filter(F.col("est") > 0)
+    )
+    joined = (
+        mg.join(totals, groups) if groups else mg.crossJoin(totals)
+    )
+    return joined.select(
+        *groups,
+        "item",
+        "est",
+        (F.col("__pdec") + F.col("__m")).cast("bigint").alias("err_bound"),
+        "n_rows",
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    phi: float,
+    k: int | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact phi-heavy hitters via a bounded-state candidate pass: every
+    item whose frequency is >= ``phi`` of its group's (non-null) rows,
+    with EXACT count and share.
+
+    Two passes, both scale-shaped: (1) :func:`misra_gries_summary`
+    produces <= k candidates per group with bounded per-partition state
+    and O(k·partitions) shuffle; (2) the candidate list (tiny —
+    broadcast) semi-joins the corpus and only candidate rows are
+    counted exactly.  Because MG never drops an item with frequency
+    > 2n/(k+1), choosing k so that phi > 2/(k+1) makes the candidate
+    set a superset of the true heavy hitters REGARDLESS of partition
+    layout — so the refined output is deterministic and value-hash
+    gateable (the driver leg's oracle is a plain GROUP BY .. HAVING).
+
+    Output: ``group_cols`` + ``item``, ``cnt`` (bigint, exact),
+    ``share`` (double, 6dp).  Default ``k = 2*ceil(1/phi)+1`` (one
+    doubling of margin over the guarantee bound); an explicit k below
+    the bound raises.
+    """
+    import math
+
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    need = 2.0 / phi - 1.0  # k must satisfy phi > 2/(k+1)
+    if k is None:
+        k = 2 * math.ceil(1.0 / phi) + 1
+    elif k <= need:
+        raise ValueError(
+            f"k={k} cannot guarantee phi={phi} heavy hitters survive the "
+            f"sketch (needs k > {need:.1f}); raise k or lower phi"
+        )
+    groups = group_cols or []
+    summ = misra_gries_summary(df, value_col, k, group_cols)
+    cands = summ.select(*groups, "item")
+    n_rows = summ.select(*groups, "n_rows").distinct()
+    base = df.select(
+        *groups, F.col(value_col).cast("string").alias("item")
+    ).filter(F.col(value_col).isNotNull())
+    refined = base.join(F.broadcast(cands), [*groups, "item"]).groupBy(
+        *groups, "item"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    out = (
+        refined.join(n_rows, groups)
+        if groups
+        else refined.crossJoin(n_rows)
+    )
+    return out.filter(
+        F.col("cnt").cast("double")
+        >= F.lit(float(phi)) * F.col("n_rows").cast("double")
+    ).select(
+        *groups,
+        "item",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("share"),
+    )

@@ -192,3 +192,116 @@ def test_kmv_stream_survives_null_values(spark, tmp_path):
     finally:
         q.stop()
     assert rows == {"g1": 2}  # nulls dropped, query alive
+
+
+def test_heavy_hitters_stream_one_batch_equals_batch_summary(spark, tmp_path):
+    """A single-micro-batch stream must equal the batch MG summary of
+    the same rows on one partition EXACTLY (same value_counts fold,
+    same reduce) — the kmv stream==batch discipline."""
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.sketches import misra_gries_summary
+    from sparkall_spark.streaming.stateful import heavy_hitters_stream
+
+    rows = (
+        [("g", "hot")] * 40
+        + [("g", "warm")] * 15
+        + [("g", f"c{i}") for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "source string, val string")
+    stage = tmp_path / "hh1"
+    df.coalesce(1).write.parquet(str(stage / "b0"))
+    stream = (
+        spark.readStream.schema("source string, val string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage / "b*"))
+    )
+    out = heavy_hitters_stream(stream, "val", "source", k=6)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_hh1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["item"]: (r["est"], r["err_bound"], r["n_rows"])
+            for r in spark.sql("SELECT * FROM t_hh1").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["item"]: (r["est"], r["err_bound"], r["n_rows"])
+        for r in misra_gries_summary(
+            df.coalesce(1), "val", k=6, group_cols=["source"]
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_stream_multibatch_guarantee(spark, tmp_path):
+    """Multi-batch stream: final state must equal the sequential
+    weighted-MG fold of its batches (python reference) and satisfy the
+    MG guarantee (est <= true <= est + err; nothing heavy lost)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.sketches import _mg_update
+    from sparkall_spark.streaming.stateful import heavy_hitters_stream
+
+    k = 5
+    b0 = [("g", "hot")] * 30 + [("g", f"a{i}") for i in range(20)]
+    b1 = [("g", "hot")] * 20 + [("g", "warm")] * 25 + [
+        ("g", f"b{i}") for i in range(15)
+    ]
+    stage = tmp_path / "hh2"
+    spark.createDataFrame(b0, "source string, val string").coalesce(
+        1
+    ).write.parquet(str(stage / "b0"))
+    spark.createDataFrame(b1, "source string, val string").coalesce(
+        1
+    ).write.parquet(str(stage / "b1"))
+    stream = (
+        spark.readStream.schema("source string, val string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage / "b*"))
+    )
+    out = heavy_hitters_stream(stream, "val", "source", k=k)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_hh2")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_hh2").collect()
+    finally:
+        q.stop()
+    # final state = rows with the max n_rows (monotone across batches)
+    n_final = max(r["n_rows"] for r in rows)
+    got = {
+        r["item"]: (r["est"], r["err_bound"])
+        for r in rows
+        if r["n_rows"] == n_final
+    }
+    # python reference: the same per-batch (value_counts, reduce) fold,
+    # in each possible discovery order of the two files
+    def fold(batches):
+        st, dec = {}, 0
+        for batch in batches:
+            vc = Counter(v for _, v in batch)
+            dec = _mg_update(st, dec, list(vc.keys()), list(vc.values()), k)
+        return {i: (c, dec) for i, c in st.items()}
+
+    assert got in (fold([b0, b1]), fold([b1, b0]))
+    true = Counter(v for _, v in b0 + b1)
+    n = len(b0) + len(b1)
+    assert n_final == n
+    for item, (est, err) in got.items():
+        assert est <= true[item] <= est + err
+    for item, c in true.items():
+        if c > 2 * n / (k + 1):
+            assert item in got, (item, c)

@@ -132,3 +132,111 @@ def test_overlap_estimate_accepts_explicit_k(spark):
     implicit = kmv_overlap_estimate(sa, sb).first()
     explicit = kmv_overlap_estimate(sa, sb, k=64).first()
     assert implicit == explicit
+
+
+# --- Misra-Gries heavy hitters ----------------------------------------------
+
+
+def _skewed_rows():
+    rows = (
+        [("src0", "hot")] * 300
+        + [("src0", "warm")] * 100
+        + [("src0", f"cold{i}") for i in range(200)]
+    )
+    return rows
+
+
+def test_mg_reduce_unit():
+    from sparkall_spark.operators.sketches import _mg_reduce
+
+    c = {"a": 10, "b": 7, "c": 3, "d": 3, "e": 1}
+    dec = _mg_reduce(c, 2)
+    # (k+1)-th largest of [10,7,3,3,1] with k=2 is 3; survivors strictly
+    # above 3 keep (count - 3)
+    assert dec == 3 and c == {"a": 7, "b": 4}
+    c2 = {"a": 5, "b": 4}
+    assert _mg_reduce(c2, 2) == 0 and c2 == {"a": 5, "b": 4}
+
+
+def test_mg_summary_guarantee_under_repartition(spark):
+    from collections import Counter
+
+    from sparkall_spark.operators.sketches import misra_gries_summary
+
+    rows = _skewed_rows()
+    true = Counter(v for _, v in rows)
+    n = len(rows)
+    k = 8
+    df = spark.createDataFrame(rows, "source string, val string")
+    for parts in (1, 3, 7, 16):
+        got = misra_gries_summary(df.repartition(parts), "val", k=k).collect()
+        assert 0 < len(got) <= k
+        for r in got:
+            assert r["n_rows"] == n
+            assert r["est"] <= true[r["item"]] <= r["est"] + r["err_bound"], (
+                parts,
+                r,
+            )
+        items = {r["item"] for r in got}
+        for item, c in true.items():
+            if c > 2 * n / (k + 1):
+                assert item in items, (parts, item, c)
+
+
+def test_heavy_hitters_exact_and_layout_independent(spark):
+    from collections import Counter
+
+    from sparkall_spark.operators.sketches import heavy_hitters
+
+    rows = _skewed_rows()
+    true = Counter(v for _, v in rows)
+    n = len(rows)
+    phi = 0.15
+    want = {
+        item: (c, round(c / n, 6)) for item, c in true.items() if c >= phi * n
+    }
+    assert set(want) == {"hot", "warm"}  # fixture sanity
+    df = spark.createDataFrame(rows, "source string, val string")
+    for parts in (1, 5, 13):
+        got = {
+            r["item"]: (r["cnt"], r["share"])
+            for r in heavy_hitters(df.repartition(parts), "val", phi).collect()
+        }
+        assert got == want, parts
+
+
+def test_heavy_hitters_grouped(spark):
+    from sparkall_spark.operators.sketches import heavy_hitters
+
+    rows = _skewed_rows() + [("src1", "only")] * 10 + [("src1", "x")] * 2
+    df = spark.createDataFrame(rows, "source string, val string")
+    got = {
+        (r["source"], r["item"]): r["cnt"]
+        for r in heavy_hitters(
+            df.repartition(7), "val", 0.25, group_cols=["source"]
+        ).collect()
+    }
+    assert got == {("src0", "hot"): 300, ("src1", "only"): 10}
+
+
+def test_heavy_hitters_validation(spark):
+    import pytest
+
+    from sparkall_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "val string")
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "val", 0.0)
+    with pytest.raises(ValueError, match="cannot guarantee"):
+        heavy_hitters(df, "val", 0.1, k=10)  # needs k > 19
+
+
+def test_mg_summary_nulls_dropped_and_bounded_output(spark):
+    from sparkall_spark.operators.sketches import misra_gries_summary
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), ("b",)], "val string"
+    )
+    got = {r["item"]: r for r in misra_gries_summary(df, "val", k=4).collect()}
+    assert {i: r["est"] for i, r in got.items()} == {"a": 2, "b": 1}
+    assert all(r["n_rows"] == 3 and r["err_bound"] == 0 for r in got.values())

@@ -1125,8 +1125,12 @@ _E09_CENTROIDS = __import__("numpy").random.default_rng(123).standard_normal((16
 def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole batch-ANN family, tagged and unioned: exact brute-force
     baseline (r5: absorbs the former e07 slot), hyperplane-LSH (r5:
-    absorbed e08), and IVF — all fully deterministic (fixed seeded
-    centroids / hyperplanes) and all mirrored literally in SQL."""
+    absorbed e08), IVF, and IVF-PQ (r9: absorbs the former e26 slot —
+    coarse cells + product-quantized ADC shortlist + exact refine; the
+    searchable index per corpus vector is one int cell + 8 codes
+    instead of 64 doubles, the 100 TB memory story) — all fully
+    deterministic (fixed seeded centroids / hyperplanes / codebooks)
+    and all mirrored literally in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     brute = S.brute_force_topk(emb, queries, k=10).select(
@@ -1146,7 +1150,23 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
     )
-    return brute.unionByName(ivf).unionByName(lsh)
+    pq = S.ivf_pq_topk(
+        emb,
+        queries,
+        k=10,
+        n_cells=8,
+        nprobe=3,
+        m=8,
+        ks=16,
+        refine=3,
+        centroids=_E26_CENTROIDS,
+        codebooks=_E26_BOOKS,
+    ).select(
+        F.lit("ivfpq").alias("method"),
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+    return brute.unionByName(ivf).unionByName(lsh).unionByName(pq)
 
 
 def _e09_oracle_sql() -> str:
@@ -1162,6 +1182,7 @@ def _e09_oracle_sql() -> str:
         for j, cent in enumerate(_E09_CENTROIDS)
     )
     lsh_ctes, lsh_select = _lsh_oracle_parts()
+    pq_ctes, pq_select = _pq_oracle_parts()
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 cellinfo AS (
@@ -1178,6 +1199,7 @@ scored AS (
   FROM q JOIN c ON q.cell = c.cell
   WHERE c.vec_id <> q.vec_id),
 {lsh_ctes.strip()},
+{pq_ctes.strip()},
 {_BRUTE_CTE.strip()}
 SELECT 'ivf' AS method, query_id, neighbor_id, cosine,
        row_number() OVER (PARTITION BY query_id
@@ -1186,11 +1208,13 @@ FROM scored QUALIFY rank <= 10
 UNION ALL
 {lsh_select.strip()}
 UNION ALL
+{pq_select.strip()}
+UNION ALL
 {_BRUTE_SELECT.strip()}
 """
 
 
-# --- e26: IVF-PQ with exact refinement (driver-gated r5) -------------------
+# --- IVF-PQ leg of e09 (was standalone e26 until r9's slot rebalance) ------
 # Fixed seeded coarse centroids (8 cells) + per-subspace PQ codebooks
 # (m=8 subspaces x ks=16 codewords x d=8 dims): the encode argmin is
 # quantized at 1e-6 (pq_encode) and the approx score HALF-UP-rounded at
@@ -1200,39 +1224,15 @@ _E26_CENTROIDS = __import__("numpy").random.default_rng(77).standard_normal((8, 
 _E26_BOOKS = __import__("numpy").random.default_rng(78).standard_normal((8, 16, 8))
 
 
-def _e26_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN (operators/similarity.py:ivf_pq_topk): coarse cells +
-    product-quantized asymmetric-distance shortlist (refine*k=30), then
-    exact cosine refine to rank<=10.  The searchable index per corpus
-    vector is one int cell + 8 codes instead of 64 doubles (the 100 TB
-    memory story); this entry pins the whole pipeline against a full
-    SQL mirror."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    out = S.ivf_pq_topk(
-        emb,
-        queries,
-        k=10,
-        n_cells=8,
-        nprobe=3,
-        m=8,
-        ks=16,
-        refine=3,
-        centroids=_E26_CENTROIDS,
-        codebooks=_E26_BOOKS,
-    )
-    return out.select(
-        "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
-    )
-
-
-def _e26_oracle_sql() -> str:
-    """Mirror of ivf_pq_topk with the fixed index: cell = argmax 6dp
-    cosine (ties to higher cell); code_j = argmin over the 16 literal
-    codewords of floor(d2*1e6+0.5) (ties to LOWER code — np.argmin);
-    approx = HALF-UP 6dp of sum_j dot(q_sub_j, codeword); shortlist
+def _pq_oracle_parts() -> tuple[str, str]:
+    """Mirror of ivf_pq_topk with the fixed index, as (ctes, select)
+    parts for the e09 family oracle: cell = argmax 6dp cosine (ties to
+    higher cell); code_j = argmin over the 16 literal codewords of
+    floor(d2*1e6+0.5) (ties to LOWER code — np.argmin); approx =
+    HALF-UP 6dp of sum_j dot(q_sub_j, codeword); shortlist
     row_number<=30 by (approx desc, neighbor_id); exact cosine refine,
-    rank<=10."""
+    rank<=10.  CTEs are pq-prefixed; the shared ``v`` base comes from
+    the e09 oracle."""
     m, ks, d = _E26_BOOKS.shape
     structs = ", ".join(
         "{'s': round(list_cosine_similarity(e, ["
@@ -1267,42 +1267,45 @@ def _e26_oracle_sql() -> str:
             + "]"
         )
         terms.append(
-            f"list_dot_product(q.e[{o + 1}:{o + d}], ({book})[enc.code[{j + 1}] + 1])"
+            f"list_dot_product(pqq.e[{o + 1}:{o + d}],"
+            f" ({book})[pqenc.code[{j + 1}] + 1])"
         )
     approx = "\n         + ".join(terms)
-    return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-cellinfo AS (
+    ctes = f"""
+pqcell AS (
   SELECT vec_id, e,
          list_reverse(list_sort([{structs}])) AS ordered
   FROM v),
-c AS (SELECT vec_id, e, ordered[1].cell AS cell FROM cellinfo),
-enc AS (
+pqc AS (SELECT vec_id, e, ordered[1].cell AS cell FROM pqcell),
+pqenc AS (
   SELECT vec_id, cell,
           [{code_arr}] AS code
-  FROM c),
-q AS (SELECT vec_id, e,
+  FROM pqc),
+pqq AS (SELECT vec_id, e,
              unnest(list_transform(ordered[1:3], x -> x.cell)) AS cell
-      FROM cellinfo WHERE vec_id < 8),
-ap AS (
-  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id, q.e AS qe,
+      FROM pqcell WHERE vec_id < 8),
+pqap AS (
+  SELECT pqq.vec_id AS query_id, pqenc.vec_id AS neighbor_id, pqq.e AS qe,
          round({approx}, 6) AS approx
-  FROM q JOIN enc ON q.cell = enc.cell
-  WHERE enc.vec_id <> q.vec_id),
-short AS (
+  FROM pqq JOIN pqenc ON pqq.cell = pqenc.cell
+  WHERE pqenc.vec_id <> pqq.vec_id),
+pqshort AS (
   SELECT query_id, neighbor_id, qe,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY approx DESC, neighbor_id) AS pr
-  FROM ap QUALIFY pr <= 30),
-ref AS (
+  FROM pqap QUALIFY pr <= 30),
+pqref AS (
   SELECT s.query_id, s.neighbor_id,
          round(list_cosine_similarity(s.qe, cv.e), 6) AS cosine
-  FROM short s JOIN v cv ON cv.vec_id = s.neighbor_id)
-SELECT query_id, neighbor_id, cosine,
+  FROM pqshort s JOIN v cv ON cv.vec_id = s.neighbor_id)
+"""
+    select = """
+SELECT 'ivfpq' AS method, query_id, neighbor_id, cosine,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, neighbor_id) AS rank
-FROM ref QUALIFY rank <= 10
+FROM pqref QUALIFY rank <= 10
 """
+    return ctes, select
 
 
 # --- e27: distributed k-means (driver-gated r5) ---------------------------
@@ -2507,21 +2510,14 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``fuzzydecon`` (r8): NEAR-duplicate benchmark decontamination
       (minhash_decontaminate) — per contaminated doc, the bench-match
       count and exact max jaccard, mirrored by an all-pairs oracle.
-    - ``kmv`` (r8): deterministic KMV distinct-cardinality sketches
-      (operators/sketches.py) — per-source vocabulary estimates and
-      the src0/src1 vocabulary overlap estimate, value-hash-exact
-      against the same k-min construction in SQL.
     - ``embdecon`` (r8): SEMANTIC decontamination — embedding-cosine
       contamination against a planted eval set (the affine-copy trick
       from e06), exact cosines, all-pairs mirror.
-    - ``phrase`` (r8): positional-inverted-index exact phrase search
-      (operators/postings.py) — every doc containing "hash table"
-      verbatim with its first 0-based position, positional-scan
-      mirror.
-    - ``bm25`` (r8): BM25 retrieval scores over the same index in the
-      exact-micro form (per-term contributions rounded to BIGINT
-      micros before the per-doc sum — bit-stable under any aggregation
-      order), formula-identical SQL mirror."""
+
+    (The r8 kmv/phrase/bm25 legs moved to ``e29_index_telemetry`` in
+    r9 — the VERDICT-endorsed rebalance that keeps this entry readable
+    and puts the index/sketch telemetry where the saved-index receipts
+    live.)"""
     from sparkall_spark.operators import bpe as B
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2607,42 +2603,6 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") as (stat, value)"
         ),
     )
-    # r8 leg 5: KMV distinct-cardinality sketches
-    # (operators/sketches.py) — per-source vocabulary-size estimates
-    # plus the src0-vs-src1 vocabulary overlap estimate, all
-    # DETERMINISTIC (portable poly hash -> LCG mix -> k-min order
-    # statistic), so the driver's value-hash gate covers the sketch
-    # numbers themselves.  The 100 TB story: vocab size and
-    # crawl-vs-crawl overlap from k-row sketches instead of full
-    # COUNT(DISTINCT) shuffles.
-    from sparkall_spark.operators import sketches as K
-
-    words = docs.select(
-        "source",
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-        ).alias("word"),
-    )
-    vsk = K.kmv_sketch(words, "word", k=64, group_cols=["source"])
-    kmv_card = vsk.select(
-        F.lit("kmv").alias("family"),
-        F.col("source").alias("key"),
-        F.lit("est_distinct").alias("stat"),
-        F.col("est_distinct").alias("value"),
-    )
-    ov_est = K.kmv_overlap_estimate(
-        vsk.filter(F.col("source") == "src0").drop("source"),
-        vsk.filter(F.col("source") == "src1").drop("source"),
-        k=64,  # explicit: skips two eager .first() reads of kmv_k
-    )
-    kmv_ov = ov_est.select(
-        F.lit("kmv").alias("family"),
-        F.lit("src0|src1").alias("key"),
-        F.expr(
-            "stack(3, 'est_union', est_union, 'jaccard_est', jaccard_est, "
-            "'est_intersection', est_intersection) as (stat, value)"
-        ),
-    )
     # r8 leg 6: SEMANTIC (embedding-cosine) decontamination — the
     # third decontamination rung (exact n-grams -> MinHash -> embedding
     # cosine), catching paraphrased eval leakage.  The fixture has no
@@ -2675,56 +2635,11 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") as (stat, value)"
         ),
     )
-    # r8 leg 7: positional-index exact phrase search
-    # (operators/postings.py) — build the inverted index over the
-    # corpus and find every document containing "hash table" verbatim,
-    # with 0-based first match position; mirrored by a positional scan
-    # in SQL.  The index-lookup form of exact decontamination/audit.
-    from sparkall_spark.operators._cache import persist_tracked
-    from sparkall_spark.operators.postings import (
-        bm25_scores,
-        build_postings,
-        phrase_search,
-    )
-
-    # persisted: the index feeds phrase_search's positional joins AND
-    # bm25's three consumers (doc lengths, stats, query postings) —
-    # uncached, each re-runs the corpus tokenize+groupBy (measured 35s
-    # -> ~8s for the entry at sf0.01).  Released by the next entry's
-    # wrapper like every operator cache.
-    post = persist_tracked(build_postings(docs))
-    ph = phrase_search(post, "hash table")
-    ph_long = ph.select(
-        F.lit("phrase").alias("family"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.expr(
-            "stack(2, "
-            "'n_matches', cast(n_matches as double), "
-            "'first_pos', cast(element_at(match_positions, 1) as double)"
-            ") as (stat, value)"
-        ),
-    )
-    # r8 leg 8: BM25 retrieval scores over the same index, in the
-    # exact-micro form (per-term contributions HALF-UP rounded to
-    # BIGINT micros BEFORE the per-doc sum — bit-stable under any
-    # aggregation order, so the value-hash gate covers retrieval
-    # scoring too).
-    bm = bm25_scores(post, "hash table scan", exact_micro=True)
-    bm_long = bm.select(
-        F.lit("bm25").alias("family"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.lit("bm25_micro").alias("stat"),
-        F.col("bm25_micro").cast("double").alias("value"),
-    )
     return (
         flag_long.unionByName(wf)
         .unionByName(ov_long)
         .unionByName(fuzzy_long)
-        .unionByName(kmv_card)
-        .unionByName(kmv_ov)
         .unionByName(sem_long)
-        .unionByName(ph_long)
-        .unionByName(bm_long)
     )
 
 
@@ -2821,41 +2736,6 @@ FROM (
   GROUP BY doc_id) fdh,
   (VALUES ('n_bench_matches'), ('max_jaccard')) AS s(stat)
 UNION ALL
-SELECT 'kmv' AS family, source AS key, 'est_distinct' AS stat,
-       round(CASE WHEN len(hs) < 64 THEN len(hs)::DOUBLE
-             ELSE 63.0 * 2147483647 / hs[64] END, 4) AS value
-FROM kmvs
-UNION ALL
-SELECT 'kmv' AS family, 'src0|src1' AS key, s.stat,
-       CASE s.stat
-         WHEN 'est_union' THEN eu
-         WHEN 'jaccard_est' THEN je
-         ELSE round(je * eu, 4)
-       END AS value
-FROM (SELECT round(CASE WHEN len(uk) < 64 THEN len(uk)::DOUBLE
-                   ELSE 63.0 * 2147483647 / uk[64] END, 4) AS eu,
-             round(len(list_intersect(list_intersect(uk, ha), hb))::DOUBLE
-                   / len(uk), 6) AS je
-      FROM kmvu),
-     (VALUES ('est_union'), ('jaccard_est'), ('est_intersection')) AS s(stat)
-UNION ALL
-SELECT 'phrase' AS family, CAST(doc_id AS VARCHAR) AS key, s.stat,
-       CASE s.stat WHEN 'n_matches' THEN len(hits)::DOUBLE
-            ELSE (hits[1] - 1)::DOUBLE END AS value
-FROM phh, (VALUES ('n_matches'), ('first_pos')) AS s(stat)
-WHERE len(hits) > 0
-UNION ALL
-SELECT 'bm25' AS family, CAST(p.doc_id AS VARCHAR) AS key,
-       'bm25_micro' AS stat,
-       CAST(sum(CAST(round(
-           ln(1 + (bmn.n - bmd.df + 0.5) / (bmd.df + 0.5))
-           * p.tf * 2.2
-           / (p.tf + 1.2 * (0.25 + 0.75 * l.len / bmn.al))
-           * 1000000.0) AS BIGINT)) AS DOUBLE) AS value
-FROM bmp p, bmd, bmn, bml l
-WHERE p.token = bmd.token AND l.doc_id = p.doc_id
-GROUP BY p.doc_id
-UNION ALL
 SELECT 'embdecon' AS family, CAST(sd.vec_id AS VARCHAR) AS key, s.stat,
        CASE s.stat WHEN 'n_bench_matches' THEN sd.n_matches::DOUBLE
             ELSE sd.max_cos END AS value
@@ -2896,7 +2776,144 @@ fdt AS (
   FROM documents),
 fdc AS (SELECT * FROM fdt WHERE doc_id % 10 <> 7 AND len(toks) > 0),
 fdb AS (SELECT * FROM fdt WHERE doc_id % 10 = 7 AND len(toks) > 0),
-kmvh AS (
+"""
+    + _E21_ORACLE.strip().removeprefix("WITH")
+)
+
+
+def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index + sketch telemetry as a tagged long-form union (r9: the
+    VERDICT-endorsed split of e21's r8 telemetry legs, now running
+    against the SAVED index layout):
+
+    - ``idxmeta``: the saved index's corpus stats (n_docs) read back
+      from its ``_meta`` side table — gates the save/load roundtrip.
+    - ``phrase``: exact phrase search for "hash table" served from the
+      SAVED token-bucket-partitioned index (operators/postings.py:
+      save_postings) — every per-token lookup carries the literal
+      ``tok_bucket`` predicate, so the executed scans are
+      partition-PRUNED directory reads, not index scans (the pruning
+      itself is plan-asserted in tests/test_postings.py); positional
+      scan mirror.
+    - ``bm25``: BM25 scores over the same saved index in exact-micro
+      form, with corpus stats from ``_meta`` and doc lengths from
+      ``_doclen`` — ZERO full-index passes at query time; formula-
+      identical SQL mirror.
+    - ``kmv``: deterministic KMV distinct sketches (vocab size per
+      source + src0/src1 overlap), value-hash-exact vs the same k-min
+      construction in SQL.
+    - ``hh``: exact phi-heavy hitters over the corpus vocabulary via
+      the bounded-state Misra-Gries candidate pass + one exact refine
+      (operators/sketches.py:heavy_hitters) — partition-layout
+      independent by the MG guarantee, so the plain GROUP BY/HAVING
+      oracle gates the sketch end-to-end (a dropped true heavy hitter
+      would hash-mismatch)."""
+    import tempfile
+
+    from sparkall_spark.operators import sketches as K
+    from sparkall_spark.operators.postings import (
+        bm25_scores,
+        build_postings,
+        load_doclen,
+        load_postings,
+        phrase_search,
+        read_postings_meta,
+        save_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # build + persist the index ONCE (the write is the one corpus
+    # pass); every query leg below reads the saved layout
+    idx_dir = tempfile.mkdtemp(prefix="sparkall_e29_idx_")
+    save_postings(build_postings(docs), idx_dir, n_buckets=16)
+    meta = read_postings_meta(spark, idx_dir)
+    saved = load_postings(spark, idx_dir)
+    meta_long = spark.range(1).select(
+        F.lit("idxmeta").alias("family"),
+        F.lit("corpus").alias("key"),
+        F.lit("n_docs").alias("stat"),
+        F.lit(float(meta["n_docs"])).alias("value"),
+    )
+    ph = phrase_search(saved, "hash table", n_buckets=16)
+    ph_long = ph.select(
+        F.lit("phrase").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.expr(
+            "stack(2, "
+            "'n_matches', cast(n_matches as double), "
+            "'first_pos', cast(element_at(match_positions, 1) as double)"
+            ") as (stat, value)"
+        ),
+    )
+    bm = bm25_scores(
+        saved,
+        "hash table scan",
+        exact_micro=True,
+        n_docs=meta["n_docs"],
+        avg_len=meta["avg_len"],
+        doclen=load_doclen(spark, idx_dir),
+        n_buckets=16,
+    )
+    bm_long = bm.select(
+        F.lit("bm25").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("bm25_micro").alias("stat"),
+        F.col("bm25_micro").cast("double").alias("value"),
+    )
+    # vocabulary telemetry: KMV distinct sketches (per-source vocab +
+    # src0/src1 overlap) — k-row sketches instead of COUNT(DISTINCT)
+    # shuffles at 100 TB
+    words = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("word"),
+    )
+    vsk = K.kmv_sketch(words, "word", k=64, group_cols=["source"])
+    kmv_card = vsk.select(
+        F.lit("kmv").alias("family"),
+        F.col("source").alias("key"),
+        F.lit("est_distinct").alias("stat"),
+        F.col("est_distinct").alias("value"),
+    )
+    ov_est = K.kmv_overlap_estimate(
+        vsk.filter(F.col("source") == "src0").drop("source"),
+        vsk.filter(F.col("source") == "src1").drop("source"),
+        k=64,  # explicit: skips two eager .first() reads of kmv_k
+    )
+    kmv_ov = ov_est.select(
+        F.lit("kmv").alias("family"),
+        F.lit("src0|src1").alias("key"),
+        F.expr(
+            "stack(3, 'est_union', est_union, 'jaccard_est', jaccard_est, "
+            "'est_intersection', est_intersection) as (stat, value)"
+        ),
+    )
+    # which words dominate: exact 1%-heavy hitters, MG-candidates +
+    # one exact refine — <= k+1 rows leave each partition in pass 1
+    hh = K.heavy_hitters(words, "word", phi=0.01)
+    hh_long = hh.select(
+        F.lit("hh").alias("family"),
+        F.col("item").alias("key"),
+        F.expr(
+            "stack(2, "
+            "'count', cast(cnt as double), "
+            "'share', share"
+            ") as (stat, value)"
+        ),
+    )
+    return (
+        meta_long.unionByName(ph_long)
+        .unionByName(bm_long)
+        .unionByName(kmv_card)
+        .unionByName(kmv_ov)
+        .unionByName(hh_long)
+    )
+
+
+_E29_ORACLE = (
+    """
+WITH kmvh AS (
   SELECT source, {_KMV_MIX_SQL} AS h
   FROM (SELECT source, unnest(list_filter(
           regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
@@ -2924,8 +2941,55 @@ bml AS (SELECT doc_id, sum(tf) AS len FROM bmp GROUP BY 1),
 bmn AS (SELECT count(*)::BIGINT AS n, avg(len) AS al FROM bml),
 bmd AS (SELECT token, count(*) AS df FROM bmp
         WHERE token IN ('hash', 'scan', 'table') GROUP BY 1),
+hhw AS (SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+        FROM documents),
+hhc AS (SELECT w, count(*)::BIGINT AS cnt FROM hhw GROUP BY 1),
+hhn AS (SELECT count(*)::BIGINT AS n FROM hhw)
+SELECT 'idxmeta' AS family, 'corpus' AS key, 'n_docs' AS stat,
+       (SELECT count(*) FROM bml)::DOUBLE AS value
+UNION ALL
+SELECT 'phrase' AS family, CAST(doc_id AS VARCHAR) AS key, s.stat,
+       CASE s.stat WHEN 'n_matches' THEN len(hits)::DOUBLE
+            ELSE (hits[1] - 1)::DOUBLE END AS value
+FROM phh, (VALUES ('n_matches'), ('first_pos')) AS s(stat)
+WHERE len(hits) > 0
+UNION ALL
+SELECT 'bm25' AS family, CAST(p.doc_id AS VARCHAR) AS key,
+       'bm25_micro' AS stat,
+       CAST(sum(CAST(round(
+           ln(1 + (bmn.n - bmd.df + 0.5) / (bmd.df + 0.5))
+           * p.tf * 2.2
+           / (p.tf + 1.2 * (0.25 + 0.75 * l.len / bmn.al))
+           * 1000000.0) AS BIGINT)) AS DOUBLE) AS value
+FROM bmp p, bmd, bmn, bml l
+WHERE p.token = bmd.token AND l.doc_id = p.doc_id
+GROUP BY p.doc_id
+UNION ALL
+SELECT 'kmv' AS family, source AS key, 'est_distinct' AS stat,
+       round(CASE WHEN len(hs) < 64 THEN len(hs)::DOUBLE
+             ELSE 63.0 * 2147483647 / hs[64] END, 4) AS value
+FROM kmvs
+UNION ALL
+SELECT 'kmv' AS family, 'src0|src1' AS key, s.stat,
+       CASE s.stat
+         WHEN 'est_union' THEN eu
+         WHEN 'jaccard_est' THEN je
+         ELSE round(je * eu, 4)
+       END AS value
+FROM (SELECT round(CASE WHEN len(uk) < 64 THEN len(uk)::DOUBLE
+                   ELSE 63.0 * 2147483647 / uk[64] END, 4) AS eu,
+             round(len(list_intersect(list_intersect(uk, ha), hb))::DOUBLE
+                   / len(uk), 6) AS je
+      FROM kmvu),
+     (VALUES ('est_union'), ('jaccard_est'), ('est_intersection')) AS s(stat)
+UNION ALL
+SELECT 'hh' AS family, w AS key, s.stat,
+       CASE s.stat WHEN 'count' THEN cnt::DOUBLE
+            ELSE round(cnt::DOUBLE / n, 6) END AS value
+FROM hhc, hhn, (VALUES ('count'), ('share')) AS s(stat)
+WHERE cnt::DOUBLE >= 0.01 * n
 """
-    + _E21_ORACLE.strip().removeprefix("WITH")
 ).replace("{_KMV_MIX_SQL}", _KMV_MIX_SQL)
 
 
@@ -3264,7 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e23_split_pack"] = _e23_split_pack
     out["e24_semdedup"] = _e24_semdedup
     out["e25_warc_crawl"] = _e25_warc_crawl
-    out["e26_sim_topk_ivfpq"] = _e26_sim_ivfpq
+    out["e29_index_telemetry"] = _e29_index_telemetry
 
     # Entry teardown: the dedup/graph operators persist intermediates
     # that must outlive their call (the driver consumes results lazily).
@@ -3335,5 +3399,5 @@ def oracle_sql() -> dict[str, str]:
     out["e23_split_pack"] = _e23_oracle_sql()
     out["e24_semdedup"] = _e24_oracle_sql()
     out["e25_warc_crawl"] = _e25_oracle_sql()
-    out["e26_sim_topk_ivfpq"] = _e26_oracle_sql()
+    out["e29_index_telemetry"] = _E29_ORACLE
     return out

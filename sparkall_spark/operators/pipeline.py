@@ -34,6 +34,63 @@ from pyspark.sql import DataFrame, Window, functions as F
 from sparkall_spark.functions import text as X
 
 
+def corpus_overlap_gate(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    b_text_col: str | None = None,
+    k: int = 256,
+    min_jaccard: float = 0.0,
+    min_intersection: float = 0.0,
+) -> dict:
+    """Decide whether a cross-corpus near-dup / decontamination pass is
+    worth SCHEDULING, from two bounded KMV sketches instead of the pass
+    itself: sketch both sides' token vocabularies
+    (operators/sketches.py), estimate their overlap (Beyer et al.
+    SIGMOD'07 §4), and compare against the thresholds.
+
+    Returns ``{"run": bool, "jaccard_est": float, "est_intersection":
+    float, "est_union": float}`` — ``run`` is True iff BOTH estimates
+    clear their thresholds.  The soundness direction is the useful one:
+    a document pair can only reach jaccard >= t if its tokens are
+    shared, so a corpus-level vocabulary overlap estimate near zero
+    means the expensive pass cannot find anything.  This is a PLANNING
+    decision from a k-row estimate (relative error ~1/sqrt(k-2)), so
+    it is opt-in where wired (``prepare_documents``'s
+    ``decontam_fuzzy_gate_min_jaccard``) and thresholds should sit
+    well below the interesting signal, not at it.
+
+    Cost: two sketch jobs (shuffle O(distinct tokens), k rows out) and
+    one driver action on a single row — at 100 TB that replaces a
+    signature pass over the corpus whenever the answer is "nothing to
+    find".
+    """
+    from sparkall_spark.operators.sketches import (
+        kmv_overlap_estimate,
+        kmv_sketch,
+    )
+
+    def _words(df: DataFrame, col: str) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != "")
+            ).alias("__w")
+        )
+
+    sa = kmv_sketch(_words(a, text_col), "__w", k=k)
+    sb = kmv_sketch(_words(b, b_text_col or text_col), "__w", k=k)
+    row = kmv_overlap_estimate(sa, sb, k=k).first()
+    jac = float(row["jaccard_est"] or 0.0) if row is not None else 0.0
+    inter = float(row["est_intersection"] or 0.0) if row is not None else 0.0
+    union = float(row["est_union"] or 0.0) if row is not None else 0.0
+    return {
+        "run": jac >= min_jaccard and inter >= min_intersection,
+        "jaccard_est": jac,
+        "est_intersection": inter,
+        "est_union": union,
+    }
+
+
 def prepare_documents(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -56,6 +113,7 @@ def prepare_documents(
     lm_text_col: str | None = None,
     decontam_fuzzy: bool = False,
     decontam_fuzzy_threshold: float = 0.8,
+    decontam_fuzzy_gate_min_jaccard: float | None = None,
     classifier_labeled: DataFrame | None = None,
     classifier_label_col: str = "label",
     classifier_min_prob: float = 0.5,
@@ -278,7 +336,21 @@ def prepare_documents(
             # broadcast raw
             broadcast_bench=(decontam_prefilter != "bloom"),
         )
-        if decontam_fuzzy:
+        run_fuzzy = decontam_fuzzy
+        if decontam_fuzzy and decontam_fuzzy_gate_min_jaccard is not None:
+            # sketch-driven SCHEDULING (r9): the near-dup decontam pass
+            # only runs when the KMV vocabulary-overlap estimate says
+            # there could be something to find — two k-row sketch jobs
+            # instead of a corpus signature pass when the bench and
+            # corpus don't share a vocabulary
+            run_fuzzy = corpus_overlap_gate(
+                deduped,
+                decontam_bench,
+                text_col=text_col,
+                b_text_col=decontam_text_col,
+                min_jaccard=decontam_fuzzy_gate_min_jaccard,
+            )["run"]
+        if run_fuzzy:
             # second pass for lightly-EDITED eval text the exact n-gram
             # overlap misses (operators/decontam.py:minhash_decontaminate)
             from sparkall_spark.operators.decontam import (

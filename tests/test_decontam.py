@@ -478,3 +478,55 @@ def test_embedding_decontaminate_validates_mode(spark):
     docs = _emb_fixture(spark)
     with pytest.raises(ValueError, match="annotate"):
         embedding_decontaminate(docs, docs, mode="nope")
+
+
+# --- sketch-driven scheduling gate (r9) -------------------------------------
+
+
+def test_corpus_overlap_gate_estimates(spark):
+    from sparkall_spark.operators.pipeline import corpus_overlap_gate
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    same = corpus_overlap_gate(a, a, min_jaccard=0.5)
+    assert same["run"] and same["jaccard_est"] == 1.0
+    b = spark.createDataFrame([(9, "zeta eta theta")], "doc_id long, text string")
+    disjoint = corpus_overlap_gate(a, b, min_jaccard=0.01)
+    assert not disjoint["run"] and disjoint["jaccard_est"] == 0.0
+    # empty side: nothing to find, never schedules above a threshold
+    empty = corpus_overlap_gate(a, b.limit(0), min_jaccard=0.01)
+    assert not empty["run"]
+
+
+def test_fuzzy_decontam_pass_scheduled_by_overlap_gate(spark):
+    """The KMV overlap estimate must be LOAD-BEARING: the same planted
+    near-dup contamination is dropped when the gate schedules the
+    fuzzy pass and survives when the estimate says skip."""
+    from sparkall_spark.operators.pipeline import prepare_documents
+
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "text string"
+    )
+    # doc 1 is a verbatim bench copy (5 tokens -> NO 8-grams, so the
+    # exact n-gram pass can't drop it; only the fuzzy pass can); the
+    # rest dilute the corpus-vs-bench vocabulary jaccard to 5/25 = 0.2
+    rows = [(1, "alpha beta gamma delta epsilon")] + [
+        (i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(2, 7)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(
+        min_quality=0.0,
+        decontam_bench=bench,
+        decontam_fuzzy=True,
+        decontam_fuzzy_threshold=0.9,
+    )
+    dropped = prepare_documents(corpus, **kw)
+    assert sorted(r["doc_id"] for r in dropped.collect()) == [2, 3, 4, 5, 6]
+    ran = prepare_documents(corpus, decontam_fuzzy_gate_min_jaccard=0.1, **kw)
+    assert sorted(r["doc_id"] for r in ran.collect()) == [2, 3, 4, 5, 6]
+    skipped = prepare_documents(
+        corpus, decontam_fuzzy_gate_min_jaccard=0.5, **kw
+    )
+    assert sorted(r["doc_id"] for r in skipped.collect()) == [1, 2, 3, 4, 5, 6]

@@ -197,7 +197,7 @@ def test_ivf_assignment_paths_agree(spark, sf_dir):
 
 def test_nearest_cells_arrow_bit_equals_expr(spark, sf_dir):
     """ADVICE r6: pin nearest_cells_arrow == nearest_cells_expr
-    directly (not only via e09/e26 oracle hashes) over the FULL
+    directly (not only via the e09 family oracle hashes) over the FULL
     embeddings fixture, a zero-norm vector, and adversarial tie /
     half-up-boundary vectors — the numpy sign*floor(|x|*1e6+0.5)
     emulation of Spark's HALF_UP round must agree element-for-element

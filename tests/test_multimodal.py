@@ -1481,3 +1481,190 @@ def test_jpeg_progressive_truncation_falls_back_to_fake():
     for frac in (0.4, 0.6, 0.8):
         cut = full[: int(len(full) * frac)]
         assert M.decode_pixels(cut) is None, f"truncated at {frac} decoded"
+
+
+def _jpeg_encode_hierarchical(y) -> bytes:
+    """Spec-straight hierarchical JPEG encoder (test-only, independent
+    of the decoder): DHP (full dims) -> SOF0 base frame at half
+    resolution -> EXP(1,1) -> SOF5 differential frame.  All-ones quant
+    tables, canonical 8-bit huffman codes.  The differential frame
+    codes (source - decoder-visible upsampled base reconstruction),
+    with the DC coefficient coded WITHOUT prediction and no level
+    shift — T.81 F.2.1.3.1 / J.1.1.4."""
+    import struct
+
+    import numpy as np
+
+    M = np.zeros((8, 8))
+    k = np.arange(8)
+    M[:] = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    M[0, :] = 1.0
+    M *= np.sqrt(np.where(k == 0, 1.0, 2.0))[:, None] / np.sqrt(8.0)
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_code = {s: (i, 8) for i, s in enumerate(dc_syms)}
+    ac_code = {s: (i, 8) for i, s in enumerate(ac_syms)}
+
+    out = bytearray()
+    bitbuf = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def flush_bits():
+        while len(bitbuf) % 8:
+            bitbuf.append(1)
+        for i in range(0, len(bitbuf), 8):
+            b = 0
+            for bit in bitbuf[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        bitbuf.clear()
+
+    def mag(v):
+        s = 0 if v == 0 else int(abs(int(v))).bit_length()
+        bits = v if v >= 0 else v + (1 << s) - 1
+        return s, bits
+
+    def encode_frame(plane, differential):
+        """Emit the frame's entropy data; return the decoder-visible
+        reconstruction (before any reference add / level handling)."""
+        h, w = plane.shape
+        bys, bxs = -(-h // 8), -(-w // 8)
+        recon = np.zeros((bys * 8, bxs * 8))
+        pred = 0
+        for by in range(bys):
+            for bx in range(bxs):
+                blk = np.zeros((8, 8))
+                for yy in range(8):
+                    for xx in range(8):
+                        blk[yy, xx] = plane[
+                            min(by * 8 + yy, h - 1), min(bx * 8 + xx, w - 1)
+                        ]
+                shift = 0.0 if differential else 128.0
+                zz = np.round((M @ (blk - shift) @ M.T).ravel()[ZZ]).astype(int)
+                if differential:
+                    s, bits = mag(int(zz[0]))  # PRED = 0, not updated
+                else:
+                    s, bits = mag(int(zz[0]) - pred)
+                    pred = int(zz[0])
+                put(*dc_code[s])
+                if s:
+                    put(bits, s)
+                run = 0
+                for v in zz[1:]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        put(*ac_code[0xF0])
+                        run -= 16
+                    s, bits = mag(int(v))
+                    put(*ac_code[(run << 4) | s])
+                    put(bits, s)
+                    run = 0
+                if run:
+                    put(*ac_code[0x00])
+                deq = np.zeros(64)
+                deq[ZZ] = zz
+                recon[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    M.T @ deq.reshape(8, 8) @ M
+                )
+        return recon[:h, :w]
+
+    def upsample(a, th, tw):
+        def one(x, t):
+            outa = np.zeros((x.shape[0], t), dtype=np.int64)
+            outa[:, 0::2] = x[:, : (t + 1) // 2]
+            nxt = np.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+            outa[:, 1::2] = ((x + nxt + 1) >> 1)[:, : t // 2]
+            return outa
+
+        return one(one(a, tw).T, th).T
+
+    def sof_and_sos(marker, h, w):
+        hdr = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        seg = bytes([0xFF, marker]) + struct.pack(">H", 2 + len(hdr)) + hdr
+        seg += b"\xff\xda" + struct.pack(">H", 8) + bytes(
+            [1, 1, 0x00, 0, 63, 0]
+        )
+        return seg
+
+    src = np.round(np.asarray(y, dtype=np.float64)).astype(np.int64)
+    h, w = src.shape
+    base = src[::2, ::2].astype(np.float64)
+    bh, bw = base.shape
+
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    dhp = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xde" + struct.pack(">H", 2 + len(dhp)) + dhp
+    for cls, syms in ((0, dc_syms), (1, ac_syms)):
+        counts = [0] * 16
+        counts[7] = len(syms)
+        tb = bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 3 + len(tb)) + bytes([cls << 4]) + tb
+    # base frame (non-differential sequential, half resolution)
+    out += sof_and_sos(0xC0, bh, bw)
+    recon_base = encode_frame(base, differential=False)
+    flush_bits()
+    recon_base = np.clip(np.round(recon_base) + 128, 0, 255).astype(np.int64)
+    # EXP(1,1) + differential frame at full resolution
+    out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
+    up = upsample(recon_base, h, w)
+    diff = (src - up).astype(np.float64)
+    out += sof_and_sos(0xC5, h, w)
+    encode_frame(diff, differential=True)
+    flush_bits()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_hierarchical_real_luma_decode():
+    """r9 VERDICT ask #4: the Huffman hierarchical pyramid (DHP + SOF0
+    base + EXP + SOF5 differential) decodes REAL pixels — and the
+    baseline/progressive walkers refuse the stream instead of lying
+    with the half-resolution base."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:11, 0:14].astype(np.float64)
+    rng = np.random.default_rng(17)
+    img = np.clip(
+        np.round(120 + 60 * np.sin(yy / 3.0) + 50 * np.cos(xx / 4.0)
+                 + rng.normal(0, 2, size=yy.shape)),
+        0, 255,
+    )
+    jpg = _jpeg_encode_hierarchical(img)
+    assert M._jpeg_luma(jpg) is None
+    assert M._jpeg_luma_progressive(jpg) is None
+    luma = M.decode_pixels(jpg)
+    assert luma is not None and luma.shape == (11, 14)
+    # base-frame coefficient rounding is corrected by the differential
+    # frame; only ITS rounding remains
+    assert np.abs(luma - img).max() <= 5.0
+    feats = M._decode_one(jpg)
+    assert (feats["width"], feats["height"]) == (14, 11)  # DHP dims
+    assert abs(feats["mean_luma"] - float(img.mean()) / 255) < 0.01
+    assert feats["phash"] == M.dhash64(luma)  # real path, not the fake
+
+
+def test_jpeg_hierarchical_truncated_and_garbage_return_none():
+    import numpy as np
+
+    img = np.full((10, 12), 99.0)
+    jpg = _jpeg_encode_hierarchical(img)
+    assert M.decode_pixels(jpg[: len(jpg) // 2]) is None
+    assert M.decode_pixels(jpg[:-4]) is None  # pyramid never completes
+    full = M.decode_pixels(jpg)
+    assert full is not None and np.abs(full - img).max() <= 5.0

@@ -2807,7 +2807,13 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
       (operators/sketches.py:heavy_hitters) — partition-layout
       independent by the MG guarantee, so the plain GROUP BY/HAVING
       oracle gates the sketch end-to-end (a dropped true heavy hitter
-      would hash-mismatch)."""
+      would hash-mismatch).
+    - ``q``: deterministic bottom-k sampled quantiles of the document
+      length distribution (operators/sketches.py:sampled_quantiles) —
+      the k rows whose doc_id hash ranks smallest form a uniform,
+      layout-independent, mergeable sample; exact interpolated
+      percentiles over it mirror bit-for-bit (integer-valued n_chars
+      keeps both engines' interpolation formulas ulp-aligned)."""
     import tempfile
 
     from sparkall_spark.operators import sketches as K
@@ -2902,12 +2908,32 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") as (stat, value)"
         ),
     )
+    # how values are distributed: bottom-k sampled quantiles of the
+    # doc-length distribution — k (hash, value) pairs out, whatever
+    # the corpus size
+    sq = K.sampled_quantiles(
+        docs, "n_chars", "doc_id", probs=[0.25, 0.5, 0.9], k=128
+    )
+    q_long = sq.select(
+        F.lit("q").alias("family"),
+        F.col("prob").cast("string").alias("key"),
+        F.lit("quantile_est").alias("stat"),
+        F.col("quantile_est").alias("value"),
+    ).unionByName(
+        sq.select(
+            F.lit("q").alias("family"),
+            F.lit("sample").alias("key"),
+            F.lit("n_sampled").alias("stat"),
+            F.col("n_sampled").cast("double").alias("value"),
+        ).distinct()
+    )
     return (
         meta_long.unionByName(ph_long)
         .unionByName(bm_long)
         .unionByName(kmv_card)
         .unionByName(kmv_ov)
         .unionByName(hh_long)
+        .unionByName(q_long)
     )
 
 
@@ -2945,7 +2971,12 @@ hhw AS (SELECT unnest(list_filter(
           regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
         FROM documents),
 hhc AS (SELECT w, count(*)::BIGINT AS cnt FROM hhw GROUP BY 1),
-hhn AS (SELECT count(*)::BIGINT AS n FROM hhw)
+hhn AS (SELECT count(*)::BIGINT AS n FROM hhw),
+bkq AS (
+  SELECT {_KMV_MIX_SQL} AS h, n_chars::DOUBLE AS v
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS w, n_chars FROM documents
+        WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL)),
+bks AS (SELECT v FROM bkq QUALIFY row_number() OVER (ORDER BY h, v) <= 128)
 SELECT 'idxmeta' AS family, 'corpus' AS key, 'n_docs' AS stat,
        (SELECT count(*) FROM bml)::DOUBLE AS value
 UNION ALL
@@ -2989,6 +3020,18 @@ SELECT 'hh' AS family, w AS key, s.stat,
             ELSE round(cnt::DOUBLE / n, 6) END AS value
 FROM hhc, hhn, (VALUES ('count'), ('share')) AS s(stat)
 WHERE cnt::DOUBLE >= 0.01 * n
+UNION ALL
+SELECT 'q' AS family, '0.25' AS key, 'quantile_est' AS stat,
+       round((SELECT quantile_cont(v, 0.25) FROM bks), 6) AS value
+UNION ALL
+SELECT 'q' AS family, '0.5' AS key, 'quantile_est' AS stat,
+       round((SELECT quantile_cont(v, 0.5) FROM bks), 6) AS value
+UNION ALL
+SELECT 'q' AS family, '0.9' AS key, 'quantile_est' AS stat,
+       round((SELECT quantile_cont(v, 0.9) FROM bks), 6) AS value
+UNION ALL
+SELECT 'q' AS family, 'sample' AS key, 'n_sampled' AS stat,
+       (SELECT count(*) FROM bks)::DOUBLE AS value
 """
 ).replace("{_KMV_MIX_SQL}", _KMV_MIX_SQL)
 

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q19_sparql_union",
     "e24_semdedup",  # cluster-local embedding dedup (r4)
     "e28_data_selection",  # r5: domain cap + CCNet buckets + DSIR top-k
+    "e29_index_telemetry",  # r9: saved pruned postings + kmv + heavy hitters
 ]
 
 # Entries whose WORK is identical to r4 — their min-of-3 sum is the honest

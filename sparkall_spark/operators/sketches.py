@@ -407,36 +407,50 @@ def misra_gries_summary(
         .groupBy(*groups, "item")
         .agg(F.sum("cnt").cast("bigint").alias("__c"))
     )
-    # merge reduction on the <= k*P*G counter rows (metadata scale —
-    # the window over it is fine): rank, read the (k+1)-th largest as
-    # the decrement, keep the positive survivors.  Ungrouped, the
-    # window key is a constant: single-partition is the INTENT here
-    # (the rows are k-bounded partials, not data), stated explicitly
-    # so WindowExec doesn't warn about an empty partition spec.
-    if not groups:
-        counters = counters.withColumn("__g", F.lit(0))
-    w = Window.partitionBy(*(groups or ["__g"]))
-    worder = w.orderBy(F.desc("__c"), F.asc("item"))
-    ranked = counters.withColumn("__r", F.row_number().over(worder))
-    ranked = ranked.withColumn(
+    # merge reduction on the <= k*P*G counter rows (metadata scale):
+    # one k+1-bounded collect per group, sorted (count desc, item asc)
+    # — the (k+1)-th entry's count is the decrement, survivors are the
+    # first k strictly above it.  An AGGREGATE, not a window: the
+    # ungrouped case would need a constant window key, which Catalyst
+    # constant-folds into an empty partition spec (single-partition
+    # WindowExec warning); the agg expresses the same bounded
+    # reduction, with map-side partials.
+    top = counters.groupBy(*groups).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("__c")).alias("nc"),
+                        F.col("item").alias("item"),
+                        F.col("__c").alias("c"),
+                    )
+                )
+            ),
+            1,
+            k + 1,
+        ).alias("__top")
+    ).withColumn(
         "__m",
-        F.coalesce(
-            F.max(F.when(F.col("__r") == k + 1, F.col("__c"))).over(w),
-            F.lit(0),
-        ),
+        F.when(
+            F.size("__top") > k, F.element_at("__top", k + 1)["c"]
+        ).otherwise(F.lit(0)),
     )
-    mg = (
-        ranked.filter(F.col("__r") <= k)
-        .withColumn("est", (F.col("__c") - F.col("__m")).cast("bigint"))
-        .filter(F.col("est") > 0)
+    mg = top.select(
+        *groups,
+        "__m",
+        F.explode(
+            F.filter(
+                F.slice("__top", 1, k), lambda s: s["c"] > F.col("__m")
+            )
+        ).alias("__s"),
     )
     joined = (
         mg.join(totals, groups) if groups else mg.crossJoin(totals)
     )
     return joined.select(
         *groups,
-        "item",
-        "est",
+        F.col("__s.item").alias("item"),
+        (F.col("__s.c") - F.col("__m")).cast("bigint").alias("est"),
         (F.col("__pdec") + F.col("__m")).cast("bigint").alias("err_bound"),
         "n_rows",
     )
@@ -505,4 +519,174 @@ def heavy_hitters(
         F.round(
             F.col("cnt").cast("double") / F.col("n_rows").cast("double"), 6
         ).alias("share"),
+    )
+
+
+# --- bottom-k sampled quantiles ----------------------------------------------
+#
+# The third member of the sketch family (KMV: how many distinct; MG:
+# which items dominate; this: how values are DISTRIBUTED).  Spark's
+# percentile_approx answers it with a GK sketch whose merge layout is
+# engine-private; this keeps the rows whose KEY hashes smallest — a
+# bottom-k order sample (Cohen & Kaplan, "Summarizing data using
+# bottom-k sketches", PODC'07) — which is a uniform without-replacement
+# sample of size k that is DETERMINISTIC (portable hash chain),
+# MERGEABLE (k-min closure: the k smallest of two bottom-k sets are the
+# k smallest of the union), layout-independent, and mirrorable
+# bit-for-bit in SQL.  Exact interpolated quantiles over the sample
+# then estimate the population quantiles with the standard DKW bound
+# sup|F_k - F| <= sqrt(ln(2/d)/(2k)).
+
+
+def bottomk_sample(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group bottom-k sample of ``value_col``: the values of the k
+    rows whose ``key_col`` hash (portable poly hash -> LCG mix, the KMV
+    chain) ranks smallest.  Output: ``group_cols`` + ``sample_hv``
+    (array<struct<h:bigint, v:double>>, ascending by (h, v)),
+    ``n_kept``, ``n_rows`` (exact non-null row count — the count rides
+    the same aggregation for free).
+
+    Sampling on the KEY, not the value: duplicate values keep
+    independent inclusion chances, so the sample is row-uniform.
+    NULL values/keys are dropped (the sketch conventions).  Two-phase
+    k-min like ``kmv_sketch`` — per-partition k smallest, then k
+    smallest of the partials — so no task ever sorts a group's full
+    row set; per-partition output is k structs + one count.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    groups = group_cols or []
+    h = _mix(_portable_token_hash(F.col(key_col).cast("string")), seed)
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        *groups,
+        F.struct(
+            h.alias("h"), F.col(value_col).cast("double").alias("v")
+        ).alias("__hv"),
+    )
+    partials = (
+        rows.withColumn("__p", F.spark_partition_id())
+        .groupBy(*groups, "__p")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("__hv")), 1, k).alias("__hvs"),
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+        )
+    )
+    return partials.groupBy(*groups).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__hvs"))), 1, k
+        ).alias("sample_hv"),
+        F.size(
+            F.slice(F.array_sort(F.flatten(F.collect_list("__hvs"))), 1, k)
+        ).alias("n_kept"),
+        F.sum("__n").cast("bigint").alias("n_rows"),
+    )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    probs: list[float],
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic quantile estimates from a bottom-k sample: exact
+    interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the repo's established mirror pair) over the
+    sampled values, 6dp rounded.
+
+    Output: ``group_cols`` + one row per prob — ``prob`` (double),
+    ``quantile_est`` (double), ``n_sampled`` (bigint).  Exact when the
+    group has <= k rows (the sample IS the group).  Unlike
+    ``percentile_approx`` the result is identical on any engine with
+    the same hash chain and on any partition layout — so a correctness
+    gate can hash it, and two corpora's sketches merge losslessly
+    (k-min closure) before quantiling.
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be in [0, 1], got {probs}")
+    groups = group_cols or []
+    s = bottomk_sample(df, value_col, key_col, k, group_cols, seed)
+    vals = s.select(
+        *groups,
+        F.col("n_kept").cast("bigint").alias("n_sampled"),
+        F.explode(F.col("sample_hv.v")).alias("__v"),
+    )
+    agg = vals.groupBy(*groups, "n_sampled").agg(
+        F.percentile(
+            "__v", F.array(*[F.lit(float(p)) for p in probs])
+        ).alias("__qs")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(p)) for p in probs]).alias("prob"),
+        F.col("__qs").alias("q"),
+    )
+    return agg.select(
+        *groups,
+        "n_sampled",
+        F.explode(pairs).alias("__pq"),
+    ).select(
+        *groups,
+        F.col("__pq.prob").alias("prob"),
+        F.round(F.col("__pq.q"), 6).alias("quantile_est"),
+        "n_sampled",
+    )
+
+
+def bottomk_merge(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Union two bottom-k sample tables (same k, same key hash chain)
+    into the bottom-k sample of the UNION of the underlying row sets —
+    the k-min closure property, same shape as :func:`kmv_merge`.
+    ``n_rows`` adds (the inputs must be disjoint row sets, as in any
+    shard-then-merge plan)."""
+    groups = group_cols or []
+    sa = a.select(
+        *groups,
+        F.col("sample_hv").alias("__ha"),
+        F.col("n_rows").alias("__na"),
+    )
+    sb = b.select(
+        *groups,
+        F.col("sample_hv").alias("__hb"),
+        F.col("n_rows").alias("__nb"),
+    )
+    merged = (
+        sa.join(sb, groups, "full_outer") if groups else sa.crossJoin(sb)
+    )
+    empty = F.array().cast("array<struct<h:bigint,v:double>>")
+    union_k = F.slice(
+        F.array_sort(
+            F.concat(
+                F.coalesce(F.col("__ha"), empty),
+                F.coalesce(F.col("__hb"), empty),
+            )
+        ),
+        1,
+        k,
+    )
+    return merged.select(
+        *groups,
+        union_k.alias("sample_hv"),
+        F.size(union_k).alias("n_kept"),
+        (
+            F.coalesce(F.col("__na"), F.lit(0))
+            + F.coalesce(F.col("__nb"), F.lit(0))
+        ).cast("bigint").alias("n_rows"),
     )

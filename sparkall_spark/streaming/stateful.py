@@ -316,3 +316,109 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BKQ_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType(), False),
+        T.StructField("prob", T.DoubleType(), False),
+        T.StructField("quantile_est", T.DoubleType(), False),
+        T.StructField("n_sampled", T.LongType(), False),
+    ]
+)
+
+BKQ_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hs", T.ArrayType(T.LongType()), False),
+        T.StructField("vs", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def sampled_quantiles_stream(
+    events: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_col: str,
+    probs: list[float],
+    k: int = 256,
+) -> DataFrame:
+    """Streaming quantile estimates per group with BOUNDED state: the
+    bottom-k sample (operators/sketches.py:bottomk_sample) as an
+    ``applyInPandasWithState`` operator.  State per key is the k
+    (hash, value) pairs whose key hash ranks smallest — k structs
+    forever, whatever the stream's volume — and each micro-batch emits
+    the group's updated quantile estimates (update semantics).
+
+    The k-min closure makes the incremental form EXACT: a streaming
+    sample equals ``bottomk_sample`` over everything the stream has
+    seen, so the estimates equal the batch ``sampled_quantiles`` output
+    bit-for-bit (asserted in tests).  The interpolation replicates
+    Spark's ``percentile`` formula operation-for-operation
+    (pos=(n-1)p; v_lo*(hi-pos) + v_hi*(pos-lo)) and the 6dp rounding
+    uses HALF-UP on the shortest decimal repr — the same bit-level
+    parity contract as ``kmv_distinct_stream``.
+    """
+    import decimal
+
+    from sparkall_spark.operators.sketches import _kmv_hash
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    hashed = events.filter(
+        F.col(value_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("group"),
+        _kmv_hash(F.col(key_col).cast("string")).alias("__h"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+
+    def _round6(x: float) -> float:
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hs, vs = state.get if state.exists else ([], [])
+        pairs = list(zip((int(h) for h in hs), (float(v) for v in vs)))
+        for pdf in pdfs:
+            pairs.extend(
+                (int(h), float(v)) for h, v in zip(pdf["__h"], pdf["__v"])
+            )
+        pairs.sort()
+        pairs = pairs[:k]
+        state.update(([h for h, _ in pairs], [v for _, v in pairs]))
+        vals = sorted(v for _, v in pairs)
+        n = len(vals)
+        rows = []
+        for p in probs:
+            # Spark Percentile formula, operation-for-operation
+            pos = (n - 1) * float(p)
+            lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+            if lo == hi:
+                q = vals[lo]
+            else:
+                q = vals[lo] * (hi - pos) + vals[hi] * (pos - lo)
+            rows.append(
+                {
+                    "group": key[0],
+                    "prob": float(p),
+                    "quantile_est": _round6(q),
+                    "n_sampled": n,
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in BKQ_OUT_SCHEMA.fields])
+
+    return hashed.groupBy("group").applyInPandasWithState(
+        fn,
+        outputStructType=BKQ_OUT_SCHEMA,
+        stateStructType=BKQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

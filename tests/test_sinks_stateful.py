@@ -305,3 +305,49 @@ def test_heavy_hitters_stream_multibatch_guarantee(spark, tmp_path):
     for item, c in true.items():
         if c > 2 * n / (k + 1):
             assert item in got, (item, c)
+
+
+def test_sampled_quantiles_stream_equals_batch_sketch(spark, tmp_path):
+    """Streaming bottom-k quantiles over two micro-batches must equal
+    the BATCH sampled_quantiles of everything the stream has seen —
+    k-min closure makes the incremental sample exact, and the
+    interpolation/rounding parity is bit-level (the kmv discipline)."""
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.sketches import sampled_quantiles
+    from sparkall_spark.streaming.stateful import sampled_quantiles_stream
+
+    rows = [("g", i, float((i * 13) % 97) + 0.25) for i in range(400)]
+    df = spark.createDataFrame(rows, "source string, id long, v double")
+    stage = tmp_path / "bkq"
+    df.filter("id % 2 = 0").coalesce(1).write.parquet(str(stage / "b0"))
+    df.filter("id % 2 = 1").coalesce(1).write.parquet(str(stage / "b1"))
+    stream = (
+        spark.readStream.schema("source string, id long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage / "b*"))
+    )
+    probs = [0.1, 0.5, 0.9]
+    out = sampled_quantiles_stream(stream, "v", "id", "source", probs, k=64)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_bkq")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_out = spark.sql("SELECT * FROM t_bkq").collect()
+    finally:
+        q.stop()
+    n_final = max(r["n_sampled"] for r in rows_out)
+    got = {
+        r["prob"]: r["quantile_est"]
+        for r in rows_out
+        if r["n_sampled"] == n_final
+    }
+    want = {
+        r["prob"]: r["quantile_est"]
+        for r in sampled_quantiles(df, "v", "id", probs, k=64).collect()
+    }
+    assert got == want and n_final == 64

@@ -240,3 +240,95 @@ def test_mg_summary_nulls_dropped_and_bounded_output(spark):
     got = {r["item"]: r for r in misra_gries_summary(df, "val", k=4).collect()}
     assert {i: r["est"] for i, r in got.items()} == {"a": 2, "b": 1}
     assert all(r["n_rows"] == 3 and r["err_bound"] == 0 for r in got.values())
+
+
+# --- bottom-k sampled quantiles ----------------------------------------------
+
+
+def test_bottomk_sample_partition_invariant_and_exact_below_k(spark):
+    from sparkall_spark.operators.sketches import bottomk_sample
+
+    rows = [(i, float(i % 37)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    base = bottomk_sample(df, "v", "id", k=64).collect()[0]
+    for parts in (1, 7, 16):
+        r = bottomk_sample(df.repartition(parts), "v", "id", k=64).collect()[0]
+        assert [tuple(x) for x in r["sample_hv"]] == [
+            tuple(x) for x in base["sample_hv"]
+        ]
+        assert r["n_kept"] == 64 and r["n_rows"] == 200
+    # below k the sample IS the data
+    small = spark.createDataFrame(rows[:10], "id long, v double")
+    r = bottomk_sample(small, "v", "id", k=64).collect()[0]
+    assert r["n_kept"] == 10
+    assert sorted(x["v"] for x in r["sample_hv"]) == sorted(
+        v for _, v in rows[:10]
+    )
+
+
+def test_bottomk_merge_equals_sample_of_union(spark):
+    from sparkall_spark.operators.sketches import bottomk_merge, bottomk_sample
+
+    rows = [(i, float((i * 7) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    a = df.filter("id % 2 = 0")
+    b = df.filter("id % 2 = 1")
+    merged = bottomk_merge(
+        bottomk_sample(a, "v", "id", k=32),
+        bottomk_sample(b, "v", "id", k=32),
+        k=32,
+    ).collect()[0]
+    want = bottomk_sample(df, "v", "id", k=32).collect()[0]
+    assert [tuple(x) for x in merged["sample_hv"]] == [
+        tuple(x) for x in want["sample_hv"]
+    ]
+    assert merged["n_rows"] == 300
+
+
+def test_sampled_quantiles_accuracy_and_exact_small(spark):
+    from sparkall_spark.operators.sketches import sampled_quantiles
+
+    # exact below k: quantiles of 0..99 keyed by id
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["prob"]: r["quantile_est"]
+        for r in sampled_quantiles(
+            df, "v", "id", probs=[0.0, 0.5, 1.0], k=256
+        ).collect()
+    }
+    assert got == {0.0: 0.0, 0.5: 49.5, 1.0: 99.0}
+    # sampled: uniform 0..9999, k=400 -> DKW bound ~ sqrt(ln(40)/800)
+    big = spark.createDataFrame(
+        [(i, float(i)) for i in range(10_000)], "id long, v double"
+    )
+    est = {
+        r["prob"]: r["quantile_est"]
+        for r in sampled_quantiles(
+            big, "v", "id", probs=[0.25, 0.5, 0.9], k=400
+        ).collect()
+    }
+    for p, q in est.items():
+        assert abs(q / 10_000 - p) < 0.1, (p, q)
+
+
+def test_sampled_quantiles_grouped_and_validation(spark):
+    import pytest
+
+    from sparkall_spark.operators.sketches import sampled_quantiles
+
+    rows = [("a", i, float(i)) for i in range(50)] + [
+        ("b", 100 + i, 1000.0 + i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        (r["g"], r["prob"]): r["quantile_est"]
+        for r in sampled_quantiles(
+            df, "v", "id", probs=[0.5], k=256, group_cols=["g"]
+        ).collect()
+    }
+    assert got == {("a", 0.5): 24.5, ("b", 0.5): 1009.5}
+    with pytest.raises(ValueError, match="non-empty"):
+        sampled_quantiles(df, "v", "id", probs=[])
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        sampled_quantiles(df, "v", "id", probs=[1.5])

@@ -494,8 +494,13 @@ def heavy_hitters(
             f"k={k} cannot guarantee phi={phi} heavy hitters survive the "
             f"sketch (needs k > {need:.1f}); raise k or lower phi"
         )
+    from sparkall_spark.operators._cache import persist_tracked
+
     groups = group_cols or []
-    summ = misra_gries_summary(df, value_col, k, group_cols)
+    # persisted (k-bounded rows): BOTH consumers below — the candidate
+    # list and the exact per-group totals — branch from the summary,
+    # and an uncached plan would run the corpus MG pass once per branch
+    summ = persist_tracked(misra_gries_summary(df, value_col, k, group_cols))
     cands = summ.select(*groups, "item")
     n_rows = summ.select(*groups, "n_rows").distinct()
     base = df.select(

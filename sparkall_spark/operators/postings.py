@@ -152,6 +152,12 @@ def save_postings(
         F.sum("tf").cast("bigint").alias("doc_len")
     )
     doclen.write.mode("overwrite").parquet(f"{path}/{_DOCLEN_SUBDIR}")
+    _write_meta(spark, path, n_buckets, seed)
+
+
+def _write_meta(spark: SparkSession, path: str, n_buckets: int, seed: int) -> None:
+    """(Re)derive the ``_meta`` stats row from the current ``_doclen``
+    side table and overwrite it."""
     stats = (
         spark.read.parquet(f"{path}/{_DOCLEN_SUBDIR}")
         .agg(
@@ -166,6 +172,46 @@ def save_postings(
         )
     )
     stats.write.mode("overwrite").parquet(f"{path}/{_META_SUBDIR}")
+
+
+def append_postings(postings: DataFrame, path: str) -> None:
+    """Append a NEW batch's postings to a saved index without a full
+    rebuild — the index-maintenance half of the 100 TB story (an index
+    over a growing corpus is re-amortized per ingest batch, not
+    rebuilt): bucket the batch with the SAVED layout's
+    ``n_buckets``/``seed`` (read from ``_meta``, so a drifting bucket
+    function can't corrupt pruning), append the hive rows, append the
+    batch's ``_doclen`` rows, and rewrite ``_meta`` from the updated
+    doclen.
+
+    Contract: the batch's doc_ids must be NEW to the index (the
+    standard ingest-ledger discipline, ``pipeline.ingest_documents``)
+    — appending an existing doc's postings would double-count its tf.
+    Single-writer, like every plain-parquet sink here.  Each append
+    adds one file per touched bucket; a periodic compaction
+    (:func:`save_postings` rewrite) restores file counts.  The input
+    plan is pinned (persist) across its two consumers so the index
+    rows and the doclen rows cannot diverge on an unstable source —
+    the ``ingest_documents`` lesson.
+    """
+    spark = postings.sparkSession
+    meta = read_postings_meta(spark, path)
+    nb, seed = int(meta["n_buckets"]), int(meta["seed"])
+    pinned = postings.persist()
+    try:
+        with_bucket = pinned.withColumn(
+            "tok_bucket", _token_bucket_col(F.col("token"), nb, seed)
+        )
+        with_bucket.repartition(nb, "tok_bucket").write.mode(
+            "append"
+        ).partitionBy("tok_bucket").parquet(path)
+        batch_len = pinned.groupBy("doc_id").agg(
+            F.sum("tf").cast("bigint").alias("doc_len")
+        )
+        batch_len.write.mode("append").parquet(f"{path}/{_DOCLEN_SUBDIR}")
+        _write_meta(spark, path, nb, seed)
+    finally:
+        pinned.unpersist()
 
 
 def load_postings(spark: SparkSession, path: str) -> DataFrame:
@@ -263,23 +309,35 @@ def phrase_decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "annotate",
+    postings: DataFrame | None = None,
+    n_buckets: int | None = None,
+    bucket_seed: int = 0,
 ) -> DataFrame:
     """Exact-phrase decontamination over a (small) phrase list — the
     "drop every doc containing this eval item verbatim" form: builds
     the postings once, unions the per-phrase hit sets, and annotates
     (``n_phrase_hits``, ``contaminated``) or drops (``clean``).
 
-    For recurring audits, persist :func:`build_postings` output
-    (partitioned by token) instead of rebuilding per call.
+    For recurring audits, pass a SAVED index instead of rebuilding:
+    ``postings=load_postings(...)`` with the layout's ``n_buckets``/
+    ``bucket_seed`` turns every phrase lookup into partition-pruned
+    directory reads — the corpus text is never rescanned (its doc ids
+    must match the index's).
     """
     if mode not in ("annotate", "clean"):
         raise ValueError(f"mode must be 'annotate' or 'clean', got {mode!r}")
     if not phrases:
         raise ValueError("phrases must be non-empty")
-    post = build_postings(docs, id_col=id_col, text_col=text_col)
+    post = (
+        postings
+        if postings is not None
+        else build_postings(docs, id_col=id_col, text_col=text_col)
+    )
     hits = None
     for p in phrases:
-        h = phrase_search(post, p).select("doc_id", "n_matches")
+        h = phrase_search(
+            post, p, n_buckets=n_buckets, bucket_seed=bucket_seed
+        ).select("doc_id", "n_matches")
         hits = h if hits is None else hits.unionByName(h)
     agg = hits.groupBy("doc_id").agg(
         F.sum("n_matches").cast("bigint").alias("n_phrase_hits")

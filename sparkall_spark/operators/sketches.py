@@ -48,7 +48,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from sparkall_spark.operators.features import _P_MOD, _portable_token_hash
 from sparkall_spark.operators.sampling import _mix, mix_sql

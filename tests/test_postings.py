@@ -279,3 +279,89 @@ def test_bm25_empty_postings_raises(spark):
     )
     with pytest.raises(ValueError, match="empty postings"):
         bm25_scores(empty, "quick")
+
+
+def test_append_postings_equals_full_rebuild(spark, tmp_path):
+    """Index maintenance: appending a new batch's postings to a saved
+    index must answer every query exactly like an index rebuilt from
+    scratch over the union — same postings rows, same meta stats, and
+    the appended rows land in the SAVED layout's buckets (pruning
+    still holds)."""
+    from sparkall_spark.operators.postings import (
+        append_postings,
+        bm25_scores,
+        load_doclen,
+        load_postings,
+        read_postings_meta,
+        save_postings,
+        token_bucket,
+    )
+
+    docs = _docs(spark)
+    batch_a = docs.filter("doc_id <= 3")
+    batch_b = docs.filter("doc_id > 3")
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    save_postings(build_postings(batch_a), inc, n_buckets=8)
+    append_postings(build_postings(batch_b), inc)
+    save_postings(build_postings(docs), full, n_buckets=8)
+    # identical postings row sets (incl. the bucket column)
+    key = lambda r: (r["token"], r["doc_id"], tuple(r["positions"]), r["tf"], r["tok_bucket"])
+    assert sorted(map(key, load_postings(spark, inc).collect())) == sorted(
+        map(key, load_postings(spark, full).collect())
+    )
+    # identical meta + doclen
+    mi, mf = read_postings_meta(spark, inc), read_postings_meta(spark, full)
+    assert mi == mf
+    assert sorted(map(tuple, load_doclen(spark, inc).collect())) == sorted(
+        map(tuple, load_doclen(spark, full).collect())
+    )
+    # queries through the appended index: pruned AND correct
+    saved = load_postings(spark, inc)
+    hits = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(saved, "aa aa", n_buckets=8).collect()
+    }
+    assert hits == {6: 3}  # doc 6 arrived via the APPEND
+    out = phrase_search(saved, "quick", n_buckets=8)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    b = token_bucket("quick", 8)
+    assert any(
+        "PartitionFilters" in ln and f"= {b})" in ln
+        for ln in plan.splitlines()
+    )
+    a = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            saved, "quick dog",
+            n_docs=mi["n_docs"], avg_len=mi["avg_len"],
+            doclen=load_doclen(spark, inc), n_buckets=8,
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(build_postings(docs), "quick dog").collect()
+    }
+    assert a == want
+
+
+def test_phrase_decontaminate_via_saved_index(spark, tmp_path):
+    from sparkall_spark.operators.postings import (
+        load_postings,
+        phrase_decontaminate,
+        save_postings,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    save_postings(build_postings(docs), path, n_buckets=8)
+    saved = load_postings(spark, path)
+    fresh = phrase_decontaminate(docs, ["the quick brown", "aa aa"])
+    via_idx = phrase_decontaminate(
+        docs, ["the quick brown", "aa aa"],
+        postings=saved, n_buckets=8,
+    )
+    assert sorted(map(tuple, fresh.collect())) == sorted(
+        map(tuple, via_idx.collect())
+    )

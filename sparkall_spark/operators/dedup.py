@@ -1326,28 +1326,42 @@ def simhash_fingerprints(
     )
 
 
-def simhash_pairs(
+def fingerprint_hamming_pairs(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    ngram: int = 1,
+    id_col: str,
+    fp_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
 ) -> DataFrame:
-    """Candidate pairs whose 64-bit SimHash differs by <= max_hamming bits.
+    """Candidate pairs whose 64-bit fingerprints (ANY source: SimHash,
+    image dHash, audio chroma hash) differ by <= ``max_hamming`` bits.
 
-    Banding: split the fingerprint into ``chunks`` 16-bit chunks; by
-    pigeonhole any pair within Hamming distance < chunks shares at least
-    one exact chunk -> candidates come from an equi-join on (chunk_id,
-    chunk_value), never an all-pairs scan.  Output: id_a, id_b, hamming.
+    Banding: split the fingerprint into ``chunks`` equal-width chunks;
+    by pigeonhole any pair within Hamming distance < chunks shares at
+    least one exact chunk -> candidates come from an equi-join on
+    (chunk_id, chunk_value), never an all-pairs scan.  Full recall
+    therefore requires ``max_hamming < chunks`` (enforced).  NULL
+    fingerprints are dropped.  Output: ``id_a, id_b, hamming`` with
+    id_a < id_b.
+
+    Scale shape: the chunk join shuffles (chunk, value) keys — cold
+    chunk values never pair; a value shared by m fingerprints costs
+    m² candidate rows, so a degenerate constant fingerprint (e.g. the
+    all-zero dHash of blank images) is the skew case — filter such
+    sentinel values upstream if the corpus contains them in bulk.
     """
-    base = _with_shingles(df, id_col, text_col, ngram)
-    fp = base.withColumn("__h", F.transform("__sh", _token_hash)).withColumn(
-        "__fp", simhash(F.col("__h"))
-    )
-
+    if not 1 <= chunks <= 64 or 64 % chunks:
+        raise ValueError(f"chunks must divide 64, got {chunks}")
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs chunks > max_hamming for "
+            f"full recall (pigeonhole), got chunks={chunks}"
+        )
     width = 64 // chunks
     mask = (1 << width) - 1
+    fp = df.filter(F.col(fp_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(fp_col).cast("bigint").alias("__fp")
+    )
     chunk_cols = [
         F.struct(
             F.lit(i).alias("chunk"),
@@ -1380,6 +1394,27 @@ def simhash_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Candidate pairs whose 64-bit SimHash differs by <= max_hamming
+    bits — text fingerprinting composed over the generic
+    :func:`fingerprint_hamming_pairs` band join.  Output: id_a, id_b,
+    hamming."""
+    base = _with_shingles(df, id_col, text_col, ngram)
+    fp = base.withColumn("__h", F.transform("__sh", _token_hash)).withColumn(
+        "__fp", simhash(F.col("__h"))
+    )
+    return fingerprint_hamming_pairs(
+        fp, "__id", "__fp", max_hamming=max_hamming, chunks=chunks
     )
 
 

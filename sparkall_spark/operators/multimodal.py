@@ -1980,3 +1980,64 @@ def sample_video_frames(df: DataFrame, every_n_seconds: float = 1.0) -> DataFram
     return df.select("media_id", "payload").mapInPandas(
         _batches, schema=FRAME_SCHEMA
     )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
+    the multimodal rung of the dedup ladder: REAL pixel decode
+    (:func:`decode_pixels` via the same batched path as
+    :func:`decode_images`) -> 64-bit dHash -> the generic banded
+    Hamming join (``operators.dedup.fingerprint_hamming_pairs``),
+    never an all-pairs scan.  Output: ``id_a, id_b, hamming`` with
+    id_a < id_b.
+
+    dHash is scale/aspect-jitter robust, so re-encoded and mildly
+    resized copies pair at small Hamming distances.  Rows whose
+    payload fails to decode carry the fake-marked hash (keyed on the
+    payload bytes): byte-identical undecodable payloads still pair at
+    distance 0, while distinct undecodable payloads get unrelated
+    hashes — exact-dup detection degrades gracefully, near-dup
+    detection honestly does not apply.  Blank images all hash to the
+    same sentinel fingerprint; bulk-blank corpora should be filtered
+    upstream (the skew note on ``fingerprint_hamming_pairs``).
+    """
+    from sparkall_spark.operators.dedup import fingerprint_hamming_pairs
+
+    feats = decode_images(
+        df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+    ).select(F.col("media_id").alias(id_col), "phash")
+    return fingerprint_hamming_pairs(
+        feats, id_col, "phash", max_hamming=max_hamming, chunks=chunks
+    )
+
+
+def image_dedup(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    mode: str = "clean",
+) -> DataFrame:
+    """Perceptual image dedup: drop (or annotate) every image that has
+    a smaller-id near-duplicate under :func:`image_neardup_pairs` —
+    the same deterministic smaller-id-survives rule as the text dedup
+    family.  ``annotate`` adds ``is_neardup`` instead of dropping."""
+    if mode not in ("annotate", "clean"):
+        raise ValueError(f"mode must be 'annotate' or 'clean', got {mode!r}")
+    pairs = image_neardup_pairs(
+        df, id_col=id_col, payload_col=payload_col, max_hamming=max_hamming
+    )
+    losers = pairs.select(F.col("id_b").alias("__loser")).distinct()
+    if mode == "clean":
+        return df.join(
+            losers, df[id_col] == F.col("__loser"), "left_anti"
+        )
+    return df.join(
+        losers, df[id_col] == F.col("__loser"), "left"
+    ).withColumn("is_neardup", F.col("__loser").isNotNull()).drop("__loser")

@@ -1668,3 +1668,66 @@ def test_jpeg_hierarchical_truncated_and_garbage_return_none():
     assert M.decode_pixels(jpg[:-4]) is None  # pyramid never completes
     full = M.decode_pixels(jpg)
     assert full is not None and np.abs(full - img).max() <= 5.0
+
+
+def test_fingerprint_hamming_pairs_generic(spark):
+    """Generic 64-bit banded Hamming join: full recall below chunks,
+    validation, null drop."""
+    import pytest
+
+    from sparkall_spark.operators.dedup import fingerprint_hamming_pairs
+
+    rows = [
+        (1, 0b1010_0000),          # base
+        (2, 0b1010_0001),          # hamming 1 from id 1
+        (3, 0b1010_0111),          # hamming 3 from id 1
+        (4, -1),                   # all ones: far from everything
+        (5, None),                 # dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in fingerprint_hamming_pairs(df, "id", "fp", 3, 4).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 3, (2, 3): 2}
+    with pytest.raises(ValueError, match="full recall"):
+        fingerprint_hamming_pairs(df, "id", "fp", 4, 4)
+    with pytest.raises(ValueError, match="divide 64"):
+        fingerprint_hamming_pairs(df, "id", "fp", 2, 5)
+
+
+def test_image_neardup_pairs_and_dedup(spark):
+    """Near-identical BMPs (one low-order pixel tweak) pair at small
+    Hamming distance; a structurally different image does not; dedup
+    keeps the smaller id."""
+    import numpy as np
+
+    from sparkall_spark.operators.multimodal import image_dedup, image_neardup_pairs
+
+    base = [[(x * 16 % 256, x * 16 % 256, x * 16 % 256) for x in range(16)]
+            for _ in range(8)]
+    tweak = [row[:] for row in base]
+    tweak[0][0] = (17, 17, 17)  # one pixel nudged: same dHash gradient
+    other = [[((x * 37 + y * 91) % 256,) * 3 for x in range(16)]
+             for y in range(8)]
+    rows = [
+        (1, bytearray(_bmp_with_pixels(base))),
+        (2, bytearray(_bmp_with_pixels(tweak))),
+        (3, bytearray(_bmp_with_pixels(other))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    kept = sorted(
+        r["media_id"] for r in image_dedup(df, max_hamming=3).collect()
+    )
+    assert kept == [1, 3]
+    ann = {
+        r["media_id"]: r["is_neardup"]
+        for r in image_dedup(df, max_hamming=3, mode="annotate").collect()
+    }
+    assert ann == {1: False, 2: True, 3: False}

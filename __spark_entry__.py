@@ -2813,7 +2813,14 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
       the k rows whose doc_id hash ranks smallest form a uniform,
       layout-independent, mergeable sample; exact interpolated
       percentiles over it mirror bit-for-bit (integer-valued n_chars
-      keeps both engines' interpolation formulas ulp-aligned)."""
+      keeps both engines' interpolation formulas ulp-aligned).
+    - ``cms`` (r9): Count-Min point-frequency estimates for a fixed
+      probe list over the corpus vocabulary
+      (operators/sketches.py:cms_sketch/cms_query) — the counter table
+      is a pure function of the word multiset and the query is depth
+      chained broadcast lookups, so the estimates mirror bit-for-bit
+      (same hash family, same seeds) in the SQL oracle; includes a
+      never-seen probe (gates the zero path)."""
     import tempfile
 
     from sparkall_spark.operators import sketches as K
@@ -2927,6 +2934,24 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_sampled").cast("double").alias("value"),
         ).distinct()
     )
+    # point-frequency telemetry: CMS estimates for fixed probe words
+    # (one absent) — bounded depth*width counter state instead of a
+    # full vocabulary count at 100 TB
+    csk = K.cms_sketch(
+        words.select("word"), "word", depth=_E29_CMS_DEPTH,
+        width=_E29_CMS_WIDTH,
+    )
+    probes = spark.createDataFrame(
+        [(w,) for w in _E29_CMS_PROBES], ["word"]
+    )
+    cms_long = K.cms_query(
+        csk, probes, "word", depth=_E29_CMS_DEPTH, width=_E29_CMS_WIDTH
+    ).select(
+        F.lit("cms").alias("family"),
+        F.col("word").alias("key"),
+        F.lit("est_count").alias("stat"),
+        F.col("est").cast("double").alias("value"),
+    )
     return (
         meta_long.unionByName(ph_long)
         .unionByName(bm_long)
@@ -2934,7 +2959,45 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kmv_ov)
         .unionByName(hh_long)
         .unionByName(q_long)
+        .unionByName(cms_long)
     )
+
+
+#: CMS leg parameters — shared between the e29 entry and oracle builder
+_E29_CMS_DEPTH = 3
+_E29_CMS_WIDTH = 1024
+_E29_CMS_PROBES = ("the", "data", "hash", "qzxunseen")
+
+
+def _e29_cms_oracle_sql() -> str:
+    """'cms' family mirror: per-(d,bucket) counts over the same corpus
+    word stream (the hhw CTE), probed at the same bucket indexes —
+    bucket arithmetic rendered by the sketch module itself so the hash
+    family/seed schedule can never drift between engines."""
+    from sparkall_spark.operators.sketches import _cms_bucket_sql
+
+    d, w = _E29_CMS_DEPTH, _E29_CMS_WIDTH
+    counter_branches = " UNION ALL ".join(
+        f"SELECT {i} AS d, {_cms_bucket_sql('w', i, w)} AS bucket FROM hhw"
+        for i in range(d)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT '{p}' AS pw, {i} AS d,"
+        f" {_cms_bucket_sql(repr(p), i, w)} AS bucket"
+        for p in _E29_CMS_PROBES
+        for i in range(d)
+    )
+    return f"""
+UNION ALL
+SELECT 'cms' AS family, pw AS key, 'est_count' AS stat,
+       MIN(COALESCE(c.cnt, 0))::DOUBLE AS value
+FROM ({probe_rows}) p
+LEFT JOIN (
+  SELECT d, bucket, COUNT(*)::BIGINT AS cnt
+  FROM ({counter_branches}) GROUP BY d, bucket
+) c USING (d, bucket)
+GROUP BY pw
+"""
 
 
 _E29_ORACLE = (
@@ -3057,13 +3120,32 @@ def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       bounded by contract)."""
     from sparkall_spark.functions.text import token_set
 
+    from sparkall_spark.operators import sampling as S
+
     docs = load_table(spark, sf_dir, "documents")
-    clusters = D.minhash_dedup_clusters(
+    clustered = D.minhash_dedup_clusters(
         docs, threshold=0.9, broadcast_reps=True
-    ).select(
+    )
+    clusters = clustered.select(
         F.lit("cluster").alias("family"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("cluster_rep").cast("bigint").alias("val"),
+    )
+    # leakage-free split over the SAME clusters: every near-dup
+    # component co-travels into one split (rep_col path — map-only on
+    # top of the already-computed representatives); split names encoded
+    # as stable bigint codes for the long-form union
+    labeled = S.leakage_free_split(
+        clustered, _E22_SPLIT_W, rep_col="cluster_rep", seed=_E22_SPLIT_SEED
+    )
+    split_leg = labeled.select(
+        F.lit("split").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.when(F.col("split") == "train", 0)
+        .when(F.col("split") == "val", 1)
+        .otherwise(2)
+        .cast("bigint")
+        .alias("val"),
     )
     corpus = docs.filter(F.col("doc_id") % 4 == 1)
     batch = docs.filter(F.col("doc_id") % 8 == 0)
@@ -3076,7 +3158,28 @@ def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.size(token_set("text")).cast("bigint").alias("val"),
     )
-    return clusters.unionByName(mhinc)
+    return clusters.unionByName(mhinc).unionByName(split_leg)
+
+
+#: weights/seed for the e22 'split' leg — shared with the oracle builder
+_E22_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+_E22_SPLIT_SEED = 7
+
+
+def _e22_split_oracle_sql() -> str:
+    """'split' family mirror: rep = min reachable id (the closure the
+    'cluster' family already gates), then hash_split arithmetic on the
+    rep, then the same name->code CASE as the Spark leg."""
+    from sparkall_spark.operators import sampling as S
+
+    case = S.hash_split_sql("rep", _E22_SPLIT_W, seed=_E22_SPLIT_SEED)
+    return f"""
+UNION ALL
+SELECT 'split' AS family, node AS doc_id,
+       CAST(CASE ({case}) WHEN 'train' THEN 0 WHEN 'val' THEN 1
+            ELSE 2 END AS BIGINT) AS val
+FROM (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+"""
 
 
 _E22_ORACLE = """
@@ -3438,9 +3541,9 @@ def oracle_sql() -> dict[str, str]:
     out["e18_cube_pivot"] = _E18_ORACLE
     out["e20_pretrain_pipeline"] = _E20_ORACLE
     out["e21_stats_aggregates"] = _E21_ORACLE
-    out["e22_dedup_clusters"] = _E22_ORACLE
+    out["e22_dedup_clusters"] = _E22_ORACLE + _e22_split_oracle_sql()
     out["e23_split_pack"] = _e23_oracle_sql()
     out["e24_semdedup"] = _e24_oracle_sql()
     out["e25_warc_crawl"] = _e25_oracle_sql()
-    out["e29_index_telemetry"] = _E29_ORACLE
+    out["e29_index_telemetry"] = _E29_ORACLE + _e29_cms_oracle_sql()
     return out

@@ -112,6 +112,63 @@ def hash_split_sql(
     return " ".join(parts)
 
 
+def leakage_free_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    rep_col: str | None = None,
+    seed: int = 0,
+    out_col: str = "split",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster-aware train/val/test split: near-duplicate documents
+    never straddle a split boundary.
+
+    A plain per-document :func:`hash_split` leaks at evaluation time —
+    two near-identical documents land in train and test with
+    probability ``2*p_train*p_test`` per pair, so the model is graded
+    on (para)phrases of its own training data.  The fix is to hash the
+    *cluster representative* instead of the document id: every member
+    of a near-dup component co-travels into one split, and singletons
+    (the overwhelming majority) behave exactly like ``hash_split`` on
+    their own id (their representative IS their id).
+
+    Provide EITHER ``pairs`` (a near-dup pair frame — minhash, simhash,
+    embedding-cosine, or perceptual-image pairs all fit), in which case
+    transitive components are computed via
+    :func:`~sparkall_spark.operators.graph.dedup_clusters`, OR
+    ``rep_col`` naming an existing representative column (e.g. the
+    ``cluster_rep`` that ``minhash_dedup_clusters`` already attached),
+    in which case the split is one map-only expression.
+
+    Scale shape: the pairs path costs the component iteration (one
+    shuffle per round over |E|, diameter-bounded) plus one join of
+    ``df`` against the node->component map; the rep_col path is
+    shuffle-free.  The assignment itself is the same deterministic
+    (rep, seed) hash arithmetic as :func:`hash_split` — engine-portable
+    via :func:`hash_split_sql` over the representative, stable under
+    reruns, and a NEW document can only ever pull its own cluster's
+    assignment, never move an existing singleton.
+
+    Determinism caveat (documented, not incidental): the component
+    representative is the MINIMUM member id, so ingesting a new
+    document with a smaller id than its cluster's current rep re-keys
+    that cluster's hash — near-dup clusters are identity groups, and
+    any stable group key must move when the group's membership map
+    does.  Singletons (no pair edges) are immune.
+    """
+    if (pairs is None) == (rep_col is None):
+        raise ValueError("provide exactly one of pairs= or rep_col=")
+    if rep_col is None:
+        from sparkall_spark.operators.graph import dedup_clusters
+
+        df = dedup_clusters(df, pairs, id_col=id_col, src=src, dst=dst)
+        rep_col = "cluster_rep"
+    return hash_split(df, rep_col, weights, seed=seed, out_col=out_col)
+
+
 def fraction_sample(
     df: DataFrame, id_col: str, fraction: float, seed: int = 0
 ) -> DataFrame:

@@ -695,3 +695,206 @@ def bottomk_merge(
             + F.coalesce(F.col("__nb"), F.lit(0))
         ).cast("bigint").alias("n_rows"),
     )
+
+
+# --- Count-Min sketch (point-frequency estimation) ---------------------------
+#
+# The third planning sketch: KMV answers "how many distinct", Misra-
+# Gries answers "which items dominate"; Count-Min (Cormode &
+# Muthukrishnan, J.Alg'05 "An improved data stream summary") answers
+# "roughly how often does THIS item occur" for ANY queried item — how
+# many documents per domain before scheduling a per-host recrawl, how
+# often a candidate stop-gram fires, how hot a specific join key is —
+# in depth*width longs of state, whatever the item universe size.
+#
+# Structure: depth rows of width counters; row d adds each occurrence
+# to counter hash_d(item) % width; the point estimate is the MINIMUM of
+# an item's depth counters.  Two properties are STRUCTURAL (they hold
+# for any hash choice, so tests assert them unconditionally):
+#   - est >= true count (counters only ever over-count), and
+#   - est == true when no colliding item shares all of the item's
+#     buckets (e.g. whenever the row's buckets are collision-free).
+# The classic eps = e/width error bound assumes pairwise-independent
+# hashing; the repo's portable chain (poly hash -> two-LCG-round mix,
+# one seed per row) is not formally pairwise independent, so — as with
+# the MG summary — the bound is asserted EMPIRICALLY in tests, not
+# claimed analytically.  What the chain buys instead is determinism:
+# the whole counter table is a pure function of the input multiset
+# (layout-independent by commutativity of +), reproduced bit-for-bit
+# by the DuckDB mirror, so the driver's value-hash gate covers the
+# sketch itself.
+#
+# Scale shape: the build explodes each row into depth (row, bucket)
+# tuples, but the map-side combiner collapses every partition to at
+# most depth*width partials — the shuffle is O(depth*width) per
+# partition, NOT O(rows).  Merging two sketches is elementwise sum
+# (linearity), so shard-then-merge and stream-then-merge are exact,
+# and the streaming twin (streaming/stateful.cms_stream) is Spark's
+# own incremental groupBy aggregation over the same bounded key domain.
+
+#: per-row seed schedule for the CMS hash family — row d mixes with
+#: seed d*_CMS_ROW_STRIDE + _CMS_ROW_SALT (mirrored in cms_*_sql)
+_CMS_ROW_STRIDE = 1_000_003
+_CMS_ROW_SALT = 12_289
+
+
+def cms_bucket_array(value: Column, depth: int, width: int) -> Column:
+    """array<int> of the value's ``depth`` bucket indexes — bucket d is
+    the portable hash mixed with row-d's seed, mod ``width``.  Shared
+    by the batch build, the query side, and the streaming twin so all
+    three address the same counters."""
+    h = _portable_token_hash(value)
+    return F.array(
+        *[
+            (
+                _mix(h, seed=d * _CMS_ROW_STRIDE + _CMS_ROW_SALT)
+                % width
+            ).cast("int")
+            for d in range(depth)
+        ]
+    )
+
+
+def _cms_bucket_sql(value_sql: str, d: int, width: int) -> str:
+    poly = (
+        "list_reduce(list_prepend(0::BIGINT,"
+        " [ascii(c)::BIGINT FOR c IN"
+        " list_filter(string_split(" + value_sql + ", ''), x -> x <> '')]),"
+        f" (acc, c) -> (acc * 31 + c) % {_P_MOD})"
+    )
+    mixed = mix_sql(poly, seed=d * _CMS_ROW_STRIDE + _CMS_ROW_SALT)
+    return f"(({mixed}) % {width})"
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    group_cols: list[str] | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the sparse counter table: one row per non-zero counter,
+    ``group_cols`` + ``d`` (int, the hash row), ``bucket`` (int),
+    ``cnt`` (bigint).  Absent (d, bucket) combinations are zero.
+    ``weight_col`` switches from occurrence counting to weighted sums
+    (e.g. byte volume per domain).  NULL values are dropped (sketch
+    convention); NULL weights count as zero.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    groups = group_cols or []
+    v = F.col(value_col).cast("string")
+    w = (
+        F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0))
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    rows = df.filter(v.isNotNull()).select(
+        *groups,
+        F.posexplode(cms_bucket_array(v, depth, width)).alias("d", "bucket"),
+        w.alias("__w"),
+    )
+    return rows.groupBy(*groups, "d", "bucket").agg(
+        F.sum("__w").cast("bigint").alias("cnt")
+    )
+
+
+def cms_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Elementwise sum of two counter tables (same depth/width/hash
+    chain): by linearity this IS the sketch of the concatenated
+    inputs — exact, not approximate-on-approximate."""
+    groups = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*groups, "d", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    group_cols: list[str] | None = None,
+    broadcast_sketch: bool = True,
+) -> DataFrame:
+    """Point-frequency estimates for each probe item: ``group_cols`` +
+    ``item_col`` + ``est`` (bigint, min over the item's depth
+    counters; missing counters read as 0, so a never-seen item with
+    any untouched bucket estimates exactly 0).
+
+    ``depth``/``width`` must match the build call.  One output row PER
+    PROBE ROW (duplicates score independently), so the estimate can be
+    attached to a corpus-scale frame.  The min-over-depth is computed
+    WITHOUT exploding or re-grouping the probes: the item's depth
+    buckets stay in one row and each hash row of the sketch (at most
+    ``width`` counters) joins in separately — with ``broadcast_sketch``
+    (default) that is ``depth`` chained broadcast hash joins, i.e. a
+    fully map-only lookup: scoring a billion probe rows against a
+    fixed sketch never shuffles the probes.
+    """
+    groups = group_cols or []
+    v = F.col(item_col).cast("string")
+    out = items.filter(v.isNotNull()).withColumn(
+        "__cms_b", cms_bucket_array(v, depth, width)
+    )
+    for d in range(depth):
+        renames = {g: f"__g{d}_{i}" for i, g in enumerate(groups)}
+        sd = sketch.filter(F.col("d") == d).select(
+            *[F.col(g).alias(renames[g]) for g in groups],
+            F.col("bucket").alias(f"__k{d}"),
+            F.col("cnt").alias(f"__c{d}"),
+        )
+        if broadcast_sketch:
+            sd = F.broadcast(sd)
+        cond = F.col("__cms_b")[d] == F.col(f"__k{d}")
+        for g in groups:
+            cond = cond & (F.col(g) == F.col(renames[g]))
+        out = out.join(sd, on=cond, how="left").drop(
+            f"__k{d}", *renames.values()
+        )
+    counters = [
+        F.coalesce(F.col(f"__c{d}"), F.lit(0)) for d in range(depth)
+    ]
+    # F.least needs >= 2 args; depth == 1 is the single counter itself
+    est = (
+        F.least(*counters) if depth > 1 else counters[0]
+    ).cast("bigint")
+    return out.withColumn("est", est).drop(
+        "__cms_b", *[f"__c{d}" for d in range(depth)]
+    )
+
+
+def cms_sketch_sql(
+    table: str,
+    value_sql: str,
+    depth: int = 4,
+    width: int = 2048,
+    group_sql: str | None = None,
+    weight_sql: str = "1",
+) -> str:
+    """DuckDB mirror of :func:`cms_sketch` (same hash family, same
+    seeds, same widths) — a UNION ALL branch per hash row, then the
+    shared GROUP BY.  ``group_sql`` is aliased ``grp``."""
+    g_inner = f"{group_sql} AS grp," if group_sql else ""
+    g = "grp," if group_sql else ""
+    base = (
+        f"SELECT {g_inner} CAST({value_sql} AS VARCHAR) AS v,"
+        f" COALESCE(CAST({weight_sql} AS BIGINT), 0) AS w FROM {table}"
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT {g} {d} AS d, {_cms_bucket_sql('v', d, width)} AS bucket, w"
+        f" FROM base WHERE v IS NOT NULL"
+        for d in range(depth)
+    )
+    return f"""
+WITH base AS ({base})
+SELECT {g} d, bucket, SUM(w)::BIGINT AS cnt
+FROM ({branches})
+GROUP BY {g} d, bucket
+"""

@@ -422,3 +422,38 @@ def sampled_quantiles_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_stream(
+    events: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Streaming Count-Min sketch: the live counter table (d, bucket,
+    cnt) over everything the stream has seen.
+
+    No custom state operator needed — because the CMS key domain is
+    BOUNDED (depth * width counters, whatever the item universe), the
+    sketch is exactly Spark's own incremental ``groupBy().count()``
+    over the bucket tuples: the state store holds at most depth*width
+    longs and every micro-batch folds in map-side-combined partials.
+    By CMS linearity the running aggregate equals the batch
+    ``operators/sketches.cms_sketch`` of the union of all batches
+    (asserted in tests), so sketches built online and offline merge
+    interchangeably via ``cms_merge``.  Run with ``outputMode("update")``
+    (emits changed counters per batch) or ``"complete"``.
+    """
+    from sparkall_spark.operators.sketches import cms_bucket_array
+
+    v = F.col(value_col).cast("string")
+    return (
+        events.filter(v.isNotNull())
+        .select(
+            F.posexplode(cms_bucket_array(v, depth, width)).alias(
+                "d", "bucket"
+            )
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )

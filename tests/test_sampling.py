@@ -394,3 +394,69 @@ def test_temperature_mix_membership_matches_sql_mirror(spark, duck, sf_dir):
         ).fetchall()
     }
     assert got == expected
+
+
+def test_leakage_free_split_co_travels_clusters(spark):
+    # pair graph: {1,2,3} one component (chained), {10,11} another,
+    # 20/21/22 singletons — members must share a split, singletons must
+    # match plain hash_split on their own id
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21, 22)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    w = {"train": 0.34, "val": 0.33, "test": 0.33}
+    out = S.leakage_free_split(docs, w, pairs=pairs, seed=3)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 8
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11]
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in S.hash_split(docs, "doc_id", w, seed=3).collect()
+    }
+    for singleton in (20, 21, 22):
+        assert got[singleton] == plain[singleton]
+    # cluster assignment == hash of the min member id (the rep)
+    assert got[1] == plain[1]
+    assert got[10] == plain[10]
+
+
+def test_leakage_free_split_rep_col_path_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], ["doc_id", "rep"]
+    )
+    w = {"train": 0.5, "test": 0.5}
+    out = S.leakage_free_split(docs, w, rep_col="rep", seed=11)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert got[1] == got[2]
+    # rep_col path stays map-only: no shuffle in the optimized plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    with pytest.raises(ValueError):
+        S.leakage_free_split(docs, w, seed=1)  # neither pairs nor rep
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError):
+        S.leakage_free_split(docs, w, pairs=pairs, rep_col="rep")  # both
+
+
+def test_leakage_free_split_matches_sql_mirror_on_rep(spark):
+    # the assignment is hash_split arithmetic over the representative,
+    # so the DuckDB mirror is hash_split_sql applied to the rep column
+    docs = spark.createDataFrame(
+        [(i, i - (i % 2)) for i in range(2, 40)], ["doc_id", "rep"]
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = S.leakage_free_split(docs, w, rep_col="rep", seed=5)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    con = duckdb.connect()
+    rows = ", ".join(f"({i}, {i - (i % 2)})" for i in range(2, 40))
+    mirror = dict(
+        con.execute(
+            f"SELECT doc_id, {S.hash_split_sql('rep', w, seed=5)} AS s "
+            f"FROM (VALUES {rows}) v(doc_id, rep)"
+        ).fetchall()
+    )
+    con.close()
+    assert mirror == got

@@ -351,3 +351,55 @@ def test_sampled_quantiles_stream_equals_batch_sketch(spark, tmp_path):
         for r in sampled_quantiles(df, "v", "id", probs, k=64).collect()
     }
     assert got == want and n_final == 64
+
+
+def test_cms_stream_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Streaming CMS over two micro-batches must equal the BATCH
+    sketch of everything the stream has seen — CMS linearity makes the
+    incremental groupBy-count form exact, with state bounded by
+    depth*width whatever the item universe."""
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.sketches import cms_sketch
+    from sparkall_spark.streaming.stateful import cms_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("val")
+    )
+    stage = tmp_path / "cms"
+    stage.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(stage / "b0")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(stage / "b1")
+    )
+    stream = (
+        spark.readStream.schema("val string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage / "b*"))
+    )
+    out = cms_stream(stream, "val", depth=3, width=32)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_cms")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_cms").collect()
+    finally:
+        q.stop()
+    # update mode appends a row per (batch, counter); counters are
+    # monotone, so the final state is the max cnt per (d, bucket)
+    got = {}
+    for r in rows:
+        key = (r["d"], r["bucket"])
+        got[key] = max(got.get(key, 0), r["cnt"])
+    want = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(docs, "val", depth=3, width=32).collect()
+    }
+    assert got == want
+    assert len(want) > 0

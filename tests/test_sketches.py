@@ -332,3 +332,129 @@ def test_sampled_quantiles_grouped_and_validation(spark):
         sampled_quantiles(df, "v", "id", probs=[])
     with pytest.raises(ValueError, match="in \\[0, 1\\]"):
         sampled_quantiles(df, "v", "id", probs=[1.5])
+
+
+# --- Count-Min sketch --------------------------------------------------------
+
+
+def test_cms_sketch_matches_duckdb_mirror(spark, duck, sf_dir):
+    """The counter table is a pure function of the input multiset —
+    value-identical to the SQL mirror, so hash gates cover the sketch."""
+    from sparkall_spark.operators.sketches import cms_sketch, cms_sketch_sql
+
+    w = _words(spark, sf_dir)
+    got = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(w, "word", depth=3, width=64).collect()
+    }
+    sql = cms_sketch_sql(
+        """(SELECT unnest(list_filter(
+              regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS word
+            FROM documents)""",
+        "word",
+        depth=3,
+        width=64,
+    )
+    want = {(d, b): c for d, b, c in duck.execute(sql).fetchall()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_cms_estimate_never_undercounts_and_exact_when_sparse(spark):
+    """Structural guarantees: est >= true always; est == true when the
+    item universe is far below width (collision-free rows)."""
+    from sparkall_spark.operators.sketches import cms_query, cms_sketch
+
+    rows = (
+        [("apple",)] * 7 + [("pear",)] * 3 + [("plum",)] * 1
+    )
+    df = spark.createDataFrame(rows, ["w"])
+    sk = cms_sketch(df, "w", depth=4, width=4096)
+    probes = spark.createDataFrame(
+        [("apple",), ("pear",), ("plum",), ("absent",)], ["w"]
+    )
+    got = {
+        r["w"]: r["est"]
+        for r in cms_query(sk, probes, "w", depth=4, width=4096).collect()
+    }
+    true = {"apple": 7, "pear": 3, "plum": 1, "absent": 0}
+    for k, t in true.items():
+        assert got[k] >= t
+    # 3 distinct items in 4096 buckets x 4 independent rows: exact
+    assert got == true
+
+
+def test_cms_merge_linearity_and_layout_independence(spark, sf_dir):
+    """sketch(A) + sketch(B) == sketch(A union B), elementwise; and the
+    counter table is identical under any repartitioning."""
+    from sparkall_spark.operators.sketches import cms_merge, cms_sketch
+
+    w = _words(spark, sf_dir)
+    a = w.filter(F.crc32("word") % 2 == 0)
+    b = w.filter(F.crc32("word") % 2 == 1)
+
+    def tbl(df):
+        return {(r["d"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+    merged = tbl(
+        cms_merge(
+            cms_sketch(a, "word", depth=3, width=128),
+            cms_sketch(b, "word", depth=3, width=128),
+        )
+    )
+    whole = tbl(cms_sketch(w, "word", depth=3, width=128))
+    assert merged == whole
+    shuffled = tbl(
+        cms_sketch(w.repartition(7), "word", depth=3, width=128)
+    )
+    assert shuffled == whole
+
+
+def test_cms_weighted_and_grouped(spark):
+    """weight_col sums weights instead of occurrences; group_cols keep
+    independent counter tables per group, and grouped queries resolve
+    against the right group's counters."""
+    from sparkall_spark.operators.sketches import cms_query, cms_sketch
+
+    df = spark.createDataFrame(
+        [("g1", "x", 10), ("g1", "x", 5), ("g2", "x", 2), ("g2", "y", 4)],
+        ["g", "w", "wt"],
+    )
+    sk = cms_sketch(
+        df, "w", depth=2, width=512, group_cols=["g"], weight_col="wt"
+    )
+    probes = spark.createDataFrame(
+        [("g1", "x"), ("g2", "x"), ("g2", "y"), ("g1", "y")], ["g", "w"]
+    )
+    got = {
+        (r["g"], r["w"]): r["est"]
+        for r in cms_query(
+            sk, probes, "w", depth=2, width=512, group_cols=["g"]
+        ).collect()
+    }
+    assert got == {
+        ("g1", "x"): 15,
+        ("g2", "x"): 2,
+        ("g2", "y"): 4,
+        ("g1", "y"): 0,
+    }
+
+
+def test_cms_query_is_map_only_under_broadcast(spark):
+    """The 100 TB contract: probe scoring must not shuffle the probes —
+    depth chained BroadcastHashJoins, zero Exchange on the probe path."""
+    from sparkall_spark.operators.sketches import cms_query, cms_sketch
+
+    df = spark.createDataFrame([("a",), ("b",)], ["w"])
+    sk = cms_sketch(df, "w", depth=4, width=256)
+    # materialize the sketch first so only the query plan is inspected
+    sk = spark.createDataFrame(sk.collect(), sk.schema)
+    probes = spark.createDataFrame([("a",), ("zzz",)], ["w"])
+    out = cms_query(sk, probes, "w", depth=4, width=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only Exchanges on the path are broadcast ones — no shuffle
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    got = {r["w"]: r["est"] for r in out.collect()}
+    assert got == {"a": 1, "zzz": 0}

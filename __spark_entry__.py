@@ -1910,7 +1910,15 @@ def _e14_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest prior event (single-shuffle union+window,
     operators/temporal.py); 'range' = events inside each user's
     first-2-day window (bucketed equi-join, never a cartesian theta
-    join).  Unified schema (tag, event_id, other_id, val)."""
+    join); 'bloomsemi' (r9) = events of high-activity users (count >=
+    1.1x the per-user average — the fixture's per-user counts are
+    Poisson-tight, so 1.1x selects the top ~10-15% tail at every SF) via bloom_reduced_join
+    (operators/joins.py) — the probe side is pruned map-only by a
+    broadcast one-row bitmap BEFORE the join shuffle, and the
+    no-false-negatives contract makes the result identical to the
+    plain join, which is exactly what the oracle runs.  Unified schema
+    (tag, event_id, other_id, val)."""
+    from sparkall_spark.operators.joins import bloom_reduced_join
     from sparkall_spark.operators.temporal import asof_join, range_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -1941,7 +1949,22 @@ def _e14_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("other_id"),
         F.lit(None).cast("double").alias("val"),
     )
-    return asof.unionByName(rng)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    thr = counts.agg((F.avg("n_ev") * 1.1).alias("__thr"))
+    hot = (
+        counts.join(F.broadcast(thr), how="cross")
+        .filter(F.col("n_ev") >= F.col("__thr"))
+        .drop("__thr")
+    )
+    bsemi = bloom_reduced_join(
+        ev, hot, on="user_id", probe_key="user_id"
+    ).select(
+        F.lit("bloomsemi").alias("tag"),
+        "event_id",
+        F.col("user_id").alias("other_id"),
+        F.col("n_ev").cast("double").alias("val"),
+    )
+    return asof.unionByName(rng).unionByName(bsemi)
 
 
 _E14_ORACLE = """
@@ -1956,6 +1979,14 @@ FROM events e JOIN (
   SELECT user_id, min(ts) AS start_ts, min(ts) + INTERVAL 2 DAY AS end_ts
   FROM events GROUP BY user_id) iv ON e.user_id = iv.user_id
 WHERE iv.start_ts <= e.ts AND e.ts < iv.end_ts
+UNION ALL
+SELECT 'bloomsemi' AS tag, e.event_id, e.user_id AS other_id,
+       CAST(h.n_ev AS DOUBLE) AS val
+FROM events e JOIN (
+  SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id
+  HAVING count(*) >= 1.1 * (SELECT avg(cnt) FROM (
+      SELECT count(*)::DOUBLE AS cnt FROM events GROUP BY user_id))
+) h ON e.user_id = h.user_id
 """
 
 

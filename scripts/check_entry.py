@@ -49,11 +49,17 @@ def main() -> int:
         return 1
 
     def canon(df):
+        def norm(v):
+            if isinstance(v, float):
+                return None if v != v else round(v, 6)  # NaN -> None
+            return v
+
         return sorted(
-            tuple(
-                round(v, 6) if isinstance(v, float) else v for v in row
-            )
-            for row in df.itertuples(index=False, name=None)
+            (
+                tuple(norm(v) for v in row)
+                for row in df.itertuples(index=False, name=None)
+            ),
+            key=repr,  # None-safe ordering
         )
 
     s, o = canon(sdf), canon(odf)

@@ -1,0 +1,108 @@
+"""Join-side reduction utilities (extension; no reference analog —
+the reference joins relations as-is, `SparkExecutor.scala` join path).
+
+The 100 TB problem these address: a fact-table join whose other side
+is selective.  Shuffling the full fact table to discover that 97% of
+its rows have no partner is the single largest avoidable cost in a
+big join; the classic fix is a semi-join reduction — broadcast a
+compact membership summary of the selective side and drop partnerless
+fact rows BEFORE the shuffle.
+
+Spark's own runtime bloom filters
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) inject exactly
+this rewrite, but only when the optimizer can both see the selective
+scan inside the same query plan and estimate its selectivity.  An
+explicit operator is for the cases it can't: the build side is a
+separately-computed frame (a dedup ledger, yesterday's hot-key list, a
+trained vocabulary), the join is assembled across pipeline stages, or
+the reduction itself should be persisted and reused.  The bitmap
+primitives are shared with the decontamination bloom
+(``operators/decontam.py:bloom_bitmap/bloom_might_contain``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sparkall_spark.operators.decontam import (
+    bloom_bitmap,
+    bloom_might_contain,
+)
+
+
+def bloom_semi_reduce(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str | None = None,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Filter ``probe`` to rows whose key MIGHT occur in
+    ``build[build_key]`` — a map-only semi-join reduction.
+
+    Contract (no false negatives, by Bloom construction): joining the
+    reduced probe side to ``build`` afterwards returns EXACTLY the
+    rows the unreduced join would — the reduction only sheds rows that
+    cannot have a partner, plus it keeps a false-positive residue of
+    roughly ``(1 - e^(-k*n/m))^k`` that the real join removes.  Use it
+    in front of any inner/semi equi-join whose build side is
+    selective; it is pure overhead when most probe keys match, so
+    gate scheduling on an estimate (e.g. a KMV overlap sketch) when in
+    doubt.
+
+    Plan shape: one bounded aggregation over ``build`` produces a
+    single-row ``m_bits/8``-byte bitmap, which broadcasts; the filter
+    is then a BroadcastNestedLoopJoin against ONE row plus a Column
+    predicate — zero shuffle on the probe path (plan-asserted in
+    tests), so at 100 TB the fact table is pruned at scan/map time
+    and only surviving rows enter the join exchange.
+
+    ``xxhash64`` is type-sensitive, so the probe and build key columns
+    must share a data type; mismatches raise immediately rather than
+    silently filtering everything out.
+    """
+    build_key = build_key or probe_key
+    p_type = probe.schema[probe_key].dataType
+    b_type = build.schema[build_key].dataType
+    if p_type != b_type:
+        raise ValueError(
+            f"bloom_semi_reduce key types must match (xxhash64 is "
+            f"type-sensitive): probe[{probe_key}]={p_type} vs "
+            f"build[{build_key}]={b_type}"
+        )
+    bm = bloom_bitmap(
+        build.select(F.col(build_key).alias("__bloom_v")),
+        "__bloom_v",
+        m_bits,
+        k,
+    )
+    return (
+        probe.join(F.broadcast(bm), how="cross")
+        .filter(bloom_might_contain(F.col(probe_key), F.col("__bf"), m_bits, k))
+        .drop("__bf")
+    )
+
+
+def bloom_reduced_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | list[str] | Column,
+    probe_key: str,
+    build_key: str | None = None,
+    how: str = "inner",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Convenience composition: :func:`bloom_semi_reduce` the probe
+    side, then run the real join — result-identical to
+    ``probe.join(build, on, how)`` for partner-dependent join types
+    (``inner``/``semi``/``right``; NOT ``left``/``full``/``anti``,
+    which keep or detect partnerless probe rows — rejected)."""
+    if how not in ("inner", "semi", "left_semi", "leftsemi", "right"):
+        raise ValueError(
+            f"bloom reduction only preserves partner-dependent joins, "
+            f"not how={how!r}"
+        )
+    reduced = bloom_semi_reduce(probe, build, probe_key, build_key, m_bits, k)
+    return reduced.join(build, on, how)

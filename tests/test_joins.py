@@ -1,0 +1,87 @@
+"""Bloom semi-join reduction (operators/joins.py): exactness of the
+reduce-then-join contract, actual probe-side shedding, the map-only
+plan shape, and the type-safety guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkall_spark.operators.joins import bloom_reduced_join, bloom_semi_reduce
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def hot_users(events):
+    # a selective build side: the busiest ~10% of users
+    counts = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    cut = counts.approxQuantile("n_events", [0.9], 0.0)[0]
+    return counts.filter(F.col("n_events") >= cut)
+
+
+def test_reduced_join_equals_plain_join(events, hot_users):
+    plain = sorted(
+        (r["event_id"], r["n_events"])
+        for r in events.join(hot_users, "user_id", "inner")
+        .select("event_id", "n_events")
+        .collect()
+    )
+    reduced = sorted(
+        (r["event_id"], r["n_events"])
+        for r in bloom_reduced_join(
+            events, hot_users, on="user_id", probe_key="user_id"
+        )
+        .select("event_id", "n_events")
+        .collect()
+    )
+    assert reduced == plain
+    assert len(plain) > 0
+
+
+def test_semi_reduce_sheds_rows_but_never_partners(events, hot_users):
+    reduced = bloom_semi_reduce(events, hot_users, "user_id")
+    n_probe, n_reduced = events.count(), reduced.count()
+    n_true = events.join(hot_users, "user_id", "left_semi").count()
+    # no false negatives: every partnered row survives
+    assert n_reduced >= n_true
+    # the build side is ~10% of users, so the reduction must bite
+    assert n_reduced < n_probe
+    # survivors are a superset of the true semi-join (row identity)
+    true_ids = {
+        r["event_id"]
+        for r in events.join(hot_users, "user_id", "left_semi")
+        .select("event_id")
+        .collect()
+    }
+    kept_ids = {r["event_id"] for r in reduced.select("event_id").collect()}
+    assert true_ids <= kept_ids
+
+
+def test_semi_reduce_probe_path_has_no_shuffle(spark, events, hot_users):
+    """The 100 TB contract: the probe side is pruned map-only — the
+    only join is the one-row-bitmap BroadcastNestedLoopJoin, and the
+    probe path crosses no shuffle Exchange."""
+    reduced = bloom_semi_reduce(events, hot_users, "user_id")
+    reduced.count()  # let AQE finalize
+    plan = reduced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    probe_side = plan.split("BroadcastNestedLoopJoin")[1].split(
+        "BroadcastExchange"
+    )[0]
+    assert "Exchange" not in probe_side.replace("BroadcastExchange", "")
+
+
+def test_key_type_mismatch_raises(spark):
+    probe = spark.createDataFrame([(1,)], ["key"])
+    build = spark.createDataFrame([("1",)], ["key"])
+    with pytest.raises(ValueError, match="type"):
+        bloom_semi_reduce(probe, build, "key")
+
+
+def test_partnerless_join_types_rejected(spark):
+    df = spark.createDataFrame([(1,)], ["key"])
+    for how in ("left", "full", "anti", "left_anti"):
+        with pytest.raises(ValueError, match="partner-dependent"):
+            bloom_reduced_join(df, df, on="key", probe_key="key", how=how)

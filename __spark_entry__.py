@@ -1128,11 +1128,22 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbed e08), IVF, and IVF-PQ (r9: absorbs the former e26 slot —
     coarse cells + product-quantized ADC shortlist + exact refine; the
     searchable index per corpus vector is one int cell + 8 codes
-    instead of 64 doubles, the 100 TB memory story) — all fully
-    deterministic (fixed seeded centroids / hyperplanes / codebooks)
+    instead of 64 doubles, the 100 TB memory story), and 'q8' (r9) =
+    brute-force top-k under the int8 scalar-quantized metric
+    (operators/quantize.py — 4x smaller corpus working set; scales
+    cancel in cosine, so scoring is integer dots + one division+sqrt,
+    which is why it mirrors exactly) — all fully deterministic (fixed
+    seeded centroids / hyperplanes / codebooks, floor-based rounding)
     and all mirrored literally in SQL."""
+    from sparkall_spark.operators import quantize as Qz
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
+    q8 = Qz.quantized_topk(emb, queries, k=10).select(
+        F.lit("q8").alias("method"),
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
     brute = S.brute_force_topk(emb, queries, k=10).select(
         F.lit("brute").alias("method"),
         "query_id", "neighbor_id", "cosine",
@@ -1166,7 +1177,43 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
     )
-    return brute.unionByName(ivf).unionByName(lsh).unionByName(pq)
+    return (
+        brute.unionByName(ivf)
+        .unionByName(lsh)
+        .unionByName(pq)
+        .unionByName(q8)
+    )
+
+
+def _q8_select() -> str:
+    """e09 'q8' mirror: the same absmax/127 + floor(x/s + 0.5) codes
+    (rendered by operators/quantize.quantize_sql so the arithmetic
+    cannot drift), integer-exact dots/norms (127^2*dim << 2^53, so
+    DuckDB's double list_dot_product is exact), and the identical
+    num / sqrt(n_a * n_b) association — NOT sqrt(n_a)*sqrt(n_b), which
+    differs in ulp."""
+    from sparkall_spark.operators.quantize import quantize_sql
+
+    qc = quantize_sql("embedding::DOUBLE[]")
+    side = (
+        "SELECT vec_id, qc, "
+        "list_dot_product(qc::DOUBLE[], qc::DOUBLE[]) AS n "
+        f"FROM (SELECT vec_id, {qc} AS qc FROM embeddings)"
+    )
+    return f"""
+SELECT 'q8' AS method, query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CASE WHEN q.n > 0 AND c.n > 0
+               THEN list_dot_product(q.qc::DOUBLE[], c.qc::DOUBLE[])
+                    / sqrt(q.n * c.n)
+               ELSE 0.0 END, 6) AS cosine
+  FROM ({side} WHERE vec_id < 8) q
+  JOIN ({side}) c ON c.vec_id <> q.vec_id)
+QUALIFY rank <= 10
+"""
 
 
 def _e09_oracle_sql() -> str:
@@ -1211,6 +1258,8 @@ UNION ALL
 {pq_select.strip()}
 UNION ALL
 {_BRUTE_SELECT.strip()}
+UNION ALL
+{_q8_select().strip()}
 """
 
 

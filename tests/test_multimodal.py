@@ -1731,3 +1731,69 @@ def test_image_neardup_pairs_and_dedup(spark):
         for r in image_dedup(df, max_hamming=3, mode="annotate").collect()
     }
     assert ann == {1: False, 2: True, 3: False}
+
+
+def test_spectral_features_sine_physics():
+    """A pure sine's centroid sits at its frequency, its zcr at 2f/sr,
+    its bandwidth near zero, flatness near zero (tonal); white-ish
+    content pushes flatness up."""
+    import numpy as np
+
+    from sparkall_spark.operators.multimodal import (
+        decode_waveform,
+        spectral_features,
+    )
+
+    sr, f = 8000, 1000
+    t = np.arange(8000) / sr
+    wav = _wav_pcm(0.7 * np.sin(2 * np.pi * f * t), rate=sr)
+    feats = spectral_features(decode_waveform(wav), sr)
+    assert feats["sample_rate"] == sr
+    assert abs(feats["zcr"] - 2 * f / sr) < 0.01
+    assert abs(feats["spectral_centroid"] - f) < 25
+    assert feats["spectral_bandwidth"] < 120
+    assert f - 50 < feats["rolloff85"] < f + 50
+    assert feats["flatness"] < 0.01
+    # deterministic rerun
+    assert feats == spectral_features(decode_waveform(wav), sr)
+    # a flat-spectrum signal (a CENTERED impulse — the Hann window
+    # zeroes the edges) maxes flatness
+    imp = np.zeros(4096)
+    imp[2048] = 1.0
+    flat = spectral_features(imp, sr)
+    assert flat["flatness"] > 0.5
+
+
+def test_spectral_features_silence_and_empty():
+    import numpy as np
+
+    from sparkall_spark.operators.multimodal import spectral_features
+
+    z = spectral_features(np.zeros(1024), 8000)
+    assert z["spectral_centroid"] == 0.0 and z["zcr"] == 0.0
+    assert spectral_features(np.array([]), 8000) is None
+    assert spectral_features(None, 8000) is None
+
+
+def test_audio_spectral_features_mapinpandas(spark):
+    """Spark plumbing: WAV rows get real descriptors, non-WAV payloads
+    null rows; plan stays map-only (single mapInPandas crossing)."""
+    import numpy as np
+
+    from sparkall_spark.operators.multimodal import audio_spectral_features
+
+    sr = 8000
+    t = np.arange(4000) / sr
+    rows = [
+        (1, bytearray(_wav_pcm(0.5 * np.sin(2 * np.pi * 500 * t), rate=sr))),
+        (2, bytearray(b"fLaC" + b"\x00" * 64)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r["media_id"]: r for r in audio_spectral_features(df).collect()}
+    assert abs(out[1]["spectral_centroid"] - 500) < 25
+    assert out[1]["sample_rate"] == sr
+    assert out[2]["spectral_centroid"] is None
+    assert out[3]["spectral_centroid"] is None
+    plan = audio_spectral_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -3197,7 +3197,18 @@ def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       size.  At t=0.9 the fixture's qualifying pairs are identical
       token sets, so LSH recall is exact and the all-pairs mirror
       matches bit-for-bit.  broadcast knobs pinned (ingest batches are
-      bounded by contract)."""
+      bounded by contract).
+    - 'embinc' (r9): the SEMANTIC incremental mode
+      (embedding_ledger_table + embedding_dedup_incremental over the
+      embeddings table, quantized-cosine metric) — corpus = vec_id%4==1,
+      batch = the raw vec_id%4==2 rows (novel, kept) + planted affine
+      copies of corpus rows at +100000 (dropped via the ledger) +
+      planted copies of batch rows at +200000 (dropped via the
+      dominated rule); val = the int8 code self-dot (integer-exact
+      cross-engine).  The oracle is the all-pairs quantized-cosine
+      mirror: candidate recall at the planted pairs' qcos ~0.9999 is
+      1 - ~1e-14 per pair (8 tables x 8 bits), the documented
+      miss-odds pattern of the minhash legs."""
     from sparkall_spark.functions.text import token_set
 
     from sparkall_spark.operators import sampling as S
@@ -3238,12 +3249,93 @@ def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.size(token_set("text")).cast("bigint").alias("val"),
     )
-    return clusters.unionByName(mhinc).unionByName(split_leg)
+    from sparkall_spark.operators.quantize import int_dot
+
+    embsrc = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    affine = F.transform(
+        "embedding", lambda x: x * F.lit(1.01) + F.lit(0.002)
+    ).alias("embedding")
+    ecorpus = embsrc.filter(F.col("vec_id") % 4 == 1)
+    ebatch = (
+        embsrc.filter(F.col("vec_id") % 4 == 2)
+        .unionByName(
+            embsrc.filter(F.col("vec_id") % 20 == 1).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), affine
+            )
+        )
+        .unionByName(
+            embsrc.filter(
+                (F.col("vec_id") % 4 == 2) & (F.col("vec_id") % 20 == 2)
+            ).select((F.col("vec_id") + 200000).alias("vec_id"), affine)
+        )
+    )
+    eledger = D.embedding_ledger_table(ecorpus)
+    _ekept, edelta = D.embedding_dedup_incremental(
+        ebatch, eledger, threshold=0.99
+    )
+    embinc = edelta.select(
+        F.lit("embinc").alias("family"),
+        F.col("vec_id").cast("bigint").alias("doc_id"),
+        int_dot(F.col("qvec"), F.col("qvec")).alias("val"),
+    )
+    return (
+        clusters.unionByName(mhinc)
+        .unionByName(split_leg)
+        .unionByName(embinc)
+    )
 
 
 #: weights/seed for the e22 'split' leg — shared with the oracle builder
 _E22_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
 _E22_SPLIT_SEED = 7
+
+
+def _e22_embinc_oracle_sql() -> str:
+    """'embinc' family mirror: all-pairs quantized-cosine drops (the
+    code arithmetic rendered by operators/quantize.quantize_sql; dots
+    and self-dots are integer-exact as doubles).  Non-recursive
+    dominated rule, exactly as implemented."""
+    from sparkall_spark.operators.quantize import quantize_sql
+
+    qc = quantize_sql("e")
+    qcos = (
+        "round(CASE WHEN list_dot_product(x.qc::DOUBLE[], x.qc::DOUBLE[]) > 0"
+        " AND list_dot_product(y.qc::DOUBLE[], y.qc::DOUBLE[]) > 0"
+        " THEN list_dot_product(x.qc::DOUBLE[], y.qc::DOUBLE[])"
+        " / sqrt(list_dot_product(x.qc::DOUBLE[], x.qc::DOUBLE[])"
+        " * list_dot_product(y.qc::DOUBLE[], y.qc::DOUBLE[]))"
+        " ELSE 0.0 END, 6)"
+    )
+    return f"""
+UNION ALL
+SELECT 'embinc' AS family, vec_id AS doc_id,
+       CAST(list_dot_product(qc::DOUBLE[], qc::DOUBLE[]) AS BIGINT) AS val
+FROM (
+  WITH ebase AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  ebatch AS (
+    SELECT vec_id, e FROM ebase WHERE vec_id % 4 = 2
+    UNION ALL
+    SELECT vec_id + 100000, list_transform(e, x -> x * 1.01 + 0.002)
+    FROM ebase WHERE vec_id % 20 = 1
+    UNION ALL
+    SELECT vec_id + 200000, list_transform(e, x -> x * 1.01 + 0.002)
+    FROM ebase WHERE vec_id % 4 = 2 AND vec_id % 20 = 2),
+  eqc AS (SELECT vec_id, {qc} AS qc FROM ebase WHERE vec_id % 4 = 1),
+  eqb AS (SELECT vec_id, {qc} AS qc FROM ebatch),
+  vsled AS (
+    SELECT DISTINCT x.vec_id FROM eqb x JOIN eqc y ON {qcos} >= 0.99),
+  esurv AS (
+    SELECT * FROM eqb
+    WHERE vec_id NOT IN (SELECT vec_id FROM vsled)),
+  edom AS (
+    SELECT DISTINCT y.vec_id FROM esurv x JOIN esurv y
+    ON x.vec_id < y.vec_id AND {qcos} >= 0.99)
+  SELECT vec_id, qc FROM esurv
+  WHERE vec_id NOT IN (SELECT vec_id FROM edom)
+)
+"""
 
 
 def _e22_split_oracle_sql() -> str:
@@ -3621,7 +3713,9 @@ def oracle_sql() -> dict[str, str]:
     out["e18_cube_pivot"] = _E18_ORACLE
     out["e20_pretrain_pipeline"] = _E20_ORACLE
     out["e21_stats_aggregates"] = _E21_ORACLE
-    out["e22_dedup_clusters"] = _E22_ORACLE + _e22_split_oracle_sql()
+    out["e22_dedup_clusters"] = (
+        _E22_ORACLE + _e22_split_oracle_sql() + _e22_embinc_oracle_sql()
+    )
     out["e23_split_pack"] = _e23_oracle_sql()
     out["e24_semdedup"] = _e24_oracle_sql()
     out["e25_warc_crawl"] = _e25_oracle_sql()

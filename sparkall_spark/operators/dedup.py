@@ -1906,3 +1906,189 @@ def sentence_dedup(
         F.col("__ns").alias("n_sentences"),
         F.coalesce("__n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+# --- incremental SEMANTIC (embedding) dedup ---------------------------------
+#
+# Completes the incremental-ingest family along the third axis:
+# exact_dedup_incremental pins byte-identical reingests,
+# minhash_dedup_incremental catches lightly-edited text, and this
+# catches PARAPHRASES — same meaning re-crawled through a different
+# renderer/translator, invisible to token-overlap methods.  Same
+# ledger-probe contract throughout: the corpus is summarized once into
+# a compact persisted ledger, each ingest tick reads it in ONE pass
+# with zero corpus-side shuffle, and only the bounded dropped-id set
+# shuffles.
+#
+# The similarity metric is the QUANTIZED cosine
+# (operators/quantize.quantized_cosine — int8 codes, scales cancel):
+# the ledger stores dim bytes per vector instead of 8*dim, and the
+# verification arithmetic is integer-exact cross-engine, so the whole
+# incremental decision is SQL-mirrorable (the minhash ledger's
+# determinism discipline, without minhash's luck of fixture-exact LSH
+# recall: here candidate recall at ingest-grade thresholds is
+# 1 - ~1e-14 per true pair at the defaults, documented not hidden).
+
+
+def embedding_ledger_table(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The SEMANTIC near-dup ledger row per document: ``id_col`` +
+    ``bkts`` (array<bigint>, the per-table sign-LSH bucket encoded
+    ``(table << 32) | bucket`` so cross-table values can never
+    collide) + ``qvec`` (array<tinyint>, int8 codes — see
+    operators/quantize).
+
+    Rows with NULL, wrong-dimension, or all-zero vectors are skipped
+    (they cannot near-dup anything under the quantized cosine, whose
+    zero-code similarity is defined 0) — like minhash's empty
+    documents, such rows pass through every ingest; pin them with
+    exact_dedup_incremental upstream.  Map-side only except the Arrow
+    bucket matmul; the ledger build/probe parameter coupling caveat of
+    :func:`minhash_ledger_table` applies identically (store
+    dim/bits/tables/seed next to the ledger).
+    """
+    from sparkall_spark.operators.quantize import quantize_embeddings
+    from sparkall_spark.operators.similarity import bucket_ids
+
+    v = vecs.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    q = quantize_embeddings(v, "__v", "qvec", "__s").filter(F.col("__s") > 0)
+    enc = F.transform(
+        bucket_ids(F.col("__v"), dim, bits, tables, seed),
+        lambda b, i: F.shiftleft(i.cast("bigint"), 32) + b,
+    )
+    return q.select(F.col(id_col), enc.alias("bkts"), F.col("qvec"))
+
+
+def _emb_verified_hits(
+    probe: DataFrame,
+    ledger_side: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """(\_\_bid rows of ``probe``) that verify against ``ledger_side``
+    at quantized cosine >= threshold.  ``probe`` must be broadcast-
+    sized: it is exploded on encoded buckets and broadcast; the ledger
+    side streams.  Each (ledger row, probe doc) pair meets EXACTLY
+    once — on the smallest shared encoded bucket — so verification
+    work is bounded by true candidate count, not candidate*tables."""
+    from sparkall_spark.operators.quantize import quantized_cosine
+
+    bprobe = probe.select(
+        "__bid", "__bb", "__bq", F.explode("__bb").alias("__k")
+    )
+    led = ledger_side.select(
+        F.col("bkts").alias("__lb"),
+        F.col("qvec").alias("__lq"),
+        F.explode("bkts").alias("__k"),
+    )
+    return (
+        led.join(F.broadcast(bprobe), "__k")
+        .filter(
+            F.col("__k")
+            == F.array_min(F.array_intersect(F.col("__lb"), F.col("__bb")))
+        )
+        .filter(
+            quantized_cosine(F.col("__lq"), F.col("__bq"))
+            >= F.lit(threshold)
+        )
+        .select("__bid")
+        .distinct()
+    )
+
+
+def embedding_dedup_incremental(
+    new_vecs: DataFrame,
+    ledger: DataFrame | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Semantic-dedup an incoming batch against an already-ingested
+    corpus — :func:`minhash_dedup_incremental`'s contract under the
+    quantized-cosine metric.  Returns ``(kept, ledger_delta)``; a
+    batch document is dropped when
+
+    1. it verifies at quantized cosine >= threshold against any ledger
+       row (candidates from shared sign-LSH buckets, verified on int8
+       codes — per-true-pair miss odds (1-(1-theta/pi)^bits)^tables,
+       ~1e-14 at the defaults for ingest-grade thresholds), or
+    2. a smaller-id corpus-surviving batch document verifies against
+       it (the non-recursive dominated rule — kept set is a pure
+       function of batch + ledger, SQL-mirrorable without recursion).
+
+    Idempotent for ledgered rows (replay verifies at qcos 1.0 against
+    its own ledger row); rows that carry no ledger row (null /
+    wrong-dim / zero vectors) pass through every time — see
+    :func:`embedding_ledger_table`.  Scale shape: ledger read once,
+    zero corpus-side shuffle (batch sigs broadcast), only dropped ids
+    and the batch-scale pair step shuffle; the batch must be
+    broadcastable (dim+8 bytes per doc), the same sizing contract as
+    the minhash ingest.
+    """
+    sigs = _persist(
+        embedding_ledger_table(
+            new_vecs, id_col, vec_col, dim, bits, tables, seed
+        )
+    )
+    probe = sigs.select(
+        F.col(id_col).alias("__bid"),
+        F.col("bkts").alias("__bb"),
+        F.col("qvec").alias("__bq"),
+    )
+    survivors = new_vecs
+    if ledger is not None:
+        dropped = _persist(
+            _emb_verified_hits(probe, ledger, threshold).select(
+                F.col("__bid").alias(id_col)
+            )
+        )
+        survivors = survivors.join(dropped, id_col, "left_anti")
+    # within-batch dominated rule over the corpus survivors: pairs from
+    # shared buckets (meet exactly once via the min-shared-bucket
+    # filter), id_a < id_b, verified on codes
+    from sparkall_spark.operators.quantize import quantized_cosine
+
+    ssig = sigs.join(survivors.select(id_col), id_col, "left_semi")
+    a = ssig.select(
+        F.col(id_col).alias("__ia"),
+        F.col("bkts").alias("__ba"),
+        F.col("qvec").alias("__qa"),
+        F.explode("bkts").alias("__k"),
+    )
+    b = ssig.select(
+        F.col(id_col).alias("__ib"),
+        F.col("bkts").alias("__bbk"),
+        F.col("qvec").alias("__qb"),
+        F.explode("bkts").alias("__k"),
+    )
+    dominated = (
+        a.join(F.broadcast(b), "__k")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .filter(
+            F.col("__k")
+            == F.array_min(F.array_intersect(F.col("__ba"), F.col("__bbk")))
+        )
+        .filter(
+            quantized_cosine(F.col("__qa"), F.col("__qb"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("__ib").alias(id_col))
+        .distinct()
+    )
+    kept = survivors.join(dominated, id_col, "left_anti")
+    delta = sigs.join(kept.select(id_col), id_col, "left_semi")
+    return kept, delta

@@ -1,3 +1,4 @@
+import pytest
 from pyspark.sql import functions as F
 
 from sparkall_spark.operators import dedup as D
@@ -784,3 +785,111 @@ def test_byte_string_as_bytes_honors_suffixes():
     assert f("128MB") == 128 << 20
     assert f("1g") == 1 << 30
     assert f(" 64k ") == 64 << 10
+
+
+# --- incremental SEMANTIC (embedding) dedup ----------------------------------
+
+
+def _affine(v, a=1.01, b=0.002):
+    return [x * a + b for x in v]
+
+
+@pytest.fixture(scope="module")
+def emb_small(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .filter(F.col("vec_id") < 60)
+    )
+
+
+def test_embedding_incremental_drops_ledger_neardups(spark, emb_small):
+    from sparkall_spark.operators.dedup import (
+        embedding_dedup_incremental,
+        embedding_ledger_table,
+    )
+
+    corpus = emb_small.filter(F.col("vec_id") < 40)
+    ledger = embedding_ledger_table(corpus)
+    # batch: copies of 3 corpus vectors (near-dups) + 3 novel vectors
+    copies = corpus.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(1.01) + F.lit(0.002)
+        ).alias("embedding"),
+    )
+    novel = emb_small.filter(
+        (F.col("vec_id") >= 40) & (F.col("vec_id") < 43)
+    )
+    kept, delta = embedding_dedup_incremental(
+        novel.unionByName(copies), ledger, threshold=0.99
+    )
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    assert kept_ids == {40, 41, 42}
+    assert {r["vec_id"] for r in delta.collect()} == kept_ids
+
+
+def test_embedding_incremental_within_batch_dominated_and_cold_start(
+    spark, emb_small
+):
+    from sparkall_spark.operators.dedup import embedding_dedup_incremental
+
+    base = emb_small.filter(F.col("vec_id") < 5)
+    copies = base.select(
+        (F.col("vec_id") + 500).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(0.99) + F.lit(0.001)
+        ).alias("embedding"),
+    )
+    kept, delta = embedding_dedup_incremental(
+        base.unionByName(copies), ledger=None, threshold=0.99
+    )
+    # cold start: smaller-id original survives, its copy is dominated
+    assert {r["vec_id"] for r in kept.collect()} == {0, 1, 2, 3, 4}
+    assert delta.count() == 5
+
+
+def test_embedding_incremental_idempotent_and_nullsafe(spark, emb_small):
+    from sparkall_spark.operators.dedup import (
+        embedding_dedup_incremental,
+        embedding_ledger_table,
+    )
+
+    corpus = emb_small.filter(F.col("vec_id") < 10)
+    ledger = embedding_ledger_table(corpus)
+    # replaying the ledgered batch keeps nothing (qcos 1.0 vs own row)
+    kept, _ = embedding_dedup_incremental(corpus, ledger, threshold=0.99)
+    assert kept.count() == 0
+    # null / wrong-dim / zero vectors carry no ledger row: pass through
+    weird = spark.createDataFrame(
+        [(900, None), (901, [1.0, 2.0]), (902, [0.0] * 64)],
+        "vec_id bigint, embedding array<double>",
+    )
+    kept2, delta2 = embedding_dedup_incremental(weird, ledger)
+    assert kept2.count() == 3
+    assert delta2.count() == 0
+
+
+def test_embedding_incremental_ledger_probe_broadcasts_batch(
+    spark, emb_small
+):
+    """Scale contract: the ledger side streams; the batch probe is the
+    broadcast side (no shuffle of ledger rows to find candidates)."""
+    from sparkall_spark.operators.dedup import (
+        embedding_ledger_table,
+        _emb_verified_hits,
+    )
+
+    corpus = emb_small.filter(F.col("vec_id") < 40)
+    ledger = embedding_ledger_table(corpus)
+    probe = embedding_ledger_table(
+        emb_small.filter(F.col("vec_id") >= 40)
+    ).select(
+        F.col("vec_id").alias("__bid"),
+        F.col("bkts").alias("__bb"),
+        F.col("qvec").alias("__bq"),
+    )
+    hits = _emb_verified_hits(probe, ledger, 0.99)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -2593,6 +2593,12 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``embdecon`` (r8): SEMANTIC decontamination — embedding-cosine
       contamination against a planted eval set (the affine-copy trick
       from e06), exact cosines, all-pairs mirror.
+    - ``unorm`` (r9): Unicode NFC normalization
+      (functions/text.unicode_normalize, Arrow-batched unicodedata)
+      gated against DuckDB's independent nfc_normalize — decomposed
+      e+U+0301 sequences planted in-query must recompose; stats are
+      the portable fingerprint of the normalized text and the
+      composition count.
 
     (The r8 kmv/phrase/bm25 legs moved to ``e29_index_telemetry`` in
     r9 — the VERDICT-endorsed rebalance that keeps this entry readable
@@ -2715,11 +2721,33 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") as (stat, value)"
         ),
     )
+    # 'unorm' (r9): Unicode NFC normalization gated end-to-end against
+    # DuckDB's independent nfc_normalize — the fixture is ASCII, so
+    # decomposed sequences are planted in-query ('e' -> 'e'+U+0301);
+    # NFC must recompose them ('fp' = portable fingerprint of the
+    # normalized text, 'delta_len' = how many compositions happened)
+    from sparkall_spark.functions.text import fingerprint, unicode_normalize
+
+    dec = F.regexp_replace(F.col("text"), "e", "e\u0301")
+    norm = unicode_normalize(dec, "NFC")
+    unorm_long = docs.select(
+        F.lit("unorm").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        fingerprint(norm).cast("double").alias("__fp"),
+        (F.length(dec) - F.length(norm)).cast("double").alias("__dl"),
+    ).select(
+        "family",
+        "key",
+        F.expr(
+            "stack(2, 'fp', __fp, 'delta_len', __dl) as (stat, value)"
+        ),
+    )
     return (
         flag_long.unionByName(wf)
         .unionByName(ov_long)
         .unionByName(fuzzy_long)
         .unionByName(sem_long)
+        .unionByName(unorm_long)
     )
 
 
@@ -3177,6 +3205,26 @@ SELECT 'q' AS family, 'sample' AS key, 'n_sampled' AS stat,
        (SELECT count(*) FROM bks)::DOUBLE AS value
 """
 ).replace("{_KMV_MIX_SQL}", _KMV_MIX_SQL)
+
+_E21_UNORM_SQL = """
+UNION ALL
+SELECT 'unorm' AS family, CAST(doc_id AS VARCHAR) AS key, s.stat,
+       CASE s.stat WHEN 'fp' THEN fp ELSE dl END AS value
+FROM (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             [ascii(c)::BIGINT FOR c IN
+                list_filter(string_split(
+                  regexp_replace(trim(lower(n)), '\\s+', ' ', 'g'), ''),
+                  x -> x <> '')]),
+           (acc, c) -> (acc * 31 + c) % 1000000007)::DOUBLE AS fp,
+         (length(d) - length(n))::DOUBLE AS dl
+  FROM (SELECT doc_id, d, nfc_normalize(d) AS n
+        FROM (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS d
+              FROM documents))
+), (VALUES ('fp'), ('delta_len')) s(stat)
+"""
 
 
 def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3712,7 +3760,7 @@ def oracle_sql() -> dict[str, str]:
     out["e28_data_selection"] = _e28_oracle_sql()
     out["e18_cube_pivot"] = _E18_ORACLE
     out["e20_pretrain_pipeline"] = _E20_ORACLE
-    out["e21_stats_aggregates"] = _E21_ORACLE
+    out["e21_stats_aggregates"] = _E21_ORACLE + _E21_UNORM_SQL
     out["e22_dedup_clusters"] = (
         _E22_ORACLE + _e22_split_oracle_sql() + _e22_embinc_oracle_sql()
     )

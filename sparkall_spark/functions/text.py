@@ -1034,3 +1034,62 @@ def sentences(col: Column | str) -> Column:
         ),
         lambda x: x != "",
     )
+
+
+# --- Unicode normalization ---------------------------------------------------
+#
+# Spark has no built-in Unicode normalizer, and byte-level dedup is
+# wrong without one: "café" arrives both precomposed (U+00E9) and
+# decomposed (e + U+0301) from different renderers, and every
+# fingerprint/shingle/minhash key in this repo would treat them as
+# different documents.  unicodedata implements the same Unicode
+# standard algorithm DuckDB's nfc_normalize does, which is what makes
+# the cross-engine oracle possible.  Arrow-batched pandas UDFs — the
+# legitimate escape hatch (no Column expression can express UAX#15),
+# run them ONCE to normalize a dedup key, not per comparison.
+
+
+def unicode_normalize(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (UAX#15 NFC/NFD/NFKC/NFKD).
+    NULLs pass through."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.str.normalize(form)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)
+
+
+def strip_accents(col: Column | str) -> Column:
+    """Remove combining marks: NFD -> drop category-Mn characters ->
+    NFC recompose.  Matches DuckDB ``strip_accents`` on canonically
+    decomposable text (both follow utf8proc stripmark semantics for
+    Mn marks; compatibility characters like ligatures are left alone
+    by BOTH — use NFKC first if those should fold too).  NULLs pass
+    through."""
+    import unicodedata
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _strip(s):
+        def f(x):
+            if x is None:
+                return None
+            d = unicodedata.normalize("NFD", x)
+            return unicodedata.normalize(
+                "NFC",
+                "".join(ch for ch in d if unicodedata.category(ch) != "Mn"),
+            )
+
+        return s.map(f, na_action="ignore")
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _strip(c)

@@ -744,3 +744,75 @@ def test_corpus_report_approx_distinct_within_rsd(spark, sf_dir):
         exact["n_distinct"], 1
     )
     assert rel < 0.1  # 5x the 2% rsd — deterministic sketch, no flake
+
+
+# --- Unicode normalization ----------------------------------------------------
+
+
+def test_unicode_normalize_nfc_matches_duckdb(spark, duck):
+    from sparkall_spark.functions.text import unicode_normalize
+
+    rows = [
+        (1, "café"),            # precomposed
+        (2, "café"),           # decomposed -> same NFC
+        (3, "Å"),              # A + ring -> Å
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", unicode_normalize("s").alias("n")
+        ).collect()
+    }
+    vals = ", ".join(
+        f"({i}, {'NULL' if s is None else repr(s)})" for i, s in rows
+    )
+    mirror = dict(
+        duck.execute(
+            f"SELECT id, nfc_normalize(s) FROM (VALUES {vals}) t(id, s)"
+        ).fetchall()
+    )
+    assert got == mirror
+    assert got[1] == got[2] == "café"
+    assert got[3] == "Å"
+    assert got[4] is None
+    # dedup consequence: byte-different inputs now fingerprint equal
+    from sparkall_spark.functions.text import fingerprint
+
+    fps = {
+        r["id"]: r["fp"]
+        for r in df.filter("id in (1, 2)")
+        .select("id", fingerprint(unicode_normalize("s")).alias("fp"))
+        .collect()
+    }
+    assert fps[1] == fps[2]
+
+
+def test_strip_accents_matches_duckdb_on_canonical_text(spark, duck):
+    from sparkall_spark.functions.text import strip_accents
+
+    rows = [
+        (1, "café crème"),
+        (2, "Über Straße"),   # ß has no decomposition: kept
+        (3, "naïve résumé"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", strip_accents("s").alias("n")).collect()
+    }
+    vals = ", ".join(
+        f"({i}, {'NULL' if s is None else repr(s)})" for i, s in rows
+    )
+    mirror = dict(
+        duck.execute(
+            f"SELECT id, strip_accents(s) FROM (VALUES {vals}) t(id, s)"
+        ).fetchall()
+    )
+    assert got == mirror
+    assert got[1] == "cafe creme"
+    assert got[2] == "Uber Straße"
+    assert got[4] is None

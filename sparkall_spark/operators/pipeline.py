@@ -562,6 +562,81 @@ def rebuild_near_ledger(
     )
 
 
+def ingest_vectors(
+    spark,
+    new_vecs: DataFrame,
+    corpus_path: str,
+    ledger_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> int:
+    """Incremental EMBEDDING-corpus ingest: semantic-dedup ``new_vecs``
+    against the persisted embedding ledger
+    (`operators.dedup.embedding_dedup_incremental`), APPEND the
+    survivors to the parquet corpus, then append their ledger rows.
+    Returns the number of rows ingested — :func:`ingest_documents`'s
+    contract for the vector modality (paraphrase-level dedup at ingest
+    time instead of a periodic full-corpus SemDeDup pass).
+
+    Same consistency contract as the text ingest: the ledger is a
+    derived index, writes are corpus-first, so a crash between appends
+    means missed FUTURE near-dups, never losses — repair via
+    :func:`rebuild_sem_ledger`.  Same lineage rule too: the ledger
+    delta is eagerly local-checkpointed BEFORE any append, because
+    appending to ``ledger_path`` invalidates every cached plan that
+    transitively reads it (the near-ledger lesson, see
+    ingest_documents).  Rows without a ledger row (null / wrong-dim /
+    zero vectors) are ingested as-is every time — pin them upstream
+    with the exact gate if they matter.
+    """
+    from sparkall_spark.operators.dedup import embedding_dedup_incremental
+
+    seen = _read_ledger(spark, ledger_path)
+    kept, delta = embedding_dedup_incremental(
+        new_vecs, seen, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, dim=dim, bits=bits, tables=tables, seed=seed,
+    )
+    kept = kept.persist()
+    try:
+        delta = delta.localCheckpoint(eager=True)
+        n = kept.count()
+        if n:
+            kept.write.mode("append").parquet(corpus_path)
+            delta.write.mode("append").parquet(ledger_path)
+        return n
+    finally:
+        kept.unpersist()
+
+
+def rebuild_sem_ledger(
+    spark,
+    corpus_path: str,
+    ledger_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_params,
+) -> None:
+    """Recompute the embedding ledger from the vector corpus (repair /
+    migration path for :func:`ingest_vectors`).  Pass the SAME
+    dim/bits/tables/seed the ingest uses — the parameter-pinning
+    warning of ``embedding_ledger_table`` applies."""
+    from sparkall_spark.operators.dedup import embedding_ledger_table
+
+    corpus = spark.read.parquet(corpus_path)
+    (
+        embedding_ledger_table(
+            corpus, id_col=id_col, vec_col=vec_col, **lsh_params
+        )
+        .write.mode("overwrite")
+        .parquet(ledger_path)
+    )
+
+
 def crawl_to_documents(
     spark,
     warc_path: str,

@@ -209,3 +209,54 @@ def stream_ingest_documents(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_ingest_vectors(
+    stream_vecs: DataFrame,
+    corpus_path: str,
+    ledger_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    trigger_once: bool = True,
+    **lsh_params,
+):
+    """Continuous EMBEDDING ingest: the streaming twin of
+    ``operators.pipeline.ingest_vectors`` — every micro-batch
+    semantic-dedups against the persisted embedding ledger
+    (cross-batch paraphrases dropped, within-batch dominated rule),
+    appends survivors to the vector corpus, then appends their ledger
+    rows.  Same content-level idempotence-by-ledger, no-streaming-state
+    (bucketless parquet ledger, dedup horizon = corpus lifetime), and
+    per-micro-batch ``cache_scope`` discipline as
+    :func:`stream_ingest_documents`; its consistency contract
+    (corpus-first writes, duplicates-never... here: missed-future-
+    near-dups-never-losses, repair via ``rebuild_sem_ledger``) is
+    inherited from the batch function.  Returns the started
+    StreamingQuery (``availableNow`` by default)."""
+    from sparkall_spark.operators.pipeline import ingest_vectors
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        from sparkall_spark.operators._cache import cache_scope
+
+        with cache_scope():
+            ingest_vectors(
+                batch.sparkSession,
+                batch,
+                corpus_path,
+                ledger_path,
+                id_col=id_col,
+                vec_col=vec_col,
+                threshold=threshold,
+                **lsh_params,
+            )
+
+    w = (
+        stream_vecs.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -233,3 +233,92 @@ def test_stream_ingest_documents_near_dup_ledger(spark, tmp_path):
     run("nd_ck2")
     assert spark.read.parquet(corpus).count() == 3
     assert spark.read.parquet(near).count() == 3
+
+
+def test_ingest_vectors_two_ticks_and_replay(spark, sf_dir, tmp_path):
+    """Batch semantic ingest: tick 2's paraphrases of tick 1's vectors
+    are dropped by the persisted ledger; replaying tick 1 ingests
+    nothing (content-level idempotence)."""
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.pipeline import (
+        ingest_vectors,
+        rebuild_sem_ledger,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .filter(F.col("vec_id") < 30)
+    )
+    corpus = str(tmp_path / "vcorpus")
+    ledger = str(tmp_path / "vledger")
+    t1 = emb.filter(F.col("vec_id") < 20)
+    n1 = ingest_vectors(spark, t1, corpus, ledger)
+    assert n1 == 20
+    # tick 2: 5 paraphrases of tick-1 vectors + 10 novel
+    copies = t1.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 700).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(1.01) + F.lit(0.002)
+        ).alias("embedding"),
+    )
+    t2 = emb.filter(F.col("vec_id") >= 20).unionByName(copies)
+    n2 = ingest_vectors(spark, t2, corpus, ledger)
+    assert n2 == 10
+    assert spark.read.parquet(corpus).count() == 30
+    # replay tick 1: nothing ingested
+    assert ingest_vectors(spark, t1, corpus, ledger) == 0
+    # repair path reproduces the ledger row set from the corpus
+    rebuild_sem_ledger(spark, corpus, str(tmp_path / "vledger2"))
+    a = spark.read.parquet(ledger)
+    b = spark.read.parquet(str(tmp_path / "vledger2"))
+    assert a.count() == b.count() == 30
+
+
+def test_stream_ingest_vectors_availablenow(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.streaming.sinks import stream_ingest_vectors
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .filter(F.col("vec_id") < 16)
+    )
+    stage = tmp_path / "vstage"
+    stage.mkdir()
+    emb.filter(F.col("vec_id") < 8).coalesce(1).write.parquet(
+        str(stage / "b0")
+    )
+    # second file repeats the first batch's vectors under new ids
+    # (byte-identical embeddings: qcos 1.0) plus 8 novel rows
+    emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 300).alias("vec_id"), "embedding"
+    ).unionByName(
+        emb.filter(F.col("vec_id") >= 8)
+    ).coalesce(1).write.parquet(str(stage / "b1"))
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage / "b*"))
+    )
+    q = stream_ingest_vectors(
+        stream,
+        str(tmp_path / "vcorp"),
+        str(tmp_path / "vled"),
+        str(tmp_path / "vchk"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "vcorp")).collect()
+    }
+    # duplicates of batch-0 vectors never land; novels do
+    assert got == set(range(16))

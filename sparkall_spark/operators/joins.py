@@ -106,3 +106,46 @@ def bloom_reduced_join(
         )
     reduced = bloom_semi_reduce(probe, build, probe_key, build_key, m_bits, k)
     return reduced.join(build, on, how)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    phi: float = 0.001,
+    rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Pre-join skew diagnosis: which keys would dominate a shuffle on
+    ``key_col``, and how many salt slices each needs.
+
+    Composes the exact-phi heavy-hitters sketch
+    (``operators/sketches.heavy_hitters`` — bounded per-partition
+    state, candidates broadcast, exact refined counts): every key with
+    >= ``phi`` of the rows comes back with its exact count, share, and
+    ``salt_factor = ceil(cnt / rows_per_task)`` — the replication
+    factor :func:`~sparkall_spark.sources.sinks.salted_join` (or a
+    manual salt column) needs so no single reducer sees more than
+    ``rows_per_task`` rows of that key.
+
+    Why a sketch and not ``GROUP BY key ORDER BY count DESC LIMIT n``:
+    the plain form shuffles O(distinct keys) and sorts; at 100 TB the
+    skew probe must be cheaper than the join it is protecting.  Run it
+    on a fraction_sample for even less (shares are ratios — they
+    survive uniform sampling; counts scale by the fraction).
+
+    Output: ``key`` (string), ``cnt``, ``share``, ``salt_factor`` —
+    one row per phi-heavy key.  A key can clear phi yet still fit one
+    task (salt_factor 1 = no action needed), so read both columns.
+    """
+    from sparkall_spark.operators.sketches import heavy_hitters
+
+    if rows_per_task < 1:
+        raise ValueError(f"rows_per_task must be >= 1, got {rows_per_task}")
+    hh = heavy_hitters(df, key_col, phi=phi)
+    return hh.select(
+        F.col("item").alias("key"),
+        "cnt",
+        "share",
+        F.ceil(F.col("cnt") / F.lit(float(rows_per_task)))
+        .cast("int")
+        .alias("salt_factor"),
+    )

@@ -85,3 +85,41 @@ def test_partnerless_join_types_rejected(spark):
     for how in ("left", "full", "anti", "left_anti"):
         with pytest.raises(ValueError, match="partner-dependent"):
             bloom_reduced_join(df, df, on="key", probe_key="key", how=how)
+
+
+def test_key_skew_report_finds_hot_key_and_feeds_salted_join(spark):
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.joins import key_skew_report
+    from sparkall_spark.sources.sinks import salted_join
+
+    # 10k rows of one hot key + 1k spread keys
+    hot = spark.range(10_000).select(F.lit("hot").alias("k"), "id")
+    cold = spark.range(1_000).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k"), "id"
+    )
+    df = hot.unionByName(cold)
+    rep = {
+        r["key"]: (r["cnt"], r["salt_factor"])
+        for r in key_skew_report(
+            df, "k", phi=0.01, rows_per_task=2_500
+        ).collect()
+    }
+    assert rep == {"hot": (10_000, 4)}
+    # the report's salt_factor drives the mitigation end-to-end
+    dim = spark.createDataFrame([("hot", 1), ("c1", 2)], ["k", "v"])
+    out = salted_join(df, dim, "k", salt=rep["hot"][1])
+    assert out.count() == 10_001
+    # exactness: salted join == plain join
+    plain = df.join(dim, "k").count()
+    assert out.count() == plain
+
+
+def test_key_skew_report_validation(spark):
+    import pytest as _pytest
+
+    from sparkall_spark.operators.joins import key_skew_report
+
+    df = spark.createDataFrame([("a",)], ["k"])
+    with _pytest.raises(ValueError, match="rows_per_task"):
+        key_skew_report(df, "k", rows_per_task=0)

@@ -68,3 +68,59 @@ def shard_shuffle(
     return out.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
         key.asc(), F.col(id_col).asc()
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_bins: int = 4,
+    seed: int = 0,
+    ascending: bool = True,
+    bin_col: str = "curriculum_bin",
+    sample_k: int = 4096,
+) -> DataFrame:
+    """Curriculum training order: quantile-bin documents by a quality /
+    difficulty score, then deterministically shuffle WITHIN each bin —
+    the standard easy-to-hard schedule (Bengio et al., ICML'09) with
+    this repo's reproducibility contract (retries, engines, and
+    partition layouts all see the same order; ``seed=epoch`` varies
+    the within-bin order per epoch without moving bin boundaries).
+
+    Bin thresholds come from the deterministic bottom-k sampled
+    quantiles (``operators/sketches.sampled_quantiles`` — bounded,
+    layout-independent, mergeable), so the only driver-side data is
+    ``n_bins - 1`` doubles; the bin assignment is then one map-side
+    comparison chain and the output order is a single range-partitioned
+    sort on (bin, shuffle_key) — the same 100 TB shape as
+    :func:`shuffle_corpus`.  ``ascending=False`` flips to hard-first
+    (anti-curriculum).  NULL scores land in the LAST bin scheduled
+    (unknown difficulty defers), documented not incidental.
+    """
+    from sparkall_spark.operators.sketches import sampled_quantiles
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    thresholds = [
+        r["quantile_est"]
+        for r in sampled_quantiles(
+            df, score_col, id_col, probs, k=sample_k, seed=seed
+        )
+        .orderBy("prob")
+        .collect()
+    ]
+    c = F.col(score_col).cast("double")
+    raw = sum(
+        ((c > F.lit(float(t))).cast("int") for t in thresholds),
+        F.lit(0),
+    )
+    if not ascending:
+        raw = F.lit(n_bins - 1) - raw
+    binned = F.coalesce(raw, F.lit(n_bins - 1)).alias(bin_col)
+    out = df.withColumn(bin_col, binned)
+    return out.orderBy(
+        F.col(bin_col).asc(),
+        shuffle_key(id_col, seed).asc(),
+        F.col(id_col).asc(),
+    )

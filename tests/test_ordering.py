@@ -80,3 +80,60 @@ def test_no_global_sort_in_shard_plan(docs):
     plan = shard_shuffle(docs, seed=5)._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
     assert "Sort" in plan  # the within-partition sort is there
+
+
+def test_curriculum_order_bins_monotone_and_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.ordering import curriculum_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = curriculum_order(docs, "n_chars", n_bins=4, seed=1)
+    rows = out.collect()
+    # bins appear in nondecreasing order across the whole output
+    bins = [r["curriculum_bin"] for r in rows]
+    assert bins == sorted(bins)
+    assert set(bins) == {0, 1, 2, 3}
+    # binning is monotone in the score: max score of bin b <= min of b+1
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["curriculum_bin"], []).append(r["n_chars"])
+    for b in range(3):
+        assert max(by_bin[b]) <= min(by_bin[b + 1])
+    # quantile binning: no bin dominates (sizes within 2x of each other)
+    sizes = [len(v) for _, v in sorted(by_bin.items())]
+    assert max(sizes) <= 2 * min(sizes)
+    # deterministic rerun, and a different seed reorders within bins
+    again = [r["doc_id"] for r in curriculum_order(
+        docs, "n_chars", n_bins=4, seed=1
+    ).collect()]
+    assert again == [r["doc_id"] for r in rows]
+    other = [r["doc_id"] for r in curriculum_order(
+        docs, "n_chars", n_bins=4, seed=2
+    ).collect()]
+    assert other != again
+
+
+def test_curriculum_order_null_scores_and_anticurriculum(spark):
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.ordering import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)] + [(100, None)],
+        "doc_id bigint, score double",
+    )
+    rows = curriculum_order(df, "score", id_col="doc_id", n_bins=4).collect()
+    # the null-score doc sits in the last scheduled bin
+    null_bin = [r["curriculum_bin"] for r in rows if r["doc_id"] == 100]
+    assert null_bin == [3]
+    anti = curriculum_order(
+        df, "score", id_col="doc_id", n_bins=4, ascending=False
+    ).collect()
+    # hard-first: the top-score docs now come first
+    first_bin_scores = [
+        r["score"] for r in anti if r["curriculum_bin"] == 0 and r["score"] is not None
+    ]
+    assert min(first_bin_scores) > 20

@@ -374,3 +374,93 @@ def temperature_mix(
     return mix_corpus(
         df, source_col, n_tokens_col, weights, token_budget, id_col, seed
     )
+
+
+#: output schema of pack_bins_bfd
+_BFD_SCHEMA = (
+    "id bigint, shard int, bin_id bigint, start_offset bigint, "
+    "oversize boolean"
+)
+
+
+def pack_bins_bfd(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    ctx_len: int,
+    n_shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Boundary-respecting sequence packing: best-fit-decreasing bin
+    packing per shard — documents NEVER straddle training sequences
+    (the alternative to :func:`pack_sequences`' concat-then-chunk,
+    for recipes where cross-document attention is masked out and
+    straddled fragments are wasted).
+
+    Each shard (deterministic id-hash, the pack_sequences sharding)
+    sorts its documents by (tokens desc, id) and places each into the
+    fullest bin that still fits, else opens a new bin — the classic
+    BFD heuristic (never worse than 11/9·OPT + 2/3 bins, Dósa's tight
+    bound), which empirically wastes far less padding than sequential
+    next-fit (asserted in tests).  Documents longer than ``ctx_len``
+    get a DEDICATED bin flagged ``oversize`` (truncation policy belongs
+    to the trainer, not the packer).
+
+    Returns (id, shard, bin_id, start_offset, oversize) — ``bin_id``
+    numbers bins per shard in creation order, ``start_offset`` is the
+    document's first token within its bin.  Bin packing is inherently
+    sequential, so the per-shard loop is the legitimate
+    ``applyInPandas`` escape hatch: ONE shuffle on shard, per-task work
+    bounded by shard size (pick ``n_shards`` ~ corpus_docs / 1e6), and
+    the placement is a pure function of the shard's (tokens, id) set —
+    layout-independent and rerun-stable.
+    """
+    import bisect
+
+    import pandas as pd
+
+    if ctx_len <= 0 or n_shards <= 0:
+        raise ValueError("ctx_len and n_shards must be positive")
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["__n", "__id"], ascending=[False, True], kind="mergesort"
+        )
+        shard = int(pdf["__shard"].iloc[0])
+        rems: list[int] = []  # sorted remaining capacities
+        rem_bin: list[int] = []  # bin id aligned with rems
+        fills: dict[int, int] = {}  # bin id -> used tokens
+        next_bin = 0
+        out = []
+        for _id, n in zip(pdf["__id"], pdf["__n"]):
+            n = int(n)
+            if n > ctx_len:
+                out.append((int(_id), shard, next_bin, 0, True))
+                next_bin += 1  # dedicated, never reused
+                continue
+            # best fit: the smallest remaining capacity >= n
+            i = bisect.bisect_left(rems, n)
+            if i < len(rems):
+                b = rem_bin.pop(i)
+                r = rems.pop(i)
+            else:
+                b, r = next_bin, ctx_len
+                fills[b] = 0
+                next_bin += 1
+            out.append((int(_id), shard, b, fills[b], False))
+            fills[b] += n
+            r -= n
+            j = bisect.bisect_left(rems, r)
+            rems.insert(j, r)
+            rem_bin.insert(j, b)
+        return pd.DataFrame(
+            out, columns=["id", "shard", "bin_id", "start_offset", "oversize"]
+        )
+
+    mixed = _mix(F.col(id_col), seed)
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("__id"),
+        F.col(n_tokens_col).cast("bigint").alias("__n"),
+        (mixed % n_shards).cast("int").alias("__shard"),
+    ).filter(F.col("__n").isNotNull() & (F.col("__n") > 0))
+    return base.groupBy("__shard").applyInPandas(_pack, schema=_BFD_SCHEMA)

@@ -1975,7 +1975,7 @@ def _emb_verified_hits(
     ledger_side: DataFrame,
     threshold: float,
 ) -> DataFrame:
-    """(\_\_bid rows of ``probe``) that verify against ``ledger_side``
+    """(``__bid`` rows of ``probe``) that verify against ``ledger_side``
     at quantized cosine >= threshold.  ``probe`` must be broadcast-
     sized: it is exploded on encoded buckets and broadcast; the ledger
     side streams.  Each (ledger row, probe doc) pair meets EXACTLY

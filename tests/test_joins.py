@@ -123,3 +123,47 @@ def test_key_skew_report_validation(spark):
     df = spark.createDataFrame([("a",)], ["k"])
     with _pytest.raises(ValueError, match="rows_per_task"):
         key_skew_report(df, "k", rows_per_task=0)
+
+
+def test_semi_reduce_arrow_path_matches_column_path(spark, events, hot_users):
+    col_ids = {
+        r["event_id"]
+        for r in bloom_semi_reduce(
+            events, hot_users, "user_id", m_bits=1 << 14, impl="column"
+        ).select("event_id").collect()
+    }
+    arr_ids = {
+        r["event_id"]
+        for r in bloom_semi_reduce(
+            events, hot_users, "user_id", m_bits=1 << 14, impl="arrow"
+        ).select("event_id").collect()
+    }
+    assert col_ids == arr_ids
+    # auto-sizing: small build -> small bitmap -> column path, and the
+    # result still preserves every true partner
+    auto = bloom_semi_reduce(events, hot_users, "user_id")
+    true_ids = {
+        r["event_id"]
+        for r in events.join(hot_users, "user_id", "left_semi")
+        .select("event_id")
+        .collect()
+    }
+    got = {r["event_id"] for r in auto.select("event_id").collect()}
+    assert true_ids <= got
+
+
+def test_semi_reduce_arrow_path_has_no_shuffle(spark, events, hot_users):
+    red = bloom_semi_reduce(
+        events, hot_users, "user_id", m_bits=1 << 18, impl="arrow"
+    )
+    red.count()
+    plan = red._jdf.queryExecution().executedPlan().toString()
+    # pure map path over the probe: Arrow eval + filter, no join at all
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "Join" not in plan
+
+
+def test_semi_reduce_impl_validation(spark, events, hot_users):
+    with pytest.raises(ValueError, match="impl"):
+        bloom_semi_reduce(events, hot_users, "user_id", impl="magic")

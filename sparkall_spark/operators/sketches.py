@@ -102,12 +102,20 @@ def kmv_sketch(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     groups = group_cols or []
-    h = _kmv_hash(F.col(value_col).cast("string"))
+    # distinct the RAW value first (cheap JVM hash agg, map-side
+    # combined), then fold the portable hash once per distinct value —
+    # the char-fold is the expensive projection, and running it per
+    # OCCURRENCE wastes rows/distinct x the work (~50x on Zipf word
+    # streams, measured).  Identical output: same distinct set, same
+    # hashes.  Trade: the shuffle carries raw strings instead of
+    # 8-byte hashes — for the short keys sketches summarize this is a
+    # wash; for long values pre-hash manually before calling.
     distinct = (
-        df.select(*groups, h.alias("__h"))
-        .filter(F.col(value_col).isNotNull())
-        .groupBy(*groups, "__h")
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, F.col(value_col).cast("string").alias("__v"))
+        .groupBy(*groups, "__v")
         .agg(F.lit(1))
+        .select(*groups, _kmv_hash(F.col("__v")).alias("__h"))
     )
     partials = (
         distinct.withColumn("__p", F.spark_partition_id())
@@ -790,10 +798,23 @@ def cms_sketch(
         if weight_col
         else F.lit(1).cast("bigint")
     )
-    rows = df.filter(v.isNotNull()).select(
+    # pre-aggregate per distinct value FIRST (JVM hash agg), then fold
+    # the portable hash + explode buckets once per distinct value with
+    # the count as weight — exact by CMS linearity, and the expensive
+    # char-fold runs distinct times instead of row times (the
+    # kmv_sketch lesson)
+    counted = (
+        df.filter(v.isNotNull())
+        .select(*groups, v.alias("__v"), w.alias("__w0"))
+        .groupBy(*groups, "__v")
+        .agg(F.sum("__w0").cast("bigint").alias("__w"))
+    )
+    rows = counted.select(
         *groups,
-        F.posexplode(cms_bucket_array(v, depth, width)).alias("d", "bucket"),
-        w.alias("__w"),
+        F.posexplode(
+            cms_bucket_array(F.col("__v"), depth, width)
+        ).alias("d", "bucket"),
+        F.col("__w"),
     )
     return rows.groupBy(*groups, "d", "bucket").agg(
         F.sum("__w").cast("bigint").alias("cnt")

@@ -919,3 +919,47 @@ SELECT {g} d, bucket, SUM(w)::BIGINT AS cnt
 FROM ({branches})
 GROUP BY {g} d, bucket
 """
+
+
+def cms_join_cardinality(
+    a: DataFrame, b: DataFrame, depth: int
+) -> DataFrame:
+    """Estimate |A JOIN B| on the sketched key from two counter tables
+    (same depth/width/hash family): the classic CMS inner-product
+    estimate (Cormode & Muthukrishnan §4.2) — for each hash row d,
+    ``sum_bucket cntA[d,b] * cntB[d,b]`` over-counts the true join size
+    ``sum_v fA(v) * fB(v)`` by exactly the colliding cross-terms, so
+    the MINIMUM over rows is a one-sided estimate:
+
+        true |A JOIN B|  <=  est  (structural, any hash)
+
+    with expected slack ~|A||B|/width per row.  Planning use: decide
+    broadcast vs shuffle vs :func:`~sparkall_spark.operators.joins.
+    bloom_semi_reduce` BEFORE paying the join — two bounded sketches
+    (built once, mergeable, reusable across days) replace a trial
+    join.  Output: one row, ``est_join_rows`` (bigint).
+
+    Deterministic like everything here: the estimate is a pure
+    function of the two counter tables, so it mirrors in SQL
+    (join on (d, bucket), SUM products, MIN over d).
+    """
+    sa = a.select("d", "bucket", F.col("cnt").alias("__ca"))
+    sb = b.select("d", "bucket", F.col("cnt").alias("__cb"))
+    per_row = (
+        sa.join(sb, ["d", "bucket"])  # absent counters are 0: inner is exact
+        .groupBy("d")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    # a row with NO shared buckets has inner product 0 — min must see
+    # it, so densify over the declared depth
+    rows = per_row.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("d")
+    )
+    return (
+        rows.join(per_row, "d", "left")
+        .agg(
+            F.min(F.coalesce(F.col("__ip"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_join_rows")
+        )
+    )

@@ -458,3 +458,38 @@ def test_cms_query_is_map_only_under_broadcast(spark):
     assert "Exchange" not in plan.replace("BroadcastExchange", "")
     got = {r["w"]: r["est"] for r in out.collect()}
     assert got == {"a": 1, "zzz": 0}
+
+
+def test_cms_join_cardinality_upper_bounds_and_converges(spark):
+    """Structural: est >= true join size for any hash; exact when the
+    key universe is far below width (no colliding cross-terms)."""
+    from sparkall_spark.operators.sketches import (
+        cms_join_cardinality,
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 2 + [("only_a",)], ["k"]
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 4 + [("only_b",)] * 7, ["k"]
+    )
+    true_join = a.join(b, "k").count()  # 5*3 + 2*4 = 23
+    assert true_join == 23
+    for width in (8, 4096):
+        est = cms_join_cardinality(
+            cms_sketch(a, "k", depth=3, width=width),
+            cms_sketch(b, "k", depth=3, width=width),
+            depth=3,
+        ).first()["est_join_rows"]
+        assert est >= true_join
+        if width == 4096:
+            assert est == true_join
+    # disjoint key sets -> exact 0 (the densify-over-depth path)
+    c = spark.createDataFrame([("zzz",)], ["k"])
+    est0 = cms_join_cardinality(
+        cms_sketch(a, "k", depth=3, width=4096),
+        cms_sketch(c, "k", depth=3, width=4096),
+        depth=3,
+    ).first()["est_join_rows"]
+    assert est0 == 0

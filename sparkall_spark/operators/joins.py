@@ -215,3 +215,38 @@ def key_skew_report(
         .cast("int")
         .alias("salt_factor"),
     )
+
+
+def semi_reduce_gate(
+    probe_sketch: DataFrame,
+    build_sketch: DataFrame,
+    depth: int,
+    probe_rows: int,
+    max_match_fraction: float = 0.7,
+) -> tuple[bool, int]:
+    """Decide whether :func:`bloom_semi_reduce` is worth scheduling,
+    from two PERSISTED CMS counter tables of the join keys (the
+    ``corpus_overlap_gate`` discipline: sketches are load-bearing
+    planning inputs, not standalone telemetry).
+
+    Returns ``(should_reduce, est_join_rows)``: the reduction is
+    skipped when the estimated matched fraction of probe rows exceeds
+    ``max_match_fraction`` — a filter that keeps (almost) everything is
+    pure overhead.  Because the CMS estimate only OVER-counts
+    (structural), a True here is trustworthy: the real matched
+    fraction is at most the estimated one, so the reduction sheds at
+    least the predicted share.
+
+    Driver-side by design (two bounded sketch frames -> one bigint);
+    at 100 TB the sketches come from the daily key-telemetry pass, not
+    a fresh scan — building them ad hoc would cost more than the bloom
+    filter they gate.
+    """
+    from sparkall_spark.operators.sketches import cms_join_cardinality
+
+    if probe_rows <= 0:
+        return (False, 0)
+    est = cms_join_cardinality(probe_sketch, build_sketch, depth).first()[
+        "est_join_rows"
+    ]
+    return (est <= max_match_fraction * probe_rows, int(est))

@@ -128,6 +128,63 @@ def parse_image_header(payload: bytes) -> dict | None:
                 "mime": "image/x-portable-graymap" if gray
                 else "image/x-portable-pixmap",
             }
+    # WebP: RIFF container; dims live in the first VP8/VP8L/VP8X chunk
+    if (
+        payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+        and len(payload) >= 30
+    ):
+        chunk, body = payload[12:16], payload[20:]
+        if chunk == b"VP8X" and len(body) >= 10:  # extended: 24-bit minus-one
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return {"width": w, "height": h, "channels": 4,
+                    "mime": "image/webp"}
+        if chunk == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+            # lossless: 14+14 bits minus-one packed after the signature
+            bits = int.from_bytes(body[1:5], "little")
+            return {
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "channels": 4,
+                "mime": "image/webp",
+            }
+        if chunk == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+            # lossy: 16-bit dims (14 significant) after the start code
+            return {
+                "width": int.from_bytes(body[6:8], "little") & 0x3FFF,
+                "height": int.from_bytes(body[8:10], "little") & 0x3FFF,
+                "channels": 3,
+                "mime": "image/webp",
+            }
+        return None
+    # TIFF: walk IFD0 for ImageWidth(256)/ImageLength(257)/
+    # SamplesPerPixel(277), honoring the header's byte order
+    if payload[:4] in (b"II*\x00", b"MM\x00*") and len(payload) >= 8:
+        bo = "little" if payload[:2] == b"II" else "big"
+        off = int.from_bytes(payload[4:8], bo)
+        if off + 2 <= len(payload):
+            n = int.from_bytes(payload[off : off + 2], bo)
+            vals: dict[int, int] = {}
+            for e in range(n):
+                base = off + 2 + 12 * e
+                if base + 12 > len(payload):
+                    break
+                tag = int.from_bytes(payload[base : base + 2], bo)
+                typ = int.from_bytes(payload[base + 2 : base + 4], bo)
+                if tag in (256, 257, 277) and typ in (3, 4):
+                    width_bytes = 2 if typ == 3 else 4
+                    vals[tag] = int.from_bytes(
+                        payload[base + 8 : base + 8 + width_bytes], bo
+                    )
+            if 256 in vals and 257 in vals:
+                return {
+                    "width": vals[256],
+                    "height": vals[257],
+                    "channels": vals.get(277, 1),
+                    "mime": "image/tiff",
+                }
+        return None
     # JPEG: walk the segment chain to the first SOF marker
     if payload[:2] == b"\xff\xd8":
         i = 2

@@ -167,3 +167,27 @@ def test_semi_reduce_arrow_path_has_no_shuffle(spark, events, hot_users):
 def test_semi_reduce_impl_validation(spark, events, hot_users):
     with pytest.raises(ValueError, match="impl"):
         bloom_semi_reduce(events, hot_users, "user_id", impl="magic")
+
+
+def test_semi_reduce_gate_decides_from_sketches(spark):
+    from pyspark.sql import functions as F
+    from sparkall_spark.operators.joins import semi_reduce_gate
+    from sparkall_spark.operators.sketches import cms_sketch
+
+    probe = spark.range(10_000).select(
+        (F.col("id") % 1000).cast("string").alias("k")
+    )
+    selective = spark.range(20).select(F.col("id").cast("string").alias("k"))
+    dense = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    ps = cms_sketch(probe, "k", depth=3, width=4096)
+    # selective build: ~2% of probe rows match -> reduce
+    go, est = semi_reduce_gate(
+        ps, cms_sketch(selective, "k", depth=3, width=4096), 3, 10_000
+    )
+    assert go and est >= 200
+    # dense build: every probe row matches -> reduction is overhead
+    go2, est2 = semi_reduce_gate(
+        ps, cms_sketch(dense, "k", depth=3, width=4096), 3, 10_000
+    )
+    assert not go2 and est2 >= 10_000
+    assert semi_reduce_gate(ps, ps, 3, 0) == (False, 0)

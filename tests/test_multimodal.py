@@ -1797,3 +1797,65 @@ def test_audio_spectral_features_mapinpandas(spark):
     assert out[3]["spectral_centroid"] is None
     plan = audio_spectral_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_parse_image_header_webp_variants():
+    import struct
+
+    from sparkall_spark.operators.multimodal import parse_image_header
+
+    def riff(chunk, body):
+        payload = chunk + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+
+    # lossy VP8: 3-byte frame tag, start code, 16-bit dims
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + struct.pack("<H", 320) + struct.pack("<H", 240) + b"\x00" * 8)
+    h = parse_image_header(vp8)
+    assert h == {"width": 320, "height": 240, "channels": 3,
+                 "mime": "image/webp"}
+    # lossless VP8L: signature byte + packed 14+14-bit minus-one dims
+    bits = (199) | (99 << 14)  # 200 x 100
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8)
+    h = parse_image_header(vp8l)
+    assert (h["width"], h["height"], h["mime"]) == (200, 100, "image/webp")
+    # extended VP8X: 24-bit minus-one canvas dims at offset 4
+    vp8x = riff(
+        b"VP8X",
+        b"\x00\x00\x00\x00"
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+        + b"\x00" * 4,
+    )
+    h = parse_image_header(vp8x)
+    assert (h["width"], h["height"]) == (640, 480)
+    # truncated/garbage RIFF -> None, not a crash
+    assert parse_image_header(b"RIFF\x04\x00\x00\x00WEBPxxxx" + b"\x00" * 20) is None
+
+
+def test_parse_image_header_tiff_both_byte_orders():
+    import struct
+
+    from sparkall_spark.operators.multimodal import parse_image_header
+
+    def tiff(bo):
+        e, fmt = ("<", b"II*\x00") if bo == "little" else (">", b"MM\x00*")
+        entries = [
+            (256, 3, 1, 800),  # ImageWidth SHORT
+            (257, 4, 1, 600),  # ImageLength LONG
+            (277, 3, 1, 3),    # SamplesPerPixel
+        ]
+        ifd = struct.pack(e + "H", len(entries))
+        for tag, typ, cnt, val in entries:
+            if typ == 3:
+                packed = struct.pack(e + "H", val) + b"\x00\x00"
+            else:
+                packed = struct.pack(e + "I", val)
+            ifd += struct.pack(e + "HHI", tag, typ, cnt) + packed
+        ifd += struct.pack(e + "I", 0)
+        return fmt + struct.pack(e + "I", 8) + ifd
+
+    for bo in ("little", "big"):
+        h = parse_image_header(tiff(bo))
+        assert h == {"width": 800, "height": 600, "channels": 3,
+                     "mime": "image/tiff"}, bo
+    assert parse_image_header(b"II*\x00\xff\xff\xff\xff") is None

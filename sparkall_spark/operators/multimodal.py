@@ -655,6 +655,15 @@ def attach_metadata(df: DataFrame, id_col: str, payload_col: str, modality: str)
         .when(p.substr(1, 2) == F.lit(b"P5"), "image/x-portable-graymap")
         .when(p.substr(1, 2) == F.lit(b"P6"), "image/x-portable-pixmap")
         .when(
+            (p.substr(1, 4) == F.lit(b"RIFF")) & (p.substr(9, 4) == F.lit(b"WEBP")),
+            "image/webp",
+        )
+        .when(
+            (p.substr(1, 4) == F.lit(b"II*\x00"))
+            | (p.substr(1, 4) == F.lit(b"MM\x00*")),
+            "image/tiff",
+        )
+        .when(
             (p.substr(1, 4) == F.lit(b"RIFF")) & (p.substr(9, 4) == F.lit(b"WAVE")),
             "audio/wav",
         )

@@ -2765,12 +2765,11 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from a hand-copied constant block.
 from sparkall_spark.operators.sampling import mix_sql as _mix_sql_render
 
-_KMV_POLY_SQL = (
-    "list_reduce(list_prepend(0::BIGINT,"
-    " [ascii(c)::BIGINT FOR c IN"
-    " list_filter(string_split(w, ''), x -> x <> '')]),"
-    " (acc, c) -> (acc * 31 + c) % 1000000007)"
+from sparkall_spark.operators.features import (  # noqa: E402
+    portable_token_hash_sql as _poly_sql_render,
 )
+
+_KMV_POLY_SQL = _poly_sql_render("w")
 _KMV_MIX_SQL = _mix_sql_render(_KMV_POLY_SQL, seed=0)
 
 _E21_ORACLE = """

@@ -129,6 +129,20 @@ def hashed_token_vectors(
     )
 
 
+def portable_token_hash_sql(value_sql: str) -> str:
+    """DuckDB rendering of :func:`_portable_token_hash` (the poly
+    char fold, acc = (acc*31 + codepoint) % P) — THE canonical SQL
+    form; every oracle that mirrors the portable hash must build from
+    this helper so a change to the fold desynchronizes loudly at one
+    definition site instead of drifting across hand-copied blocks."""
+    return (
+        "list_reduce(list_prepend(0::BIGINT,"
+        " [ascii(c)::BIGINT FOR c IN"
+        f" list_filter(string_split({value_sql}, ''), x -> x <> '')]),"
+        f" (acc, c) -> (acc * 31 + c) % {_P_MOD})"
+    )
+
+
 def hashed_vector_sql(dim: int, table: str = "documents") -> str:
     """DuckDB mirror of :func:`hashed_token_vectors` (portable hash,
     raw TF, L2-normalized) — the oracle contract for tests."""
@@ -140,11 +154,7 @@ WITH tok AS (
   FROM {table}),
 hashed AS (
   SELECT doc_id,
-         CAST(list_reduce(
-           list_prepend(0::BIGINT,
-             [ascii(c)::BIGINT FOR c IN
-                list_filter(string_split(tok, ''), x -> x <> '')]),
-           (acc, c) -> (acc * 31 + c) % {_P_MOD}) % {dim} AS INT) AS b
+         CAST({portable_token_hash_sql('tok')} % {dim} AS INT) AS b
   FROM tok),
 per AS (SELECT doc_id, b::BIGINT AS b, count(*)::DOUBLE AS v
         FROM hashed GROUP BY 1, 2),

@@ -138,15 +138,16 @@ def parse_image_header(payload: bytes) -> dict | None:
         if chunk == b"VP8X" and len(body) >= 10:  # extended: 24-bit minus-one
             w = int.from_bytes(body[4:7], "little") + 1
             h = int.from_bytes(body[7:10], "little") + 1
-            return {"width": w, "height": h, "channels": 4,
-                    "mime": "image/webp"}
+            alpha = bool(body[0] & 0x10)  # ALPHA flag bit
+            return {"width": w, "height": h,
+                    "channels": 4 if alpha else 3, "mime": "image/webp"}
         if chunk == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
-            # lossless: 14+14 bits minus-one packed after the signature
+            # lossless: 14+14 bits minus-one, then alpha_is_used bit
             bits = int.from_bytes(body[1:5], "little")
             return {
                 "width": (bits & 0x3FFF) + 1,
                 "height": ((bits >> 14) & 0x3FFF) + 1,
-                "channels": 4,
+                "channels": 4 if (bits >> 28) & 1 else 3,
                 "mime": "image/webp",
             }
         if chunk == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":

@@ -102,10 +102,14 @@ def curriculum_order(
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     probs = [i / n_bins for i in range(1, n_bins)]
+    # thresholds are sampled with a PINNED seed: the caller's seed must
+    # vary only the within-bin order — a seed-dependent sample would
+    # move the bin boundaries and reshuffle documents ACROSS difficulty
+    # bins between epochs (review catch)
     thresholds = [
         r["quantile_est"]
         for r in sampled_quantiles(
-            df, score_col, id_col, probs, k=sample_k, seed=seed
+            df, score_col, id_col, probs, k=sample_k, seed=0
         )
         .orderBy("prob")
         .collect()

@@ -50,7 +50,11 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-from sparkall_spark.operators.features import _P_MOD, _portable_token_hash
+from sparkall_spark.operators.features import (
+    _P_MOD,
+    _portable_token_hash,
+    portable_token_hash_sql,
+)
 from sparkall_spark.operators.sampling import _mix, mix_sql
 
 #: estimator hash domain: the LCG mix output space, 2^31 - 1
@@ -117,14 +121,25 @@ def kmv_sketch(
         .agg(F.lit(1))
         .select(*groups, _kmv_hash(F.col("__v")).alias("__h"))
     )
+    # the k-min phases dedup at the HASH level (array_distinct before
+    # each slice): two distinct VALUES may collide in the 31-bit hash
+    # domain, and the sketch is a set of hashes — the SQL mirror's
+    # list(DISTINCT h) and kmv_merge's distinct both assume it (review
+    # catch: the distinct-first restructure had dropped this)
     partials = (
         distinct.withColumn("__p", F.spark_partition_id())
         .groupBy(*groups, "__p")
-        .agg(F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("__hs"))
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list("__h"))), 1, k
+            ).alias("__hs")
+        )
         .select(*groups, F.explode("__hs").alias("__h"))
     )
     agg = partials.groupBy(*groups).agg(
-        F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("kmv_hashes")
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list("__h"))), 1, k
+        ).alias("kmv_hashes")
     )
     n = F.size("kmv_hashes")
     return agg.select(
@@ -249,13 +264,7 @@ def kmv_sketch_sql(
     ``group_sql`` an optional grouping expression aliased ``grp``."""
     g_inner = f"{group_sql} AS grp," if group_sql else ""
     g = "grp," if group_sql else ""
-    poly = (
-        "list_reduce(list_prepend(0::BIGINT,"
-        " [ascii(c)::BIGINT FOR c IN"
-        " list_filter(string_split(v, ''), x -> x <> '')]),"
-        f" (acc, c) -> (acc * 31 + c) % {_P_MOD})"
-    )
-    mixed = mix_sql(poly, seed=0)
+    mixed = mix_sql(portable_token_hash_sql("v"), seed=0)
     return f"""
 SELECT {g}
        hs AS kmv_hashes, {k} AS kmv_k, len(hs) AS n_kept,
@@ -764,13 +773,10 @@ def cms_bucket_array(value: Column, depth: int, width: int) -> Column:
 
 
 def _cms_bucket_sql(value_sql: str, d: int, width: int) -> str:
-    poly = (
-        "list_reduce(list_prepend(0::BIGINT,"
-        " [ascii(c)::BIGINT FOR c IN"
-        " list_filter(string_split(" + value_sql + ", ''), x -> x <> '')]),"
-        f" (acc, c) -> (acc * 31 + c) % {_P_MOD})"
+    mixed = mix_sql(
+        portable_token_hash_sql(value_sql),
+        seed=d * _CMS_ROW_STRIDE + _CMS_ROW_SALT,
     )
-    mixed = mix_sql(poly, seed=d * _CMS_ROW_STRIDE + _CMS_ROW_SALT)
     return f"(({mixed}) % {width})"
 
 
@@ -850,8 +856,9 @@ def cms_query(
     any untouched bucket estimates exactly 0).
 
     ``depth``/``width`` must match the build call.  One output row PER
-    PROBE ROW (duplicates score independently), so the estimate can be
-    attached to a corpus-scale frame.  The min-over-depth is computed
+    PROBE ROW — including NULL items, which estimate as NULL (never
+    silently dropped) — so the estimate can be attached to a
+    corpus-scale frame without losing rows.  The min-over-depth is computed
     WITHOUT exploding or re-grouping the probes: the item's depth
     buckets stay in one row and each hash row of the sketch (at most
     ``width`` counters) joins in separately — with ``broadcast_sketch``
@@ -861,9 +868,10 @@ def cms_query(
     """
     groups = group_cols or []
     v = F.col(item_col).cast("string")
-    out = items.filter(v.isNotNull()).withColumn(
-        "__cms_b", cms_bucket_array(v, depth, width)
-    )
+    # NULL items KEEP their row (the per-probe-row contract) and
+    # estimate as NULL — their NULL bucket keys match nothing in the
+    # joins, and the final when() masks the would-be 0
+    out = items.withColumn("__cms_b", cms_bucket_array(v, depth, width))
     for d in range(depth):
         renames = {g: f"__g{d}_{i}" for i, g in enumerate(groups)}
         sd = sketch.filter(F.col("d") == d).select(
@@ -883,9 +891,10 @@ def cms_query(
         F.coalesce(F.col(f"__c{d}"), F.lit(0)) for d in range(depth)
     ]
     # F.least needs >= 2 args; depth == 1 is the single counter itself
-    est = (
-        F.least(*counters) if depth > 1 else counters[0]
-    ).cast("bigint")
+    est = F.when(
+        v.isNotNull(),
+        (F.least(*counters) if depth > 1 else counters[0]).cast("bigint"),
+    )
     return out.withColumn("est", est).drop(
         "__cms_b", *[f"__c{d}" for d in range(depth)]
     )
@@ -937,7 +946,8 @@ def cms_join_cardinality(
     broadcast vs shuffle vs :func:`~sparkall_spark.operators.joins.
     bloom_semi_reduce` BEFORE paying the join — two bounded sketches
     (built once, mergeable, reusable across days) replace a trial
-    join.  Output: one row, ``est_join_rows`` (bigint).
+    join.  Output: one row, ``est_join_rows`` (double — the products
+    are widened before summing; int64 wraps silently at corpus scale).
 
     Deterministic like everything here: the estimate is a pure
     function of the two counter tables, so it mirrors in SQL
@@ -948,7 +958,14 @@ def cms_join_cardinality(
     per_row = (
         sa.join(sb, ["d", "bucket"])  # absent counters are 0: inner is exact
         .groupBy("d")
-        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+        # widen BEFORE multiplying: long*long wraps silently at corpus
+        # scale (two ~1e12-row inputs overflow one hot product); the
+        # estimate is approximate anyway, so double is the right type
+        .agg(
+            F.sum(
+                F.col("__ca").cast("double") * F.col("__cb").cast("double")
+            ).alias("__ip")
+        )
     )
     # a row with NO shared buckets has inner product 0 — min must see
     # it, so densify over the declared depth
@@ -958,8 +975,8 @@ def cms_join_cardinality(
     return (
         rows.join(per_row, "d", "left")
         .agg(
-            F.min(F.coalesce(F.col("__ip"), F.lit(0)))
-            .cast("bigint")
-            .alias("est_join_rows")
+            F.min(F.coalesce(F.col("__ip"), F.lit(0.0))).alias(
+                "est_join_rows"
+            )
         )
     )

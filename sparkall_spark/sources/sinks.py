@@ -94,17 +94,24 @@ def zorder_bucket(
 ) -> Column:
     """Rank-normalize a numeric column into ``[0, 2^bits)`` against the
     given [cmin, cmax] range — the per-dimension quantization step of
-    the Z-order key.  Degenerate ranges map to 0."""
+    the Z-order key.  Degenerate or unknown (None) ranges map the whole
+    column to 0; per-row NULL values map to bucket 0."""
     c = F.col(col) if isinstance(col, str) else col
-    if cmax <= cmin:
+    # None bounds (empty input or all-NULL column) and degenerate
+    # ranges both collapse to bucket 0; per-row NULL values also land
+    # in bucket 0 so a NULL never poisons the whole interleaved key
+    if cmin is None or cmax is None or cmax <= cmin:
         return F.lit(0).cast("bigint")
     top = (1 << bits) - 1
     scaled = (c.cast("double") - F.lit(float(cmin))) / F.lit(
         float(cmax - cmin)
     ) * F.lit(float(top))
-    return F.greatest(
+    return F.coalesce(
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.lit(top).cast("bigint"), F.floor(scaled).cast("bigint")),
+        ),
         F.lit(0).cast("bigint"),
-        F.least(F.lit(top).cast("bigint"), F.floor(scaled).cast("bigint")),
     )
 
 

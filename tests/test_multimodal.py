@@ -1814,20 +1814,27 @@ def test_parse_image_header_webp_variants():
     h = parse_image_header(vp8)
     assert h == {"width": 320, "height": 240, "channels": 3,
                  "mime": "image/webp"}
-    # lossless VP8L: signature byte + packed 14+14-bit minus-one dims
-    bits = (199) | (99 << 14)  # 200 x 100
+    # lossless VP8L: packed 14+14-bit minus-one dims + alpha_is_used
+    bits = (199) | (99 << 14)  # 200 x 100, alpha bit clear
     vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8)
     h = parse_image_header(vp8l)
-    assert (h["width"], h["height"], h["mime"]) == (200, 100, "image/webp")
-    # extended VP8X: 24-bit minus-one canvas dims at offset 4
-    vp8x = riff(
-        b"VP8X",
-        b"\x00\x00\x00\x00"
-        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
-        + b"\x00" * 4,
+    assert (h["width"], h["height"], h["channels"], h["mime"]) == (
+        200, 100, 3, "image/webp")
+    vp8l_a = riff(
+        b"VP8L", b"\x2f" + struct.pack("<I", bits | (1 << 28)) + b"\x00" * 8
     )
-    h = parse_image_header(vp8x)
-    assert (h["width"], h["height"]) == (640, 480)
+    assert parse_image_header(vp8l_a)["channels"] == 4
+    # extended VP8X: 24-bit minus-one canvas dims; ALPHA flag is 0x10
+    def vp8x(flags):
+        return riff(
+            b"VP8X",
+            bytes([flags]) + b"\x00\x00\x00"
+            + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+            + b"\x00" * 4,
+        )
+    h = parse_image_header(vp8x(0))
+    assert (h["width"], h["height"], h["channels"]) == (640, 480, 3)
+    assert parse_image_header(vp8x(0x10))["channels"] == 4
     # truncated/garbage RIFF -> None, not a crash
     assert parse_image_header(b"RIFF\x04\x00\x00\x00WEBPxxxx" + b"\x00" * 20) is None
 

@@ -1777,7 +1777,8 @@ def _jpeg_luma_hierarchical(payload: bytes) -> np.ndarray | None:
 def decode_pixels(payload: bytes) -> np.ndarray | None:
     """REAL pixel decode (pure Python/numpy, no native codec): BMP
     BI_RGB at 8 (palette)/24/32 bpp, binary PPM/PGM, PNG (stdlib zlib
-    inflate + spec unfiltering), GIF (pure-Python LZW), and Huffman
+    inflate + spec unfiltering), GIF (pure-Python LZW), uncompressed
+    stripped TIFF (8-bit gray either polarity / RGB), and Huffman
     JPEG — baseline, progressive, AND hierarchical DHP/EXP pyramids
     (huffman + numpy IDCT, luma plane).
     Returns an HxW float32 luma array in 0..255 (Rec. 601
@@ -1863,7 +1864,92 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
         px = rows[:, : w * nch].reshape(h, w, nch).astype(np.float32)
         # BMP stores BGR(A)
         return px[:, :, 2] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 0] * 0.114
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            return _tiff_luma(payload)
+        except Exception:
+            return None
     return None
+
+
+def _tiff_ifd0(payload: bytes) -> tuple[dict[int, list[int]], str] | None:
+    """IFD0 as tag -> list of integer values (BYTE/SHORT/LONG), inline
+    or offset-stored, honoring the header byte order."""
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+    off = int.from_bytes(payload[4:8], bo)
+    if off + 2 > len(payload):
+        return None
+    n = int.from_bytes(payload[off : off + 2], bo)
+    sizes = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for e in range(n):
+        base = off + 2 + 12 * e
+        if base + 12 > len(payload):
+            break
+        tag = int.from_bytes(payload[base : base + 2], bo)
+        typ = int.from_bytes(payload[base + 2 : base + 4], bo)
+        cnt = int.from_bytes(payload[base + 4 : base + 8], bo)
+        if typ not in sizes or cnt == 0 or cnt > 1 << 20:
+            continue
+        total = sizes[typ] * cnt
+        src_off = (
+            base + 8 if total <= 4
+            else int.from_bytes(payload[base + 8 : base + 12], bo)
+        )
+        if src_off + total > len(payload):
+            continue
+        step = sizes[typ]
+        tags[tag] = [
+            int.from_bytes(payload[src_off + i * step : src_off + (i + 1) * step], bo)
+            for i in range(cnt)
+        ]
+    return tags, bo
+
+
+def _tiff_luma(payload: bytes) -> np.ndarray | None:
+    """REAL pixel decode for UNCOMPRESSED stripped TIFF (Compression=1,
+    8 bits/sample, grayscale either polarity or RGB) — the common
+    scanner/scientific flavor.  LZW/JPEG-in-TIFF stay None."""
+    parsed = _tiff_ifd0(payload)
+    if parsed is None:
+        return None
+    tags, _bo = parsed
+    need = [256, 257, 273, 279]
+    if any(t not in tags for t in need):
+        return None
+    if tags.get(259, [1])[0] != 1:  # Compression: 1 = none
+        return None
+    photometric = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        return None
+    if photometric not in (0, 1, 2) or spp not in (1, 3):
+        return None
+    w, h = tags[256][0], tags[257][0]
+    if w <= 0 or h <= 0 or w * h * spp > 1 << 28:
+        return None
+    chunks = []
+    for o, c in zip(tags[273], tags[279]):
+        if o + c > len(payload):
+            return None
+        chunks.append(payload[o : o + c])
+    data = b"".join(chunks)
+    if len(data) < w * h * spp:
+        return None
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * spp).astype(
+        np.float32
+    )
+    if spp == 3:
+        rgb = px.reshape(h, w, 3)
+        return _rec601(rgb)
+    gray = px.reshape(h, w)
+    return 255.0 - gray if photometric == 0 else gray  # 0 = WhiteIsZero
 
 
 def dhash64(luma: np.ndarray) -> int:

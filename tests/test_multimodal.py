@@ -1866,3 +1866,77 @@ def test_parse_image_header_tiff_both_byte_orders():
         assert h == {"width": 800, "height": 600, "channels": 3,
                      "mime": "image/tiff"}, bo
     assert parse_image_header(b"II*\x00\xff\xff\xff\xff") is None
+
+
+def _tiff_bytes(w, h, pixels, photometric=1, spp=1, bo="little",
+                compression=1, n_strips=2):
+    """Minimal stripped TIFF writer (8-bit), independent of the reader."""
+    import struct
+
+    e = "<" if bo == "little" else ">"
+    magic = b"II*\x00" if bo == "little" else b"MM\x00*"
+    raw = bytes(pixels)
+    rows_per_strip = max(1, h // n_strips)
+    strips = []
+    r = 0
+    while r < h:
+        rr = min(rows_per_strip, h - r)
+        strips.append(raw[r * w * spp : (r + rr) * w * spp])
+        r += rr
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, compression), (262, 3, 1, photometric),
+        (277, 3, 1, spp), (278, 3, 1, rows_per_strip),
+    ]
+    n = len(entries) + 2  # + StripOffsets + StripByteCounts
+    ifd_off = 8
+    ifd_size = 2 + 12 * n + 4
+    arrays_off = ifd_off + ifd_size
+    counts = [len(s) for s in strips]
+    k = len(strips)
+    co_off = arrays_off
+    so_off = arrays_off + 4 * k
+    data_off = so_off + 4 * k
+    offsets, pos = [], data_off
+    for c in counts:
+        offsets.append(pos)
+        pos += c
+    def entry(tag, typ, cnt, val):
+        if typ == 3 and cnt == 1:
+            return struct.pack(e + "HHIHxx", tag, typ, cnt, val)
+        return struct.pack(e + "HHII", tag, typ, cnt, val)
+    all_entries = entries + [(279, 4, k, co_off), (273, 4, k, so_off)]
+    all_entries.sort()
+    ifd = struct.pack(e + "H", n)
+    for t in all_entries:
+        ifd += entry(*t)
+    ifd += struct.pack(e + "I", 0)
+    body = ifd
+    body += b"".join(struct.pack(e + "I", c) for c in counts)
+    body += b"".join(struct.pack(e + "I", o) for o in offsets)
+    body += b"".join(strips)
+    return magic + struct.pack(e + "I", ifd_off) + body
+
+
+def test_tiff_pixel_decode_real():
+    import numpy as np
+
+    from sparkall_spark.operators.multimodal import decode_pixels
+
+    w, h = 6, 4
+    gray = list(range(w * h))
+    for bo in ("little", "big"):
+        px = decode_pixels(_tiff_bytes(w, h, gray, bo=bo))
+        assert px is not None and px.shape == (h, w)
+        assert px.flatten().tolist() == [float(v) for v in gray], bo
+    # WhiteIsZero inverts
+    inv = decode_pixels(_tiff_bytes(w, h, gray, photometric=0))
+    assert inv.flatten().tolist() == [255.0 - v for v in gray]
+    # RGB -> Rec.601 luma
+    rgb = []
+    for i in range(w * h):
+        rgb += [255, 0, 0]  # pure red
+    px = decode_pixels(_tiff_bytes(w, h, rgb, photometric=2, spp=3))
+    assert np.allclose(px, 255 * 0.299, atol=0.01)
+    # compressed flavors stay honestly undecoded
+    assert decode_pixels(_tiff_bytes(w, h, gray, compression=5)) is None

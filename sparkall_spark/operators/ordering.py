@@ -97,15 +97,38 @@ def curriculum_order(
     (anti-curriculum).  NULL scores land in the LAST bin scheduled
     (unknown difficulty defers), documented not incidental.
     """
+    out = curriculum_bin(
+        df, score_col, id_col=id_col, n_bins=n_bins,
+        ascending=ascending, bin_col=bin_col, sample_k=sample_k,
+    )
+    return out.orderBy(
+        F.col(bin_col).asc(),
+        shuffle_key(id_col, seed).asc(),
+        F.col(id_col).asc(),
+    )
+
+
+def curriculum_bin(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_bins: int = 4,
+    ascending: bool = True,
+    bin_col: str = "curriculum_bin",
+    sample_k: int = 4096,
+) -> DataFrame:
+    """The binning half of :func:`curriculum_order` without the global
+    sort — attach the difficulty bin as a column (map-side comparison
+    chain once the thresholds are known) and leave ordering to the
+    writer.  Thresholds are sampled with a PINNED seed: epoch seeds
+    must vary only the within-bin order, never the bin boundaries —
+    a seed-dependent sample would reshuffle documents ACROSS
+    difficulty bins between epochs (review catch)."""
     from sparkall_spark.operators.sketches import sampled_quantiles
 
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     probs = [i / n_bins for i in range(1, n_bins)]
-    # thresholds are sampled with a PINNED seed: the caller's seed must
-    # vary only the within-bin order — a seed-dependent sample would
-    # move the bin boundaries and reshuffle documents ACROSS difficulty
-    # bins between epochs (review catch)
     thresholds = [
         r["quantile_est"]
         for r in sampled_quantiles(
@@ -121,10 +144,4 @@ def curriculum_order(
     )
     if not ascending:
         raw = F.lit(n_bins - 1) - raw
-    binned = F.coalesce(raw, F.lit(n_bins - 1)).alias(bin_col)
-    out = df.withColumn(bin_col, binned)
-    return out.orderBy(
-        F.col(bin_col).asc(),
-        shuffle_key(id_col, seed).asc(),
-        F.col(id_col).asc(),
-    )
+    return df.withColumn(bin_col, F.coalesce(raw, F.lit(n_bins - 1)))

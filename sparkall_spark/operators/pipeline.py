@@ -132,6 +132,9 @@ def prepare_documents(
     max_symbol_word_ratio: float | None = None,
     gopher_quality: bool = False,
     c4_rules: bool = False,
+    split_weights: dict[str, float] | None = None,
+    split_seed: int = 0,
+    curriculum_bins: int | None = None,
 ) -> DataFrame:
     """Quality-filter, language-tag, and dedup a document corpus.
 
@@ -148,6 +151,16 @@ def prepare_documents(
     c4_keep — the keep predicate is evaluated on the ORIGINAL text,
     then the text column is replaced by the cleaned form, matching the
     paper's order).  Both are map-side Column work in the same pass.
+
+    Closing stages (r9): ``split_weights`` assigns the deterministic
+    train/val/test column LAST — after ``near_dedup=True`` a plain
+    id-hash split IS leakage-free at the dedup threshold (every
+    near-dup group already collapsed to one survivor; use
+    ``sampling.leakage_free_split`` directly for corpora that must
+    keep near-dup members).  ``curriculum_bins`` attaches the
+    ``curriculum_bin`` difficulty bin from the pipeline's own
+    ``quality`` score (easy = high quality first; see
+    ``ordering.curriculum_order`` for the ordered-write form).
     """
     if url_dedup_col is not None:
         # FIRST and cheapest: recrawls + tracking-decorated links
@@ -387,6 +400,24 @@ def prepare_documents(
             id_col=id_col,
             order_col="quality",
         ).drop("__ntok")
+    if curriculum_bins is not None:
+        # difficulty bin from the pipeline's own quality score: HIGH
+        # quality = easy = bin 0 (descending), thresholds from the
+        # deterministic bottom-k quantiles (ordering.curriculum_order's
+        # binning, attached as a column — ordering is a write concern)
+        from sparkall_spark.operators.ordering import curriculum_bin
+
+        deduped = curriculum_bin(
+            deduped, "quality", id_col=id_col, n_bins=curriculum_bins,
+            ascending=False,
+        )
+    if split_weights is not None:
+        # LAST of all: splits must see the final surviving id set
+        from sparkall_spark.operators.sampling import hash_split
+
+        deduped = hash_split(
+            deduped, id_col, split_weights, seed=split_seed
+        )
     return deduped
 
 

@@ -539,3 +539,35 @@ def test_pack_bins_bfd_oversize_dedicated(spark):
     assert rows[1]["bin_id"] == rows[3]["bin_id"]
     assert rows[4]["bin_id"] not in (rows[1]["bin_id"], over_bin)
     assert {rows[1]["start_offset"], rows[3]["start_offset"]} == {0, 100}
+
+
+def test_pipeline_closing_stages_split_and_curriculum(spark, docs):
+    from sparkall_spark.operators.pipeline import prepare_documents
+
+    out = prepare_documents(
+        docs,
+        min_quality=0.0,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        split_seed=9,
+        curriculum_bins=3,
+    )
+    rows = out.select("doc_id", "quality", "split", "curriculum_bin").collect()
+    assert rows
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # split matches the standalone assignment on the surviving ids
+    expected = {
+        r["doc_id"]: r["split"]
+        for r in S.hash_split(
+            out.select("doc_id"), "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1}, seed=9,
+        ).collect()
+    }
+    assert {r["doc_id"]: r["split"] for r in rows} == expected
+    # curriculum: descending quality -> bin 0 holds the HIGHEST scores
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["curriculum_bin"], []).append(r["quality"])
+    bins = sorted(by_bin)
+    assert bins[0] == 0 and len(bins) >= 2
+    for a, b in zip(bins, bins[1:]):
+        assert min(by_bin[a]) >= max(by_bin[b]) - 1e-9

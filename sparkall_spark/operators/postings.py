@@ -303,6 +303,69 @@ def phrase_search(
     )
 
 
+def term_query(
+    postings: DataFrame,
+    terms: list[str],
+    mode: str = "and",
+    lowercase: bool = True,
+    n_buckets: int | None = None,
+    bucket_seed: int = 0,
+) -> DataFrame:
+    """Boolean multi-term retrieval over the (saved) postings index:
+    documents containing ALL (``mode="and"``) or ANY (``mode="or"``)
+    of ``terms``, position-free.
+
+    Output: ``doc_id, n_terms_matched: int, total_tf: bigint`` (how
+    many of the query terms hit, and their summed term frequency —
+    enough to feed a downstream ranker without touching positions).
+
+    Scale shape mirrors :func:`phrase_search`: each term's postings
+    come from ONE pruned partition directory when the saved layout's
+    ``n_buckets``/``bucket_seed`` are passed; AND is a cascade of
+    doc_id equi-joins over candidate docs only, OR is a union +
+    groupBy over the touched postings rows — never an index scan.
+    Duplicate query terms are collapsed (a term cannot match twice).
+    """
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    uniq = list(dict.fromkeys(
+        t
+        for t in (
+            (x.lower() if lowercase else x).strip() for x in terms
+        )
+        if t
+    ))
+    if not uniq:
+        raise ValueError("terms must contain at least one non-empty token")
+
+    def _hits(term: str) -> DataFrame:
+        return postings.filter(
+            _term_pred(term, n_buckets, bucket_seed)
+        ).select("doc_id", F.size("positions").cast("bigint").alias("__tf"))
+
+    if mode == "or":
+        allhits = _hits(uniq[0])
+        for t in uniq[1:]:
+            allhits = allhits.unionByName(_hits(t))
+        return allhits.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            F.sum("__tf").alias("total_tf"),
+        )
+    out = _hits(uniq[0]).select(
+        "doc_id", F.col("__tf").alias("total_tf")
+    )
+    for t in uniq[1:]:
+        nxt = _hits(t)
+        out = out.join(nxt, "doc_id").select(
+            "doc_id", (F.col("total_tf") + F.col("__tf")).alias("total_tf")
+        )
+    return out.select(
+        "doc_id",
+        F.lit(len(uniq)).cast("int").alias("n_terms_matched"),
+        F.col("total_tf").cast("bigint").alias("total_tf"),
+    )
+
+
 def phrase_decontaminate(
     docs: DataFrame,
     phrases: list[str],

@@ -365,3 +365,68 @@ def test_phrase_decontaminate_via_saved_index(spark, tmp_path):
     assert sorted(map(tuple, fresh.collect())) == sorted(
         map(tuple, via_idx.collect())
     )
+
+
+def test_term_query_and_or_modes(spark, duck, sf_dir):
+    from sparkall_spark.operators.postings import build_postings, term_query
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = build_postings(docs)
+    got_and = {
+        r["doc_id"]: (r["n_terms_matched"], r["total_tf"])
+        for r in term_query(idx, ["hash", "table"], mode="and").collect()
+    }
+    got_or = {
+        r["doc_id"]: (r["n_terms_matched"], r["total_tf"])
+        for r in term_query(idx, ["hash", "table"], mode="or").collect()
+    }
+    mirror = {
+        d: (n, t)
+        for d, n, t in duck.execute(
+            """
+            WITH tf AS (
+              SELECT doc_id, tok, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(list_filter(
+                      regexp_split_to_array(lower(text), '\\s+'),
+                      x -> x <> '')) AS tok
+                    FROM documents)
+              WHERE tok IN ('hash', 'table') GROUP BY 1, 2)
+            SELECT doc_id, count(*)::INT, sum(tf)::BIGINT
+            FROM tf GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    assert got_or == mirror
+    assert got_and == {d: v for d, v in mirror.items() if v[0] == 2}
+    assert got_and and got_or and len(got_and) < len(got_or)
+    # duplicate terms collapse to one (a term cannot match twice)
+    dup = {
+        r["doc_id"]: r["n_terms_matched"]
+        for r in term_query(idx, ["hash", "HASH"], mode="and").collect()
+    }
+    assert dup and all(v == 1 for v in dup.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        term_query(idx, ["x"], mode="xor")
+    with _pytest.raises(ValueError, match="non-empty"):
+        term_query(idx, ["", "  "])
+
+
+def test_term_query_saved_index_is_pruned(spark, tmp_path, sf_dir):
+    from sparkall_spark.operators.postings import (
+        build_postings,
+        load_postings,
+        save_postings,
+        term_query,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "idx")
+    save_postings(build_postings(docs), path, n_buckets=8)
+    saved = load_postings(spark, path)
+    q = term_query(saved, ["hash", "scan"], mode="and", n_buckets=8)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # every scan carries a tok_bucket partition filter: pruned lookups
+    assert "PartitionFilters: [isnotnull(tok_bucket" in plan
+    assert q.count() > 0

@@ -165,3 +165,78 @@ def quantize_sql(vec_sql: str) -> str:
         f"floor(x / ({mx} / 127.0) + 0.5))))::BIGINT[] "
         f"ELSE list_transform({vec_sql}, x -> 0::BIGINT) END"
     )
+
+
+def ivf_topk_q8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cells + int8 scoring: the composed memory-bound ANN shape —
+    the searchable per-corpus-vector payload is ONE int cell + dim code
+    bytes (vs 8*dim float bytes), cells bound the candidate set, and
+    the shortlist scores with the quantized cosine (scales cancel, so
+    no dequantization on the hot path).
+
+    ``centroids`` (n_cells x dim numpy) must be provided — the same
+    fixed-codebook determinism contract as ``similarity.ivf_topk``'s
+    oracle mode; cell assignment uses the FLOAT vectors once at index
+    time (the Arrow matmul), queries probe their ``nprobe`` nearest
+    cells.  Output: query_id, neighbor_id, cosine (quantized, 6dp),
+    rank — exactly ``quantized_topk`` restricted to the probed cells
+    (asserted in tests).  Compose with a float refine for
+    recall-critical use (the IVF-PQ pattern).
+    """
+    import numpy as np
+
+    from sparkall_spark.operators.similarity import (
+        assign_cells,
+        nearest_cells_arrow,
+    )
+
+    cents = np.asarray(centroids, dtype=float)
+    c = quantize_embeddings(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        "__v",
+        "__cq",
+        "__cs",
+    ).select(
+        "neighbor_id",
+        "__cq",
+        assign_cells(F.col("__v"), cents).alias("cell"),
+    )
+    q = quantize_embeddings(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        "__v",
+        "__qq",
+        "__qs",
+    ).select(
+        "query_id",
+        "__qq",
+        F.explode(
+            nearest_cells_arrow(F.col("__v"), cents, nprobe)
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", quantized_cosine(F.col("__cq"), F.col("__qq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

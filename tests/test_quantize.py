@@ -113,3 +113,54 @@ def test_quantized_topk_plan_broadcasts_queries(spark, emb):
     # corpus side reaches the scorer without a shuffle; the only
     # Exchange is the final per-query window partitioning
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_ivf_topk_q8_equals_quantized_brute_within_probed_cells(spark, emb):
+    import numpy as np
+
+    from sparkall_spark.operators.quantize import ivf_topk_q8, quantized_topk
+    from sparkall_spark.operators.similarity import (
+        assign_cells,
+        nearest_cells_arrow,
+    )
+
+    cents = np.random.default_rng(7).standard_normal((8, 64))
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_topk_q8(emb, queries, cents, k=5, nprobe=3).collect()
+    }
+    # reference: quantized brute force restricted to each query's
+    # probed cells
+    cells = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id",
+            assign_cells(F.col("embedding").cast("array<double>"), cents).alias("c"),
+        ).collect()
+    }
+    probed = {
+        r["vec_id"]: set(r["p"])
+        for r in queries.select(
+            "vec_id",
+            nearest_cells_arrow(
+                F.col("embedding").cast("array<double>"), cents, 3
+            ).alias("p"),
+        ).collect()
+    }
+    brute = quantized_topk(emb, queries, k=500).collect()
+    want = {}
+    for qid in probed:
+        cands = sorted(
+            (
+                (r["neighbor_id"], r["cosine"])
+                for r in brute
+                if r["query_id"] == qid
+                and cells[r["neighbor_id"]] in probed[qid]
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:5]
+        for rank, (nid, cos) in enumerate(cands, start=1):
+            want[(qid, rank)] = (nid, cos)
+    assert got == want
+    assert len(got) > 0

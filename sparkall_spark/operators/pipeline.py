@@ -793,3 +793,120 @@ def corpus_report(
             ),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def filter_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    keep_langs: tuple[str, ...] | None = None,
+    max_dup_line_ratio: float | None = None,
+    max_dup_ngram_ratio: float | None = None,
+    min_compression_ratio: float | None = None,
+    max_bullet_ratio: float | None = None,
+    max_ellipsis_ratio: float | None = None,
+    min_alpha_word_ratio: float | None = None,
+    max_symbol_word_ratio: float | None = None,
+    gopher_quality: bool = False,
+    c4_rules: bool = False,
+) -> DataFrame:
+    """Per-document audit of :func:`prepare_documents`' MAP-SIDE gates:
+    every gate becomes a boolean column instead of a silent filter, plus
+    the aggregate ``keep`` — the "why was this document dropped" surface
+    a production pipeline needs for threshold tuning and drop-rate
+    monitoring, at the cost of one map-only pass (no filtering, no
+    shuffle).
+
+    Covers exactly the Column-expressible gates, built from the SAME
+    ``functions.text`` expressions with the same knob semantics
+    (``keep == True`` rows are precisely the rows that would reach
+    prepare_documents' dedup stage — asserted in tests).  The join- or
+    training-backed stages (dedup, LM, classifier, decontam, domain
+    cap) are relational decisions, not per-row predicates — audit those
+    from their own outputs.  Gates whose knob is off report ``True``
+    (not applied = passed).
+    """
+    gates: dict[str, F.Column] = {}
+    gates["pass_c4"] = (
+        X.c4_keep(text_col) if c4_rules else F.lit(True)
+    )
+    # prepare_documents' stage order: the C4 keep predicate sees the
+    # ORIGINAL text, every later signal sees the line-cleaned rewrite
+    sig = X.c4_clean_lines(text_col) if c4_rules else F.col(text_col)
+    quality = X.quality_score(sig)
+    gates["pass_quality"] = quality >= F.lit(min_quality)
+    gates["pass_gopher"] = (
+        X.gopher_quality_keep(sig) if gopher_quality else F.lit(True)
+    )
+    gates["pass_compression"] = (
+        X.compression_ratio(sig) >= F.lit(min_compression_ratio)
+        if min_compression_ratio is not None
+        else F.lit(True)
+    )
+    gates["pass_dup_lines"] = (
+        X.duplicate_line_ratio(sig) <= F.lit(max_dup_line_ratio)
+        if max_dup_line_ratio is not None
+        else F.lit(True)
+    )
+    gates["pass_dup_ngrams"] = (
+        X.duplicate_ngram_ratio(sig, 2) <= F.lit(max_dup_ngram_ratio)
+        if max_dup_ngram_ratio is not None
+        else F.lit(True)
+    )
+    gates["pass_bullets"] = (
+        X.bullet_line_ratio(sig) <= F.lit(max_bullet_ratio)
+        if max_bullet_ratio is not None
+        else F.lit(True)
+    )
+    gates["pass_ellipsis"] = (
+        X.ellipsis_line_ratio(sig) <= F.lit(max_ellipsis_ratio)
+        if max_ellipsis_ratio is not None
+        else F.lit(True)
+    )
+    gates["pass_alpha_words"] = (
+        X.alpha_word_ratio(sig) >= F.lit(min_alpha_word_ratio)
+        if min_alpha_word_ratio is not None
+        else F.lit(True)
+    )
+    gates["pass_symbol_words"] = (
+        X.symbol_word_ratio(sig) <= F.lit(max_symbol_word_ratio)
+        if max_symbol_word_ratio is not None
+        else F.lit(True)
+    )
+    lang = X.lang_id(sig)
+    gates["pass_lang"] = (
+        lang.isin(*keep_langs) if keep_langs is not None else F.lit(True)
+    )
+    keep = None
+    for g in gates.values():
+        keep = g if keep is None else (keep & g)
+    cols = [F.col(id_col), quality.alias("quality"), lang.alias("lang_pred")]
+    cols += [expr.alias(name) for name, expr in gates.items()]
+    cols.append(keep.alias("keep"))
+    return docs.select(*cols)
+
+
+def drop_histogram(report: DataFrame) -> DataFrame:
+    """Drop-rate telemetry from a :func:`filter_report` frame: one row
+    per gate with how many documents fail it (n_failed, fail_rate) —
+    the number a threshold-tuning loop actually reads.  One aggregate
+    over the report; gates are read from the schema, so new gates show
+    up without touching this function."""
+    gate_cols = [c for c in report.columns if c.startswith("pass_")] + [
+        "keep"
+    ]
+    n = F.count(F.lit(1))
+    aggs = [
+        F.sum(F.when(~F.col(c), 1).otherwise(0)).alias(c) for c in gate_cols
+    ]
+    row = report.agg(n.alias("__n"), *aggs).first()
+    total = row["__n"]
+    spark = report.sparkSession
+    return spark.createDataFrame(
+        [
+            (c, int(row[c]), round(row[c] / total, 6) if total else 0.0)
+            for c in gate_cols
+        ],
+        "gate string, n_failed bigint, fail_rate double",
+    )

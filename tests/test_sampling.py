@@ -571,3 +571,46 @@ def test_pipeline_closing_stages_split_and_curriculum(spark, docs):
     assert bins[0] == 0 and len(bins) >= 2
     for a, b in zip(bins, bins[1:]):
         assert min(by_bin[a]) >= max(by_bin[b]) - 1e-9
+
+
+def test_filter_report_matches_pipeline_survivors(spark, docs):
+    """filter_report's keep==True set must equal the rows that reach
+    prepare_documents' dedup stage under the same map-side knobs —
+    asserted with every Column gate engaged, including the c4 rewrite
+    ordering."""
+    from sparkall_spark.operators.pipeline import (
+        drop_histogram,
+        filter_report,
+        prepare_documents,
+    )
+
+    knobs = dict(
+        min_quality=0.3,
+        keep_langs=("en", "de"),
+        max_dup_line_ratio=0.9,
+        max_dup_ngram_ratio=0.9,
+        min_compression_ratio=0.2,
+        max_bullet_ratio=0.9,
+        max_ellipsis_ratio=0.9,
+        min_alpha_word_ratio=0.1,
+        max_symbol_word_ratio=0.9,
+        gopher_quality=False,
+        c4_rules=True,
+    )
+    rep = filter_report(docs, **knobs)
+    kept_report = {r["doc_id"] for r in rep.filter("keep").collect()}
+    # prepare_documents with ONLY these knobs: dedup keeps min id per
+    # fingerprint group, so compare against the pre-dedup survivor set
+    # = pipeline output plus any dropped-as-duplicate row, i.e. the
+    # pipeline output must be a SUBSET and every non-kept report row
+    # must be absent
+    surv = {
+        r["doc_id"] for r in prepare_documents(docs, **knobs).collect()
+    }
+    assert surv <= kept_report
+    dropped_report = {r["doc_id"] for r in rep.filter("NOT keep").collect()}
+    assert not (surv & dropped_report)
+    assert rep.count() == docs.count()  # no rows lost: audit, not filter
+    hist = {r["gate"]: r["n_failed"] for r in drop_histogram(rep).collect()}
+    assert set(hist) >= {"pass_quality", "pass_lang", "keep"}
+    assert hist["keep"] == rep.count() - len(kept_report)

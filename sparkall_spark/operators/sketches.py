@@ -980,3 +980,77 @@ def cms_join_cardinality(
             )
         )
     )
+
+
+# --- sketch persistence with parameter pinning --------------------------------
+#
+# Every sketch here is only mergeable/queryable against a sketch built
+# with the SAME parameters (k; depth/width and the per-row seed
+# schedule; MG's k) — the docstrings warn that a mismatch silently
+# breaks semantics.  Persisted sketches therefore carry their
+# parameters in a ``_meta`` side table (the save_postings convention),
+# and the loader VALIDATES instead of trusting the caller's memory:
+# the failure mode changes from wrong-numbers-downstream to a
+# ValueError at load/merge time.
+
+_SKETCH_META_SUBDIR = "_meta"
+
+#: sketch kind -> the parameter names pinned in its _meta row
+_SKETCH_PARAMS = {
+    "kmv": ("k",),
+    "cms": ("depth", "width"),
+    "bottomk": ("k", "seed"),
+}
+
+
+def save_sketch(
+    sketch: DataFrame, path: str, kind: str, **params: int
+) -> None:
+    """Persist a sketch table plus its pinned parameters.
+
+    ``kind`` is ``"kmv"`` / ``"cms"`` / ``"bottomk"``; ``params`` must
+    provide exactly that kind's parameter set (e.g. ``k=256`` for kmv,
+    ``depth=4, width=2048`` for cms).  The rows go to ``path``, the
+    parameters to ``path/_meta`` (hidden from a scan of ``path``)."""
+    if kind not in _SKETCH_PARAMS:
+        raise ValueError(f"unknown sketch kind {kind!r}")
+    needed = _SKETCH_PARAMS[kind]
+    if set(params) != set(needed):
+        raise ValueError(
+            f"{kind} sketches pin exactly {needed}, got {tuple(params)}"
+        )
+    sketch.write.mode("overwrite").parquet(path)
+    spark = sketch.sparkSession
+    meta = spark.createDataFrame(
+        [(kind, *[int(params[p]) for p in needed])],
+        "kind string, " + ", ".join(f"{p} bigint" for p in needed),
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/{_SKETCH_META_SUBDIR}")
+
+
+def load_sketch(
+    spark, path: str, kind: str, **expected: int
+) -> tuple[DataFrame, dict]:
+    """Load a persisted sketch, validating its kind and (optionally)
+    its parameters.  Returns ``(rows, params)``.
+
+    Pass the parameters you are about to merge/query with (e.g.
+    ``load_sketch(spark, p, "cms", depth=4, width=2048)``): a mismatch
+    raises with both sides named, instead of silently mis-addressing
+    counters or merging incompatible k-min sets.  Omit them to just
+    read the pinned values back."""
+    meta = spark.read.parquet(f"{path}/{_SKETCH_META_SUBDIR}").first()
+    if meta["kind"] != kind:
+        raise ValueError(
+            f"sketch at {path} is kind {meta['kind']!r}, expected {kind!r}"
+        )
+    params = {p: int(meta[p]) for p in _SKETCH_PARAMS[kind]}
+    for name, want in expected.items():
+        if name not in params:
+            raise ValueError(f"{kind} sketches do not pin {name!r}")
+        if params[name] != want:
+            raise ValueError(
+                f"sketch at {path} pins {name}={params[name]}, caller "
+                f"expected {name}={want} — rebuild or re-parameterize"
+            )
+    return spark.read.parquet(path), params

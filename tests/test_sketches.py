@@ -493,3 +493,43 @@ def test_cms_join_cardinality_upper_bounds_and_converges(spark):
         depth=3,
     ).first()["est_join_rows"]
     assert est0 == 0
+
+
+def test_sketch_save_load_pins_parameters(spark, sf_dir, tmp_path):
+    from sparkall_spark.operators.sketches import (
+        cms_query,
+        cms_sketch,
+        kmv_merge,
+        kmv_sketch,
+        load_sketch,
+        save_sketch,
+    )
+
+    w = _words(spark, sf_dir)
+    # kmv round-trip + merge against the loaded sketch
+    sk = kmv_sketch(w, "word", k=32)
+    save_sketch(sk, str(tmp_path / "kmv"), "kmv", k=32)
+    loaded, params = load_sketch(spark, str(tmp_path / "kmv"), "kmv", k=32)
+    assert params == {"k": 32}
+    merged = kmv_merge(loaded, sk, k=32).first()
+    assert merged["est_distinct"] == sk.first()["est_distinct"]
+    # mismatched k raises loudly instead of mis-merging
+    with pytest.raises(ValueError, match="pins k=32"):
+        load_sketch(spark, str(tmp_path / "kmv"), "kmv", k=64)
+    with pytest.raises(ValueError, match="kind"):
+        load_sketch(spark, str(tmp_path / "kmv"), "cms", depth=3, width=64)
+    # cms round-trip: loaded counters answer queries identically
+    cs = cms_sketch(w.select("word"), "word", depth=3, width=64)
+    save_sketch(cs, str(tmp_path / "cms"), "cms", depth=3, width=64)
+    lc, p2 = load_sketch(
+        spark, str(tmp_path / "cms"), "cms", depth=3, width=64
+    )
+    probes = spark.createDataFrame([("the",), ("zz",)], ["word"])
+    a = {r["word"]: r["est"] for r in cms_query(cs, probes, "word", 3, 64).collect()}
+    b = {r["word"]: r["est"] for r in cms_query(lc, probes, "word", 3, 64).collect()}
+    assert a == b
+    # wrong/missing parameter sets rejected at save time
+    with pytest.raises(ValueError, match="pin exactly"):
+        save_sketch(cs, str(tmp_path / "bad"), "cms", depth=3)
+    with pytest.raises(ValueError, match="unknown sketch kind"):
+        save_sketch(cs, str(tmp_path / "bad"), "hll", k=1)

@@ -234,3 +234,79 @@ def reachable_from(
             visited = visited.localCheckpoint()  # compact the union chain
         frontier = nxt
     return visited
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    per_node: bool = False,
+) -> DataFrame:
+    """Exact triangle count over an undirected edge set (duplicate and
+    self edges tolerated — canonicalized first).
+
+    The scale move is DEGREE ORIENTATION (the standard trick from
+    Suri & Vassilvitskii, WWW'11 "Counting triangles and the curse of
+    the last reducer"): orient every edge from its lower-degree
+    endpoint to the higher (ties by id), count each triangle exactly
+    once at its lowest-degree vertex.  A vertex then has out-degree
+    O(sqrt(|E|)) regardless of how hot it is, so the wedge join —
+    the quadratic step — is bounded per node: a celebrity node with
+    10^6 neighbors contributes wedges only through its few
+    HIGHER-degree peers, not 10^12 neighbor pairs.  Plan: two
+    self-equi-joins on the oriented edge list, all shuffle-partitioned
+    by node; no windows, no driver data.
+
+    ``per_node=False`` (default): one row, ``n_triangles`` (bigint).
+    ``per_node=True``: (node, n_triangles) for every vertex of at
+    least one triangle — corner counts, each triangle contributing to
+    all three vertices.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    # orient low -> high by (degree, id)
+    fwd = ranked.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+        )
+        .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+        .alias("e")
+    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+    # wedges at the lowest-ranked vertex, closed by the oriented edge
+    w1 = fwd.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    w2 = fwd.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z"))
+    closing = fwd.select(
+        F.least("a", "b").alias("y"), F.greatest("a", "b").alias("z")
+    )
+    tris = wedges.join(closing, ["y", "z"]).select(
+        F.col("x"), F.col("y"), F.col("z")
+    )
+    if not per_node:
+        return tris.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    corners = (
+        tris.select(F.col("x").alias("node"))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .unionAll(tris.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

@@ -141,3 +141,71 @@ def project_micro_sql(
     # lambda binds mv once per row so the quantization isn't re-run per
     # coordinate term
     return f"list_transform([{mv}], mv -> [{body}])[1]"
+
+
+def mean_pool_vectors(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+    l2_normalize: bool = False,
+) -> DataFrame:
+    """Element-wise mean of the group's vectors — the standard
+    chunk-embeddings -> document-embedding pooling step.  One map-side-
+    combined aggregation (posexplode to (group, dim, value), avg per
+    dim, reassemble sorted by position); NULL vectors are dropped, and
+    ragged dimensionalities within a group raise at action time via the
+    count check rather than silently zip-truncating.
+
+    ``l2_normalize=True`` rescales the pooled vector to unit norm (the
+    usual prep before cosine retrieval).  Output: ``group_col`` +
+    ``out_col`` (array<double>) + ``n_pooled`` (bigint).
+    """
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(group_col),
+        F.size(vec_col).alias("__dim"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "__i", "__x"
+        ),
+    )
+    per_dim = base.groupBy(group_col, "__i").agg(
+        F.avg("__x").alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("__dim").alias("__dims"),
+    )
+    pooled = per_dim.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__i"), F.col("__m")))
+        ).alias("__im"),
+        F.max("__n").alias("n_pooled"),
+        (F.max("__dims") > 1).alias("__ragged"),
+    )
+    vec = F.transform(F.col("__im"), lambda s: s["__m"])
+    out = pooled.select(
+        F.col(group_col),
+        F.when(
+            F.col("__ragged"),
+            F.raise_error(
+                F.lit("mean_pool_vectors: mixed vector lengths in group")
+            ).cast("array<double>"),
+        )
+        .otherwise(vec)
+        .alias(out_col),
+        F.col("n_pooled").cast("bigint").alias("n_pooled"),
+    )
+    if l2_normalize:
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col(out_col), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        out = out.withColumn(
+            out_col,
+            F.when(
+                norm > 0,
+                F.transform(F.col(out_col), lambda x: x / norm),
+            ).otherwise(F.col(out_col)),
+        )
+    return out

@@ -235,3 +235,65 @@ def test_nearest_cells_arrow_bit_equals_expr(spark, sf_dir):
         assert len(got) == emb.count() + len(extra)
         for r in got:
             assert list(r["a"]) == list(r["e"]), (top_n, r["vec_id"])
+
+
+def test_mean_pool_vectors_exact_and_sql_mirrored(spark, duck, sf_dir):
+    from sparkall_spark.operators.projection import mean_pool_vectors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "grp", F.col("vec_id") % 7
+    )
+    got = {
+        r["grp"]: (r["n_pooled"], [round(x, 9) for x in r["embedding"]])
+        for r in mean_pool_vectors(emb, "grp").collect()
+    }
+    mirror = {
+        g: (n, [round(x, 9) for x in v])
+        for g, n, v in duck.execute(
+            """
+            WITH flat AS (
+              SELECT vec_id % 7 AS grp, unnest(e) AS x,
+                     unnest(range(1, len(e) + 1)) AS i
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+            per AS (SELECT grp, i, avg(x) AS m, count(*) AS n
+                    FROM flat GROUP BY 1, 2)
+            SELECT grp, max(n), list(m ORDER BY i) FROM per GROUP BY grp
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(mirror)
+    for g in got:
+        assert got[g][0] == mirror[g][0]
+        assert all(
+            abs(a - b) < 1e-9 for a, b in zip(got[g][1], mirror[g][1])
+        ), g
+    # normalized variant has unit norm
+    import math
+
+    for r in mean_pool_vectors(emb, "grp", l2_normalize=True).collect():
+        assert math.isclose(
+            sum(x * x for x in r["embedding"]), 1.0, rel_tol=1e-9
+        )
+
+
+def test_mean_pool_vectors_nulls_and_ragged(spark):
+    from sparkall_spark.operators.projection import mean_pool_vectors
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (1, [3.0, 5.0]), (1, None), (2, [2.0, 2.0])],
+        "g bigint, embedding array<double>",
+    )
+    got = {
+        r["g"]: (r["n_pooled"], list(r["embedding"]))
+        for r in mean_pool_vectors(df, "g").collect()
+    }
+    assert got == {1: (2, [2.0, 4.0]), 2: (1, [2.0, 2.0])}
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [1.0])], "g bigint, embedding array<double>"
+    )
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        mean_pool_vectors(ragged, "g").collect()

@@ -310,3 +310,44 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Local clustering coefficient per node: 2*triangles /
+    (degree*(degree-1)) — how close each node's neighborhood is to a
+    clique (community-structure / spam-farm signal).  Composes
+    :func:`triangle_count`'s per-node corners with one degree
+    aggregation over the canonical edge set; nodes with degree < 2
+    score 0.  Output: (node, degree, n_triangles, coeff 6dp)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    tris = triangle_count(edges, src, dst, per_node=True)
+    joined = deg.join(tris, "node", "left").withColumn(
+        "n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0))
+    )
+    denom = F.col("degree") * (F.col("degree") - 1)
+    return joined.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.round(
+            F.when(denom > 0, 2.0 * F.col("n_triangles") / denom).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("coeff"),
+    )

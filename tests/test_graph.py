@@ -225,3 +225,23 @@ def test_triangle_count_canonicalization_and_plan(spark):
     # no cartesian product, no window: equi-joins only
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_clustering_coefficient(spark):
+    from sparkall_spark.operators.graph import clustering_coefficient
+
+    # triangle 1-2-3 plus a pendant 3-4: coeff(1)=coeff(2)=1,
+    # coeff(3)=2*1/(3*2)=1/3, coeff(4)=0 (degree 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["coeff"])
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, round(1 / 3, 6)),
+        4: (1, 0, 0.0),
+    }

@@ -2928,6 +2928,11 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
       layout-independent, mergeable sample; exact interpolated
       percentiles over it mirror bit-for-bit (integer-valued n_chars
       keeps both engines' interpolation formulas ulp-aligned).
+    - ``tq`` (r9): boolean term retrieval over the SAME saved index
+      (operators/postings.py:term_query) — 'and_tf' = summed term
+      frequency of docs containing BOTH query terms, 'or_n' = matched
+      term count of docs containing EITHER; each per-term lookup is a
+      pruned partition read; plain tf-join SQL mirror.
     - ``cms`` (r9): Count-Min point-frequency estimates for a fixed
       probe list over the corpus vocabulary
       (operators/sketches.py:cms_sketch/cms_query) — the counter table
@@ -2946,6 +2951,7 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         phrase_search,
         read_postings_meta,
         save_postings,
+        term_query,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3048,6 +3054,21 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_sampled").cast("double").alias("value"),
         ).distinct()
     )
+    tq_and = term_query(saved, ["hash", "table"], n_buckets=16)
+    tq_or = term_query(saved, ["hash", "table"], mode="or", n_buckets=16)
+    tq_long = tq_and.select(
+        F.lit("tq").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("and_tf").alias("stat"),
+        F.col("total_tf").cast("double").alias("value"),
+    ).unionByName(
+        tq_or.select(
+            F.lit("tq").alias("family"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.lit("or_n").alias("stat"),
+            F.col("n_terms_matched").cast("double").alias("value"),
+        )
+    )
     # point-frequency telemetry: CMS estimates for fixed probe words
     # (one absent) — bounded depth*width counter state instead of a
     # full vocabulary count at 100 TB
@@ -3073,6 +3094,7 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kmv_ov)
         .unionByName(hh_long)
         .unionByName(q_long)
+        .unionByName(tq_long)
         .unionByName(cms_long)
     )
 
@@ -3081,6 +3103,20 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E29_CMS_DEPTH = 3
 _E29_CMS_WIDTH = 1024
 _E29_CMS_PROBES = ("the", "data", "hash", "qzxunseen")
+
+
+_E29_TQ_SQL = """
+UNION ALL
+SELECT 'tq' AS family, CAST(doc_id AS VARCHAR) AS key, 'and_tf' AS stat,
+       sum(tf)::DOUBLE AS value
+FROM bmp WHERE token IN ('hash', 'table')
+GROUP BY doc_id HAVING count(*) = 2
+UNION ALL
+SELECT 'tq' AS family, CAST(doc_id AS VARCHAR) AS key, 'or_n' AS stat,
+       count(*)::DOUBLE AS value
+FROM bmp WHERE token IN ('hash', 'table')
+GROUP BY doc_id
+"""
 
 
 def _e29_cms_oracle_sql() -> str:
@@ -3773,5 +3809,7 @@ def oracle_sql() -> dict[str, str]:
     out["e23_split_pack"] = _e23_oracle_sql()
     out["e24_semdedup"] = _e24_oracle_sql()
     out["e25_warc_crawl"] = _e25_oracle_sql()
-    out["e29_index_telemetry"] = _E29_ORACLE + _e29_cms_oracle_sql()
+    out["e29_index_telemetry"] = (
+        _E29_ORACLE + _E29_TQ_SQL + _e29_cms_oracle_sql()
+    )
     return out

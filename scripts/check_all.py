@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""All-entries correctness self-check: run EVERY __spark_entry__ query
+against its DuckDB oracle in ONE Spark session and write a SELFCHECK
+artifact in the driver's CORRECTNESS row format.
+
+This exists because the driver's CORRECTNESS_r09.json came back as an
+empty ``{}`` (harness flake) and left round 9 without a hard receipt;
+the judge's VERDICT (r9 Next #1) asked for an in-repo fallback that
+runs every round. Row format mirrors CORRECTNESS_r08.json:
+
+    {"<entry>": {"rows_match": bool, "schema_match": bool,
+                 "hash_match": bool, "spark_rows": int,
+                 "oracle_rows": int, "err": str|null}, ...}
+
+``hash_match`` here is a NaN-safe sorted row-set compare (the driver's
+value gate minus its hashing ceremony — same canonicalization as
+scripts/check_entry.py). Entries without an oracle get the weaker
+rows-only check the driver also applies (rows_match = spark ran and
+returned >= 0 rows; hash_match = null).
+
+Usage: python scripts/check_all.py [out.json] [sf_dir] [only_prefix...]
+  default out = SELFCHECK_r10.json, sf_dir = /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from sparkall_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(df):
+    """NaN-safe canonical row set: NaN->None, floats rounded, repr-sorted."""
+
+    def norm(v):
+        if isinstance(v, float):
+            return None if v != v else round(v, 6)
+        return v
+
+    return sorted(
+        (tuple(norm(v) for v in row)
+         for row in df.itertuples(index=False, name=None)),
+        key=repr,
+    )
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SELFCHECK_r10.json"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    only = sys.argv[3:]
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    results: dict[str, dict] = {}
+    n_fail = 0
+    t_all = time.time()
+    for name, q in queries.items():
+        if only and not any(name.startswith(p) for p in only):
+            continue
+        row = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        t0 = time.time()
+        try:
+            sdf = q(spark, sf_dir).toPandas()
+            sdf = sdf[sorted(sdf.columns)]
+            row["spark_rows"] = int(len(sdf))
+            oracle = oracles.get(name)
+            if oracle is None:
+                # weaker rows-only check, same as the driver's fallback
+                row.update(rows_match=True, schema_match=True,
+                           hash_match=None)
+            else:
+                odf = con.execute(oracle).df()
+                odf = odf[sorted(odf.columns)]
+                row["oracle_rows"] = int(len(odf))
+                row["rows_match"] = len(sdf) == len(odf)
+                row["schema_match"] = list(sdf.columns) == list(odf.columns)
+                row["hash_match"] = (row["schema_match"]
+                                     and canon(sdf) == canon(odf))
+        except Exception:
+            row["err"] = traceback.format_exc(limit=3)
+        ok = (row["err"] is None and row["rows_match"]
+              and row["schema_match"] and row["hash_match"] in (True, None))
+        n_fail += 0 if ok else 1
+        results[name] = row
+        print(f"{'OK ' if ok else 'FAIL'} {name:34s} "
+              f"rows={row['spark_rows']} vs {row['oracle_rows']} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"\n{len(results) - n_fail}/{len(results)} green "
+          f"in {time.time() - t_all:.0f}s -> {out_path}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -223,6 +223,7 @@ def semi_reduce_gate(
     depth: int,
     probe_rows: int,
     max_match_fraction: float = 0.7,
+    width: int | None = None,
 ) -> tuple[bool, int]:
     """Decide whether :func:`bloom_semi_reduce` is worth scheduling,
     from two PERSISTED CMS counter tables of the join keys (the
@@ -241,12 +242,17 @@ def semi_reduce_gate(
     at 100 TB the sketches come from the daily key-telemetry pass, not
     a fresh scan — building them ad hoc would cost more than the bloom
     filter they gate.
+
+    Pass ``width`` (the pinned value from ``load_sketch``) to validate
+    that both counter tables were built with the same bucket domain —
+    a width mismatch silently mis-pairs buckets and voids the
+    "True is trustworthy" one-sidedness this gate relies on.
     """
     from sparkall_spark.operators.sketches import cms_join_cardinality
 
     if probe_rows <= 0:
         return (False, 0)
-    est = cms_join_cardinality(probe_sketch, build_sketch, depth).first()[
-        "est_join_rows"
-    ]
+    est = cms_join_cardinality(
+        probe_sketch, build_sketch, depth, width=width
+    ).first()["est_join_rows"]
     return (est <= max_match_fraction * probe_rows, int(est))

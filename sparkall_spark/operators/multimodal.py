@@ -160,29 +160,18 @@ def parse_image_header(payload: bytes) -> dict | None:
             }
         return None
     # TIFF: walk IFD0 for ImageWidth(256)/ImageLength(257)/
-    # SamplesPerPixel(277), honoring the header's byte order
+    # SamplesPerPixel(277) via _tiff_ifd0, which handles the
+    # inline-vs-offset value encoding (count>1 or >4 total bytes
+    # stores an offset in the value field, not the value)
     if payload[:4] in (b"II*\x00", b"MM\x00*") and len(payload) >= 8:
-        bo = "little" if payload[:2] == b"II" else "big"
-        off = int.from_bytes(payload[4:8], bo)
-        if off + 2 <= len(payload):
-            n = int.from_bytes(payload[off : off + 2], bo)
-            vals: dict[int, int] = {}
-            for e in range(n):
-                base = off + 2 + 12 * e
-                if base + 12 > len(payload):
-                    break
-                tag = int.from_bytes(payload[base : base + 2], bo)
-                typ = int.from_bytes(payload[base + 2 : base + 4], bo)
-                if tag in (256, 257, 277) and typ in (3, 4):
-                    width_bytes = 2 if typ == 3 else 4
-                    vals[tag] = int.from_bytes(
-                        payload[base + 8 : base + 8 + width_bytes], bo
-                    )
-            if 256 in vals and 257 in vals:
+        parsed = _tiff_ifd0(payload)
+        if parsed is not None:
+            tags, _bo = parsed
+            if 256 in tags and 257 in tags and tags[256] and tags[257]:
                 return {
-                    "width": vals[256],
-                    "height": vals[257],
-                    "channels": vals.get(277, 1),
+                    "width": tags[256][0],
+                    "height": tags[257][0],
+                    "channels": tags.get(277, [1])[0],
                     "mime": "image/tiff",
                 }
         return None

@@ -897,8 +897,14 @@ def drop_histogram(report: DataFrame) -> DataFrame:
         "keep"
     ]
     n = F.count(F.lit(1))
+    # NULL gate values (e.g. NULL text makes every signal NULL) count
+    # as failed: a NULL predicate filters the row out downstream, so
+    # attributing it as "not failed" would undercount real drops
     aggs = [
-        F.sum(F.when(~F.col(c), 1).otherwise(0)).alias(c) for c in gate_cols
+        F.sum(
+            F.when(F.col(c).isNull() | ~F.col(c), 1).otherwise(0)
+        ).alias(c)
+        for c in gate_cols
     ]
     row = report.agg(n.alias("__n"), *aggs).first()
     total = row["__n"]

@@ -153,7 +153,9 @@ def mean_pool_vectors(
     """Element-wise mean of the group's vectors — the standard
     chunk-embeddings -> document-embedding pooling step.  One map-side-
     combined aggregation (posexplode to (group, dim, value), avg per
-    dim, reassemble sorted by position); NULL vectors are dropped, and
+    dim, reassemble sorted by position); NULL and zero-length vectors
+    are dropped (both carry no elements to pool — an empty array would
+    otherwise vanish in posexplode and dodge the ragged check), and
     ragged dimensionalities within a group raise at action time via the
     count check rather than silently zip-truncating.
 
@@ -161,7 +163,9 @@ def mean_pool_vectors(
     usual prep before cosine retrieval).  Output: ``group_col`` +
     ``out_col`` (array<double>) + ``n_pooled`` (bigint).
     """
-    base = df.filter(F.col(vec_col).isNotNull()).select(
+    base = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(
         F.col(group_col),
         F.size(vec_col).alias("__dim"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias(

@@ -931,7 +931,7 @@ GROUP BY {g} d, bucket
 
 
 def cms_join_cardinality(
-    a: DataFrame, b: DataFrame, depth: int
+    a: DataFrame, b: DataFrame, depth: int, width: int | None = None
 ) -> DataFrame:
     """Estimate |A JOIN B| on the sketched key from two counter tables
     (same depth/width/hash family): the classic CMS inner-product
@@ -952,7 +952,35 @@ def cms_join_cardinality(
     Deterministic like everything here: the estimate is a pure
     function of the two counter tables, so it mirrors in SQL
     (join on (d, bucket), SUM products, MIN over d).
+
+    ``width``: pass the width both sketches were built with (ideally
+    the pinned value from :func:`load_sketch`) to VALIDATE the bucket
+    domains — two sketches built with different widths join on
+    incompatible bucket ids and produce a meaningless estimate that is
+    no longer one-sided.  With ``width`` given, a sketch whose max
+    bucket falls outside ``[0, width)`` or whose hash rows don't span
+    exactly ``0..depth-1`` raises instead.  (One bounded-frame ``agg``
+    per side, driver-side like the estimate itself.)
     """
+    if width is not None:
+        if width < 1:
+            raise ValueError(f"width must be >= 1, got {width}")
+        for side, s in (("a", a), ("b", b)):
+            dom = s.agg(
+                F.max("bucket").alias("mb"), F.max("d").alias("md")
+            ).first()
+            if dom["mb"] is not None and dom["mb"] >= width:
+                raise ValueError(
+                    f"cms_join_cardinality: sketch {side} has bucket "
+                    f"{dom['mb']} >= declared width {width} — built with "
+                    "a different width; buckets would silently mis-pair"
+                )
+            if dom["md"] is not None and dom["md"] != depth - 1:
+                raise ValueError(
+                    f"cms_join_cardinality: sketch {side} has hash rows "
+                    f"0..{dom['md']} but declared depth {depth} — "
+                    "depth mismatch breaks the min-over-rows bound"
+                )
     sa = a.select("d", "bucket", F.col("cnt").alias("__ca"))
     sb = b.select("d", "bucket", F.col("cnt").alias("__cb"))
     per_row = (

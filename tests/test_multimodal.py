@@ -1868,6 +1868,38 @@ def test_parse_image_header_tiff_both_byte_orders():
     assert parse_image_header(b"II*\x00\xff\xff\xff\xff") is None
 
 
+def test_parse_image_header_tiff_offset_stored_values():
+    """A tag whose total value size exceeds 4 bytes stores an OFFSET in
+    the value field; the header parser must dereference it (it used to
+    read the offset itself as the dimension)."""
+    import struct
+
+    from sparkall_spark.operators.multimodal import parse_image_header
+
+    for bo in ("little", "big"):
+        e, magic = ("<", b"II*\x00") if bo == "little" else (">", b"MM\x00*")
+        n = 3
+        ifd_off = 8
+        data_off = ifd_off + 2 + 12 * n + 4
+        width_vals = struct.pack(e + "HHH", 800, 1, 2)  # SHORT x3: 6 bytes
+        height_vals = struct.pack(e + "II", 600, 9)  # LONG x2: 8 bytes
+        w_off = data_off
+        h_off = w_off + len(width_vals)
+        ifd = struct.pack(e + "H", n)
+        ifd += struct.pack(e + "HHII", 256, 3, 3, w_off)
+        ifd += struct.pack(e + "HHII", 257, 4, 2, h_off)
+        ifd += struct.pack(e + "HHI", 277, 3, 1)
+        ifd += struct.pack(e + "H", 3) + b"\x00\x00"  # inline, left-justified
+        ifd += struct.pack(e + "I", 0)
+        payload = (
+            magic + struct.pack(e + "I", ifd_off) + ifd
+            + width_vals + height_vals
+        )
+        h = parse_image_header(payload)
+        assert h == {"width": 800, "height": 600, "channels": 3,
+                     "mime": "image/tiff"}, bo
+
+
 def _tiff_bytes(w, h, pixels, photometric=1, spp=1, bo="little",
                 compression=1, n_strips=2):
     """Minimal stripped TIFF writer (8-bit), independent of the reader."""

@@ -614,3 +614,20 @@ def test_filter_report_matches_pipeline_survivors(spark, docs):
     hist = {r["gate"]: r["n_failed"] for r in drop_histogram(rep).collect()}
     assert set(hist) >= {"pass_quality", "pass_lang", "keep"}
     assert hist["keep"] == rep.count() - len(kept_report)
+
+
+def test_drop_histogram_counts_null_gates_as_failed(spark):
+    """NULL gate values (e.g. NULL text makes every signal NULL) must
+    count as failed: a NULL predicate drops the row downstream."""
+    from sparkall_spark.operators.pipeline import drop_histogram
+
+    rep = spark.createDataFrame(
+        [(True, True), (False, True), (None, None)],
+        "pass_quality boolean, keep boolean",
+    )
+    hist = {
+        r["gate"]: (r["n_failed"], r["fail_rate"])
+        for r in drop_histogram(rep).collect()
+    }
+    assert hist == {"pass_quality": (2, round(2 / 3, 6)),
+                    "keep": (1, round(1 / 3, 6))}

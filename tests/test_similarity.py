@@ -297,3 +297,20 @@ def test_mean_pool_vectors_nulls_and_ragged(spark):
 
     with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
         mean_pool_vectors(ragged, "g").collect()
+
+
+def test_mean_pool_vectors_empty_vectors_dropped(spark):
+    """Zero-length vectors carry no elements to pool — dropped like
+    NULLs (an empty array vanishes in posexplode, so it must not count
+    toward n_pooled nor dodge the ragged check by mixing silently)."""
+    from sparkall_spark.operators.projection import mean_pool_vectors
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (1, []), (2, []), (2, None)],
+        "g bigint, embedding array<double>",
+    )
+    got = {
+        r["g"]: (r["n_pooled"], list(r["embedding"]))
+        for r in mean_pool_vectors(df, "g").collect()
+    }
+    assert got == {1: (1, [1.0, 3.0])}

@@ -495,6 +495,44 @@ def test_cms_join_cardinality_upper_bounds_and_converges(spark):
     assert est0 == 0
 
 
+def test_cms_join_cardinality_validates_bucket_domain(spark):
+    """Passing width pins the bucket domain: sketches built with a
+    different width (or depth) raise instead of silently mis-pairing
+    buckets and voiding the one-sided bound."""
+    import pytest
+
+    from sparkall_spark.operators.sketches import (
+        cms_join_cardinality,
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, ["k"])
+    b = spark.createDataFrame([("x",)] * 3 + [("y",)] * 4, ["k"])
+    ok = cms_join_cardinality(
+        cms_sketch(a, "k", depth=3, width=4096),
+        cms_sketch(b, "k", depth=3, width=4096),
+        depth=3,
+        width=4096,
+    ).first()["est_join_rows"]
+    assert ok == 5 * 3 + 2 * 4
+    # 200 distinct keys in a width-4096 sketch put buckets well past 8
+    wide = cms_sketch(
+        spark.range(200).selectExpr("CAST(id AS STRING) AS k"),
+        "k", depth=3, width=4096,
+    )
+    with pytest.raises(ValueError, match="width"):
+        cms_join_cardinality(
+            cms_sketch(a, "k", depth=3, width=8), wide, depth=3, width=8,
+        )
+    with pytest.raises(ValueError, match="depth"):
+        cms_join_cardinality(
+            cms_sketch(a, "k", depth=2, width=4096),
+            cms_sketch(b, "k", depth=3, width=4096),
+            depth=3,
+            width=4096,
+        )
+
+
 def test_sketch_save_load_pins_parameters(spark, sf_dir, tmp_path):
     from sparkall_spark.operators.sketches import (
         cms_query,

@@ -93,6 +93,7 @@ def build_postings(
 #: _delta_log convention)
 _DOCLEN_SUBDIR = "_doclen"
 _META_SUBDIR = "_meta"
+_COMPACT_SUBDIR = "_compact_tmp"
 
 
 def token_bucket(token: str, n_buckets: int, seed: int = 0) -> int:
@@ -188,8 +189,8 @@ def append_postings(postings: DataFrame, path: str) -> None:
     standard ingest-ledger discipline, ``pipeline.ingest_documents``)
     — appending an existing doc's postings would double-count its tf.
     Single-writer, like every plain-parquet sink here.  Each append
-    adds one file per touched bucket; a periodic compaction
-    (:func:`save_postings` rewrite) restores file counts.  The input
+    adds one file per touched bucket; a periodic
+    :func:`compact_postings` restores file counts in place.  The input
     plan is pinned (persist) across its two consumers so the index
     rows and the doclen rows cannot diverge on an unstable source —
     the ``ingest_documents`` lesson.
@@ -212,6 +213,75 @@ def append_postings(postings: DataFrame, path: str) -> None:
         _write_meta(spark, path, nb, seed)
     finally:
         pinned.unpersist()
+
+
+def compact_postings(spark: SparkSession, path: str) -> None:
+    """Rewrite a saved index down to one data file per bucket,
+    preserving the saved layout parameters — the maintenance pass
+    :func:`append_postings` budgets for ("one file per touched bucket
+    per append; periodic compaction restores file counts").
+
+    Two-phase, all data movement through Spark writes so it works on
+    any Hadoop-compatible filesystem:
+
+    1. stage the live rows — re-bucketed with the SAVED
+       ``n_buckets``/``seed`` from ``_meta``, never the caller's
+       memory — into a hidden ``_compact_tmp`` subdir (Spark refuses
+       to overwrite a path it is lazily reading from, so the staging
+       hop breaks the read-write cycle the way a real compaction job
+       on S3/HDFS does);
+    2. read the staged rows back and dynamic-partition-overwrite the
+       live bucket directories in place, rewrite ``_doclen`` the same
+       way (appends grow its file count too), and re-derive ``_meta``.
+
+    The staging dir is removed through the Hadoop FS API afterward.
+    Single-writer, like every plain-parquet sink here; concurrent
+    queries against ``path`` during the swap see a partially-compacted
+    listing — schedule it like any other table-maintenance window.
+
+    Invariants (tests/test_postings.py): post-compact rows, meta and
+    query answers are hash-equal to the pre-compact index AND to a
+    fresh :func:`save_postings` rebuild; each bucket directory holds
+    exactly one data file; pruned lookups keep their PartitionFilters.
+    """
+    meta = read_postings_meta(spark, path)
+    nb, seed = int(meta["n_buckets"]), int(meta["seed"])
+    staging = f"{path}/{_COMPACT_SUBDIR}"
+    rebucketed = (
+        load_postings(spark, path)
+        .drop("tok_bucket")
+        .withColumn(
+            "tok_bucket", _token_bucket_col(F.col("token"), nb, seed)
+        )
+    )
+    # one shuffle partition per bucket -> each bucket dir is written
+    # by exactly one task -> exactly one file per bucket
+    rebucketed.repartition(nb, "tok_bucket").write.mode(
+        "overwrite"
+    ).partitionBy("tok_bucket").parquet(f"{staging}/postings")
+    load_doclen(spark, path).write.mode("overwrite").parquet(
+        f"{staging}/doclen"
+    )
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # dynamic mode replaces exactly the bucket dirs the write
+        # produces (all of them — every live row was staged) and
+        # leaves the _-hidden side tables alone
+        spark.read.parquet(f"{staging}/postings").repartition(
+            nb, "tok_bucket"
+        ).write.mode("overwrite").partitionBy("tok_bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.read.parquet(f"{staging}/doclen").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{_DOCLEN_SUBDIR}")
+    _write_meta(spark, path, nb, seed)
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(staging)
+    jp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jp, True)
 
 
 def load_postings(spark: SparkSession, path: str) -> DataFrame:

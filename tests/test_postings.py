@@ -346,6 +346,82 @@ def test_append_postings_equals_full_rebuild(spark, tmp_path):
     assert a == want
 
 
+def test_compact_postings_restores_file_counts(spark, tmp_path):
+    """append -> compact must be indistinguishable from a fresh rebuild
+    (rows, meta, doclen, pruned query answers) while bringing every
+    bucket directory back to exactly one data file."""
+    import os
+
+    from sparkall_spark.operators.postings import (
+        append_postings,
+        compact_postings,
+        load_doclen,
+        load_postings,
+        read_postings_meta,
+        save_postings,
+        token_bucket,
+    )
+
+    docs = _docs(spark)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    save_postings(build_postings(docs.filter("doc_id <= 2")), inc,
+                  n_buckets=8)
+    append_postings(build_postings(docs.filter("doc_id in (3, 4)")), inc)
+    append_postings(build_postings(docs.filter("doc_id > 4")), inc)
+    save_postings(build_postings(docs), full, n_buckets=8)
+
+    def data_files(d):
+        return [
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet") and "_compact_tmp" not in root
+        ]
+
+    def bucket_files(d):
+        out = {}
+        for f in data_files(d):
+            part = [p for p in f.split(os.sep) if p.startswith("tok_bucket=")]
+            if part:
+                out.setdefault(part[0], []).append(f)
+        return out
+
+    # two appends really did grow per-bucket file counts
+    assert any(len(v) > 1 for v in bucket_files(inc).values())
+    key = lambda r: (r["token"], r["doc_id"], tuple(r["positions"]),
+                     r["tf"], r["tok_bucket"])
+    before = sorted(map(key, load_postings(spark, inc).collect()))
+
+    compact_postings(spark, inc)
+
+    # one data file per bucket dir, staging gone
+    bf = bucket_files(inc)
+    assert bf and all(len(v) == 1 for v in bf.values()), bf
+    assert not os.path.exists(os.path.join(inc, "_compact_tmp"))
+    # rows unchanged and equal to the fresh rebuild
+    after = sorted(map(key, load_postings(spark, inc).collect()))
+    assert after == before
+    assert after == sorted(map(key, load_postings(spark, full).collect()))
+    # meta + doclen equal to the fresh rebuild; doclen back to one write
+    mi, mf = read_postings_meta(spark, inc), read_postings_meta(spark, full)
+    assert mi == mf
+    assert sorted(map(tuple, load_doclen(spark, inc).collect())) == sorted(
+        map(tuple, load_doclen(spark, full).collect())
+    )
+    # pruned query answers survive the rewrite, PartitionFilters intact
+    saved = load_postings(spark, inc)
+    out = phrase_search(saved, "quick", n_buckets=8)
+    got = {r["doc_id"]: r["n_matches"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    b = token_bucket("quick", 8)
+    assert any(
+        "PartitionFilters" in ln and f"= {b})" in ln
+        for ln in plan.splitlines()
+    )
+
+
 def test_phrase_decontaminate_via_saved_index(spark, tmp_path):
     from sparkall_spark.operators.postings import (
         load_postings,

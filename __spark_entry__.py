@@ -974,19 +974,101 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def _e04_images() -> list[tuple[int, bytes]]:
+    """Deterministic binary-PGM (P5) fixture images for e04's image
+    near-dup legs — 12 distinct 24x16 bases (seeded RNG, pixel range
+    0..199 so brightness shifts never clip) plus planted near-dups:
+    +4 uniform brightness (dHash compares neighboring block means, so
+    a uniform shift preserves every comparison -> Hamming 0 exactly)
+    and one locally-bumped copy (a few flipped gradient bits).
+    sf-independent by design: the oracle embeds the driver-side
+    fingerprints of these same payloads as literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(2024)
+    planes = [
+        (i, rng.integers(0, 200, size=(16, 24), dtype=np.uint8))
+        for i in range(12)
+    ]
+    for copy_id, src in ((100, 0), (101, 3), (102, 7)):
+        planes.append((copy_id, (planes[src][1] + 4).astype(np.uint8)))
+    bumped = planes[5][1].copy()
+    bumped[6:9, 10:13] = 255  # one bright patch: flips a few grid bits
+    planes.append((103, bumped))
+    return [
+        (i, b"P5\n24 16\n255\n" + a.tobytes()) for i, a in planes
+    ]
+
+
+def _e04_fingerprints() -> list[tuple[int, int]]:
+    """Driver-side dHash of the fixture images via the SAME pure-Python
+    decode the executors run (multimodal.decode_pixels + dhash64) —
+    the oracle's precomputed-literal side, so the driver gate verifies
+    the distributed mapInPandas plumbing and the banded pair join."""
+    from sparkall_spark.operators.multimodal import decode_pixels, dhash64
+
+    return [(i, dhash64(decode_pixels(p))) for i, p in _e04_images()]
+
+
 def _e04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # portable-polynomial token hashes -> the full SimHash computation
-    # mirrors in ANSI SQL (pair banding over xxhash64 fingerprints stays
-    # covered by tests/test_dedup.py)
+    """Fingerprint near-dup family, tagged and unioned (the e09/e22
+    pattern):
+
+    - 'simhash': portable-polynomial token hashes -> the full SimHash
+      computation mirrors in ANSI SQL (pair banding over xxhash64
+      fingerprints stays covered by tests/test_dedup.py);
+    - 'dhash' (r10): the image path end-to-end — deterministic PGM
+      payloads decoded to luma and dHashed in executors
+      (multimodal.decode_images, Arrow-batched mapInPandas) vs the
+      same fingerprints computed driver-side and embedded as oracle
+      literals;
+    - 'hpairs' (r10): fingerprint_hamming_pairs over those dHashes
+      (pigeonhole 16-bit chunk equi-join, never all-pairs) vs the
+      oracle's literal all-pairs xor/bit_count at max_hamming=3 —
+      recall is structural (hamming < chunks), so the mirror is exact.
+    """
+    from sparkall_spark.operators import multimodal as M
+
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_fingerprints(docs, bits=30, portable=True)
+    sim = D.simhash_fingerprints(docs, bits=30, portable=True).select(
+        F.lit("simhash").alias("family"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("simhash").cast("bigint").alias("val"),
+    )
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in _e04_images()],
+        "media_id long, payload binary",
+    )
+    feats = M.decode_images(media).select("media_id", "phash")
+    dh = feats.select(
+        F.lit("dhash").alias("family"),
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        F.col("phash").cast("bigint").alias("val"),
+    )
+    pairs = D.fingerprint_hamming_pairs(
+        feats, "media_id", "phash", max_hamming=3, chunks=4
+    )
+    hp = pairs.select(
+        F.lit("hpairs").alias("family"),
+        (F.col("id_a") * 100000 + F.col("id_b"))
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("hamming").cast("bigint").alias("val"),
+    )
+    return sim.unionByName(dh).unionByName(hp)
 
 
 # bit i of each per-token polynomial hash votes +1/-1; bit set iff the
 # vote sum is positive — the same unrolled 30-term sum the Spark side
 # computes (operators/dedup.py:simhash)
-_E04_ORACLE = (
-    """
+def _e04_oracle_sql() -> str:
+    fps = ", ".join(f"({i}, {fp})" for i, fp in _e04_fingerprints())
+    simhash_bits = "\n + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(30)
+    )
+    return f"""
 WITH t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -1000,15 +1082,18 @@ h AS (
                [ascii(c)::BIGINT FOR c IN
                   list_filter(string_split(t, ''), x -> x <> '')]),
              (acc, c) -> (acc * 31 + c) % 1000000007)) hs
-  FROM t)
-SELECT doc_id, ("""
-    + "\n + ".join(
-        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1"
-        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END"
-        for i in range(30)
-    )
-    + ")::BIGINT AS simhash FROM h"
-)
+  FROM t),
+fps(img_id, fp) AS (VALUES {fps})
+SELECT 'simhash' AS family, doc_id, ({simhash_bits})::BIGINT AS val FROM h
+UNION ALL
+SELECT 'dhash' AS family, img_id::BIGINT AS doc_id, fp::BIGINT AS val
+FROM fps
+UNION ALL
+SELECT 'hpairs' AS family, (a.img_id * 100000 + b.img_id)::BIGINT AS doc_id,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS val
+FROM fps a JOIN fps b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
 
 
 def _e06_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,15 +1217,26 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force top-k under the int8 scalar-quantized metric
     (operators/quantize.py — 4x smaller corpus working set; scales
     cancel in cosine, so scoring is integer dots + one division+sqrt,
-    which is why it mirrors exactly) — all fully deterministic (fixed
-    seeded centroids / hyperplanes / codebooks, floor-based rounding)
-    and all mirrored literally in SQL."""
+    which is why it mirrors exactly), plus 'ivfq8' (r10) = the COMPOSED
+    memory-bound shape ivf_topk_q8 (IVF cells bound the candidate set,
+    int8 codes score it — one int cell + dim code bytes per corpus
+    vector is the entry's own 100 TB memory story, now driver-gated) —
+    all fully deterministic (fixed seeded centroids / hyperplanes /
+    codebooks, floor-based rounding) and all mirrored literally in
+    SQL."""
     from sparkall_spark.operators import quantize as Qz
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     q8 = Qz.quantized_topk(emb, queries, k=10).select(
         F.lit("q8").alias("method"),
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+    ivfq8 = Qz.ivf_topk_q8(
+        emb, queries, centroids=_E09_CENTROIDS, k=10, nprobe=4
+    ).select(
+        F.lit("ivfq8").alias("method"),
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
     )
@@ -1182,6 +1278,7 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lsh)
         .unionByName(pq)
         .unionByName(q8)
+        .unionByName(ivfq8)
     )
 
 
@@ -1216,6 +1313,37 @@ QUALIFY rank <= 10
 """
 
 
+def _ivfq8_parts() -> tuple[str, str]:
+    """e09 'ivfq8' mirror as (CTE, SELECT) fragments: the ivf leg's
+    cell restriction (reuses the shared ``q``/``c`` CTEs — same fixed
+    centroids, same argmax/probe rules) scored with the q8 leg's
+    integer-exact quantized cosine (operators/quantize.quantize_sql
+    renders the codes so the arithmetic cannot drift)."""
+    from sparkall_spark.operators.quantize import quantize_sql
+
+    qc = quantize_sql("embedding::DOUBLE[]")
+    ctes = f"""
+qcodes AS (
+  SELECT vec_id, qc, list_dot_product(qc::DOUBLE[], qc::DOUBLE[]) AS n
+  FROM (SELECT vec_id, {qc} AS qc FROM embeddings)),
+ivfq8_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CASE WHEN a.n > 0 AND b.n > 0
+               THEN list_dot_product(a.qc::DOUBLE[], b.qc::DOUBLE[])
+                    / sqrt(a.n * b.n)
+               ELSE 0.0 END, 6) AS cosine
+  FROM q JOIN c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+  JOIN qcodes a ON a.vec_id = q.vec_id
+  JOIN qcodes b ON b.vec_id = c.vec_id)"""
+    select = """
+SELECT 'ivfq8' AS method, query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM ivfq8_scored QUALIFY rank <= 10
+"""
+    return ctes, select
+
+
 def _e09_oracle_sql() -> str:
     """Mirror of ivf_topk with the fixed codebook (per-vector cell =
     argmax cosine over the 16 literal centroids, 6dp rounded, ties to
@@ -1230,6 +1358,7 @@ def _e09_oracle_sql() -> str:
     )
     lsh_ctes, lsh_select = _lsh_oracle_parts()
     pq_ctes, pq_select = _pq_oracle_parts()
+    iq8_ctes, iq8_select = _ivfq8_parts()
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 cellinfo AS (
@@ -1247,6 +1376,7 @@ scored AS (
   WHERE c.vec_id <> q.vec_id),
 {lsh_ctes.strip()},
 {pq_ctes.strip()},
+{iq8_ctes.strip()},
 {_BRUTE_CTE.strip()}
 SELECT 'ivf' AS method, query_id, neighbor_id, cosine,
        row_number() OVER (PARTITION BY query_id
@@ -1260,6 +1390,8 @@ UNION ALL
 {_BRUTE_SELECT.strip()}
 UNION ALL
 {_q8_select().strip()}
+UNION ALL
+{iq8_select.strip()}
 """
 
 
@@ -3298,7 +3430,13 @@ def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       cross-engine).  The oracle is the all-pairs quantized-cosine
       mirror: candidate recall at the planted pairs' qcos ~0.9999 is
       1 - ~1e-14 per pair (8 tables x 8 bits), the documented
-      miss-odds pattern of the minhash legs."""
+      miss-odds pattern of the minhash legs.
+    - 'tri'/'cc' (r10): graph analytics — per-node exact triangle
+      corners (degree-oriented wedge join, Suri-Vassilvitskii) and
+      local clustering coefficient over an events-derived edge set
+      (u -> u+1/u+2, equi-joins).  Oracle: brute-force triple-join
+      triangle enumeration; 'cc' micro-encodes the 6dp coefficient
+      into the bigint val column."""
     from sparkall_spark.functions.text import token_set
 
     from sparkall_spark.operators import sampling as S
@@ -3370,10 +3508,47 @@ def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("doc_id"),
         int_dot(F.col("qvec"), F.col("qvec")).alias("val"),
     )
+    # graph analytics legs (r10): triangle corners + local clustering
+    # coefficient over an events-derived edge set (user u -> u+1, u+2
+    # where the target exists — EQUI-joins via explode, never a
+    # nested-loop range join).  'cc' rides the bigint val column as
+    # exact-micro fixed point (coeff is 6dp-rounded, so *1e6 is within
+    # 1e-9 of an integer — no rounding-boundary risk).
+    from sparkall_spark.operators import graph as G
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("bigint").alias("u"))
+        .distinct()
+    )
+    gedges = (
+        users.select(
+            "u",
+            F.explode(
+                F.array(F.col("u") + 1, F.col("u") + 2)
+            ).alias("v"),
+        )
+        .join(users.select(F.col("u").alias("v")), "v")
+        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    )
+    tri = G.triangle_count(gedges, per_node=True).select(
+        F.lit("tri").alias("family"),
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("n_triangles").cast("bigint").alias("val"),
+    )
+    cc = G.clustering_coefficient(gedges).select(
+        F.lit("cc").alias("family"),
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.round(F.col("coeff") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("val"),
+    )
     return (
         clusters.unionByName(mhinc)
         .unionByName(split_leg)
         .unionByName(embinc)
+        .unionByName(tri)
+        .unionByName(cc)
     )
 
 
@@ -3481,6 +3656,42 @@ FROM reach GROUP BY node
 UNION ALL
 SELECT 'mhinc' AS family, doc_id, CAST(len(toks) AS BIGINT) AS val
 FROM msurv WHERE doc_id NOT IN (SELECT doc_id FROM mdom)
+"""
+
+
+def _e22_graph_oracle_sql() -> str:
+    """'tri'/'cc' family mirror: brute-force triangle enumeration over
+    the canonical (x<y, distinct-by-construction) events-derived edge
+    set — each triangle once as a<b<c, corners unioned — and the
+    textbook 2t/(d(d-1)) coefficient, 6dp-rounded then micro-encoded
+    exactly like the Spark leg."""
+    return """
+UNION ALL
+SELECT family, doc_id, val FROM (
+  WITH gu AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS n FROM events),
+  ge AS (SELECT a.n AS x, b.n AS y FROM gu a
+         JOIN gu b ON b.n = a.n + 1 OR b.n = a.n + 2),
+  gtri AS (
+    SELECT e1.x AS a, e1.y AS b, e2.y AS c
+    FROM ge e1
+    JOIN ge e2 ON e2.x = e1.x AND e2.y > e1.y
+    JOIN ge e3 ON e3.x = e1.y AND e3.y = e2.y),
+  gcorners AS (
+    SELECT a AS node FROM gtri
+    UNION ALL SELECT b FROM gtri
+    UNION ALL SELECT c FROM gtri),
+  gt AS (SELECT node, count(*)::BIGINT AS t FROM gcorners GROUP BY node),
+  gdeg AS (SELECT node, count(*)::BIGINT AS d
+           FROM (SELECT x AS node FROM ge UNION ALL SELECT y FROM ge)
+           GROUP BY node)
+  SELECT 'tri' AS family, node AS doc_id, t AS val FROM gt
+  UNION ALL
+  SELECT 'cc' AS family, gdeg.node AS doc_id,
+         CAST(round(round(CASE WHEN gdeg.d > 1
+              THEN 2.0 * COALESCE(gt.t, 0) / (gdeg.d * (gdeg.d - 1))
+              ELSE 0.0 END, 6) * 1000000.0) AS BIGINT) AS val
+  FROM gdeg LEFT JOIN gt ON gt.node = gdeg.node
+)
 """
 
 
@@ -3790,7 +4001,7 @@ def oracle_sql() -> dict[str, str]:
     out["q24_rml_fno_transform"] = _Q24_ORACLE
     out["e01_dedup_exact"] = _E01_ORACLE
     out["e03_dedup_minhash"] = _E03_ORACLE
-    out["e04_dedup_simhash"] = _E04_ORACLE
+    out["e04_dedup_simhash"] = _e04_oracle_sql()
     out["e06_dedup_embedding"] = _E06_ORACLE
     out["e09_sim_topk_ivf"] = _e09_oracle_sql()
     out["e27_kmeans_assign"] = _e27_oracle_sql()
@@ -3804,7 +4015,10 @@ def oracle_sql() -> dict[str, str]:
     out["e20_pretrain_pipeline"] = _E20_ORACLE
     out["e21_stats_aggregates"] = _E21_ORACLE + _E21_UNORM_SQL
     out["e22_dedup_clusters"] = (
-        _E22_ORACLE + _e22_split_oracle_sql() + _e22_embinc_oracle_sql()
+        _E22_ORACLE
+        + _e22_split_oracle_sql()
+        + _e22_embinc_oracle_sql()
+        + _e22_graph_oracle_sql()
     )
     out["e23_split_pack"] = _e23_oracle_sql()
     out["e24_semdedup"] = _e24_oracle_sql()

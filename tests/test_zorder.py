@@ -98,3 +98,53 @@ def test_zordered_layout_tightens_stats_in_both_dims(spark, tmp_path):
     assert back.agg(F.sum("x"), F.sum("y")).first() == df.agg(
         F.sum("x"), F.sum("y")
     ).first()
+
+
+def _executed_scan_metric(df, metric="numOutputRows"):
+    """Execute ``df`` and read a metric off the EXECUTED scan leaf —
+    the read-side receipt (pushed filters prune parquet row groups via
+    footer min/max before rows ever reach the executor)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "Scan" in node.nodeName():
+            return node.metrics().apply(metric).value()
+    raise AssertionError(f"no scan leaf in plan:\n{plan.toString()}")
+
+
+def test_zordered_scan_skips_row_groups_on_trailing_dim(spark, tmp_path):
+    """Query-time receipt for the z-ordered layout: a filter on y ALONE
+    lets the parquet reader skip most row groups (their y min/max is
+    tight under Z-order), while the linear x-sorted layout reads every
+    row — asserted on the executed scan node's numOutputRows, i.e.
+    rows that survived row-group skipping, not the post-filter count."""
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("y"),
+    )
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "linear")
+    write_zordered(df, zpath, ["x", "y"], bits=10, n_files=32)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(
+        lpath
+    )
+    pred = "y >= 200 AND y <= 250"
+    zq = spark.read.parquet(zpath).filter(pred)
+    lq = spark.read.parquet(lpath).filter(pred)
+    # same answer from both layouts
+    assert sorted(map(tuple, zq.collect())) == sorted(map(tuple, lq.collect()))
+    assert zq.count() > 0
+    # the filter must reach the scan for skipping to happen at all
+    zplan = zq._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in zplan and "GreaterThanOrEqual(y,200)" in zplan
+    z_scan = _executed_scan_metric(zq)
+    l_scan = _executed_scan_metric(lq)
+    # linear-by-x cannot skip on y: every row is read
+    assert l_scan == n
+    # z-order: only row groups whose y-range intersects [200, 250]
+    # survive (~1/4 of key-space prefixes plus range-boundary smear;
+    # observed ~0.31 at 32 files — assert with margin)
+    assert z_scan <= n * 0.4, (z_scan, l_scan)

@@ -3033,7 +3033,9 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the SAVED index layout):
 
     - ``idxmeta``: the saved index's corpus stats (n_docs) read back
-      from its ``_meta`` side table — gates the save/load roundtrip.
+      from its ``_meta`` side table — gates the save/append/compact/
+      load lifecycle (r10: the index is built via an initial save, an
+      ingest-batch append, and an in-place compaction).
     - ``phrase``: exact phrase search for "hash table" served from the
       SAVED token-bucket-partitioned index (operators/postings.py:
       save_postings) — every per-token lookup carries the literal
@@ -3076,8 +3078,10 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkall_spark.operators import sketches as K
     from sparkall_spark.operators.postings import (
+        append_postings,
         bm25_scores,
         build_postings,
+        compact_postings,
         load_doclen,
         load_postings,
         phrase_search,
@@ -3087,10 +3091,24 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # build + persist the index ONCE (the write is the one corpus
-    # pass); every query leg below reads the saved layout
+    # build + persist the index through the FULL maintenance lifecycle
+    # (r10): initial save over 4/5 of the corpus, one ingest-batch
+    # append (the remaining 1/5), then an in-place compaction back to
+    # one file per bucket — append->compact == fresh rebuild is
+    # hash-equality-tested in tests/test_postings.py, and every query
+    # leg below now gates the lifecycle end-to-end through its oracle
+    # (the oracles mirror the full corpus, so a row lost or duplicated
+    # by append/compact hash-mismatches)
     idx_dir = tempfile.mkdtemp(prefix="sparkall_e29_idx_")
-    save_postings(build_postings(docs), idx_dir, n_buckets=16)
+    save_postings(
+        build_postings(docs.filter(F.col("doc_id") % 5 != 0)),
+        idx_dir,
+        n_buckets=16,
+    )
+    append_postings(
+        build_postings(docs.filter(F.col("doc_id") % 5 == 0)), idx_dir
+    )
+    compact_postings(spark, idx_dir)
     meta = read_postings_meta(spark, idx_dir)
     saved = load_postings(spark, idx_dir)
     meta_long = spark.range(1).select(

@@ -826,6 +826,11 @@ def filter_report(
     cap) are relational decisions, not per-row predicates — audit those
     from their own outputs.  Gates whose knob is off report ``True``
     (not applied = passed).
+
+    Gate columns are total (never NULL): a NULL text makes every
+    signal NULL, and a NULL predicate would DROP the row in
+    prepare_documents, so such gates are coalesced to False — the
+    report's ``keep``/``NOT keep`` partition covers every input row.
     """
     gates: dict[str, F.Column] = {}
     gates["pass_c4"] = (
@@ -878,6 +883,11 @@ def filter_report(
     gates["pass_lang"] = (
         lang.isin(*keep_langs) if keep_langs is not None else F.lit(True)
     )
+    # totalize: NULL signals (NULL text) fail like prepare_documents'
+    # filters would; keep is the AND of the totalized gates
+    gates = {
+        name: F.coalesce(g, F.lit(False)) for name, g in gates.items()
+    }
     keep = None
     for g in gates.values():
         keep = g if keep is None else (keep & g)

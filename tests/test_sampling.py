@@ -631,3 +631,27 @@ def test_drop_histogram_counts_null_gates_as_failed(spark):
     }
     assert hist == {"pass_quality": (2, round(2 / 3, 6)),
                     "keep": (1, round(1 / 3, 6))}
+
+
+def test_filter_report_gates_are_total_on_null_text(spark):
+    """NULL text must yield False gates and keep=False (not NULL) —
+    the report's keep/NOT-keep partition covers every input row, and
+    prepare_documents drops such rows (NULL predicates filter out)."""
+    from sparkall_spark.operators.pipeline import (
+        filter_report,
+        prepare_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a good plain document with several ordinary words . " * 9),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    rep = filter_report(docs, min_quality=0.0, c4_rules=True)
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    assert rows[2]["keep"] is False and rows[2]["pass_c4"] is False
+    assert rows[1]["keep"] in (True, False)  # total, never NULL
+    assert rep.filter("keep").count() + rep.filter("NOT keep").count() == 2
+    surv = {r["doc_id"] for r in prepare_documents(docs, c4_rules=True,
+                                                   min_quality=0.0).collect()}
+    assert 2 not in surv

@@ -119,3 +119,59 @@ def test_cms_bucket_sql_is_the_documented_chain(s, d, width):
     got = duckdb.sql(f"SELECT {_cms_bucket_sql(lit, d, width)}").fetchone()[0]
     want = _mix_ref(_poly_ref(s), d * _CMS_ROW_STRIDE + _CMS_ROW_SALT) % width
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(1, 55),
+    st.integers(2, 6),
+    st.integers(2, 6),
+)
+def test_dhash_is_brightness_shift_invariant(seed, shift, hmul, wmul):
+    """dHash compares neighboring block MEANS, so a uniform brightness
+    shift (no clipping) preserves every comparison bit — the exact
+    invariance the e04 driver fixture's planted near-dups rely on."""
+    import numpy as np
+
+    from sparkall_spark.operators.multimodal import dhash64
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 200, size=(8 * hmul, 8 * wmul), dtype=np.uint8)
+    assert dhash64(a) == dhash64((a.astype(np.int16) + shift).astype(np.uint8))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 0xFFFF),
+    st.integers(1, 0xFFFF),
+    st.integers(1, 16),
+    st.booleans(),
+    st.booleans(),
+)
+def test_tiff_header_inline_and_offset_agree(w, h, spp, big_endian, offset_store):
+    """parse_image_header must read the same dimensions whether a tag's
+    value is inline (<=4 bytes) or offset-stored (the count>1 layout
+    that used to be misread as the value itself)."""
+    import struct
+
+    from sparkall_spark.operators.multimodal import parse_image_header
+
+    e, magic = (">", b"MM\x00*") if big_endian else ("<", b"II*\x00")
+    n = 3
+    data_off = 8 + 2 + 12 * n + 4
+    tail = b""
+    ifd = struct.pack(e + "H", n)
+    for tag, val in ((256, w), (257, h), (277, spp)):
+        if offset_store:
+            # SHORT x3, first element is the value -> stored at offset
+            ifd += struct.pack(e + "HHII", tag, 3, 3, data_off + len(tail))
+            tail += struct.pack(e + "HHH", val, 1, 2)
+        else:
+            ifd += struct.pack(e + "HHI", tag, 3, 1)
+            ifd += struct.pack(e + "H", val) + b"\x00\x00"
+    ifd += struct.pack(e + "I", 0)
+    payload = magic + struct.pack(e + "I", 8) + ifd + tail
+    got = parse_image_header(payload)
+    assert got == {"width": w, "height": h, "channels": spp,
+                   "mime": "image/tiff"}

@@ -2233,8 +2233,10 @@ def _e28_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampling toward the lang='en' target domain (exact BIGINT
     micro-logp weights + micro-quantized Gumbel keys); 'report' = the
     one-aggregate corpus health summary (n_docs/total_tokens/distinct
-    fingerprints encoded into the shared columns).  Unified schema
-    (tag, doc_id, a, b)."""
+    fingerprints encoded into the shared columns); 'mix:<lang>' (r10)
+    = multinomial temperature-sampling weights at XLM-R's alpha=0.3
+    (selection.temperature_mix_weights — one count agg over the
+    corpus, micro-exact mirror).  Unified schema (tag, doc_id, a, b)."""
     from sparkall_spark.operators import lm as L
     from sparkall_spark.operators import selection as SEL
 
@@ -2317,7 +2319,21 @@ def _e28_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_tokens").alias("a"),
         F.col("n_distinct").alias("b"),
     )
-    return cap.unionByName(bucket).unionByName(dsir).unionByName(report)
+    # 'mix' (r10): multinomial temperature-sampling weights per lang
+    # (XLM-R alpha=0.3) — micro-exact across engines by the micro-logp
+    # discipline (selection.temperature_mix_weights)
+    mix = SEL.temperature_mix_weights(docs, "lang", alpha=0.3).select(
+        F.concat(F.lit("mix:"), F.col("lang")).alias("tag"),
+        F.col("n_docs").alias("doc_id"),
+        F.col("weight_micro").alias("a"),
+        F.col("boost_micro").alias("b"),
+    )
+    return (
+        cap.unionByName(bucket)
+        .unionByName(dsir)
+        .unionByName(report)
+        .unionByName(mix)
+    )
 
 
 def _e28_oracle_sql() -> str:
@@ -2338,6 +2354,9 @@ def _e28_oracle_sql() -> str:
     g = gumbel_micro_sql("doc_id", seed=11)
     gh = gumbel_micro_sql("doc_id", seed=13)
     hng = hashed_ngram_list_sql("t", 10_000, 2)
+    from sparkall_spark.operators.selection import temperature_mix_sql
+
+    _mix_oracle = temperature_mix_sql("documents", "lang", alpha=0.3)
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({tok}) AS token FROM documents),
@@ -2462,6 +2481,10 @@ SELECT 'report' AS tag, CAST(count(*) AS BIGINT) AS doc_id,
          x -> x <> ''))), 0) AS BIGINT) AS a,
        CAST(count(DISTINCT {_FP_SQL}) AS BIGINT) AS b
 FROM (SELECT coalesce(text, '') AS text FROM documents)
+UNION ALL
+SELECT 'mix:' || grp AS tag, n_docs AS doc_id,
+       weight_micro AS a, boost_micro AS b
+FROM ({_mix_oracle.strip()})
 """
 
 

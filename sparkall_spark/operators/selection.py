@@ -691,3 +691,96 @@ def dsir_select_hashed(
     return keyed.orderBy(
         F.col("key_micro").desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+
+def temperature_mix_weights(
+    docs: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Multinomial temperature-sampling mix weights — the standard
+    low-resource upsampling rule for multilingual / multi-source
+    pretraining (Lample & Conneau, "Cross-lingual Language Model
+    Pretraining", NeurIPS'19 §3.1; XLM-R keeps alpha=0.3): a group
+    holding share ``p_g`` of the corpus is sampled with probability
+
+        q_g = p_g^alpha / sum_h p_h^alpha
+
+    so tail groups are upsampled (q_g > p_g) and head groups damped,
+    with ``alpha=1`` recovering proportional sampling and ``alpha=0``
+    the uniform mix.
+
+    Output (one row per non-NULL group): ``group_col, n_docs,
+    weight_micro, boost_micro`` — ``weight_micro`` is q_g in exact
+    micro fixed point, ``boost_micro`` the per-group sampling boost
+    q_g/p_g (the expected-epochs multiplier a sampler actually
+    applies).  Determinism follows the repo's micro-logp discipline:
+    the single transcendental ``p^alpha = exp(alpha * ln p)`` is
+    quantized to BIGINT micro the moment it is born, the normalizer is
+    the exact integer sum of those micros, and every later ratio is a
+    division of exactly-representable values — so the SQL mirror
+    (:func:`temperature_mix_sql`) agrees bit-for-bit.
+
+    Scale shape: ONE count aggregation over the corpus; everything
+    after runs on the groups table (metadata-scale — languages,
+    sources), where whole-frame window sums are free.  At 100 TB the
+    counts come out of the daily telemetry pass; the weights table is
+    then broadcast into the sampler.
+    """
+    counts = (
+        docs.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    everything = Window.partitionBy()
+    total = F.sum("n_docs").over(everything)
+    p = F.col("n_docs").cast("double") / total.cast("double")
+    s_micro = F.round(
+        F.exp(F.lit(float(alpha)) * F.log(p)) * F.lit(float(MICRO))
+    ).cast("bigint")
+    staged = counts.select(
+        group_col, "n_docs", total.alias("__total"), s_micro.alias("__s")
+    )
+    z = F.sum("__s").over(everything)
+    weight = F.round(
+        F.col("__s").cast("double") * F.lit(float(MICRO)) / z.cast("double")
+    ).cast("bigint")
+    boost = F.round(
+        F.col("__s").cast("double") / z.cast("double")
+        * (F.col("__total").cast("double") / F.col("n_docs").cast("double"))
+        * F.lit(float(MICRO))
+    ).cast("bigint")
+    return staged.select(
+        group_col,
+        "n_docs",
+        weight.alias("weight_micro"),
+        boost.alias("boost_micro"),
+    )
+
+
+def temperature_mix_sql(
+    table: str, group_sql: str, alpha: float = 0.3, where: str = "TRUE"
+) -> str:
+    """DuckDB mirror of :func:`temperature_mix_weights` — textually the
+    same arithmetic in the same order (exp/ln quantized to micro at
+    birth, integer normalizer, exact-input divisions)."""
+    a = float(alpha)
+    return f"""
+SELECT grp, n_docs,
+       CAST(round(s::DOUBLE * {MICRO}.0 / z::DOUBLE) AS BIGINT)
+         AS weight_micro,
+       CAST(round(s::DOUBLE / z::DOUBLE
+                  * (total::DOUBLE / n_docs::DOUBLE) * {MICRO}.0) AS BIGINT)
+         AS boost_micro
+FROM (
+  SELECT grp, n_docs, total,
+         CAST(round(exp({a!r} * ln(n_docs::DOUBLE / total::DOUBLE))
+                    * {MICRO}.0) AS BIGINT) AS s,
+         SUM(CAST(round(exp({a!r} * ln(n_docs::DOUBLE / total::DOUBLE))
+                        * {MICRO}.0) AS BIGINT)) OVER () AS z
+  FROM (
+    SELECT grp, n_docs, SUM(n_docs) OVER () AS total
+    FROM (SELECT {group_sql} AS grp, count(*)::BIGINT AS n_docs
+          FROM {table} WHERE ({where}) AND {group_sql} IS NOT NULL
+          GROUP BY 1)))
+"""

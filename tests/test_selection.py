@@ -661,3 +661,57 @@ def test_dsir_hashed_model_broadcasts(docs):
     assert "TakeOrderedAndProject" in _plan(
         S.dsir_select_hashed(docs, target, t_unk, raw, r_unk, k=5)
     )
+
+
+def test_temperature_mix_weights_matches_sql_and_limits(spark, duck, sf_dir):
+    """Micro-exact mirror equality on the real fixture, plus the two
+    analytic limits: alpha=1 is proportional sampling, alpha=0 the
+    uniform mix; alpha=0.3 upsamples every below-average group."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for alpha in (0.3, 1.0, 0.0):
+        got = {
+            r["lang"]: (r["n_docs"], r["weight_micro"], r["boost_micro"])
+            for r in S.temperature_mix_weights(
+                docs, "lang", alpha=alpha
+            ).collect()
+        }
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in duck.execute(
+                S.temperature_mix_sql("documents", "lang", alpha=alpha)
+            ).fetchall()
+        }
+        assert got == want, alpha
+    n_groups = len(got)
+    total = sum(v[0] for v in got.values())
+    # alpha=0 (the last loop iteration): uniform weights, boost = 1/p
+    for lang, (n, w, b) in got.items():
+        assert abs(w - round(1_000_000 / n_groups)) <= 1
+        assert abs(b - round(1_000_000 * total / (n_groups * n))) <= 2
+    # alpha=1: proportional — weight == share, boost == 1x
+    prop = {
+        r["lang"]: (r["n_docs"], r["weight_micro"], r["boost_micro"])
+        for r in S.temperature_mix_weights(docs, "lang", alpha=1.0).collect()
+    }
+    for lang, (n, w, b) in prop.items():
+        assert abs(w - round(1_000_000 * n / total)) <= 1
+        assert abs(b - 1_000_000) <= 2
+    # alpha=0.3: every minority group (share < 1/n_groups) gets boost > 1
+    t03 = {
+        r["lang"]: (r["n_docs"], r["boost_micro"])
+        for r in S.temperature_mix_weights(docs, "lang", alpha=0.3).collect()
+    }
+    assert any(b > 1_000_000 for _n, b in t03.values())
+    for lang, (n, b) in t03.items():
+        if n / total < 1 / n_groups:
+            assert b > 1_000_000, (lang, n, b)
+
+
+def test_temperature_mix_drops_null_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, None)],
+        "doc_id long, lang string",
+    )
+    out = S.temperature_mix_weights(df, "lang", alpha=0.5)
+    rows = {r["lang"]: r["n_docs"] for r in out.collect()}
+    assert rows == {"en": 2, "de": 1}

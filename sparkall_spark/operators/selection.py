@@ -723,34 +723,38 @@ def temperature_mix_weights(
 
     Scale shape: ONE count aggregation over the corpus; everything
     after runs on the groups table (metadata-scale — languages,
-    sources), where whole-frame window sums are free.  At 100 TB the
-    counts come out of the daily telemetry pass; the weights table is
-    then broadcast into the sampler.
+    sources), with the two normalizers as broadcast one-row frames
+    (no whole-frame window, so no single-partition WindowExec).  At
+    100 TB the counts come out of the daily telemetry pass; the
+    weights table is then broadcast into the sampler.
     """
     counts = (
         docs.filter(F.col(group_col).isNotNull())
         .groupBy(group_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
-    everything = Window.partitionBy()
-    total = F.sum("n_docs").over(everything)
-    p = F.col("n_docs").cast("double") / total.cast("double")
+    totals = counts.agg(
+        F.sum("n_docs").cast("bigint").alias("__total")
+    )
+    p = F.col("n_docs").cast("double") / F.col("__total").cast("double")
     s_micro = F.round(
         F.exp(F.lit(float(alpha)) * F.log(p)) * F.lit(float(MICRO))
     ).cast("bigint")
-    staged = counts.select(
-        group_col, "n_docs", total.alias("__total"), s_micro.alias("__s")
+    staged = counts.crossJoin(F.broadcast(totals)).select(
+        group_col, "n_docs", "__total", s_micro.alias("__s")
     )
-    z = F.sum("__s").over(everything)
+    zrow = staged.agg(F.sum("__s").cast("bigint").alias("__z"))
+    joined = staged.crossJoin(F.broadcast(zrow))
     weight = F.round(
-        F.col("__s").cast("double") * F.lit(float(MICRO)) / z.cast("double")
+        F.col("__s").cast("double") * F.lit(float(MICRO))
+        / F.col("__z").cast("double")
     ).cast("bigint")
     boost = F.round(
-        F.col("__s").cast("double") / z.cast("double")
+        F.col("__s").cast("double") / F.col("__z").cast("double")
         * (F.col("__total").cast("double") / F.col("n_docs").cast("double"))
         * F.lit(float(MICRO))
     ).cast("bigint")
-    return staged.select(
+    return joined.select(
         group_col,
         "n_docs",
         weight.alias("weight_micro"),

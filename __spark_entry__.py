@@ -1240,6 +1240,13 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
     )
+    # 'recall:*' legs (r10): recall@10 of every approximate method vs
+    # the exact baseline (similarity.ann_recall_report) — the tuning
+    # telemetry an ANN deployment reads before touching nprobe/bits.
+    # Each branch is persisted (released by the entry teardown): the
+    # top-k frames are <=80 rows, and both the union and its recall
+    # leg read them, so no method runs twice.
+    from sparkall_spark.operators._cache import persist_tracked
     brute = S.brute_force_topk(emb, queries, k=10).select(
         F.lit("brute").alias("method"),
         "query_id", "neighbor_id", "cosine",
@@ -1273,13 +1280,32 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
     )
-    return (
+    brute = persist_tracked(brute)
+    ivf, lsh, pq = persist_tracked(ivf), persist_tracked(lsh), persist_tracked(pq)
+    q8, ivfq8 = persist_tracked(q8), persist_tracked(ivfq8)
+
+    def _recall(tag: str, approx: DataFrame) -> DataFrame:
+        return S.ann_recall_report(approx, brute, k=10).select(
+            F.lit(f"recall:{tag}").alias("method"),
+            "query_id",
+            F.col("n_overlap").alias("neighbor_id"),
+            F.col("recall").alias("cosine"),
+            F.lit(10).cast("bigint").alias("rank"),
+        )
+
+    out = (
         brute.unionByName(ivf)
         .unionByName(lsh)
         .unionByName(pq)
         .unionByName(q8)
         .unionByName(ivfq8)
     )
+    for tag, approx in (
+        ("ivf", ivf), ("lsh", lsh), ("ivfpq", pq),
+        ("q8", q8), ("ivfq8", ivfq8),
+    ):
+        out = out.unionByName(_recall(tag, approx))
+    return out
 
 
 def _q8_select() -> str:
@@ -1377,22 +1403,50 @@ scored AS (
 {lsh_ctes.strip()},
 {pq_ctes.strip()},
 {iq8_ctes.strip()},
-{_BRUTE_CTE.strip()}
-SELECT 'ivf' AS method, query_id, neighbor_id, cosine,
-       row_number() OVER (PARTITION BY query_id
-                          ORDER BY cosine DESC, neighbor_id) AS rank
-FROM scored QUALIFY rank <= 10
+{_BRUTE_CTE.strip()},
+ivf_top AS (
+  SELECT 'ivf' AS method, query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored QUALIFY rank <= 10),
+lsh_top AS ({lsh_select.strip()}),
+pq_top AS ({pq_select.strip()}),
+brute_top AS ({_BRUTE_SELECT.strip()}),
+q8_top AS ({_q8_select().strip()}),
+iq8_top AS ({iq8_select.strip()})
+SELECT * FROM ivf_top
 UNION ALL
-{lsh_select.strip()}
+SELECT * FROM lsh_top
 UNION ALL
-{pq_select.strip()}
+SELECT * FROM pq_top
 UNION ALL
-{_BRUTE_SELECT.strip()}
+SELECT * FROM brute_top
 UNION ALL
-{_q8_select().strip()}
+SELECT * FROM q8_top
 UNION ALL
-{iq8_select.strip()}
+SELECT * FROM iq8_top
+{_e09_recall_sql()}
 """
+
+
+def _e09_recall_sql() -> str:
+    """recall@10 mirror legs: |approx_top10 ∩ brute_top10| per query,
+    grouped over the brute rows so every query appears (a method that
+    misses everything still reports recall 0)."""
+    parts = []
+    for tag, cte in (("ivf", "ivf_top"), ("lsh", "lsh_top"),
+                     ("ivfpq", "pq_top"), ("q8", "q8_top"),
+                     ("ivfq8", "iq8_top")):
+        parts.append(f"""
+UNION ALL
+SELECT 'recall:{tag}' AS method, b.query_id,
+       count(o.neighbor_id)::BIGINT AS neighbor_id,
+       round(count(o.neighbor_id)::DOUBLE / 10.0, 6) AS cosine,
+       CAST(10 AS BIGINT) AS rank
+FROM brute_top b LEFT JOIN {cte} o
+  ON o.query_id = b.query_id AND o.neighbor_id = b.neighbor_id
+GROUP BY b.query_id""")
+    return "".join(parts)
 
 
 # --- IVF-PQ leg of e09 (was standalone e26 until r9's slot rebalance) ------

@@ -663,3 +663,50 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ann_recall_report(
+    approx: DataFrame, exact: DataFrame, k: int
+) -> DataFrame:
+    """Recall@k of an approximate top-k against the exact baseline —
+    the tuning telemetry every ANN deployment runs ("measure, don't
+    guess"): sample queries, run both paths, read recall before
+    touching nprobe/bits/tables.
+
+    Inputs are two ``(query_id, neighbor_id, ...)`` top-k frames (the
+    contract every ``*_topk`` here emits).  Output: one row per query
+    in ``exact`` — ``query_id, n_overlap`` (|approx ∩ exact|, bigint)
+    and ``recall`` (n_overlap / k, 6dp).  Queries the approximate path
+    missed entirely still appear with recall 0.
+
+    Scale shape: both inputs are k rows per sampled query (bounded) —
+    one equi-join + one groupBy on frames that are tiny by
+    construction.  Deterministic given deterministic top-k ties, so it
+    mirrors in SQL (the e09 oracle's recall legs).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -314,3 +314,25 @@ def test_mean_pool_vectors_empty_vectors_dropped(spark):
         for r in mean_pool_vectors(df, "g").collect()
     }
     assert got == {1: (1, [1.0, 3.0])}
+
+
+def test_ann_recall_report_counts_and_zero_rows(spark):
+    import pytest as _pytest
+
+    from sparkall_spark.operators.similarity import ann_recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 11), (1, 99), (1, 12), (2, 77), (2, 78), (2, 79)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_overlap"], r["recall"])
+        for r in ann_recall_report(approx, exact, k=3).collect()
+    }
+    assert got == {1: (2, round(2 / 3, 6)), 2: (0, 0.0)}
+    with _pytest.raises(ValueError, match="positive"):
+        ann_recall_report(approx, exact, k=0)

@@ -1281,31 +1281,24 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank"),
     )
     brute = persist_tracked(brute)
-    ivf, lsh, pq = persist_tracked(ivf), persist_tracked(lsh), persist_tracked(pq)
-    q8, ivfq8 = persist_tracked(q8), persist_tracked(ivfq8)
-
-    def _recall(tag: str, approx: DataFrame) -> DataFrame:
-        return S.ann_recall_report(approx, brute, k=10).select(
-            F.lit(f"recall:{tag}").alias("method"),
-            "query_id",
-            F.col("n_overlap").alias("neighbor_id"),
-            F.col("recall").alias("cosine"),
-            F.lit(10).cast("bigint").alias("rank"),
-        )
-
-    out = (
-        brute.unionByName(ivf)
-        .unionByName(lsh)
+    approx_all = persist_tracked(
+        ivf.unionByName(lsh)
         .unionByName(pq)
         .unionByName(q8)
         .unionByName(ivfq8)
     )
-    for tag, approx in (
-        ("ivf", ivf), ("lsh", lsh), ("ivfpq", pq),
-        ("q8", q8), ("ivfq8", ivfq8),
-    ):
-        out = out.unionByName(_recall(tag, approx))
-    return out
+    # ONE batched report (method_col) — a plan per method quintuples
+    # the stage count and costs ~5 s of pure scheduling at sf0.1
+    recall_legs = S.ann_recall_report(
+        approx_all, brute, k=10, method_col="method"
+    ).select(
+        F.concat(F.lit("recall:"), F.col("method")).alias("method"),
+        "query_id",
+        F.col("n_overlap").alias("neighbor_id"),
+        F.col("recall").alias("cosine"),
+        F.lit(10).cast("bigint").alias("rank"),
+    )
+    return brute.unionByName(approx_all).unionByName(recall_legs)
 
 
 def _q8_select() -> str:

@@ -666,7 +666,7 @@ def ivf_pq_topk(
 
 
 def ann_recall_report(
-    approx: DataFrame, exact: DataFrame, k: int
+    approx: DataFrame, exact: DataFrame, k: int, method_col: str | None = None
 ) -> DataFrame:
     """Recall@k of an approximate top-k against the exact baseline —
     the tuning telemetry every ANN deployment runs ("measure, don't
@@ -679,6 +679,14 @@ def ann_recall_report(
     and ``recall`` (n_overlap / k, 6dp).  Queries the approximate path
     missed entirely still appear with recall 0.
 
+    ``method_col``: when ``approx`` is a TAGGED UNION of several
+    methods' top-k frames (the e09 family shape), name the tag column
+    and every method is scored through ONE join + ONE groupBy instead
+    of a plan per method — on tiny telemetry frames the per-stage
+    scheduling overhead dominates, so batching is ~Nx cheaper.  Output
+    gains the ``method_col`` column; a method absent from ``approx``
+    entirely (zero rows) is not reported.
+
     Scale shape: both inputs are k rows per sampled query (bounded) —
     one equi-join + one groupBy on frames that are tiny by
     construction.  Deterministic given deterministic top-k ties, so it
@@ -686,20 +694,23 @@ def ann_recall_report(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    group = ([method_col] if method_col else []) + ["query_id"]
+    approx_keys = approx.select(*group, "neighbor_id")
     hits = (
         exact.select("query_id", "neighbor_id")
-        .join(
-            approx.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-        )
-        .groupBy("query_id")
+        .join(approx_keys, ["query_id", "neighbor_id"])
+        .groupBy(*group)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
     )
     base = exact.select("query_id").distinct()
+    if method_col:
+        base = base.crossJoin(
+            F.broadcast(approx.select(method_col).distinct())
+        )
     return (
-        base.join(hits, "query_id", "left")
+        base.join(hits, group, "left")
         .select(
-            "query_id",
+            *group,
             F.coalesce(F.col("n_overlap"), F.lit(0))
             .cast("bigint")
             .alias("n_overlap"),

@@ -336,3 +336,20 @@ def test_ann_recall_report_counts_and_zero_rows(spark):
     assert got == {1: (2, round(2 / 3, 6)), 2: (0, 0.0)}
     with _pytest.raises(ValueError, match="positive"):
         ann_recall_report(approx, exact, k=0)
+    # batched (method_col) mode: one plan scores every tagged method,
+    # zero-filling (method, query) combos the method missed entirely
+    tagged = spark.createDataFrame(
+        [("a", 1, 11), ("a", 1, 99), ("a", 1, 12), ("a", 2, 77),
+         ("b", 1, 10), ("b", 2, 20), ("b", 2, 21)],
+        "method string, query_id long, neighbor_id long",
+    )
+    got2 = {
+        (r["method"], r["query_id"]): (r["n_overlap"], r["recall"])
+        for r in ann_recall_report(
+            tagged, exact, k=3, method_col="method"
+        ).collect()
+    }
+    assert got2 == {
+        ("a", 1): (2, round(2 / 3, 6)), ("a", 2): (0, 0.0),
+        ("b", 1): (1, round(1 / 3, 6)), ("b", 2): (2, round(2 / 3, 6)),
+    }

@@ -1301,33 +1301,34 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute.unionByName(approx_all).unionByName(recall_legs)
 
 
-def _q8_select() -> str:
-    """e09 'q8' mirror: the same absmax/127 + floor(x/s + 0.5) codes
-    (rendered by operators/quantize.quantize_sql so the arithmetic
-    cannot drift), integer-exact dots/norms (127^2*dim << 2^53, so
-    DuckDB's double list_dot_product is exact), and the identical
-    num / sqrt(n_a * n_b) association — NOT sqrt(n_a)*sqrt(n_b), which
-    differs in ulp."""
-    from sparkall_spark.operators.quantize import quantize_sql
-
-    qc = quantize_sql("embedding::DOUBLE[]")
-    side = (
-        "SELECT vec_id, qc, "
-        "list_dot_product(qc::DOUBLE[], qc::DOUBLE[]) AS n "
-        f"FROM (SELECT vec_id, {qc} AS qc FROM embeddings)"
+def _qcos_sql(a: str, b: str) -> str:
+    """The quantized-cosine scoring expression over two ``qcodes``
+    aliases — ONE textual copy shared by the q8 and ivfq8 mirrors:
+    integer-exact dots/norms (127^2*dim << 2^53, so DuckDB's double
+    list_dot_product is exact) and the num / sqrt(n_a * n_b)
+    association — NOT sqrt(n_a)*sqrt(n_b), which differs in ulp."""
+    return (
+        f"round(CASE WHEN {a}.n > 0 AND {b}.n > 0"
+        f" THEN list_dot_product({a}.qc::DOUBLE[], {b}.qc::DOUBLE[])"
+        f" / sqrt({a}.n * {b}.n)"
+        f" ELSE 0.0 END, 6)"
     )
+
+
+def _q8_select() -> str:
+    """e09 'q8' mirror: brute-force top-k under the quantized metric,
+    reading the shared ``qcodes`` CTE (codes rendered once by
+    operators/quantize.quantize_sql in :func:`_ivfq8_parts`, scoring
+    shared via :func:`_qcos_sql` — neither can drift per-leg)."""
     return f"""
 SELECT 'q8' AS method, query_id, neighbor_id, cosine,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, neighbor_id) AS rank
 FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(CASE WHEN q.n > 0 AND c.n > 0
-               THEN list_dot_product(q.qc::DOUBLE[], c.qc::DOUBLE[])
-                    / sqrt(q.n * c.n)
-               ELSE 0.0 END, 6) AS cosine
-  FROM ({side} WHERE vec_id < 8) q
-  JOIN ({side}) c ON c.vec_id <> q.vec_id)
+         {_qcos_sql('q', 'c')} AS cosine
+  FROM (SELECT * FROM qcodes WHERE vec_id < 8) q
+  JOIN qcodes c ON c.vec_id <> q.vec_id)
 QUALIFY rank <= 10
 """
 
@@ -1347,10 +1348,7 @@ qcodes AS (
   FROM (SELECT vec_id, {qc} AS qc FROM embeddings)),
 ivfq8_scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(CASE WHEN a.n > 0 AND b.n > 0
-               THEN list_dot_product(a.qc::DOUBLE[], b.qc::DOUBLE[])
-                    / sqrt(a.n * b.n)
-               ELSE 0.0 END, 6) AS cosine
+         {_qcos_sql('a', 'b')} AS cosine
   FROM q JOIN c ON q.cell = c.cell AND c.vec_id <> q.vec_id
   JOIN qcodes a ON a.vec_id = q.vec_id
   JOIN qcodes b ON b.vec_id = c.vec_id)"""

@@ -6,17 +6,25 @@ artifact in the driver's CORRECTNESS row format.
 This exists because the driver's CORRECTNESS_r09.json came back as an
 empty ``{}`` (harness flake) and left round 9 without a hard receipt;
 the judge's VERDICT (r9 Next #1) asked for an in-repo fallback that
-runs every round. Row format mirrors CORRECTNESS_r08.json:
+runs every round.  Row format mirrors CORRECTNESS_r08.json:
 
     {"<entry>": {"rows_match": bool, "schema_match": bool,
                  "hash_match": bool, "spark_rows": int,
                  "oracle_rows": int, "err": str|null}, ...}
 
 ``hash_match`` here is a NaN-safe sorted row-set compare (the driver's
-value gate minus its hashing ceremony — same canonicalization as
-scripts/check_entry.py). Entries without an oracle get the weaker
-rows-only check the driver also applies (rows_match = spark ran and
-returned >= 0 rows; hash_match = null).
+value gate minus its hashing ceremony — scripts/_oracle_common.canon,
+shared with check_entry.py).  It is dtype-blind; an int-vs-float kind
+split between the two engines is recorded as ``dtype_warn`` (the
+driver's stricter gate may flag what this one passes).  Entries
+without an oracle get the weaker rows-only check the driver also
+applies (rows_match = spark ran and returned >= 0 rows;
+hash_match = null).
+
+Per-entry cache pressure is bounded: every entry function from
+``queries()`` calls release_caches() on entry (the _with_teardown
+wrapper), so at most one entry's persisted frames are pinned at a
+time; a final release runs after the loop.
 
 Usage: python scripts/check_all.py [out.json] [sf_dir] [only_prefix...]
   default out = SELFCHECK_r10.json, sf_dir = /root/testdata/sf0.01
@@ -30,32 +38,15 @@ import sys
 import time
 import traceback
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
+from _oracle_common import canon, dtype_kinds, register_views  # noqa: E402
+
 import __spark_entry__ as E  # noqa: E402
 from sparkall_spark.session import get_spark  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
-
-
-def canon(df):
-    """NaN-safe canonical row set: NaN->None, floats rounded, repr-sorted."""
-
-    def norm(v):
-        if isinstance(v, float):
-            return None if v != v else round(v, 6)
-        return v
-
-    return sorted(
-        (tuple(norm(v) for v in row)
-         for row in df.itertuples(index=False, name=None)),
-        key=repr,
-    )
 
 
 def main() -> int:
@@ -65,10 +56,7 @@ def main() -> int:
 
     spark = get_spark()
     con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    register_views(con, sf_dir)
 
     queries = E.queries()
     oracles = E.oracle_sql()
@@ -99,6 +87,18 @@ def main() -> int:
                 row["schema_match"] = list(sdf.columns) == list(odf.columns)
                 row["hash_match"] = (row["schema_match"]
                                      and canon(sdf) == canon(odf))
+                if row["schema_match"]:
+                    sk, ok = dtype_kinds(sdf), dtype_kinds(odf)
+                    warn = {
+                        c: f"{sk[c]}!={ok[c]}"
+                        for c in sk
+                        if {sk[c], ok[c]} == {"i", "f"}
+                    }
+                    if warn:
+                        row["dtype_warn"] = warn
+                        print(f"WARN {name}: int-vs-float kinds {warn} "
+                              "(values equal; driver schema gate may be "
+                              "stricter)", flush=True)
         except Exception:
             row["err"] = traceback.format_exc(limit=3)
         ok = (row["err"] is None and row["rows_match"]
@@ -109,6 +109,9 @@ def main() -> int:
               f"rows={row['spark_rows']} vs {row['oracle_rows']} "
               f"({time.time() - t0:.1f}s)", flush=True)
 
+    from sparkall_spark.operators._cache import release_caches
+
+    release_caches()
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"\n{len(results) - n_fail}/{len(results)} green "

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """One-entry correctness check: run a __spark_entry__ query and its
 DuckDB oracle side-by-side at a given SF and diff the sorted row sets
-(the driver's rows+schema+value gate, minus its hashing ceremony).
+(the driver's rows+schema+value gate, minus its hashing ceremony —
+canonicalization shared with check_all.py via _oracle_common).
 
 Usage: python scripts/check_entry.py e22_dedup_clusters [sf_dir]
 """
@@ -11,17 +12,15 @@ from __future__ import annotations
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
+from _oracle_common import canon, dtype_kinds, register_views  # noqa: E402
+
 import __spark_entry__ as E  # noqa: E402
 from sparkall_spark.session import get_spark  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 def main() -> int:
@@ -37,30 +36,17 @@ def main() -> int:
         print(sdf.head())
         return 0
     con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    register_views(con, sf_dir)
     odf = con.execute(oracle).df()
     odf = odf[sorted(odf.columns)]
     if list(sdf.columns) != list(odf.columns):
         print(f"SCHEMA MISMATCH: spark={list(sdf.columns)} "
               f"oracle={list(odf.columns)}")
         return 1
-
-    def canon(df):
-        def norm(v):
-            if isinstance(v, float):
-                return None if v != v else round(v, 6)  # NaN -> None
-            return v
-
-        return sorted(
-            (
-                tuple(norm(v) for v in row)
-                for row in df.itertuples(index=False, name=None)
-            ),
-            key=repr,  # None-safe ordering
-        )
+    sk, ok = dtype_kinds(sdf), dtype_kinds(odf)
+    warn = {c: f"{sk[c]}!={ok[c]}" for c in sk if {sk[c], ok[c]} == {"i", "f"}}
+    if warn:
+        print(f"WARN {name}: int-vs-float kinds {warn}")
 
     s, o = canon(sdf), canon(odf)
     if s == o:

@@ -224,6 +224,8 @@ def semi_reduce_gate(
     probe_rows: int,
     max_match_fraction: float = 0.7,
     width: int | None = None,
+    params_probe: dict | None = None,
+    params_build: dict | None = None,
 ) -> tuple[bool, int]:
     """Decide whether :func:`bloom_semi_reduce` is worth scheduling,
     from two PERSISTED CMS counter tables of the join keys (the
@@ -243,16 +245,19 @@ def semi_reduce_gate(
     a fresh scan — building them ad hoc would cost more than the bloom
     filter they gate.
 
-    Pass ``width`` (the pinned value from ``load_sketch``) to validate
-    that both counter tables were built with the same bucket domain —
+    Pass ``width`` to validate both counter tables' bucket domains,
+    and ``params_probe``/``params_build`` (the pinned dicts
+    ``load_sketch`` returns) for the full both-directions guarantee —
     a width mismatch silently mis-pairs buckets and voids the
-    "True is trustworthy" one-sidedness this gate relies on.
+    "True is trustworthy" one-sidedness this gate relies on (the data
+    check alone cannot catch a narrower-than-declared sketch).
     """
     from sparkall_spark.operators.sketches import cms_join_cardinality
 
     if probe_rows <= 0:
         return (False, 0)
     est = cms_join_cardinality(
-        probe_sketch, build_sketch, depth, width=width
+        probe_sketch, build_sketch, depth, width=width,
+        params_a=params_probe, params_b=params_build,
     ).first()["est_join_rows"]
     return (est <= max_match_fraction * probe_rows, int(est))

@@ -275,7 +275,12 @@ def compact_postings(spark: SparkSession, path: str) -> None:
         ).write.mode("overwrite").partitionBy("tok_bucket").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    spark.read.parquet(f"{staging}/doclen").write.mode(
+    # repartition bounds the rewritten _doclen at n_buckets files —
+    # without it the staging read of N append-era small files yields N
+    # partitions and the rewrite would emit N files again, defeating
+    # the restore (review catch); n_buckets matches the index's own
+    # file-count budget and stays valid at any doc count
+    spark.read.parquet(f"{staging}/doclen").repartition(nb).write.mode(
         "overwrite"
     ).parquet(f"{path}/{_DOCLEN_SUBDIR}")
     _write_meta(spark, path, nb, seed)

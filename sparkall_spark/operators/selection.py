@@ -715,11 +715,16 @@ def temperature_mix_weights(
     micro fixed point, ``boost_micro`` the per-group sampling boost
     q_g/p_g (the expected-epochs multiplier a sampler actually
     applies).  Determinism follows the repo's micro-logp discipline:
-    the single transcendental ``p^alpha = exp(alpha * ln p)`` is
-    quantized to BIGINT micro the moment it is born, the normalizer is
-    the exact integer sum of those micros, and every later ratio is a
-    division of exactly-representable values — so the SQL mirror
-    (:func:`temperature_mix_sql`) agrees bit-for-bit.
+    the single transcendental ``p^alpha = exp(alpha * ln p)`` sees a
+    bit-identical dyadic input everywhere and is quantized to BIGINT
+    micro the moment it is born, the normalizer is the exact integer
+    sum of those micros, and every later ratio is a division of
+    exactly-representable values — a last-ulp exp/ln discrepancy
+    between engines would have to land within ~1e-11 of a micro
+    rounding boundary to change any integer (the same accepted odds
+    as ``gumbel_micro``; note this leg leans on ``exp`` as well as
+    ``ln``), so the SQL mirror (:func:`temperature_mix_sql`) agrees
+    in practice and is hash-gated every round.
 
     Scale shape: ONE count aggregation over the corpus; everything
     after runs on the groups table (metadata-scale — languages,

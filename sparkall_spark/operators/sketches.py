@@ -931,7 +931,12 @@ GROUP BY {g} d, bucket
 
 
 def cms_join_cardinality(
-    a: DataFrame, b: DataFrame, depth: int, width: int | None = None
+    a: DataFrame,
+    b: DataFrame,
+    depth: int,
+    width: int | None = None,
+    params_a: dict | None = None,
+    params_b: dict | None = None,
 ) -> DataFrame:
     """Estimate |A JOIN B| on the sketched key from two counter tables
     (same depth/width/hash family): the classic CMS inner-product
@@ -953,15 +958,33 @@ def cms_join_cardinality(
     function of the two counter tables, so it mirrors in SQL
     (join on (d, bucket), SUM products, MIN over d).
 
-    ``width``: pass the width both sketches were built with (ideally
-    the pinned value from :func:`load_sketch`) to VALIDATE the bucket
-    domains — two sketches built with different widths join on
-    incompatible bucket ids and produce a meaningless estimate that is
-    no longer one-sided.  With ``width`` given, a sketch whose max
+    ``width``: pass the width both sketches were built with to VALIDATE
+    the bucket domains — two sketches built with different widths join
+    on incompatible bucket ids and produce a meaningless estimate that
+    is no longer one-sided.  With ``width`` given, a sketch whose max
     bucket falls outside ``[0, width)`` or whose hash rows don't span
     exactly ``0..depth-1`` raises instead.  (One bounded-frame ``agg``
-    per side, driver-side like the estimate itself.)
+    per side, driver-side like the estimate itself.)  This data check
+    is ONE-SIDED: it catches a sketch built WIDER than declared (its
+    buckets overflow the domain) but cannot catch a NARROWER one (its
+    buckets fit trivially) — for the full guarantee, pass
+    ``params_a``/``params_b`` (the pinned dicts :func:`load_sketch`
+    returns): their ``depth``/``width`` are then required to equal the
+    declared values exactly, on both sides.
     """
+    for side, params in (("a", params_a), ("b", params_b)):
+        if params is None:
+            continue
+        if width is not None and int(params.get("width", width)) != width:
+            raise ValueError(
+                f"cms_join_cardinality: sketch {side} pins "
+                f"width={params['width']}, declared width {width}"
+            )
+        if int(params.get("depth", depth)) != depth:
+            raise ValueError(
+                f"cms_join_cardinality: sketch {side} pins "
+                f"depth={params['depth']}, declared depth {depth}"
+            )
     if width is not None:
         if width < 1:
             raise ValueError(f"width must be >= 1, got {width}")

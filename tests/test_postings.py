@@ -395,10 +395,15 @@ def test_compact_postings_restores_file_counts(spark, tmp_path):
 
     compact_postings(spark, inc)
 
-    # one data file per bucket dir, staging gone
+    # one data file per bucket dir, staging gone, doclen re-bounded
     bf = bucket_files(inc)
     assert bf and all(len(v) == 1 for v in bf.values()), bf
     assert not os.path.exists(os.path.join(inc, "_compact_tmp"))
+    doclen_files = [
+        f for root, _d, files in os.walk(os.path.join(inc, "_doclen"))
+        for f in files if f.endswith(".parquet")
+    ]
+    assert 0 < len(doclen_files) <= 8  # n_buckets bounds the rewrite
     # rows unchanged and equal to the fresh rebuild
     after = sorted(map(key, load_postings(spark, inc).collect()))
     assert after == before

@@ -531,6 +531,25 @@ def test_cms_join_cardinality_validates_bucket_domain(spark):
             depth=3,
             width=4096,
         )
+    # the data check is one-sided (a NARROWER sketch's buckets fit the
+    # declared domain trivially) — pinned params catch that direction
+    with pytest.raises(ValueError, match="pins width=8"):
+        cms_join_cardinality(
+            cms_sketch(a, "k", depth=3, width=8),
+            cms_sketch(b, "k", depth=3, width=4096),
+            depth=3,
+            width=4096,
+            params_a={"depth": 3, "width": 8},
+            params_b={"depth": 3, "width": 4096},
+        )
+    with pytest.raises(ValueError, match="pins depth=2"):
+        cms_join_cardinality(
+            cms_sketch(a, "k", depth=3, width=4096),
+            cms_sketch(b, "k", depth=3, width=4096),
+            depth=3,
+            width=4096,
+            params_b={"depth": 2, "width": 4096},
+        )
 
 
 def test_sketch_save_load_pins_parameters(spark, sf_dir, tmp_path):

@@ -808,7 +808,45 @@ def _e01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_sentences") - F.col("n_kept")).alias("n"),
         )
     )
-    return doc_level.unionByName(span_level).unionByName(sent_level)
+    # 'diff:*' legs (r10): snapshot diff between two corpus versions
+    # (pipeline.corpus_diff — the nightly ingest audit): new = old
+    # minus doc_id%7 rows ('removed'), with %11 texts rewritten
+    # ('changed') and %13 rows re-added under new ids ('added');
+    # n carries the surviving fingerprint so the portable rolling
+    # hash itself is value-gated
+    from sparkall_spark.operators.pipeline import corpus_diff
+
+    base = docs.select("doc_id", "text")
+    new_snap = (
+        base.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" new")).alias("text"),
+            )
+        )
+    )
+    diff_level = corpus_diff(base, new_snap).select(
+        F.concat(F.lit("diff:"), F.col("status")).alias("level"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.coalesce(F.col("new_fp"), F.col("old_fp"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    return (
+        doc_level.unionByName(span_level)
+        .unionByName(sent_level)
+        .unionByName(diff_level)
+    )
 
 
 _E01_ORACLE = """
@@ -866,6 +904,35 @@ UNION ALL
 SELECT 'sent' AS level, doc_id, CAST(n_rm AS BIGINT) AS n
 FROM sent WHERE n_rm > 0
 """
+
+
+def _e01_diff_oracle_sql() -> str:
+    """'diff:*' legs mirror: the same synthetic snapshots, the same
+    portable fingerprint (_FP_SQL), a full outer join on the id, and
+    the same added/removed/changed classification."""
+    return f"""
+UNION ALL
+SELECT 'diff:' || status AS level, doc_id, COALESCE(new_fp, old_fp) AS n
+FROM (
+  WITH dbase AS (SELECT doc_id, text FROM documents),
+  dnewt AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM dbase WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + 500000, text || ' new' FROM dbase
+    WHERE doc_id % 13 = 0),
+  dold AS (SELECT doc_id, {{fp}} AS old_fp
+           FROM (SELECT doc_id, coalesce(text, '') AS text FROM dbase)),
+  dnew AS (SELECT doc_id, {{fp}} AS new_fp
+           FROM (SELECT doc_id, coalesce(text, '') AS text FROM dnewt))
+  SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id, old_fp, new_fp,
+         CASE WHEN old_fp IS NULL THEN 'added'
+              WHEN new_fp IS NULL THEN 'removed'
+              WHEN old_fp <> new_fp THEN 'changed' END AS status
+  FROM dold o FULL OUTER JOIN dnew nn ON o.doc_id = nn.doc_id
+) WHERE status IS NOT NULL
+""".replace("{fp}", _FP_SQL)
 
 
 # portable rolling-hash document fingerprint, mirrored in DuckDB —
@@ -4085,7 +4152,7 @@ def oracle_sql() -> dict[str, str]:
     out["q14_events_window"] = _Q14_ORACLE
     out["q15_events_sessions"] = _Q15_ORACLE
     out["q24_rml_fno_transform"] = _Q24_ORACLE
-    out["e01_dedup_exact"] = _E01_ORACLE
+    out["e01_dedup_exact"] = _E01_ORACLE + _e01_diff_oracle_sql()
     out["e03_dedup_minhash"] = _E03_ORACLE
     out["e04_dedup_simhash"] = _e04_oracle_sql()
     out["e06_dedup_embedding"] = _E06_ORACLE

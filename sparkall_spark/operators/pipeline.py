@@ -926,3 +926,44 @@ def drop_histogram(report: DataFrame) -> DataFrame:
         ],
         "gate string, n_failed bigint, fail_rate double",
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the nightly ingest
+    audit for an evolving 100 TB corpus: which documents were added,
+    removed, or rewritten between yesterday's table and today's.
+
+    One row per ``id_col`` whose membership or content changed:
+    ``status`` in ``{'added', 'removed', 'changed'}`` with the
+    engine-portable content fingerprints (``old_fp``/``new_fp``,
+    :func:`~sparkall_spark.functions.text.fingerprint` — lowercased,
+    whitespace-collapsed rolling hash, so formatting-only churn does
+    not count as change).  Unchanged documents emit nothing, which is
+    what keeps the diff output ingest-sized rather than corpus-sized.
+    Ids must be unique within each snapshot (dedup first — the
+    standard ingest-ledger discipline).  NULL text fingerprints like
+    the empty string, so a NULL-text row still diffs by membership.
+
+    Scale shape: map-side fingerprints on both sides, ONE full-outer
+    equi-join shuffle on the id, map-side status classify + filter.
+    No windows, no driver data.
+    """
+    from sparkall_spark.functions.text import fingerprint
+
+    fp = lambda: fingerprint(F.coalesce(F.col(text_col), F.lit("")))  # noqa: E731
+    o = old.select(F.col(id_col), fp().alias("old_fp"))
+    n = new.select(F.col(id_col), fp().alias("new_fp"))
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+    )
+    return joined.select(
+        id_col, status.alias("status"), "old_fp", "new_fp"
+    ).filter(F.col("status").isNotNull())

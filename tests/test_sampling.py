@@ -655,3 +655,46 @@ def test_filter_report_gates_are_total_on_null_text(spark):
     surv = {r["doc_id"] for r in prepare_documents(docs, c4_rules=True,
                                                    min_quality=0.0).collect()}
     assert 2 not in surv
+
+
+def test_corpus_diff_classifies_membership_and_content(spark, duck):
+    """added/removed/changed classification with normalized
+    fingerprints: formatting-only churn (case/whitespace) is NOT a
+    change; NULL text diffs by membership; unchanged docs emit
+    nothing. DuckDB-mirrored on the same snapshots."""
+    from sparkall_spark.operators.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "delta"), (4, None),
+         (5, "kept verbatim")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "  ALPHA   beta "),   # normalized-equal -> no row
+         (2, "gamma rewritten"),    # changed
+         (4, "now has text"),       # was NULL -> changed
+         (5, "kept verbatim"),      # unchanged
+         (6, "brand new")],         # added; doc 3 removed
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["old_fp"], r["new_fp"])
+        for r in corpus_diff(old, new).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {
+        2: "changed", 3: "removed", 4: "changed", 6: "added",
+    }
+    assert got[6][1] is None and got[3][2] is None
+    assert got[2][1] is not None and got[2][1] != got[2][2]
+    # fingerprints mirror the portable rolling hash exactly
+    fp_sql = """list_reduce(
+        list_prepend(0::BIGINT,
+          [ascii(c) FOR c IN
+             list_filter(string_split(
+               regexp_replace(trim(lower(coalesce(t, ''))), '\\s+', ' ', 'g'),
+               ''), x -> x <> '')]),
+        (acc, c) -> (acc * 31 + c) % 1000000007)"""
+    want = duck.execute(
+        f"SELECT {fp_sql} FROM (VALUES ('gamma rewritten')) v(t)"
+    ).fetchone()[0]
+    assert got[2][2] == want

@@ -698,3 +698,20 @@ def test_corpus_diff_classifies_membership_and_content(spark, duck):
         f"SELECT {fp_sql} FROM (VALUES ('gamma rewritten')) v(t)"
     ).fetchone()[0]
     assert got[2][2] == want
+
+
+def test_corpus_diff_plan_shape(spark):
+    """Scale contract: map-side fingerprints into ONE full-outer
+    equi-join — no window, no cartesian, no nested loop."""
+    from sparkall_spark.operators.pipeline import corpus_diff
+
+    old = spark.range(100).selectExpr("id AS doc_id",
+                                      "CAST(id AS STRING) AS text")
+    new = spark.range(50, 150).selectExpr("id AS doc_id",
+                                          "CAST(id * 2 AS STRING) AS text")
+    out = corpus_diff(old, new)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoop", "WindowExec"):
+        assert bad not in plan, bad

@@ -715,3 +715,14 @@ def test_temperature_mix_drops_null_groups(spark):
     out = S.temperature_mix_weights(df, "lang", alpha=0.5)
     rows = {r["lang"]: r["n_docs"] for r in out.collect()}
     assert rows == {"en": 2, "de": 1}
+
+
+def test_temperature_mix_plan_has_no_window(spark, sf_dir):
+    """The normalizers ride broadcast one-row frames, not a
+    whole-frame window (no single-partition WindowExec)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = S.temperature_mix_weights(docs, "lang", alpha=0.3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan and "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row normalizer frames

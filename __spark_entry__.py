@@ -3016,12 +3016,24 @@ def _e21_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(2, 'fp', __fp, 'delta_len', __dl) as (stat, value)"
         ),
     )
+    # 'read' (r10): Flesch reading ease per document — the readability
+    # gate education-quality corpus filters apply
+    # (functions/text.flesch_reading_ease; SQL-mirrored via flesch_sql)
+    from sparkall_spark.functions.text import flesch_reading_ease
+
+    read_long = docs.select(
+        F.lit("read").alias("family"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("flesch").alias("stat"),
+        flesch_reading_ease("text").alias("value"),
+    ).filter(F.col("value").isNotNull())
     return (
         flag_long.unionByName(wf)
         .unionByName(ov_long)
         .unionByName(fuzzy_long)
         .unionByName(sem_long)
         .unionByName(unorm_long)
+        .unionByName(read_long)
     )
 
 
@@ -3551,6 +3563,21 @@ FROM (
         FROM (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS d
               FROM documents))
 ), (VALUES ('fp'), ('delta_len')) s(stat)
+"""
+
+
+def _e21_read_sql() -> str:
+    """'read' family mirror: the same Flesch arithmetic rendered by
+    functions/text.flesch_sql (shared extraction regexes, operation
+    order, 6dp round)."""
+    from sparkall_spark.functions.text import flesch_sql
+
+    return f"""
+UNION ALL
+SELECT 'read' AS family, key, 'flesch' AS stat, value
+FROM (SELECT CAST(doc_id AS VARCHAR) AS key, {flesch_sql('text')} AS value
+      FROM documents)
+WHERE value IS NOT NULL
 """
 
 
@@ -4166,7 +4193,9 @@ def oracle_sql() -> dict[str, str]:
     out["e28_data_selection"] = _e28_oracle_sql()
     out["e18_cube_pivot"] = _E18_ORACLE
     out["e20_pretrain_pipeline"] = _E20_ORACLE
-    out["e21_stats_aggregates"] = _E21_ORACLE + _E21_UNORM_SQL
+    out["e21_stats_aggregates"] = (
+        _E21_ORACLE + _E21_UNORM_SQL + _e21_read_sql()
+    )
     out["e22_dedup_clusters"] = (
         _E22_ORACLE
         + _e22_split_oracle_sql()

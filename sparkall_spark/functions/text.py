@@ -1093,3 +1093,72 @@ def strip_accents(col: Column | str) -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return _strip(c)
+
+
+def syllable_counts(col: Column | str) -> Column:
+    """Per-token heuristic syllable counts: vowel-group runs
+    (``[aeiouy]+``) per lowercased token, floored at 1 — the standard
+    readability-formula approximation (exact syllabification needs a
+    pronunciation dictionary; every published Flesch implementation
+    uses a vowel-run heuristic of this family).  Engine-portable:
+    the same regex extraction runs in any ANSI engine."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.transform(
+        toks,
+        lambda t: F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(t, F.lit(r"[aeiouy]+"), F.lit(0))),
+        ),
+    )
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading ease (Flesch 1948; the readability gate
+    education-quality corpus filters apply):
+
+        206.835 - 1.015 * (words / sentences)
+                - 84.6  * (syllables / words)
+
+    over :func:`tokens`, :func:`sentences` and
+    :func:`syllable_counts`.  Higher = easier; ~90 is grade-school
+    prose, <30 is academic.  Documents with no words score NULL;
+    sentence count floors at 1 (terminator-less text is one
+    sentence).  All counts are exact integers, so the score is one
+    fixed sequence of exact-input double ops — 6dp-rounded, it
+    mirrors in SQL (:func:`flesch_sql`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_words = F.size(tokens(c)).cast("double")
+    n_sent = F.greatest(F.lit(1), F.size(sentences(c))).cast("double")
+    n_syll = F.aggregate(
+        syllable_counts(c), F.lit(0).cast("bigint"), lambda a, x: a + x
+    ).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    return F.when(n_words > 0, F.round(score, 6))
+
+
+def flesch_sql(text_sql: str) -> str:
+    """DuckDB mirror of :func:`flesch_reading_ease` — same token /
+    sentence / vowel-run extractions, same operation order, same 6dp
+    round."""
+    toks = (f"list_filter(regexp_split_to_array({text_sql}, '\\s+'),"
+            f" x -> x <> '')")
+    sents = (f"list_filter(list_transform("
+             f"regexp_extract_all({text_sql}, '[^.!?]+(?:[.!?]+|$)'),"
+             f" x -> trim(x)), x -> x <> '')")
+    syll = (
+        f"list_sum(list_transform("
+        f"list_filter(regexp_split_to_array(lower({text_sql}), '\\s+'),"
+        f" x -> x <> ''),"
+        f" t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))))"
+    )
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN round("
+        f"206.835"
+        f" - 1.015 * (len({toks})::DOUBLE / greatest(1, len({sents}))::DOUBLE)"
+        f" - 84.6 * ({syll}::DOUBLE / len({toks})::DOUBLE), 6)"
+        f" END"
+    )

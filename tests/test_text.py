@@ -816,3 +816,32 @@ def test_strip_accents_matches_duckdb_on_canonical_text(spark, duck):
     assert got[1] == "cafe creme"
     assert got[2] == "Uber Straße"
     assert got[4] is None
+
+
+def test_flesch_reading_ease_matches_sql_and_formula(spark, duck, sf_dir):
+    """SQL-mirror equality on the real fixture plus a hand-computed
+    case; no-words docs score NULL; terminator-less text counts as one
+    sentence."""
+    from sparkall_spark.functions.text import flesch_reading_ease, flesch_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in docs.select(
+            "doc_id", flesch_reading_ease("text").alias("f")
+        ).collect()
+    }
+    want = dict(
+        duck.execute(
+            f"SELECT doc_id, {flesch_sql('text')} FROM documents"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # hand case: "The cat sat. It ran." -> 5 words, 2 sentences,
+    # 5 one-syllable words
+    row = spark.createDataFrame(
+        [("The cat sat. It ran.",), ("",), ("   ",)], ["text"]
+    ).select(flesch_reading_ease("text").alias("f")).collect()
+    expect = round(206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5), 6)
+    assert row[0]["f"] == expect
+    assert row[1]["f"] is None and row[2]["f"] is None

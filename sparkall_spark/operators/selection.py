@@ -793,3 +793,60 @@ FROM (
           FROM {table} WHERE ({where}) AND {group_sql} IS NOT NULL
           GROUP BY 1)))
 """
+
+
+def apply_mix_weights(
+    docs: DataFrame,
+    weights: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize a temperature-mixed corpus from
+    :func:`temperature_mix_weights`' output — the sampler that applies
+    the boost: every row of group g is replicated to
+
+        k(id) = boost_micro // 1e6
+              + [mix(id, seed) % 1e6  <  boost_micro % 1e6]
+
+    copies, so E[copies] = boost_micro / 1e6 EXACTLY per group and the
+    whole decision is integer arithmetic over the portable LCG hash
+    (deterministic, reproducible on any engine; the ``% 1e6`` fold of
+    the mod-(2^31-1) hash carries ~0.02% non-uniformity — noise next
+    to sampling variance).  ``boost < 1`` downsamples (k ∈ {0, 1}),
+    ``boost > 1`` upsamples into integer epochs.  Output: the input
+    columns plus ``epoch`` (0-based copy index — shuffle epochs apart
+    downstream with ``ordering.corpus_shuffle``).
+
+    ``id_col`` must be an integer id (the portable-hash contract);
+    groups absent from ``weights`` are dropped (the weights table from
+    ``temperature_mix_weights`` covers every non-NULL group).
+
+    Scale shape: broadcast the metadata-scale weights table, map-only
+    replicate — no shuffle, no window.
+    """
+    from sparkall_spark.operators.sampling import _mix
+
+    _require_numeric_id(docs, id_col, "apply_mix_weights")
+    j = docs.join(
+        F.broadcast(weights.select(group_col, "boost_micro")),
+        group_col,
+        "inner",
+    )
+    whole = F.floor(
+        F.col("boost_micro") / F.lit(float(MICRO))
+    ).cast("int")
+    frac_micro = F.pmod(F.col("boost_micro"), F.lit(MICRO))
+    extra = (
+        F.pmod(_mix(F.col(id_col), seed), F.lit(MICRO)) < frac_micro
+    ).cast("int")
+    k = whole + extra
+    return (
+        j.select(
+            *docs.columns,
+            F.posexplode(
+                F.array_repeat(F.lit(0), k)
+            ).alias("epoch", "__zero"),
+        )
+        .drop("__zero")
+    )

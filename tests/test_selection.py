@@ -726,3 +726,60 @@ def test_temperature_mix_plan_has_no_window(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan and "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row normalizer frames
+
+
+def test_apply_mix_weights_epochs_and_mirror(spark, duck, sf_dir):
+    """The sampler closes the mix loop: per-group expected copies equal
+    boost_micro/1e6 exactly (integer arithmetic over the portable
+    hash), epochs are 0-based and dense, and the whole decision
+    mirrors in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    w = S.temperature_mix_weights(docs, "lang", alpha=0.3)
+    out = S.apply_mix_weights(docs, w, "lang", seed=5)
+    rows = out.collect()
+    got = {(r["doc_id"], r["epoch"]) for r in rows}
+    # deterministic across reruns
+    assert got == {
+        (r["doc_id"], r["epoch"])
+        for r in S.apply_mix_weights(docs, w, "lang", seed=5).collect()
+    }
+    # mirror: same k(id) arithmetic over the SQL-side weights
+    mix = S.mix_sql("doc_id", 5)
+    mirror = duck.execute(f"""
+        WITH w AS ({S.temperature_mix_sql('documents', 'lang', alpha=0.3)})
+        SELECT d.doc_id,
+               (w.boost_micro // 1000000)
+               + CASE WHEN ({mix}) % 1000000 < w.boost_micro % 1000000
+                      THEN 1 ELSE 0 END AS k
+        FROM documents d JOIN w ON w.grp = d.lang
+    """).fetchall()
+    want = set()
+    for doc_id, k in mirror:
+        for e in range(int(k)):
+            want.add((doc_id, e))
+    assert got == want
+    # per-group realized copies are within 1 per row of the exact
+    # expectation (the fractional part is a hash Bernoulli)
+    import collections
+    lang_of = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    n_in = collections.Counter(lang_of.values())
+    n_out = collections.Counter(lang_of[d] for d, _e in got)
+    boost = {r["lang"]: r["boost_micro"] / 1e6 for r in w.collect()}
+    for lang, n in n_in.items():
+        assert abs(n_out[lang] - boost[lang] * n) <= n
+    # upsampled groups really gained epochs beyond 0
+    assert any(e > 0 for _d, e in got)
+
+
+def test_apply_mix_weights_requires_integer_id(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [("a", "en")], "doc_id string, lang string"
+    )
+    w = spark.createDataFrame([("en", 1_500_000)],
+                              "lang string, boost_micro bigint")
+    with _pytest.raises(ValueError, match="integer id"):
+        S.apply_mix_weights(docs, w, "lang")

@@ -1067,11 +1067,40 @@ def _e04_images() -> list[tuple[int, bytes]]:
     ]
 
 
+# COMMITTED dHash constants of the _e04_images() fixtures — computed
+# ONCE with multimodal.decode_pixels + dhash64 and pinned here (r10
+# advice): the oracle embeds THESE literals, not a fresh driver-side
+# recompute, so a regression in the decode/hash code itself now trips
+# the driver gate (previously both sides ran the same Python and a
+# shared bug passed identically; only the mapInPandas plumbing was
+# verified).  tests/test_entry_contract.py re-derives them and fails
+# with regeneration instructions if the fixture or hash ever changes
+# deliberately.
+_E04_PINNED_FPS: list[tuple[int, int]] = [
+    (0, -7803846083323943502),
+    (1, 1381454117384042964),
+    (2, -1555049513770371629),
+    (3, 7722919287836060068),
+    (4, 6077104818413049530),
+    (5, 6687657749555878316),
+    (6, 7830553269740999978),
+    (7, -1248238432389982774),
+    (8, 3286153924560247851),
+    (9, 7884653521422554540),
+    (10, 6640753680068242346),
+    (11, 7443213672316179738),
+    (100, -7803846083323943502),
+    (101, 7722919287836060068),
+    (102, -1248238432389982774),
+    (103, 6687657783781398956),
+]
+
+
 def _e04_fingerprints() -> list[tuple[int, int]]:
     """Driver-side dHash of the fixture images via the SAME pure-Python
     decode the executors run (multimodal.decode_pixels + dhash64) —
-    the oracle's precomputed-literal side, so the driver gate verifies
-    the distributed mapInPandas plumbing and the banded pair join."""
+    kept as the REGENERATION helper for :data:`_E04_PINNED_FPS` and the
+    parity test; the oracle itself reads the pinned constants."""
     from sparkall_spark.operators.multimodal import decode_pixels, dhash64
 
     return [(i, dhash64(decode_pixels(p))) for i, p in _e04_images()]
@@ -1129,7 +1158,7 @@ def _e04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vote sum is positive — the same unrolled 30-term sum the Spark side
 # computes (operators/dedup.py:simhash)
 def _e04_oracle_sql() -> str:
-    fps = ", ".join(f"({i}, {fp})" for i, fp in _e04_fingerprints())
+    fps = ", ".join(f"({i}, {fp})" for i, fp in _E04_PINNED_FPS)
     simhash_bits = "\n + ".join(
         f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1"
         f" THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END"

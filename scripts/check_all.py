@@ -10,7 +10,15 @@ runs every round.  Row format mirrors CORRECTNESS_r08.json:
 
     {"<entry>": {"rows_match": bool, "schema_match": bool,
                  "hash_match": bool, "spark_rows": int,
-                 "oracle_rows": int, "err": str|null}, ...}
+                 "oracle_rows": int, "err": str|null,
+                 "seconds": float, "checked": "oracle"|"rows-only"}, ...}
+
+``seconds`` is the wall-clock for the entry's Spark run + oracle
+compare (the profile the r10 VERDICT asked to commit each round —
+the driver's gate went silent twice and the suspect is its time
+budget, so the per-entry cost tail must be visible in-repo).
+``checked`` makes the weaker rows-only rows impossible to over-read
+as value-verified (r10 ADVICE).
 
 ``hash_match`` here is a NaN-safe sorted row-set compare (the driver's
 value gate minus its hashing ceremony — scripts/_oracle_common.canon,
@@ -68,7 +76,8 @@ def main() -> int:
             continue
         row = {"rows_match": False, "schema_match": False,
                "hash_match": False, "spark_rows": None,
-               "oracle_rows": None, "err": None}
+               "oracle_rows": None, "err": None,
+               "checked": "oracle"}
         t0 = time.time()
         try:
             sdf = q(spark, sf_dir).toPandas()
@@ -78,7 +87,7 @@ def main() -> int:
             if oracle is None:
                 # weaker rows-only check, same as the driver's fallback
                 row.update(rows_match=True, schema_match=True,
-                           hash_match=None)
+                           hash_match=None, checked="rows-only")
             else:
                 odf = con.execute(oracle).df()
                 odf = odf[sorted(odf.columns)]
@@ -101,6 +110,7 @@ def main() -> int:
                               "stricter)", flush=True)
         except Exception:
             row["err"] = traceback.format_exc(limit=3)
+        row["seconds"] = round(time.time() - t0, 3)
         ok = (row["err"] is None and row["rows_match"]
               and row["schema_match"] and row["hash_match"] in (True, None))
         n_fail += 0 if ok else 1
@@ -114,7 +124,13 @@ def main() -> int:
     release_caches()
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
+    n_rows_only = sum(1 for r in results.values()
+                      if r.get("checked") == "rows-only")
+    slowest = sorted(results.items(), key=lambda kv: -kv[1]["seconds"])[:5]
+    print("# slowest entries: "
+          + ", ".join(f"{n}={r['seconds']:.1f}s" for n, r in slowest))
     print(f"\n{len(results) - n_fail}/{len(results)} green "
+          f"({n_rows_only} rows-only, rest value-verified) "
           f"in {time.time() - t_all:.0f}s -> {out_path}")
     return 1 if n_fail else 0
 

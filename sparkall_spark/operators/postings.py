@@ -239,6 +239,23 @@ def compact_postings(spark: SparkSession, path: str) -> None:
     queries against ``path`` during the swap see a partially-compacted
     listing — schedule it like any other table-maintenance window.
 
+    Crash recovery: every step is idempotent, so the answer to a crash
+    at ANY point is simply "re-run compact_postings(path)".  A crash
+    during staging leaves the live index untouched (staging is
+    ``_``-hidden, invisible to the parquet reader).  A crash during the
+    dynamic-overwrite commit can leave some bucket dirs compacted and
+    others not — query answers are unaffected (every live row is in
+    exactly one committed bucket file set; dynamic overwrite commits
+    per-partition) and the re-run restores one-file-per-bucket
+    everywhere.  A crash between the postings and ``_doclen``/``_meta``
+    rewrites leaves those side tables un-compacted but value-identical
+    (the rewrite only re-packs files).  The staged copy under
+    ``_compact_tmp`` additionally holds a full snapshot until cleanup.
+    The dynamic overwrite mode is scoped to this one writer via
+    ``.option("partitionOverwriteMode", "dynamic")`` — no session conf
+    is touched, so concurrent writers in the same SparkSession keep
+    their own semantics.
+
     Invariants (tests/test_postings.py): post-compact rows, meta and
     query answers are hash-equal to the pre-compact index AND to a
     fresh :func:`save_postings` rebuild; each bucket directory holds
@@ -262,19 +279,15 @@ def compact_postings(spark: SparkSession, path: str) -> None:
     load_doclen(spark, path).write.mode("overwrite").parquet(
         f"{staging}/doclen"
     )
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # dynamic mode replaces exactly the bucket dirs the write
-        # produces (all of them — every live row was staged) and
-        # leaves the _-hidden side tables alone
-        spark.read.parquet(f"{staging}/postings").repartition(
-            nb, "tok_bucket"
-        ).write.mode("overwrite").partitionBy("tok_bucket").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic mode replaces exactly the bucket dirs the write
+    # produces (all of them — every live row was staged) and leaves
+    # the _-hidden side tables alone; the per-writer option keeps the
+    # session conf untouched for any concurrent write
+    spark.read.parquet(f"{staging}/postings").repartition(
+        nb, "tok_bucket"
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("tok_bucket").parquet(path)
     # repartition bounds the rewritten _doclen at n_buckets files —
     # without it the staging read of N append-era small files yields N
     # partitions and the rewrite would emit N files again, defeating

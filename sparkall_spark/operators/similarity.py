@@ -675,9 +675,16 @@ def ann_recall_report(
 
     Inputs are two ``(query_id, neighbor_id, ...)`` top-k frames (the
     contract every ``*_topk`` here emits).  Output: one row per query
-    in ``exact`` — ``query_id, n_overlap`` (|approx ∩ exact|, bigint)
-    and ``recall`` (n_overlap / k, 6dp).  Queries the approximate path
-    missed entirely still appear with recall 0.
+    in ``exact`` — ``query_id, n_overlap`` (|approx ∩ exact| as DISTINCT
+    pairs, bigint) and ``recall`` (n_overlap / min(k, per-query exact
+    rows), 6dp).  Queries the approximate path missed entirely still
+    appear with recall 0.  Both inputs are deduplicated on
+    ``(query_id, neighbor_id)`` before matching, so accidental
+    duplicate rows cannot inflate n_overlap past k; and the denominator
+    is capped by what the exact baseline actually returned, so a query
+    whose corpus is smaller than k (or filtered) can still reach
+    recall 1 (r10 advice — with well-formed k-rows-per-query inputs
+    both adjustments are identities).
 
     ``method_col``: when ``approx`` is a TAGGED UNION of several
     methods' top-k frames (the e09 family shape), name the tag column
@@ -695,14 +702,19 @@ def ann_recall_report(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     group = ([method_col] if method_col else []) + ["query_id"]
-    approx_keys = approx.select(*group, "neighbor_id")
+    approx_keys = approx.select(*group, "neighbor_id").distinct()
+    exact_keys = exact.select("query_id", "neighbor_id").distinct()
     hits = (
-        exact.select("query_id", "neighbor_id")
-        .join(approx_keys, ["query_id", "neighbor_id"])
+        exact_keys.join(approx_keys, ["query_id", "neighbor_id"])
         .groupBy(*group)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
     )
-    base = exact.select("query_id").distinct()
+    # per-query denominator: the exact baseline may legitimately hold
+    # fewer than k rows (corpus < k, filtered queries) — recall is
+    # measured against what exact COULD return, capped at k
+    base = exact_keys.groupBy("query_id").agg(
+        F.least(F.count(F.lit(1)), F.lit(k)).alias("__denom")
+    )
     if method_col:
         base = base.crossJoin(
             F.broadcast(approx.select(method_col).distinct())
@@ -716,7 +728,7 @@ def ann_recall_report(
             .alias("n_overlap"),
             F.round(
                 F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
-                / F.lit(float(k)),
+                / F.col("__denom").cast("double"),
                 6,
             ).alias("recall"),
         )

@@ -970,8 +970,27 @@ def cms_join_cardinality(
     buckets fit trivially) — for the full guarantee, pass
     ``params_a``/``params_b`` (the pinned dicts :func:`load_sketch`
     returns): their ``depth``/``width`` are then required to equal the
-    declared values exactly, on both sides.
+    declared values exactly, on both sides — and each other, even when
+    ``width`` itself is omitted (two sketches pinned at different
+    widths never pass).
     """
+    if params_a is not None and params_b is not None:
+        # even with no declared width, two pinned sketches must agree
+        # WITH EACH OTHER — a's width vs b's width is exactly the
+        # mis-pairing the validation exists to catch (r10 advice)
+        wa, wb = params_a.get("width"), params_b.get("width")
+        if wa is not None and wb is not None and int(wa) != int(wb):
+            raise ValueError(
+                f"cms_join_cardinality: sketch a pins width={wa}, "
+                f"sketch b pins width={wb} — buckets would silently "
+                "mis-pair"
+            )
+        da, db = params_a.get("depth"), params_b.get("depth")
+        if da is not None and db is not None and int(da) != int(db):
+            raise ValueError(
+                f"cms_join_cardinality: sketch a pins depth={da}, "
+                f"sketch b pins depth={db} — hash rows would not align"
+            )
     for side, params in (("a", params_a), ("b", params_b)):
         if params is None:
             continue

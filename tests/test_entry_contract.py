@@ -181,3 +181,16 @@ def test_bench_json_line_parses_from_tail_capture():
     assert set(parsed["queries"]) == set(bench.BENCH_QUERIES)
     # no prose fields may ever come back
     assert "notes" not in parsed and "variance_note" not in parsed
+
+
+def test_e04_pinned_fingerprints_match_decode():
+    """The committed _E04_PINNED_FPS constants (the e04 oracle's
+    literal side) must equal what the live decode_pixels+dhash64 path
+    produces over the fixture images.  If this fails after a
+    DELIBERATE fixture/hash change, regenerate the constants with
+    ``python -c "import __spark_entry__ as E; print(E._e04_fingerprints())"``
+    and update _E04_PINNED_FPS; if it fails after any other change, the
+    decode/hash regressed — fix the code, not the constants."""
+    import __spark_entry__ as E
+
+    assert E._e04_fingerprints() == E._E04_PINNED_FPS

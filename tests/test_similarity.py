@@ -353,3 +353,27 @@ def test_ann_recall_report_counts_and_zero_rows(spark):
         ("a", 1): (2, round(2 / 3, 6)), ("a", 2): (0, 0.0),
         ("b", 1): (1, round(1 / 3, 6)), ("b", 2): (2, round(2 / 3, 6)),
     }
+
+
+def test_ann_recall_report_dupes_and_short_exact(spark):
+    """r10-advice hardening: duplicate (query, neighbor) rows in either
+    input must not inflate n_overlap, and a query whose exact baseline
+    holds fewer than k rows is scored against that count (so a perfect
+    approximation reaches recall 1, never 2/k-capped < 1)."""
+    from sparkall_spark.operators.similarity import ann_recall_report
+
+    # query 1: exact has only 2 rows (< k=3); approx finds both ->
+    # recall must be 1.0, not 2/3.  Dupes on both sides are noise.
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 11), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11), (2, 20), (2, 20), (2, 20)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_overlap"], r["recall"])
+        for r in ann_recall_report(approx, exact, k=3).collect()
+    }
+    assert got == {1: (2, 1.0), 2: (1, round(1 / 3, 6))}

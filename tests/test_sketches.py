@@ -550,6 +550,24 @@ def test_cms_join_cardinality_validates_bucket_domain(spark):
             width=4096,
             params_b={"depth": 2, "width": 4096},
         )
+    # r10 advice: with width OMITTED, two pinned sketches must still
+    # agree with EACH OTHER — a=8 vs b=4096 is the silent mis-pairing
+    with pytest.raises(ValueError, match="width=8.*width=4096"):
+        cms_join_cardinality(
+            cms_sketch(a, "k", depth=3, width=8),
+            cms_sketch(b, "k", depth=3, width=4096),
+            depth=3,
+            params_a={"depth": 3, "width": 8},
+            params_b={"depth": 3, "width": 4096},
+        )
+    with pytest.raises(ValueError, match="depth=3.*depth=2"):
+        cms_join_cardinality(
+            cms_sketch(a, "k", depth=3, width=4096),
+            cms_sketch(b, "k", depth=3, width=4096),
+            depth=3,
+            params_a={"depth": 3, "width": 4096},
+            params_b={"depth": 2, "width": 4096},
+        )
 
 
 def test_sketch_save_load_pins_parameters(spark, sf_dir, tmp_path):

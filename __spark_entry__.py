@@ -1011,13 +1011,13 @@ def _e03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _E03_ORACLE = """
-WITH t AS (
+WITH t AS MATERIALIZED (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      x -> x <> '') toks
   FROM documents),
-td AS (SELECT doc_id, list_distinct(toks) AS toks FROM t),
-g AS (
+td AS MATERIALIZED (SELECT doc_id, list_distinct(toks) AS toks FROM t),
+g AS MATERIALIZED (
   SELECT doc_id,
          list_distinct([array_to_string(toks[i:i+1], ' ')
                         FOR i IN generate_series(1, len(toks) - 1)]) grams
@@ -1708,13 +1708,18 @@ def _e27_oracle_sql() -> str:
     )
     proj = project_micro_sql("embedding", dim=64, k=8, seed=97)
     from sparkall_spark.operators.logreg import (
-        logreg_oracle_sql,
-        logreg_scores_oracle_sql,
+        logreg_scores_select_sql,
+        logreg_train_chain_sql,
     )
 
-    lr = logreg_oracle_sql("lang = 'en'", n_buckets=64, iters=3)
-    lrs = logreg_scores_oracle_sql("lang = 'en'", n_buckets=64, iters=3)
+    # ONE training chain hoisted to the top-level WITH — the 'lr' and
+    # 'lrscore' branches previously each embedded their own copy, and
+    # DuckDB re-ran the whole unrolled GD per branch (half the entry's
+    # oracle cost for no extra verification)
+    chain = logreg_train_chain_sql("lang = 'en'", n_buckets=64, iters=3)
+    scores = logreg_scores_select_sql(iters=3)
     return f"""
+WITH {chain}
 SELECT 'kmeans' AS tag, vec_id, CAST(0 AS INT) AS j, cell AS val
 FROM ({sql}) km
 UNION ALL
@@ -1724,11 +1729,13 @@ FROM (
   FROM (SELECT vec_id, {proj} AS pm FROM embeddings) p) q
 UNION ALL
 SELECT 'lr' AS tag, b AS vec_id, CAST(0 AS INT) AS j, w AS val
-FROM ({lr}) lw
+FROM (SELECT b::BIGINT AS b, CAST(w AS BIGINT) AS w FROM w3
+      UNION ALL
+      SELECT -1::BIGINT, CAST(bias AS BIGINT) FROM b3) lw
 UNION ALL
 SELECT 'lrscore' AS tag, doc_id AS vec_id, CAST(0 AS INT) AS j,
        margin_micro AS val
-FROM ({lrs}) ls WHERE doc_id % 17 = 0
+FROM ({scores}) ls WHERE doc_id % 17 = 0
 """
 
 
@@ -3650,9 +3657,15 @@ def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkall_spark.operators import sampling as S
 
+    from sparkall_spark.operators._cache import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
-    clustered = D.minhash_dedup_clusters(
-        docs, threshold=0.9, broadcast_reps=True
+    # persisted (teardown-released): the cluster frame feeds BOTH the
+    # 'cluster' leg and the leakage-free 'split' leg — without the pin
+    # the iterative-CC subplan executes twice, doubling the entry's
+    # dominant cost for no information
+    clustered = persist_tracked(
+        D.minhash_dedup_clusters(docs, threshold=0.9, broadcast_reps=True)
     )
     clusters = clustered.select(
         F.lit("cluster").alias("family"),
@@ -3830,7 +3843,7 @@ FROM (SELECT node, min(r) AS rep FROM reach GROUP BY node)
 
 _E22_ORACLE = """
 WITH RECURSIVE
-t AS (SELECT doc_id, list_distinct(list_filter(
+t AS MATERIALIZED (SELECT doc_id, list_distinct(list_filter(
         regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) toks
       FROM documents),
 pairs AS (

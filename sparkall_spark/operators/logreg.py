@@ -249,14 +249,20 @@ def logreg_score(
 
 
 def _sql_tok_feats(table: str, n_buckets: int, label_sql: str) -> str:
-    """Shared mirror CTEs: features, labels, doc count."""
+    """Shared mirror CTEs: features, labels, doc count.
+
+    ``tok``/``feats`` are MATERIALIZED: the per-character portable hash
+    is the chain's expensive expression and every unrolled iteration
+    references ``feats`` twice — without the hint DuckDB inlines the
+    CTE per reference and recomputes the hash ~2*iters times (measured
+    5.6x on the 3-iteration chain; values identical)."""
     return f"""
-tok AS (
+tok AS MATERIALIZED (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                             x -> x <> '')) AS tok
   FROM {table}),
-feats AS (
+feats AS MATERIALIZED (
   SELECT doc_id,
          CAST(list_reduce(
            list_prepend(0::BIGINT,
@@ -313,6 +319,37 @@ b{c} AS (
             END) AS bias)"""
 
 
+def logreg_train_chain_sql(
+    label_sql: str,
+    n_buckets: int = 256,
+    iters: int = 3,
+    lr_den: int = 2,
+    table: str = "documents",
+) -> str:
+    """The unrolled training chain as a WITH *body* (no ``WITH``
+    keyword, no final SELECT) ending in ``w{iters}``/``b{iters}`` —
+    share it when one query needs BOTH the learned weights and the
+    per-doc scores (the e27 oracle previously embedded the chain twice
+    and paid for both)."""
+    parts = [_sql_tok_feats(table, n_buckets, label_sql)]
+    for i in range(1, iters + 1):
+        parts.append(_sql_iter(i, lr_den))
+    return ",".join(parts)
+
+
+def logreg_scores_select_sql(iters: int = 3) -> str:
+    """The per-document margin SELECT over an in-scope training chain
+    (see :func:`logreg_train_chain_sql`): ``(doc_id, margin_micro)``."""
+    return f"""
+SELECT l.doc_id,
+       (coalesce(s.m, 0) + (SELECT bias FROM b{iters}))::BIGINT
+         AS margin_micro
+FROM lbl l LEFT JOIN (
+  SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS m
+  FROM feats f JOIN w{iters} w USING (b) GROUP BY f.doc_id) s
+USING (doc_id)"""
+
+
 def logreg_oracle_sql(
     label_sql: str,
     n_buckets: int = 256,
@@ -329,12 +366,9 @@ def logreg_oracle_sql(
     engines (``(2|g| + den) // (2 den)``), so the only float in the
     loop is the sigmoid, whose per-row output is micro-rounded before
     any sum."""
-    parts = [_sql_tok_feats(table, n_buckets, label_sql)]
-    for i in range(1, iters + 1):
-        parts.append(_sql_iter(i, lr_den))
     return (
         "WITH "
-        + ",".join(parts)
+        + logreg_train_chain_sql(label_sql, n_buckets, iters, lr_den, table)
         + f"""
 SELECT b::BIGINT AS b, CAST(w AS BIGINT) AS w FROM w{iters}
 UNION ALL
@@ -352,18 +386,8 @@ def logreg_scores_oracle_sql(
     """DuckDB mirror of ``train_logreg`` + :func:`logreg_score`: the
     same unrolled training chain, then every document's BIGINT decision
     margin under the final weights — ``(doc_id, margin_micro)``."""
-    parts = [_sql_tok_feats(table, n_buckets, label_sql)]
-    for i in range(1, iters + 1):
-        parts.append(_sql_iter(i, lr_den))
     return (
         "WITH "
-        + ",".join(parts)
-        + f"""
-SELECT l.doc_id,
-       (coalesce(s.m, 0) + (SELECT bias FROM b{iters}))::BIGINT
-         AS margin_micro
-FROM lbl l LEFT JOIN (
-  SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS m
-  FROM feats f JOIN w{iters} w USING (b) GROUP BY f.doc_id) s
-USING (doc_id)"""
+        + logreg_train_chain_sql(label_sql, n_buckets, iters, lr_den, table)
+        + logreg_scores_select_sql(iters)
     )

@@ -2287,14 +2287,57 @@ def _e14_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = persist_tracked(
         ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
     )
-    thr = counts.agg((F.avg("n_ev") * 1.1).alias("t")).first()["t"]
+    agg = counts.agg(
+        (F.avg("n_ev") * 1.1).alias("t"),
+        F.sum("n_ev").cast("bigint").alias("n_probe"),
+    ).first()
+    thr, n_probe = agg["t"], int(agg["n_probe"])
     hot = counts.filter(F.col("n_ev") >= F.lit(thr))
+    # r11 (VERDICT Next #5): the CMS planning gate runs IN the gated
+    # path with PINNED parameters — both join-key sketches go through
+    # save_sketch -> load_sketch, and the returned pinned dicts are
+    # threaded into semi_reduce_gate, so the width/depth validation
+    # (operators/sketches.py:cms_join_cardinality) executes under the
+    # driver oracle every round, not just in unit tests.  The gate's
+    # one-sided estimate decides bloom-reduce vs plain join; the bloom
+    # path's no-false-negatives contract makes both results identical,
+    # so the oracle is path-independent by construction.  Sketch
+    # frames are per-key counters over user_id (bounded: depth*width),
+    # the probe-row total rides the counts agg above (no extra scan).
+    import tempfile
+
+    from sparkall_spark.operators.joins import semi_reduce_gate
+    from sparkall_spark.operators.sketches import (
+        cms_sketch,
+        load_sketch,
+        save_sketch,
+    )
+
+    sk_dir = tempfile.mkdtemp(prefix="sparkall_e14_cms_")
+    save_sketch(
+        cms_sketch(ev.select("user_id"), "user_id", depth=3, width=1024),
+        f"{sk_dir}/probe", "cms", depth=3, width=1024,
+    )
+    save_sketch(
+        cms_sketch(hot.select("user_id"), "user_id", depth=3, width=1024),
+        f"{sk_dir}/build", "cms", depth=3, width=1024,
+    )
+    probe_sk, p_params = load_sketch(spark, f"{sk_dir}/probe", "cms")
+    build_sk, b_params = load_sketch(spark, f"{sk_dir}/build", "cms")
+    should_reduce, _est = semi_reduce_gate(
+        probe_sk, build_sk, depth=3, probe_rows=n_probe,
+        width=1024, params_probe=p_params, params_build=b_params,
+    )
     # m_bits pinned (skips auto-sizing's build.count() job): 2^14 bits
     # carries ~1k hot users at 16 bits/key; at larger SF the fpp merely
     # rises and the real join still removes every false positive
-    bsemi = bloom_reduced_join(
-        ev, hot, on="user_id", probe_key="user_id", m_bits=1 << 14
-    ).select(
+    if should_reduce:
+        joined = bloom_reduced_join(
+            ev, hot, on="user_id", probe_key="user_id", m_bits=1 << 14
+        )
+    else:  # estimate says the filter keeps ~everything: join directly
+        joined = ev.join(hot, "user_id")
+    bsemi = joined.select(
         F.lit("bloomsemi").alias("tag"),
         "event_id",
         F.col("user_id").alias("other_id"),
@@ -2384,7 +2427,11 @@ def _e28_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints encoded into the shared columns); 'mix:<lang>' (r10)
     = multinomial temperature-sampling weights at XLM-R's alpha=0.3
     (selection.temperature_mix_weights — one count agg over the
-    corpus, micro-exact mirror).  Unified schema (tag, doc_id, a, b)."""
+    corpus, micro-exact mirror); 'epochs:<lang>' (r11) = the epoch
+    SAMPLER (selection.apply_mix_weights) gated end-to-end — per-(lang,
+    epoch) row counts + doc-id sums of the materialized mixed corpus
+    vs the SQL twin of the integer LCG replicate rule.  Unified schema
+    (tag, doc_id, a, b)."""
     from sparkall_spark.operators import lm as L
     from sparkall_spark.operators import selection as SEL
 
@@ -2469,18 +2516,47 @@ def _e28_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 'mix' (r10): multinomial temperature-sampling weights per lang
     # (XLM-R alpha=0.3) — micro-exact across engines by the micro-logp
-    # discipline (selection.temperature_mix_weights)
-    mix = SEL.temperature_mix_weights(docs, "lang", alpha=0.3).select(
+    # discipline (selection.temperature_mix_weights).  Persisted: the
+    # weights frame feeds BOTH the mix leg and the epochs sampler leg
+    # (metadata-scale — a handful of language rows).
+    from sparkall_spark.operators._cache import persist_tracked
+
+    w = persist_tracked(SEL.temperature_mix_weights(docs, "lang", alpha=0.3))
+    mix = w.select(
         F.concat(F.lit("mix:"), F.col("lang")).alias("tag"),
         F.col("n_docs").alias("doc_id"),
         F.col("weight_micro").alias("a"),
         F.col("boost_micro").alias("b"),
+    )
+    # 'epochs:<lang>' (r11): the epoch SAMPLER driver-gated
+    # (selection.apply_mix_weights — the one r10 operator without an
+    # oracle leg): materialize the temperature-mixed corpus, then
+    # per-(lang, epoch) row counts AND doc-id sums — the sum pins
+    # exactly WHICH documents got a k-th copy (the integer LCG
+    # replicate decision), not just how many.  Map-only sampler over a
+    # broadcast weights table; output is epochs x langs rows.
+    epochs = (
+        SEL.apply_mix_weights(
+            docs.select("doc_id", "lang"), w, "lang", seed=7
+        )
+        .groupBy("lang", "epoch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("a"),
+            F.sum("doc_id").cast("bigint").alias("b"),
+        )
+        .select(
+            F.concat(F.lit("epochs:"), F.col("lang")).alias("tag"),
+            F.col("epoch").cast("bigint").alias("doc_id"),
+            "a",
+            "b",
+        )
     )
     return (
         cap.unionByName(bucket)
         .unionByName(dsir)
         .unionByName(report)
         .unionByName(mix)
+        .unionByName(epochs)
     )
 
 
@@ -2502,9 +2578,16 @@ def _e28_oracle_sql() -> str:
     g = gumbel_micro_sql("doc_id", seed=11)
     gh = gumbel_micro_sql("doc_id", seed=13)
     hng = hashed_ngram_list_sql("t", 10_000, 2)
-    from sparkall_spark.operators.selection import temperature_mix_sql
+    from sparkall_spark.operators.selection import (
+        mix_sql as _sel_mix_sql,
+        temperature_mix_sql,
+    )
 
     _mix_oracle = temperature_mix_sql("documents", "lang", alpha=0.3)
+    # the epoch sampler's replicate decision: k = boost//1e6 + [LCG %
+    # 1e6 < boost % 1e6] over the SAME portable hash the Spark side
+    # folds (apply_mix_weights / sampling._mix, seed pinned at 7)
+    _mix_lcg = _sel_mix_sql("doc_id", 7)
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({tok}) AS token FROM documents),
@@ -2633,6 +2716,16 @@ UNION ALL
 SELECT 'mix:' || grp AS tag, n_docs AS doc_id,
        weight_micro AS a, boost_micro AS b
 FROM ({_mix_oracle.strip()})
+UNION ALL
+SELECT 'epochs:' || lang AS tag, CAST(epoch AS BIGINT) AS doc_id,
+       count(*)::BIGINT AS a, sum(did)::BIGINT AS b
+FROM (
+  SELECT d.doc_id AS did, d.lang,
+         unnest(range((w.boost_micro // 1000000)
+           + CASE WHEN ({_mix_lcg}) % 1000000 < w.boost_micro % 1000000
+                  THEN 1 ELSE 0 END)) AS epoch
+  FROM documents d JOIN ({_mix_oracle.strip()}) w ON w.grp = d.lang) q
+GROUP BY lang, epoch
 """
 
 
@@ -3256,7 +3349,11 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
       is a pure function of the word multiset and the query is depth
       chained broadcast lookups, so the estimates mirror bit-for-bit
       (same hash family, same seeds) in the SQL oracle; includes a
-      never-seen probe (gates the zero path)."""
+      never-seen probe (gates the zero path).
+    - ``zorder`` (r11): the Z-order clustered layout lifecycle — an
+      in-entry write_zordered round-trip, read back through a
+      trailing-dimension slice and value-gated against the raw table
+      (tests/test_zorder.py keeps the row-group skip receipt)."""
     import tempfile
 
     from sparkall_spark.operators import sketches as K
@@ -3420,6 +3517,35 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("est_count").alias("stat"),
         F.col("est").cast("double").alias("value"),
     )
+    # 'zorder' (r11, VERDICT Next #3): the z-order clustered layout
+    # lifecycle driver-gated — write a Morton-clustered copy of the
+    # events projection in-entry (sources/sinks.py:write_zordered),
+    # read a TRAILING-dimension slice back THROUGH the layout, and
+    # value-gate those rows against the raw table in the oracle.  A row
+    # lost, duplicated, or mangled by the clustered write now
+    # hash-mismatches every round; the row-group skip receipt (the
+    # performance half) stays plan-asserted in tests/test_zorder.py.
+    from sparkall_spark.sources.sinks import write_zordered
+
+    zdir = tempfile.mkdtemp(prefix="sparkall_e29_z_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    write_zordered(ev, zdir, ["user_id", "event_id"], bits=12, n_files=8)
+    z_long = (
+        spark.read.parquet(zdir)
+        .filter((F.col("event_id") >= 100) & (F.col("event_id") < 200))
+        .select(
+            F.lit("zorder").alias("family"),
+            F.col("event_id").cast("string").alias("key"),
+            F.expr(
+                "stack(2, "
+                "'user_id', cast(user_id as double), "
+                "'value', cast(value as double)"
+                ") as (stat, value)"
+            ),
+        )
+    )
     return (
         meta_long.unionByName(ph_long)
         .unionByName(bm_long)
@@ -3429,6 +3555,7 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_long)
         .unionByName(tq_long)
         .unionByName(cms_long)
+        .unionByName(z_long)
     )
 
 
@@ -3449,6 +3576,20 @@ SELECT 'tq' AS family, CAST(doc_id AS VARCHAR) AS key, 'or_n' AS stat,
        count(*)::DOUBLE AS value
 FROM bmp WHERE token IN ('hash', 'table')
 GROUP BY doc_id
+"""
+
+
+# 'zorder' family mirror: the raw rows the trailing-dim slice must
+# return after the round-trip through the Morton-clustered layout —
+# the layout changes WHERE rows live, never which rows exist
+_E29_ZORDER_SQL = """
+UNION ALL
+SELECT 'zorder' AS family, CAST(event_id AS VARCHAR) AS key,
+       s.stat AS stat,
+       CASE s.stat WHEN 'user_id' THEN user_id::DOUBLE
+            ELSE value::DOUBLE END AS value
+FROM events CROSS JOIN (VALUES ('user_id'), ('value')) s(stat)
+WHERE event_id >= 100 AND event_id < 200
 """
 
 
@@ -4248,6 +4389,6 @@ def oracle_sql() -> dict[str, str]:
     out["e24_semdedup"] = _e24_oracle_sql()
     out["e25_warc_crawl"] = _e25_oracle_sql()
     out["e29_index_telemetry"] = (
-        _E29_ORACLE + _E29_TQ_SQL + _e29_cms_oracle_sql()
+        _E29_ORACLE + _E29_TQ_SQL + _e29_cms_oracle_sql() + _E29_ZORDER_SQL
     )
     return out

@@ -191,3 +191,33 @@ def test_semi_reduce_gate_decides_from_sketches(spark):
     )
     assert not go2 and est2 >= 10_000
     assert semi_reduce_gate(ps, ps, 3, 0) == (False, 0)
+
+
+def test_semi_reduce_gate_pinned_ledger_mismatch_raises(spark, tmp_path):
+    """r11 (VERDICT Next #5): the production shape — sketches through
+    save_sketch -> load_sketch with the pinned dicts threaded into
+    semi_reduce_gate — must refuse two ledgers pinned at different
+    widths even when the caller omits the width argument entirely."""
+    from sparkall_spark.operators.joins import semi_reduce_gate
+    from sparkall_spark.operators.sketches import (
+        cms_sketch,
+        load_sketch,
+        save_sketch,
+    )
+
+    df = spark.range(200).selectExpr("id % 37 AS k")
+    save_sketch(cms_sketch(df, "k", depth=3, width=512),
+                str(tmp_path / "a"), "cms", depth=3, width=512)
+    save_sketch(cms_sketch(df, "k", depth=3, width=1024),
+                str(tmp_path / "b"), "cms", depth=3, width=1024)
+    sa, pa = load_sketch(spark, str(tmp_path / "a"), "cms")
+    sb, pb = load_sketch(spark, str(tmp_path / "b"), "cms")
+    with pytest.raises(ValueError, match="width=512.*width=1024"):
+        semi_reduce_gate(sa, sb, depth=3, probe_rows=200,
+                         params_probe=pa, params_build=pb)
+    # matched pins pass and return a live decision
+    sa2, pa2 = load_sketch(spark, str(tmp_path / "a"), "cms")
+    go, est = semi_reduce_gate(sa2, sa2, depth=3, probe_rows=200,
+                               width=512, params_probe=pa2,
+                               params_build=pa2)
+    assert isinstance(go, bool) and est >= 0

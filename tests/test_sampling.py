@@ -715,3 +715,44 @@ def test_corpus_diff_plan_shape(spark):
     assert "FullOuter" in plan
     for bad in ("CartesianProduct", "BroadcastNestedLoop", "WindowExec"):
         assert bad not in plan, bad
+
+
+def test_corpus_diff_precomputed_fp_columns_agree(spark):
+    """r11 (VERDICT Next #4): passing a precomputed fingerprint column
+    (the ingest ledger's stored exact fp) must produce the identical
+    diff as the text-scan path — the nightly diff then never
+    re-fingerprints yesterday's corpus."""
+    from sparkall_spark.functions.text import fingerprint
+    from sparkall_spark.operators.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "delta"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "ALPHA beta"), (2, "gamma rewritten"), (5, "brand new")],
+        "doc_id long, text string",
+    )
+    want = {
+        (r["doc_id"], r["status"], r["old_fp"], r["new_fp"])
+        for r in corpus_diff(old, new).collect()
+    }
+    # ledger shape: id + stored fingerprint, NO text column at all
+    fp = fingerprint(F.coalesce(F.col("text"), F.lit("")))
+    old_ledger = old.select("doc_id", fp.alias("fp")).drop("text")
+    got_old = {
+        (r["doc_id"], r["status"], r["old_fp"], r["new_fp"])
+        for r in corpus_diff(
+            old_ledger, new, old_fp_col="fp"
+        ).collect()
+    }
+    assert got_old == want
+    # both sides from ledgers (the steady-state nightly shape)
+    new_ledger = new.select("doc_id", fp.alias("nfp"))
+    got_both = {
+        (r["doc_id"], r["status"], r["old_fp"], r["new_fp"])
+        for r in corpus_diff(
+            old_ledger, new_ledger, old_fp_col="fp", new_fp_col="nfp"
+        ).collect()
+    }
+    assert got_both == want

@@ -35,7 +35,7 @@ wrapper), so at most one entry's persisted frames are pinned at a
 time; a final release runs after the loop.
 
 Usage: python scripts/check_all.py [out.json] [sf_dir] [only_prefix...]
-  default out = SELFCHECK_r10.json, sf_dir = /root/testdata/sf0.01
+  default out = SELFCHECK.json, sf_dir = /root/testdata/sf0.01
 """
 
 from __future__ import annotations
@@ -58,7 +58,7 @@ from sparkall_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SELFCHECK_r10.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SELFCHECK.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     only = sys.argv[3:]
 

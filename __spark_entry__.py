@@ -1519,7 +1519,12 @@ SELECT * FROM iq8_top
 def _e09_recall_sql() -> str:
     """recall@10 mirror legs: |approx_top10 ∩ brute_top10| per query,
     grouped over the brute rows so every query appears (a method that
-    misses everything still reports recall 0)."""
+    misses everything still reports recall 0).  Mirrors
+    ann_recall_report's r11 semantics exactly: DISTINCT pair matches
+    and a per-query denominator of min(k, distinct exact rows) — on
+    the well-formed k-per-query top-k frames both forms are
+    identities, but the operator and its oracle must agree on EVERY
+    input shape, not just this fixture's (review catch)."""
     parts = []
     for tag, cte in (("ivf", "ivf_top"), ("lsh", "lsh_top"),
                      ("ivfpq", "pq_top"), ("q8", "q8_top"),
@@ -1527,8 +1532,9 @@ def _e09_recall_sql() -> str:
         parts.append(f"""
 UNION ALL
 SELECT 'recall:{tag}' AS method, b.query_id,
-       count(o.neighbor_id)::BIGINT AS neighbor_id,
-       round(count(o.neighbor_id)::DOUBLE / 10.0, 6) AS cosine,
+       count(DISTINCT o.neighbor_id)::BIGINT AS neighbor_id,
+       round(count(DISTINCT o.neighbor_id)::DOUBLE
+             / least(10, count(DISTINCT b.neighbor_id)), 6) AS cosine,
        CAST(10 AS BIGINT) AS rank
 FROM brute_top b LEFT JOIN {cte} o
   ON o.query_id = b.query_id AND o.neighbor_id = b.neighbor_id
@@ -2335,6 +2341,12 @@ def _e14_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_sk, build_sk, depth=3, probe_rows=n_probe,
         width=1024, params_probe=p_params, params_build=b_params,
     )
+    # the gate consumed the sketches EAGERLY (its estimate is a driver
+    # scalar); nothing downstream reads sk_dir, so reclaim it now
+    # instead of leaking a temp dir per run (review catch)
+    import shutil
+
+    shutil.rmtree(sk_dir, ignore_errors=True)
     # m_bits pinned (skips auto-sizing's build.count() job): 2^14 bits
     # carries ~1k hot users at 16 bits/key; at larger SF the fpp merely
     # rises and the real join still removes every false positive
@@ -2595,8 +2607,12 @@ def _e28_oracle_sql() -> str:
     # 1e6 < boost % 1e6] over the SAME portable hash the Spark side
     # folds (apply_mix_weights / sampling._mix, seed pinned at 7)
     _mix_lcg = _sel_mix_sql("doc_id", 7)
+    # ONE materialized weights table shared by the mix and epochs legs
+    # (the logreg-chain lesson from this same round: DuckDB re-executes
+    # a derived table per embedding site)
     return f"""
-WITH tok AS (
+WITH mixw AS MATERIALIZED ({_mix_oracle.strip()}),
+tok AS (
   SELECT doc_id, unnest({tok}) AS token FROM documents),
 hfeat AS (
   SELECT doc_id, unnest({hng}) AS bucket
@@ -2722,7 +2738,7 @@ FROM (SELECT coalesce(text, '') AS text FROM documents)
 UNION ALL
 SELECT 'mix:' || grp AS tag, n_docs AS doc_id,
        weight_micro AS a, boost_micro AS b
-FROM ({_mix_oracle.strip()})
+FROM mixw
 UNION ALL
 SELECT 'epochs:' || lang AS tag, CAST(epoch AS BIGINT) AS doc_id,
        count(*)::BIGINT AS a, sum(did)::BIGINT AS b
@@ -2731,7 +2747,7 @@ FROM (
          unnest(range((w.boost_micro // 1000000)
            + CASE WHEN ({_mix_lcg}) % 1000000 < w.boost_micro % 1000000
                   THEN 1 ELSE 0 END)) AS epoch
-  FROM documents d JOIN ({_mix_oracle.strip()}) w ON w.grp = d.lang) q
+  FROM documents d JOIN mixw w ON w.grp = d.lang) q
 GROUP BY lang, epoch
 """
 

@@ -13,9 +13,13 @@ directions) and takes the minimum seen.  Converges in O(graph diameter)
 rounds — near-dup graphs are clique-ish, so typically 2-3 rounds.
 
 Scale design: each round is ONE shuffle (groupBy node) over |E| rows;
-labels persist between rounds and the previous round unpersists;
-`localCheckpoint` every few rounds truncates the lineage so plans don't
-grow unboundedly (the classic iterative-Spark failure mode).
+every round ends in an EAGER `localCheckpoint` (lineage truncation —
+the label-prop plan references the previous labels three times, so
+without per-round truncation the logical plan doubles per round and
+Catalyst analysis goes exponential), and the previous round's
+checkpoint blocks are explicitly released once the new round is
+materialized (persisted-RDD registry; ContextCleaner GC is the
+backstop), so at most two label-table copies are ever pinned.
 """
 
 from __future__ import annotations
@@ -25,11 +29,46 @@ from pyspark.sql import DataFrame, functions as F
 from sparkall_spark.operators._cache import register as _register_cache
 
 
+def _ckpt_release(df: DataFrame, blocking: bool = True) -> None:
+    """Free the storage blocks behind an eagerly ``localCheckpoint``-ed
+    frame.  ``DataFrame.unpersist`` only clears CacheManager entries
+    and does NOT touch checkpoint storage (probed), so this goes
+    through the persistent-RDD registry keyed by the LogicalRDD's id —
+    race-free (no global storage-list diffing) and scoped to exactly
+    this frame.  Best-effort: on any internals drift the ContextCleaner
+    GC backstop still reclaims the blocks eventually.  After release
+    the frame is DEAD (lineage was truncated — there is nothing to
+    recompute from), so callers release strictly after the successor
+    round / final consumer has materialized."""
+    try:
+        sc = df.sparkSession.sparkContext
+        rid = df._jdf.queryExecution().analyzed().rdd().id()
+        ref = sc._jsc.getPersistentRDDs().get(rid)
+        if ref is not None:
+            ref.unpersist(blocking)
+    except Exception:
+        pass
+
+
+class _CkptReleasable:
+    """Duck-typed shim so a checkpoint-backed frame can ride the
+    operator cache registry: ``release_caches()`` calls ``unpersist``
+    on every registered entry, and for a checkpointed frame the real
+    release is :func:`_ckpt_release`, not ``DataFrame.unpersist``."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        _ckpt_release(self._df, blocking)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Component label (min node id in component) per node.
 
@@ -47,12 +86,20 @@ def connected_components(
     inputs, which is also the scale shape: at a billion edges the
     checkpoint is the label table spilled to executor storage once per
     round, the price every iterative-Spark system (GraphX supersteps,
-    GraphFrames AAI) pays.  ``localCheckpoint`` trades fault-tolerance
-    for speed (executor loss mid-loop restarts the loop, it cannot
-    replay lineage) — acceptable for a maintenance pass that re-runs
-    idempotently; swap for ``checkpoint()`` + a checkpoint dir when an
-    hours-long run on preemptible nodes must survive executor churn.
+    GraphFrames AAI) pays — and the PREVIOUS round's blocks are
+    explicitly released as soon as the convergence probe has read
+    them, so peak storage is two label tables, never ``max_iter``.
+    ``localCheckpoint`` trades fault-tolerance for speed (executor
+    loss mid-loop restarts the loop, it cannot replay lineage) —
+    acceptable for a maintenance pass that re-runs idempotently; swap
+    for ``checkpoint()`` + a checkpoint dir when an hours-long run on
+    preemptible nodes must survive executor churn.
+
+    ``checkpoint_every`` is accepted for call-site compatibility and
+    ignored (r11: every round truncates — periodic truncation left the
+    in-between rounds' plans growing exponentially).
     """
+    del checkpoint_every
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(
@@ -85,14 +132,21 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # new_labels is materialized and lineage-free: the previous
+        # round's checkpoint blocks are dead weight from here on
+        _ckpt_release(labels)
         labels = new_labels
         if changed == 0:
             break
     both.unpersist()
-    # the final frame is checkpoint-materialized (no live cache entry
-    # to reclaim), but keep the registry contract for callers that
-    # persist on top
-    return _register_cache(labels.persist())
+    # the final frame is checkpoint-materialized (no CacheManager
+    # entry), so register the checkpoint-aware releasable: the session
+    # teardown (release_caches) then frees its blocks like any other
+    # operator intermediate.  NOTE the frame cannot be recomputed after
+    # release (truncated lineage) — same consume-before-release
+    # contract as every registered cache.
+    _register_cache(_CkptReleasable(labels))
+    return labels
 
 
 def dedup_clusters(

@@ -961,6 +961,11 @@ def corpus_diff(
     family (:func:`~sparkall_spark.functions.text.fingerprint` over
     NULL-coalesced text) or 'changed' rows are meaningless — mixing
     families is the caller's bug, same contract as every ledger here.
+    A NULL in the provided column is coalesced to the NULL-text
+    fingerprint (fp of the empty string): the status classifier keys
+    on NULL meaning ABSENT FROM THE SNAPSHOT, so a ledger that stored
+    NULL for a NULL-text document must not make a present row
+    classify as added/removed (review catch).
 
     Scale shape: map-side fingerprints on both sides, ONE full-outer
     equi-join shuffle on the id, map-side status classify + filter.
@@ -969,13 +974,19 @@ def corpus_diff(
     from sparkall_spark.functions.text import fingerprint
 
     fp = lambda: fingerprint(F.coalesce(F.col(text_col), F.lit("")))  # noqa: E731
+    # constant-folded fp("") — what the text path produces for NULL text
+    null_fp = fingerprint(F.lit(""))
     o = old.select(
         F.col(id_col),
-        (F.col(old_fp_col) if old_fp_col else fp()).alias("old_fp"),
+        (
+            F.coalesce(F.col(old_fp_col), null_fp) if old_fp_col else fp()
+        ).alias("old_fp"),
     )
     n = new.select(
         F.col(id_col),
-        (F.col(new_fp_col) if new_fp_col else fp()).alias("new_fp"),
+        (
+            F.coalesce(F.col(new_fp_col), null_fp) if new_fp_col else fp()
+        ).alias("new_fp"),
     )
     joined = o.join(n, id_col, "full_outer")
     status = (

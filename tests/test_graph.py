@@ -245,3 +245,38 @@ def test_clustering_coefficient(spark):
         3: (3, 1, round(1 / 3, 6)),
         4: (1, 0, 0.0),
     }
+
+
+def test_connected_components_releases_checkpoint_storage(spark):
+    """r11: every round eagerly localCheckpoints; the previous round's
+    blocks must be explicitly released (DataFrame.unpersist cannot free
+    checkpoint storage), and release_caches() must free the FINAL
+    frame's blocks via the registered checkpoint-aware releasable —
+    peak pinned label tables is 2, end state is 0 (+ nothing leaked
+    across entries in a long session)."""
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators._cache import release_caches
+    from sparkall_spark.operators.graph import connected_components
+
+    sc = spark.sparkContext
+    release_caches()
+
+    def n_persisted():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_persisted()
+    # a 12-node path graph: diameter 11 (within max_iter) still forces
+    # many propagation rounds, each with its own checkpoint
+    edges = spark.range(11).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    comps = connected_components(edges)
+    rows = comps.collect()
+    assert {r["comp"] for r in rows} == {0} and len(rows) == 12
+    # after the loop: the final labels checkpoint + the edges persist
+    # have been released/unpersisted except the final frame (registered
+    # for teardown) — never an accumulation of per-round copies
+    assert n_persisted() <= base + 2
+    release_caches()
+    assert n_persisted() <= base

@@ -756,3 +756,19 @@ def test_corpus_diff_precomputed_fp_columns_agree(spark):
         ).collect()
     }
     assert got_both == want
+    # a ledger that stored NULL for the NULL-text doc (no coalesce at
+    # build time) must still classify by MEMBERSHIP: doc 4 exists in
+    # old only, so it is 'removed' — without the NULL-fp guard the
+    # classifier reads old_fp IS NULL as 'absent from old' and calls
+    # it 'added'
+    sloppy_ledger = old.select(
+        "doc_id",
+        F.when(F.col("text").isNotNull(), fp).alias("fp"),
+    )
+    got_sloppy = {
+        (r["doc_id"], r["status"], r["old_fp"], r["new_fp"])
+        for r in corpus_diff(sloppy_ledger, new, old_fp_col="fp").collect()
+    }
+    assert got_sloppy == want  # the guard maps NULL -> fp(''), the
+    # exact value the text path produces, so the whole diff matches
+    assert ("removed" in {s for (d, s, _o, _n) in got_sloppy if d == 4})

@@ -4010,12 +4010,12 @@ WITH RECURSIVE
 t AS MATERIALIZED (SELECT doc_id, list_distinct(list_filter(
         regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) toks
       FROM documents),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.doc_id ia, b.doc_id ib FROM t a, t b
   WHERE a.doc_id < b.doc_id
     AND round(len(list_intersect(a.toks, b.toks))::DOUBLE
         / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.9),
-edges AS (SELECT ia u, ib v FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+edges AS MATERIALIZED (SELECT ia u, ib v FROM pairs UNION ALL SELECT ib, ia FROM pairs),
 reach(node, r) AS (
   SELECT doc_id, doc_id FROM t
   UNION

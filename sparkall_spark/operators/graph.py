@@ -192,7 +192,14 @@ def pagerank(
     Scale design: each iteration is ONE shuffle (groupBy dst) over |E|
     rows joined map-side against the persisted rank table;
     localCheckpoint every ``checkpoint_every`` rounds truncates lineage
-    (the iterative-Spark failure mode).  Returns (node, rank).
+    (the iterative-Spark failure mode).  Unlike label propagation
+    (:func:`connected_components`), each round references the previous
+    ranks exactly ONCE, so the plan grows linearly between checkpoints
+    — periodic truncation suffices.  The few lazy checkpoints' blocks
+    (rank-table-sized, <= iters/checkpoint_every of them) are reclaimed
+    by the ContextCleaner once the loop's references are collected;
+    the label-prop loop's explicit per-round release is not needed at
+    this state size.  Returns (node, rank).
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")

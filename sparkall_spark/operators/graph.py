@@ -24,43 +24,25 @@ backstop), so at most two label-table copies are ever pinned.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 from sparkall_spark.operators._cache import register as _register_cache
+from sparkall_spark.operators.iterate import (
+    CkptReleasable as _CkptReleasable,
+    ckpt_release as _ckpt_release,
+    iterate_with_truncation,
+)
 
-
-def _ckpt_release(df: DataFrame, blocking: bool = True) -> None:
-    """Free the storage blocks behind an eagerly ``localCheckpoint``-ed
-    frame.  ``DataFrame.unpersist`` only clears CacheManager entries
-    and does NOT touch checkpoint storage (probed), so this goes
-    through the persistent-RDD registry keyed by the LogicalRDD's id —
-    race-free (no global storage-list diffing) and scoped to exactly
-    this frame.  Best-effort: on any internals drift the ContextCleaner
-    GC backstop still reclaims the blocks eventually.  After release
-    the frame is DEAD (lineage was truncated — there is nothing to
-    recompute from), so callers release strictly after the successor
-    round / final consumer has materialized."""
-    try:
-        sc = df.sparkSession.sparkContext
-        rid = df._jdf.queryExecution().analyzed().rdd().id()
-        ref = sc._jsc.getPersistentRDDs().get(rid)
-        if ref is not None:
-            ref.unpersist(blocking)
-    except Exception:
-        pass
-
-
-class _CkptReleasable:
-    """Duck-typed shim so a checkpoint-backed frame can ride the
-    operator cache registry: ``release_caches()`` calls ``unpersist``
-    on every registered entry, and for a checkpointed frame the real
-    release is :func:`_ckpt_release`, not ``DataFrame.unpersist``."""
-
-    def __init__(self, df: DataFrame):
-        self._df = df
-
-    def unpersist(self, blocking: bool = False) -> None:
-        _ckpt_release(self._df, blocking)
+__all__ = [
+    "connected_components",
+    "dedup_clusters",
+    "pagerank",
+    "reachable_from",
+    "triangle_count",
+    "clustering_coefficient",
+]
 
 
 def connected_components(
@@ -72,80 +54,84 @@ def connected_components(
 ) -> DataFrame:
     """Component label (min node id in component) per node.
 
+    **Consume-before-release contract**: the result is a
+    checkpoint-backed frame registered with the operator cache
+    registry — consume it BEFORE ``release_caches()`` runs (session
+    teardown / the entry harness).  After release it is unrecoverable
+    (truncated lineage; nothing to recompute from), unlike a plain
+    persisted frame which would transparently recompute.
+
     Returns (node, comp).  Nodes appear iff they occur in an edge;
     callers union isolated nodes as self-components if needed.
 
-    Iteration discipline: every round ends in an EAGER
-    ``localCheckpoint`` — the label-propagation plan references the
+    Iteration discipline: min-label propagation references the
     previous round's labels THREE times (the union, the neighbor join,
-    the convergence probe), so without per-round truncation the
-    logical plan doubles each iteration and Catalyst analysis blows up
-    exponentially (measured: 6 s -> 53 s per round by iteration 4 on a
-    200-node graph — the cost was the optimizer, not the data).  With
-    truncation each round is one flat join+groupBy over materialized
-    inputs, which is also the scale shape: at a billion edges the
-    checkpoint is the label table spilled to executor storage once per
-    round, the price every iterative-Spark system (GraphX supersteps,
-    GraphFrames AAI) pays — and the PREVIOUS round's blocks are
-    explicitly released as soon as the convergence probe has read
-    them, so peak storage is two label tables, never ``max_iter``.
-    ``localCheckpoint`` trades fault-tolerance for speed (executor
-    loss mid-loop restarts the loop, it cannot replay lineage) —
-    acceptable for a maintenance pass that re-runs idempotently; swap
-    for ``checkpoint()`` + a checkpoint dir when an hours-long run on
-    preemptible nodes must survive executor churn.
+    the convergence probe) — ``refs_per_round=3`` under
+    :func:`~sparkall_spark.operators.iterate.iterate_with_truncation`,
+    i.e. an EAGER ``localCheckpoint`` every round with the previous
+    round's blocks explicitly released once the convergence probe has
+    read them (peak storage: two label tables, never ``max_iter``).
+    Without per-round truncation the logical plan doubles each
+    iteration and Catalyst analysis blows up exponentially (measured:
+    6 s -> 53 s per round by iteration 4 on a 200-node graph — the
+    cost was the optimizer, not the data).  Each round is one flat
+    join+groupBy over materialized inputs, which is also the scale
+    shape: at a billion edges the checkpoint is the label table
+    spilled to executor storage once per round, the price every
+    iterative-Spark system (GraphX supersteps, GraphFrames AAI) pays.
 
     ``checkpoint_every`` is accepted for call-site compatibility and
     ignored (r11: every round truncates — periodic truncation left the
-    in-between rounds' plans growing exponentially).
+    in-between rounds' plans growing exponentially); passing a
+    non-default value warns instead of silently discarding the knob.
     """
-    del checkpoint_every
+    if checkpoint_every is not None:
+        warnings.warn(
+            "connected_components ignores checkpoint_every: every "
+            "round truncates lineage (the label-prop plan references "
+            "prior labels 3x, so periodic truncation still goes "
+            "exponential between checkpoints)",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).persist()
 
-    labels = (
+    init = (
         both.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
-    for _i in range(max_iter):
+    def step(labels: DataFrame, _i: int) -> DataFrame:
         # each node absorbs the minimum label among itself + neighbors
         neighbor_labels = (
             both.join(labels.withColumnRenamed("node", "v"), "v")
             .select(F.col("u").alias("node"), "comp")
         )
-        new_labels = (
+        return (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)  # truncate lineage EVERY round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "node")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .limit(1)
             .count()
-        )
-        # new_labels is materialized and lineage-free: the previous
-        # round's checkpoint blocks are dead weight from here on
-        _ckpt_release(labels)
-        labels = new_labels
-        if changed == 0:
-            break
+        ) == 0
+
+    labels = iterate_with_truncation(
+        init, step, refs_per_round=3, max_iter=max_iter,
+        converged=converged, register=True,
+    )
     both.unpersist()
-    # the final frame is checkpoint-materialized (no CacheManager
-    # entry), so register the checkpoint-aware releasable: the session
-    # teardown (release_caches) then frees its blocks like any other
-    # operator intermediate.  NOTE the frame cannot be recomputed after
-    # release (truncated lineage) — same consume-before-release
-    # contract as every registered cache.
-    _register_cache(_CkptReleasable(labels))
     return labels
 
 
@@ -190,16 +176,17 @@ def pagerank(
         pr_{t+1}   = (1-d)/N + d * sum_{(u,v) in E} pr_t(u)/outdeg(u)
 
     Scale design: each iteration is ONE shuffle (groupBy dst) over |E|
-    rows joined map-side against the persisted rank table;
-    localCheckpoint every ``checkpoint_every`` rounds truncates lineage
-    (the iterative-Spark failure mode).  Unlike label propagation
-    (:func:`connected_components`), each round references the previous
-    ranks exactly ONCE, so the plan grows linearly between checkpoints
-    — periodic truncation suffices.  The few lazy checkpoints' blocks
-    (rank-table-sized, <= iters/checkpoint_every of them) are reclaimed
-    by the ContextCleaner once the loop's references are collected;
-    the label-prop loop's explicit per-round release is not needed at
-    this state size.  Returns (node, rank).
+    rows joined map-side against the persisted rank table.  Unlike
+    label propagation (:func:`connected_components`), each round
+    references the previous ranks exactly ONCE — ``refs_per_round=1``
+    under :func:`~sparkall_spark.operators.iterate.
+    iterate_with_truncation`, i.e. the plan grows linearly between
+    checkpoints and a LAZY ``localCheckpoint`` every
+    ``checkpoint_every`` rounds suffices.  The few lazy checkpoints'
+    blocks (rank-table-sized, <= iters/checkpoint_every of them) are
+    reclaimed by the ContextCleaner once the loop's references are
+    collected; the label-prop loop's explicit per-round release is not
+    needed at this state size.  Returns (node, rank).
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -215,9 +202,9 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     _register_cache(outdeg)
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     teleport = (1.0 - damping) / n_nodes
-    for i in range(iters):
+
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(outdeg, "src")
@@ -228,7 +215,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        new_ranks = (
+        return (
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
@@ -238,10 +225,12 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=False)
-        ranks = new_ranks
-    return ranks
+
+    return iterate_with_truncation(
+        nodes.withColumn("rank", F.lit(1.0 / n_nodes)), step,
+        refs_per_round=1, max_iter=iters,
+        checkpoint_every=checkpoint_every,
+    )
 
 
 def reachable_from(
@@ -267,13 +256,18 @@ def reachable_from(
     why the output is (node, min_hops) from a seed SET, not all-pairs.
     Returns (node, hops) including the sources at hops=0.
 
-    Every round's frontier is EAGERLY localCheckpoint-ed: each round's
-    plan references both the previous frontier and the visited set, so
-    without truncation the logical tree DOUBLES per hop and analysis
-    time goes exponential around hop ~7 (measured: 27 s/round, then
-    driver OOM on a 97-node graph) — persist() caches data but not
-    plans.  With per-round truncation the visited set is a flat union
-    of checkpointed leaves, compacted every ``checkpoint_every`` hops.
+    Every round's frontier is EAGERLY localCheckpoint-ed
+    (``refs_per_round=2`` under :func:`~sparkall_spark.operators.
+    iterate.iterate_with_truncation` — the round's plan references
+    both the previous frontier and the visited set): without
+    truncation the logical tree DOUBLES per hop and analysis time goes
+    exponential around hop ~7 (measured: 27 s/round, then driver OOM
+    on a 97-node graph) — persist() caches data but not plans.  With
+    per-round truncation the visited set is a flat union of
+    checkpointed leaves, compacted every ``checkpoint_every`` hops.
+    Unlike label propagation, earlier rounds' checkpoint blocks stay
+    LIVE inside the visited union (``release_prev=False``); the
+    ContextCleaner reclaims them after the result is consumed.
     """
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
@@ -286,28 +280,35 @@ def reachable_from(
         .withColumn("hops", F.lit(0))
         .localCheckpoint()
     )
-    frontier = visited
+    # mutated by step/converged below — converged is the one hook
+    # point where the new frontier is materialized and safely
+    # consumable while the old state is still alive
+    state = {"visited": visited, "hop": 0}
 
-    hop = 0
-    while True:
-        hop += 1
-        if max_hops is not None and hop > max_hops:
-            break
-        nxt = (
+    def step(frontier: DataFrame, i: int) -> DataFrame:
+        state["hop"] = i + 1
+        return (
             e.join(frontier.withColumnRenamed("node", "u"), "u")
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(hop))
-            .localCheckpoint()  # eager: truncates this round's lineage
+            .join(state["visited"].select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(i + 1))
         )
+
+    def converged(_prev: DataFrame, nxt: DataFrame) -> bool:
         if nxt.count() == 0:
-            break
-        visited = visited.unionByName(nxt)
-        if hop % checkpoint_every == 0:
-            visited = visited.localCheckpoint()  # compact the union chain
-        frontier = nxt
-    return visited
+            return True
+        state["visited"] = state["visited"].unionByName(nxt)
+        if state["hop"] % checkpoint_every == 0:
+            # compact the union chain
+            state["visited"] = state["visited"].localCheckpoint()
+        return False
+
+    iterate_with_truncation(
+        visited, step, refs_per_round=2, max_iter=max_hops,
+        converged=converged, release_prev=False,
+    )
+    return state["visited"]
 
 
 def triangle_count(

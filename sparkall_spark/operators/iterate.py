@@ -1,0 +1,178 @@
+"""The audited home of the iterative-DataFrame loop discipline.
+
+Every iterative operator on Spark (label propagation, PageRank,
+frontier BFS, k-means-style fixpoints) shares one scale-critical
+invariant: **the logical plan of the loop state must stay flat across
+rounds**.  A round whose plan references the previous round's output
+more than once DOUBLES the logical tree per iteration — Catalyst
+analysis is driver-side and single-threaded, so analysis time goes
+exponential even on tiny data (measured in r11: connected components
+went 6.3 s -> 53 s *per round* by iteration 4 on a 211-node graph; a
+97-node BFS OOM'd the driver around hop 7).  ``persist()`` does NOT
+help — it caches data, never plans.
+
+The fix is lineage truncation via ``localCheckpoint``, with cadence
+picked by how many times the round's plan references the previous
+state:
+
+- ``refs_per_round > 1`` (label prop: union + neighbor join +
+  convergence probe) → EAGER checkpoint EVERY round, and the previous
+  round's blocks explicitly released once the new round (and any
+  convergence probe) has materialized, so peak storage is two state
+  tables, never ``max_iter``.
+- ``refs_per_round == 1`` (power iteration) → the plan grows linearly,
+  so a LAZY checkpoint every ``checkpoint_every`` rounds suffices; the
+  few lazy checkpoints' blocks are reclaimed by the ContextCleaner
+  once the loop's references are collected.
+
+``DataFrame.unpersist`` cannot free checkpoint storage (it only clears
+CacheManager entries — probed), so release goes through the
+persistent-RDD registry: :func:`ckpt_release`.  After release a
+checkpointed frame is DEAD — its lineage was truncated, there is
+nothing to recompute from — hence the strict consume-before-release
+ordering this module enforces.
+
+``localCheckpoint`` trades fault tolerance for speed: executor loss
+mid-loop restarts the loop instead of replaying lineage.  That is the
+right trade for idempotent maintenance passes; swap in
+``checkpoint()`` + a checkpoint dir when an hours-long run on
+preemptible nodes must survive executor churn.
+
+History: extracted in r12 (VERDICT r11 Next #3) from the three
+hand-rolled variants in :mod:`sparkall_spark.operators.graph`.
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+
+from sparkall_spark.operators._cache import register as _register_cache
+
+_log = logging.getLogger(__name__)
+_miss_logged = False
+
+
+def ckpt_release(df: DataFrame, blocking: bool = True) -> None:
+    """Free the storage blocks behind an eagerly ``localCheckpoint``-ed
+    frame.  ``DataFrame.unpersist`` only clears CacheManager entries
+    and does NOT touch checkpoint storage (probed), so this goes
+    through the persistent-RDD registry keyed by the LogicalRDD's id —
+    race-free (no global storage-list diffing) and scoped to exactly
+    this frame.  Best-effort: on any internals drift the ContextCleaner
+    GC backstop still reclaims the blocks eventually — and a drift is
+    LOGGED once (debug level) instead of silently degrading to
+    storage-pressure storms (r11 ADVICE).  After release the frame is
+    DEAD (lineage was truncated — there is nothing to recompute from),
+    so callers release strictly after the successor round / final
+    consumer has materialized.
+
+    Note this reaches through PySpark-classic internals
+    (``_jdf``/``_jsc``); under Spark Connect it no-ops harmlessly into
+    the logged-miss branch."""
+    global _miss_logged
+    try:
+        sc = df.sparkSession.sparkContext
+        rid = df._jdf.queryExecution().analyzed().rdd().id()
+        ref = sc._jsc.getPersistentRDDs().get(rid)
+        if ref is not None:
+            ref.unpersist(blocking)
+        elif not _miss_logged:
+            _miss_logged = True
+            _log.debug(
+                "ckpt_release: no persistent RDD under id %s (already "
+                "GC'd, or internals drift) — relying on ContextCleaner",
+                rid,
+            )
+    except Exception:
+        if not _miss_logged:
+            _miss_logged = True
+            _log.debug(
+                "ckpt_release: persistent-RDD registry probe failed — "
+                "relying on ContextCleaner", exc_info=True,
+            )
+
+
+class CkptReleasable:
+    """Duck-typed shim so a checkpoint-backed frame can ride the
+    operator cache registry: ``release_caches()`` calls ``unpersist``
+    on every registered entry, and for a checkpointed frame the real
+    release is :func:`ckpt_release`, not ``DataFrame.unpersist``."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        ckpt_release(self._df, blocking)
+
+
+def iterate_with_truncation(
+    init: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    *,
+    refs_per_round: int,
+    max_iter: Optional[int],
+    converged: Optional[Callable[[DataFrame, DataFrame], bool]] = None,
+    checkpoint_every: int = 4,
+    release_prev: Optional[bool] = None,
+    register: bool = False,
+) -> DataFrame:
+    """Run ``state = step(state, i)`` to ``max_iter`` rounds (or
+    convergence) under the plan-truncation discipline this module
+    documents; returns the final state.
+
+    ``step(state, i)`` builds round ``i``'s plan from the previous
+    state (plus whatever the closure captures).  ``refs_per_round`` is
+    how many times that plan references ``state`` — the ONLY knob that
+    matters for cadence (see module docstring): ``> 1`` → eager
+    checkpoint every round; ``== 1`` → lazy checkpoint every
+    ``checkpoint_every`` rounds.  ``max_iter=None`` means run to
+    convergence (the step/converged pair must guarantee a fixpoint).
+
+    ``converged(prev, new)`` (optional) is called once per round AFTER
+    ``new`` is materialized (eager mode) and BEFORE ``prev``'s blocks
+    are released, so it may probe both sides; returning True ends the
+    loop with ``new`` as the result.  Accumulator-style loops (BFS
+    visited sets) also use this hook to fold the materialized round
+    into their running union — it is the one point in the round where
+    the new state is safely consumable and the old one still alive.
+
+    ``release_prev`` (default: ``refs_per_round > 1``): eagerly release
+    each superseded round's checkpoint blocks.  Pass ``False`` when
+    earlier rounds stay live — e.g. a BFS whose visited set is a union
+    of every round's frontier leaves.
+
+    ``register=True``: the final (checkpoint-backed) frame is
+    registered with the operator cache registry so ``release_caches()``
+    frees its blocks at session teardown.  The frame cannot be
+    recomputed after that release (truncated lineage) — same
+    consume-before-release contract as every registered cache.
+    """
+    if refs_per_round < 1:
+        raise ValueError(f"refs_per_round must be >= 1, got {refs_per_round}")
+    eager = refs_per_round > 1
+    if release_prev is None:
+        release_prev = eager
+    rounds = itertools.count() if max_iter is None else range(max_iter)
+
+    state = init.localCheckpoint(eager=True) if eager else init
+    for i in rounds:
+        new = step(state, i)
+        if eager:
+            new = new.localCheckpoint(eager=True)
+        elif (i + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=False)
+        done = converged(state, new) if converged is not None else False
+        if release_prev:
+            # new is materialized and lineage-free: the previous
+            # round's checkpoint blocks are dead weight from here on
+            ckpt_release(state)
+        state = new
+        if done:
+            break
+    if register:
+        _register_cache(CkptReleasable(state))
+    return state

@@ -20,6 +20,8 @@ DuckDB's 64-bit count/len results.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -31,6 +33,18 @@ from sparkall_spark.functions import text as X
 from sparkall_spark.mappings import EntityMapping, MappingIndex
 from sparkall_spark.operators import dedup as D, similarity as S
 from sparkall_spark.streaming import windows as W
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp + atexit rmtree.  Entries that write-then-lazily-read a
+    scratch dataset (z-order copy, postings index, N-Triples, WARC)
+    cannot rmtree in-entry — the returned DataFrame still reads the
+    dir — so cleanup is deferred to interpreter exit, strictly after
+    every consumer (r11 ADVICE: repeated SELFCHECK/bench rounds were
+    accumulating one parquet copy per run in /tmp)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> Engine:
@@ -1520,11 +1534,12 @@ def _e09_recall_sql() -> str:
     """recall@10 mirror legs: |approx_top10 ∩ brute_top10| per query,
     grouped over the brute rows so every query appears (a method that
     misses everything still reports recall 0).  Mirrors
-    ann_recall_report's r11 semantics exactly: DISTINCT pair matches
-    and a per-query denominator of min(k, distinct exact rows) — on
-    the well-formed k-per-query top-k frames both forms are
-    identities, but the operator and its oracle must agree on EVERY
-    input shape, not just this fixture's (review catch)."""
+    ann_recall_report's r12 semantics exactly: DISTINCT pair matches,
+    n_overlap capped at least(overlap, k) (r11 advice — a >k-row exact
+    frame cannot push recall past 1), and a per-query denominator of
+    min(k, distinct exact rows) — on the well-formed k-per-query top-k
+    frames all forms are identities, but the operator and its oracle
+    must agree on EVERY input shape, not just this fixture's."""
     parts = []
     for tag, cte in (("ivf", "ivf_top"), ("lsh", "lsh_top"),
                      ("ivfpq", "pq_top"), ("q8", "q8_top"),
@@ -1532,8 +1547,8 @@ def _e09_recall_sql() -> str:
         parts.append(f"""
 UNION ALL
 SELECT 'recall:{tag}' AS method, b.query_id,
-       count(DISTINCT o.neighbor_id)::BIGINT AS neighbor_id,
-       round(count(DISTINCT o.neighbor_id)::DOUBLE
+       least(count(DISTINCT o.neighbor_id), 10)::BIGINT AS neighbor_id,
+       round(least(count(DISTINCT o.neighbor_id), 10)::DOUBLE
              / least(10, count(DISTINCT b.neighbor_id)), 6) AS cosine,
        CAST(10 AS BIGINT) AS rank
 FROM brute_top b LEFT JOIN {cte} o
@@ -2315,8 +2330,8 @@ def _e14_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkall_spark.operators.joins import semi_reduce_gate
     from sparkall_spark.operators.sketches import (
         cms_sketch,
-        load_sketch,
-        save_sketch,
+        load_sketches,
+        save_sketches,
     )
 
     sk_dir = tempfile.mkdtemp(prefix="sparkall_e14_cms_")
@@ -2325,18 +2340,30 @@ def _e14_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical counter table by CMS linearity, over ~|users| rows
     # instead of |events| — exactly the "sketches come from the daily
     # key-telemetry pass" discipline the gate's docstring prescribes
-    # (first cut scanned raw events and cost +3.8 s at sf0.1)
-    save_sketch(
-        cms_sketch(counts, "user_id", depth=3, width=1024,
-                   weight_col="n_ev"),
-        f"{sk_dir}/probe", "cms", depth=3, width=1024,
+    # (first cut scanned raw events and cost +3.8 s at sf0.1).  r12
+    # (VERDICT Next #2): the pair goes through ONE tagged-union write
+    # and ONE shared read (save_sketches/load_sketches) — the per-
+    # sketch lifecycle cost ~9 tiny jobs of pure stage scheduling
+    sk_params = {"depth": 3, "width": 1024}
+    save_sketches(
+        {
+            "probe": (
+                cms_sketch(counts, "user_id", depth=3, width=1024,
+                           weight_col="n_ev"),
+                sk_params,
+            ),
+            "build": (
+                cms_sketch(hot.select("user_id"), "user_id",
+                           depth=3, width=1024),
+                sk_params,
+            ),
+        },
+        sk_dir, "cms",
     )
-    save_sketch(
-        cms_sketch(hot.select("user_id"), "user_id", depth=3, width=1024),
-        f"{sk_dir}/build", "cms", depth=3, width=1024,
+    loaded = load_sketches(spark, sk_dir, "cms")
+    (probe_sk, p_params), (build_sk, b_params) = (
+        loaded["probe"], loaded["build"],
     )
-    probe_sk, p_params = load_sketch(spark, f"{sk_dir}/probe", "cms")
-    build_sk, b_params = load_sketch(spark, f"{sk_dir}/build", "cms")
     should_reduce, _est = semi_reduce_gate(
         probe_sk, build_sk, depth=3, probe_rows=n_probe,
         width=1024, params_probe=p_params, params_build=b_params,
@@ -3402,7 +3429,7 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leg below now gates the lifecycle end-to-end through its oracle
     # (the oracles mirror the full corpus, so a row lost or duplicated
     # by append/compact hash-mismatches)
-    idx_dir = tempfile.mkdtemp(prefix="sparkall_e29_idx_")
+    idx_dir = _tmpdir("sparkall_e29_idx_")
     save_postings(
         build_postings(docs.filter(F.col("doc_id") % 5 != 0)),
         idx_dir,
@@ -3550,7 +3577,7 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # performance half) stays plan-asserted in tests/test_zorder.py.
     from sparkall_spark.sources.sinks import write_zordered
 
-    zdir = tempfile.mkdtemp(prefix="sparkall_e29_z_")
+    zdir = _tmpdir("sparkall_e29_z_")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
     )
@@ -4137,7 +4164,7 @@ def _e13_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the nation table to N-Triples with Spark, then load it
     back through the RDF pivot reader via the SPARQL engine — exercises
     the full rdf source path (reference: NTtoDF.java) distributively."""
-    out_dir = tempfile.mkdtemp(prefix="sparkall_nt_")
+    out_dir = _tmpdir("sparkall_nt_")
     nation = load_table(spark, sf_dir, "nation")
     subj = F.format_string("<http://sparkall.io/nation/%d>", F.col("n_nationkey"))
     rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
@@ -4218,7 +4245,7 @@ def _e25_warc_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).encode()
         return head + http + b"\r\n\r\n"
 
-    out_dir = tempfile.mkdtemp(prefix="sparkall_warc_e25_")
+    out_dir = _tmpdir("sparkall_warc_e25_")
     plain, gz = [], []
     for r in rows:
         body = f"<html><body><p>{esc(r['text'])}</p></body></html>".encode()

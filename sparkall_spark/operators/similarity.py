@@ -679,12 +679,14 @@ def ann_recall_report(
     pairs, bigint) and ``recall`` (n_overlap / min(k, per-query exact
     rows), 6dp).  Queries the approximate path missed entirely still
     appear with recall 0.  Both inputs are deduplicated on
-    ``(query_id, neighbor_id)`` before matching, so accidental
-    duplicate rows cannot inflate n_overlap past k; and the denominator
-    is capped by what the exact baseline actually returned, so a query
-    whose corpus is smaller than k (or filtered) can still reach
-    recall 1 (r10 advice — with well-formed k-rows-per-query inputs
-    both adjustments are identities).
+    ``(query_id, neighbor_id)`` before matching (so duplicate rows
+    cannot inflate the overlap), ``n_overlap`` is additionally capped
+    at ``least(overlap, k)`` (so even a malformed exact frame carrying
+    MORE than k rows per query cannot push recall past 1.0 — r11
+    advice), and the denominator is capped by what the exact baseline
+    actually returned, so a query whose corpus is smaller than k (or
+    filtered) can still reach recall 1 (r10 advice — with well-formed
+    k-rows-per-query inputs all three adjustments are identities).
 
     ``method_col``: when ``approx`` is a TAGGED UNION of several
     methods' top-k frames (the e09 family shape), name the tag column
@@ -719,16 +721,17 @@ def ann_recall_report(
         base = base.crossJoin(
             F.broadcast(approx.select(method_col).distinct())
         )
+    capped = F.least(
+        F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint")),
+        F.lit(k).cast("bigint"),
+    )
     return (
         base.join(hits, group, "left")
         .select(
             *group,
-            F.coalesce(F.col("n_overlap"), F.lit(0))
-            .cast("bigint")
-            .alias("n_overlap"),
+            capped.cast("bigint").alias("n_overlap"),
             F.round(
-                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
-                / F.col("__denom").cast("double"),
+                capped.cast("double") / F.col("__denom").cast("double"),
                 6,
             ).alias("recall"),
         )

@@ -1007,17 +1007,33 @@ def cms_join_cardinality(
     if width is not None:
         if width < 1:
             raise ValueError(f"width must be >= 1, got {width}")
-        for side, s in (("a", a), ("b", b)):
-            dom = s.agg(
-                F.max("bucket").alias("mb"), F.max("d").alias("md")
-            ).first()
-            if dom["mb"] is not None and dom["mb"] >= width:
+        # both sides' domain probes ride ONE job (tagged union + one
+        # grouped agg) — on sketch-sized frames the cost is pure stage
+        # scheduling, and the planning gate runs this in-path every
+        # round (r12: was two .first() jobs)
+        doms = {
+            r["__s"]: r
+            for r in (
+                a.select(F.lit("a").alias("__s"), "bucket", "d")
+                .unionByName(
+                    b.select(F.lit("b").alias("__s"), "bucket", "d")
+                )
+                .groupBy("__s")
+                .agg(F.max("bucket").alias("mb"), F.max("d").alias("md"))
+                .collect()
+            )
+        }
+        for side in ("a", "b"):
+            dom = doms.get(side)  # an empty sketch groups to no row
+            if dom is not None and dom["mb"] is not None \
+                    and dom["mb"] >= width:
                 raise ValueError(
                     f"cms_join_cardinality: sketch {side} has bucket "
                     f"{dom['mb']} >= declared width {width} — built with "
                     "a different width; buckets would silently mis-pair"
                 )
-            if dom["md"] is not None and dom["md"] != depth - 1:
+            if dom is not None and dom["md"] is not None \
+                    and dom["md"] != depth - 1:
                 raise ValueError(
                     f"cms_join_cardinality: sketch {side} has hash rows "
                     f"0..{dom['md']} but declared depth {depth} — "
@@ -1124,3 +1140,75 @@ def load_sketch(
                 f"expected {name}={want} — rebuild or re-parameterize"
             )
     return spark.read.parquet(path), params
+
+
+def save_sketches(
+    sketches: "dict[str, tuple[DataFrame, dict]]", path: str, kind: str
+) -> None:
+    """Persist SEVERAL same-kind sketches under one directory in ONE
+    rows write + ONE (tiny) meta write — the batched lifecycle for
+    planning gates that persist a sketch pair every run (r12, VERDICT
+    r11 Next #2: per-sketch :func:`save_sketch` cost 2 jobs each, so a
+    two-sketch gate paid ~4 write jobs of pure stage scheduling).
+
+    ``sketches`` maps name -> (rows, params); every entry must be the
+    declared ``kind`` (same schema — that is what makes the single
+    tagged-union write possible).  Rows land at ``path`` with a
+    ``__sketch`` tag column; per-name parameters at ``path/_meta``.
+    Load the set back with :func:`load_sketches`."""
+    if kind not in _SKETCH_PARAMS:
+        raise ValueError(f"unknown sketch kind {kind!r}")
+    if not sketches:
+        raise ValueError("save_sketches: empty sketch set")
+    needed = _SKETCH_PARAMS[kind]
+    frames = []
+    meta_rows = []
+    for name, (rows, params) in sketches.items():
+        if set(params) != set(needed):
+            raise ValueError(
+                f"{kind} sketches pin exactly {needed}, got "
+                f"{tuple(params)} for {name!r}"
+            )
+        frames.append(rows.withColumn("__sketch", F.lit(name)))
+        meta_rows.append((name, kind, *[int(params[p]) for p in needed]))
+    union = frames[0]
+    for fr in frames[1:]:
+        union = union.unionByName(fr)
+    union.write.mode("overwrite").parquet(path)
+    spark = union.sparkSession
+    meta = spark.createDataFrame(
+        meta_rows,
+        "name string, kind string, "
+        + ", ".join(f"{p} bigint" for p in needed),
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/{_SKETCH_META_SUBDIR}")
+
+
+def load_sketches(
+    spark, path: str, kind: str
+) -> "dict[str, tuple[DataFrame, dict]]":
+    """Load a :func:`save_sketches` directory: ONE meta read validates
+    every sketch's kind and returns its pinned params; the rows come
+    off ONE shared lazy parquet scan, sliced per name by the
+    ``__sketch`` tag (partition-pruning-free on sketch-sized data —
+    the point is one read job, not file pruning).  Returns
+    name -> (rows, params) with the tag column dropped — the same
+    shape per entry as :func:`load_sketch`, pinned dicts ready for
+    ``cms_join_cardinality``-style validation."""
+    metas = spark.read.parquet(f"{path}/{_SKETCH_META_SUBDIR}").collect()
+    if not metas:
+        raise ValueError(f"no sketch metadata at {path}")
+    rows = spark.read.parquet(path)
+    out = {}
+    for m in metas:
+        if m["kind"] != kind:
+            raise ValueError(
+                f"sketch {m['name']!r} at {path} is kind "
+                f"{m['kind']!r}, expected {kind!r}"
+            )
+        params = {p: int(m[p]) for p in _SKETCH_PARAMS[kind]}
+        out[m["name"]] = (
+            rows.filter(F.col("__sketch") == m["name"]).drop("__sketch"),
+            params,
+        )
+    return out

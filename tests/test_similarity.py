@@ -377,3 +377,27 @@ def test_ann_recall_report_dupes_and_short_exact(spark):
         for r in ann_recall_report(approx, exact, k=3).collect()
     }
     assert got == {1: (2, 1.0), 2: (1, round(1 / 3, 6))}
+
+
+def test_ann_recall_report_overlap_capped_at_k(spark):
+    """r11-advice hardening: a MALFORMED exact frame carrying more
+    than k rows per query must not yield recall > 1.0 — n_overlap is
+    capped at least(overlap, k) (on well-formed k-per-query inputs the
+    cap is an identity, pinned by the other recall tests)."""
+    from sparkall_spark.operators.similarity import ann_recall_report
+
+    # exact holds 4 distinct rows for query 1 though k=2; approx
+    # matches all 4 -> raw overlap 4, capped to k=2, recall exactly 1
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_overlap"], r["recall"])
+        for r in ann_recall_report(approx, exact, k=2).collect()
+    }
+    assert got == {1: (2, 1.0)}

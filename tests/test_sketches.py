@@ -608,3 +608,70 @@ def test_sketch_save_load_pins_parameters(spark, sf_dir, tmp_path):
         save_sketch(cs, str(tmp_path / "bad"), "cms", depth=3)
     with pytest.raises(ValueError, match="unknown sketch kind"):
         save_sketch(cs, str(tmp_path / "bad"), "hll", k=1)
+
+
+def test_save_load_sketches_batched_roundtrip(spark, tmp_path):
+    """r12 (VERDICT Next #2): a sketch PAIR persists through one
+    tagged-union write + one shared read, and the loaded slices +
+    pinned params must be byte-identical to the per-sketch lifecycle
+    (same rows, same params, same validation errors)."""
+    import pytest
+
+    from sparkall_spark.operators.sketches import (
+        cms_sketch,
+        load_sketches,
+        save_sketches,
+    )
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, ["k"])
+    b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 4, ["k"])
+    sk_a = cms_sketch(a, "k", depth=3, width=64)
+    sk_b = cms_sketch(b, "k", depth=3, width=64)
+    p = {"depth": 3, "width": 64}
+    path = str(tmp_path / "pair")
+    save_sketches({"probe": (sk_a, p), "build": (sk_b, p)}, path, "cms")
+
+    loaded = load_sketches(spark, path, "cms")
+    assert set(loaded) == {"probe", "build"}
+    for name, orig in (("probe", sk_a), ("build", sk_b)):
+        rows, params = loaded[name]
+        assert params == p
+        assert sorted(map(tuple, rows.collect())) == sorted(
+            map(tuple, orig.collect())
+        )
+
+    # wrong kind at load; wrong/missing params at save
+    with pytest.raises(ValueError, match="kind"):
+        load_sketches(spark, path, "kmv")
+    with pytest.raises(ValueError, match="pin exactly"):
+        save_sketches(
+            {"probe": (sk_a, {"depth": 3})}, str(tmp_path / "bad"), "cms"
+        )
+    with pytest.raises(ValueError, match="empty"):
+        save_sketches({}, str(tmp_path / "bad2"), "cms")
+
+
+def test_save_sketches_feeds_join_cardinality_gate(spark, tmp_path):
+    """The batched pair must thread into cms_join_cardinality exactly
+    like two load_sketch results: pinned params validate, the estimate
+    matches the unpersisted sketches'."""
+    from sparkall_spark.operators.sketches import (
+        cms_join_cardinality,
+        cms_sketch,
+        load_sketches,
+        save_sketches,
+    )
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, ["k"])
+    b = spark.createDataFrame([("x",)] * 3 + [("y",)] * 4, ["k"])
+    sk_a = cms_sketch(a, "k", depth=3, width=4096)
+    sk_b = cms_sketch(b, "k", depth=3, width=4096)
+    p = {"depth": 3, "width": 4096}
+    path = str(tmp_path / "gatepair")
+    save_sketches({"probe": (sk_a, p), "build": (sk_b, p)}, path, "cms")
+    loaded = load_sketches(spark, path, "cms")
+    (pa, pp), (pb, bp) = loaded["probe"], loaded["build"]
+    est = cms_join_cardinality(
+        pa, pb, depth=3, width=4096, params_a=pp, params_b=bp
+    ).first()["est_join_rows"]
+    assert est == 5 * 3 + 2 * 4

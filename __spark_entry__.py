@@ -4034,12 +4034,19 @@ FROM (SELECT node, min(r) AS rep FROM reach GROUP BY node)
 
 _E22_ORACLE = """
 WITH RECURSIVE
-t AS MATERIALIZED (SELECT doc_id, list_distinct(list_filter(
+t AS MATERIALIZED (SELECT doc_id, toks, len(toks) AS nt FROM (
+      SELECT doc_id, list_distinct(list_filter(
         regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) toks
-      FROM documents),
+      FROM documents)),
 pairs AS MATERIALIZED (
+  -- length-ratio prefilter (r12): J >= 0.9 forces min(len)/max(len)
+  -- >= 0.9 (|A∩B| <= min, |A∪B| >= max) — a cheap necessary condition
+  -- that kills most of the quadratic pair set before the expensive
+  -- list_intersect; 0.899999 covers the 6dp rounding slack.  Values
+  -- identical (asserted offline on the full pair set).
   SELECT a.doc_id ia, b.doc_id ib FROM t a, t b
   WHERE a.doc_id < b.doc_id
+    AND least(a.nt, b.nt) >= 0.899999 * greatest(a.nt, b.nt)
     AND round(len(list_intersect(a.toks, b.toks))::DOUBLE
         / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.9),
 edges AS MATERIALIZED (SELECT ia u, ib v FROM pairs UNION ALL SELECT ib, ia FROM pairs),

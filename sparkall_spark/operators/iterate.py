@@ -48,7 +48,7 @@ import itertools
 import logging
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from sparkall_spark.operators._cache import register as _register_cache
 
@@ -116,6 +116,7 @@ def iterate_with_truncation(
     refs_per_round: int,
     max_iter: Optional[int],
     converged: Optional[Callable[[DataFrame, DataFrame], bool]] = None,
+    converge_stat: Optional[Column] = None,
     checkpoint_every: int = 4,
     release_prev: Optional[bool] = None,
     register: bool = False,
@@ -140,6 +141,22 @@ def iterate_with_truncation(
     into their running union — it is the one point in the round where
     the new state is safely consumable and the old one still alive.
 
+    ``converge_stat`` (optional, eager mode, exclusive with
+    ``converged``): a single aggregate Column computed over each
+    round's state; the loop stops when its value repeats between
+    consecutive rounds.  This is the ONE-JOB round shape: the lazy
+    checkpoint is materialized BY the stat aggregation itself, so a
+    round costs one job total — versus checkpoint-count plus a
+    convergence probe join (two jobs and, at scale, a per-round
+    shuffle join of two state tables) for the callback form.
+    SOUNDNESS is the caller's contract: the stat must change whenever
+    any row changes — true for a strictly monotone update aggregated
+    by SUM (min-label propagation only ever decreases labels), not for
+    arbitrary updates.  Use an exact type (``sum(x.cast("decimal(38,
+    0)"))``, not double) so equality is bitwise, and note the stat of
+    the INITIAL state is computed too (its materialization job doubles
+    as the probe), so a fixpoint init converges after one round.
+
     ``release_prev`` (default: ``refs_per_round > 1``): eagerly release
     each superseded round's checkpoint blocks.  Pass ``False`` when
     earlier rounds stay live — e.g. a BFS whose visited set is a union
@@ -154,18 +171,42 @@ def iterate_with_truncation(
     if refs_per_round < 1:
         raise ValueError(f"refs_per_round must be >= 1, got {refs_per_round}")
     eager = refs_per_round > 1
+    if converge_stat is not None:
+        if converged is not None:
+            raise ValueError("pass converged OR converge_stat, not both")
+        if not eager:
+            raise ValueError(
+                "converge_stat requires refs_per_round > 1 (it "
+                "materializes every round; lazy cadence would not)"
+            )
     if release_prev is None:
         release_prev = eager
     rounds = itertools.count() if max_iter is None else range(max_iter)
 
-    state = init.localCheckpoint(eager=True) if eager else init
+    def _stat(df: DataFrame):
+        # the aggregation job doubles as the lazy checkpoint's
+        # materialization: one job per round, no separate probe
+        return df.agg(converge_stat.alias("__stat")).first()["__stat"]
+
+    if eager and converge_stat is not None:
+        state = init.localCheckpoint(eager=False)
+        prev_stat = _stat(state)
+    else:
+        state = init.localCheckpoint(eager=True) if eager else init
+        prev_stat = None
     for i in rounds:
         new = step(state, i)
-        if eager:
-            new = new.localCheckpoint(eager=True)
-        elif (i + 1) % checkpoint_every == 0:
+        if eager and converge_stat is not None:
             new = new.localCheckpoint(eager=False)
-        done = converged(state, new) if converged is not None else False
+            cur_stat = _stat(new)
+            done = cur_stat == prev_stat
+            prev_stat = cur_stat
+        else:
+            if eager:
+                new = new.localCheckpoint(eager=True)
+            elif (i + 1) % checkpoint_every == 0:
+                new = new.localCheckpoint(eager=False)
+            done = converged(state, new) if converged is not None else False
         if release_prev:
             # new is materialized and lineage-free: the previous
             # round's checkpoint blocks are dead weight from here on

@@ -190,3 +190,60 @@ def test_connected_components_warns_on_dead_knob(spark):
         connected_components(edges).collect()
     assert not any("checkpoint_every" in str(x.message) for x in w)
     release_caches()
+
+
+def test_converge_stat_stops_on_repeat_and_validates(spark):
+    """r12: stat-based convergence — the loop ends the round after the
+    monotone aggregate repeats; converged and converge_stat are
+    mutually exclusive; lazy cadence rejects the stat form."""
+    import pytest
+
+    rounds = []
+
+    def step(df, i):
+        rounds.append(i)
+        # decrease v once, then fixpoint at 0 (monotone, like
+        # min-label propagation)
+        return df.select(
+            "node", F.greatest(F.col("v") - 1, F.lit(0)).alias("v")
+        )
+
+    out = iterate_with_truncation(
+        spark.range(4).select(F.col("id").alias("node"),
+                              F.lit(2).alias("v")),
+        step, refs_per_round=2, max_iter=20,
+        converge_stat=F.sum(F.col("v").cast("decimal(38,0)")),
+    )
+    assert out.agg(F.sum("v")).first()[0] == 0
+    # v: 2 -> 1 -> 0 -> 0(repeat => stop): exactly 3 rounds
+    assert rounds == [0, 1, 2]
+
+    with pytest.raises(ValueError, match="not both"):
+        iterate_with_truncation(
+            spark.range(1), step, refs_per_round=2, max_iter=1,
+            converged=lambda a, b: True, converge_stat=F.count("*"),
+        )
+    with pytest.raises(ValueError, match="refs_per_round"):
+        iterate_with_truncation(
+            spark.range(1), step, refs_per_round=1, max_iter=1,
+            converge_stat=F.count("*"),
+        )
+    release_caches()
+
+
+def test_converge_stat_releases_like_eager_mode(spark):
+    release_caches()
+    base = _n_persisted(spark)
+    out = iterate_with_truncation(
+        spark.range(30).select(F.col("id").alias("node"),
+                               F.lit(3).alias("v")),
+        lambda df, i: df.select(
+            "node", F.greatest(F.col("v") - 1, F.lit(0)).alias("v")
+        ),
+        refs_per_round=2, max_iter=20,
+        converge_stat=F.sum(F.col("v").cast("decimal(38,0)")),
+    )
+    assert out.count() == 30
+    assert _n_persisted(spark) <= base + 1
+    ckpt_release(out)
+    assert _n_persisted(spark) <= base

@@ -3353,10 +3353,17 @@ fdb AS (SELECT * FROM fdt WHERE doc_id % 10 = 7 AND len(toks) > 0),
 )
 
 
-def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _e29_index_telemetry(
+    spark: SparkSession, sf_dir: str, include_zorder: bool = True
+) -> DataFrame:
     """Index + sketch telemetry as a tagged long-form union (r9: the
     VERDICT-endorsed split of e21's r8 telemetry legs, now running
     against the SAVED index layout):
+
+    ``include_zorder=False`` is the bench A/B knob (r12, VERDICT Next
+    #5): it drops ONLY the zorder write-lifecycle leg so its isolated
+    cost can be read same-session (scripts/bench_variance_probe.py /
+    BENCH_NOTES); the driver always runs the full entry.
 
     - ``idxmeta``: the saved index's corpus stats (n_docs) read back
       from its ``_meta`` side table — gates the save/append/compact/
@@ -3575,6 +3582,18 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lost, duplicated, or mangled by the clustered write now
     # hash-mismatches every round; the row-group skip receipt (the
     # performance half) stays plan-asserted in tests/test_zorder.py.
+    out = (
+        meta_long.unionByName(ph_long)
+        .unionByName(bm_long)
+        .unionByName(kmv_card)
+        .unionByName(kmv_ov)
+        .unionByName(hh_long)
+        .unionByName(q_long)
+        .unionByName(tq_long)
+        .unionByName(cms_long)
+    )
+    if not include_zorder:  # bench A/B probe path only
+        return out
     from sparkall_spark.sources.sinks import write_zordered
 
     zdir = _tmpdir("sparkall_e29_z_")
@@ -3596,17 +3615,7 @@ def _e29_index_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
-        meta_long.unionByName(ph_long)
-        .unionByName(bm_long)
-        .unionByName(kmv_card)
-        .unionByName(kmv_ov)
-        .unionByName(hh_long)
-        .unionByName(q_long)
-        .unionByName(tq_long)
-        .unionByName(cms_long)
-        .unionByName(z_long)
-    )
+    return out.unionByName(z_long)
 
 
 #: CMS leg parameters — shared between the e29 entry and oracle builder

@@ -3938,7 +3938,7 @@ def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1e-9 of an integer — no rounding-boundary risk).
     from sparkall_spark.operators import graph as G
 
-    users = (
+    users = persist_tracked(
         load_table(spark, sf_dir, "events")
         .select(F.col("user_id").cast("bigint").alias("u"))
         .distinct()
@@ -3965,12 +3965,38 @@ def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("val"),
     )
+    # 'kcore' (r12): maximal 3-core via iterative peeling
+    # (graph.k_core, the new iterate_with_truncation consumer) over a
+    # deterministic expander-ish modular graph on the SAME user
+    # domain: u -> 2u+1, 3u+5 (mod |users|).  The expander shape keeps
+    # peel depth at 3-4 rounds at every SF (a path-like graph would
+    # peel in O(|V|) rounds — wrong fixture for an iterative driver
+    # leg); val = within-core degree.  Oracle: the recursive
+    # working-table peel (round-capped at 40, far above the measured
+    # depth; rows replicate unchanged after the fixpoint so the capped
+    # round IS the core).
+    n_users = users.count()
+    kedges = users.select(
+        F.col("u").alias("id_a"),
+        F.explode(
+            F.array(
+                (2 * F.col("u") + 1) % n_users,
+                (3 * F.col("u") + 5) % n_users,
+            )
+        ).alias("id_b"),
+    )
+    kcore = G.k_core(kedges, k=3).select(
+        F.lit("kcore").alias("family"),
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("core_degree").cast("bigint").alias("val"),
+    )
     return (
         clusters.unionByName(mhinc)
         .unionByName(split_leg)
         .unionByName(embinc)
         .unionByName(tri)
         .unionByName(cc)
+        .unionByName(kcore)
     )
 
 
@@ -4093,11 +4119,21 @@ def _e22_graph_oracle_sql() -> str:
     the canonical (x<y, distinct-by-construction) events-derived edge
     set — each triangle once as a<b<c, corners unioned — and the
     textbook 2t/(d(d-1)) coefficient, 6dp-rounded then micro-encoded
-    exactly like the Spark leg."""
+    exactly like the Spark leg.
+
+    'kcore' mirror (r12): iterative peeling as a RECURSIVE
+    working-table CTE — each round's rows are (node, still-alive
+    neighbor list); the recursive term drops sub-k nodes from every
+    list via a second reference to the working table (DuckDB allows
+    it; the aggregate builds the round's removal list).  Round-capped
+    at 40: after the fixpoint rows replicate unchanged, so the capped
+    round IS the core (measured peel depth on this expander graph:
+    3-4 rounds at sf0.01/sf0.1)."""
     return """
 UNION ALL
 SELECT family, doc_id, val FROM (
-  WITH gu AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS n FROM events),
+  WITH RECURSIVE
+  gu AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS n FROM events),
   ge AS (SELECT a.n AS x, b.n AS y FROM gu a
          JOIN gu b ON b.n = a.n + 1 OR b.n = a.n + 2),
   gtri AS (
@@ -4112,7 +4148,26 @@ SELECT family, doc_id, val FROM (
   gt AS (SELECT node, count(*)::BIGINT AS t FROM gcorners GROUP BY node),
   gdeg AS (SELECT node, count(*)::BIGINT AS d
            FROM (SELECT x AS node FROM ge UNION ALL SELECT y FROM ge)
-           GROUP BY node)
+           GROUP BY node),
+  kraw AS (
+    SELECT n AS a, (2*n + 1) % (SELECT count(*) FROM gu) AS b FROM gu
+    UNION ALL
+    SELECT n, (3*n + 5) % (SELECT count(*) FROM gu) FROM gu),
+  ke AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+         FROM kraw WHERE a <> b),
+  kadj AS (SELECT node, list(nbr) AS nbrs FROM (
+      SELECT u AS node, v AS nbr FROM ke UNION ALL SELECT v, u FROM ke)
+      GROUP BY node),
+  kalive(round, node, nbrs) AS (
+    SELECT 0, node, nbrs FROM kadj
+    UNION ALL
+    SELECT a.round + 1, a.node,
+           list_filter(a.nbrs,
+                       x -> NOT coalesce(list_contains(r.removed, x), FALSE))
+    FROM kalive a CROSS JOIN
+         (SELECT list(b.node) AS removed FROM kalive b
+          WHERE len(b.nbrs) < 3) r
+    WHERE a.round < 40 AND len(a.nbrs) >= 3)
   SELECT 'tri' AS family, node AS doc_id, t AS val FROM gt
   UNION ALL
   SELECT 'cc' AS family, gdeg.node AS doc_id,
@@ -4120,6 +4175,10 @@ SELECT family, doc_id, val FROM (
               THEN 2.0 * COALESCE(gt.t, 0) / (gdeg.d * (gdeg.d - 1))
               ELSE 0.0 END, 6) * 1000000.0) AS BIGINT) AS val
   FROM gdeg LEFT JOIN gt ON gt.node = gdeg.node
+  UNION ALL
+  SELECT 'kcore' AS family, node AS doc_id,
+         CAST(len(nbrs) AS BIGINT) AS val
+  FROM kalive WHERE round = 40
 )
 """
 

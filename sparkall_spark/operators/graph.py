@@ -426,3 +426,87 @@ def clustering_coefficient(
             6,
         ).alias("coeff"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int | None = None,
+) -> DataFrame:
+    """Maximal k-core: the largest subgraph where every node keeps
+    degree >= k — iterative peeling (remove all nodes of degree < k,
+    recompute, repeat to fixpoint).  Pretraining use: core membership
+    separates densely-linked domains from peripheral/orphan pages in a
+    crawl graph (a robustness signal pagerank alone does not give —
+    rank can be inflated by one hub; coreness cannot).
+
+    Returns ``(node, core_degree)`` for k-core members only, where
+    ``core_degree`` is the degree WITHIN the core (>= k by
+    construction).  Edges are canonicalized (undirected, self-loops and
+    duplicates dropped).  ``k < 1`` raises; ``max_iter=None`` runs to
+    fixpoint (peel depth is graph-dependent: O(diameter-ish) on
+    expander-like graphs, O(|V|) worst case on paths — cap it when the
+    shape is unknown).
+
+    Iteration discipline (r12): rides
+    :func:`~sparkall_spark.operators.iterate.iterate_with_truncation`
+    with a ``converge_stat`` — each round's plan references the alive
+    set twice (both endpoints of the surviving-edge semi-joins), and
+    the row COUNT is strictly monotone under peeling (rows only ever
+    leave; an unchanged node set implies unchanged degrees, since only
+    nodes with an alive edge carry edges), so the round's single
+    aggregation job doubles as the checkpoint materialization and the
+    repeat detects the fixpoint.
+    Scale shape: each round is one equi-join pair + one groupBy over
+    the POSITIVE side only (edges with both endpoints alive) — work
+    shrinks with the alive set; no windows, no driver-side graph.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    both = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .persist()
+    )
+
+    init = both.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        alive = state.filter(F.col("core_degree") >= k).select("node")
+        return (
+            both.join(alive.withColumnRenamed("node", "u"), "u")
+            .join(alive.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        )
+
+    out = iterate_with_truncation(
+        init, step, refs_per_round=2, max_iter=max_iter,
+        # count, not an id sum: rows only ever LEAVE the state, so the
+        # count strictly decreases until fixpoint regardless of id
+        # signs (a +5/-5 removal pair would fool a sum)
+        converge_stat=F.count(F.lit(1)),
+        register=True,
+    )
+    both.unpersist()
+    # the fixpoint state still lists sub-k nodes whose last recompute
+    # dropped them below k (they are not core members; the NEXT round
+    # would have removed them and changed nothing else)
+    return out.filter(F.col("core_degree") >= k)

@@ -280,3 +280,99 @@ def test_connected_components_releases_checkpoint_storage(spark):
     assert n_persisted() <= base + 2
     release_caches()
     assert n_persisted() <= base
+
+
+# --- k-core decomposition (r12) -------------------------------------------
+
+def _py_kcore(edges, k):
+    """Reference peeling in plain Python (the textbook loop)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_k_core_vs_python_peeling(spark):
+    from sparkall_spark.operators.graph import k_core
+
+    # triangle {1,2,3} + pendant chain 3-4-5 + isolated pair 6-7:
+    # 2-core = the triangle only
+    EDGES = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 7), (2, 1)]
+    edges = spark.createDataFrame(EDGES, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["core_degree"] for r in k_core(edges, k=2).collect()
+    }
+    assert got == _py_kcore(EDGES, 2) == {1: 2, 2: 2, 3: 2}
+    # k=1 keeps every non-isolated node; k=3 empties this graph
+    assert {
+        r["node"] for r in k_core(edges, k=1).collect()
+    } == {1, 2, 3, 4, 5, 6, 7}
+    assert k_core(edges, k=3).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(edges, k=0)
+
+
+def test_k_core_deep_peel_and_duckdb_mirror(spark, duck):
+    """A peel that takes several rounds (pendant chain collapsing into
+    the core) must match the DuckDB recursive-CTE mirror — the same
+    two-reference working-table form the e22 'kcore' oracle leg uses."""
+    from pyspark.sql import functions as F
+
+    from sparkall_spark.operators.graph import k_core
+
+    # expander-ish functional graph over 60 nodes: n -> 2n+1, 3n+5 (mod 60)
+    edges = spark.range(60).select(
+        F.col("id").alias("id_a"),
+        F.explode(
+            F.array((2 * F.col("id") + 1) % 60, (3 * F.col("id") + 5) % 60)
+        ).alias("id_b"),
+    )
+    got = {
+        (r["node"], r["core_degree"])
+        for r in k_core(edges, k=3).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            """
+WITH RECURSIVE
+eraw AS (
+  SELECT i AS a, (2*i+1) % 60 AS b FROM range(0, 60) t(i)
+  UNION ALL SELECT i, (3*i+5) % 60 FROM range(0, 60) t(i)),
+e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+      FROM eraw WHERE a <> b),
+adj AS (SELECT node, list(nbr) AS nbrs FROM (
+    SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e)
+    GROUP BY node),
+alive(round, node, nbrs) AS (
+  SELECT 0, node, nbrs FROM adj
+  UNION ALL
+  SELECT a.round + 1, a.node,
+         list_filter(a.nbrs,
+                     x -> NOT coalesce(list_contains(r.removed, x), FALSE))
+  FROM alive a CROSS JOIN
+       (SELECT list(b.node) AS removed FROM alive b
+        WHERE len(b.nbrs) < 3) r
+  WHERE a.round < 40 AND len(a.nbrs) >= 3)
+SELECT node, len(nbrs) FROM alive WHERE round = 40
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+    # sanity: every core member keeps >= k in-core neighbors
+    assert all(d >= 3 for _, d in got)

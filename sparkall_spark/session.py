@@ -100,4 +100,24 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Two DELIBERATE behaviors would otherwise WARN on every run and
+    # bury real warnings (r12): (a) ckpt_release frees checkpoint
+    # blocks whose frames are dead by contract
+    # (operators/iterate.py — MapPartitionsRDD warns "cannot be
+    # recomputed", which is the point); (b) sketch/postings `_meta`
+    # side-tables are overwrite-listed by DataSource as
+    # "all paths were ignored" (underscore-hidden on purpose).  Raise
+    # just those two loggers to ERROR — narrow and best-effort (a
+    # log4j2 API drift leaves logging untouched).
+    try:
+        log4j = spark._jvm.org.apache.logging.log4j
+        for cls in (
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            "org.apache.spark.sql.execution.datasources.DataSource",
+        ):
+            log4j.core.config.Configurator.setLevel(
+                cls, log4j.Level.ERROR
+            )
+    except Exception:
+        pass
     return spark

@@ -42,6 +42,7 @@ __all__ = [
     "reachable_from",
     "triangle_count",
     "clustering_coefficient",
+    "k_core",
 ]
 
 
@@ -188,9 +189,14 @@ def pagerank(
     collected; the label-prop loop's explicit per-round release is not
     needed at this state size.  Returns (node, rank).
     """
+    # the edge projection is read EVERY round — persist it like the
+    # other iterative loops (GraphX's cached edge RDD is the same
+    # trade: MEMORY_AND_DISK spills when |E| outgrows executor memory
+    # rather than re-scanning the source per iteration)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).persist()
+    _register_cache(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

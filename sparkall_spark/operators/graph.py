@@ -394,14 +394,23 @@ def triangle_count(
 
 
 def clustering_coefficient(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    triangles: DataFrame | None = None,
 ) -> DataFrame:
     """Local clustering coefficient per node: 2*triangles /
     (degree*(degree-1)) — how close each node's neighborhood is to a
     clique (community-structure / spam-farm signal).  Composes
     :func:`triangle_count`'s per-node corners with one degree
     aggregation over the canonical edge set; nodes with degree < 2
-    score 0.  Output: (node, degree, n_triangles, coeff 6dp)."""
+    score 0.  Output: (node, degree, n_triangles, coeff 6dp).
+
+    ``triangles``: a precomputed ``triangle_count(..., per_node=True)``
+    frame over the SAME edge set — pass it when the caller already
+    materialized one (r12: the wedge join is the expensive step; a
+    caller emitting both a triangle report and coefficients would
+    otherwise run it twice)."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -416,7 +425,11 @@ def clustering_coefficient(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
-    tris = triangle_count(edges, src, dst, per_node=True)
+    tris = (
+        triangles
+        if triangles is not None
+        else triangle_count(edges, src, dst, per_node=True)
+    )
     joined = deg.join(tris, "node", "left").withColumn(
         "n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0))
     )

@@ -376,3 +376,26 @@ SELECT node, len(nbrs) FROM alive WHERE round = 40
 
     # sanity: every core member keeps >= k in-core neighbors
     assert all(d >= 3 for _, d in got)
+
+
+def test_clustering_coefficient_accepts_precomputed_triangles(spark):
+    """r12: passing triangles= must give the identical result to the
+    internal recompute (the e30 entry shares one wedge join between
+    the 'tri' and 'cc' legs)."""
+    from sparkall_spark.operators.graph import (
+        clustering_coefficient,
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)], ["id_a", "id_b"]
+    )
+    tri_pn = triangle_count(edges, per_node=True)
+    a = sorted(map(tuple, clustering_coefficient(edges).collect()))
+    b = sorted(
+        map(
+            tuple,
+            clustering_coefficient(edges, triangles=tri_pn).collect(),
+        )
+    )
+    assert a == b

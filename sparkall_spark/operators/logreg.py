@@ -271,8 +271,9 @@ feats AS MATERIALIZED (
            (acc, c) -> (acc * 31 + c) % {_P_MOD}) % {n_buckets} AS INT) AS b,
          count(*)::BIGINT AS cnt
   FROM tok GROUP BY 1, 2),
-lbl AS (SELECT doc_id, CAST({label_sql} AS INT) AS y FROM {table}),
-nd AS (SELECT count(*)::BIGINT AS n FROM lbl),
+lbl AS MATERIALIZED (
+  SELECT doc_id, CAST({label_sql} AS INT) AS y FROM {table}),
+nd AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM lbl),
 buckets AS (SELECT unnest(range({n_buckets}))::INT AS b),
 w0 AS (SELECT b, 0::BIGINT AS w FROM buckets),
 b0 AS (SELECT 0::BIGINT AS bias)"""
@@ -282,23 +283,32 @@ def _sql_iter(i: int, lr_den: int) -> str:
     """One unrolled GD iteration as mirror CTEs (weights w{i-1} ->
     w{i}), arithmetic identical to :func:`train_logreg`: margins join,
     sigmoid error, per-row micro round, exact integer sums, and the
-    half-away-from-zero integer update (no float division)."""
+    half-away-from-zero integer update (no float division).
+
+    Every round CTE is MATERIALIZED: ``w{i}``/``b{i}`` are referenced by
+    the next round AND (for the final round) by each consuming branch,
+    and the bias chain's scalar subqueries reference ``b{i-1}``/``gb{i}``
+    /``nd`` several times each — without the hint DuckDB re-inlines the
+    whole prior chain per reference and the unrolled 3-round oracle goes
+    superlinear (measured ~5 s -> sub-second at sf0.01; outputs are
+    64-row/1-row frames, so materialization is free).  Values identical
+    — MATERIALIZED is an evaluation hint only."""
     p, c = i - 1, i
     return f"""
-m{c} AS (
+m{c} AS MATERIALIZED (
   SELECT l.doc_id, l.y,
          coalesce(s.m, 0) + (SELECT bias FROM b{p}) AS m
   FROM lbl l LEFT JOIN (
     SELECT f.doc_id, sum(f.cnt * w.w)::BIGINT AS m
     FROM feats f JOIN w{p} w USING (b) GROUP BY f.doc_id) s
   USING (doc_id)),
-e{c} AS (
+e{c} AS MATERIALIZED (
   SELECT doc_id, 1.0 / (1.0 + exp(-(m::DOUBLE) / 1000000.0)) - y AS err
   FROM m{c}),
-g{c} AS (
+g{c} AS MATERIALIZED (
   SELECT f.b, sum(CAST(round(e.err * f.cnt * 1000000) AS BIGINT)) AS g
   FROM feats f JOIN e{c} e USING (doc_id) GROUP BY f.b),
-w{c} AS (
+w{c} AS MATERIALIZED (
   SELECT w.b,
          w.w - (CASE WHEN coalesce(g.g, 0) >= 0
                 THEN (2 * coalesce(g.g, 0) + {lr_den} * (SELECT n FROM nd))
@@ -307,9 +317,9 @@ w{c} AS (
                      // (2 * {lr_den} * (SELECT n FROM nd)))
                 END) AS w
   FROM w{p} w LEFT JOIN g{c} g USING (b)),
-gb{c} AS (
+gb{c} AS MATERIALIZED (
   SELECT sum(CAST(round(err * 1000000) AS BIGINT)) AS g FROM e{c}),
-b{c} AS (
+b{c} AS MATERIALIZED (
   SELECT (SELECT bias FROM b{p})
          - (CASE WHEN (SELECT g FROM gb{c}) >= 0
             THEN (2 * (SELECT g FROM gb{c}) + {lr_den} * (SELECT n FROM nd))

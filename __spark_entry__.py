@@ -1301,7 +1301,7 @@ def _lsh_oracle_parts() -> tuple[str, str]:
         selects.append(f"SELECT vec_id, ({bucket})::BIGINT AS bkt, {t} AS tbl FROM v")
     union = "\n  UNION ALL\n  ".join(selects)
     ctes = f"""
-bk AS (
+bk AS MATERIALIZED (
   {union}),
 lsh_cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -1464,7 +1464,7 @@ def _ivfq8_parts() -> tuple[str, str]:
 
     qc = quantize_sql("embedding::DOUBLE[]")
     ctes = f"""
-qcodes AS (
+qcodes AS MATERIALIZED (
   SELECT vec_id, qc, list_dot_product(qc::DOUBLE[], qc::DOUBLE[]) AS n
   FROM (SELECT vec_id, {qc} AS qc FROM embeddings)),
 ivfq8_scored AS (
@@ -1498,8 +1498,9 @@ def _e09_oracle_sql() -> str:
     pq_ctes, pq_select = _pq_oracle_parts()
     iq8_ctes, iq8_select = _ivfq8_parts()
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-cellinfo AS (
+WITH v AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cellinfo AS MATERIALIZED (
   SELECT vec_id, e,
          list_reverse(list_sort([{structs}])) AS ordered
   FROM v),
@@ -1516,16 +1517,16 @@ scored AS (
 {pq_ctes.strip()},
 {iq8_ctes.strip()},
 {_BRUTE_CTE.strip()},
-ivf_top AS (
+ivf_top AS MATERIALIZED (
   SELECT 'ivf' AS method, query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored QUALIFY rank <= 10),
-lsh_top AS ({lsh_select.strip()}),
-pq_top AS ({pq_select.strip()}),
-brute_top AS ({_BRUTE_SELECT.strip()}),
-q8_top AS ({_q8_select().strip()}),
-iq8_top AS ({iq8_select.strip()})
+lsh_top AS MATERIALIZED ({lsh_select.strip()}),
+pq_top AS MATERIALIZED ({pq_select.strip()}),
+brute_top AS MATERIALIZED ({_BRUTE_SELECT.strip()}),
+q8_top AS MATERIALIZED ({_q8_select().strip()}),
+iq8_top AS MATERIALIZED ({iq8_select.strip()})
 SELECT * FROM ivf_top
 UNION ALL
 SELECT * FROM lsh_top
@@ -1626,12 +1627,12 @@ def _pq_oracle_parts() -> tuple[str, str]:
         )
     approx = "\n         + ".join(terms)
     ctes = f"""
-pqcell AS (
+pqcell AS MATERIALIZED (
   SELECT vec_id, e,
          list_reverse(list_sort([{structs}])) AS ordered
   FROM v),
 pqc AS (SELECT vec_id, e, ordered[1].cell AS cell FROM pqcell),
-pqenc AS (
+pqenc AS MATERIALIZED (
   SELECT vec_id, cell,
           [{code_arr}] AS code
   FROM pqc),

@@ -3440,6 +3440,50 @@ def _e29_index_telemetry(
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # r12 (guide §2.6, the e03/e28 thread pattern): the zorder leg's
+    # eager work (one min/max agg + one range-partitioned sort-write
+    # over events) shares NOTHING with the postings lifecycle below
+    # (documents-derived), yet ran sequentially after it — ~2-3 s of
+    # independent jobs serialized behind ~4-5 s of index maintenance.
+    # Submit the write from a helper thread at entry start so the two
+    # eager phases overlap; the thread is joined before the returned
+    # plan reads zdir, so laziness/teardown semantics are unchanged.
+    zorder_fut = None
+    zorder_pool = None
+    if include_zorder:
+        import concurrent.futures as _fut
+        import os
+
+        from sparkall_spark.sources.sinks import write_zordered
+
+        def _zorder_write() -> str:
+            zdir = _tmpdir("sparkall_e29_z_")
+            ev = load_table(spark, sf_dir, "events").select(
+                "event_id", "user_id", "value"
+            )
+            write_zordered(
+                ev, zdir, ["user_id", "event_id"], bits=12, n_files=8
+            )
+            return zdir
+
+        if os.environ.get("SPARKALL_E29_SEQ") == "1":
+            # same-session A/B knob (scripts/profile_entries.py):
+            # run the leg sequentially, as pre-r12 code did
+            class _Now:
+                def __init__(self) -> None:
+                    self._z = _zorder_write()
+
+                def result(self) -> str:
+                    return self._z
+
+                def shutdown(self) -> None:
+                    pass
+
+            zorder_fut = _Now()
+            zorder_pool = zorder_fut
+        else:
+            zorder_pool = _fut.ThreadPoolExecutor(max_workers=1)
+            zorder_fut = zorder_pool.submit(_zorder_write)
     # build + persist the index through the FULL maintenance lifecycle
     # (r10): initial save over 4/5 of the corpus, one ingest-batch
     # append (the remaining 1/5), then an in-place compaction back to
@@ -3606,13 +3650,8 @@ def _e29_index_telemetry(
     )
     if not include_zorder:  # bench A/B probe path only
         return out
-    from sparkall_spark.sources.sinks import write_zordered
-
-    zdir = _tmpdir("sparkall_e29_z_")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "value"
-    )
-    write_zordered(ev, zdir, ["user_id", "event_id"], bits=12, n_files=8)
+    zdir = zorder_fut.result()  # join the overlapped write (see top)
+    zorder_pool.shutdown()
     z_long = (
         spark.read.parquet(zdir)
         .filter((F.col("event_id") >= 100) & (F.col("event_id") < 200))

@@ -35,11 +35,36 @@ tooling.
 
 from __future__ import annotations
 
+import concurrent.futures as _fut
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from sparkall_spark.functions.text import tokens
 from sparkall_spark.operators.features import _P_MOD, _portable_token_hash
 from sparkall_spark.operators.sampling import _A1, _A2, _B1, _M, _mix
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FS API (no-op if
+    absent) — works on any filesystem the session can write."""
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    jp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jp, True)
+
+
+def _run_both(a: Callable[[], None], b: Callable[[], None]) -> None:
+    """Run two independent write chains on two driver threads (guide
+    §2.6: Spark job submission is thread-safe and concurrent jobs
+    back-fill each other's task tails).  The maintenance passes below
+    each contain a postings chain and a ``_doclen``/``_meta`` chain
+    that touch disjoint output directories; serializing them doubles
+    the wall-clock of what is mostly per-job scheduling latency at
+    bench scale.  Exceptions propagate (first chain's first)."""
+    with _fut.ThreadPoolExecutor(max_workers=2) as pool:
+        fa, fb = pool.submit(a), pool.submit(b)
+        fa.result()
+        fb.result()
 
 
 def build_postings(
@@ -138,22 +163,48 @@ def save_postings(
     The ``_``-prefixed side tables are invisible to a scan of ``path``
     itself (Spark's hidden-path convention).
     """
-    with_bucket = postings.withColumn(
-        "tok_bucket", _token_bucket_col(F.col("token"), n_buckets, seed)
-    )
-    # repartition on the partition column so each hive directory is
-    # written by the tasks that own its rows (without it, every task
-    # holding rows of every bucket opens n_buckets writers -> n_tasks *
-    # n_buckets small files)
-    with_bucket.repartition(n_buckets, "tok_bucket").write.mode(
-        "overwrite"
-    ).partitionBy("tok_bucket").parquet(path)
     spark = postings.sparkSession
-    doclen = spark.read.parquet(path).groupBy("doc_id").agg(
-        F.sum("tf").cast("bigint").alias("doc_len")
-    )
-    doclen.write.mode("overwrite").parquet(f"{path}/{_DOCLEN_SUBDIR}")
-    _write_meta(spark, path, n_buckets, seed)
+    # pin the input across its two consumers (the append_postings
+    # discipline: index rows and doclen rows must come from ONE stable
+    # snapshot of the source plan) — r12: doclen is derived from the
+    # pinned input rather than a read-back of the just-written path,
+    # which removes the write->read dependency so the postings write
+    # and the doclen/meta chain run on two driver threads
+    pinned = postings.persist()
+    try:
+        with_bucket = pinned.withColumn(
+            "tok_bucket", _token_bucket_col(F.col("token"), n_buckets, seed)
+        )
+        # overwrite semantics, made deterministic for the concurrent
+        # chains: delete the target ONCE, driver-side, before either
+        # thread starts.  A threaded mode("overwrite") on `path` would
+        # delete the whole directory inside the postings chain and
+        # could wipe a `_doclen`/`_meta` the other chain had already
+        # written if thread scheduling ever inverted; append-into-the
+        # -now-empty dir is value-identical and race-free.
+        _hadoop_delete(spark, path)
+
+        def _write_postings() -> None:
+            # repartition on the partition column so each hive
+            # directory is written by the tasks that own its rows
+            # (without it, every task holding rows of every bucket
+            # opens n_buckets writers -> n_tasks * n_buckets files)
+            with_bucket.repartition(n_buckets, "tok_bucket").write.mode(
+                "append"
+            ).partitionBy("tok_bucket").parquet(path)
+
+        def _write_doclen_meta() -> None:
+            doclen = pinned.groupBy("doc_id").agg(
+                F.sum("tf").cast("bigint").alias("doc_len")
+            )
+            doclen.write.mode("overwrite").parquet(
+                f"{path}/{_DOCLEN_SUBDIR}"
+            )
+            _write_meta(spark, path, n_buckets, seed)
+
+        _run_both(_write_postings, _write_doclen_meta)
+    finally:
+        pinned.unpersist()
 
 
 def _write_meta(spark: SparkSession, path: str, n_buckets: int, seed: int) -> None:
@@ -203,14 +254,24 @@ def append_postings(postings: DataFrame, path: str) -> None:
         with_bucket = pinned.withColumn(
             "tok_bucket", _token_bucket_col(F.col("token"), nb, seed)
         )
-        with_bucket.repartition(nb, "tok_bucket").write.mode(
-            "append"
-        ).partitionBy("tok_bucket").parquet(path)
-        batch_len = pinned.groupBy("doc_id").agg(
-            F.sum("tf").cast("bigint").alias("doc_len")
-        )
-        batch_len.write.mode("append").parquet(f"{path}/{_DOCLEN_SUBDIR}")
-        _write_meta(spark, path, nb, seed)
+
+        def _append_postings() -> None:
+            with_bucket.repartition(nb, "tok_bucket").write.mode(
+                "append"
+            ).partitionBy("tok_bucket").parquet(path)
+
+        def _append_doclen_meta() -> None:
+            batch_len = pinned.groupBy("doc_id").agg(
+                F.sum("tf").cast("bigint").alias("doc_len")
+            )
+            batch_len.write.mode("append").parquet(
+                f"{path}/{_DOCLEN_SUBDIR}"
+            )
+            _write_meta(spark, path, nb, seed)
+
+        # r12: the index-row append and the doclen/meta chain touch
+        # disjoint directories off the same pinned snapshot — overlap
+        _run_both(_append_postings, _append_doclen_meta)
     finally:
         pinned.unpersist()
 
@@ -273,33 +334,43 @@ def compact_postings(spark: SparkSession, path: str) -> None:
     )
     # one shuffle partition per bucket -> each bucket dir is written
     # by exactly one task -> exactly one file per bucket
-    rebucketed.repartition(nb, "tok_bucket").write.mode(
-        "overwrite"
-    ).partitionBy("tok_bucket").parquet(f"{staging}/postings")
-    load_doclen(spark, path).write.mode("overwrite").parquet(
-        f"{staging}/doclen"
-    )
-    # dynamic mode replaces exactly the bucket dirs the write
-    # produces (all of them — every live row was staged) and leaves
-    # the _-hidden side tables alone; the per-writer option keeps the
-    # session conf untouched for any concurrent write
-    spark.read.parquet(f"{staging}/postings").repartition(
-        nb, "tok_bucket"
-    ).write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("tok_bucket").parquet(path)
-    # repartition bounds the rewritten _doclen at n_buckets files —
-    # without it the staging read of N append-era small files yields N
-    # partitions and the rewrite would emit N files again, defeating
-    # the restore (review catch); n_buckets matches the index's own
-    # file-count budget and stays valid at any doc count
-    spark.read.parquet(f"{staging}/doclen").repartition(nb).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/{_DOCLEN_SUBDIR}")
-    _write_meta(spark, path, nb, seed)
-    jvm = spark._jvm
-    jp = jvm.org.apache.hadoop.fs.Path(staging)
-    jp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jp, True)
+    def _compact_postings_chain() -> None:
+        rebucketed.repartition(nb, "tok_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("tok_bucket").parquet(f"{staging}/postings")
+        # dynamic mode replaces exactly the bucket dirs the write
+        # produces (all of them — every live row was staged) and
+        # leaves the _-hidden side tables alone; the per-writer option
+        # keeps the session conf untouched for any concurrent write
+        spark.read.parquet(f"{staging}/postings").repartition(
+            nb, "tok_bucket"
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("tok_bucket").parquet(path)
+
+    def _compact_doclen_chain() -> None:
+        load_doclen(spark, path).write.mode("overwrite").parquet(
+            f"{staging}/doclen"
+        )
+        # repartition bounds the rewritten _doclen at n_buckets files
+        # — without it the staging read of N append-era small files
+        # yields N partitions and the rewrite would emit N files
+        # again, defeating the restore (review catch); n_buckets
+        # matches the index's own file-count budget and stays valid
+        # at any doc count
+        spark.read.parquet(f"{staging}/doclen").repartition(
+            nb
+        ).write.mode("overwrite").parquet(f"{path}/{_DOCLEN_SUBDIR}")
+        _write_meta(spark, path, nb, seed)
+
+    # r12: stage->swap of the postings rows and stage->rewrite of
+    # _doclen/_meta are two independent chains over disjoint
+    # directories — overlap them (crash idempotence is unchanged:
+    # whichever chain a crash interrupts, both remain value-identical
+    # re-packs and "re-run compact_postings" still restores the
+    # one-file-per-bucket layout everywhere)
+    _run_both(_compact_postings_chain, _compact_doclen_chain)
+    _hadoop_delete(spark, staging)
 
 
 def load_postings(spark: SparkSession, path: str) -> DataFrame:

@@ -102,26 +102,47 @@ def remove_boilerplate_lines(
     out_col = out_col or text_col
     freq = line_doc_frequency(docs, text_col, normalize, min_line_chars)
 
+    # r12 (guide §2.4: fewer jobs): the old gate ran up to THREE
+    # sequential driver jobs — docs.count() for the frac threshold,
+    # frequent.count() for the strategy gate, frequent.collect() for
+    # the hashes — and the last two each recomputed the whole
+    # explode+groupBy frequency aggregation.  Instead: ONE bounded
+    # limit-collect of (line_hash, n_docs) at the weakest threshold
+    # (min_docs) serves both the gate (truncation at collect_limit+1
+    # rows means "too many — go distributed") and the hash list (the
+    # frac threshold is applied driver-side on the collected pairs);
+    # the corpus-count job, when needed, runs on a second driver
+    # thread overlapped with the collect (guide §2.6).  Strategy
+    # choice keys on the min_docs candidate count rather than the
+    # final-threshold count — both paths produce identical output
+    # (path-agreement tests), so results are unchanged.
     thresh = int(min_docs)
+    cand = freq.filter(F.col("n_docs") >= thresh).select(
+        "line_hash", "n_docs"
+    )
     if min_doc_frac is not None:
-        # metadata-scale: one count job sizes the corpus
-        n_total = docs.count()
-        thresh = max(thresh, int(min_doc_frac * n_total) + 1)
-    frequent = freq.filter(F.col("n_docs") >= thresh).select("line_hash")
+        import concurrent.futures as _fut
 
-    # strategy gate: one aggregate decides collect vs distributed strip
-    n_frequent = frequent.count()
+        with _fut.ThreadPoolExecutor(max_workers=2) as pool:
+            f_n = pool.submit(docs.count)
+            f_rows = pool.submit(
+                lambda: cand.limit(collect_limit + 1).collect()
+            )
+            n_total, rows = f_n.result(), f_rows.result()
+        thresh = max(thresh, int(min_doc_frac * n_total) + 1)
+    else:
+        rows = cand.limit(collect_limit + 1).collect()
 
     lines = F.split(F.col(text_col), "\n")
 
     def _is_structural(ln: Column) -> Column:
         return F.length(_norm(ln, normalize)) < min_line_chars
 
-    if n_frequent <= collect_limit:
+    if len(rows) <= collect_limit:
         # bounded driver collect (8 bytes/line; boilerplate sets are
         # small by construction) -> InSet membership (O(1)/line; see
         # module docstring for the measured array_contains comparison)
-        hashes = [r["line_hash"] for r in frequent.collect()]
+        hashes = [r["line_hash"] for r in rows if r["n_docs"] >= thresh]
         if not hashes:
             return docs.withColumn(out_col, F.col(text_col))
         kept = F.filter(
@@ -135,6 +156,7 @@ def remove_boilerplate_lines(
     # removes frequent lines; groupBy(id) rebuilds the text.  Joined
     # back on the caller's id column (deterministic under retries,
     # unlike monotonically_increasing_id).
+    frequent = freq.filter(F.col("n_docs") >= thresh).select("line_hash")
     exploded = docs.select(
         F.col(id_col).alias("__bp_id"),
         F.posexplode(lines).alias("__pos", "__line"),

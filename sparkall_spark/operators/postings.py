@@ -282,8 +282,7 @@ def compact_postings(spark: SparkSession, path: str) -> None:
     :func:`append_postings` budgets for ("one file per touched bucket
     per append; periodic compaction restores file counts").
 
-    Two-phase, all data movement through Spark writes so it works on
-    any Hadoop-compatible filesystem:
+    Two-phase — one Spark write, then a filesystem-level swap:
 
     1. stage the live rows — re-bucketed with the SAVED
        ``n_buckets``/``seed`` from ``_meta``, never the caller's
@@ -291,9 +290,15 @@ def compact_postings(spark: SparkSession, path: str) -> None:
        to overwrite a path it is lazily reading from, so the staging
        hop breaks the read-write cycle the way a real compaction job
        on S3/HDFS does);
-    2. read the staged rows back and dynamic-partition-overwrite the
-       live bucket directories in place, rewrite ``_doclen`` the same
-       way (appends grow its file count too), and re-derive ``_meta``.
+    2. swap each staged ``tok_bucket=`` directory into place with a
+       Hadoop FS delete+rename (r12, guide §2.4/§6: the staged write
+       already produced the final one-file-per-bucket layout, so the
+       previous dynamic-partition-overwrite swap — a full re-read,
+       re-shuffle and re-write of every live row — moved the whole
+       index a second time for nothing; at 100 TB the compaction now
+       rewrites the index once, not twice).  ``_doclen`` swaps the
+       same way (appends grow its file count too), and ``_meta`` is
+       re-derived.
 
     The staging dir is removed through the Hadoop FS API afterward.
     Single-writer, like every plain-parquet sink here; concurrent
@@ -304,18 +309,14 @@ def compact_postings(spark: SparkSession, path: str) -> None:
     at ANY point is simply "re-run compact_postings(path)".  A crash
     during staging leaves the live index untouched (staging is
     ``_``-hidden, invisible to the parquet reader).  A crash during the
-    dynamic-overwrite commit can leave some bucket dirs compacted and
-    others not — query answers are unaffected (every live row is in
-    exactly one committed bucket file set; dynamic overwrite commits
-    per-partition) and the re-run restores one-file-per-bucket
-    everywhere.  A crash between the postings and ``_doclen``/``_meta``
-    rewrites leaves those side tables un-compacted but value-identical
-    (the rewrite only re-packs files).  The staged copy under
-    ``_compact_tmp`` additionally holds a full snapshot until cleanup.
-    The dynamic overwrite mode is scoped to this one writer via
-    ``.option("partitionOverwriteMode", "dynamic")`` — no session conf
-    is touched, so concurrent writers in the same SparkSession keep
-    their own semantics.
+    swap can leave some bucket dirs compacted and others not — the
+    per-bucket delete+rename window is the same exposure class as the
+    old dynamic-overwrite commit (which also replaces partition dirs
+    one at a time), and the staged copy under ``_compact_tmp`` holds a
+    full snapshot until cleanup, so no crash point loses rows.  A
+    crash between the postings and ``_doclen``/``_meta`` rewrites
+    leaves those side tables un-compacted but value-identical (the
+    rewrite only re-packs files).
 
     Invariants (tests/test_postings.py): post-compact rows, meta and
     query answers are hash-equal to the pre-compact index AND to a
@@ -332,35 +333,49 @@ def compact_postings(spark: SparkSession, path: str) -> None:
             "tok_bucket", _token_bucket_col(F.col("token"), nb, seed)
         )
     )
+    def _swap_in(src: str, dst: str) -> None:
+        # filesystem-level swap: the staged dir IS the final layout —
+        # delete the live dir, move the staged one in.  Raising on a
+        # False return keeps a failed rename loud (a silent miss would
+        # drop the bucket from the live set until the re-run).
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        src_p = jvm.org.apache.hadoop.fs.Path(src)
+        dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+        fs = dst_p.getFileSystem(hconf)
+        fs.delete(dst_p, True)
+        if not fs.rename(src_p, dst_p):
+            raise IOError(f"compact_postings: rename {src} -> {dst} failed")
+
     # one shuffle partition per bucket -> each bucket dir is written
     # by exactly one task -> exactly one file per bucket
     def _compact_postings_chain() -> None:
         rebucketed.repartition(nb, "tok_bucket").write.mode(
             "overwrite"
         ).partitionBy("tok_bucket").parquet(f"{staging}/postings")
-        # dynamic mode replaces exactly the bucket dirs the write
-        # produces (all of them — every live row was staged) and
-        # leaves the _-hidden side tables alone; the per-writer option
-        # keeps the session conf untouched for any concurrent write
-        spark.read.parquet(f"{staging}/postings").repartition(
-            nb, "tok_bucket"
-        ).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("tok_bucket").parquet(path)
+        # swap every staged bucket dir into place (r12: zero re-read /
+        # re-shuffle / re-write — the old dynamic-overwrite swap moved
+        # every live row through Spark a second time); the _-hidden
+        # side tables are untouched, exactly as dynamic mode left them
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        src_root = jvm.org.apache.hadoop.fs.Path(f"{staging}/postings")
+        fs = src_root.getFileSystem(hconf)
+        for st in fs.listStatus(src_root):
+            name = st.getPath().getName()
+            if name.startswith("tok_bucket="):
+                _swap_in(f"{staging}/postings/{name}", f"{path}/{name}")
 
     def _compact_doclen_chain() -> None:
-        load_doclen(spark, path).write.mode("overwrite").parquet(
-            f"{staging}/doclen"
-        )
         # repartition bounds the rewritten _doclen at n_buckets files
-        # — without it the staging read of N append-era small files
-        # yields N partitions and the rewrite would emit N files
-        # again, defeating the restore (review catch); n_buckets
+        # — without it the staging write of N append-era small files
+        # would emit N files again, defeating the restore; n_buckets
         # matches the index's own file-count budget and stays valid
         # at any doc count
-        spark.read.parquet(f"{staging}/doclen").repartition(
-            nb
-        ).write.mode("overwrite").parquet(f"{path}/{_DOCLEN_SUBDIR}")
+        load_doclen(spark, path).repartition(nb).write.mode(
+            "overwrite"
+        ).parquet(f"{staging}/doclen")
+        _swap_in(f"{staging}/doclen", f"{path}/{_DOCLEN_SUBDIR}")
         _write_meta(spark, path, nb, seed)
 
     # r12: stage->swap of the postings rows and stage->rewrite of

@@ -4016,7 +4016,10 @@ def _e30_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").cast("bigint").alias("u"))
         .distinct()
     )
-    gedges = (
+    # persisted (r12): gedges contains a join and is consumed by BOTH
+    # the triangle machinery and the coefficient's own degree pass —
+    # unpersisted, each reference recomputed the users self-join
+    gedges = persist_tracked(
         users.select(
             "u",
             F.explode(

@@ -399,3 +399,34 @@ def test_clustering_coefficient_accepts_precomputed_triangles(spark):
         )
     )
     assert a == b
+
+
+def test_triangle_count_plan_stays_collapsed(spark):
+    """r12 regression tripwire: the triangle plan recomputed its
+    canonical/oriented edge lists once per reference (up to ~9
+    executions of the distinct/degree/orient chain per query; e30 read
+    7.3 s on a 150-node graph).  Pin the fix: both intermediates are
+    persisted (InMemoryTableScan present) and the per-node plan stays
+    collapsed — a bounded Exchange count instead of the pre-fix
+    explosion (30+ exchanges in the executed per-node plan)."""
+    from sparkall_spark.operators._cache import release_caches
+    from sparkall_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (4, 1)],
+        ["id_a", "id_b"],
+    )
+    release_caches()  # start from a clean cache registry
+    out = triangle_count(edges, per_node=True)
+    out.count()  # materialize the persisted intermediates
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # e and fwd are cached (every reference is a cache read, not a
+    # recompute of the distinct/degree/orient chain)...
+    assert "InMemoryTableScan" in plan
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) >= 2, f"expected e+fwd cached, got {len(infos)}"
+    # ...and the self-unionAll fan-outs are gone (degrees and corners
+    # are single explode passes — a Union node here means a branch
+    # re-reads its input per leg again)
+    assert "Union" not in plan
+    release_caches()

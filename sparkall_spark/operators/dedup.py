@@ -2062,7 +2062,14 @@ def embedding_dedup_incremental(
     # filter), id_a < id_b, verified on codes
     from sparkall_spark.operators.quantize import quantized_cosine
 
-    ssig = sigs.join(survivors.select(id_col), id_col, "left_semi")
+    # persisted (r12): ssig feeds BOTH sides of the pair join (the
+    # probe rows and the broadcast build) plus, through `kept`, the
+    # delta projection — unpersisted, each reference re-ran the
+    # semi-join and the batch union upstream.  Batch-bounded by the
+    # same broadcastability contract as the minhash ingest.
+    ssig = _persist(
+        sigs.join(survivors.select(id_col), id_col, "left_semi")
+    )
     a = ssig.select(
         F.col(id_col).alias("__ia"),
         F.col("bkts").alias("__ba"),

@@ -3898,8 +3898,23 @@ def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       mirror: candidate recall at the planted pairs' qcos ~0.9999 is
       1 - ~1e-14 per pair (8 tables x 8 bits), the documented
       miss-odds pattern of the minhash legs.
-    The graph-analytics families (tri/cc/kcore) moved to their own
-    entry in r12 (_e30_graph_analytics) for gate-budget headroom."""
+    Plus the graph-analytics families over events-derived graphs
+    (re-merged in r13 — the r12 split into a separate e30 entry made 51
+    declared entries and the driver's 50-query correctness window
+    silently dropped e29, the VERDICT r12 gate regression; post the r12
+    diamond-collapse the graph legs are cheap enough to live here
+    again, and the declared set is back at exactly 50):
+
+    - 'tri'/'cc' (r10): per-node exact triangle corners
+      (degree-oriented wedge join, Suri-Vassilvitskii) and local
+      clustering coefficient over the u -> u+1/u+2 edge set
+      (EQUI-joins via explode, never a nested-loop range join); 'cc'
+      micro-encodes the 6dp coefficient into the bigint val.
+    - 'kcore' (r12): maximal 3-core via iterative peeling
+      (graph.k_core, the iterate_with_truncation consumer) over a
+      deterministic expander-ish modular graph on the SAME user
+      domain: u -> 2u+1, 3u+5 (mod |users|); val = within-core degree.
+    """
     from sparkall_spark.functions.text import token_set
 
     from sparkall_spark.operators import sampling as S
@@ -3977,39 +3992,8 @@ def _e22_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("doc_id"),
         int_dot(F.col("qvec"), F.col("qvec")).alias("val"),
     )
-    return (
-        clusters.unionByName(mhinc)
-        .unionByName(split_leg)
-        .unionByName(embinc)
-    )
-
-
-def _e30_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph analytics over events-derived graphs, tagged long-form
-    (r12: split out of e22 — the gate-budget ceiling flagged e22 as
-    the one entry near the 45 s line, and these legs share nothing
-    with the dedup machinery, so the split buys per-entry headroom
-    without changing total gate work):
-
-    - 'tri'/'cc' (r10): per-node exact triangle corners
-      (degree-oriented wedge join, Suri-Vassilvitskii) and local
-      clustering coefficient over the u -> u+1/u+2 edge set
-      (EQUI-joins via explode, never a nested-loop range join); 'cc'
-      micro-encodes the 6dp coefficient into the bigint val.
-    - 'kcore' (r12): maximal 3-core via iterative peeling
-      (graph.k_core, the iterate_with_truncation consumer) over a
-      deterministic expander-ish modular graph on the SAME user
-      domain: u -> 2u+1, 3u+5 (mod |users|).  The expander shape
-      keeps peel depth at 3-4 rounds at every SF (a path-like graph
-      would peel in O(|V|) rounds — wrong fixture for an iterative
-      driver leg); val = within-core degree.  Oracle: the recursive
-      working-table peel (round-capped at 40, far above the measured
-      depth; rows replicate unchanged after the fixpoint so the
-      capped round IS the core).
-    """
+    # --- graph-analytics legs (tri/cc/kcore, re-merged from e30) ---
     from sparkall_spark.operators import graph as G
-
-    from sparkall_spark.operators._cache import persist_tracked
 
     users = persist_tracked(
         load_table(spark, sf_dir, "events")
@@ -4059,7 +4043,14 @@ def _e30_graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("core_degree").cast("bigint").alias("val"),
     )
-    return tri.unionByName(cc).unionByName(kcore)
+    return (
+        clusters.unionByName(mhinc)
+        .unionByName(split_leg)
+        .unionByName(embinc)
+        .unionByName(tri)
+        .unionByName(cc)
+        .unionByName(kcore)
+    )
 
 
 #: weights/seed for the e22 'split' leg — shared with the oracle builder
@@ -4176,7 +4167,7 @@ FROM msurv WHERE doc_id NOT IN (SELECT doc_id FROM mdom)
 """
 
 
-def _e30_graph_oracle_sql() -> str:
+def _e22_graph_oracle_sql() -> str:
     """'tri'/'cc' family mirror: brute-force triangle enumeration over
     the canonical (x<y, distinct-by-construction) events-derived edge
     set — each triangle once as a<b<c, corners unioned — and the
@@ -4190,8 +4181,14 @@ def _e30_graph_oracle_sql() -> str:
     it; the aggregate builds the round's removal list).  Round-capped
     at 40: after the fixpoint rows replicate unchanged, so the capped
     round IS the core (measured peel depth on this expander graph:
-    3-4 rounds at sf0.01/sf0.1)."""
+    3-4 rounds at sf0.01/sf0.1).
+
+    r13: appended to the e22 oracle chain (the e30 entry is re-merged
+    into e22 — see _e22_dedup_clusters); the graph CTEs live inside
+    their own subquery, so they cannot collide with the dedup chain's
+    names."""
     return """
+UNION ALL
 SELECT family, doc_id, val FROM (
   WITH RECURSIVE
   gu AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS n FROM events),
@@ -4493,7 +4490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["e20_pretrain_pipeline"] = _e20_pretrain_pipeline
     out["e21_stats_aggregates"] = _e21_stats_aggregates
     out["e22_dedup_clusters"] = _e22_dedup_clusters
-    out["e30_graph_analytics"] = _e30_graph_analytics
     out["e23_split_pack"] = _e23_split_pack
     out["e24_semdedup"] = _e24_semdedup
     out["e25_warc_crawl"] = _e25_warc_crawl
@@ -4570,8 +4566,8 @@ def oracle_sql() -> dict[str, str]:
         _E22_ORACLE
         + _e22_split_oracle_sql()
         + _e22_embinc_oracle_sql()
+        + _e22_graph_oracle_sql()
     )
-    out["e30_graph_analytics"] = _e30_graph_oracle_sql()
     out["e23_split_pack"] = _e23_oracle_sql()
     out["e24_semdedup"] = _e24_oracle_sql()
     out["e25_warc_crawl"] = _e25_oracle_sql()

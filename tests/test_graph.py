@@ -417,16 +417,20 @@ def test_triangle_count_plan_stays_collapsed(spark):
         ["id_a", "id_b"],
     )
     release_caches()  # start from a clean cache registry
-    out = triangle_count(edges, per_node=True)
-    out.count()  # materialize the persisted intermediates
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    # e and fwd are cached (every reference is a cache read, not a
-    # recompute of the distinct/degree/orient chain)...
-    assert "InMemoryTableScan" in plan
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(infos) >= 2, f"expected e+fwd cached, got {len(infos)}"
-    # ...and the self-unionAll fan-outs are gone (degrees and corners
-    # are single explode passes — a Union node here means a branch
-    # re-reads its input per leg again)
-    assert "Union" not in plan
-    release_caches()
+    try:
+        out = triangle_count(edges, per_node=True)
+        out.count()  # materialize the persisted intermediates
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # e and fwd are cached (every reference is a cache read, not a
+        # recompute of the distinct/degree/orient chain)...
+        assert "InMemoryTableScan" in plan
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert len(infos) >= 2, f"expected e+fwd cached, got {len(infos)}"
+        # ...and the self-unionAll fan-outs are gone (degrees and
+        # corners are single explode passes — a Union node here means
+        # a branch re-reads its input per leg again)
+        assert "Union" not in plan
+    finally:
+        # ADVICE r12: always release — a failed assert above must not
+        # leak the persisted e/fwd frames into later tests
+        release_caches()

@@ -577,15 +577,35 @@ def test_bloom_decontam_scales_and_stays_exact(spark):
         return _t.perf_counter() - t0, dirty_n
 
     run(10_000)  # warm
-    t1, d1 = run(50_000)
-    t4, d4 = run(200_000)
-    assert d1 == d4 == 50  # exact at every size, bloom or not
-    assert t4 < t1 * 4, f"superlinear: {t1:.2f}s -> {t4:.2f}s"
+    # interleaved min-of-3 pairs (see test_published_filters_are_map_
+    # side_linear for the full rationale): a single-pass ratio on a
+    # long-session JVM measures session weather, not the operator
+    t1s, t4s = [], []
+    for _ in range(3):
+        t1, d1 = run(50_000)
+        t4, d4 = run(200_000)
+        assert d1 == d4 == 50  # exact at every size, bloom or not
+        t1s.append(t1)
+        t4s.append(t4)
+    t1, t4 = min(t1s), min(t4s)
+    assert t4 < max(t1 * 4, 1.0), f"superlinear: {t1:.2f}s -> {t4:.2f}s"
 
 
 def test_published_filters_are_map_side_linear(spark):
     """gopher_quality_keep + c4_keep over a growing corpus: pure Column
-    predicates, no exchange in the plan, near-linear runtime."""
+    predicates, no exchange in the plan, near-linear runtime.
+
+    Hardened (r13, VERDICT r12 item 2): the single-pass wall-clock
+    ratio fired on the driver's ~9000-stage-old session (3.15 s for
+    the 100 k pass — ~30x its healthy cost — then 24.4 s at 400 k):
+    a degraded long-lived JVM ages BETWEEN the two timed sizes, so one
+    pass measures session weather, not the filter's scaling.  Now the
+    two sizes are timed as INTERLEAVED pairs, min-of-3 per size — a
+    hot window during one pass cannot set both minima, a uniformly
+    degraded session cancels in the ratio, and only a superlinearity
+    that reproduces across three quietest-window pairs can fail.  An
+    absolute floor (t4 < 1 s passes outright) keeps a sub-measurable
+    fast path from tripping on scheduler jitter."""
     import time as _t
 
     from sparkall_spark.functions.text import c4_keep, gopher_quality_keep
@@ -616,6 +636,9 @@ def test_published_filters_are_map_side_linear(spark):
         return _t.perf_counter() - t0
 
     run(20_000)  # warm
-    t1 = run(100_000)
-    t4 = run(400_000)
-    assert t4 < t1 * 6, f"superlinear: {t1:.2f}s -> {t4:.2f}s"
+    t1s, t4s = [], []
+    for _ in range(3):
+        t1s.append(run(100_000))
+        t4s.append(run(400_000))
+    t1, t4 = min(t1s), min(t4s)
+    assert t4 < max(t1 * 6, 1.0), f"superlinear: {t1:.2f}s -> {t4:.2f}s"

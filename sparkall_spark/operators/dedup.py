@@ -467,7 +467,7 @@ def _minhash_rep_graph(
     bands: int,
     threshold: float,
     seed: int,
-    est_prefilter: bool,
+    est_prefilter: bool | str,
     broadcast_reps: bool | None,
     broadcast_rep_limit: int,
     candidate_strategy: str | None = None,
@@ -582,6 +582,25 @@ def _minhash_rep_graph(
         else candidate_strategy == "broadcast"
     )
 
+    # r13: the estimate prefilter's comparison column.  The estimate
+    # needs |{i : sig_a[i] == sig_b[i]}| per candidate; the r8-r12 form
+    # computed it with zip_with+filter, but higher-order functions are
+    # CodegenFallback — every candidate paid an interpreted, boxed
+    # evaluation, and the r13 bench storm capture caught exactly that
+    # frame (ArrayFilter.nullSafeEval) grinding a straggler task while
+    # 27/32 executor threads sat parked.  Tagging each component with
+    # its position ONCE per rep (xxhash64(component, i) — no ANSI
+    # overflow, 2^-64 cross-position collision odds) turns the per-
+    # candidate positional count into array_intersect over the tagged
+    # arrays — whole-stage-codegen'd, primitive, allocation-light.  A
+    # tag collision can only OVERcount matches, i.e. only ADD a
+    # candidate to exact verification — the emitted pair set is decided
+    # by the exact jaccard, so values are unchanged by construction.
+    tag_cols = (
+        [F.expr("transform(__sig, (x, i) -> xxhash64(x, i))").alias("__sigt")]
+        if est_prefilter and est_prefilter != "hof" and not cand_broadcast
+        else []
+    )
     sig = _persist(
         reps.withColumn(
             # single-SQL-string construction (_sig_sql): same values as
@@ -611,7 +630,7 @@ def _minhash_rep_graph(
             if 0.0 < threshold < 1.0
             else F.col("__shh"),
         )
-        .select("__fp", "__sig", "__bhs", "__n", "__shh", "__pfx")
+        .select("__fp", "__sig", "__bhs", "__n", "__shh", "__pfx", *tag_cols)
     )
     # Materialize the shared cache chain NOW (sig's lineage covers keyed
     # and reps, so one small job fills all three).  The downstream plan
@@ -835,26 +854,40 @@ def _minhash_rep_graph(
         # exact intersection.
         sigma = (threshold * (1 - threshold) / num_hashes) ** 0.5
         est_cutoff = max(0.0, threshold - 6 * sigma)
-        # zip_with + filter, NOT an unrolled element_at sum: unrolling
-        # k=64 comparisons into one Add tree was measured 10x SLOWER
-        # (41s vs 4s word-leg at sf0.1) — the expression blows the
-        # whole-stage-codegen method budget and the entire stage falls
-        # back to interpreted eval, costing far more than the two
-        # array allocations zip_with pays per candidate.
-        est = (
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-                    lambda x: x,
+        if est_prefilter == "hof":
+            # the r8-r12 form, kept for A/B probes: zip_with + filter.
+            # NOT an unrolled element_at sum — unrolling k=64
+            # comparisons into one Add tree was measured 10x SLOWER
+            # (41s vs 4s word-leg at sf0.1), blowing the codegen method
+            # budget.  But HOFs are CodegenFallback: every candidate
+            # pays interpreted, boxed evaluation (see the tagged form
+            # below — the r13 default).
+            est = (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                        lambda x: x,
+                    )
                 )
+                / F.lit(num_hashes)
             )
-            / F.lit(num_hashes)
-        )
+            est_col = "__sig"
+        else:
+            # r13 default: positional match count as set intersection
+            # of the position-tagged signatures (tagged once per rep in
+            # the persisted sig frame above) — codegen'd end to end,
+            # no boxed per-candidate lambda evaluation.  Same estimate
+            # value (tag collisions are 2^-64 and can only widen the
+            # candidate set; the output is decided by exact verify).
+            est = F.size(F.array_intersect("sig_a", "sig_b")) / F.lit(
+                num_hashes
+            )
+            est_col = "__sigt"
         sig_a = sig.select(
-            F.col("__fp").alias("fp_a"), F.col("__sig").alias("sig_a")
+            F.col("__fp").alias("fp_a"), F.col(est_col).alias("sig_a")
         )
         sig_b2 = sig.select(
-            F.col("__fp").alias("fp_b"), F.col("__sig").alias("sig_b")
+            F.col("__fp").alias("fp_b"), F.col(est_col).alias("sig_b")
         )
         # attachment gate is the REP count, independent of the candidate
         # strategy: a huge rep table must not be broadcast here

@@ -31,6 +31,12 @@ def get_spark(
     with ENOSPC where it previously spilled to disk.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # the -Xms pin below must match the EFFECTIVE -Xmx, so a caller
+    # overriding spark.driver.memory via extra_conf re-sizes both
+    # (an -Xms larger than -Xmx refuses to start the JVM)
+    _driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    if extra_conf and "spark.driver.memory" in extra_conf:
+        _driver_mem = extra_conf["spark.driver.memory"]
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -54,24 +60,36 @@ def get_spark(
         # is both aging-free and the fastest steady state (minhash 1.9s
         # vs 3.0s at 8g).  On a real cluster this knob sizes only the
         # driver; executors are sized by the submitter.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", _driver_mem)
+        # -Xms == -Xmx (r13): THE fix for the long-documented "variance
+        # storms".  Root cause, proven by -Xlog:gc* on a bench-shaped
+        # session: the 45s periodic ContextCleaner System.gc() (below)
+        # runs a FULL GC, G1 then SHRINKS the committed heap toward
+        # MinHeapFreeRatio (observed 16g -> 168M..1G), and the next
+        # allocation burst — always e03, the heaviest allocator — must
+        # RE-EXPAND the heap, with +AlwaysPreTouch zeroing the fresh
+        # gigabytes INSIDE the GC pauses (logged: single "young" pauses
+        # of 9.0, 12.2, 17.5 and 26.9 s; e03 passes of 17-60 s carrying
+        # 8-34 s of GC).  This was previously mis-attributed to host
+        # CPU steal (r8's ~1.7 s young pauses = region zeroing, not
+        # stall).  Pinning -Xms keeps the heap committed at its full
+        # size for the JVM's life: pre-touch runs ONCE at startup, the
+        # periodic full GCs drop to 0.2-0.3 s, and heap re-expansion —
+        # the storm — cannot happen.  Same bench-shaped probe with the
+        # pin: e03 5.95/6.16/6.33 s with 84-95 ms GC per pass (vs
+        # 17.8/31.6/7.0 s unpinned on the same host).  Standard cluster
+        # posture anyway (executors run Xms=Xmx).
+        #
         # -XX:+AlwaysPreTouch: pre-fault the heap at JVM start — kernel
         # page-zeroing otherwise lands mid-query on first touch of
         # fresh heap regions (measured multi-second jitter on this VM).
-        # G1NewSizePercent=35 (r8): a YOUNG-GEN FLOOR against the GC
-        # death spiral on shared-CPU hosts.  Under host CPU steal,
-        # stop-the-world young pauses stretch ~20ms -> ~1.7s; G1 reacts
-        # by SHRINKING young gen to chase its 200ms pause target, which
-        # multiplies the GC count (measured: ~6 GCs/pass -> 30-56) while
-        # each GC still pays the host-stall floor — identical e03 passes
-        # blew 3.5s -> 59-88s with 50-84s of GC.  Pinning a large young
-        # floor keeps the count at the allocation-volume minimum, so a
-        # hot window costs ~n_GCs x stall instead of the spiral.
-        # Measured healthy-window neutral-to-better (e03 2.9-4.2s).
+        # G1NewSizePercent=35 (r8): a YOUNG-GEN FLOOR so an allocation
+        # burst costs the minimum number of young GCs; with the heap
+        # pinned this floor is now stable in absolute bytes too.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:+AlwaysPreTouch -XX:+UnlockExperimentalVMOptions"
-            " -XX:G1NewSizePercent=35",
+            f"-Xms{_driver_mem} -XX:+AlwaysPreTouch"
+            " -XX:+UnlockExperimentalVMOptions -XX:G1NewSizePercent=35",
         )
         # Broadcast/torrent blocks are freed by ContextCleaner only
         # after the DRIVER garbage-collects their references; with a

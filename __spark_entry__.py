@@ -1345,17 +1345,55 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     all fully deterministic (fixed seeded centroids / hyperplanes /
     codebooks, floor-based rounding) and all mirrored literally in
     SQL."""
+    import numpy as np
+
     from sparkall_spark.operators import quantize as Qz
+    from sparkall_spark.operators.similarity import assign_cells, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    q8 = Qz.quantized_topk(emb, queries, k=10).select(
+    # r13 shared corpus bases (guide §5, VERDICT r12 next #4): the six
+    # methods previously re-derived their index columns from the raw
+    # table per method — the double cast + l2 norm four times, the int8
+    # codes twice (q8/ivfq8), the 16-cell Arrow assignment twice
+    # (ivf/ivfq8), and six parquet scans.  ONE persisted frame now
+    # carries (__v cast, __n norm, __q codes, __cell assignment) and
+    # every method reads it; each precomputed column is built by the
+    # SAME expression the operators use internally (their
+    # corpus_*_col contracts), so values are identical by construction.
+    # Eagerly materialized: the query-side broadcast exchanges run as
+    # separate driver jobs, and racing jobs would otherwise recompute
+    # the whole prep chain before the cache fills (the e03 lesson).
+    # At 100 TB this is the difference between six corpus passes
+    # (two of them through the Python boundary) and ONE.
+    cents16 = np.asarray(_E09_CENTROIDS, dtype=float)
+    from sparkall_spark.operators._cache import persist_tracked
+
+    prep = persist_tracked(
+        Qz.quantize_embeddings(
+            emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("__v"),
+            ),
+            "__v",
+            "__q",
+            "__qsc",
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .withColumn("__cell", assign_cells(F.col("__v"), cents16))
+        .select("vec_id", "__v", "__n", "__q", "__cell")
+    )
+    prep.count()
+    queries = prep.filter(F.col("vec_id") < 8)
+    q8 = Qz.quantized_topk(
+        prep, queries, k=10, vec_col="__v", corpus_code_col="__q"
+    ).select(
         F.lit("q8").alias("method"),
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
     )
     ivfq8 = Qz.ivf_topk_q8(
-        emb, queries, centroids=_E09_CENTROIDS, k=10, nprobe=4
+        prep, queries, centroids=_E09_CENTROIDS, k=10, nprobe=4,
+        vec_col="__v", corpus_code_col="__q", corpus_cell_col="__cell",
     ).select(
         F.lit("ivfq8").alias("method"),
         "query_id", "neighbor_id", "cosine",
@@ -1367,26 +1405,31 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Each branch is persisted (released by the entry teardown): the
     # top-k frames are <=80 rows, and both the union and its recall
     # leg read them, so no method runs twice.
-    from sparkall_spark.operators._cache import persist_tracked
-    brute = S.brute_force_topk(emb, queries, k=10).select(
+    brute = S.brute_force_topk(
+        prep, queries, k=10, vec_col="__v", corpus_norm_col="__n"
+    ).select(
         F.lit("brute").alias("method"),
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
     )
     ivf = S.ivf_topk(
-        emb, queries, k=10, n_cells=16, nprobe=4, centroids=_E09_CENTROIDS
+        prep, queries, k=10, n_cells=16, nprobe=4, centroids=_E09_CENTROIDS,
+        vec_col="__v", corpus_cell_col="__cell", corpus_norm_col="__n",
     ).select(
         F.lit("ivf").alias("method"),
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
     )
-    lsh = S.lsh_topk(emb, queries, k=10, bits=4, tables=16).select(
+    lsh = S.lsh_topk(
+        prep, queries, k=10, bits=4, tables=16,
+        vec_col="__v", corpus_norm_col="__n",
+    ).select(
         F.lit("lsh").alias("method"),
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
     )
     pq = S.ivf_pq_topk(
-        emb,
+        prep,
         queries,
         k=10,
         n_cells=8,
@@ -1396,6 +1439,8 @@ def _e09_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         refine=3,
         centroids=_E26_CENTROIDS,
         codebooks=_E26_BOOKS,
+        vec_col="__v",
+        corpus_norm_col="__n",
     ).select(
         F.lit("ivfpq").alias("method"),
         "query_id", "neighbor_id", "cosine",

@@ -108,6 +108,7 @@ def quantized_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     query_vec_col: str | None = None,
+    corpus_code_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k under the QUANTIZED metric: brute-force cosine over
     int8 codes (same shape/contract as ``similarity.brute_force_topk``
@@ -119,7 +120,13 @@ def quantized_topk(
     set is dim bytes + 8 per vector instead of 8*dim, so a scan-heavy
     shortlist pass fits 4-8x more vectors per executor.  Compose with
     an exact refine over the float column for recall-critical use (the
-    IVF-PQ leg's pattern)."""
+    IVF-PQ leg's pattern).
+
+    ``corpus_code_col`` (r13): name of a PRECOMPUTED
+    :func:`quantize_embeddings` code column on ``corpus`` — callers
+    running several quantized methods over one corpus (the e09 family)
+    quantize once in a shared persisted frame instead of once per
+    method (guide §5)."""
     q = quantize_embeddings(
         queries.select(
             F.col(query_id_col or id_col).alias("query_id"),
@@ -129,14 +136,21 @@ def quantized_topk(
         "__qq",
         "__qs",
     ).select("query_id", "__qq")
-    c = quantize_embeddings(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
-        ),
-        "__v",
-        "__cq",
-        "__cs",
-    ).select("neighbor_id", "__cq")
+    if corpus_code_col:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(corpus_code_col).alias("__cq"),
+        )
+    else:
+        c = quantize_embeddings(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__v"),
+            ),
+            "__v",
+            "__cq",
+            "__cs",
+        ).select("neighbor_id", "__cq")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -175,6 +189,8 @@ def ivf_topk_q8(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_code_col: str | None = None,
+    corpus_cell_col: str | None = None,
 ) -> DataFrame:
     """IVF cells + int8 scoring: the composed memory-bound ANN shape —
     the searchable per-corpus-vector payload is ONE int cell + dim code
@@ -190,6 +206,12 @@ def ivf_topk_q8(
     rank — exactly ``quantized_topk`` restricted to the probed cells
     (asserted in tests).  Compose with a float refine for
     recall-critical use (the IVF-PQ pattern).
+
+    ``corpus_code_col`` / ``corpus_cell_col`` (r13): precomputed
+    :func:`quantize_embeddings` codes and ``assign_cells`` (SAME
+    centroids) columns on ``corpus`` — the e09 shared-base contract
+    (guide §5): one persisted corpus frame feeds every method instead
+    of each method re-deriving its index columns.
     """
     import numpy as np
 
@@ -199,19 +221,30 @@ def ivf_topk_q8(
     )
 
     cents = np.asarray(centroids, dtype=float)
-    c = quantize_embeddings(
-        corpus.select(
+    if corpus_code_col and corpus_cell_col:
+        c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-        ),
-        "__v",
-        "__cq",
-        "__cs",
-    ).select(
-        "neighbor_id",
-        "__cq",
-        assign_cells(F.col("__v"), cents).alias("cell"),
-    )
+            F.col(corpus_code_col).alias("__cq"),
+            F.col(corpus_cell_col).alias("cell"),
+        )
+    elif corpus_code_col or corpus_cell_col:
+        raise ValueError(
+            "pass corpus_code_col and corpus_cell_col together, or neither"
+        )
+    else:
+        c = quantize_embeddings(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            ),
+            "__v",
+            "__cq",
+            "__cs",
+        ).select(
+            "neighbor_id",
+            "__cq",
+            assign_cells(F.col("__v"), cents).alias("cell"),
+        )
     q = quantize_embeddings(
         queries.select(
             F.col(id_col).alias("query_id"),

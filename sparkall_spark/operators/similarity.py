@@ -198,6 +198,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     query_vec_col: str | None = None,
+    corpus_norm_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for every query vector.
 
@@ -205,6 +206,13 @@ def brute_force_topk(
     Ties broken by neighbor_id (deterministic).  The query side is
     broadcast — it is expected to be small; the corpus streams.
     Norms are computed once per row, not once per pair.
+
+    ``corpus_norm_col`` (r13): name of a PRECOMPUTED ``l2_norm`` column
+    on ``corpus`` — callers running several ANN methods over one
+    corpus (the e09 family shape) compute the norm once in a shared
+    persisted frame instead of once per method (guide §5).  Must have
+    been built with :func:`l2_norm` over the cast vector, or results
+    differ.
     """
     q = queries.select(
         F.col(query_id_col or id_col).alias("query_id"),
@@ -213,7 +221,10 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__cn", l2_norm(F.col("__cv")))
+        *([F.col(corpus_norm_col).alias("__cn")] if corpus_norm_col else []),
+    )
+    if not corpus_norm_col:
+        c = c.withColumn("__cn", l2_norm(F.col("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -317,6 +328,7 @@ def lsh_topk(
     bits: int = 8,
     tables: int = 8,
     seed: int = 42,
+    corpus_norm_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
@@ -324,12 +336,17 @@ def lsh_topk(
     query/corpus candidates join on (table, bucket) and are rescored
     exactly.  Recall grows with ``tables``; cost per table is one
     equi-join keyed on a small int.  Output schema matches
-    :func:`brute_force_topk`.
+    :func:`brute_force_topk`.  ``corpus_norm_col``: precomputed
+    ``l2_norm`` column on ``corpus`` (the shared-base contract of
+    :func:`brute_force_topk`).
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__cn", l2_norm(F.col("__cv")))
+        *([F.col(corpus_norm_col).alias("__cn")] if corpus_norm_col else []),
+    )
+    if not corpus_norm_col:
+        c = c.withColumn("__cn", l2_norm(F.col("__cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -375,9 +392,18 @@ def ivf_topk(
     seed: int = 42,
     centroids: np.ndarray | None = None,
     assign: str = "arrow",
+    corpus_cell_col: str | None = None,
+    corpus_norm_col: str | None = None,
 ) -> DataFrame:
     """IVF-style ANN: centroids from a driver-side k-means over a bounded
     sample (metadata-scale), then cell-blocked exact search.
+
+    ``corpus_cell_col`` / ``corpus_norm_col`` (r13): precomputed cell
+    (``assign_cells`` over the SAME centroids) and ``l2_norm`` columns
+    on ``corpus``, for callers sharing one persisted corpus frame
+    across several ANN methods (guide §5 — e09 computes the cell
+    assignment's Arrow matmul once instead of once per IVF-family
+    method).  Only valid with caller-fixed ``centroids``.
 
     The sample/centroid step is O(sample_size * n_cells * iters) on the
     driver — independent of corpus size; assignment and search are
@@ -392,9 +418,23 @@ def ivf_topk(
     fold (UDF-free plan).  Queries always use the Column expression —
     they need the top-``nprobe`` cells and are small by assumption.
     """
+    if corpus_cell_col is not None and centroids is None:
+        raise ValueError(
+            "corpus_cell_col requires caller-fixed centroids (a trained "
+            "codebook cannot match a precomputed assignment)"
+        )
+    extra = [
+        F.col(col).alias(name)
+        for col, name in (
+            (corpus_cell_col, "cell"),
+            (corpus_norm_col, "__cn"),
+        )
+        if col
+    ]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
+        *extra,
     )
     if centroids is not None:
         cents = np.asarray(centroids, dtype=float)
@@ -407,15 +447,21 @@ def ivf_topk(
         )
         cents = train_centroids(sample, n_cells, iters, seed)
 
-    if assign == "arrow":
-        corpus_cell = assign_cells(F.col("__cv"), cents)
-    elif assign == "column":
-        corpus_cell = F.element_at(nearest_cells_expr(F.col("__cv"), cents, 1), 1)
-    else:
-        raise ValueError(f"assign must be 'arrow' or 'column', got {assign!r}")
-    c_cells = c.withColumn("cell", corpus_cell).withColumn(
-        "__cn", l2_norm(F.col("__cv"))
-    )
+    c_cells = c
+    if corpus_cell_col is None:
+        if assign == "arrow":
+            corpus_cell = assign_cells(F.col("__cv"), cents)
+        elif assign == "column":
+            corpus_cell = F.element_at(
+                nearest_cells_expr(F.col("__cv"), cents, 1), 1
+            )
+        else:
+            raise ValueError(
+                f"assign must be 'arrow' or 'column', got {assign!r}"
+            )
+        c_cells = c_cells.withColumn("cell", corpus_cell)
+    if corpus_norm_col is None:
+        c_cells = c_cells.withColumn("__cn", l2_norm(F.col("__cv")))
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -567,10 +613,15 @@ def ivf_pq_topk(
     assign: str = "arrow",
     centroids=None,
     codebooks=None,
+    corpus_norm_col: str | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN with exact refinement: coarse IVF cells + product-
     quantized codes for the candidate scoring, then exact cosine over
     the ``refine * k`` best PQ candidates per query.
+    ``corpus_norm_col``: precomputed ``l2_norm`` column on ``corpus``
+    for the refine stage (the shared-base contract of
+    :func:`brute_force_topk`; cells/codes here use their own
+    centroids/codebooks and are always computed).
 
     Pass ``centroids`` ((n_cells, dim)) and ``codebooks`` ((m, ks,
     dim//m)) together for a fixed, fully deterministic, SQL-mirrorable
@@ -592,6 +643,7 @@ def ivf_pq_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
+        *([F.col(corpus_norm_col).alias("__cn")] if corpus_norm_col else []),
     )
     if centroids is not None and codebooks is not None:
         cents = np.asarray(centroids, dtype=float)
@@ -633,9 +685,10 @@ def ivf_pq_topk(
     )
 
     # candidate scoring on CODES only (the full corpus vector is not in
-    # the candidate row — this is what shrinks the searchable index)
+    # the candidate row — this is what shrinks the searchable index;
+    # the precomputed norm rides only the refine join below)
     cand = (
-        indexed.drop("__cv")
+        indexed.drop("__cv", *(["__cn"] if corpus_norm_col else []))
         .join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
@@ -652,9 +705,10 @@ def ivf_pq_topk(
     )
 
     # exact refine: join the full vectors back for the shortlist only
-    refined = shortlist.join(c, "neighbor_id").withColumn(
-        "__cn", l2_norm(F.col("__cv"))
-    ).withColumn("cosine", _paired_cosine())
+    refined = shortlist.join(c, "neighbor_id")
+    if not corpus_norm_col:
+        refined = refined.withColumn("__cn", l2_norm(F.col("__cv")))
+    refined = refined.withColumn("cosine", _paired_cosine())
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -3537,14 +3537,24 @@ def _e29_index_telemetry(
     # leg below now gates the lifecycle end-to-end through its oracle
     # (the oracles mirror the full corpus, so a row lost or duplicated
     # by append/compact hash-mismatches)
+    # r13 (guide §2.3/§6, VERDICT r12 next #5): both the initial save
+    # and the ingest append build BUCKET-ALIGNED postings — the token
+    # explode is shuffled once on tok_bucket and aggregated in place,
+    # and the writers skip their full-data repartition (prebucketed):
+    # one exchange per index write instead of two.  Plan receipt in
+    # tests/test_postings.py (exchange-count assert); rows/meta/
+    # lookups hash-identical to the plain path.
     idx_dir = _tmpdir("sparkall_e29_idx_")
     save_postings(
-        build_postings(docs.filter(F.col("doc_id") % 5 != 0)),
+        build_postings(docs.filter(F.col("doc_id") % 5 != 0), n_buckets=16),
         idx_dir,
         n_buckets=16,
+        prebucketed=True,
     )
     append_postings(
-        build_postings(docs.filter(F.col("doc_id") % 5 == 0)), idx_dir
+        build_postings(docs.filter(F.col("doc_id") % 5 == 0), n_buckets=16),
+        idx_dir,
+        prebucketed=True,
     )
     compact_postings(spark, idx_dir)
     meta = read_postings_meta(spark, idx_dir)

@@ -72,12 +72,31 @@ def build_postings(
     id_col: str = "doc_id",
     text_col: str = "text",
     lowercase: bool = True,
+    n_buckets: int | None = None,
+    bucket_seed: int = 0,
 ) -> DataFrame:
     """Positional postings: one row per (token, doc) with the sorted
     0-based ``positions`` array and ``tf`` (= size(positions)).
 
     Output: ``token, doc_id, positions: array<int>, tf: bigint``.
     Empty/NULL documents contribute no rows.
+
+    ``n_buckets`` (r13, guide §2.3/§6): build BUCKET-ALIGNED for a
+    save/append into a saved index with this layout — the exploded
+    tokens are shuffled ONCE on ``tok_bucket`` (``n_buckets``
+    partitions) and aggregated in place: ``tok_bucket`` is in the
+    grouping key and is a pure function of ``token``, so the hash
+    partitioning on it already satisfies the aggregation's clustering
+    requirement and Spark inserts NO second exchange.  The output
+    carries the ``tok_bucket`` column and is physically clustered by
+    it, which lets :func:`save_postings` / :func:`append_postings`
+    (``prebucketed=True``) write hive partitions directly — the plain
+    form costs TWO full-data exchanges per index write (the groupBy
+    shuffle here + the writer's repartition); this form costs ONE.  At
+    100 TB that removes a full shuffle of the index per save/append.
+    The aggregation runs at ``n_buckets``-way parallelism — size the
+    layout's bucket count to the cluster, exactly as §6 sizes output
+    files.
     """
     txt = F.col(text_col)
     if lowercase:
@@ -86,9 +105,19 @@ def build_postings(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(txt)).alias("pos", "token"),
     )
-    return tok.groupBy("token", "doc_id").agg(
+    agg = [
         F.array_sort(F.collect_list("pos")).alias("positions"),
         F.count(F.lit(1)).cast("bigint").alias("tf"),
+    ]
+    if n_buckets is None:
+        return tok.groupBy("token", "doc_id").agg(*agg)
+    return (
+        tok.withColumn(
+            "tok_bucket", _token_bucket_col(F.col("token"), n_buckets, bucket_seed)
+        )
+        .repartition(n_buckets, "tok_bucket")
+        .groupBy("tok_bucket", "token", "doc_id")
+        .agg(*agg)
     )
 
 
@@ -145,6 +174,7 @@ def save_postings(
     path: str,
     n_buckets: int = 64,
     seed: int = 0,
+    prebucketed: bool = False,
 ) -> None:
     """Persist a postings table for partition-pruned lookups.
 
@@ -162,6 +192,16 @@ def save_postings(
 
     The ``_``-prefixed side tables are invisible to a scan of ``path``
     itself (Spark's hidden-path convention).
+
+    ``prebucketed=True`` (r13, guide §2.3/§6): the input was built by
+    :func:`build_postings` with THIS layout's ``n_buckets``/``seed``,
+    so it already carries ``tok_bucket`` and is physically clustered
+    on it — the writer's full-data repartition is skipped (one
+    exchange per index write instead of two).  Defensive by
+    construction: the bucket column is RE-derived from the token with
+    the layout parameters regardless, so a wrong claim can only cost
+    file counts (multiple files per bucket until compaction), never
+    lookup correctness.
     """
     spark = postings.sparkSession
     # pin the input across its two consumers (the append_postings
@@ -172,7 +212,7 @@ def save_postings(
     # and the doclen/meta chain run on two driver threads
     pinned = postings.persist()
     try:
-        with_bucket = pinned.withColumn(
+        with_bucket = pinned.drop("tok_bucket").withColumn(
             "tok_bucket", _token_bucket_col(F.col("token"), n_buckets, seed)
         )
         # overwrite semantics, made deterministic for the concurrent
@@ -188,10 +228,14 @@ def save_postings(
             # repartition on the partition column so each hive
             # directory is written by the tasks that own its rows
             # (without it, every task holding rows of every bucket
-            # opens n_buckets writers -> n_tasks * n_buckets files)
-            with_bucket.repartition(n_buckets, "tok_bucket").write.mode(
-                "append"
-            ).partitionBy("tok_bucket").parquet(path)
+            # opens n_buckets writers -> n_tasks * n_buckets files);
+            # prebucketed input is already clustered — write directly
+            out = (
+                with_bucket
+                if prebucketed
+                else with_bucket.repartition(n_buckets, "tok_bucket")
+            )
+            out.write.mode("append").partitionBy("tok_bucket").parquet(path)
 
         def _write_doclen_meta() -> None:
             doclen = pinned.groupBy("doc_id").agg(
@@ -209,7 +253,15 @@ def save_postings(
 
 def _write_meta(spark: SparkSession, path: str, n_buckets: int, seed: int) -> None:
     """(Re)derive the ``_meta`` stats row from the current ``_doclen``
-    side table and overwrite it."""
+    side table and replace it.
+
+    r13: staged write + rename replace, NOT a direct overwrite — a
+    crash inside a direct overwrite could leave ``_meta`` empty, and
+    ``_meta`` carries the layout parameters every maintenance re-run
+    (including compact_postings' crash recovery) reads first.  With
+    the rename, the live ``_meta`` exists in full at every crash
+    point except inside the one directory rename."""
+    tmp = f"{path}/{_META_SUBDIR}_staging"
     stats = (
         spark.read.parquet(f"{path}/{_DOCLEN_SUBDIR}")
         .agg(
@@ -223,10 +275,20 @@ def _write_meta(spark: SparkSession, path: str, n_buckets: int, seed: int) -> No
             "avg_len",
         )
     )
-    stats.write.mode("overwrite").parquet(f"{path}/{_META_SUBDIR}")
+    stats.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst_p = jvm.org.apache.hadoop.fs.Path(f"{path}/{_META_SUBDIR}")
+    fs = dst_p.getFileSystem(hconf)
+    fs.delete(dst_p, True)
+    if not fs.rename(src_p, dst_p):
+        raise IOError(f"_write_meta: rename {tmp} -> {dst_p} failed")
 
 
-def append_postings(postings: DataFrame, path: str) -> None:
+def append_postings(
+    postings: DataFrame, path: str, prebucketed: bool = False
+) -> None:
     """Append a NEW batch's postings to a saved index without a full
     rebuild — the index-maintenance half of the 100 TB story (an index
     over a growing corpus is re-amortized per ingest batch, not
@@ -245,20 +307,31 @@ def append_postings(postings: DataFrame, path: str) -> None:
     plan is pinned (persist) across its two consumers so the index
     rows and the doclen rows cannot diverge on an unstable source —
     the ``ingest_documents`` lesson.
+
+    ``prebucketed=True`` (r13): the batch was built by
+    :func:`build_postings` with the SAVED layout's ``n_buckets``/
+    ``seed`` — skip the writer's full-batch repartition (one exchange
+    per append instead of two; guide §2.3/§6).  The bucket column is
+    re-derived from the token with the ``_meta`` parameters
+    regardless, so a layout mismatch can only cost file counts, never
+    lookup correctness.
     """
     spark = postings.sparkSession
     meta = read_postings_meta(spark, path)
     nb, seed = int(meta["n_buckets"]), int(meta["seed"])
     pinned = postings.persist()
     try:
-        with_bucket = pinned.withColumn(
+        with_bucket = pinned.drop("tok_bucket").withColumn(
             "tok_bucket", _token_bucket_col(F.col("token"), nb, seed)
         )
 
         def _append_postings() -> None:
-            with_bucket.repartition(nb, "tok_bucket").write.mode(
-                "append"
-            ).partitionBy("tok_bucket").parquet(path)
+            out = (
+                with_bucket
+                if prebucketed
+                else with_bucket.repartition(nb, "tok_bucket")
+            )
+            out.write.mode("append").partitionBy("tok_bucket").parquet(path)
 
         def _append_doclen_meta() -> None:
             batch_len = pinned.groupBy("doc_id").agg(
@@ -305,18 +378,32 @@ def compact_postings(spark: SparkSession, path: str) -> None:
     queries against ``path`` during the swap see a partially-compacted
     listing — schedule it like any other table-maintenance window.
 
-    Crash recovery: every step is idempotent, so the answer to a crash
-    at ANY point is simply "re-run compact_postings(path)".  A crash
-    during staging leaves the live index untouched (staging is
-    ``_``-hidden, invisible to the parquet reader).  A crash during the
-    swap can leave some bucket dirs compacted and others not — the
-    per-bucket delete+rename window is the same exposure class as the
-    old dynamic-overwrite commit (which also replaces partition dirs
-    one at a time), and the staged copy under ``_compact_tmp`` holds a
-    full snapshot until cleanup, so no crash point loses rows.  A
-    crash between the postings and ``_doclen``/``_meta`` rewrites
+    Crash recovery: the answer to a crash at ANY point is "re-run
+    compact_postings(path)".  A crash during staging leaves the live
+    index untouched (staging is ``_``-hidden, invisible to the parquet
+    reader) and the re-run discards the incomplete staging (no
+    ``_SUCCESS`` marker) and restages.  A crash during the swap can
+    leave a bucket deleted-but-not-renamed — so the re-run FIRST looks
+    for a completed staging (``_SUCCESS`` present) and FINISHES the
+    swap from that snapshot instead of restaging (r13, per r12 advice:
+    restaging from a mid-swap live set would overwrite the only full
+    copy of the un-swapped buckets' rows — the staged snapshot, not
+    the live tree, is the source of truth once the swap has begun).
+    A crash between the postings and ``_doclen``/``_meta`` rewrites
     leaves those side tables un-compacted but value-identical (the
-    rewrite only re-packs files).
+    rewrite only re-packs files); the resume swaps them in iff their
+    staging completed.  Single-writer discipline matters here: do NOT
+    append between a crashed compact and its re-run — the resume
+    restores the staged snapshot, which predates such an append.
+
+    Filesystem contract (r12 advice): the swap relies on directory
+    rename being atomic and O(1), which holds for HDFS and POSIX
+    filesystems but NOT for object stores (S3A renames are non-atomic
+    O(data) copies — there, the per-bucket exposure window becomes a
+    long partially-copied-directory window).  Run compactions against
+    object stores through a table format with a metadata commit
+    (Iceberg/Delta) or a rename-capable layer; this plain-parquet
+    layout targets rename-atomic filesystems.
 
     Invariants (tests/test_postings.py): post-compact rows, meta and
     query answers are hash-equal to the pre-compact index AND to a
@@ -326,13 +413,15 @@ def compact_postings(spark: SparkSession, path: str) -> None:
     meta = read_postings_meta(spark, path)
     nb, seed = int(meta["n_buckets"]), int(meta["seed"])
     staging = f"{path}/{_COMPACT_SUBDIR}"
-    rebucketed = (
-        load_postings(spark, path)
-        .drop("tok_bucket")
-        .withColumn(
-            "tok_bucket", _token_bucket_col(F.col("token"), nb, seed)
-        )
-    )
+
+    def _fs(p: str):
+        jp = spark._jvm.org.apache.hadoop.fs.Path(p)
+        return jp.getFileSystem(spark._jsc.hadoopConfiguration()), jp
+
+    def _exists(p: str) -> bool:
+        fs, jp = _fs(p)
+        return fs.exists(jp)
+
     def _swap_in(src: str, dst: str) -> None:
         # filesystem-level swap: the staged dir IS the final layout —
         # delete the live dir, move the staged one in.  Raising on a
@@ -347,24 +436,50 @@ def compact_postings(spark: SparkSession, path: str) -> None:
         if not fs.rename(src_p, dst_p):
             raise IOError(f"compact_postings: rename {src} -> {dst} failed")
 
+    def _swap_staged_buckets() -> None:
+        # swap every staged bucket dir into place (r12: zero re-read /
+        # re-shuffle / re-write — the old dynamic-overwrite swap moved
+        # every live row through Spark a second time); the _-hidden
+        # side tables are untouched, exactly as dynamic mode left them
+        fs, src_root = _fs(f"{staging}/postings")
+        for st in fs.listStatus(src_root):
+            name = st.getPath().getName()
+            if name.startswith("tok_bucket="):
+                _swap_in(f"{staging}/postings/{name}", f"{path}/{name}")
+
+    # r13 (r12 advice): a leftover staging with a COMPLETED write
+    # (_SUCCESS present) means a previous compaction crashed mid-swap.
+    # The staged snapshot — not the possibly-partially-swapped live
+    # tree — is the only guaranteed-full copy of the un-swapped
+    # buckets' rows, so FINISH the swap from it; restaging here would
+    # overwrite that snapshot from the incomplete live set and lose
+    # rows permanently.  Already-swapped buckets were renamed OUT of
+    # the staging, so finishing is naturally incremental.  Without the
+    # marker the staging is an incomplete WRITE (live index untouched)
+    # and is discarded below by the fresh staging's own overwrite.
+    if _exists(f"{staging}/postings/_SUCCESS"):
+        _swap_staged_buckets()
+        if _exists(f"{staging}/doclen/_SUCCESS"):
+            _swap_in(f"{staging}/doclen", f"{path}/{_DOCLEN_SUBDIR}")
+        _write_meta(spark, path, nb, seed)
+        _hadoop_delete(spark, staging)
+        return
+
+    rebucketed = (
+        load_postings(spark, path)
+        .drop("tok_bucket")
+        .withColumn(
+            "tok_bucket", _token_bucket_col(F.col("token"), nb, seed)
+        )
+    )
+
     # one shuffle partition per bucket -> each bucket dir is written
     # by exactly one task -> exactly one file per bucket
     def _compact_postings_chain() -> None:
         rebucketed.repartition(nb, "tok_bucket").write.mode(
             "overwrite"
         ).partitionBy("tok_bucket").parquet(f"{staging}/postings")
-        # swap every staged bucket dir into place (r12: zero re-read /
-        # re-shuffle / re-write — the old dynamic-overwrite swap moved
-        # every live row through Spark a second time); the _-hidden
-        # side tables are untouched, exactly as dynamic mode left them
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        src_root = jvm.org.apache.hadoop.fs.Path(f"{staging}/postings")
-        fs = src_root.getFileSystem(hconf)
-        for st in fs.listStatus(src_root):
-            name = st.getPath().getName()
-            if name.startswith("tok_bucket="):
-                _swap_in(f"{staging}/postings/{name}", f"{path}/{name}")
+        _swap_staged_buckets()
 
     def _compact_doclen_chain() -> None:
         # repartition bounds the rewritten _doclen at n_buckets files

@@ -511,3 +511,160 @@ def test_term_query_saved_index_is_pruned(spark, tmp_path, sf_dir):
     # every scan carries a tok_bucket partition filter: pruned lookups
     assert "PartitionFilters: [isnotnull(tok_bucket" in plan
     assert q.count() > 0
+
+
+def test_bucketed_build_one_exchange_and_prebucketed_write(spark, tmp_path):
+    """r13 (guide §2.3/§6): build_postings(n_buckets=...) shuffles the
+    exploded tokens ONCE on tok_bucket and aggregates in place (the
+    hash partitioning on the bucket — a pure function of the token —
+    already satisfies the aggregation's clustering requirement, so the
+    plan holds exactly one Exchange), and save/append with
+    prebucketed=True skip the writer's full-data repartition while
+    producing an index identical to the plain path: same rows, same
+    meta/doclen, same one-file-per-bucket layout, pruning intact."""
+    import glob
+
+    from sparkall_spark.operators.postings import (
+        append_postings,
+        load_doclen,
+        load_postings,
+        read_postings_meta,
+        save_postings,
+        token_bucket,
+    )
+
+    docs = _docs(spark)
+    b = build_postings(docs, n_buckets=8)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    ex_line = plan.split("Exchange hashpartitioning", 1)[1].splitlines()[0]
+    assert "tok_bucket" in ex_line, ex_line
+    # rows identical to the plain build, bucket values in lockstep
+    # with the driver-side twin
+    got = sorted(
+        (r["token"], r["doc_id"], tuple(r["positions"]), r["tf"],
+         r["tok_bucket"])
+        for r in b.collect()
+    )
+    want = sorted(
+        (r["token"], r["doc_id"], tuple(r["positions"]), r["tf"],
+         token_bucket(r["token"], 8))
+        for r in build_postings(docs).collect()
+    )
+    assert got == want
+
+    # prebucketed save+append == plain save+append, end to end
+    batch_a, batch_b = docs.filter("doc_id <= 3"), docs.filter("doc_id > 3")
+    plain_d, pre_d = str(tmp_path / "plain"), str(tmp_path / "pre")
+    save_postings(build_postings(batch_a), plain_d, n_buckets=8)
+    append_postings(build_postings(batch_b), plain_d)
+    save_postings(
+        build_postings(batch_a, n_buckets=8), pre_d,
+        n_buckets=8, prebucketed=True,
+    )
+    append_postings(
+        build_postings(batch_b, n_buckets=8), pre_d, prebucketed=True
+    )
+    key = lambda r: (r["token"], r["doc_id"], tuple(r["positions"]),
+                     r["tf"], r["tok_bucket"])
+    assert sorted(map(key, load_postings(spark, pre_d).collect())) == sorted(
+        map(key, load_postings(spark, plain_d).collect())
+    )
+    assert read_postings_meta(spark, pre_d) == read_postings_meta(
+        spark, plain_d
+    )
+    assert sorted(map(tuple, load_doclen(spark, pre_d).collect())) == sorted(
+        map(tuple, load_doclen(spark, plain_d).collect())
+    )
+    # same file-count budget: one file per touched bucket per write
+    for d in (plain_d, pre_d):
+        per_bucket: dict[str, int] = {}
+        for f in glob.glob(f"{d}/tok_bucket=*/*.parquet"):
+            k = f.rsplit("/", 2)[-2]
+            per_bucket[k] = per_bucket.get(k, 0) + 1
+        assert per_bucket and all(v <= 2 for v in per_bucket.values()), (
+            d, per_bucket,
+        )
+    # pruned lookup still carries the PartitionFilter
+    saved = load_postings(spark, pre_d)
+    out = phrase_search(saved, "quick", n_buckets=8)
+    out.collect()
+    xplan = out._jdf.queryExecution().executedPlan().toString()
+    bkt = token_bucket("quick", 8)
+    assert any(
+        "PartitionFilters" in ln and f"= {bkt})" in ln
+        for ln in xplan.splitlines()
+    )
+
+
+def test_compact_resumes_crashed_swap_from_staged_snapshot(spark, tmp_path):
+    """r13 (r12 advice): a compaction that crashed MID-SWAP leaves a
+    completed staging (_SUCCESS) and possibly a live bucket that was
+    deleted but not yet renamed-in.  Re-running compact_postings must
+    FINISH the swap from the staged snapshot — restaging from the
+    now-incomplete live set would overwrite the only full copy of the
+    missing bucket's rows.  A staging WITHOUT _SUCCESS (crash during
+    the staging write) must be discarded and restaged normally."""
+    import glob
+    import shutil
+
+    from sparkall_spark.operators.postings import (
+        _COMPACT_SUBDIR,
+        _token_bucket_col,
+        compact_postings,
+        load_postings,
+        save_postings,
+    )
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx")
+    save_postings(build_postings(docs), idx, n_buckets=8)
+    want = sorted(
+        (r["token"], r["doc_id"], tuple(r["positions"]), r["tf"],
+         r["tok_bucket"])
+        for r in load_postings(spark, idx).collect()
+    )
+
+    # fabricate the crashed-mid-swap state exactly as compact stages it
+    staging = f"{idx}/{_COMPACT_SUBDIR}"
+    load_postings(spark, idx).drop("tok_bucket").withColumn(
+        "tok_bucket", _token_bucket_col(F.col("token"), 8, 0)
+    ).repartition(8, "tok_bucket").write.mode("overwrite").partitionBy(
+        "tok_bucket"
+    ).parquet(f"{staging}/postings")
+    victim = sorted(glob.glob(f"{idx}/tok_bucket=*"))[0]
+    shutil.rmtree(victim)  # deleted live dir, crash before rename
+    assert sorted(
+        (r["token"], r["doc_id"], tuple(r["positions"]), r["tf"],
+         r["tok_bucket"])
+        for r in load_postings(spark, idx).collect()
+    ) != want  # the live tree really is missing rows now
+
+    compact_postings(spark, idx)  # must resume, not restage
+    got = sorted(
+        (r["token"], r["doc_id"], tuple(r["positions"]), r["tf"],
+         r["tok_bucket"])
+        for r in load_postings(spark, idx).collect()
+    )
+    assert got == want
+    assert not glob.glob(f"{idx}/{_COMPACT_SUBDIR}")  # staging cleaned
+
+    # incomplete staging (no _SUCCESS): discarded, normal compaction
+    load_postings(spark, idx).drop("tok_bucket").withColumn(
+        "tok_bucket", _token_bucket_col(F.col("token"), 8, 0)
+    ).repartition(8, "tok_bucket").write.mode("overwrite").partitionBy(
+        "tok_bucket"
+    ).parquet(f"{staging}/postings")
+    import os
+
+    os.remove(f"{staging}/postings/_SUCCESS")
+    compact_postings(spark, idx)
+    got2 = sorted(
+        (r["token"], r["doc_id"], tuple(r["positions"]), r["tf"],
+         r["tok_bucket"])
+        for r in load_postings(spark, idx).collect()
+    )
+    assert got2 == want
+    # post-compact invariant holds: one data file per bucket dir
+    for d in glob.glob(f"{idx}/tok_bucket=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1

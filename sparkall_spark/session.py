@@ -99,6 +99,18 @@ def get_spark(
         # sessions (observed: identical e03 passes swinging 10s -> 99s).
         # The default periodic GC is 30min — far longer than a session.
         .config("spark.cleaner.periodicGC.interval", "45s")
+        # Whole-stage-codegen CLASS cache (r13): the default 100
+        # entries thrash under a multi-query session — a 50-entry
+        # registry compiles several hundred distinct codegen units, so
+        # every repeated query re-generates, re-loads and re-JITs its
+        # stages from scratch (measured: e03 spends 6-9 s and e29
+        # 6-12 s of JIT compiler time PER PASS at steady state with
+        # the default; 2000 entries cut e03's warm-pass JIT to ~2.8 s
+        # and make the bench warmup ladder actually persist).  Classes
+        # live in metaspace/code cache, which sits at ~130 MB of the
+        # 240 MB default reserve — headroom verified.  Same posture on
+        # cluster executors: the conf is read once at first codegen.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     # shuffle/spill files on tmpfs when the CALLER opts in (bench.py
     # does): on this VM the root disk is virtio with erratic latency,

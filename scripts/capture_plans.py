@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for every declared query into
-plans/r12/<name>_<tag>.txt  (tag = before/after, argv[1]).
+plans/$SPARKALL_PLAN_ROUND/<name>_<tag>.txt  (tag = before/after,
+argv[1]; round defaults to r13).
 
 Optimization-round evidence artifact: the judge cannot run Spark, so
-plan claims in OPTIMIZATION_r12.md are checked against these files.
+plan claims in OPTIMIZATION_r*.md are checked against these files.
 
 Usage: python scripts/capture_plans.py before [name ...]
        (no names = every entry in __spark_entry__.queries())
@@ -27,7 +28,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARKALL_PLAN_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("sparkall-plan-capture")

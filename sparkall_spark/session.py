@@ -67,28 +67,32 @@ def get_spark(
         # runs a FULL GC, G1 then SHRINKS the committed heap toward
         # MinHeapFreeRatio (observed 16g -> 168M..1G), and the next
         # allocation burst — always e03, the heaviest allocator — must
-        # RE-EXPAND the heap, with +AlwaysPreTouch zeroing the fresh
-        # gigabytes INSIDE the GC pauses (logged: single "young" pauses
-        # of 9.0, 12.2, 17.5 and 26.9 s; e03 passes of 17-60 s carrying
-        # 8-34 s of GC).  This was previously mis-attributed to host
-        # CPU steal (r8's ~1.7 s young pauses = region zeroing, not
-        # stall).  Pinning -Xms keeps the heap committed at its full
-        # size for the JVM's life: pre-touch runs ONCE at startup, the
-        # periodic full GCs drop to 0.2-0.3 s, and heap re-expansion —
-        # the storm — cannot happen.  Same bench-shaped probe with the
-        # pin: e03 5.95/6.16/6.33 s with 84-95 ms GC per pass (vs
-        # 17.8/31.6/7.0 s unpinned on the same host).  Standard cluster
-        # posture anyway (executors run Xms=Xmx).
+        # RE-EXPAND the heap, zeroing the fresh gigabytes INSIDE the GC
+        # pauses (logged: single "young" pauses of 9.0, 12.2, 17.5 and
+        # 26.9 s; e03 passes of 17-60 s carrying 8-34 s of GC).  This
+        # was previously mis-attributed to host CPU steal (r8's ~1.7 s
+        # young pauses = region zeroing, not stall).  G1 never shrinks
+        # below -Xms, so the pin makes re-expansion — the storm —
+        # impossible: the periodic full GCs drop to 0.2-0.3 s and a
+        # bench-shaped probe read e03 5.95/6.16/6.33 s with 84-95 ms
+        # GC per pass (vs 17.8/31.6/7.0 s unpinned, same host).
+        # Standard cluster posture anyway (executors run Xms=Xmx).
         #
-        # -XX:+AlwaysPreTouch: pre-fault the heap at JVM start — kernel
-        # page-zeroing otherwise lands mid-query on first touch of
-        # fresh heap regions (measured multi-second jitter on this VM).
+        # -XX:+AlwaysPreTouch was REMOVED with the pin (r13): it was
+        # the r8 answer to lazy-commit zeroing landing mid-query, but
+        # with -Xms pinned each page is zeroed at most once per JVM
+        # (no uncommit/recommit cycle exists), and pre-touching 16 g at
+        # startup measurably HURT compile-heavy first passes
+        # (interleaved fresh-JVM e04 pass0: 15-30 s with APT vs a tight
+        # 10.6-13.0 s without; full sf0.01 gate suite 161 s -> ~117 s).
         # G1NewSizePercent=35 (r8): a YOUNG-GEN FLOOR so an allocation
         # burst costs the minimum number of young GCs; with the heap
-        # pinned this floor is now stable in absolute bytes too.
+        # pinned this floor is now stable in absolute bytes too
+        # (measured neutral without APT — kept for the r8 rationale).
+        # SPARK_GRAFT_XMS overrides the pin size (e.g. for probes).
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{_driver_mem} -XX:+AlwaysPreTouch"
+            f"-Xms{os.environ.get('SPARK_GRAFT_XMS', _driver_mem)}"
             " -XX:+UnlockExperimentalVMOptions -XX:G1NewSizePercent=35",
         )
         # Broadcast/torrent blocks are freed by ContextCleaner only
